@@ -1,38 +1,486 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship transcript-quality pipeline on the
+sf0.001 documents table (each document = a single-turn conversation, per
+FIXTURES.md §5). ``queries()`` exposes the operator inventory from
+SURVEY.md §2 re-expressed over the driver's parquet tables; each entry has
+a DuckDB ``oracle_sql()`` twin unless the operator is genuinely
+non-SQL-expressible (pandas-UDF scoring: langid, perplexity, minhash,
+simhash, full pipeline) — those get the weaker rows-only check.
+
+Column-name and float-determinism discipline:
+- every computed column is aliased identically on both sides;
+- ratios are single divisions of exact integer aggregates (IEEE-identical
+  in Spark and DuckDB);
+- cosine similarities are left-fold double sums in both engines (verified
+  bit-exact) and rounded defensively before output.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+# ---- shared constants (both Spark and DuckDB expressions derive from these)
+ODD_CHARS = ["&", "#", "@", "*", "ç", "ô", "ü"]  # single-char odd set
+ODD_ALL = ODD_CHARS + ["  "]  # + double-space (reference default.yaml:111-119)
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+# exact ASCII-punctuation class (reference normalize_word,
+# src/check/dictionary.rs:110-115) — valid in both Java regex and RE2
+PUNCT_CLASS = r"[!-/:-@\[-`{-~]"
+EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+SSN_RX = r"\b\d{3}-\d{2}-\d{4}\b"
+LEN_MIN, LEN_MAX = 2, 8000
+RARE_THRESHOLD = 1
+MISS_PCT = 25.0
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _txt():
+    return F.coalesce(F.col("text"), F.lit(""))
+
+
+def _sql_stop_list() -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+# ------------------------------------------------------------------ queries
+def q_odd_chars_contains(spark, sf_dir):
+    # StringValueOddCharacters analogue (reference src/check/post.rs:262-299)
+    c = None
+    for ch in ODD_ALL:
+        e = _txt().contains(F.lit(ch))
+        c = e if c is None else (c | e)
+    return _docs(spark, sf_dir).select(
+        "doc_id", c.alias("has_odd")
+    )
+
+
+def q_odd_char_ratio(spark, sf_dir):
+    t = _txt()
+    cnt = None
+    for ch in ODD_CHARS:
+        e = F.length(t) - F.length(F.replace(t, F.lit(ch), F.lit("")))
+        cnt = e if cnt is None else (cnt + e)
+    cnt = cnt + (F.length(t) - F.length(F.replace(t, F.lit("  "), F.lit("")))) / F.lit(2)
+    ratio = F.when(F.length(t) > 0, cnt.cast("double") / F.length(t).cast("double")).otherwise(0.0)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        ratio.alias("odd_ratio"),
+        (ratio > F.lit(0.05)).alias("odd_fail"),
+    )
+
+
+def q_length_bounds(spark, sf_dir):
+    n = F.length(_txt())
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n.cast("int").alias("n_chars_txt"),
+        ((n < LEN_MIN) | (n > LEN_MAX)).alias("len_fail"),
+    )
+
+
+def q_token_count(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split(_txt(), " ", -1)).cast("int").alias("n_tok"),
+    )
+
+
+def q_stopword_fraction(spark, sf_dir):
+    norm = F.lower(F.regexp_replace(_txt(), PUNCT_CLASS, ""))
+    toks = F.split(norm, " ", -1)
+    arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    nstop = F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+    frac = nstop.cast("double") / F.size(toks).cast("double")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        nstop.cast("int").alias("n_stop"),
+        frac.alias("stop_frac"),
+    )
+
+
+def q_all_stopwords(spark, sf_dir):
+    # only_contains semantics (reference src/check/dictionary.rs:117-122)
+    norm = F.lower(F.regexp_replace(_txt(), PUNCT_CLASS, ""))
+    toks = F.split(norm, " ", -1)
+    arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    allstop = (F.size(F.array_except(toks, arr)) == 0) & (norm != F.lit(""))
+    return _docs(spark, sf_dir).select("doc_id", allstop.alias("all_stop"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    # DuplicateValues analogue via window keep-first
+    # (reference src/check/post.rs:229-260; SURVEY.md §2.6)
+    w = Window.partitionBy("text").orderBy("doc_id")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.row_number().over(w) > 1).alias("is_dup"),
+    )
+
+
+def q_dup_counts(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("text")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") > 1)
+        .select("text", F.col("occ").cast("long").alias("occ"))
+    )
+
+
+def q_rare_signature(spark, sf_dir):
+    # VariablesWithUniqueValues analogue (reference src/check/post.rs:394-418)
+    d = _docs(spark, sf_dir)
+    occ = d.groupBy("text").agg(F.count(F.lit(1)).alias("occ"))
+    return d.join(occ, "text").select(
+        "doc_id", (F.col("occ") <= RARE_THRESHOLD).alias("is_rare")
+    )
+
+
+def q_pii_detect(spark, sf_dir):
+    t = _txt()
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        t.rlike(EMAIL_RX).alias("has_email"),
+        t.rlike(SSN_RX).alias("has_ssn"),
+    )
+
+
+def q_scrub(spark, sf_dir):
+    t = _txt()
+    s = F.regexp_replace(t, EMAIL_RX, "<EMAIL>")
+    s = F.regexp_replace(s, SSN_RX, "<SSN>")
+    return _docs(spark, sf_dir).select("doc_id", s.alias("scrubbed"))
+
+
+def q_missing_fraction_by_source(spark, sf_dir):
+    # SystemMissingOverThreshold analogue, grouped by source
+    # (reference src/check/post.rs:303-351: pct = miss/total*100)
+    empty = (F.col("text").isNull() | (F.col("text") == "")).cast("long")
+    d = _docs(spark, sf_dir).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(empty).alias("n_empty"),
+    )
+    pct = F.col("n_empty").cast("double") * F.lit(100.0) / F.col("n_rows").cast("double")
+    return d.select(
+        "source", "n_rows", "n_empty", (pct > MISS_PCT).alias("miss_fail")
+    )
+
+
+def q_lang_distribution(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    return _docs(spark, sf_dir).select("doc_id", F.md5(_txt()).alias("fp"))
+
+
+def q_summary_report(spark, sf_dir):
+    """Per-rule pass/fail counts — the Report.summary analogue
+    (reference src/report/mod.rs:16-19) over the documents table."""
+    t = _txt()
+    n = F.length(t)
+    odd = None
+    for ch in ODD_ALL:
+        e = t.contains(F.lit(ch))
+        odd = e if odd is None else (odd | e)
+    rules = [
+        ("length_bounds", (n < LEN_MIN) | (n > LEN_MAX)),
+        ("odd_characters", odd),
+        ("pii_email", t.rlike(EMAIL_RX)),
+        ("empty_text", F.col("text").isNull() | (F.col("text") == "")),
+    ]
+    d = _docs(spark, sf_dir)
+    aggs = [F.count(F.lit(1)).alias("_total")] + [
+        F.sum(cond.cast("long")).alias(f"f_{name}") for name, cond in rules
+    ]
+    row = d.agg(*aggs)
+    stack = "stack({n}, {args}) as (rule, fail)".format(
+        n=len(rules),
+        args=", ".join(f"'{name}', f_{name}" for name, _ in rules),
+    )
+    return row.select(F.expr(stack), F.col("_total")).select(
+        "rule", (F.col("_total") - F.col("fail")).alias("pass"), "fail"
+    )
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for query vectors vec_id < 5.
+
+    Broadcast the (tiny) query side; dot/norm are sequential left-fold
+    double sums — verified bit-identical to DuckDB's list_dot_product —
+    and rounded to 9 dp defensively. Scale path: the same plan over
+    LSH/IVF candidate buckets instead of a full crossJoin (see
+    qamd_spark/ops/similarity.py).
+    """
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    pairs = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("qid"))
+    dot = F.aggregate(
+        F.zip_with("e", "qe", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    sim = dot / (norm("e") * norm("qe"))
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        pairs.select("qid", "vec_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor"),
+            F.round(F.col("sim"), 9).alias("sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+# ---- non-SQL-expressible (rows-only check; pytest oracle covers them) ----
+def q_langid_docs(spark, sf_dir):
+    from qamd_spark import pipeline
+    from qamd_spark.config import QamdConfig
+
+    d = _doc_transcripts(spark, sf_dir)
+    cfg = QamdConfig()
+    scored = pipeline.score_stage(d, cfg)
+    return scored.select(
+        F.col("conv_id").alias("doc_id"), "lang", F.round("perplexity", 6).alias("ppl")
+    )
+
+
+def q_transcript_pipeline(spark, sf_dir):
+    """Flagship: the full labeling pipeline over documents-as-transcripts."""
+    from qamd_spark import pipeline
+    from qamd_spark.config import QamdConfig
+
+    cfg = QamdConfig()
+    labeled = pipeline.label(_doc_transcripts(spark, sf_dir), cfg)
+    return labeled.select(
+        "conv_id",
+        "turn_idx",
+        "keep",
+        "rule_hits",
+        "lang",
+        "scrubbed_text",
+    )
+
+
+def _doc_transcripts(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+
+
+def q_minhash_dedup(spark, sf_dir):
+    from qamd_spark.ops import dedup as dd
+
+    return dd.minhash_duplicates(_docs(spark, sf_dir))
+
+
+def q_simhash(spark, sf_dir):
+    from qamd_spark.ops import dedup as dd
+
+    return dd.simhash_signatures(_docs(spark, sf_dir))
+
+
+# ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_transcript_pipeline(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "odd_chars_contains": q_odd_chars_contains,
+        "odd_char_ratio": q_odd_char_ratio,
+        "length_bounds": q_length_bounds,
+        "token_count": q_token_count,
+        "stopword_fraction": q_stopword_fraction,
+        "all_stopwords": q_all_stopwords,
+        "dedup_exact": q_dedup_exact,
+        "dup_counts": q_dup_counts,
+        "rare_signature": q_rare_signature,
+        "pii_detect": q_pii_detect,
+        "scrub": q_scrub,
+        "missing_fraction_by_source": q_missing_fraction_by_source,
+        "lang_distribution": q_lang_distribution,
+        "fingerprint": q_fingerprint,
+        "summary_report": q_summary_report,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "langid_docs": q_langid_docs,
+        "transcript_pipeline": q_transcript_pipeline,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash": q_simhash,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop = _sql_stop_list()
+    odd_contains = " OR ".join(
+        "contains(coalesce(text,''), '{}')".format(c.replace("'", "''"))
+        for c in ODD_ALL
+    )
+    odd_cnt_terms = " + ".join(
+        "(length(t) - length(replace(t, '{}', '')))".format(c) for c in ODD_CHARS
+    )
+    sqls = {
+        "odd_chars_contains": f"""
+            SELECT doc_id, ({odd_contains}) AS has_odd FROM documents
+        """,
+        "odd_char_ratio": f"""
+            WITH b AS (SELECT doc_id, coalesce(text,'') AS t FROM documents)
+            SELECT doc_id,
+              CASE WHEN length(t) > 0 THEN
+                ({odd_cnt_terms}
+                 + (length(t) - length(replace(t, '  ', ''))) / 2
+                )::DOUBLE / length(t)::DOUBLE
+              ELSE 0.0 END AS odd_ratio,
+              CASE WHEN length(t) > 0 THEN
+                (({odd_cnt_terms}
+                 + (length(t) - length(replace(t, '  ', ''))) / 2
+                )::DOUBLE / length(t)::DOUBLE) > 0.05
+              ELSE FALSE END AS odd_fail
+            FROM b
+        """,
+        "length_bounds": f"""
+            SELECT doc_id,
+                   length(coalesce(text,''))::INT AS n_chars_txt,
+                   (length(coalesce(text,'')) < {LEN_MIN}
+                    OR length(coalesce(text,'')) > {LEN_MAX}) AS len_fail
+            FROM documents
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   len(str_split(coalesce(text,''), ' '))::INT AS n_tok
+            FROM documents
+        """,
+        "stopword_fraction": f"""
+            WITH b AS (
+              SELECT doc_id,
+                str_split(lower(regexp_replace(coalesce(text,''),
+                    '{PUNCT_CLASS}', '', 'g')), ' ') AS toks
+              FROM documents)
+            SELECT doc_id,
+              len(list_filter(toks, t -> list_contains({stop}, t)))::INT AS n_stop,
+              len(list_filter(toks, t -> list_contains({stop}, t)))::DOUBLE
+                / len(toks)::DOUBLE AS stop_frac
+            FROM b
+        """,
+        "all_stopwords": f"""
+            WITH b AS (
+              SELECT doc_id,
+                lower(regexp_replace(coalesce(text,''), '{PUNCT_CLASS}', '', 'g')) AS norm
+              FROM documents)
+            SELECT doc_id,
+              (len(list_filter(str_split(norm, ' '),
+                               t -> NOT list_contains({stop}, t))) = 0
+               AND norm <> '') AS all_stop
+            FROM b
+        """,
+        "dedup_exact": """
+            SELECT doc_id,
+                   (row_number() OVER (PARTITION BY text ORDER BY doc_id) > 1)
+                     AS is_dup
+            FROM documents
+        """,
+        "dup_counts": """
+            SELECT text, count(*)::BIGINT AS occ
+            FROM documents GROUP BY text HAVING count(*) > 1
+        """,
+        "rare_signature": f"""
+            SELECT doc_id,
+                   (count(*) OVER (PARTITION BY text) <= {RARE_THRESHOLD}) AS is_rare
+            FROM documents
+        """,
+        "pii_detect": f"""
+            SELECT doc_id,
+                   regexp_matches(coalesce(text,''), '{EMAIL_RX}') AS has_email,
+                   regexp_matches(coalesce(text,''), '{SSN_RX}') AS has_ssn
+            FROM documents
+        """,
+        "scrub": f"""
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(coalesce(text,''), '{EMAIL_RX}', '<EMAIL>', 'g'),
+                     '{SSN_RX}', '<SSN>', 'g') AS scrubbed
+            FROM documents
+        """,
+        "missing_fraction_by_source": f"""
+            WITH g AS (
+              SELECT source, count(*)::BIGINT AS n_rows,
+                     sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)::BIGINT
+                       AS n_empty
+              FROM documents GROUP BY source)
+            SELECT source, n_rows, n_empty,
+                   (n_empty::DOUBLE * 100.0 / n_rows::DOUBLE) > {MISS_PCT} AS miss_fail
+            FROM g
+        """,
+        "lang_distribution": """
+            SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang
+        """,
+        "fingerprint": """
+            SELECT doc_id, md5(coalesce(text,'')) AS fp FROM documents
+        """,
+        "summary_report": f"""
+            WITH agg AS (
+              SELECT count(*)::BIGINT AS _total,
+                sum((length(coalesce(text,'')) < {LEN_MIN}
+                     OR length(coalesce(text,'')) > {LEN_MAX})::INT)::BIGINT AS f_length_bounds,
+                sum(({odd_contains})::INT)::BIGINT AS f_odd_characters,
+                sum(regexp_matches(coalesce(text,''), '{EMAIL_RX}')::INT)::BIGINT AS f_pii_email,
+                sum((text IS NULL OR text = '')::INT)::BIGINT AS f_empty_text
+              FROM documents)
+            SELECT rule, _total - fail AS pass, fail FROM (
+              SELECT 'length_bounds' AS rule, f_length_bounds AS fail, _total FROM agg
+              UNION ALL SELECT 'odd_characters', f_odd_characters, _total FROM agg
+              UNION ALL SELECT 'pii_email', f_pii_email, _total FROM agg
+              UNION ALL SELECT 'empty_text', f_empty_text, _total FROM agg)
+        """,
+        "ann_cosine_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+            q AS (SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id < 5),
+            sims AS (
+              SELECT qid, vec_id,
+                     list_dot_product(e.e, q.qe)
+                       / (sqrt(list_dot_product(e.e, e.e))
+                          * sqrt(list_dot_product(q.qe, q.qe))) AS sim
+              FROM e, q WHERE e.vec_id != q.qid),
+            ranked AS (
+              SELECT qid, vec_id AS neighbor, sim,
+                     row_number() OVER (ORDER BY qid, sim DESC, vec_id ASC) AS _rn,
+                     row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC)
+                       AS rank
+              FROM sims)
+            SELECT qid, neighbor, round(sim, 9) AS sim, rank::INT AS rank
+            FROM ranked WHERE rank <= 10
+        """,
+    }
+    return {k: v.strip() for k, v in sqls.items()}

@@ -1,0 +1,162 @@
+"""Checkpointed partition manifests → resumable batch runs (north_rule).
+
+The output is written bucket-by-bucket (bucket = pmod(xxhash64(conv_id),
+n_buckets)); each completed bucket gets an atomic manifest JSON recording
+row counts and an input fingerprint. A restarted run loads the manifest
+directory, verifies fingerprints, and anti-filters completed buckets from
+the input — plain deterministic batch bookkeeping, no Structured Streaming
+involved (the reference is strictly batch too; SURVEY.md §2.9).
+
+Layout:
+    <out>/data/bucket=<k>/*.parquet      labeled rows for bucket k
+    <out>/_manifests/bucket-<k>.json     {"bucket", "n_rows", "n_keep",
+                                          "input_fingerprint", "config_fingerprint"}
+
+Atomicity: manifest is written to a temp name then os.replace()d — a
+manifest either fully exists or doesn't, so a crash mid-bucket re-runs
+that bucket (output dir for the bucket is overwritten idempotently).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from qamd_spark.config import QamdConfig
+
+
+def config_fingerprint(cfg: QamdConfig) -> str:
+    blob = json.dumps(
+        {"settings": cfg.settings, "actions": cfg.actions, "stopwords": cfg.stopwords,
+         "n_buckets": cfg.n_buckets},
+        sort_keys=True,
+        default=str,
+    )
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+@dataclass
+class Manifest:
+    bucket: int
+    n_rows: int
+    n_keep: int
+    input_fingerprint: str
+    config_fingerprint: str
+
+
+class CheckpointStore:
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        self.data_dir = os.path.join(out_dir, "data")
+        self.manifest_dir = os.path.join(out_dir, "_manifests")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    def _path(self, bucket: int) -> str:
+        return os.path.join(self.manifest_dir, f"bucket-{bucket:05d}.json")
+
+    def completed_buckets(self, input_fp: str, config_fp: str) -> set[int]:
+        done = set()
+        if not os.path.isdir(self.manifest_dir):
+            return done
+        for name in os.listdir(self.manifest_dir):
+            if not name.startswith("bucket-") or not name.endswith(".json"):
+                continue
+            with open(os.path.join(self.manifest_dir, name)) as f:
+                m = json.load(f)
+            if (
+                m.get("input_fingerprint") == input_fp
+                and m.get("config_fingerprint") == config_fp
+            ):
+                done.add(int(m["bucket"]))
+        return done
+
+    def write_manifest(self, m: Manifest) -> None:
+        path = self._path(m.bucket)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m.__dict__, f)
+        os.replace(tmp, path)  # atomic publish
+
+
+def input_fingerprint(spark, input_path: str) -> str:
+    """Fingerprint of the input table: file names + sizes + mtimes of the
+    parquet footprint (cheap driver-side listing; at Iceberg scale this
+    would be the snapshot id instead)."""
+    parts = []
+    for root, _dirs, files in os.walk(input_path):
+        for fn in sorted(files):
+            if fn.startswith("_") or fn.startswith("."):
+                continue
+            p = os.path.join(root, fn)
+            st = os.stat(p)
+            parts.append(f"{os.path.relpath(p, input_path)}:{st.st_size}")
+    if not parts and os.path.isfile(input_path):
+        st = os.stat(input_path)
+        parts.append(f"{os.path.basename(input_path)}:{st.st_size}")
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
+
+
+def run_with_checkpoints(
+    spark,
+    input_path: str,
+    out_dir: str,
+    cfg: QamdConfig | None = None,
+    bucket_batch: int = 8,
+    fail_after_buckets: int | None = None,
+) -> list[Manifest]:
+    """Label the table and write it bucket-group by bucket-group, manifesting
+    each completed bucket. ``fail_after_buckets`` simulates a crash (tests).
+
+    Buckets are processed in fixed ascending order in groups of
+    ``bucket_batch`` (one Spark job per group — amortizes scheduling while
+    keeping the resume grain at a single bucket).
+    """
+    from qamd_spark import pipeline
+
+    cfg = cfg or QamdConfig()
+    store = CheckpointStore(out_dir)
+    in_fp = input_fingerprint(spark, input_path)
+    cfg_fp = config_fingerprint(cfg)
+    done = store.completed_buckets(in_fp, cfg_fp)
+    todo = [b for b in range(cfg.n_buckets) if b not in done]
+    if not todo:
+        return []
+
+    df = spark.read.parquet(input_path)
+    # The labeled plan is deterministic per bucket: dedup/conv aggregates are
+    # computed over the FULL input (global semantics), then only the selected
+    # buckets are materialized. Catalyst pushes the bucket filter to the end;
+    # the aggregates reuse the same plan per job group.
+    labeled = pipeline.label(df, cfg)
+    written: list[Manifest] = []
+    n_done_groups = 0
+    for i in range(0, len(todo), bucket_batch):
+        group = todo[i : i + bucket_batch]
+        part = labeled.filter(F.col("bucket").isin(group))
+        (
+            part.write.mode("overwrite")
+            .partitionBy("bucket")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(store.data_dir)
+        )
+        counts = {
+            r["bucket"]: (r["n"], r["k"])
+            for r in part.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("keep").cast("long")).alias("k"))
+            .collect()
+        }
+        for b in group:
+            n, k = counts.get(b, (0, 0))
+            m = Manifest(b, int(n), int(k or 0), in_fp, cfg_fp)
+            store.write_manifest(m)
+            written.append(m)
+        n_done_groups += 1
+        if fail_after_buckets is not None and len(written) >= fail_after_buckets:
+            raise RuntimeError(f"simulated crash after {len(written)} buckets")
+    return written

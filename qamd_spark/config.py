@@ -1,0 +1,256 @@
+"""Declarative rule registry + YAML config.
+
+Mirrors the reference's config system in shape and spirit:
+- same 4-section YAML layout with ``{setting, desc}`` per rule and
+  every rule optional — absent setting ⇒ rule skipped, i.e. pruned from
+  the plan (reference default.yaml:18-168; optional-rule semantics
+  src/config.rs:62-71; skip-on-None e.g. src/check/variable.rs:95)
+- validation bounds on load (reference src/config.rs:74-246:
+  non-empty lists, thresholds in (0,100], valid regex)
+- a fixed registry order that defines summary-report ordering
+  (reference CheckName ordinal order, src/report/mod.rs:30-42)
+
+We add a 5th section ``quality`` (langid/perplexity) — a documented
+extension beyond the reference's 4 categories (src/report/mod.rs:96-101).
+
+Each rule carries an ``action``:
+- drop  — a hit drops the turn (keep=False)
+- scrub — a hit rewrites text (PII/profanity) but keeps the turn
+- flag  — a hit is recorded in rule_hits/summary only
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+try:
+    import yaml  # type: ignore
+
+    _HAVE_YAML = True
+except Exception:  # pragma: no cover
+    _HAVE_YAML = False
+
+from qamd_spark import corpora
+
+CATEGORIES = (
+    "basic_file_checks",
+    "metadata",
+    "data_integrity",
+    "disclosure_risk",
+    "quality",
+)
+
+ACTIONS = ("drop", "scrub", "flag")
+
+
+@dataclass(frozen=True)
+class RuleSpec:
+    name: str
+    category: str
+    action: str
+    desc: str
+
+
+# Registry order = summary order (CheckName-ordinal analogue).
+RULE_REGISTRY: tuple[RuleSpec, ...] = (
+    RuleSpec("bad_conv_id", "basic_file_checks", "drop",
+             "Conversation id should match the specified pattern"),
+    RuleSpec("role_vocabulary", "metadata", "drop",
+             "Turn role should be one of the allowed roles"),
+    RuleSpec("empty_turn", "metadata", "drop",
+             "Turn text should not be empty or null (system-missing analogue)"),
+    RuleSpec("length_bounds", "data_integrity", "drop",
+             "Turn text length should be within the configured bounds"),
+    RuleSpec("odd_characters", "data_integrity", "flag",
+             "Turn text should not contain the specified odd characters"),
+    RuleSpec("odd_char_ratio", "data_integrity", "drop",
+             "Fraction of odd characters should not exceed the bound"),
+    RuleSpec("repetition", "data_integrity", "drop",
+             "Most-frequent-token fraction should not exceed the bound"),
+    RuleSpec("duplicate_turn", "data_integrity", "drop",
+             "Turn text should not duplicate an earlier turn (keep-first)"),
+    RuleSpec("conv_missing_fraction", "data_integrity", "drop",
+             "Conversation should not exceed the empty-turn percentage bound"),
+    RuleSpec("pii", "disclosure_risk", "scrub",
+             "Turn text should not contain PII patterns (scrubbed)"),
+    RuleSpec("profanity", "disclosure_risk", "scrub",
+             "Turn text should not contain lexicon words (scrubbed)"),
+    RuleSpec("all_stopwords", "disclosure_risk", "drop",
+             "Turn text should not consist entirely of stopwords"),
+    RuleSpec("stopword_fraction", "disclosure_risk", "drop",
+             "Stopword fraction of turn tokens should not exceed the bound"),
+    RuleSpec("rare_signature", "disclosure_risk", "flag",
+             "Turn text occurring <= threshold times globally (outlier)"),
+    RuleSpec("langid", "quality", "drop",
+             "Turn language should be in the allowed set"),
+    RuleSpec("perplexity", "quality", "drop",
+             "Turn trigram perplexity should not exceed the bound"),
+)
+
+RULE_BY_NAME = {r.name: r for r in RULE_REGISTRY}
+
+DEFAULT_ODD_CHARS = ["&", "#", "  ", "@", "*", "ç", "ô", "ü"]
+
+# Default settings (None ⇒ rule disabled). Shapes per rule documented here.
+DEFAULT_SETTINGS: dict[str, Any] = {
+    "bad_conv_id": r"^[A-Za-z0-9_\-]+$",
+    "role_vocabulary": ["user", "assistant", "system", "tool"],
+    "empty_turn": True,
+    "length_bounds": {"min": 2, "max": 8000},
+    "odd_characters": DEFAULT_ODD_CHARS,
+    "odd_char_ratio": 0.08,
+    "repetition": {"max": 0.6, "min_tokens": 5},
+    "duplicate_turn": True,
+    "conv_missing_fraction": 25,  # percent, (0,100] like the reference
+    "pii": ["email", "ssn", "uk_mobile", "us_phone"],
+    "profanity": list(corpora.PROFANITY),
+    "all_stopwords": True,
+    "stopword_fraction": 0.85,
+    "rare_signature": 1,
+    "langid": {"allowed": ["en"], "min_margin": 0.15},
+    "perplexity": {"max": 30000.0},
+}
+
+
+class ConfigError(ValueError):
+    pass
+
+
+@dataclass
+class QamdConfig:
+    """Validated runtime config. ``settings[name] is None`` ⇒ rule skipped."""
+
+    settings: dict[str, Any] = field(default_factory=lambda: dict(DEFAULT_SETTINGS))
+    actions: dict[str, str] = field(default_factory=dict)
+    stopwords: list[str] = field(default_factory=lambda: list(corpora.STOPWORDS))
+    n_buckets: int = 64
+    salt_buckets: int = 8
+
+    def __post_init__(self):
+        self.validate()
+
+    # --- derived, cached-ish accessors used by turnscore -------------
+    @property
+    def odd_chars(self) -> list[str]:
+        return self.settings.get("odd_characters") or DEFAULT_ODD_CHARS
+
+    @property
+    def stopword_set(self) -> frozenset:
+        return frozenset(self.stopwords)
+
+    @property
+    def pii_pattern_names(self) -> list[str]:
+        return self.settings.get("pii") or []
+
+    @property
+    def profanity_rx(self):
+        lex = self.settings.get("profanity")
+        if not lex:
+            return None
+        from qamd_spark.rules.pii import profanity_pattern
+
+        return profanity_pattern(lex)
+
+    @property
+    def lang_min_margin(self) -> float:
+        s = self.settings.get("langid") or {}
+        return float(s.get("min_margin", 0.0))
+
+    def enabled(self, name: str) -> bool:
+        return self.settings.get(name) is not None
+
+    def action(self, name: str) -> str:
+        return self.actions.get(name, RULE_BY_NAME[name].action)
+
+    def enabled_rules(self) -> list[RuleSpec]:
+        return [r for r in RULE_REGISTRY if self.enabled(r.name)]
+
+    def drop_rules(self) -> list[str]:
+        return [r.name for r in self.enabled_rules() if self.action(r.name) == "drop"]
+
+    # --- validation (bounds mirrored from reference src/config.rs:90-246)
+    def validate(self) -> None:
+        s = self.settings
+        unknown = set(s) - set(RULE_BY_NAME)
+        if unknown:
+            raise ConfigError(f"unknown rules in config: {sorted(unknown)}")
+        for name, val in s.items():
+            if val is None:
+                continue
+            if name in ("bad_conv_id",):
+                try:
+                    re.compile(val)
+                except re.error as e:
+                    raise ConfigError(f"{name}: invalid regex: {e}") from e
+            if name in ("role_vocabulary", "odd_characters", "pii", "profanity"):
+                if not isinstance(val, list) or not val:
+                    raise ConfigError(f"{name}: must be a non-empty list")
+            if name == "length_bounds":
+                if not (0 <= val["min"] <= val["max"]):
+                    raise ConfigError("length_bounds: need 0 <= min <= max")
+            if name in ("odd_char_ratio", "stopword_fraction"):
+                if not (0.0 < float(val) <= 1.0):
+                    raise ConfigError(f"{name}: must be in (0, 1]")
+            if name == "repetition":
+                if not (0.0 < float(val["max"]) <= 1.0) or int(val.get("min_tokens", 1)) < 1:
+                    raise ConfigError("repetition: max in (0,1], min_tokens >= 1")
+            if name == "conv_missing_fraction":
+                # reference bound: threshold in (0,100] (src/config.rs:201-208)
+                if not (0 < float(val) <= 100):
+                    raise ConfigError(f"{name}: must be in (0, 100]")
+            if name == "rare_signature":
+                if int(val) < 1:
+                    raise ConfigError(f"{name}: must be >= 1")
+            if name == "perplexity" and float(val["max"]) <= 0:
+                raise ConfigError("perplexity.max must be > 0")
+        for name, act in self.actions.items():
+            if act not in ACTIONS:
+                raise ConfigError(f"{name}: invalid action {act!r}")
+        if self.n_buckets < 1 or self.salt_buckets < 1:
+            raise ConfigError("n_buckets and salt_buckets must be >= 1")
+
+
+def from_yaml(path_or_str: str) -> QamdConfig:
+    """Load the 5-section YAML (same {setting, desc} shape as the
+    reference's default.yaml). Rules absent from the file are DISABLED
+    (mirroring optional-setting semantics, reference src/config.rs:62-71)."""
+    if not _HAVE_YAML:  # pragma: no cover
+        raise ConfigError("pyyaml not available; use QamdConfig() directly")
+    import os
+
+    raw = path_or_str
+    if os.path.exists(path_or_str):
+        with open(path_or_str) as f:
+            raw = f.read()
+    doc = yaml.safe_load(raw) or {}
+    settings: dict[str, Any] = {name: None for name in RULE_BY_NAME}
+    actions: dict[str, str] = {}
+    extra: dict[str, Any] = {}
+    for section, rules in doc.items():
+        if section == "engine":
+            extra = rules or {}
+            continue
+        if section not in CATEGORIES:
+            raise ConfigError(f"unknown config section: {section}")
+        for name, body in (rules or {}).items():
+            if name not in RULE_BY_NAME:
+                raise ConfigError(f"unknown rule: {name}")
+            if RULE_BY_NAME[name].category != section:
+                raise ConfigError(f"rule {name} listed under wrong section {section}")
+            settings[name] = body.get("setting")
+            if "action" in body:
+                actions[name] = body["action"]
+    kw: dict[str, Any] = {}
+    if "stopwords" in extra:
+        kw["stopwords"] = list(extra["stopwords"])
+    if "n_buckets" in extra:
+        kw["n_buckets"] = int(extra["n_buckets"])
+    if "salt_buckets" in extra:
+        kw["salt_buckets"] = int(extra["salt_buckets"])
+    return QamdConfig(settings=settings, actions=actions, **kw)
+
+
+def default_config() -> QamdConfig:
+    return QamdConfig()

@@ -1,0 +1,131 @@
+"""spark-submit entrypoint.
+
+    spark-submit --py-files qamd_spark.zip -m qamd_spark.main \
+        run --input <parquet dir> --output <dir> [--config rules.yaml] \
+            [--resume] [--summary-json out.json]
+    python -m qamd_spark.main init > rules.yaml
+
+Mirrors the reference CLI surface (qamd run <file> [-c config] [-o out]
+[--output-format ...], reference src/bin/qamd.rs:57-135) with `init`
+emitting a default config (reference `gen_config`, src/bin/gen_config.rs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from qamd_spark import checkpoint, config as C, lineage, pipeline, report, session
+
+
+DEFAULT_YAML = """\
+# qamd_spark default rule registry (same {setting, desc} shape as
+# QAMyData's default.yaml; absent rule => skipped)
+basic_file_checks:
+  bad_conv_id:
+    setting: "^[A-Za-z0-9_\\\\-]+$"
+    desc: "Conversation id should match the specified pattern"
+metadata:
+  role_vocabulary:
+    setting: [user, assistant, system, tool]
+    desc: "Turn role should be one of the allowed roles"
+  empty_turn:
+    setting: true
+    desc: "Turn text should not be empty or null"
+data_integrity:
+  length_bounds:
+    setting: {min: 2, max: 8000}
+    desc: "Turn text length should be within the configured bounds"
+  odd_characters:
+    setting: ["&", "#", "  ", "@", "*", "ç", "ô", "ü"]
+    desc: "Turn text should not contain the specified characters"
+  odd_char_ratio:
+    setting: 0.08
+    desc: "Fraction of odd characters should not exceed the bound"
+  repetition:
+    setting: {max: 0.6, min_tokens: 5}
+    desc: "Most-frequent-token fraction should not exceed the bound"
+  duplicate_turn:
+    setting: true
+    desc: "Turn text should not duplicate an earlier turn (keep-first)"
+  conv_missing_fraction:
+    setting: 25
+    desc: "Conversation should not exceed the empty-turn percentage bound"
+disclosure_risk:
+  pii:
+    setting: [email, ssn, uk_mobile, us_phone]
+    desc: "Turn text should not contain PII patterns (scrubbed)"
+  profanity:
+    setting: [fraktz, blorgak, smegwit, drekhole]
+    desc: "Turn text should not contain lexicon words (scrubbed)"
+  all_stopwords:
+    setting: true
+    desc: "Turn text should not consist entirely of stopwords"
+  stopword_fraction:
+    setting: 0.85
+    desc: "Stopword fraction should not exceed the bound"
+  rare_signature:
+    setting: 1
+    desc: "Turn text occurring <= threshold times globally (outlier)"
+quality:
+  langid:
+    setting: {allowed: [en], min_margin: 0.15}
+    desc: "Turn language should be in the allowed set"
+  perplexity:
+    setting: {max: 30000.0}
+    desc: "Turn trigram perplexity should not exceed the bound"
+engine:
+  n_buckets: 64
+"""
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="qamd_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    runp = sub.add_parser("run", help="label + scrub a transcript table")
+    runp.add_argument("--input", required=True)
+    runp.add_argument("--output", required=True)
+    runp.add_argument("--config", default=None)
+    runp.add_argument("--master", default=None)
+    runp.add_argument("--summary-json", default=None)
+    runp.add_argument("--no-checkpoint", action="store_true")
+    runp.add_argument("--bucket-batch", type=int, default=16)
+    sub.add_parser("init", help="print the default rules.yaml")
+
+    args = p.parse_args(argv)
+    if args.cmd == "init":
+        sys.stdout.write(DEFAULT_YAML)
+        return 0
+
+    cfg = C.from_yaml(args.config) if args.config else C.QamdConfig()
+    spark = session.get_spark("qamd_spark.run", master=args.master)
+    try:
+        if args.no_checkpoint:
+            labeled = pipeline.run(spark, args.input, cfg)
+            (
+                labeled.write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(args.output + "/data")
+            )
+        else:
+            checkpoint.run_with_checkpoints(
+                spark, args.input, args.output, cfg, bucket_batch=args.bucket_batch
+            )
+        labeled = spark.read.parquet(args.output + "/data")
+        lineage.per_bucket(labeled, cfg).write.mode("overwrite").parquet(
+            args.output + "/lineage"
+        )
+        summ = report.summary_json(labeled, cfg, {"input": args.input})
+        with open(
+            args.summary_json or (args.output + "/summary.json"), "w"
+        ) as f:
+            f.write(summ)
+        print(json.dumps({"status": "ok", "output": args.output}))
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

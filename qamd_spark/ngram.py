@@ -1,0 +1,126 @@
+"""Hashed character-trigram models: language ID + perplexity.
+
+Deterministic, dependency-free substitutes for fastText lid.176 and a
+KenLM-style trigram LM (BASELINE.json north_star). Tables are built once at
+import from the frozen corpora in :mod:`qamd_spark.corpora`, so every
+process — Spark executor Python workers and the single-node oracle — holds
+bit-identical float64 tables and produces bit-identical scores.
+
+Scoring is fully vectorized over an Arrow batch: all texts are joined into
+one byte buffer, trigram hashes are computed with numpy slicing, and
+per-document sums fall out of ``np.add.reduceat``. No per-row Python in the
+hot loop (input_hint requirement).
+
+Hash: rolling polynomial over UTF-8 bytes, mod a 2^15 table — the classic
+hashed-n-gram trick (hash collisions are part of the model, as in fastText's
+bucketed n-grams).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from qamd_spark import corpora
+
+TABLE_BITS = 15
+TABLE = 1 << TABLE_BITS
+LANGS = ("en", "fr", "de", "es")  # fixed order; argmax tie-break = first
+UND = "und"
+PPL_EMPTY = 1.0e9  # sentinel perplexity for texts with no trigrams
+_SEP = 0xFF  # never occurs in valid UTF-8
+
+
+def _trigram_hashes(buf: np.ndarray) -> np.ndarray:
+    """Polynomial trigram hash over a uint8 buffer -> int64 in [0, TABLE)."""
+    a = buf.astype(np.int64)
+    h = a[:-2] * (31 * 31) + a[1:-1] * 31 + a[2:]
+    return h & (TABLE - 1)
+
+
+def _build_table(text: str) -> np.ndarray:
+    data = np.frombuffer(text.lower().encode("utf-8"), dtype=np.uint8)
+    hashes = _trigram_hashes(data)
+    counts = np.bincount(hashes, minlength=TABLE).astype(np.float64)
+    n = counts.sum()
+    # add-0.5 smoothing over the hashed vocabulary
+    return np.log((counts + 0.5) / (n + 0.5 * TABLE))
+
+
+# Frozen model tables (float64, shape (n_langs, TABLE)).
+LANG_TABLES = np.stack([_build_table(corpora.LANG_CORPORA[l]) for l in LANGS])
+# The perplexity LM is the English table (the "target distribution").
+LM_TABLE = LANG_TABLES[LANGS.index("en")]
+
+
+def _batch_buffers(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Join texts (None -> empty) into one buffer with 0xFF separators.
+
+    Returns (buffer uint8, doc start offsets int64). Each doc contributes
+    its bytes followed by two separator bytes, so no trigram spans docs.
+    """
+    parts = []
+    offsets = np.empty(len(texts) + 1, dtype=np.int64)
+    pos = 0
+    sep = b"\xff\xff"
+    for i, t in enumerate(texts):
+        offsets[i] = pos
+        b = t.lower().encode("utf-8") if isinstance(t, str) else b""
+        parts.append(b)
+        parts.append(sep)
+        pos += len(b) + 2
+    offsets[len(texts)] = pos
+    buf = np.frombuffer(b"".join(parts), dtype=np.uint8)
+    return buf, offsets
+
+
+def score_texts(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Score a batch of texts.
+
+    Returns (lang: object array of str, lang_margin: float64 array,
+    perplexity: float64 array). ``lang`` is 'und' when the text has no
+    trigrams. Perplexity = exp(-mean trigram logprob under the English LM);
+    PPL_EMPTY when no trigrams.
+    """
+    n = len(texts)
+    if n == 0:
+        return (
+            np.empty(0, dtype=object),
+            np.empty(0, dtype=np.float64),
+            np.empty(0, dtype=np.float64),
+        )
+    buf, offsets = _batch_buffers(texts)
+    hashes = _trigram_hashes(buf)
+    # docs with fewer than 3 text bytes have no trigrams at all
+    empty = (offsets[1:] - offsets[:-1] - 2) < 3
+    if len(hashes) == 0:
+        return (
+            np.full(n, UND, dtype=object),
+            np.zeros(n, dtype=np.float64),
+            np.full(n, PPL_EMPTY, dtype=np.float64),
+        )
+    # mask out any trigram touching a separator byte
+    is_sep = buf == _SEP
+    valid = ~(is_sep[:-2] | is_sep[1:-1] | is_sep[2:])
+    # clamp the (possibly out-of-range) final starts; clamped positions land
+    # on separator bytes, which are masked, so they contribute 0 everywhere
+    starts = np.minimum(offsets[:-1], len(hashes) - 1)
+    counts = np.add.reduceat(valid.astype(np.int64), starts)
+    vf = valid.astype(np.float64)
+    lang_sums = np.empty((len(LANGS), n), dtype=np.float64)
+    for li in range(len(LANGS)):
+        lp = LANG_TABLES[li][hashes] * vf
+        lang_sums[li] = np.add.reduceat(lp, starts)
+    safe = np.maximum(counts, 1)
+    means = lang_sums / safe
+    no_grams = (counts <= 0) | empty
+    best = np.argmax(means, axis=0)
+    order = np.sort(means, axis=0)
+    margin = order[-1] - order[-2] if len(LANGS) > 1 else np.zeros(n)
+    langs = np.array([LANGS[b] for b in best], dtype=object)
+    langs[no_grams] = UND
+    margin = np.where(no_grams, 0.0, margin)
+    lm = LM_TABLE[hashes] * vf
+    lm_sums = np.add.reduceat(lm, starts)
+    ppl = np.exp(-(lm_sums / safe))
+    ppl = np.where(no_grams, PPL_EMPTY, ppl)
+    return langs, margin, ppl

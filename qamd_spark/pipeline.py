@@ -1,0 +1,229 @@
+"""The labeling pipeline: load → score → dedup/aggregate → decide → scrub.
+
+Execution shape (Spark-first, cf. SURVEY.md §3 lifecycle mapping):
+
+    raw scan ──────────────┬─> text-stats agg   (groupBy text: occurrence
+                           │    count + first (conv_id, turn_idx) keeper)
+                           ├─> conv-stats agg   (groupBy conv_id: empty-turn
+                           │    percentage)
+                           └─> mapInPandas score stage (Arrow-batched,
+                                vectorized; langid/perplexity/scrub/token
+                                stats — qamd_spark.turnscore.score_pdf)
+    scored ⋈ text-stats (on text) ⋈ conv-stats (on conv_id)
+    → per-turn rule flags (native Columns) → rule_hits + keep → bucket
+
+Scale notes (designed for 10^12 turns / 1000 executors):
+- The two aggregations run over the RAW scan with column pruning (only
+  text/conv_id/turn_idx reach them), so the expensive Python scoring stage
+  executes exactly once; no persist needed.
+- groupBy uses partial (map-side) aggregation, so a skewed duplicate text
+  (billions of "ok" turns) or a hot conversation collapses before the
+  shuffle. The join back on the skewed key is handled by AQE skew-join
+  (spark.sql.adaptive.skewJoin.enabled).
+- dedup is agg+join, NOT a window over partitionBy(text): a window would
+  put every copy of a hot duplicate in one task. The reference's analogue
+  is the frequency-table + occurrence scan (src/check/post.rs:229-260).
+- Output carries bucket = pmod(xxhash64(conv_id), n_buckets) — the
+  partition key for checkpoint manifests and the final bucketed write.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qamd_spark import schema as S
+from qamd_spark.config import QamdConfig
+
+
+def _is_empty_col(text_col) -> "F.Column":
+    # empty-string-as-missing mirrors the reference CSV reader's
+    # SYSTEM_MISSING classification (src/readstat/csv/read.rs:112-115)
+    return text_col.isNull() | (text_col == F.lit(""))
+
+
+def score_stage(df: DataFrame, cfg: QamdConfig) -> DataFrame:
+    """Arrow-batched vectorized scoring (turnscore.score_pdf) via mapInPandas."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from qamd_spark import turnscore
+
+        for pdf in batches:
+            yield turnscore.score_pdf(pdf, cfg)
+
+    return df.mapInPandas(run, schema=S.SCORE_SCHEMA)
+
+
+def text_stats(df: DataFrame) -> DataFrame:
+    """Per-distinct-text stats: occurrence count + first-keeper key.
+
+    first = min of struct(conv_id, turn_idx) — the stable keep-first rule
+    under (conv_id, turn_idx) ordering (input_hint determinism invariant).
+    """
+    return (
+        df.filter(~_is_empty_col(F.col("text")))
+        .groupBy("text")
+        .agg(
+            F.count(F.lit(1)).alias("text_occ"),
+            F.min(F.struct("conv_id", "turn_idx")).alias("first_key"),
+        )
+    )
+
+
+def conv_stats(df: DataFrame) -> DataFrame:
+    """Per-conversation empty-turn percentage (SystemMissingOverThreshold
+    analogue, reference src/check/post.rs:303-351: pct = miss/total*100)."""
+    return df.groupBy("conv_id").agg(
+        F.sum(_is_empty_col(F.col("text")).cast("long")).alias("conv_empty_cnt"),
+        F.count(F.lit(1)).alias("conv_turn_cnt"),
+    )
+
+
+def rule_conditions(cfg: QamdConfig) -> list[tuple[str, "F.Column"]]:
+    """(rule name, hit Column) in registry order, enabled rules only.
+
+    Columns reference the post-join frame produced by :func:`label`.
+    NULL conditions count as no-hit (F.when semantics), matching the
+    oracle's fillna(False).
+    """
+    s = cfg.settings
+    text = F.col("text")
+    nonempty = ~_is_empty_col(text)
+    conds: list[tuple[str, "F.Column"]] = []
+
+    def add(name: str, col) -> None:
+        if cfg.enabled(name):
+            conds.append((name, col))
+
+    add("bad_conv_id", ~F.col("conv_id").rlike(s.get("bad_conv_id") or ""))
+    if cfg.enabled("role_vocabulary"):
+        roles = [F.lit(r) for r in s["role_vocabulary"]]
+        conds.append(
+            ("role_vocabulary", F.col("role").isNull() | ~F.col("role").isin(*roles))
+        )
+    add("empty_turn", _is_empty_col(text))
+    if cfg.enabled("length_bounds"):
+        b = s["length_bounds"]
+        conds.append(
+            (
+                "length_bounds",
+                (F.col("n_chars") < F.lit(int(b["min"])))
+                | (F.col("n_chars") > F.lit(int(b["max"]))),
+            )
+        )
+    if cfg.enabled("odd_characters"):
+        # QAMD-faithful boolean `contains` over the odd set
+        # (reference src/check/mod.rs:94-99, default.yaml:111-119)
+        c = None
+        for ch in s["odd_characters"]:
+            e = text.contains(F.lit(ch))
+            c = e if c is None else (c | e)
+        conds.append(("odd_characters", nonempty & c))
+    add(
+        "odd_char_ratio",
+        F.col("odd_char_ratio") > F.lit(float(s.get("odd_char_ratio") or 0)),
+    )
+    if cfg.enabled("repetition"):
+        r = s["repetition"]
+        conds.append(
+            (
+                "repetition",
+                (F.col("repetition_ratio") > F.lit(float(r["max"])))
+                & (F.col("n_tokens") >= F.lit(int(r["min_tokens"]))),
+            )
+        )
+    if cfg.enabled("duplicate_turn"):
+        conds.append(
+            (
+                "duplicate_turn",
+                nonempty
+                & (F.struct("conv_id", "turn_idx") != F.col("first_key")),
+            )
+        )
+    if cfg.enabled("conv_missing_fraction"):
+        thr = float(s["conv_missing_fraction"])
+        conds.append(
+            (
+                "conv_missing_fraction",
+                (
+                    F.col("conv_empty_cnt").cast("double")
+                    / F.col("conv_turn_cnt").cast("double")
+                    * F.lit(100.0)
+                )
+                > F.lit(thr),
+            )
+        )
+    add("pii", F.size(F.col("pii_hits")) > F.lit(0))
+    add("profanity", F.col("profanity_hit"))
+    add("all_stopwords", F.col("all_stopwords"))
+    add(
+        "stopword_fraction",
+        F.col("stopword_fraction") > F.lit(float(s.get("stopword_fraction") or 1.0)),
+    )
+    if cfg.enabled("rare_signature"):
+        conds.append(
+            (
+                "rare_signature",
+                nonempty & (F.col("text_occ") <= F.lit(int(s["rare_signature"]))),
+            )
+        )
+    if cfg.enabled("langid"):
+        allowed = [F.lit(a) for a in s["langid"]["allowed"]]
+        conds.append(("langid", ~F.col("lang").isin(*allowed)))
+    if cfg.enabled("perplexity"):
+        conds.append(
+            ("perplexity", F.col("perplexity") > F.lit(float(s["perplexity"]["max"])))
+        )
+    return conds
+
+
+def label(df: DataFrame, cfg: QamdConfig) -> DataFrame:
+    """Full labeling: returns LABELED_SCHEMA columns (plus nothing else)."""
+    scored = score_stage(df, cfg)
+    joined = scored
+    if cfg.enabled("duplicate_turn") or cfg.enabled("rare_signature"):
+        joined = joined.join(text_stats(df), on="text", how="left")
+    else:
+        joined = joined.withColumn("text_occ", F.lit(None).cast("long")).withColumn(
+            "first_key", F.lit(None).cast("struct<conv_id:string,turn_idx:int>")
+        )
+    if cfg.enabled("conv_missing_fraction"):
+        joined = joined.join(conv_stats(df), on="conv_id", how="left")
+    else:
+        joined = joined.withColumn("conv_empty_cnt", F.lit(None).cast("long")).withColumn(
+            "conv_turn_cnt", F.lit(None).cast("long")
+        )
+    conds = rule_conditions(cfg)
+    hit_arrays = [
+        F.when(c, F.array(F.lit(name))).otherwise(F.array().cast("array<string>"))
+        for name, c in conds
+    ]
+    rule_hits = (
+        F.concat(*hit_arrays) if hit_arrays else F.array().cast("array<string>")
+    )
+    drop_names = set(cfg.drop_rules())
+    drop_conds = [c for name, c in conds if name in drop_names]
+    dropped = None
+    for c in drop_conds:
+        e = F.coalesce(c, F.lit(False))
+        dropped = e if dropped is None else (dropped | e)
+    keep = ~dropped if dropped is not None else F.lit(True)
+    out = joined.withColumn("rule_hits", rule_hits).withColumn("keep", keep)
+    out = out.withColumn(
+        "bucket",
+        F.pmod(F.xxhash64(F.col("conv_id")), F.lit(cfg.n_buckets)).cast("int"),
+    )
+    return out.select(*[f.name for f in S.LABELED_SCHEMA.fields])
+
+
+def run(
+    spark: SparkSession,
+    input_path: str,
+    cfg: QamdConfig | None = None,
+) -> DataFrame:
+    cfg = cfg or QamdConfig()
+    df = spark.read.parquet(input_path)
+    return label(df, cfg)

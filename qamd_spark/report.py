@@ -1,0 +1,127 @@
+"""Summary report + locators — the Report/Status/Locator analogue.
+
+Reference shapes: Report{metadata, summary: CheckName→Status},
+Status{pass, fail, desc, locators, category} (src/report/mod.rs:16-132),
+Locator{variable_name, variable_index, value_index} (src/report/mod.rs:163-167).
+
+Our locators key on (conv_id, turn_idx) — a documented semantic upgrade
+over the reference's one-locator-per-column quirk (Locator Eq/Ord compare
+only variable_index, src/report/mod.rs:169-186; see SURVEY.md §1.1).
+The per-rule locator list is capped at 1000 mirroring the HTML report cap
+(src/report/html/mod.rs:115).
+
+Counting contract: per rule, fail = #turns hitting, pass = #turns − fail
+(uniform; documented deviation per SURVEY.md §2.3 — the reference mixes
+per-item and variable_count−fail schemes across checks).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from qamd_spark.config import QamdConfig
+
+LOCATOR_CAP = 1000  # reference src/report/html/mod.rs:115
+
+
+def summarize(labeled: DataFrame, cfg: QamdConfig) -> DataFrame:
+    """One aggregation pass → (rule, category, action, desc, pass, fail).
+
+    Single job: every rule's fail count is a conditional sum over
+    rule_hits, fused by whole-stage codegen — the Spark translation of the
+    reference's run-every-post-check-over-one-frequency-table pattern.
+    """
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    for spec in cfg.enabled_rules():
+        aggs.append(
+            F.sum(F.array_contains("rule_hits", spec.name).cast("long")).alias(
+                f"fail_{spec.name}"
+            )
+        )
+    row = labeled.agg(*aggs)
+    spark = labeled.sparkSession
+    meta = [
+        (i, r.name, r.category, cfg.action(r.name), r.desc)
+        for i, r in enumerate(cfg.enabled_rules())
+    ]
+    meta_df = spark.createDataFrame(
+        meta, "ord int, rule string, category string, action string, desc string"
+    )
+    # one-row crossJoin (broadcast, trivial) then unpivot to registry order
+    wide = meta_df.crossJoin(F.broadcast(row))
+    stack_expr = "stack({n}, {args}) as (rule_match, fail)".format(
+        n=len(meta),
+        args=", ".join(f"'{r.name}', fail_{r.name}" for r in cfg.enabled_rules()),
+    )
+    out = (
+        wide.select("ord", "rule", "category", "action", "desc", "_total",
+                    F.expr(stack_expr))
+        .filter(F.col("rule") == F.col("rule_match"))
+        .select(
+            "ord",
+            "rule",
+            "category",
+            "action",
+            "desc",
+            (F.col("_total") - F.col("fail")).alias("pass"),
+            F.col("fail"),
+        )
+        .orderBy("ord")
+        .drop("ord")
+    )
+    return out
+
+
+def locators(labeled: DataFrame, cap: int = LOCATOR_CAP) -> DataFrame:
+    """Per rule: first `cap` failing (conv_id, turn_idx), sorted — exact,
+    computed as a two-phase top-k so no single task ever holds more than
+    cap locators per rule:
+
+    phase 1: groupBy(rule, input partition id) → per-partition sorted
+             slice of ≤ cap (bounded memory, map-side);
+    phase 2: groupBy(rule) over ≤ cap × #partitions tiny structs →
+             flatten + sort + slice = exact global first-cap.
+
+    A naive groupBy(rule).collect_list would pull every hit of a hot rule
+    (possibly 10^11 rows) into one task; a Window.partitionBy(rule) has
+    the same skew. Rule cardinality ≤ 16, so phase 2 is trivial.
+    """
+    exploded = (
+        labeled.filter(F.size("rule_hits") > 0)
+        .select(
+            F.explode("rule_hits").alias("rule"),
+            "conv_id",
+            "turn_idx",
+            F.spark_partition_id().alias("_pid"),
+        )
+    )
+    stage1 = exploded.groupBy("rule", "_pid").agg(
+        F.slice(
+            F.sort_array(F.collect_list(F.struct("conv_id", "turn_idx"))), 1, cap
+        ).alias("locs"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        stage1.groupBy("rule")
+        .agg(
+            F.slice(F.sort_array(F.flatten(F.collect_list("locs"))), 1, cap).alias(
+                "locators"
+            ),
+            F.sum("cnt").alias("n_fail"),
+        )
+        .orderBy("rule")
+    )
+
+
+def summary_json(labeled: DataFrame, cfg: QamdConfig, metadata: dict | None = None) -> str:
+    """Serialize the full report as one JSON document (the reference's JSON
+    sink analogue, src/bin/qamd.rs:233)."""
+    summ = [r.asDict() for r in summarize(labeled, cfg).collect()]
+    doc = {
+        "metadata": metadata or {},
+        "summary": summ,
+    }
+    return json.dumps(doc, indent=2, default=str)

@@ -1,0 +1,56 @@
+"""Input/output schemas for the transcript quality pipeline.
+
+The input shape is fixed (BASELINE.json input_hint):
+    conv_id:string, turn_idx:int32, role:string, text:string,
+    tool:string, ts:timestamp
+
+This replaces the reference's per-file inferred schema (QAMyData infers
+variables from ReadStat callbacks / CSV headers — reference
+src/readstat/handler.rs:61-85, src/readstat/csv/read.rs:83-97); with a
+fixed table schema there is no AnyValue dynamic-scalar layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+ROLES = ("user", "assistant", "system", "tool")
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+# Columns appended by the vectorized scoring stage (turnscore.SCORE_FIELDS
+# must line up with this, minus the pass-through input columns).
+SCORE_SCHEMA = T.StructType(
+    TRANSCRIPT_SCHEMA.fields
+    + [
+        T.StructField("n_chars", T.IntegerType(), False),
+        T.StructField("n_tokens", T.IntegerType(), False),
+        T.StructField("odd_char_ratio", T.DoubleType(), False),
+        T.StructField("stopword_fraction", T.DoubleType(), False),
+        T.StructField("all_stopwords", T.BooleanType(), False),
+        T.StructField("repetition_ratio", T.DoubleType(), False),
+        T.StructField("pii_hits", T.ArrayType(T.StringType()), False),
+        T.StructField("profanity_hit", T.BooleanType(), False),
+        T.StructField("scrubbed_text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), False),
+        T.StructField("perplexity", T.DoubleType(), False),
+    ]
+)
+
+# Final labeled-output schema (FIXTURES.md §4 expected/labels.parquet).
+LABELED_EXTRA_FIELDS = [
+    T.StructField("rule_hits", T.ArrayType(T.StringType()), False),
+    T.StructField("keep", T.BooleanType(), False),
+    T.StructField("bucket", T.IntegerType(), False),
+]
+
+LABELED_SCHEMA = T.StructType(SCORE_SCHEMA.fields + LABELED_EXTRA_FIELDS)

@@ -1,0 +1,77 @@
+"""Mimics the driver's verify: run each queries() entry on Spark and its
+oracle_sql() twin on DuckDB over the same parquet tables; compare row count,
+column names, and (order-insensitively) exact values — floats included,
+since every float is produced by an IEEE-identical expression on both sides.
+"""
+
+import math
+
+import duckdb
+import numpy as np
+import pytest
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _normalize(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
+            )
+    return df.sort_values(list(df.columns), na_position="last").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", sorted(E.oracle_sql().keys()))
+def test_query_matches_duckdb_oracle(spark, con, name):
+    q = E.queries()[name]
+    sp = _normalize(q(spark, SF).toPandas())
+    dk = _normalize(con.sql(E.oracle_sql()[name]).df())
+    assert list(sp.columns) == list(dk.columns), (sp.columns, dk.columns)
+    assert len(sp) == len(dk)
+    for c in sp.columns:
+        a, b = sp[c].to_numpy(), dk[c].to_numpy()
+        if np.issubdtype(sp[c].dtype, np.floating):
+            assert np.allclose(a.astype(float), b.astype(float), rtol=0, atol=0, equal_nan=True), c
+        else:
+            mism = [
+                (x, y) for x, y in zip(a, b)
+                if x != y and not (_isnan(x) and _isnan(y))
+            ]
+            assert not mism, (c, mism[:5])
+
+
+def _isnan(v):
+    try:
+        return v is None or (isinstance(v, float) and math.isnan(v))
+    except Exception:
+        return False
+
+
+def test_rows_only_queries_run(spark):
+    # non-SQL-expressible entries: must run and return >= 0 rows, stable schema
+    for name in sorted(set(E.queries()) - set(E.oracle_sql())):
+        df = E.queries()[name](spark, SF)
+        n = df.count()
+        assert n >= 0
+        assert len(df.columns) > 0
+
+
+def test_entry_runs(spark):
+    df = E.entry(spark)
+    assert df.count() > 0

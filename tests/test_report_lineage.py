@@ -1,0 +1,70 @@
+import pytest
+
+from oracle import oracle
+from qamd_spark import lineage, pipeline, report
+from qamd_spark.config import QamdConfig
+
+
+@pytest.fixture(scope="module")
+def labeled(spark, synth_path):
+    cfg = QamdConfig()
+    return pipeline.label(spark.read.parquet(synth_path), cfg), cfg
+
+
+def test_summary_matches_oracle(labeled, synth_pdf):
+    lab, cfg = labeled
+    summ = report.summarize(lab, cfg).toPandas()
+    orc = oracle.summary_pdf(oracle.label_pdf(synth_pdf, cfg), cfg)
+    assert list(summ["rule"]) == list(orc["rule"])  # registry order
+    assert summ["fail"].tolist() == orc["fail"].tolist()
+    assert summ["pass"].tolist() == orc["pass"].tolist()
+    # counting contract: pass + fail == total turns for every rule
+    assert ((summ["pass"] + summ["fail"]) == len(synth_pdf)).all()
+
+
+def test_locators_capped_and_sorted(labeled):
+    lab, cfg = labeled
+    locs = report.locators(lab, cap=10).toPandas()
+    assert (locs["locators"].map(len) <= 10).all()
+    for row in locs.itertuples():
+        keys = [(l["conv_id"], l["turn_idx"]) for l in row.locators]
+        assert keys == sorted(keys)
+        # cap semantics: the FIRST n_fail (up to cap) locators are kept
+        assert len(row.locators) == min(row.n_fail, 10)
+
+
+def test_locators_exact_first_k(labeled, synth_pdf):
+    lab, cfg = labeled
+    locs = {r["rule"]: r for r in report.locators(lab, cap=5).collect()}
+    orc = oracle.label_pdf(synth_pdf, cfg).sort_values(["conv_id", "turn_idx"])
+    hits = [
+        (c, int(t))
+        for c, t, h in zip(orc["conv_id"], orc["turn_idx"], orc["rule_hits"])
+        if "pii" in h
+    ]
+    got = [(l["conv_id"], l["turn_idx"]) for l in locs["pii"]["locators"]]
+    assert got == hits[:5]
+    assert locs["pii"]["n_fail"] == len(hits)
+
+
+def test_lineage_per_bucket(labeled):
+    lab, cfg = labeled
+    lin = lineage.per_bucket(lab, cfg).toPandas()
+    assert lin["bucket"].between(0, cfg.n_buckets - 1).all()
+    assert lin["n_rows"].sum() == lab.count()
+    assert (lin["n_keep"] <= lin["n_rows"]).all()
+    one = lin.iloc[0]
+    assert set(one["rule_hit_counts"].keys()) == {
+        r.name for r in cfg.enabled_rules()
+    }
+    assert "en" in one["lang_histogram"]
+    assert len(one["ppl_quantiles"]) == len(lineage.PPL_QUANTILES)
+
+
+def test_summary_json(labeled):
+    import json
+
+    lab, cfg = labeled
+    doc = json.loads(report.summary_json(lab, cfg, {"source": "synth"}))
+    assert doc["metadata"]["source"] == "synth"
+    assert len(doc["summary"]) == len(cfg.enabled_rules())
