@@ -257,6 +257,30 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
+def q_text_profile(spark, sf_dir):
+    """Text-analysis feature set (qamd_spark/ops/text.py) — all ratios are
+    exact-int-derived single divisions, so DuckDB matches bit-for-bit."""
+    from qamd_spark.ops import text as tx
+
+    t = F.coalesce(F.col("text"), F.lit(""))
+    trimmed = F.trim(t)
+    toks = F.split(trimmed, r"\s+", -1)
+    tok_ws = F.when(trimmed == "", F.lit(0)).otherwise(F.size(toks))
+    sum_len = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    mean_wl = F.when(
+        trimmed != "", sum_len.cast("double") / F.size(toks).cast("double")
+    ).otherwise(0.0)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        tok_ws.cast("int").alias("tok_ws"),
+        tx.punct_ratio(F.col("text")).alias("punct_ratio"),
+        tx.uppercase_ratio(F.col("text")).alias("upper_ratio"),
+        tx.digit_ratio(F.col("text")).alias("digit_ratio"),
+        mean_wl.alias("mean_word_len"),
+        tx.quality_score(F.col("text")).alias("quality"),
+    )
+
+
 # ---- non-SQL-expressible (rows-only check; pytest oracle covers them) ----
 def q_langid_docs(spark, sf_dir):
     from qamd_spark import pipeline
@@ -335,6 +359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "summary_report": q_summary_report,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "text_profile": q_text_profile,
         "langid_docs": q_langid_docs,
         "transcript_pipeline": q_transcript_pipeline,
         "minhash_dedup": q_minhash_dedup,
@@ -463,6 +488,43 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'odd_characters', f_odd_characters, _total FROM agg
               UNION ALL SELECT 'pii_email', f_pii_email, _total FROM agg
               UNION ALL SELECT 'empty_text', f_empty_text, _total FROM agg)
+        """,
+        "text_profile": f"""
+            WITH b AS (
+              SELECT doc_id, coalesce(text,'') AS t, trim(coalesce(text,'')) AS tr
+              FROM documents),
+            c AS (
+              SELECT doc_id, t, tr,
+                CASE WHEN tr = '' THEN [] ELSE regexp_split_to_array(tr, '\\s+') END AS toks
+              FROM b)
+            SELECT doc_id,
+              len(toks)::INT AS tok_ws,
+              CASE WHEN length(t) > 0 THEN
+                (length(t) - length(regexp_replace(t, '{PUNCT_CLASS}', '', 'g')))::DOUBLE
+                  / length(t)::DOUBLE ELSE 0.0 END AS punct_ratio,
+              CASE WHEN length(t) > 0 THEN
+                (length(t) - length(regexp_replace(t, '[A-Z]', '', 'g')))::DOUBLE
+                  / length(t)::DOUBLE ELSE 0.0 END AS upper_ratio,
+              CASE WHEN length(t) > 0 THEN
+                (length(t) - length(regexp_replace(t, '[0-9]', '', 'g')))::DOUBLE
+                  / length(t)::DOUBLE ELSE 0.0 END AS digit_ratio,
+              CASE WHEN tr <> '' THEN
+                list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                  / len(toks)::DOUBLE ELSE 0.0 END AS mean_word_len,
+              greatest(0.0, least(1.0,
+                (CASE WHEN length(t) >= 20 AND length(t) <= 5000 THEN 1.0
+                      WHEN length(t) > 0 THEN 0.3 ELSE 0.0 END)
+                - (CASE WHEN length(t) > 0 AND
+                     (length(t) - length(regexp_replace(t, '{PUNCT_CLASS}', '', 'g')))::DOUBLE
+                       / length(t)::DOUBLE > 0.2 THEN 0.3 ELSE 0.0 END)
+                - (CASE WHEN length(t) > 0 AND
+                     (length(t) - length(regexp_replace(t, '[A-Z]', '', 'g')))::DOUBLE
+                       / length(t)::DOUBLE > 0.3 THEN 0.2 ELSE 0.0 END)
+                - (CASE WHEN length(t) > 0 AND
+                     (length(t) - length(regexp_replace(t, '[0-9]', '', 'g')))::DOUBLE
+                       / length(t)::DOUBLE > 0.3 THEN 0.2 ELSE 0.0 END)
+              )) AS quality
+            FROM c
         """,
         "ann_cosine_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

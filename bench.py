@@ -38,7 +38,7 @@ def _sf_from_dir(d: str) -> float:
 def transcripts_path(sf: float) -> str:
     """Deterministic synthetic transcripts sized to the scale factor,
     cached under .bench_cache (generation is seeded ⇒ reusable)."""
-    n_convs = max(200, int(20000 * sf))
+    n_convs = max(2000, int(200000 * sf))
     cache = os.path.join(REPO, ".bench_cache")
     os.makedirs(cache, exist_ok=True)
     path = os.path.join(cache, f"transcripts_n{n_convs}_seed42.parquet")
@@ -71,11 +71,13 @@ def run_benchmarks() -> dict:
 
     # headline: full transcript pipeline (score+dedup+conv agg+decide)
     def _pipeline():
+        from pyspark.sql import functions as F
+
         labeled = pipeline.label(spark.read.parquet(tpath), cfg)
         row = labeled.agg(
-            {"keep": "sum", "*": "count"}
+            F.count(F.lit(1)).alias("n"), F.sum(F.col("keep").cast("long")).alias("k")
         ).collect()[0]
-        return row[1]  # count
+        return row["n"]
 
     n_turns = timed("transcript_pipeline", _pipeline)
 

@@ -38,23 +38,31 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
-def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """64-bit hashes of the k-word shingles of a (lowercased) text."""
-    toks = text.lower().split()
-    if len(toks) < k:
-        toks = toks + [""] * (k - len(toks))
-    n = len(toks) - k + 1
-    out = np.empty(max(n, 1), dtype=np.uint64)
-    h0 = np.uint64(1469598103934665603)
-    prime = np.uint64(1099511628211)
-    for i in range(max(n, 1)):
-        h = h0
-        for t in toks[i : i + k]:
-            for b in t.encode("utf-8"):
-                h = ((h ^ np.uint64(b)) * prime) & _MASK
-            h = ((h ^ np.uint64(0x20)) * prime) & _MASK
-        out[i] = h
-    return out
+def _token_hashes(tokens: list[str]) -> np.ndarray:
+    """Vectorized 64-bit token hashes (pandas SipHash with its fixed
+    default key — deterministic across processes and platforms)."""
+    if not tokens:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(np.asarray(tokens, dtype=object))
+
+
+_SHINGLE_K = 5
+# fixed odd per-position mixing constants for the k-token combiner
+_SHINGLE_C = _splitmix64(np.arange(11, 11 + _SHINGLE_K, dtype=np.uint64)) | np.uint64(1)
+
+
+def _shingle_hashes_from_tokens(th: np.ndarray, k: int = _SHINGLE_K) -> np.ndarray:
+    """64-bit hashes of k-token shingles from precomputed token hashes.
+
+    Fully vectorized: shifted slices × fixed odd constants, then a
+    splitmix64 finalizer. Short docs are zero-padded to one shingle."""
+    if len(th) < k:
+        th = np.concatenate([th, np.zeros(k - len(th), dtype=np.uint64)])
+    n = len(th) - k + 1
+    acc = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        acc = (acc + th[j : j + n] * _SHINGLE_C[j]) & _MASK
+    return _splitmix64(acc)
 
 
 N_PERM = 64
@@ -72,6 +80,18 @@ def _minhash_signature(sh: np.ndarray) -> np.ndarray:
     return v.min(axis=0)
 
 
+# fixed per-band finalizer constants
+def _band_hashes(sig: np.ndarray) -> np.ndarray:
+    """Fold each band's ROWS_PER_BAND minhash values into one 64-bit
+    bucket hash (vectorized over bands)."""
+    bands = sig.reshape(N_BANDS, ROWS_PER_BAND)
+    acc = np.zeros(N_BANDS, dtype=np.uint64)
+    for j in range(ROWS_PER_BAND):
+        acc = (acc + bands[:, j] * _SHINGLE_C[j % _SHINGLE_K]) & _MASK
+    acc = (acc + np.arange(1, N_BANDS + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)) & _MASK
+    return _splitmix64(acc)
+
+
 _MINHASH_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -84,22 +104,42 @@ _MINHASH_SCHEMA = T.StructType(
 def minhash_bands(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """doc → N_BANDS (band, band_hash) rows. Pandas-UDF stage, narrow."""
 
+    band_idx = np.arange(N_BANDS, dtype=np.int32)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, bands, hashes = [], [], []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                if not isinstance(text, str) or not text:
+            # batch-level vectorized token hashing, per-doc numpy minhash
+            tok_lists = [
+                t.lower().split() if isinstance(t, str) and t else None
+                for t in pdf[text_col]
+            ]
+            all_tokens = [t for toks in tok_lists if toks for t in toks]
+            th_all = _token_hashes(all_tokens)
+            ids, hashes = [], []
+            pos = 0
+            for doc_id, toks in zip(pdf[id_col], tok_lists):
+                if not toks:
                     continue
-                sig = _minhash_signature(_shingle_hashes(text))
-                for b in range(N_BANDS):
-                    chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
-                    h = np.uint64(b + 1)
-                    for c in chunk:
-                        h = _splitmix64(h ^ c)
-                    ids.append(doc_id)
-                    bands.append(b)
-                    hashes.append(np.int64(h))
-            yield pd.DataFrame({"doc_id": ids, "band": bands, "band_hash": hashes})
+                th = th_all[pos : pos + len(toks)]
+                pos += len(toks)
+                sig = _minhash_signature(_shingle_hashes_from_tokens(th))
+                ids.append(doc_id)
+                hashes.append(_band_hashes(sig).astype(np.int64))
+            if ids:
+                out = pd.DataFrame(
+                    {
+                        "doc_id": np.repeat(np.asarray(ids, dtype=np.int64), N_BANDS),
+                        "band": np.tile(band_idx, len(ids)),
+                        "band_hash": np.concatenate(hashes),
+                    }
+                )
+            else:
+                out = pd.DataFrame(
+                    {"doc_id": pd.Series([], dtype="int64"),
+                     "band": pd.Series([], dtype="int32"),
+                     "band_hash": pd.Series([], dtype="int64")}
+                )
+            yield out
 
     return docs.select(id_col, text_col).mapInPandas(run, schema=_MINHASH_SCHEMA)
 
@@ -137,29 +177,34 @@ _SIMHASH_SCHEMA = T.StructType(
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit simhash over word-unigram hashes (vectorized numpy)."""
 
+    bit_positions = np.arange(64, dtype=np.uint64)
+    bit_values = (np.uint64(1) << bit_positions).astype(np.uint64)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            tok_lists = [
+                t.lower().split() if isinstance(t, str) and t else None
+                for t in pdf[text_col]
+            ]
+            all_tokens = [t for toks in tok_lists if toks for t in toks]
+            th_all = _token_hashes(all_tokens)
             ids, sigs = [], []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                if not isinstance(text, str) or not text:
-                    ids.append(doc_id)
+            pos = 0
+            for doc_id, toks in zip(pdf[id_col], tok_lists):
+                ids.append(doc_id)
+                if not toks:
                     sigs.append(0)
                     continue
-                toks = text.lower().split()
-                hs = np.empty(len(toks), dtype=np.uint64)
-                for i, t in enumerate(toks):
-                    h = np.uint64(1469598103934665603)
-                    for b in t.encode("utf-8"):
-                        h = ((h ^ np.uint64(b)) * np.uint64(1099511628211)) & _MASK
-                    hs[i] = h
-                bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+                hs = th_all[pos : pos + len(toks)]
+                pos += len(toks)
+                bits = (hs[:, None] >> bit_positions[None, :]) & np.uint64(1)
                 votes = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
-                sig = np.uint64(0)
-                for bit in np.where(votes > 0)[0]:
-                    sig |= np.uint64(1) << np.uint64(bit)
-                ids.append(doc_id)
+                sig = bit_values[votes > 0].sum(dtype=np.uint64)
                 sigs.append(np.int64(sig))
-            yield pd.DataFrame({"doc_id": ids, "simhash": sigs})
+            yield pd.DataFrame(
+                {"doc_id": np.asarray(ids, dtype=np.int64),
+                 "simhash": np.asarray(sigs, dtype=np.int64)}
+            )
 
     return docs.select(id_col, text_col).mapInPandas(run, schema=_SIMHASH_SCHEMA)
 

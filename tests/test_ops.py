@@ -1,0 +1,161 @@
+"""Training-data ops: dedup (minhash/simhash/jaccard), similarity search,
+text analysis, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from qamd_spark.ops import dedup, multimodal, similarity, text as text_ops
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the sun sets "
+        "behind the hills and the river keeps flowing toward the quiet sea "
+        "every morning the baker opens the shop"
+    )
+    rows = [
+        (0, base),
+        (1, base),  # exact dup
+        (2, base.replace("quiet sea", "silent sea")),  # near dup
+        (3, "completely different text about trains and stations and maps"),
+        (4, "another unrelated document mentioning gardens and patience"),
+        (5, base.replace("every morning", "each morning")),  # near dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_finds_near_dups(near_dup_docs):
+    out = {r["doc_id"]: r["dup_of"] for r in dedup.minhash_duplicates(near_dup_docs).collect()}
+    assert out.get(1) == 0  # exact dup caught
+    assert out.get(2) == 0  # near dup caught
+    assert out.get(5) == 0
+    assert 3 not in out and 4 not in out  # unrelated not flagged
+
+
+def test_minhash_deterministic(near_dup_docs):
+    a = sorted(map(tuple, dedup.minhash_duplicates(near_dup_docs).collect()))
+    b = sorted(map(tuple, dedup.minhash_duplicates(near_dup_docs.repartition(4)).collect()))
+    assert a == b
+
+
+def test_simhash_hamming_near(near_dup_docs, spark):
+    sig = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(near_dup_docs).collect()}
+    assert sig[0] == sig[1]  # identical text → identical simhash
+    ham_near = bin(sig[0] ^ sig[2]).count("1")
+    ham_far = bin(sig[0] ^ sig[3]).count("1")
+    assert ham_near < ham_far
+    assert ham_near <= 8
+
+
+def test_ngram_jaccard(near_dup_docs, spark):
+    cand = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "a long, b long")
+    j = {(r["a"], r["b"]): r["jaccard"] for r in
+         dedup.ngram_jaccard_pairs(near_dup_docs, cand).collect()}
+    assert j[(0, 1)] == 1.0
+    assert 0.7 < j[(0, 2)] < 1.0
+    assert j[(0, 3)] < 0.05
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    got = (
+        similarity.brute_force_topk(emb, q, k=5)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    pdf = emb.toPandas()
+    M = np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    for qid in range(3):
+        qv = Mn[ids == qid][0]
+        sims = Mn @ qv
+        order = [
+            i for i in np.lexsort((ids, -sims)) if ids[i] != qid
+        ][:5]
+        expect = [int(ids[i]) for i in order]
+        assert got[got["qid"] == qid]["neighbor"].tolist() == expect
+
+
+def test_lsh_topk_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    exact = similarity.brute_force_topk(emb, q, k=5).toPandas()
+    approx = similarity.lsh_topk(emb, q, k=5, bits=4, n_tables=16, dim=64).toPandas()
+    # the sf embeddings are i.i.d. random (near-orthogonal) — the hard
+    # case for LSH. Theory for 16 tables × 4 bits at sim≈0.3 gives ~0.5+
+    # recall; assert a conservative floor and that the candidate set is
+    # actually sub-quadratic (the point of LSH).
+    hits = 0
+    for qid in exact["qid"].unique():
+        e = set(exact[exact["qid"] == qid]["neighbor"])
+        a = set(approx[approx["qid"] == qid]["neighbor"])
+        hits += len(e & a)
+    recall = hits / len(exact)
+    assert recall >= 0.3
+    assert (approx["rank"] <= 5).all()
+    # approx output is a subset-ranking: sims must match brute force where
+    # the pair appears in both
+    merged = approx.merge(
+        exact, on=["qid", "neighbor"], suffixes=("_a", "_e"), how="inner"
+    )
+    assert np.allclose(merged["sim_a"], merged["sim_e"], rtol=0, atol=0)
+
+
+def test_text_profile(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello WORLD 42!!"), (2, ""), (3, None),
+         (4, "a normal english sentence with reasonable words inside it")],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in text_ops.profile(df).collect()}
+    assert out[1]["tok_ws"] == 3
+    assert out[1]["tok_bpe"] == 5  # Hello, WORLD, 42, !, !
+    assert out[1]["punct_ratio"] > 0.1
+    assert out[2]["tok_ws"] == 0 and out[3]["tok_ws"] == 0
+    assert out[4]["quality"] == 1.0
+    assert out[2]["quality"] == 0.0
+    # fingerprint invariant to whitespace runs + case
+    df2 = spark.createDataFrame(
+        [(1, "hello   world  42!!")], "id long, text string"
+    )
+    fp2 = text_ops.profile(df2).collect()[0]["fingerprint64"]
+    assert fp2 == out[1]["fingerprint64"]
+
+
+def test_multimodal_features(spark):
+    media = multimodal.synth_media(spark, n=30)
+    feats = multimodal.extract_features(media).toPandas()
+    assert len(feats) == 30
+    assert (feats["features"].map(len) == 16).all()
+    assert feats["sha256"].nunique() == 30
+    # determinism across partitionings
+    f2 = multimodal.extract_features(media.repartition(5)).toPandas()
+    a = feats.sort_values("media_id")["sha256"].tolist()
+    b = f2.sort_values("media_id")["sha256"].tolist()
+    assert a == b
+
+
+def test_multimodal_decode_stub_raises(spark):
+    media = multimodal.synth_media(spark, n=3)
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        multimodal.extract_features(media, decode_stub=False).collect()
+
+
+def test_frame_sample_plan(spark):
+    media = multimodal.synth_media(spark, n=9)
+    plan = multimodal.frame_sample_plan(media, every_ms=1000).toPandas()
+    # videos are ids 2,5,8 with duration 3500ms → 3 frames each
+    assert sorted(plan["media_id"].unique()) == [2, 5, 8]
+    assert (plan.groupby("media_id").size() == 3).all()
+    assert plan["frame_ts_ms"].max() == 2000
