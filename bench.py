@@ -73,7 +73,11 @@ def run_benchmarks() -> dict:
     def _pipeline():
         from pyspark.sql import functions as F
 
-        labeled = pipeline.label(spark.read.parquet(tpath), cfg)
+        # a single small parquet file is one input split — repartition so
+        # the Python scoring stage parallelizes (a real 100TB table has
+        # thousands of splits and never needs this)
+        df = spark.read.parquet(tpath).repartition(CPUS * 2)
+        labeled = pipeline.label(df, cfg)
         row = labeled.agg(
             F.count(F.lit(1)).alias("n"), F.sum(F.col("keep").cast("long")).alias("k")
         ).collect()[0]
@@ -108,6 +112,21 @@ def run_benchmarks() -> dict:
     }
 
 
+SCALING_N_CONVS = 150000  # ~1.5M turns: >=60s of work at local[8]
+                          # (BASELINE.md protocol), compute-dominated
+
+
+def scaling_input() -> str:
+    cache = os.path.join(REPO, ".bench_cache")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, f"transcripts_n{SCALING_N_CONVS}_seed42.parquet")
+    if not os.path.exists(path):
+        from qamd_spark import synth
+
+        synth.write_parquet(path, n_convs=SCALING_N_CONVS, seed=42, hot_conv_turns=5000)
+    return path
+
+
 def _scaling_child(cpus: int) -> dict:
     """Run the pipeline once at a given core count in a fresh JVM."""
     code = f"""
@@ -116,14 +135,14 @@ sys.path.insert(0, {REPO!r})
 from qamd_spark import pipeline, session
 from qamd_spark.config import QamdConfig
 import bench
-sf = bench._sf_from_dir(bench.SF_DIR)
-tpath = bench.transcripts_path(sf)
+tpath = bench.scaling_input()
 spark = session.get_spark('qamd-scale', master='local[{cpus}]', shuffle_partitions={cpus})
 cfg = QamdConfig()
-# warmup (JVM/codegen) on a small slice
-pipeline.label(spark.read.parquet(tpath).limit(2000), cfg).count()
+# warmup: JVM codegen + spawn all Python workers (full-width small job)
+pipeline.label(spark.read.parquet(tpath).limit(50000).repartition({cpus} * 2), cfg).count()
+df = spark.read.parquet(tpath).repartition({cpus} * 2)
 t0 = time.perf_counter()
-labeled = pipeline.label(spark.read.parquet(tpath), cfg)
+labeled = pipeline.label(df, cfg)
 n = labeled.count()
 dt = time.perf_counter() - t0
 print(json.dumps({{"cpus": {cpus}, "n_turns": n, "sec": round(dt,3),
@@ -158,7 +177,7 @@ fresh JVMs at local[{lo}] and local[{hi}].
 **Scaling efficiency ({lo}→{hi} cores, x{hi//lo}): {eff:.3f}**
 (target ≥ 0.8 per BASELINE.json)
 
-Input: `{transcripts_path(_sf_from_dir(SF_DIR))}`; AQE on,
+Input: `{scaling_input()}`; AQE on,
 shuffle.partitions = cores; arrow batches default.
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:

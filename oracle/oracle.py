@@ -66,6 +66,9 @@ def label_pdf(pdf: pd.DataFrame, cfg: QamdConfig | None = None) -> pd.DataFrame:
     if cfg.enabled("role_vocabulary"):
         add("role_vocabulary", out["role"].isna() | ~out["role"].isin(s["role_vocabulary"]))
     add("empty_turn", empty)
+    if cfg.enabled("sentinel_text"):
+        # strip(' ') not strip(): Spark F.trim removes 0x20 only
+        add("sentinel_text", text.str.strip(" ").isin(s["sentinel_text"]))
     if cfg.enabled("length_bounds"):
         b = s["length_bounds"]
         add("length_bounds", (out["n_chars"] < int(b["min"])) | (out["n_chars"] > int(b["max"])))

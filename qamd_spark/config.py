@@ -61,6 +61,8 @@ RULE_REGISTRY: tuple[RuleSpec, ...] = (
              "Turn role should be one of the allowed roles"),
     RuleSpec("empty_turn", "metadata", "drop",
              "Turn text should not be empty or null (system-missing analogue)"),
+    RuleSpec("sentinel_text", "metadata", "drop",
+             "Turn text should not be a bare missing-value sentinel"),
     RuleSpec("length_bounds", "data_integrity", "drop",
              "Turn text length should be within the configured bounds"),
     RuleSpec("odd_characters", "data_integrity", "flag",
@@ -98,6 +100,9 @@ DEFAULT_SETTINGS: dict[str, Any] = {
     "bad_conv_id": r"^[A-Za-z0-9_\-]+$",
     "role_vocabulary": ["user", "assistant", "system", "tool"],
     "empty_turn": True,
+    # defined-missing sentinels with no annotation — the transcript analogue
+    # of SPSS ValueDefinedMissingNoLabel (reference src/check/value.rs:18-44)
+    "sentinel_text": ["N/A", "n/a", "NA", "-9", "-99", "null", "NULL", "none", "..."],
     "length_bounds": {"min": 2, "max": 8000},
     "odd_characters": DEFAULT_ODD_CHARS,
     "odd_char_ratio": 0.08,
@@ -184,7 +189,8 @@ class QamdConfig:
                     re.compile(val)
                 except re.error as e:
                     raise ConfigError(f"{name}: invalid regex: {e}") from e
-            if name in ("role_vocabulary", "odd_characters", "pii", "profanity"):
+            if name in ("role_vocabulary", "odd_characters", "pii", "profanity",
+                        "sentinel_text"):
                 if not isinstance(val, list) or not val:
                     raise ConfigError(f"{name}: must be a non-empty list")
             if name == "length_bounds":

@@ -105,6 +105,11 @@ def rule_conditions(cfg: QamdConfig) -> list[tuple[str, "F.Column"]]:
             ("role_vocabulary", F.col("role").isNull() | ~F.col("role").isin(*roles))
         )
     add("empty_turn", _is_empty_col(text))
+    if cfg.enabled("sentinel_text"):
+        # trimmed exact match against the sentinel list (defined-missing
+        # analogue, reference src/check/value.rs:18-44)
+        sents = [F.lit(x) for x in s["sentinel_text"]]
+        conds.append(("sentinel_text", F.trim(text).isin(*sents)))
     if cfg.enabled("length_bounds"):
         b = s["length_bounds"]
         conds.append(

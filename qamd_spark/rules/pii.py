@@ -75,20 +75,30 @@ def scrub_series(
     """
     active = [p for p in PII_PATTERNS if pii_names is None or p[0] in pii_names]
     notnull = text.notna()
-    scrubbed = text.copy()
+    # single regex pass per pattern: subn does replace + hit-count at once
+    # (a vectorized contains + replace would scan every string twice)
+    values = text.tolist()
     hit_cols: list[np.ndarray] = []
     names: list[str] = []
     for name, rx, repl in active:
-        hits = text.str.contains(rx, regex=True, na=False)
-        hit_cols.append(hits.to_numpy(dtype=bool))
+        sub = rx.subn
+        hits = np.zeros(len(values), dtype=bool)
+        for i, s in enumerate(values):
+            if isinstance(s, str):
+                values[i], k = sub(repl, s)
+                if k:
+                    hits[i] = True
+        hit_cols.append(hits)
         names.append(name)
-        scrubbed = scrubbed.str.replace(rx, repl, regex=True)
     prof_hit = np.zeros(len(text), dtype=bool)
     if profanity_rx is not None:
-        prof_hit = text.str.contains(profanity_rx, regex=True, na=False).to_numpy(
-            dtype=bool
-        )
-        scrubbed = scrubbed.str.replace(profanity_rx, "<PROFANITY>", regex=True)
+        sub = profanity_rx.subn
+        for i, s in enumerate(values):
+            if isinstance(s, str):
+                values[i], k = sub("<PROFANITY>", s)
+                if k:
+                    prof_hit[i] = True
+    scrubbed = pd.Series(values, index=text.index, dtype=object)
     if hit_cols:
         mat = np.column_stack(hit_cols)
         hit_lists = pd.Series(

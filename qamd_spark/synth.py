@@ -115,8 +115,10 @@ def generate(
                 text = " ".join(
                     rng.choice(corpora.STOPWORDS) for _ in range(rng.randint(3, 8))
                 )  # all stopwords
-            elif r < 0.88:
+            elif r < 0.865:
                 text = rng.choice(["x", "k", "?", "!!", "9"])  # too short
+            elif r < 0.88:
+                text = rng.choice(["N/A", " -9 ", "null", "...", "NA"])  # sentinels
             elif r < 0.91:
                 text = _sentence(rng, _EN_SENTENCES, 40)  # very long-ish
             elif r < 0.94:

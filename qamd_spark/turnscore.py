@@ -60,44 +60,56 @@ def _token_stats(
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(stopword_fraction, all_stopwords, repetition_ratio) per row.
 
-    Tokens = norm.split(' ') (single space, QAMD semantics). Empty string
-    (or null) ⇒ fraction 0, all_stopwords False (mirrors the reference
+    Tokens = norm.split(' ') (single space, QAMD semantics). Empty/null
+    string ⇒ fraction 0, all_stopwords False (mirrors the reference
     stopword predicate passing empty strings, src/check/dictionary.rs:22-24),
-    repetition 0. Vectorized with explode + groupby.
+    repetition 0; repetition counts non-empty tokens only.
+
+    Vectorized via pd.factorize (one C-level string→code hash pass over
+    all tokens): stopword membership is a set lookup on the UNIQUE tokens
+    only; per-row sums via np.add.reduceat; repetition mode via a single
+    lexsort + run-length pass on the int codes. Both the Spark stage and
+    the oracle run THIS function, so results are identical by construction.
     """
     n = len(norm)
     frac = np.zeros(n, dtype=np.float64)
     allstop = np.zeros(n, dtype=bool)
     rep = np.zeros(n, dtype=np.float64)
-    filled = norm.fillna("")
-    nonempty = filled != ""
-    if not nonempty.any():
+    if n == 0:
         return frac, allstop, rep
-    idx = np.arange(n)
-    sub = filled[nonempty.to_numpy()]
-    sub.index = idx[nonempty.to_numpy()]
-    tokens = sub.str.split(" ")
-    ex = tokens.explode()
-    is_stop = ex.isin(stopwords)
-    g = is_stop.groupby(level=0)
-    frac_s = g.mean()
-    all_s = g.all()
-    n_tok = g.size()
-    # repetition over non-empty tokens
-    ex_ne = ex[ex != ""]
-    if len(ex_ne):
-        counts = (
-            pd.DataFrame({"i": ex_ne.index, "t": ex_ne.to_numpy()})
-            .groupby(["i", "t"])
-            .size()
-        )
-        mode = counts.groupby(level=0).max()
-        ntok_ne = ex_ne.groupby(level=0).size()
-        rep_s = (mode / ntok_ne).astype(np.float64)
-        rep[rep_s.index.to_numpy()] = rep_s.to_numpy()
-    frac[frac_s.index.to_numpy()] = frac_s.to_numpy(dtype=np.float64)
-    allstop[all_s.index.to_numpy()] = all_s.to_numpy(dtype=bool)
-    _ = n_tok
+    vals = ["" if not isinstance(v, str) else v for v in norm.tolist()]
+    toks_per_row = [v.split(" ") for v in vals]
+    lens = np.fromiter((len(t) for t in toks_per_row), dtype=np.int64, count=n)
+    flat: list[str] = [tok for toks in toks_per_row for tok in toks]
+    codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+    uniq_is_stop = np.fromiter(
+        (u in stopwords for u in uniques), dtype=bool, count=len(uniques)
+    )
+    is_stop = uniq_is_stop[codes]
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    nstop = np.add.reduceat(is_stop.astype(np.int64), offsets)
+    nonempty = np.asarray([v != "" for v in vals], dtype=bool)
+    frac = np.where(nonempty, nstop / np.maximum(lens, 1), 0.0)
+    allstop = nonempty & (nstop == lens)
+    # repetition: mode count of NON-empty tokens / their total, per row
+    empty_idx = np.flatnonzero(uniques == "")
+    empty_code = int(empty_idx[0]) if len(empty_idx) else -1
+    ne = codes != empty_code
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    rh, rr = codes[ne], rows[ne]
+    if len(rh):
+        order = np.lexsort((rh, rr))
+        sh, sr = rh[order], rr[order]
+        new_run = np.ones(len(sh), dtype=bool)
+        new_run[1:] = (sh[1:] != sh[:-1]) | (sr[1:] != sr[:-1])
+        run_starts = np.flatnonzero(new_run)
+        run_lengths = np.diff(np.append(run_starts, len(sh)))
+        run_row = sr[run_starts]
+        max_per_row = np.zeros(n, dtype=np.int64)
+        np.maximum.at(max_per_row, run_row, run_lengths)
+        ntok_ne = np.bincount(rr, minlength=n)
+        rep = np.where(ntok_ne > 0, max_per_row / np.maximum(ntok_ne, 1), 0.0)
     return frac, allstop, rep
 
 
