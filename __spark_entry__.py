@@ -51,8 +51,12 @@ def _txt():
     return F.coalesce(F.col("text"), F.lit(""))
 
 
+def _sql_list(values) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in values) + "]"
+
+
 def _sql_stop_list() -> str:
-    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+    return _sql_list(STOPWORDS)
 
 
 # ------------------------------------------------------------------ queries
@@ -257,6 +261,109 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
+VOCAB = ["the", "a", "and", "of", "to", "data", "table", "value", "row",
+         "key", "fast", "slow", "small", "big"]
+SENTINELS = ["N/A", "null", "-9", "none"]
+CUSTOM_PATTERNS = [r"^key ", r"spark.*window"]
+
+
+def q_oov_fraction(spark, sf_dir):
+    # spellcheck/OOV analogue (reference src/check/post.rs:205-226 with
+    # normalize_word + only_contains tokenization)
+    norm = F.lower(F.regexp_replace(_txt(), PUNCT_CLASS, ""))
+    toks = F.split(norm, " ", -1)
+    arr = F.array(*[F.lit(w) for w in VOCAB])
+    noov = F.size(F.filter(toks, lambda x: ~F.array_contains(arr, x)))
+    frac = noov.cast("double") / F.size(toks).cast("double")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        noov.cast("int").alias("n_oov"),
+        frac.alias("oov_frac"),
+        (frac > F.lit(0.5)).alias("oov_fail"),
+    )
+
+
+def q_sentinel_text(spark, sf_dir):
+    sents = [F.lit(x) for x in SENTINELS]
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.trim(_txt()).isin(*sents).alias("is_sentinel")
+    )
+
+
+def q_custom_regex(spark, sf_dir):
+    # ValueRegexPatterns analogue (reference src/check/post.rs:354-391)
+    t = _txt()
+    c = None
+    for p in CUSTOM_PATTERNS:
+        e = t.rlike(p)
+        c = e if c is None else (c | e)
+    return _docs(spark, sf_dir).select("doc_id", c.alias("rx_hit"))
+
+
+def q_repetition_ratio(spark, sf_dir):
+    """Most-frequent-token fraction = max run length in the sorted token
+    array / token count (fold with a struct accumulator, JVM-side)."""
+    toks = F.array_sort(F.split(F.lower(_txt()), " ", -1))
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+    fold = F.aggregate(
+        toks,
+        acc0,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best, F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    rep = fold.cast("double") / F.size(toks).cast("double")
+    return _docs(spark, sf_dir).select(
+        "doc_id", fold.cast("int").alias("max_tok_count"), rep.alias("rep_ratio")
+    )
+
+
+def q_conv_pipeline_sql(spark, sf_dir):
+    """SQL-expressible mini-pipeline over documents-as-conversations
+    (conv = doc_id % 97): empty + length + exact-dup keep-first +
+    conversation missing-fraction → keep. The SQL twin proves the
+    cross-row plan (agg+join dedup, conv aggregates) matches a window/
+    group formulation in another engine exactly."""
+    d = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 97).cast("long").alias("conv"),
+        F.floor(F.col("doc_id") / 97).cast("long").alias("turn"),
+        "text",
+    )
+    empty = F.col("text").isNull() | (F.col("text") == "")
+    n = F.length(_txt())
+    ts = (
+        d.filter(~empty)
+        .groupBy("text")
+        .agg(F.min(F.struct("conv", "turn")).alias("_fk"))
+        .select(
+            "text",
+            F.col("_fk.conv").alias("fconv"),
+            F.col("_fk.turn").alias("fturn"),
+        )
+    )
+    cs = d.groupBy("conv").agg(
+        F.sum(empty.cast("long")).alias("ec"), F.count(F.lit(1)).alias("tc")
+    )
+    j = d.join(ts, "text", "left").join(cs, "conv")
+    is_dup = ~empty & ~((F.col("conv") == F.col("fconv")) & (F.col("turn") == F.col("fturn")))
+    miss = (F.col("ec").cast("double") * 100.0 / F.col("tc").cast("double")) > 25.0
+    keep = ~(
+        F.coalesce(empty, F.lit(False))
+        | F.coalesce(is_dup, F.lit(False))
+        | F.coalesce(miss, F.lit(False))
+        | (n < 2)
+        | (n > 8000)
+    )
+    return j.select("conv", "turn", is_dup.alias("is_dup"), keep.alias("keep"))
+
+
 def q_text_profile(spark, sf_dir):
     """Text-analysis feature set (qamd_spark/ops/text.py) — all ratios are
     exact-int-derived single divisions, so DuckDB matches bit-for-bit."""
@@ -360,6 +467,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summary_report": q_summary_report,
         "ann_cosine_topk": q_ann_cosine_topk,
         "text_profile": q_text_profile,
+        "oov_fraction": q_oov_fraction,
+        "sentinel_text": q_sentinel_text,
+        "custom_regex": q_custom_regex,
+        "repetition_ratio": q_repetition_ratio,
+        "conv_pipeline_sql": q_conv_pipeline_sql,
         "langid_docs": q_langid_docs,
         "transcript_pipeline": q_transcript_pipeline,
         "minhash_dedup": q_minhash_dedup,
@@ -488,6 +600,68 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'odd_characters', f_odd_characters, _total FROM agg
               UNION ALL SELECT 'pii_email', f_pii_email, _total FROM agg
               UNION ALL SELECT 'empty_text', f_empty_text, _total FROM agg)
+        """,
+        "oov_fraction": f"""
+            WITH b AS (
+              SELECT doc_id,
+                str_split(lower(regexp_replace(coalesce(text,''),
+                    '{PUNCT_CLASS}', '', 'g')), ' ') AS toks
+              FROM documents)
+            SELECT doc_id,
+              len(list_filter(toks, t -> NOT list_contains({_sql_list(VOCAB)}, t)))::INT AS n_oov,
+              len(list_filter(toks, t -> NOT list_contains({_sql_list(VOCAB)}, t)))::DOUBLE
+                / len(toks)::DOUBLE AS oov_frac,
+              (len(list_filter(toks, t -> NOT list_contains({_sql_list(VOCAB)}, t)))::DOUBLE
+                / len(toks)::DOUBLE) > 0.5 AS oov_fail
+            FROM b
+        """,
+        "sentinel_text": f"""
+            SELECT doc_id,
+                   list_contains({_sql_list(SENTINELS)}, trim(coalesce(text,''))) AS is_sentinel
+            FROM documents
+        """,
+        "custom_regex": f"""
+            SELECT doc_id,
+                   (regexp_matches(coalesce(text,''), '{CUSTOM_PATTERNS[0]}')
+                    OR regexp_matches(coalesce(text,''), '{CUSTOM_PATTERNS[1]}')) AS rx_hit
+            FROM documents
+        """,
+        "repetition_ratio": """
+            WITH toks AS (
+              SELECT doc_id, unnest(str_split(lower(coalesce(text,'')), ' ')) AS tok
+              FROM documents),
+            counts AS (
+              SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+            mx AS (SELECT doc_id, max(c) AS max_tok_count FROM counts GROUP BY doc_id),
+            tot AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id)
+            SELECT mx.doc_id, mx.max_tok_count::INT AS max_tok_count,
+                   mx.max_tok_count::DOUBLE / tot.n::DOUBLE AS rep_ratio
+            FROM mx JOIN tot ON mx.doc_id = tot.doc_id
+        """,
+        "conv_pipeline_sql": """
+            WITH t AS (
+              SELECT (doc_id % 97)::BIGINT AS conv,
+                     (doc_id // 97)::BIGINT AS turn, text,
+                     (text IS NULL OR text = '') AS empty,
+                     length(coalesce(text,'')) AS n
+              FROM documents),
+            fk2 AS (
+              SELECT text,
+                     (min(struct_pack(conv := conv, turn := turn))).conv AS fconv,
+                     (min(struct_pack(conv := conv, turn := turn))).turn AS fturn
+              FROM t WHERE NOT empty GROUP BY text),
+            cs AS (
+              SELECT conv, sum(empty::INT)::BIGINT AS ec, count(*)::BIGINT AS tc
+              FROM t GROUP BY conv)
+            SELECT t.conv, t.turn,
+              (NOT t.empty AND NOT (t.conv = fk2.fconv AND t.turn = fk2.fturn)) AS is_dup,
+              NOT (
+                coalesce(t.empty, FALSE)
+                OR coalesce(NOT t.empty AND NOT (t.conv = fk2.fconv AND t.turn = fk2.fturn), FALSE)
+                OR coalesce((cs.ec::DOUBLE * 100.0 / cs.tc::DOUBLE) > 25.0, FALSE)
+                OR t.n < 2 OR t.n > 8000
+              ) AS keep
+            FROM t LEFT JOIN fk2 ON t.text = fk2.text JOIN cs ON t.conv = cs.conv
         """,
         "text_profile": f"""
             WITH b AS (

@@ -152,37 +152,67 @@ spark.stop()
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
     )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        sys.stderr.write(out.stderr[-4000:])
+        raise RuntimeError(f"scaling child (local[{cpus}]) produced no result")
+    return json.loads(lines[-1])
 
 
-def run_scaling() -> None:
+def run_scaling(trials: int = 3) -> None:
+    """Interleaved multi-trial scaling run; best (min wall) per config.
+
+    The sandbox is a shared host with external load (observed 3x wall-time
+    swings between identical runs), so a single trial per config is
+    meaningless. Interleaving decorrelates drift; min-wall is the standard
+    noise-robust estimator for a deterministic workload.
+    """
     lo, hi = 8, 32
-    r_lo = _scaling_child(lo)
-    r_hi = _scaling_child(hi)
-    eff = (r_hi["turns_per_sec"] / r_lo["turns_per_sec"]) / (hi / lo)
+    runs: dict[int, list[dict]] = {lo: [], hi: []}
+    for _ in range(trials):
+        runs[lo].append(_scaling_child(lo))
+        runs[hi].append(_scaling_child(hi))
+    best = {c: min(rs, key=lambda r: r["sec"]) for c, rs in runs.items()}
+    eff = (best[hi]["turns_per_sec"] / best[lo]["turns_per_sec"]) / (hi / lo)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    trial_rows = "\n".join(
+        f"| local[{c}] trial {i} | {r['sec']} | {r['turns_per_sec']} |"
+        for c in (lo, hi)
+        for i, r in enumerate(runs[c])
+    )
     md = f"""# BENCH/BASELINE.md — two-parallelism scaling run
 
 Sandbox proxy for N→4N executors (BASELINE.md protocol): the same full
 transcript pipeline (score + scrub + langid + perplexity + dedup + conv
-aggregates + keep/drop) on the SAME deterministic synthetic input, in two
-fresh JVMs at local[{lo}] and local[{hi}].
+aggregates + keep/drop) on the SAME deterministic synthetic input
+({best[lo]['n_turns']} turns), in fresh JVMs at local[{lo}] and local[{hi}],
+{trials} interleaved trials per config (shared noisy host — see bench.py),
+best trial reported.
 
-| config | turns | wall sec | turns/sec |
+| config | turns | wall sec (best) | turns/sec (best) |
 |---|---|---|---|
-| local[{lo}] | {r_lo['n_turns']} | {r_lo['sec']} | {r_lo['turns_per_sec']} |
-| local[{hi}] | {r_hi['n_turns']} | {r_hi['sec']} | {r_hi['turns_per_sec']} |
+| local[{lo}] | {best[lo]['n_turns']} | {best[lo]['sec']} | {best[lo]['turns_per_sec']} |
+| local[{hi}] | {best[hi]['n_turns']} | {best[hi]['sec']} | {best[hi]['turns_per_sec']} |
 
 **Scaling efficiency ({lo}→{hi} cores, x{hi//lo}): {eff:.3f}**
 (target ≥ 0.8 per BASELINE.json)
 
-Input: `{scaling_input()}`; AQE on,
-shuffle.partitions = cores; arrow batches default.
+All trials:
+
+| run | wall sec | turns/sec |
+|---|---|---|
+{trial_rows}
+
+Input: `{scaling_input()}`; AQE on (advisory 8m), maxPartitionBytes 32m,
+shuffle.partitions = cores; labels verified partition-count invariant.
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
-    print(json.dumps({"lo": r_lo, "hi": r_hi, "scaling_efficiency": round(eff, 3)}))
+    print(
+        json.dumps(
+            {"best_lo": best[lo], "best_hi": best[hi], "scaling_efficiency": round(eff, 3)}
+        )
+    )
 
 
 if __name__ == "__main__":

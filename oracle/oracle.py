@@ -86,6 +86,11 @@ def label_pdf(pdf: pd.DataFrame, cfg: QamdConfig | None = None) -> pd.DataFrame:
             (out["repetition_ratio"] > float(r["max"]))
             & (out["n_tokens"] >= int(r["min_tokens"])),
         )
+    if cfg.enabled("oov_fraction"):
+        add(
+            "oov_fraction",
+            nonempty & (out["oov_fraction"] > float(s["oov_fraction"]["max"])),
+        )
     if cfg.enabled("duplicate_turn"):
         add("duplicate_turn", nonempty & ~is_first)
     if cfg.enabled("conv_missing_fraction"):
@@ -99,6 +104,11 @@ def label_pdf(pdf: pd.DataFrame, cfg: QamdConfig | None = None) -> pd.DataFrame:
         add("stopword_fraction", out["stopword_fraction"] > float(s["stopword_fraction"]))
     if cfg.enabled("rare_signature"):
         add("rare_signature", nonempty & (text_occ <= int(s["rare_signature"])))
+    if cfg.enabled("custom_regex"):
+        hit = pd.Series(np.zeros(len(out), dtype=bool), index=out.index)
+        for p in s["custom_regex"]:
+            hit |= text.str.contains(p, regex=True, na=False)
+        add("custom_regex", hit)
     if cfg.enabled("langid"):
         add("langid", ~out["lang"].isin(s["langid"]["allowed"]))
     if cfg.enabled("perplexity"):

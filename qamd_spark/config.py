@@ -71,6 +71,8 @@ RULE_REGISTRY: tuple[RuleSpec, ...] = (
              "Fraction of odd characters should not exceed the bound"),
     RuleSpec("repetition", "data_integrity", "drop",
              "Most-frequent-token fraction should not exceed the bound"),
+    RuleSpec("oov_fraction", "data_integrity", "flag",
+             "Fraction of tokens outside the vocabulary should not exceed the bound"),
     RuleSpec("duplicate_turn", "data_integrity", "drop",
              "Turn text should not duplicate an earlier turn (keep-first)"),
     RuleSpec("conv_missing_fraction", "data_integrity", "drop",
@@ -85,6 +87,8 @@ RULE_REGISTRY: tuple[RuleSpec, ...] = (
              "Stopword fraction of turn tokens should not exceed the bound"),
     RuleSpec("rare_signature", "disclosure_risk", "flag",
              "Turn text occurring <= threshold times globally (outlier)"),
+    RuleSpec("custom_regex", "disclosure_risk", "flag",
+             "Turn text should not match any user-specified regex pattern"),
     RuleSpec("langid", "quality", "drop",
              "Turn language should be in the allowed set"),
     RuleSpec("perplexity", "quality", "drop",
@@ -107,6 +111,12 @@ DEFAULT_SETTINGS: dict[str, Any] = {
     "odd_characters": DEFAULT_ODD_CHARS,
     "odd_char_ratio": 0.08,
     "repetition": {"max": 0.6, "min_tokens": 5},
+    # spellcheck/OOV analogue (reference dictionary checks,
+    # src/check/post.rs:169-226): disabled by default (no bundled big vocab)
+    "oov_fraction": None,
+    # ValueRegexPatterns analogue (reference src/check/post.rs:354-391):
+    # user regexes, disabled by default like the reference (default.yaml:148)
+    "custom_regex": None,
     "duplicate_turn": True,
     "conv_missing_fraction": 25,  # percent, (0,100] like the reference
     "pii": ["email", "ssn", "uk_mobile", "us_phone"],
@@ -159,6 +169,11 @@ class QamdConfig:
         return profanity_pattern(lex)
 
     @property
+    def vocab_set(self):
+        s = self.settings.get("oov_fraction")
+        return frozenset(s["vocab"]) if s else None
+
+    @property
     def lang_min_margin(self) -> float:
         s = self.settings.get("langid") or {}
         return float(s.get("min_margin", 0.0))
@@ -202,6 +217,17 @@ class QamdConfig:
             if name == "repetition":
                 if not (0.0 < float(val["max"]) <= 1.0) or int(val.get("min_tokens", 1)) < 1:
                     raise ConfigError("repetition: max in (0,1], min_tokens >= 1")
+            if name == "oov_fraction":
+                if not val.get("vocab") or not (0.0 <= float(val["max"]) <= 1.0):
+                    raise ConfigError("oov_fraction: need non-empty vocab, max in [0,1]")
+            if name == "custom_regex":
+                if not isinstance(val, list) or not val:
+                    raise ConfigError("custom_regex: must be a non-empty list")
+                for p in val:
+                    try:
+                        re.compile(p)
+                    except re.error as e:
+                        raise ConfigError(f"custom_regex: invalid regex {p!r}: {e}") from e
             if name == "conv_missing_fraction":
                 # reference bound: threshold in (0,100] (src/config.rs:201-208)
                 if not (0 < float(val) <= 100):

@@ -1,0 +1,72 @@
+"""Table IO: Iceberg-first, parquet-fallback.
+
+The north_rule targets Iceberg tables of transcripts. This sandbox has no
+Iceberg runtime jar, so IO is abstracted: a table reference is either
+``iceberg:<catalog.db.table>`` or a plain path (parquet directory). The
+Iceberg path is exercised when the runtime is present (import-gated), the
+parquet path everywhere.
+
+Scale notes for the Iceberg path (documented intent, same DataFrame from
+either branch):
+- read: ``spark.read.table`` → snapshot-isolated scan; partition pruning
+  on the table's bucket(conv_id) partition spec replaces our manual
+  bucket column; ``input_fingerprint`` becomes the snapshot id.
+- write: ``writeTo(...).overwritePartitions()`` gives the same
+  idempotent-per-bucket semantics the checkpoint manifests rely on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+ICEBERG_PREFIX = "iceberg:"
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    # NB: plain `spark._jvm.org.apache.iceberg.Table` is a lazy py4j
+    # JavaPackage and never raises — Class.forName actually loads it
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.Table")
+        return True
+    except Exception:
+        return False
+
+
+def read_table(spark: SparkSession, ref: str) -> DataFrame:
+    if ref.startswith(ICEBERG_PREFIX):
+        name = ref[len(ICEBERG_PREFIX):]
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                f"iceberg runtime not on the classpath; cannot read {name!r} "
+                "(pass a parquet path instead, or add the iceberg-spark-runtime jar)"
+            )
+        return spark.read.table(name)
+    return spark.read.parquet(ref)
+
+
+def write_labeled(df: DataFrame, ref: str, mode: str = "overwrite") -> None:
+    """Write the labeled table partitioned by bucket."""
+    if ref.startswith(ICEBERG_PREFIX):
+        name = ref[len(ICEBERG_PREFIX):]
+        (
+            df.writeTo(name)
+            .using("iceberg")
+            .partitionedBy(df.bucket)  # bucket column from pipeline.label
+            .createOrReplace()
+        )
+        return
+    df.write.mode(mode).partitionBy("bucket").parquet(ref)
+
+
+def table_fingerprint(spark: SparkSession, ref: str) -> str:
+    """Input identity for checkpoint manifests: Iceberg snapshot id when
+    available, else the parquet file listing hash."""
+    if ref.startswith(ICEBERG_PREFIX):
+        name = ref[len(ICEBERG_PREFIX):]
+        row = spark.sql(
+            f"SELECT snapshot_id FROM {name}.snapshots ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return str(row[0][0]) if row else "empty"
+    from qamd_spark.checkpoint import input_fingerprint
+
+    return input_fingerprint(spark, ref)

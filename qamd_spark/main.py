@@ -116,7 +116,11 @@ def main(argv: list[str] | None = None) -> int:
         lineage.per_bucket(labeled, cfg).write.mode("overwrite").parquet(
             args.output + "/lineage"
         )
-        summ = report.summary_json(labeled, cfg, {"input": args.input})
+        meta = {"input": args.input}
+        # metadata describes the INPUT table (reference Metadata semantics,
+        # src/report/mod.rs:45-61), not the labeled output
+        meta.update(report.metadata_stats(spark.read.parquet(args.input)))
+        summ = report.summary_json(labeled, cfg, meta)
         with open(
             args.summary_json or (args.output + "/summary.json"), "w"
         ) as f:

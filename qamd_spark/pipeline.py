@@ -46,7 +46,13 @@ def _is_empty_col(text_col) -> "F.Column":
 
 
 def score_stage(df: DataFrame, cfg: QamdConfig) -> DataFrame:
-    """Arrow-batched vectorized scoring (turnscore.score_pdf) via mapInPandas."""
+    """Arrow-batched vectorized scoring (turnscore.score_pdf) via mapInPandas.
+
+    Pass-through append: runs AFTER the narrow flag joins, so the wide
+    score columns (scrubbed text etc.) are born post-shuffle and never
+    travel through an exchange.
+    """
+    out_schema = S.score_schema(df.schema)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from qamd_spark import turnscore
@@ -54,7 +60,7 @@ def score_stage(df: DataFrame, cfg: QamdConfig) -> DataFrame:
         for pdf in batches:
             yield turnscore.score_pdf(pdf, cfg)
 
-    return df.mapInPandas(run, schema=S.SCORE_SCHEMA)
+    return df.mapInPandas(run, schema=out_schema)
 
 
 def text_stats(df: DataFrame) -> DataFrame:
@@ -62,14 +68,21 @@ def text_stats(df: DataFrame) -> DataFrame:
 
     first = min of struct(conv_id, turn_idx) — the stable keep-first rule
     under (conv_id, turn_idx) ordering (input_hint determinism invariant).
+    Flattened to plain columns so the downstream join stays Arrow-friendly.
     """
-    return (
+    g = (
         df.filter(~_is_empty_col(F.col("text")))
         .groupBy("text")
         .agg(
             F.count(F.lit(1)).alias("text_occ"),
-            F.min(F.struct("conv_id", "turn_idx")).alias("first_key"),
+            F.min(F.struct("conv_id", "turn_idx")).alias("_fk"),
         )
+    )
+    return g.select(
+        "text",
+        "text_occ",
+        F.col("_fk.conv_id").alias("first_conv"),
+        F.col("_fk.turn_idx").alias("first_turn"),
     )
 
 
@@ -140,12 +153,23 @@ def rule_conditions(cfg: QamdConfig) -> list[tuple[str, "F.Column"]]:
                 & (F.col("n_tokens") >= F.lit(int(r["min_tokens"]))),
             )
         )
+    if cfg.enabled("oov_fraction"):
+        conds.append(
+            (
+                "oov_fraction",
+                nonempty
+                & (F.col("oov_fraction") > F.lit(float(s["oov_fraction"]["max"]))),
+            )
+        )
     if cfg.enabled("duplicate_turn"):
         conds.append(
             (
                 "duplicate_turn",
                 nonempty
-                & (F.struct("conv_id", "turn_idx") != F.col("first_key")),
+                & ~(
+                    (F.col("conv_id") == F.col("first_conv"))
+                    & (F.col("turn_idx") == F.col("first_turn"))
+                ),
             )
         )
     if cfg.enabled("conv_missing_fraction"):
@@ -175,6 +199,12 @@ def rule_conditions(cfg: QamdConfig) -> list[tuple[str, "F.Column"]]:
                 nonempty & (F.col("text_occ") <= F.lit(int(s["rare_signature"]))),
             )
         )
+    if cfg.enabled("custom_regex"):
+        c = None
+        for p in s["custom_regex"]:
+            e = text.rlike(p)
+            c = e if c is None else (c | e)
+        conds.append(("custom_regex", c))
     if cfg.enabled("langid"):
         allowed = [F.lit(a) for a in s["langid"]["allowed"]]
         conds.append(("langid", ~F.col("lang").isin(*allowed)))
@@ -186,14 +216,22 @@ def rule_conditions(cfg: QamdConfig) -> list[tuple[str, "F.Column"]]:
 
 
 def label(df: DataFrame, cfg: QamdConfig) -> DataFrame:
-    """Full labeling: returns LABELED_SCHEMA columns (plus nothing else)."""
-    scored = score_stage(df, cfg)
-    joined = scored
+    """Full labeling: returns LABELED_SCHEMA columns (plus nothing else).
+
+    Join order is deliberate: the cross-row flag joins run on the NARROW
+    input rows first, and the (wide) Python scoring stage runs last as a
+    pass-through append — so scrubbed text / score columns never cross a
+    shuffle. The earlier naive order (score, then join by text, then by
+    conv_id) shuffled the wide rows twice.
+    """
+    joined = df
     if cfg.enabled("duplicate_turn") or cfg.enabled("rare_signature"):
         joined = joined.join(text_stats(df), on="text", how="left")
     else:
-        joined = joined.withColumn("text_occ", F.lit(None).cast("long")).withColumn(
-            "first_key", F.lit(None).cast("struct<conv_id:string,turn_idx:int>")
+        joined = (
+            joined.withColumn("text_occ", F.lit(None).cast("long"))
+            .withColumn("first_conv", F.lit(None).cast("string"))
+            .withColumn("first_turn", F.lit(None).cast("int"))
         )
     if cfg.enabled("conv_missing_fraction"):
         joined = joined.join(conv_stats(df), on="conv_id", how="left")
@@ -201,6 +239,7 @@ def label(df: DataFrame, cfg: QamdConfig) -> DataFrame:
         joined = joined.withColumn("conv_empty_cnt", F.lit(None).cast("long")).withColumn(
             "conv_turn_cnt", F.lit(None).cast("long")
         )
+    joined = score_stage(joined, cfg)
     conds = rule_conditions(cfg)
     hit_arrays = [
         F.when(c, F.array(F.lit(name))).otherwise(F.array().cast("array<string>"))

@@ -116,6 +116,28 @@ def locators(labeled: DataFrame, cap: int = LOCATOR_CAP) -> DataFrame:
     )
 
 
+def metadata_stats(df: DataFrame) -> dict:
+    """The Report.metadata analogue (reference src/report/mod.rs:45-61):
+    raw_case_count = total turns; case_count = distinct conversations (the
+    primary_variable distinct count, src/check/post.rs:72-89);
+    variable_count = schema width; role_occurrences mirrors
+    data_type_occurrences (src/readstat/handler.rs:77-82). One agg job."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("raw_case_count"),
+        F.countDistinct("conv_id").alias("case_count"),
+    ).collect()[0]
+    roles = {
+        r["role"]: r["n"]
+        for r in df.groupBy("role").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    return {
+        "raw_case_count": int(row["raw_case_count"]),
+        "case_count": int(row["case_count"]),
+        "variable_count": len(df.schema.fields),
+        "role_occurrences": roles,
+    }
+
+
 def summary_json(labeled: DataFrame, cfg: QamdConfig, metadata: dict | None = None) -> str:
     """Serialize the full report as one JSON document (the reference's JSON
     sink analogue, src/bin/qamd.rs:233)."""

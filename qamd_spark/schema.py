@@ -27,24 +27,31 @@ TRANSCRIPT_SCHEMA = T.StructType(
     ]
 )
 
-# Columns appended by the vectorized scoring stage (turnscore.SCORE_FIELDS
-# must line up with this, minus the pass-through input columns).
-SCORE_SCHEMA = T.StructType(
-    TRANSCRIPT_SCHEMA.fields
-    + [
-        T.StructField("n_chars", T.IntegerType(), False),
-        T.StructField("n_tokens", T.IntegerType(), False),
-        T.StructField("odd_char_ratio", T.DoubleType(), False),
-        T.StructField("stopword_fraction", T.DoubleType(), False),
-        T.StructField("all_stopwords", T.BooleanType(), False),
-        T.StructField("repetition_ratio", T.DoubleType(), False),
-        T.StructField("pii_hits", T.ArrayType(T.StringType()), False),
-        T.StructField("profanity_hit", T.BooleanType(), False),
-        T.StructField("scrubbed_text", T.StringType(), True),
-        T.StructField("lang", T.StringType(), False),
-        T.StructField("perplexity", T.DoubleType(), False),
-    ]
-)
+# Columns appended by the vectorized scoring stage (must line up with
+# turnscore.SCORE_COLUMNS).
+SCORE_FIELDS = [
+    T.StructField("n_chars", T.IntegerType(), False),
+    T.StructField("n_tokens", T.IntegerType(), False),
+    T.StructField("odd_char_ratio", T.DoubleType(), False),
+    T.StructField("stopword_fraction", T.DoubleType(), False),
+    T.StructField("all_stopwords", T.BooleanType(), False),
+    T.StructField("repetition_ratio", T.DoubleType(), False),
+    T.StructField("oov_fraction", T.DoubleType(), False),
+    T.StructField("pii_hits", T.ArrayType(T.StringType()), False),
+    T.StructField("profanity_hit", T.BooleanType(), False),
+    T.StructField("scrubbed_text", T.StringType(), True),
+    T.StructField("lang", T.StringType(), False),
+    T.StructField("perplexity", T.DoubleType(), False),
+]
+
+
+def score_schema(input_schema: T.StructType) -> T.StructType:
+    """Scoring is a pass-through append: output = input columns (whatever
+    narrow flag columns have been joined on) + the score columns."""
+    return T.StructType(list(input_schema.fields) + SCORE_FIELDS)
+
+
+SCORE_SCHEMA = score_schema(TRANSCRIPT_SCHEMA)
 
 # Final labeled-output schema (FIXTURES.md §4 expected/labels.parquet).
 LABELED_EXTRA_FIELDS = [

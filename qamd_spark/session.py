@@ -27,6 +27,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # post-shuffle partitions sized for parallelism over per-task
+        # batching: with text-heavy rows the default 64m advisory coalesces
+        # a mid-size shuffle to a handful of tasks (measured 82k vs 67k
+        # turns/s at local[32] on the 1.5M-turn scaling input)
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        .config("spark.sql.files.maxPartitionBytes", "32m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

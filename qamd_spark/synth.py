@@ -136,7 +136,12 @@ def generate(
     return pdf
 
 
-def write_parquet(path: str, n_convs: int = 200, seed: int = 42, **kw) -> str:
+def write_parquet(
+    path: str, n_convs: int = 200, seed: int = 42, row_group_rows: int = 100_000, **kw
+) -> str:
+    """Write with bounded row groups so Spark's byte-range file splitting
+    yields real scan parallelism (one giant row group = one effective task
+    no matter what maxPartitionBytes says)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -152,5 +157,5 @@ def write_parquet(path: str, n_convs: int = 200, seed: int = 42, **kw) -> str:
         ]
     )
     table = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
-    pq.write_table(table, path)
+    pq.write_table(table, path, row_group_size=row_group_rows)
     return path

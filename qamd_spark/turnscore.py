@@ -42,6 +42,7 @@ SCORE_COLUMNS = [
     "stopword_fraction",
     "all_stopwords",
     "repetition_ratio",
+    "oov_fraction",
     "pii_hits",
     "profanity_hit",
     "scrubbed_text",
@@ -56,9 +57,13 @@ def normalize_series(text: pd.Series) -> pd.Series:
 
 
 def _token_stats(
-    norm: pd.Series, stopwords: frozenset
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(stopword_fraction, all_stopwords, repetition_ratio) per row.
+    norm: pd.Series, stopwords: frozenset, vocab: frozenset | None = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(stopword_fraction, all_stopwords, repetition_ratio, oov_fraction)
+    per row. oov_fraction = fraction of tokens NOT in ``vocab`` (0 when
+    vocab is None or the row is empty) — the spellcheck-predicate analogue
+    (reference src/check/dictionary.rs:15-17): an empty string passes, and
+    empty tokens from consecutive spaces are OOV, mirroring only_contains.
 
     Tokens = norm.split(' ') (single space, QAMD semantics). Empty/null
     string ⇒ fraction 0, all_stopwords False (mirrors the reference
@@ -75,8 +80,9 @@ def _token_stats(
     frac = np.zeros(n, dtype=np.float64)
     allstop = np.zeros(n, dtype=bool)
     rep = np.zeros(n, dtype=np.float64)
+    oov = np.zeros(n, dtype=np.float64)
     if n == 0:
-        return frac, allstop, rep
+        return frac, allstop, rep, oov
     vals = ["" if not isinstance(v, str) else v for v in norm.tolist()]
     toks_per_row = [v.split(" ") for v in vals]
     lens = np.fromiter((len(t) for t in toks_per_row), dtype=np.int64, count=n)
@@ -92,6 +98,12 @@ def _token_stats(
     nonempty = np.asarray([v != "" for v in vals], dtype=bool)
     frac = np.where(nonempty, nstop / np.maximum(lens, 1), 0.0)
     allstop = nonempty & (nstop == lens)
+    if vocab is not None:
+        uniq_in_vocab = np.fromiter(
+            (u in vocab for u in uniques), dtype=bool, count=len(uniques)
+        )
+        n_oov = np.add.reduceat((~uniq_in_vocab[codes]).astype(np.int64), offsets)
+        oov = np.where(nonempty, n_oov / np.maximum(lens, 1), 0.0)
     # repetition: mode count of NON-empty tokens / their total, per row
     empty_idx = np.flatnonzero(uniques == "")
     empty_code = int(empty_idx[0]) if len(empty_idx) else -1
@@ -110,7 +122,7 @@ def _token_stats(
         np.maximum.at(max_per_row, run_row, run_lengths)
         ntok_ne = np.bincount(rr, minlength=n)
         rep = np.where(ntok_ne > 0, max_per_row / np.maximum(ntok_ne, 1), 0.0)
-    return frac, allstop, rep
+    return frac, allstop, rep, oov
 
 
 def odd_char_counts(text: pd.Series, odd_chars: list[str]) -> np.ndarray:
@@ -144,10 +156,11 @@ def score_pdf(pdf: pd.DataFrame, cfg) -> pd.DataFrame:
     nchars = out["n_chars"].to_numpy(dtype=np.float64)
     out["odd_char_ratio"] = np.where(nchars > 0, odd / np.maximum(nchars, 1), 0.0)
     norm = normalize_series(text)
-    frac, allstop, rep = _token_stats(norm, cfg.stopword_set)
+    frac, allstop, rep, oov = _token_stats(norm, cfg.stopword_set, cfg.vocab_set)
     out["stopword_fraction"] = frac
     out["all_stopwords"] = allstop
     out["repetition_ratio"] = rep
+    out["oov_fraction"] = oov
     scrubbed, hits, prof = pii_mod.scrub_series(
         text, cfg.pii_pattern_names, cfg.profanity_rx
     )
