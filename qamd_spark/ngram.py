@@ -137,8 +137,9 @@ def score_texts(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     langs = np.array([LANGS[b] for b in best], dtype=object)
     langs[no_grams] = UND
     margin = np.where(no_grams, 0.0, margin)
-    lm = LM_TABLE[hashes] * vf
-    lm_sums = np.add.reduceat(lm, starts)
+    # the perplexity LM is the English table, so its per-doc sums were
+    # already computed in the language loop — reuse, bit-identically
+    lm_sums = lang_sums[LANGS.index("en")]
     ppl = np.exp(-(lm_sums / safe))
     ppl = np.where(no_grams, PPL_EMPTY, ppl)
     return langs, margin, ppl

@@ -68,22 +68,34 @@ def text_stats(df: DataFrame) -> DataFrame:
 
     first = min of struct(conv_id, turn_idx) — the stable keep-first rule
     under (conv_id, turn_idx) ordering (input_hint determinism invariant).
-    Flattened to plain columns so the downstream join stays Arrow-friendly.
+
+    Plan shape (scale-driven): min over a struct (or any string) cannot use
+    hash aggregation — Spark falls back to SortAggregate, which SORTS every
+    input partition. So the occurrence count runs as a pure HashAggregate
+    over all rows (map-side combined, tiny shuffle), and the keeper key is
+    computed only for texts with occ > 1: that set is small in real corpora
+    (boilerplate), so AQE turns the restriction join into a broadcast and
+    the unavoidable SortAggregate touches only the duplicated rows.
+    Unique texts get a NULL keeper — downstream the duplicate condition
+    coalesces NULL to False, so labels are identical to the single-stage
+    min-over-all formulation (tested in test_pipeline_oracle.py).
     """
-    g = (
-        df.filter(~_is_empty_col(F.col("text")))
+    nonempty = df.filter(~_is_empty_col(F.col("text"))).select(
+        "text", "conv_id", "turn_idx"
+    )
+    occ = nonempty.groupBy("text").agg(F.count(F.lit(1)).alias("text_occ"))
+    dup_texts = occ.filter(F.col("text_occ") > 1).select("text")
+    keepers = (
+        nonempty.join(dup_texts, "text")
         .groupBy("text")
-        .agg(
-            F.count(F.lit(1)).alias("text_occ"),
-            F.min(F.struct("conv_id", "turn_idx")).alias("_fk"),
+        .agg(F.min(F.struct("conv_id", "turn_idx")).alias("_fk"))
+        .select(
+            "text",
+            F.col("_fk.conv_id").alias("first_conv"),
+            F.col("_fk.turn_idx").alias("first_turn"),
         )
     )
-    return g.select(
-        "text",
-        "text_occ",
-        F.col("_fk.conv_id").alias("first_conv"),
-        F.col("_fk.turn_idx").alias("first_turn"),
-    )
+    return occ.join(keepers, "text", "left")
 
 
 def conv_stats(df: DataFrame) -> DataFrame:

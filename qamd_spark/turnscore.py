@@ -34,6 +34,7 @@ from qamd_spark.rules import pii as pii_mod
 # (reference src/check/dictionary.rs:110-115)
 _ASCII_PUNCT = string.punctuation
 _PUNCT_RX = re.compile("[" + re.escape(_ASCII_PUNCT) + "]")
+_NONWS_RX = re.compile(r"\S+")
 
 SCORE_COLUMNS = [
     "n_chars",
@@ -148,10 +149,9 @@ def score_pdf(pdf: pd.DataFrame, cfg) -> pd.DataFrame:
     text = pdf["text"]
     out = pdf.copy()
     out["n_chars"] = text.str.len().fillna(0).astype(np.int32)
-    # whitespace tokens for the token-count feature
-    out["n_tokens"] = (
-        text.str.split().str.len().fillna(0).astype(np.int32)
-    )
+    # whitespace tokens for the token-count feature (count of \S+ runs ==
+    # len(str.split()) without materializing the token lists)
+    out["n_tokens"] = text.str.count(_NONWS_RX).fillna(0).astype(np.int32)
     odd = odd_char_counts(text, cfg.odd_chars)
     nchars = out["n_chars"].to_numpy(dtype=np.float64)
     out["odd_char_ratio"] = np.where(nchars > 0, odd / np.maximum(nchars, 1), 0.0)

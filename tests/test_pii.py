@@ -65,3 +65,57 @@ def test_plain_digits_not_phone():
     s, hits, _ = _scrub(["order 5558675309 confirmed"])
     assert hits == [[]]
     assert s == ["order 5558675309 confirmed"]
+
+
+def test_megastring_equals_rowwise():
+    """The megastring fast path must be character-identical to sequential
+    per-row subn, including hit attribution — adversarial boundary cases:
+    PII at row edges (would bridge rows if the \\x00 separator were
+    matchable), empty rows, nulls, adjacent hits."""
+    rx = pii.profanity_pattern(["fraktz"])
+    texts = [
+        "a.b@x.org",                       # entire row is one match
+        "123-45-6789",                      # ditto at both edges
+        "",                                 # empty row between matches
+        None,
+        "x@y.co123-45-6789 tail",           # adjacent overlapping candidates
+        "ends with a@b.io",                 # match at row end
+        "(555) 867-5309 starts",            # match at row start
+        "+44 7700 900123",                  # uk mobile whole-row
+        "fraktz",                           # profanity whole-row
+        "plain text no hits at all",
+        "two a@b.co c@d.co emails",
+    ]
+    s = pd.Series(texts)
+    notnull = s.notna()
+    vals = ["" if not isinstance(t, str) else t for t in texts]
+    passes = list(pii.PII_PATTERNS) + [("__profanity__", rx, "<PROFANITY>")]
+    exp_s, exp_h, exp_p = pii._scrub_series_rowwise(s, list(vals), passes, notnull)
+    got_s, got_h, got_p = pii.scrub_series(s, None, rx)
+    assert list(got_s) == list(exp_s)
+    assert list(got_h) == list(exp_h)
+    assert list(got_p) == list(exp_p)
+
+
+def test_megastring_equals_rowwise_on_synth_corpus():
+    # the fast path must equal sequential per-row subn on a realistic
+    # planted corpus (PII templates, profanity, accents, nulls, empties)
+    from qamd_spark import synth
+    from qamd_spark.config import QamdConfig
+
+    cfg = QamdConfig()
+    s = synth.generate(n_convs=300, seed=7, hot_conv_turns=10)["text"]
+    vals = ["" if not isinstance(t, str) else t for t in s.tolist()]
+    passes = list(pii.PII_PATTERNS) + [("__profanity__", cfg.profanity_rx, "<PROFANITY>")]
+    exp_s, exp_h, exp_p = pii._scrub_series_rowwise(s, list(vals), passes, s.notna())
+    got_s, got_h, got_p = pii.scrub_series(s, None, cfg.profanity_rx)
+    assert list(got_s) == list(exp_s)
+    assert list(got_h) == list(exp_h)
+    assert list(got_p) == list(exp_p)
+
+
+def test_nul_in_text_falls_back():
+    # a NUL inside a row must not fragment row attribution
+    s, hits, _ = _scrub(["pre\x00a@b.co post", "clean"])
+    assert s == ["pre\x00<EMAIL> post", "clean"]
+    assert hits == [["email"], []]

@@ -1,0 +1,74 @@
+"""Physical-plan quality assertions — the 100TB-readiness checks.
+
+These pin the *plan shape*, not results: filters reach the parquet scan
+(PushedFilters), projections prune the read schema (ReadSchema), small
+dimension joins broadcast, and the labeling pipeline keeps its aggregations
+out of Python (only the one mapInPandas scoring stage touches Python).
+A plan regression (e.g. an accidental UDF wrapping a filter column, or a
+join losing its broadcast hint) fails here long before it shows up as a
+10x slowdown at scale.
+"""
+
+import re
+
+from pyspark.sql import functions as F
+
+from qamd_spark import pipeline
+from qamd_spark.config import QamdConfig
+
+
+def _fmt_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushed_to_parquet_scan(spark, synth_path):
+    df = (
+        spark.read.parquet(synth_path)
+        .filter(F.col("conv_id") == "conv00007")
+        .select("conv_id", "turn_idx")
+    )
+    plan = _fmt_plan(df)
+    assert "PushedFilters" in plan
+    assert re.search(r"PushedFilters:.*EqualTo\(conv_id", plan), plan
+
+
+def test_projection_prunes_read_schema(spark, synth_path):
+    df = spark.read.parquet(synth_path).select("conv_id", "turn_idx")
+    plan = _fmt_plan(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    # text/role/tool/ts must NOT be read for a 2-column projection
+    assert cols == {"conv_id", "turn_idx"}, cols
+
+
+def test_small_dim_join_broadcasts(spark, synth_path):
+    turns = spark.read.parquet(synth_path)
+    dim = spark.createDataFrame(
+        [("user", 1), ("assistant", 2)], "role string, role_code int"
+    )
+    plan = _fmt_plan(turns.join(F.broadcast(dim), "role"))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pipeline_has_single_python_stage(spark, synth_path):
+    """Exactly one Python boundary: the mapInPandas scoring stage. The
+    dedup/conv aggregations and all rule columns are JVM-side (codegen)."""
+    labeled = pipeline.label(spark.read.parquet(synth_path), QamdConfig())
+    plan = _fmt_plan(labeled)
+    # formatted explain prints each operator twice (tree + detail section)
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python UDFs
+    assert "ArrowEvalPython" not in plan  # no scalar-UDF stages either
+
+
+def test_pipeline_aggregates_are_partial_final(spark, synth_path):
+    """text/conv stats must be partial+final hash aggregates (map-side
+    combine before the shuffle — a hot duplicate text collapses locally)."""
+    stats = pipeline.text_stats(spark.read.parquet(synth_path))
+    plan = _fmt_plan(stats)
+    assert plan.count("HashAggregate") >= 2, plan
+    # partial agg emits partial_min/partial_count before the exchange
+    assert "partial_" in plan, plan
