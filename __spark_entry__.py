@@ -198,18 +198,7 @@ def q_fingerprint(spark, sf_dir):
 def q_summary_report(spark, sf_dir):
     """Per-rule pass/fail counts — the Report.summary analogue
     (reference src/report/mod.rs:16-19) over the documents table."""
-    t = _txt()
-    n = F.length(t)
-    odd = None
-    for ch in ODD_ALL:
-        e = t.contains(F.lit(ch))
-        odd = e if odd is None else (odd | e)
-    rules = [
-        ("length_bounds", (n < LEN_MIN) | (n > LEN_MAX)),
-        ("odd_characters", odd),
-        ("pii_email", t.rlike(EMAIL_RX)),
-        ("empty_text", F.col("text").isNull() | (F.col("text") == "")),
-    ]
+    rules = _rule_conds()
     d = _docs(spark, sf_dir)
     aggs = [F.count(F.lit(1)).alias("_total")] + [
         F.sum(cond.cast("long")).alias(f"f_{name}") for name, cond in rules
@@ -388,6 +377,70 @@ def q_text_profile(spark, sf_dir):
     )
 
 
+LOC_CAP = 100  # locator cap (reference caps HTML locators at 1000,
+               # src/report/html/mod.rs:115; smaller here for test speed)
+
+
+def _rule_conds():
+    """The 4 SQL-expressible demo rules shared by summary/locators/lineage."""
+    t = _txt()
+    n = F.length(t)
+    odd = None
+    for ch in ODD_ALL:
+        e = t.contains(F.lit(ch))
+        odd = e if odd is None else (odd | e)
+    return [
+        ("length_bounds", (n < LEN_MIN) | (n > LEN_MAX)),
+        ("odd_characters", odd),
+        ("pii_email", t.rlike(EMAIL_RX)),
+        ("empty_text", F.col("text").isNull() | (F.col("text") == "")),
+    ]
+
+
+def q_locators(spark, sf_dir):
+    """Per-rule first-LOC_CAP failing doc_ids — the Report locator analogue
+    (reference src/report/mod.rs:163-186) via the skew-safe two-phase top-k
+    of qamd_spark/report.py: per-partition sorted slice, then a global
+    merge over <= cap x #partitions rows (no single task ever holds a hot
+    rule's full hit set)."""
+    rules = _rule_conds()
+    hit_arrays = [
+        F.when(c, F.array(F.lit(nm))).otherwise(F.array().cast("array<string>"))
+        for nm, c in rules
+    ]
+    exploded = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.concat(*hit_arrays)).alias("rule"))
+        .select("rule", "doc_id", F.spark_partition_id().alias("_pid"))
+    )
+    stage1 = exploded.groupBy("rule", "_pid").agg(
+        F.slice(F.sort_array(F.collect_list("doc_id")), 1, LOC_CAP).alias("locs")
+    )
+    merged = stage1.groupBy("rule").agg(
+        F.slice(F.sort_array(F.flatten(F.collect_list("locs"))), 1, LOC_CAP).alias(
+            "locs"
+        )
+    )
+    return merged.select(
+        "rule", F.posexplode("locs").alias("pos", "doc_id")
+    ).select("rule", (F.col("pos") + 1).cast("int").alias("rank"), "doc_id")
+
+
+def q_lineage_counts(spark, sf_dir):
+    """Per-partition lineage counts (north_star observability rows) with
+    bucket = doc_id % 64 — one fused aggregation pass, map-side combined,
+    mirroring qamd_spark/lineage.py (quantiles omitted: approx != oracle)."""
+    rules = _rule_conds()
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(c.cast("long")).alias(f"n_{nm}") for nm, c in rules
+    ]
+    return (
+        _docs(spark, sf_dir)
+        .groupBy((F.col("doc_id") % 64).cast("long").alias("bucket"))
+        .agg(*aggs)
+    )
+
+
 # ---- non-SQL-expressible (rows-only check; pytest oracle covers them) ----
 def q_langid_docs(spark, sf_dir):
     from qamd_spark import pipeline
@@ -427,6 +480,109 @@ def _doc_transcripts(spark, sf_dir):
         "text",
         F.lit(None).cast("string").alias("tool"),
         F.lit(None).cast("timestamp").alias("ts"),
+    )
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (a < b, sim > threshold) over
+    a bounded id range — the pairwise variant of ANN (SQL-checkable).
+    Scale path: LSH bucketing (ops/similarity.lsh_topk) replaces the
+    bounded self-join."""
+    emb = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") < 500)
+        .select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+        )
+    )
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("e").alias("be"))
+    pairs = emb.join(F.broadcast(b), F.col("vec_id") < F.col("b_id"))
+    dot = F.aggregate(
+        F.zip_with("e", "be", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    sim = dot / (norm("e") * norm("be"))
+    return (
+        pairs.select(
+            F.col("vec_id").alias("a"), F.col("b_id").alias("b"), sim.alias("sim")
+        )
+        .filter(F.col("sim") > 0.2)
+        .select("a", "b", F.round("sim", 9).alias("sim"))
+    )
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate cosine top-k (the 100TB-scale ANN path;
+    qamd_spark/ops/similarity.lsh_topk). Rows-only: recall < 1 by
+    construction, so the brute-force twin is its quality baseline in
+    tests/test_ops.py, not an equality oracle."""
+    from qamd_spark.ops import similarity as sim
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    out = sim.lsh_topk(emb, q, k=10, dim=64)
+    return out.select(
+        "qid", "neighbor", F.round("sim", 9).alias("sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_metadata(spark, sf_dir):
+    """Report.metadata analogue (reference src/report/mod.rs:45-61):
+    raw case count, distinct primary-variable count, per-source counts
+    (data_type_occurrences analogue) in one unpivoted frame."""
+    d = _docs(spark, sf_dir)
+    tot = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("source").alias("d"),
+    ).select(
+        F.explode(
+            F.create_map(
+                F.lit("raw_case_count"), F.col("n"),
+                F.lit("distinct_sources"), F.col("d"),
+            )
+        ).alias("stat", "value")
+    )
+    per_source = d.groupBy("source").agg(F.count(F.lit(1)).alias("value")).select(
+        F.concat(F.lit("n_source_"), F.col("source")).alias("stat"),
+        F.col("value").cast("long").alias("value"),
+    )
+    return tot.select("stat", F.col("value").cast("long").alias("value")).unionAll(
+        per_source
+    )
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing through the driver contract: deterministic fake
+    media table → Arrow-batched feature extraction (decode stubbed; see
+    qamd_spark/ops/multimodal.py). Rows-only check (binary + UDF)."""
+    from qamd_spark.ops import multimodal as mm
+
+    feats = mm.extract_features(mm.synth_media(spark, n=50, seed=11))
+    return feats.select("media_id", "n_bytes", "sha256")
+
+
+def q_frame_plan(spark, sf_dir):
+    from qamd_spark.ops import multimodal as mm
+
+    return mm.frame_sample_plan(mm.synth_media(spark, n=50, seed=11))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """LSH-then-verify: exact 3-gram Jaccard over the minhash candidate
+    pairs (the verification stage of the classic near-dup pipeline)."""
+    from qamd_spark.ops import dedup as dd
+
+    docs = _docs(spark, sf_dir)
+    cand = dd.minhash_duplicates(docs).select(
+        F.col("dup_of").alias("a"), F.col("doc_id").alias("b")
+    )
+    return dd.ngram_jaccard_pairs(docs, cand).select(
+        "a", "b", F.round("jaccard", 9).alias("jaccard")
     )
 
 
@@ -472,10 +628,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "custom_regex": q_custom_regex,
         "repetition_ratio": q_repetition_ratio,
         "conv_pipeline_sql": q_conv_pipeline_sql,
+        "locators": q_locators,
+        "lineage_counts": q_lineage_counts,
+        "embedding_neardup": q_embedding_neardup,
+        "metadata": q_metadata,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "langid_docs": q_langid_docs,
         "transcript_pipeline": q_transcript_pipeline,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "media_features": q_media_features,
+        "frame_plan": q_frame_plan,
     }
 
 
@@ -699,6 +863,59 @@ def oracle_sql() -> dict[str, str]:
                        / length(t)::DOUBLE > 0.3 THEN 0.2 ELSE 0.0 END)
               )) AS quality
             FROM c
+        """,
+        "locators": f"""
+            WITH hits AS (
+              SELECT 'length_bounds' AS rule, doc_id FROM documents
+              WHERE length(coalesce(text,'')) < {LEN_MIN}
+                 OR length(coalesce(text,'')) > {LEN_MAX}
+              UNION ALL
+              SELECT 'odd_characters', doc_id FROM documents
+              WHERE {odd_contains}
+              UNION ALL
+              SELECT 'pii_email', doc_id FROM documents
+              WHERE regexp_matches(coalesce(text,''), '{EMAIL_RX}')
+              UNION ALL
+              SELECT 'empty_text', doc_id FROM documents
+              WHERE text IS NULL OR text = ''),
+            r AS (
+              SELECT rule, doc_id,
+                     row_number() OVER (PARTITION BY rule ORDER BY doc_id)
+                       AS rank
+              FROM hits)
+            SELECT rule, rank::INT AS rank, doc_id FROM r WHERE rank <= {LOC_CAP}
+        """,
+        "lineage_counts": f"""
+            SELECT (doc_id % 64)::BIGINT AS bucket,
+                   count(*)::BIGINT AS n_rows,
+                   sum((length(coalesce(text,'')) < {LEN_MIN}
+                        OR length(coalesce(text,'')) > {LEN_MAX})::INT)::BIGINT
+                     AS n_length_bounds,
+                   sum(({odd_contains})::INT)::BIGINT AS n_odd_characters,
+                   sum(regexp_matches(coalesce(text,''), '{EMAIL_RX}')::INT)::BIGINT
+                     AS n_pii_email,
+                   sum((text IS NULL OR text = '')::INT)::BIGINT AS n_empty_text
+            FROM documents GROUP BY 1
+        """,
+        "metadata": """
+            SELECT 'raw_case_count' AS stat, count(*)::BIGINT AS value FROM documents
+            UNION ALL
+            SELECT 'distinct_sources', count(DISTINCT source)::BIGINT FROM documents
+            UNION ALL
+            SELECT 'n_source_' || source, count(*)::BIGINT FROM documents GROUP BY source
+        """,
+        "embedding_neardup": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+                       WHERE vec_id < 500)
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_dot_product(a.e, b.e)
+                         / (sqrt(list_dot_product(a.e, a.e))
+                            * sqrt(list_dot_product(b.e, b.e))), 9) AS sim
+            FROM e a, e b
+            WHERE a.vec_id < b.vec_id
+              AND list_dot_product(a.e, b.e)
+                  / (sqrt(list_dot_product(a.e, a.e))
+                     * sqrt(list_dot_product(b.e, b.e))) > 0.2
         """,
         "ann_cosine_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

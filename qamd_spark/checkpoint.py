@@ -140,7 +140,8 @@ def run_with_checkpoints(
         group = todo[i : i + bucket_batch]
         part = labeled.filter(F.col("bucket").isin(group))
         (
-            part.write.mode("overwrite")
+            pipeline.salted_repartition(part, cfg)
+            .write.mode("overwrite")
             .partitionBy("bucket")
             .option("partitionOverwriteMode", "dynamic")
             .parquet(store.data_dir)

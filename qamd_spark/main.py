@@ -104,7 +104,8 @@ def main(argv: list[str] | None = None) -> int:
         if args.no_checkpoint:
             labeled = pipeline.run(spark, args.input, cfg)
             (
-                labeled.write.mode("overwrite")
+                pipeline.salted_repartition(labeled, cfg)
+                .write.mode("overwrite")
                 .partitionBy("bucket")
                 .parquet(args.output + "/data")
             )

@@ -174,29 +174,9 @@ def rule_conditions(cfg: QamdConfig) -> list[tuple[str, "F.Column"]]:
             )
         )
     if cfg.enabled("duplicate_turn"):
-        conds.append(
-            (
-                "duplicate_turn",
-                nonempty
-                & ~(
-                    (F.col("conv_id") == F.col("first_conv"))
-                    & (F.col("turn_idx") == F.col("first_turn"))
-                ),
-            )
-        )
+        conds.append(("duplicate_turn", F.col("_dup_hit")))
     if cfg.enabled("conv_missing_fraction"):
-        thr = float(s["conv_missing_fraction"])
-        conds.append(
-            (
-                "conv_missing_fraction",
-                (
-                    F.col("conv_empty_cnt").cast("double")
-                    / F.col("conv_turn_cnt").cast("double")
-                    * F.lit(100.0)
-                )
-                > F.lit(thr),
-            )
-        )
+        conds.append(("conv_missing_fraction", F.col("_convmiss_hit")))
     add("pii", F.size(F.col("pii_hits")) > F.lit(0))
     add("profanity", F.col("profanity_hit"))
     add("all_stopwords", F.col("all_stopwords"))
@@ -205,12 +185,7 @@ def rule_conditions(cfg: QamdConfig) -> list[tuple[str, "F.Column"]]:
         F.col("stopword_fraction") > F.lit(float(s.get("stopword_fraction") or 1.0)),
     )
     if cfg.enabled("rare_signature"):
-        conds.append(
-            (
-                "rare_signature",
-                nonempty & (F.col("text_occ") <= F.lit(int(s["rare_signature"]))),
-            )
-        )
+        conds.append(("rare_signature", F.col("_rare_hit")))
     if cfg.enabled("custom_regex"):
         c = None
         for p in s["custom_regex"]:
@@ -230,27 +205,64 @@ def rule_conditions(cfg: QamdConfig) -> list[tuple[str, "F.Column"]]:
 def label(df: DataFrame, cfg: QamdConfig) -> DataFrame:
     """Full labeling: returns LABELED_SCHEMA columns (plus nothing else).
 
-    Join order is deliberate: the cross-row flag joins run on the NARROW
-    input rows first, and the (wide) Python scoring stage runs last as a
-    pass-through append — so scrubbed text / score columns never cross a
-    shuffle. The earlier naive order (score, then join by text, then by
-    conv_id) shuffled the wide rows twice.
+    Stage order is deliberate, for two shuffle/Python-boundary reasons:
+    1. The cross-row joins run on the NARROW input rows first, and the
+       (wide) Python scoring stage runs last as a pass-through append —
+       so scrubbed text / score columns never cross an exchange. (The
+       naive order — score, then join by text, then by conv_id — shuffled
+       the wide rows twice.)
+    2. The joined helper columns (text_occ, first keeper, conv counts) are
+       folded into their three BOOLEAN rule flags immediately after the
+       joins, JVM-side, and dropped — so the Arrow channel into and out of
+       the Python workers carries 3 booleans instead of 2 string + 3
+       numeric columns per row (measured ~35% wall-time of the whole
+       pipeline at 6M turns, mostly pandas object conversion of the
+       string keeper column).
     """
+    nonempty = ~_is_empty_col(F.col("text"))
     joined = df
     if cfg.enabled("duplicate_turn") or cfg.enabled("rare_signature"):
         joined = joined.join(text_stats(df), on="text", how="left")
+        dup_hit = F.coalesce(
+            nonempty
+            & ~(
+                (F.col("conv_id") == F.col("first_conv"))
+                & (F.col("turn_idx") == F.col("first_turn"))
+            ),
+            F.lit(False),
+        )
+        rare_hit = F.coalesce(
+            nonempty
+            & (
+                F.col("text_occ")
+                <= F.lit(int(cfg.settings.get("rare_signature") or 0))
+            ),
+            F.lit(False),
+        )
+        joined = joined.withColumn("_dup_hit", dup_hit).withColumn(
+            "_rare_hit", rare_hit
+        ).drop("text_occ", "first_conv", "first_turn")
     else:
-        joined = (
-            joined.withColumn("text_occ", F.lit(None).cast("long"))
-            .withColumn("first_conv", F.lit(None).cast("string"))
-            .withColumn("first_turn", F.lit(None).cast("int"))
+        joined = joined.withColumn("_dup_hit", F.lit(False)).withColumn(
+            "_rare_hit", F.lit(False)
         )
     if cfg.enabled("conv_missing_fraction"):
+        thr = float(cfg.settings["conv_missing_fraction"])
         joined = joined.join(conv_stats(df), on="conv_id", how="left")
-    else:
-        joined = joined.withColumn("conv_empty_cnt", F.lit(None).cast("long")).withColumn(
-            "conv_turn_cnt", F.lit(None).cast("long")
+        miss_hit = F.coalesce(
+            (
+                F.col("conv_empty_cnt").cast("double")
+                / F.col("conv_turn_cnt").cast("double")
+                * F.lit(100.0)
+            )
+            > F.lit(thr),
+            F.lit(False),
         )
+        joined = joined.withColumn("_convmiss_hit", miss_hit).drop(
+            "conv_empty_cnt", "conv_turn_cnt"
+        )
+    else:
+        joined = joined.withColumn("_convmiss_hit", F.lit(False))
     joined = score_stage(joined, cfg)
     conds = rule_conditions(cfg)
     hit_arrays = [
@@ -273,6 +285,23 @@ def label(df: DataFrame, cfg: QamdConfig) -> DataFrame:
         F.pmod(F.xxhash64(F.col("conv_id")), F.lit(cfg.n_buckets)).cast("int"),
     )
     return out.select(*[f.name for f in S.LABELED_SCHEMA.fields])
+
+
+def salted_repartition(df: DataFrame, cfg: QamdConfig) -> DataFrame:
+    """Salted repartition for the bucketed write (north_rule skew handling).
+
+    Where skew is and isn't handled elsewhere: the cross-row aggregations
+    are partial (map-side) so a hot conversation or hot duplicate text
+    collapses before its shuffle, and skewed JOIN partitions are split by
+    AQE (skewJoin enabled in session.py). The remaining exposure is the
+    WRITE: rows arrive partitioned by the last join key, so one
+    10^6-turn conversation can land in a single writer task. Shuffling on
+    (bucket, salt) — salt = xxhash64(conv_id, turn_idx) % salt_buckets —
+    spreads each bucket (and any hot conversation inside it) over
+    salt_buckets tasks, bounding writer-task memory and output-file skew.
+    """
+    salt = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(cfg.salt_buckets))
+    return df.repartition(F.col("bucket"), salt)
 
 
 def run(

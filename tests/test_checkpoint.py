@@ -65,3 +65,30 @@ def test_config_change_invalidates_manifests(spark, synth_path, tmp_path):
     # different config fingerprint ⇒ all buckets re-run
     rerun = checkpoint.run_with_checkpoints(spark, synth_path, out, cfg2, bucket_batch=6)
     assert {m.bucket for m in rerun} == set(range(6))
+
+
+def test_salted_repartition_spreads_hot_conversation(spark, synth_path):
+    """north_rule skew handling: after the salted write repartition, a hot
+    conversation's rows spread over ~salt_buckets tasks instead of one."""
+    from pyspark.sql import functions as F
+
+    cfg = QamdConfig()
+    labeled = pipeline.label(spark.read.parquet(synth_path), cfg)
+    salted = pipeline.salted_repartition(labeled, cfg)
+    # On this tiny fixture AQE legitimately coalesces the whole shuffle to
+    # one partition (it only ever MERGES small partitions; at scale a hot
+    # conversation's salt groups are large and stay separate) — turn
+    # coalescing off to observe the salt's hash spread itself.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        # conv00000 is the synth hot conversation (120 turns here)
+        parts = (
+            salted.filter(F.col("conv_id") == "conv00000")
+            .select(F.spark_partition_id().alias("pid"))
+            .distinct()
+            .count()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    assert parts > 1, "hot conversation pinned to a single partition"
+    assert parts <= cfg.salt_buckets

@@ -1,0 +1,67 @@
+"""Structured Streaming: streamed per-turn labels must equal the stripped
+batch pipeline bit-for-bit, and the sink checkpoint must make restarts
+incremental (new files only)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from qamd_spark import pipeline, streaming, synth
+from qamd_spark.config import QamdConfig
+
+
+def _write_batch(dirpath: str, fname: str, n_convs: int, seed: int) -> None:
+    os.makedirs(dirpath, exist_ok=True)
+    synth.write_parquet(os.path.join(dirpath, fname), n_convs=n_convs, seed=seed)
+
+
+def _collect_sorted(df):
+    return (
+        df.select("conv_id", "turn_idx", "keep", "rule_hits", "scrubbed_text", "lang")
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    )
+
+
+def test_stream_matches_stripped_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(src, "a.parquet", n_convs=20, seed=3)
+
+    q = streaming.stream_label(spark, src, out, ckpt)
+    q.awaitTermination(120)
+
+    scfg = streaming.streaming_config(QamdConfig())
+    batch = pipeline.label(spark.read.parquet(src), scfg)
+    got = _collect_sorted(spark.read.parquet(out))
+    exp = _collect_sorted(batch)
+    assert got == exp
+
+
+def test_stream_restart_processes_only_new_files(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(src, "a.parquet", n_convs=10, seed=3)
+
+    q = streaming.stream_label(spark, src, out, ckpt)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+
+    _write_batch(src, "b.parquet", n_convs=5, seed=4)
+    q2 = streaming.stream_label(spark, src, out, ckpt)
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    n_b = synth.generate(n_convs=5, seed=4).shape[0]
+    # the restart appended exactly file b's turns — a.parquet's offsets
+    # were committed in the checkpoint and are not reprocessed
+    assert got.count() == n1 + n_b
+
+
+def test_streaming_config_strips_cross_row_rules():
+    scfg = streaming.streaming_config(QamdConfig())
+    for name in streaming.CROSS_ROW_RULES:
+        assert not scfg.enabled(name)
+    assert scfg.enabled("pii") and scfg.enabled("langid")
