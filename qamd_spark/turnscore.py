@@ -85,10 +85,35 @@ def _token_stats(
     if n == 0:
         return frac, allstop, rep, oov
     vals = ["" if not isinstance(v, str) else v for v in norm.tolist()]
-    toks_per_row = [v.split(" ") for v in vals]
-    lens = np.fromiter((len(t) for t in toks_per_row), dtype=np.int64, count=n)
-    flat: list[str] = [tok for toks in toks_per_row for tok in toks]
-    codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+    # marker char: NOT \x00 — pandas' string hash table C-truncates at
+    # embedded NULs (factorize collides "" with "\x00"); \x01 hashes fine
+    if any("\x01" in v for v in vals):  # rare marker-bearing batch: row-wise
+        toks_per_row = [v.split(" ") for v in vals]
+        lens = np.fromiter((len(t) for t in toks_per_row), dtype=np.int64, count=n)
+        flat: list[str] = [tok for toks in toks_per_row for tok in toks]
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+    else:
+        # one C-level split of the " \x01 "-joined batch instead of n
+        # Python-level splits + a flatten loop. The marker is always a
+        # standalone token (space-delimited on both sides by the join),
+        # so per-row token runs are exactly the segments between marker
+        # tokens — identical to v.split(" ") per row, including the empty
+        # tokens QAMD semantics depend on ("" rows and consecutive
+        # spaces; reference src/check/dictionary.rs:117-122).
+        flat_all = " \x01 ".join(vals).split(" ")
+        codes_all, uniques = pd.factorize(np.asarray(flat_all, dtype=object))
+        midx = np.flatnonzero(uniques == "\x01")
+        if len(midx):
+            is_marker = codes_all == midx[0]
+            mpos = np.flatnonzero(is_marker)
+            bounds = np.concatenate(
+                (np.array([-1]), mpos, np.array([len(flat_all)]))
+            )
+            lens = np.diff(bounds) - 1
+            codes = codes_all[~is_marker]
+        else:  # n == 1: no join happened, no markers
+            lens = np.array([len(flat_all)], dtype=np.int64)
+            codes = codes_all
     uniq_is_stop = np.fromiter(
         (u in stopwords for u in uniques), dtype=bool, count=len(uniques)
     )
@@ -132,11 +157,20 @@ def odd_char_counts(text: pd.Series, odd_chars: list[str]) -> np.ndarray:
     The odd set defaults to the reference's (default.yaml:111-119:
     & # '  ' @ * ç ô ü). Count-based ratio generalizes the reference's
     boolean `contains` (src/check/mod.rs:94-99).
+
+    Single-character entries fold into ONE character-class regex pass
+    (their counts are disjoint, so the sum equals per-char counting);
+    multi-character entries (the double-space) keep their own pass —
+    non-overlapping counts of different substrings aren't class-foldable.
     """
     total = np.zeros(len(text), dtype=np.int64)
-    for c in odd_chars:
-        cnt = text.str.count(re.escape(c)).fillna(0)
-        total += cnt.to_numpy(dtype=np.int64)
+    singles = [c for c in odd_chars if len(c) == 1]
+    multis = [c for c in odd_chars if len(c) != 1]
+    if singles:
+        cls = re.compile("[" + "".join(re.escape(c) for c in singles) + "]")
+        total += text.str.count(cls).fillna(0).to_numpy(dtype=np.int64)
+    for c in multis:
+        total += text.str.count(re.escape(c)).fillna(0).to_numpy(dtype=np.int64)
     return total
 
 

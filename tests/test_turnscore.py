@@ -76,3 +76,39 @@ def test_scrub_and_lang_columns_present():
     out = _score(["mail a@b.co", "le chat est sur la table et la pluie tombe"])
     assert out.loc[0, "scrubbed_text"] == "mail <EMAIL>"
     assert out.loc[1, "lang"] == "fr"
+
+
+def test_token_stats_marker_join_equals_rowwise():
+    """The marker-joined tokenizer must equal per-row split(' ') semantics
+    on adversarial inputs: empties, consecutive/leading/trailing spaces,
+    single row, NUL fallback."""
+    import numpy as np
+    import pandas as pd
+
+    from qamd_spark import turnscore
+
+    stop = frozenset({"the", "a"})
+    vocab = frozenset({"the", "a", "fox"})
+    cases = [
+        ["the a fox", "", "  ", "a  the", " leading", "trailing ", "zz zz zz a"],
+        ["only one row  with  doubles"],
+        ["", "", ""],
+        ["with\x01marker the a", "clean a"],  # \x01 triggers the fallback path
+        ["with\x00nul the a", "clean a"],  # NUL text, fast path
+    ]
+    for texts in cases:
+        s = pd.Series(texts)
+        got = turnscore._token_stats(s, stop, vocab)
+        # independent reference: plain python per row
+        for i, v in enumerate(texts):
+            toks = (v or "").split(" ")
+            nstop = sum(t in stop for t in toks)
+            frac = nstop / len(toks) if v else 0.0
+            assert abs(got[0][i] - frac) < 1e-12, (texts, i)
+            assert got[1][i] == (bool(v) and nstop == len(toks)), (texts, i)
+            noov = sum(t not in vocab for t in toks)
+            exp_oov = noov / len(toks) if v else 0.0
+            assert abs(got[3][i] - exp_oov) < 1e-12, (texts, i)
+            ne = [t for t in toks if t != ""]
+            exp_rep = (max(ne.count(t) for t in set(ne)) / len(ne)) if ne else 0.0
+            assert abs(got[2][i] - exp_rep) < 1e-12, (texts, i)
