@@ -5,8 +5,10 @@ sf0.001 documents table (each document = a single-turn conversation, per
 FIXTURES.md §5). ``queries()`` exposes the operator inventory from
 SURVEY.md §2 re-expressed over the driver's parquet tables; each entry has
 a DuckDB ``oracle_sql()`` twin unless the operator is genuinely
-non-SQL-expressible (pandas-UDF scoring: langid, perplexity, minhash,
-simhash, full pipeline) — those get the weaker rows-only check.
+non-SQL-expressible — those get the weaker rows-only check (pandas-UDF
+scoring: langid, perplexity, full pipeline; deterministic-hash ops:
+minhash, simhash, ngram-jaccard, LSH ANN; binary multimodal stubs:
+media_features, frame_plan).
 
 Column-name and float-determinism discipline:
 - every computed column is aliased identically on both sides;

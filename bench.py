@@ -265,7 +265,13 @@ def run_scaling(trials: int = 2) -> None:
         (4, 16): calib["eff_4_16"],
         (8, 32): calib["eff_8_32"],
     }
-    lo, hi = max(pairs, key=pairs.get)
+    # smallest pair whose hardware ceiling is within 0.05 of the best:
+    # among hardware-equivalent pairs, the smaller one amortizes per-job
+    # fixed costs (stage scheduling, AQE re-planning, final agg) over a
+    # longer lo-config runtime, so the measurement isolates the
+    # pipeline's parallel fraction rather than Amdahl floor effects
+    best_eff = max(pairs.values())
+    lo, hi = min(p for p, e in pairs.items() if e >= best_eff - 0.05)
     runs: dict[int, list[dict]] = {lo: [], hi: []}
     for _ in range(trials):
         runs[lo].append(_scaling_child(lo))
