@@ -127,12 +127,17 @@ def q_all_stopwords(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
-    # DuplicateValues analogue via window keep-first
-    # (reference src/check/post.rs:229-260; SURVEY.md §2.6)
-    w = Window.partitionBy("text").orderBy("doc_id")
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        (F.row_number().over(w) > 1).alias("is_dup"),
+    # DuplicateValues analogue, skew-safe agg+join form (reference
+    # src/check/post.rs:229-260): min(doc_id) per text collapses map-side,
+    # so a hot duplicate never pins one task the way a
+    # Window.partitionBy(text) would; equivalent to row_number()>1 because
+    # min(doc_id) IS the rank-1 row. eqNullSafe matches the window/SQL
+    # semantics for NULL texts (one NULL group).
+    d = _docs(spark, sf_dir)
+    firsts = d.groupBy("text").agg(F.min("doc_id").alias("_first_id"))
+    j = d.join(firsts, d["text"].eqNullSafe(firsts["text"]), "left")
+    return j.select(
+        d["doc_id"], (d["doc_id"] != F.col("_first_id")).alias("is_dup")
     )
 
 
@@ -457,7 +462,12 @@ def q_langid_docs(spark, sf_dir):
 
 
 def q_transcript_pipeline(spark, sf_dir):
-    """Flagship: the full labeling pipeline over documents-as-transcripts."""
+    """Flagship: the full labeling pipeline over documents-as-transcripts.
+
+    ``rule_hits`` is emitted as a '|'-joined sorted string (not
+    array<string>) so the driver's rows-only canonicalization can
+    sort/hash the column; semantics unchanged (exact-counting contract of
+    reference src/macros.rs:24-41)."""
     from qamd_spark import pipeline
     from qamd_spark.config import QamdConfig
 
@@ -467,7 +477,7 @@ def q_transcript_pipeline(spark, sf_dir):
         "conv_id",
         "turn_idx",
         "keep",
-        "rule_hits",
+        F.array_join(F.array_sort("rule_hits"), "|").alias("rule_hits"),
         "lang",
         "scrubbed_text",
     )
@@ -506,12 +516,16 @@ def q_embedding_neardup(spark, sf_dir):
         F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
     )
     sim = dot / (norm("e") * norm("be"))
+    # threshold membership uses the SAME round-to-9 quantization as the
+    # emitted value, so a sim within 1 ulp of 0.2 can't pass in one engine
+    # and fail in the other
     return (
         pairs.select(
-            F.col("vec_id").alias("a"), F.col("b_id").alias("b"), sim.alias("sim")
+            F.col("vec_id").alias("a"),
+            F.col("b_id").alias("b"),
+            F.round(sim, 9).alias("sim"),
         )
         .filter(F.col("sim") > 0.2)
-        .select("a", "b", F.round("sim", 9).alias("sim"))
     )
 
 
@@ -915,9 +929,9 @@ def oracle_sql() -> dict[str, str]:
                             * sqrt(list_dot_product(b.e, b.e))), 9) AS sim
             FROM e a, e b
             WHERE a.vec_id < b.vec_id
-              AND list_dot_product(a.e, b.e)
+              AND round(list_dot_product(a.e, b.e)
                   / (sqrt(list_dot_product(a.e, a.e))
-                     * sqrt(list_dot_product(b.e, b.e))) > 0.2
+                     * sqrt(list_dot_product(b.e, b.e))), 9) > 0.2
         """,
         "ann_cosine_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

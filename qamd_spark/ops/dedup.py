@@ -22,7 +22,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -210,11 +210,16 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Exact dedup keep-first by id order (window form; the pipeline uses
-    the skew-safe agg+join form — see qamd_spark/pipeline.py)."""
-    w = Window.partitionBy(text_col).orderBy(id_col)
-    return docs.select(
-        id_col, (F.row_number().over(w) > 1).alias("is_dup")
+    """Exact dedup keep-first by id order, skew-safe agg+join form (same
+    plan as qamd_spark/pipeline.text_stats): min(id) per text collapses
+    map-side before the shuffle, so a hot duplicate text never pins one
+    task the way Window.partitionBy(text) would. Equivalent to
+    row_number()>1 because min(id) IS the rank-1 row; eqNullSafe keeps the
+    window semantics for NULL texts (one NULL group)."""
+    firsts = docs.groupBy(text_col).agg(F.min(id_col).alias("_first_id"))
+    j = docs.join(firsts, docs[text_col].eqNullSafe(firsts[text_col]), "left")
+    return j.select(
+        docs[id_col], (docs[id_col] != F.col("_first_id")).alias("is_dup")
     )
 
 

@@ -92,13 +92,25 @@ def scrub_series(
     active = [p for p in PII_PATTERNS if pii_names is None or p[0] in pii_names]
     notnull = text.notna()
     n = len(text)
-    values = ["" if not isinstance(s, str) else s for s in text.tolist()]
+    raw = text.tolist()
+    values = ["" if not isinstance(s, str) else s for s in raw]
+    # non-null, non-string rows (possible only in the pandas/oracle path;
+    # Arrow string columns are str-or-null): pass the original value
+    # through untouched instead of coercing to ""
+    notnull_np = notnull.to_numpy()
+    nonstr = [i for i, s in enumerate(raw)
+              if notnull_np[i] and not isinstance(s, str)]
     passes: list[tuple[str, re.Pattern, str]] = list(active)
     if profanity_rx is not None:
         passes.append(("__profanity__", profanity_rx, "<PROFANITY>"))
 
     if any(_SEP in v for v in values):  # memchr scan; rare NUL-bearing batch
-        return _scrub_series_rowwise(text, values, passes, notnull)
+        scrubbed, hit_lists, prof_hit = _scrub_series_rowwise(
+            text, values, passes, notnull
+        )
+        for i in nonstr:
+            scrubbed.iloc[i] = raw[i]
+        return scrubbed, hit_lists, prof_hit
 
     # Vectorized candidate prefilters from the ORIGINAL batch bytes:
     # email needs an '@', the number patterns need a digit. UTF-8 is
@@ -159,6 +171,8 @@ def scrub_series(
         hit_cols[name] = hits
 
     prof_hit = hit_cols.pop("__profanity__", np.zeros(n, dtype=bool))
+    for i in nonstr:
+        values[i] = raw[i]
     scrubbed = pd.Series(values, index=text.index, dtype=object)
     names = list(hit_cols)
     if names:

@@ -45,17 +45,15 @@ def streaming_config(cfg: QamdConfig | None = None) -> QamdConfig:
     """Copy of ``cfg`` with the cross-row rules disabled (absent setting ⇒
     rule pruned from the plan, same semantics as the reference's optional
     settings)."""
+    import dataclasses
+
     cfg = cfg or QamdConfig()
     settings = dict(cfg.settings)
     for name in CROSS_ROW_RULES:
         settings[name] = None
-    return QamdConfig(
-        settings=settings,
-        actions=dict(cfg.actions),
-        stopwords=list(cfg.stopwords),
-        n_buckets=cfg.n_buckets,
-        salt_buckets=cfg.salt_buckets,
-    )
+    # dataclasses.replace carries any future QamdConfig fields forward
+    # instead of silently resetting them to defaults
+    return dataclasses.replace(cfg, settings=settings)
 
 
 def read_stream(spark: SparkSession, input_path: str, max_files_per_trigger: int | None = None) -> DataFrame:
