@@ -102,6 +102,60 @@ def input_fingerprint(spark, input_path: str) -> str:
     return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
 
 
+def _bucket_col(cfg: QamdConfig):
+    # MUST match pipeline.label's bucket derivation so the input pre-filter
+    # selects exactly the rows the group's output partitions will hold
+    return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(cfg.n_buckets))
+
+
+def global_stats_tables(
+    spark, df, out_dir: str, cfg: QamdConfig, in_fp: str, cfg_fp: str
+):
+    """One global pass for the cross-row aggregates, persisted as compact
+    side tables under <out>/_stats (reused on resume when the input/config
+    fingerprints match). Returns (text_stats_df | None, conv_stats_df | None).
+
+    These tables are SMALL relative to the input — text_stats has one row
+    per duplicated-or-counted distinct text (occurrence counts only, no
+    payload beyond the text key), conv_stats one row per conversation — so
+    at 10^12 turns they are the right thing to materialize: every bucket
+    group then joins against the side table instead of re-running the
+    global aggregation over the whole input (which was a 4-8x total
+    recompute with default group sizes).
+    """
+    from qamd_spark import pipeline
+
+    need_text = cfg.enabled("duplicate_turn") or cfg.enabled("rare_signature")
+    need_conv = cfg.enabled("conv_missing_fraction")
+    stats_dir = os.path.join(out_dir, "_stats")
+    meta_path = os.path.join(stats_dir, "meta.json")
+    text_path = os.path.join(stats_dir, "text_stats.parquet")
+    conv_path = os.path.join(stats_dir, "conv_stats.parquet")
+    reuse = False
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        reuse = (
+            meta.get("input_fingerprint") == in_fp
+            and meta.get("config_fingerprint") == cfg_fp
+        )
+    if not reuse:
+        os.makedirs(stats_dir, exist_ok=True)
+        if need_text:
+            pipeline.text_stats(df).write.mode("overwrite").parquet(text_path)
+        if need_conv:
+            pipeline.conv_stats(df).write.mode("overwrite").parquet(conv_path)
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"input_fingerprint": in_fp, "config_fingerprint": cfg_fp}, f
+            )
+        os.replace(tmp, meta_path)  # atomic publish, after the data
+    ts = spark.read.parquet(text_path) if need_text else None
+    cs = spark.read.parquet(conv_path) if need_conv else None
+    return ts, cs
+
+
 def run_with_checkpoints(
     spark,
     input_path: str,
@@ -116,9 +170,21 @@ def run_with_checkpoints(
     Buckets are processed in fixed ascending order in groups of
     ``bucket_batch`` (one Spark job per group — amortizes scheduling while
     keeping the resume grain at a single bucket).
-    """
-    from qamd_spark import pipeline
 
+    Work shape (scale-critical): the global cross-row aggregations run
+    ONCE into side tables (:func:`global_stats_tables`); each group job
+    then (a) pre-filters the INPUT on pmod(xxhash64(conv_id), n_buckets)
+    — evaluated directly above the scan, so only the group's rows reach
+    the joins and the Python scoring stage — and (b) joins the precomputed
+    stats. Total compute ≈ one stats pass + one scoring pass over the
+    input, regardless of n_buckets/bucket_batch. (The previous formulation
+    filtered the fully-labeled plan per group; the bucket column was born
+    downstream of the scoring stage, so every group re-scored and
+    re-aggregated the whole input — an n_groups-fold recompute.)
+
+    Manifest counts come from reading back the just-written group output
+    (columnar count over keep only), not from re-running the group plan.
+    """
     cfg = cfg or QamdConfig()
     store = CheckpointStore(out_dir)
     in_fp = input_fingerprint(spark, input_path)
@@ -128,17 +194,15 @@ def run_with_checkpoints(
     if not todo:
         return []
 
+    from qamd_spark import pipeline
+
     df = spark.read.parquet(input_path)
-    # The labeled plan is deterministic per bucket: dedup/conv aggregates are
-    # computed over the FULL input (global semantics), then only the selected
-    # buckets are materialized. Catalyst pushes the bucket filter to the end;
-    # the aggregates reuse the same plan per job group.
-    labeled = pipeline.label(df, cfg)
+    ts, cs = global_stats_tables(spark, df, out_dir, cfg, in_fp, cfg_fp)
     written: list[Manifest] = []
-    n_done_groups = 0
     for i in range(0, len(todo), bucket_batch):
         group = todo[i : i + bucket_batch]
-        part = labeled.filter(F.col("bucket").isin(group))
+        part_in = df.filter(_bucket_col(cfg).isin(group))
+        part = pipeline.label(part_in, cfg, text_stats_df=ts, conv_stats_df=cs)
         (
             pipeline.salted_repartition(part, cfg)
             .write.mode("overwrite")
@@ -146,18 +210,29 @@ def run_with_checkpoints(
             .option("partitionOverwriteMode", "dynamic")
             .parquet(store.data_dir)
         )
-        counts = {
-            r["bucket"]: (r["n"], r["k"])
-            for r in part.groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("keep").cast("long")).alias("k"))
-            .collect()
-        }
+        have_parts = any(
+            name.startswith("bucket=") for name in os.listdir(store.data_dir)
+        )
+        counts = (
+            {
+                r["bucket"]: (r["n"], r["k"])
+                for r in spark.read.parquet(store.data_dir)
+                .filter(F.col("bucket").isin(group))  # partition-pruned read-back
+                .groupBy("bucket")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("keep").cast("long")).alias("k"),
+                )
+                .collect()
+            }
+            if have_parts
+            else {}
+        )
         for b in group:
             n, k = counts.get(b, (0, 0))
             m = Manifest(b, int(n), int(k or 0), in_fp, cfg_fp)
             store.write_manifest(m)
             written.append(m)
-        n_done_groups += 1
         if fail_after_buckets is not None and len(written) >= fail_after_buckets:
             raise RuntimeError(f"simulated crash after {len(written)} buckets")
     return written

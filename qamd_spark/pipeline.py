@@ -202,8 +202,23 @@ def rule_conditions(cfg: QamdConfig) -> list[tuple[str, "F.Column"]]:
     return conds
 
 
-def label(df: DataFrame, cfg: QamdConfig) -> DataFrame:
+def label(
+    df: DataFrame,
+    cfg: QamdConfig,
+    text_stats_df: DataFrame | None = None,
+    conv_stats_df: DataFrame | None = None,
+) -> DataFrame:
     """Full labeling: returns LABELED_SCHEMA columns (plus nothing else).
+
+    ``text_stats_df`` / ``conv_stats_df`` optionally supply PRECOMPUTED
+    global cross-row stats (same schemas as :func:`text_stats` /
+    :func:`conv_stats`). The checkpointed runner computes them once over
+    the full input, persists them as compact side tables, and labels each
+    bucket group against them — so a resumable run pays ONE global
+    aggregation pass instead of one per group (the per-group input filter
+    on pmod(xxhash64(conv_id), n_buckets) would otherwise force the
+    aggregates to re-scan everything). Semantics are identical: the stats
+    are global either way.
 
     Stage order is deliberate, for two shuffle/Python-boundary reasons:
     1. The cross-row joins run on the NARROW input rows first, and the
@@ -222,7 +237,8 @@ def label(df: DataFrame, cfg: QamdConfig) -> DataFrame:
     nonempty = ~_is_empty_col(F.col("text"))
     joined = df
     if cfg.enabled("duplicate_turn") or cfg.enabled("rare_signature"):
-        joined = joined.join(text_stats(df), on="text", how="left")
+        ts = text_stats_df if text_stats_df is not None else text_stats(df)
+        joined = joined.join(ts, on="text", how="left")
         dup_hit = F.coalesce(
             nonempty
             & ~(
@@ -248,7 +264,8 @@ def label(df: DataFrame, cfg: QamdConfig) -> DataFrame:
         )
     if cfg.enabled("conv_missing_fraction"):
         thr = float(cfg.settings["conv_missing_fraction"])
-        joined = joined.join(conv_stats(df), on="conv_id", how="left")
+        cs = conv_stats_df if conv_stats_df is not None else conv_stats(df)
+        joined = joined.join(cs, on="conv_id", how="left")
         miss_hit = F.coalesce(
             (
                 F.col("conv_empty_cnt").cast("double")

@@ -92,3 +92,66 @@ def test_salted_repartition_spreads_hot_conversation(spark, synth_path):
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     assert parts > 1, "hot conversation pinned to a single partition"
     assert parts <= cfg.salt_buckets
+
+
+def test_group_job_prefilters_scan_and_reuses_stats(spark, synth_path, tmp_path, cfg):
+    """The per-group checkpoint job must (a) filter the input scan on the
+    bucket expression BEFORE anything else (so only the group's conv
+    subset reaches the joins and the Python stage), and (b) contain NO
+    aggregation — the global text/conv stats come precomputed from the
+    side tables. This is the fix for the n_groups-fold recompute."""
+    import re
+
+    out = str(tmp_path / "out")
+    df = spark.read.parquet(synth_path)
+    ts, cs = checkpoint.global_stats_tables(spark, df, out, cfg, "fp_i", "fp_c")
+    part_in = df.filter(checkpoint._bucket_col(cfg).isin([0, 1]))
+    part = pipeline.label(part_in, cfg, text_stats_df=ts, conv_stats_df=cs)
+    plan = part._sc._jvm.PythonSQLUtils.explainString(
+        part._jdf.queryExecution(), "formatted"
+    )
+    # one Python stage, no aggregation anywhere in the per-group job
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan, plan
+    # the bucket filter sits DIRECTLY above the transcript input scan
+    blocks = {
+        int(m.group(1)): (m.group(2).strip(), m.group(3))
+        for m in re.finditer(
+            r"\((\d+)\) ([A-Za-z ]+?)\s*\n((?:.+\n)*?)\n", plan + "\n"
+        )
+    }
+    input_scans = [
+        i for i, (op, body) in blocks.items()
+        if op.startswith("Scan parquet") and "transcripts.parquet" in body
+    ]
+    assert len(input_scans) == 1, blocks
+    fid = input_scans[0] + 1  # formatted-plan ids are post-order: parent = child+1 on a chain
+    op, body = blocks[fid]
+    assert op == "Filter", (fid, blocks[fid])
+    assert re.search(r"Condition : pmod\(xxhash64\(conv_id#\d+, 42\), 6\) IN \(0,1\)", body), body
+
+
+def test_checkpointed_labels_match_direct_label(spark, synth_path, tmp_path, cfg):
+    """Global semantics preserved: per-group labeling against precomputed
+    stats must equal one-shot pipeline.label over the full input."""
+    out = str(tmp_path / "out")
+    checkpoint.run_with_checkpoints(spark, synth_path, out, cfg, bucket_batch=2)
+    got = (
+        spark.read.parquet(out + "/data")
+        .select("conv_id", "turn_idx", "keep", "scrubbed_text")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pipeline.label(spark.read.parquet(synth_path), cfg)
+        .select("conv_id", "turn_idx", "keep", "scrubbed_text")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert (got["keep"].to_numpy() == want["keep"].to_numpy()).all()
+    assert (
+        got["scrubbed_text"].fillna("<N>").to_numpy()
+        == want["scrubbed_text"].fillna("<N>").to_numpy()
+    ).all()
