@@ -63,15 +63,69 @@ def _hyperplanes(dim: int, bits: int, seed: int = 7) -> np.ndarray:
     return rng.standard_normal((bits, dim)).astype(np.float64)
 
 
-def signature_col(vec_col, planes: np.ndarray):
-    """b-bit LSH signature as a long, computed JVM-side: for each plane,
-    the sign of the dot product contributes one bit."""
-    sig = F.lit(0).cast("long")
-    for i, row in enumerate(planes):
-        plane = F.array(*[F.lit(float(v)) for v in row])
-        d = _dot(_as_double(vec_col), plane)
-        sig = sig + F.when(d >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-    return sig
+def _all_hyperplanes(dim: int, bits: int, n_tables: int) -> np.ndarray:
+    """(n_tables, bits, dim) deterministic hyperplane stack — one fixed
+    seed per table, so signatures are reproducible across runs/processes."""
+    return np.stack(
+        [_hyperplanes(dim, bits, seed=7 + 97 * t) for t in range(n_tables)]
+    )
+
+
+def lsh_signatures(
+    df: DataFrame,
+    planes: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+) -> DataFrame:
+    """(out_id, tbl, sig) rows: for each input vector, one b-bit signature
+    per LSH table (bit i of table t = sign of plane (t, i) · vec).
+
+    One Arrow-batched pandas stage with the hyperplane matrix shipped in
+    the function closure (serialized once per worker — the broadcast-
+    variable pattern): per batch a single (n, L·b) matmul, then a bit-
+    pack. This replaces the previous JVM-expression formulation, which
+    emitted bits × dim F.lit plan nodes per table (≈4k literals at
+    dim=64 and ~50k at dim=768 — Catalyst plan-size blowup long before
+    data size matters). Signatures are bit-identical to that formulation
+    (same planes, same `dot >= 0` rule).
+    """
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    n_tables, bits, dim = planes.shape
+    flat = planes.reshape(n_tables * bits, dim)  # row t*bits + i
+    weights = (np.int64(1) << np.arange(bits, dtype=np.int64))
+    schema = T.StructType(
+        [
+            T.StructField(out_id, T.LongType()),
+            T.StructField("tbl", T.IntegerType()),
+            T.StructField("sig", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tbl_idx = np.arange(n_tables, dtype=np.int32)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            bits_on = (V @ flat.T >= 0).reshape(n, n_tables, bits)
+            sigs = (bits_on * weights).sum(axis=2).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    out_id: np.repeat(
+                        pdf[id_col].to_numpy(dtype=np.int64), n_tables
+                    ),
+                    "tbl": np.tile(tbl_idx, n),
+                    "sig": sigs.ravel(),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(run, schema=schema)
 
 
 def lsh_topk(
@@ -99,23 +153,12 @@ def lsh_topk(
     e_base = emb.select(F.col(id_col).alias("_nid"), _as_double(vec_col).alias("_e"))
     q_base = queries.select(F.col(qid_col).alias("qid"), _as_double(qvec_col).alias("_q"))
 
-    def with_sigs(df, vec_field):
-        sigs = []
-        for t in range(n_tables):
-            planes = _hyperplanes(dim, bits, seed=7 + 97 * t)
-            sigs.append(
-                F.struct(
-                    F.lit(t).alias("tbl"), signature_col(vec_field, planes).alias("sig")
-                )
-            )
-        return df.withColumn("_ts", F.explode(F.array(*sigs))).select(
-            "*", F.col("_ts.tbl").alias("tbl"), F.col("_ts.sig").alias("sig")
-        ).drop("_ts")
-
     # signatures travel WITHOUT the vector payload (ids only through the
-    # explode/join); vectors are joined back just for the exact rescore
-    e = with_sigs(e_base, F.col("_e")).select("_nid", "tbl", "sig")
-    q = with_sigs(q_base, F.col("_q")).select("qid", "tbl", "sig")
+    # signature stage/join); vectors are joined back just for the exact
+    # rescore
+    planes = _all_hyperplanes(dim, bits, n_tables)
+    e = lsh_signatures(e_base, planes, "_nid", "_e", "_nid")
+    q = lsh_signatures(q_base, planes, "qid", "_q", "qid")
     cand = (
         e.join(F.broadcast(q), ["tbl", "sig"])
         .filter(F.col("_nid") != F.col("qid"))

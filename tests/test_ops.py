@@ -159,3 +159,25 @@ def test_frame_sample_plan(spark):
     assert sorted(plan["media_id"].unique()) == [2, 5, 8]
     assert (plan.groupby("media_id").size() == 3).all()
     assert plan["frame_ts_ms"].max() == 2000
+
+
+def test_lsh_plan_is_compact(spark):
+    """Signatures must come from the Arrow-batched matmul stage, not from
+    per-plane Column expressions: the old formulation emitted bits x dim
+    F.lit nodes per table (~4k literals at dim=64, ~50k at dim=768) and
+    blew up Catalyst plan size/codegen. Assert the physical plan stays
+    small and carries exactly two MapInPandas (corpus + query signature
+    stages)."""
+    import re
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    df = similarity.lsh_topk(emb, q, k=5, bits=4, n_tables=16, dim=64)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2, plan
+    # the literal-array formulation produced a multi-hundred-KB plan
+    assert len(plan) < 40_000, len(plan)
