@@ -145,3 +145,91 @@ def summary_pdf(labeled: pd.DataFrame, cfg: QamdConfig | None = None) -> pd.Data
     return pd.DataFrame(
         rows, columns=["rule", "category", "action", "desc", "pass", "fail"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Pure-pandas twins of the deterministic hash operators (qamd_spark/ops/
+# dedup.py). The per-doc kernels (token hashes, shingles, minhash, band
+# fold, simhash votes) are the SAME shared numpy functions — like
+# turnscore above, bit-identical by construction — while the cross-doc
+# candidate logic (bucket grouping, keep-first resolution, pair joins) is
+# re-implemented independently in pandas groupby terms. Agreement
+# therefore tests the Spark shuffle/join plans, which is the part that
+# could diverge.
+
+
+def minhash_bands_pdf(pdf: pd.DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> pd.DataFrame:
+    from qamd_spark.ops import dedup as dd
+
+    ids, bands, hashes = [], [], []
+    for doc_id, t in zip(pdf[id_col], pdf[text_col]):
+        toks = t.lower().split() if isinstance(t, str) and t else None
+        if not toks:
+            continue
+        th = dd._token_hashes(toks)
+        sig = dd._minhash_signature(dd._shingle_hashes_from_tokens(th))
+        bh = dd._band_hashes(sig).astype(np.int64)
+        ids.extend([doc_id] * dd.N_BANDS)
+        bands.extend(range(dd.N_BANDS))
+        hashes.extend(bh.tolist())
+    return pd.DataFrame(
+        {"doc_id": np.asarray(ids, dtype=np.int64),
+         "band": np.asarray(bands, dtype=np.int32),
+         "band_hash": np.asarray(hashes, dtype=np.int64)}
+    )
+
+
+def minhash_duplicates_pdf(pdf: pd.DataFrame, id_col: str = "doc_id") -> pd.DataFrame:
+    """(doc_id, dup_of): smallest doc id sharing any band bucket."""
+    bands = minhash_bands_pdf(pdf, id_col=id_col)
+    bucket_min = bands.groupby(["band", "band_hash"])["doc_id"].transform("min")
+    cand = bands[bucket_min < bands["doc_id"]].copy()
+    cand["bucket_min"] = bucket_min[bucket_min < bands["doc_id"]]
+    out = (
+        cand.groupby("doc_id", sort=False)["bucket_min"].min().reset_index()
+        .rename(columns={"bucket_min": "dup_of"})
+    )
+    return out[["doc_id", "dup_of"]].astype({"doc_id": np.int64, "dup_of": np.int64})
+
+
+def simhash_pdf(pdf: pd.DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> pd.DataFrame:
+    from qamd_spark.ops import dedup as dd
+
+    bit_positions = np.arange(64, dtype=np.uint64)
+    bit_values = (np.uint64(1) << bit_positions).astype(np.uint64)
+    ids, sigs = [], []
+    for doc_id, t in zip(pdf[id_col], pdf[text_col]):
+        ids.append(doc_id)
+        toks = t.lower().split() if isinstance(t, str) and t else None
+        if not toks:
+            sigs.append(0)
+            continue
+        hs = dd._token_hashes(toks)
+        bits = (hs[:, None] >> bit_positions[None, :]) & np.uint64(1)
+        votes = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
+        sigs.append(np.int64(bit_values[votes > 0].sum(dtype=np.uint64)))
+    return pd.DataFrame(
+        {"doc_id": np.asarray(ids, dtype=np.int64),
+         "simhash": np.asarray(sigs, dtype=np.int64)}
+    )
+
+
+def ngram_jaccard_pdf(pdf: pd.DataFrame, cand: pd.DataFrame, n: int = 3,
+                      id_col: str = "doc_id", text_col: str = "text") -> pd.DataFrame:
+    """Exact word-n-gram Jaccard for candidate pairs (a, b)."""
+    from qamd_spark.ops import dedup as dd
+
+    texts = dict(zip(pdf[id_col], pdf[text_col]))
+    js = []
+    for a, b in zip(cand["a"], cand["b"]):
+        sa = dd._ngram_set(texts.get(a), n)
+        sb = dd._ngram_set(texts.get(b), n)
+        u = len(sa | sb)
+        js.append(len(sa & sb) / u if u else 1.0)
+    return pd.DataFrame(
+        {"a": cand["a"].to_numpy(dtype=np.int64),
+         "b": cand["b"].to_numpy(dtype=np.int64),
+         "jaccard": np.asarray(js, dtype=np.float64)}
+    )

@@ -1,0 +1,96 @@
+"""Exact-equality oracles for the deterministic hash operators.
+
+These upgrade the driver's rows-only checks (minhash_dedup, simhash,
+ngram_jaccard, langid_docs) to full value-exact verification: the Spark
+shuffle/join plans must reproduce the pure-pandas twins bit-for-bit
+(same shared numpy kernels, independently re-implemented cross-doc
+logic — see oracle/oracle.py).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from oracle import oracle
+from qamd_spark.ops import dedup as dd
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_pdf():
+    return pd.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _sorted(df, cols):
+    return df[cols].sort_values(cols).reset_index(drop=True)
+
+
+def test_minhash_duplicates_match_pandas_twin(spark, docs_df, docs_pdf):
+    got = _sorted(dd.minhash_duplicates(docs_df).toPandas(), ["doc_id", "dup_of"])
+    want = _sorted(oracle.minhash_duplicates_pdf(docs_pdf), ["doc_id", "dup_of"])
+    assert len(got) > 0  # sf0.001 contains injected near-dups
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_simhash_matches_pandas_twin(spark, docs_df, docs_pdf):
+    got = _sorted(dd.simhash_signatures(docs_df).toPandas(), ["doc_id", "simhash"])
+    want = _sorted(oracle.simhash_pdf(docs_pdf), ["doc_id", "simhash"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_ngram_jaccard_matches_pandas_twin(spark, docs_df, docs_pdf):
+    from pyspark.sql import functions as F
+
+    cand_df = dd.minhash_duplicates(docs_df).select(
+        F.col("dup_of").alias("a"), F.col("doc_id").alias("b")
+    )
+    got = _sorted(
+        dd.ngram_jaccard_pairs(docs_df, cand_df).toPandas(), ["a", "b", "jaccard"]
+    )
+    cand_pdf = got[["a", "b"]]
+    want = oracle.ngram_jaccard_pdf(docs_pdf, cand_pdf)
+    assert len(got) > 0
+    # jaccard is an exact small-int division — must be bit-identical
+    assert (got["jaccard"].to_numpy() == want["jaccard"].to_numpy()).all()
+
+
+def test_langid_perplexity_match_shared_scorer(spark, docs_pdf):
+    """q_langid_docs (Spark mapInPandas over the shared turnscore kernel)
+    must equal running the same scorer single-node on pandas input."""
+    import __spark_entry__ as E
+    from qamd_spark import turnscore
+    from qamd_spark.config import QamdConfig
+
+    got = (
+        E.q_langid_docs(spark, SF)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    tp = pd.DataFrame(
+        {
+            "conv_id": docs_pdf["doc_id"].astype(str),
+            "turn_idx": np.int32(0),
+            "role": "user",
+            "text": docs_pdf["text"],
+            "tool": None,
+            "ts": pd.NaT,
+        }
+    )
+    scored = turnscore.score_pdf(tp, QamdConfig())
+    want = pd.DataFrame(
+        {
+            "doc_id": scored["conv_id"],
+            "lang": scored["lang"],
+            "ppl": scored["perplexity"].round(6),
+        }
+    ).sort_values("doc_id").reset_index(drop=True)
+    got["doc_id"] = got["doc_id"].astype(str)
+    assert (got["lang"].to_numpy() == want["lang"].to_numpy()).all()
+    assert (got["ppl"].to_numpy() == want["ppl"].to_numpy()).all()
