@@ -89,6 +89,7 @@ def input_fingerprint(spark, input_path: str) -> str:
     parquet footprint (cheap driver-side listing; at Iceberg scale this
     would be the snapshot id instead)."""
     parts = []
+    input_path = input_path.removeprefix("csv:")
     for root, _dirs, files in os.walk(input_path):
         for fn in sorted(files):
             if fn.startswith("_") or fn.startswith("."):
@@ -194,9 +195,9 @@ def run_with_checkpoints(
     if not todo:
         return []
 
-    from qamd_spark import pipeline
+    from qamd_spark import io, pipeline
 
-    df = spark.read.parquet(input_path)
+    df = io.read_table(spark, input_path)
     ts, cs = global_stats_tables(spark, df, out_dir, cfg, in_fp, cfg_fp)
     written: list[Manifest] = []
     for i in range(0, len(todo), bucket_batch):

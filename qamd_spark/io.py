@@ -18,8 +18,10 @@ either branch):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 ICEBERG_PREFIX = "iceberg:"
+CSV_PREFIX = "csv:"
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -41,7 +43,41 @@ def read_table(spark: SparkSession, ref: str) -> DataFrame:
                 "(pass a parquet path instead, or add the iceberg-spark-runtime jar)"
             )
         return spark.read.table(name)
+    if ref.startswith(CSV_PREFIX) or ref.endswith(".csv"):
+        return read_csv(spark, ref.removeprefix(CSV_PREFIX))
     return spark.read.parquet(ref)
+
+
+def read_csv(spark: SparkSession, path: str) -> DataFrame:
+    """CSV transcript source (reference read_csv,
+    src/readstat/csv/read.rs:23-152): header row = schema, every field
+    parsed as text then coerced to TRANSCRIPT_SCHEMA; empty string ⇒ NULL,
+    the SYSTEM_MISSING classification of src/readstat/csv/read.rs:112-115.
+
+    Unlike the reference (whole-file slurp + double parse + per-cell
+    linear column lookup), this is Spark's streaming splittable CSV scan:
+    column-pruned, one pass, parallel across file splits."""
+    from qamd_spark import schema as S
+
+    raw = spark.read.options(header=True, nullValue="").csv(path)
+    cols = []
+    for f in S.TRANSCRIPT_SCHEMA.fields:
+        src = (
+            F.col(f.name) if f.name in raw.columns else F.lit(None).cast("string")
+        )
+        cols.append(src.cast(f.dataType).alias(f.name))
+    return raw.select(*cols)
+
+
+def csv_metadata(spark: SparkSession, path: str) -> dict:
+    """variable_count / raw_case_count of a raw CSV — the reference's
+    set_metadata pass (src/readstat/csv/read.rs:154-177), as one cheap
+    count job instead of a second full parse."""
+    raw = spark.read.options(header=True).csv(path)
+    return {
+        "variable_count": len(raw.columns),
+        "raw_case_count": raw.count(),
+    }
 
 
 def write_labeled(df: DataFrame, ref: str, mode: str = "overwrite") -> None:

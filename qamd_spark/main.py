@@ -16,7 +16,7 @@ import argparse
 import json
 import sys
 
-from qamd_spark import checkpoint, config as C, lineage, pipeline, report, session
+from qamd_spark import checkpoint, config as C, io, lineage, pipeline, report, session
 
 
 DEFAULT_YAML = """\
@@ -91,6 +91,12 @@ def main(argv: list[str] | None = None) -> int:
     runp.add_argument("--summary-json", default=None)
     runp.add_argument("--no-checkpoint", action="store_true")
     runp.add_argument("--bucket-batch", type=int, default=16)
+    runp.add_argument(
+        "-m", "--metadata-only", action="store_true",
+        help="suppress locator collection and per-bucket lineage; emit "
+             "metadata + pass/fail summary only (reference -m flag, "
+             "src/bin/qamd.rs:214-218)",
+    )
     sub.add_parser("init", help="print the default rules.yaml")
 
     args = p.parse_args(argv)
@@ -99,6 +105,11 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     cfg = C.from_yaml(args.config) if args.config else C.QamdConfig()
+    from pyspark.sql import SparkSession
+
+    # getOrCreate may hand back a session owned by an embedding application
+    # (or a test harness) — only stop what we actually created
+    preexisting = SparkSession.getActiveSession() is not None
     spark = session.get_spark("qamd_spark.run", master=args.master)
     try:
         if args.no_checkpoint:
@@ -114,14 +125,17 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.input, args.output, cfg, bucket_batch=args.bucket_batch
             )
         labeled = spark.read.parquet(args.output + "/data")
-        lineage.per_bucket(labeled, cfg).write.mode("overwrite").parquet(
-            args.output + "/lineage"
-        )
+        if not args.metadata_only:
+            lineage.per_bucket(labeled, cfg).write.mode("overwrite").parquet(
+                args.output + "/lineage"
+            )
         meta = {"input": args.input}
         # metadata describes the INPUT table (reference Metadata semantics,
         # src/report/mod.rs:45-61), not the labeled output
-        meta.update(report.metadata_stats(spark.read.parquet(args.input)))
-        summ = report.summary_json(labeled, cfg, meta)
+        meta.update(report.metadata_stats(io.read_table(spark, args.input)))
+        summ = report.summary_json(
+            labeled, cfg, meta, include_locators=not args.metadata_only
+        )
         with open(
             args.summary_json or (args.output + "/summary.json"), "w"
         ) as f:
@@ -129,7 +143,8 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"status": "ok", "output": args.output}))
         return 0
     finally:
-        spark.stop()
+        if not preexisting:
+            spark.stop()
 
 
 if __name__ == "__main__":

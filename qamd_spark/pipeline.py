@@ -326,6 +326,8 @@ def run(
     input_path: str,
     cfg: QamdConfig | None = None,
 ) -> DataFrame:
+    from qamd_spark import io
+
     cfg = cfg or QamdConfig()
-    df = spark.read.parquet(input_path)
+    df = io.read_table(spark, input_path)
     return label(df, cfg)

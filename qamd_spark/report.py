@@ -138,12 +138,30 @@ def metadata_stats(df: DataFrame) -> dict:
     }
 
 
-def summary_json(labeled: DataFrame, cfg: QamdConfig, metadata: dict | None = None) -> str:
+def summary_json(
+    labeled: DataFrame,
+    cfg: QamdConfig,
+    metadata: dict | None = None,
+    include_locators: bool = False,
+) -> str:
     """Serialize the full report as one JSON document (the reference's JSON
-    sink analogue, src/bin/qamd.rs:233)."""
+    sink analogue, src/bin/qamd.rs:233). ``include_locators=False`` is the
+    metadata-only mode: pass/fail counts still emitted, the locator
+    collection job suppressed (reference -m flag, src/bin/qamd.rs:214-218;
+    locator suppression src/check/macros.rs:12-13)."""
     summ = [r.asDict() for r in summarize(labeled, cfg).collect()]
-    doc = {
+    doc: dict = {
         "metadata": metadata or {},
         "summary": summ,
     }
+    if include_locators:
+        doc["locators"] = {
+            r["rule"]: {
+                "n_fail": int(r["n_fail"]),
+                "first": [
+                    [loc["conv_id"], int(loc["turn_idx"])] for loc in r["locators"]
+                ],
+            }
+            for r in locators(labeled).collect()
+        }
     return json.dumps(doc, indent=2, default=str)

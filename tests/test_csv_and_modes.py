@@ -1,0 +1,107 @@
+"""CSV source (reference src/readstat/csv/read.rs) + --metadata-only mode
+(reference -m, src/bin/qamd.rs:214-218)."""
+
+import json
+import os
+
+from qamd_spark import io, main, pipeline
+from qamd_spark.config import QamdConfig
+
+CSV_BODY = """conv_id,turn_idx,role,text,tool,ts
+c1,0,user,"hello, there",,2024-01-02T03:04:05
+c1,1,assistant,General Kenobi!,search,
+c1,2,user,,,
+c2,0,user,short one,,
+"""
+
+
+def _write_csv(tmp_path, body=CSV_BODY, name="t.csv"):
+    p = str(tmp_path / name)
+    with open(p, "w") as f:
+        f.write(body)
+    return p
+
+
+def test_read_csv_schema_and_missing(spark, tmp_path):
+    df = io.read_table(spark, _write_csv(tmp_path))
+    from qamd_spark import schema as S
+
+    assert [f.dataType for f in df.schema.fields] == [
+        f.dataType for f in S.TRANSCRIPT_SCHEMA.fields
+    ]
+    rows = {(r["conv_id"], r["turn_idx"]): r for r in df.collect()}
+    assert rows[("c1", 0)]["text"] == "hello, there"  # quoted comma survives
+    assert rows[("c1", 2)]["text"] is None  # "" => SYSTEM_MISSING (csv read.rs:112-115)
+    assert rows[("c1", 1)]["tool"] == "search"
+    assert rows[("c1", 0)]["ts"] is not None
+    assert rows[("c2", 0)]["ts"] is None
+
+
+def test_csv_through_pipeline(spark, tmp_path):
+    from qamd_spark import config as C
+
+    settings = {name: None for name in C.RULE_BY_NAME}
+    settings.update(
+        {"empty_turn": True, "length_bounds": {"min": 2, "max": 8000}}
+    )
+    cfg = QamdConfig(settings=settings, n_buckets=4)
+    labeled = pipeline.label(io.read_table(spark, _write_csv(tmp_path)), cfg)
+    got = {(r["conv_id"], r["turn_idx"]): r for r in labeled.collect()}
+    assert "empty_turn" in got[("c1", 2)]["rule_hits"]
+    assert not got[("c1", 2)]["keep"]
+    assert got[("c1", 1)]["keep"]
+
+
+def test_csv_prefix_and_metadata_golden(spark, tmp_path):
+    # mtcars-shape golden: 12 variables x 32 cases (reference e2e golden,
+    # src/readstat/read.rs:148-181; header odd char mirrors test/mtcars.csv:1)
+    header = ",".join(["model", "mpg", "cyl#"] + [f"v{i}" for i in range(9)])
+    body = header + "\n" + "\n".join(
+        ",".join([f"car{r}"] + [str(r + c) for c in range(11)]) for r in range(32)
+    ) + "\n"
+    p = _write_csv(tmp_path, body=body, name="mtcars_shape.csv")
+    meta = io.csv_metadata(spark, p)
+    assert meta == {"variable_count": 12, "raw_case_count": 32}
+    # csv: prefix dispatch works too
+    assert io.read_table(spark, "csv:" + p).count() == 32
+
+
+SMALL_YAML = """\
+metadata:
+  empty_turn: {setting: true}
+data_integrity:
+  length_bounds: {setting: {min: 2, max: 8000}}
+engine: {n_buckets: 4}
+"""
+
+
+def _run_cli(tmp_path, synth_path, name, extra):
+    out = str(tmp_path / name)
+    cfgp = str(tmp_path / "rules.yaml")
+    with open(cfgp, "w") as f:
+        f.write(SMALL_YAML)
+    rc = main.main(
+        ["run", "--input", synth_path, "--output", out, "--config", cfgp,
+         "--master", "local[4]", "--no-checkpoint"] + extra
+    )
+    assert rc == 0
+    with open(out + "/summary.json") as f:
+        return out, json.load(f)
+
+
+def test_metadata_only_skips_locators_and_lineage(tmp_path, synth_path):
+    out, doc = _run_cli(tmp_path, synth_path, "meta_only", ["--metadata-only"])
+    assert "locators" not in doc
+    assert not os.path.isdir(out + "/lineage")
+    assert doc["metadata"]["raw_case_count"] > 0
+    assert {s["rule"] for s in doc["summary"]} == {"empty_turn", "length_bounds"}
+
+
+def test_default_run_emits_locators(tmp_path, synth_path):
+    out, doc = _run_cli(tmp_path, synth_path, "full", [])
+    assert os.path.isdir(out + "/lineage")
+    assert "locators" in doc
+    hit_rules = {r for r, v in doc["locators"].items() if v["n_fail"] > 0}
+    assert hit_rules  # synth data contains empty turns
+    for v in doc["locators"].values():
+        assert len(v["first"]) <= 1000
