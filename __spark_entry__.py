@@ -614,6 +614,28 @@ def q_simhash(spark, sf_dir):
     return dd.simhash_signatures(_docs(spark, sf_dir))
 
 
+def q_simhash_neardup(spark, sf_dir):
+    """Hamming-neighbor join over simhash signatures (banded 4x16-bit
+    equi-join + bit_count verify; ops/dedup.simhash_neardups). Rows-only
+    in the driver gate; exact vs the pandas twin in
+    tests/test_hash_oracles.py."""
+    from qamd_spark.ops import dedup as dd
+
+    return dd.simhash_neardups(_docs(spark, sf_dir), max_hamming=3)
+
+
+FIELD_LEN_MAX = 4  # driver demo bound over the documents string fields
+
+
+def q_field_length(spark, sf_dir):
+    # ValueLabelMaxLength analogue on non-text string fields (reference
+    # src/check/post.rs:132-166): bound source/lang lengths
+    long_f = F.coalesce(F.length("source") > FIELD_LEN_MAX, F.lit(False)) | F.coalesce(
+        F.length("lang") > FIELD_LEN_MAX, F.lit(False)
+    )
+    return _docs(spark, sf_dir).select("doc_id", long_f.alias("field_len_fail"))
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -653,6 +675,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_pipeline": q_transcript_pipeline,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
+        "simhash_neardup": q_simhash_neardup,
+        "field_length": q_field_length,
         "ngram_jaccard": q_ngram_jaccard,
         "media_features": q_media_features,
         "frame_plan": q_frame_plan,
@@ -912,6 +936,13 @@ def oracle_sql() -> dict[str, str]:
                      AS n_pii_email,
                    sum((text IS NULL OR text = '')::INT)::BIGINT AS n_empty_text
             FROM documents GROUP BY 1
+        """,
+        "field_length": f"""
+            SELECT doc_id,
+                   (coalesce(length(source) > {FIELD_LEN_MAX}, FALSE)
+                    OR coalesce(length(lang) > {FIELD_LEN_MAX}, FALSE))
+                     AS field_len_fail
+            FROM documents
         """,
         "metadata": """
             SELECT 'raw_case_count' AS stat, count(*)::BIGINT AS value FROM documents

@@ -65,6 +65,13 @@ def label_pdf(pdf: pd.DataFrame, cfg: QamdConfig | None = None) -> pd.DataFrame:
         add("bad_conv_id", ~out["conv_id"].map(lambda c: bool(rx.search(c or ""))))
     if cfg.enabled("role_vocabulary"):
         add("role_vocabulary", out["role"].isna() | ~out["role"].isin(s["role_vocabulary"]))
+    if cfg.enabled("field_length"):
+        mx = int(s["field_length"]["max"])
+        add(
+            "field_length",
+            (out["role"].str.len() > mx).fillna(False)
+            | (out["tool"].str.len() > mx).fillna(False),
+        )
     add("empty_turn", empty)
     if cfg.enabled("sentinel_text"):
         # strip(' ') not strip(): Spark F.trim removes 0x20 only
@@ -232,4 +239,42 @@ def ngram_jaccard_pdf(pdf: pd.DataFrame, cand: pd.DataFrame, n: int = 3,
         {"a": cand["a"].to_numpy(dtype=np.int64),
          "b": cand["b"].to_numpy(dtype=np.int64),
          "jaccard": np.asarray(js, dtype=np.float64)}
+    )
+
+
+def simhash_neardups_pdf(pdf: pd.DataFrame, max_hamming: int = 3,
+                         id_col: str = "doc_id", text_col: str = "text") -> pd.DataFrame:
+    """(doc_id, dup_of, hamming) twin of ops.dedup.simhash_neardups:
+    same banding (4 x 16-bit chunks) and keep-first resolution, in pandas
+    groupby terms."""
+    sigs = simhash_pdf(pdf, id_col=id_col, text_col=text_col)
+    sv = sigs["simhash"].to_numpy().astype(np.uint64)
+    ids = sigs["doc_id"].to_numpy()
+    rows = []
+    for i in range(4):
+        rows.append(pd.DataFrame(
+            {"doc_id": ids, "sig": sv,
+             "chunk": np.int32(i),
+             "val": ((sv >> np.uint64(16 * i)) & np.uint64(0xFFFF)).astype(np.int64)}
+        ))
+    chunks = pd.concat(rows, ignore_index=True)
+    bmin = chunks.groupby(["chunk", "val"])["doc_id"].transform("min")
+    cand = chunks[bmin < chunks["doc_id"]].copy()
+    cand["cand"] = bmin[bmin < chunks["doc_id"]]
+    cand = cand.drop_duplicates(["doc_id", "cand"])
+    sig_of = dict(zip(ids, sv))
+    xor = cand["sig"].to_numpy() ^ np.array([sig_of[c] for c in cand["cand"]], dtype=np.uint64)
+    ham = np.array([int(x).bit_count() for x in xor], dtype=np.int32)
+    cand = cand.assign(hamming=ham)
+    cand = cand[cand["hamming"] <= max_hamming]
+    if len(cand) == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "dup_of": pd.Series([], dtype=np.int64),
+                             "hamming": pd.Series([], dtype=np.int32)})
+    cand = cand.sort_values(["doc_id", "cand", "hamming"])
+    out = cand.groupby("doc_id", sort=False).first().reset_index()
+    return pd.DataFrame(
+        {"doc_id": out["doc_id"].astype(np.int64),
+         "dup_of": out["cand"].astype(np.int64),
+         "hamming": out["hamming"].astype(np.int32)}
     )

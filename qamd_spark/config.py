@@ -59,6 +59,8 @@ RULE_REGISTRY: tuple[RuleSpec, ...] = (
              "Conversation id should match the specified pattern"),
     RuleSpec("role_vocabulary", "metadata", "drop",
              "Turn role should be one of the allowed roles"),
+    RuleSpec("field_length", "metadata", "flag",
+             "Role/tool strings should not exceed the length bound"),
     RuleSpec("empty_turn", "metadata", "drop",
              "Turn text should not be empty or null (system-missing analogue)"),
     RuleSpec("sentinel_text", "metadata", "drop",
@@ -103,6 +105,9 @@ DEFAULT_ODD_CHARS = ["&", "#", "  ", "@", "*", "ç", "ô", "ü"]
 DEFAULT_SETTINGS: dict[str, Any] = {
     "bad_conv_id": r"^[A-Za-z0-9_\-]+$",
     "role_vocabulary": ["user", "assistant", "system", "tool"],
+    # ValueLabelMaxLength analogue for the non-text string fields
+    # (reference src/check/post.rs:132-166 bounds value-label length)
+    "field_length": {"max": 64},
     "empty_turn": True,
     # defined-missing sentinels with no annotation — the transcript analogue
     # of SPSS ValueDefinedMissingNoLabel (reference src/check/value.rs:18-44)
@@ -211,6 +216,9 @@ class QamdConfig:
             if name == "length_bounds":
                 if not (0 <= val["min"] <= val["max"]):
                     raise ConfigError("length_bounds: need 0 <= min <= max")
+            if name == "field_length":
+                if int(val["max"]) < 1:
+                    raise ConfigError("field_length: max must be >= 1")
             if name in ("odd_char_ratio", "stopword_fraction"):
                 if not (0.0 < float(val) <= 1.0):
                     raise ConfigError(f"{name}: must be in (0, 1]")

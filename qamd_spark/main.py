@@ -30,6 +30,9 @@ metadata:
   role_vocabulary:
     setting: [user, assistant, system, tool]
     desc: "Turn role should be one of the allowed roles"
+  field_length:
+    setting: {max: 64}
+    desc: "Role/tool strings should not exceed the length bound"
   empty_turn:
     setting: true
     desc: "Turn text should not be empty or null"

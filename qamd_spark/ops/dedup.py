@@ -209,6 +209,69 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     return docs.select(id_col, text_col).mapInPandas(run, schema=_SIMHASH_SCHEMA)
 
 
+N_SIMHASH_CHUNKS = 4  # 4 x 16-bit chunks: pigeonhole guarantees any pair
+                      # with hamming <= 3 shares at least one chunk exactly
+
+
+def simhash_neardups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Hamming-neighbor join over simhash signatures (the consumer of
+    simhash_signatures): returns (doc_id, dup_of, hamming) with dup_of =
+    the smallest candidate id whose signature is within ``max_hamming``
+    bits (keep-first convention), hamming = that pair's distance.
+
+    Scale shape mirrors minhash_duplicates: band the 64-bit signature
+    into 4 x 16-bit chunks, shuffle on (chunk, value), resolve each
+    bucket to its min doc id with a hash aggregate (NOT an all-pairs
+    bucket self-join — a giant bucket of near-identical boilerplate
+    collapses in the aggregate), then verify candidates exactly with
+    bit_count(xor) <= r after joining the two signatures back.
+    ``max_hamming`` must stay < N_SIMHASH_CHUNKS for exact recall of the
+    banding (pigeonhole); larger radii degrade to candidate recall.
+    """
+    sigs = simhash_signatures(docs, id_col=id_col, text_col=text_col)
+    chunk_structs = [
+        F.struct(
+            F.lit(i).alias("chunk"),
+            F.shiftrightunsigned("simhash", 16 * i)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias("val"),
+        )
+        for i in range(N_SIMHASH_CHUNKS)
+    ]
+    chunks = sigs.select(
+        "doc_id", "simhash", F.explode(F.array(*chunk_structs)).alias("c")
+    ).select("doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
+    bmin = chunks.groupBy("chunk", "val").agg(F.min("doc_id").alias("cand"))
+    cand = (
+        chunks.join(bmin, ["chunk", "val"])
+        .filter(F.col("cand") < F.col("doc_id"))
+        .select("doc_id", "simhash", "cand")
+        .dropDuplicates(["doc_id", "cand"])
+    )
+    cand = cand.join(
+        sigs.select(F.col("doc_id").alias("cand"), F.col("simhash").alias("_sig_b")),
+        "cand",
+    )
+    ham = F.bit_count(F.col("simhash").bitwiseXOR(F.col("_sig_b")))
+    verified = cand.select("doc_id", "cand", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+    return (
+        verified.groupBy("doc_id")
+        .agg(F.min(F.struct("cand", "hamming")).alias("_m"))
+        .select(
+            "doc_id",
+            F.col("_m.cand").alias("dup_of"),
+            F.col("_m.hamming").cast("int").alias("hamming"),
+        )
+    )
+
+
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup keep-first by id order, skew-safe agg+join form (same
     plan as qamd_spark/pipeline.text_stats): min(id) per text collapses

@@ -129,6 +129,17 @@ def rule_conditions(cfg: QamdConfig) -> list[tuple[str, "F.Column"]]:
         conds.append(
             ("role_vocabulary", F.col("role").isNull() | ~F.col("role").isin(*roles))
         )
+    if cfg.enabled("field_length"):
+        # ValueLabelMaxLength analogue for the non-text string fields
+        # (reference src/check/post.rs:132-166); NULL fields are no-hit
+        mx = int(s["field_length"]["max"])
+        conds.append(
+            (
+                "field_length",
+                F.coalesce(F.length("role") > mx, F.lit(False))
+                | F.coalesce(F.length("tool") > mx, F.lit(False)),
+            )
+        )
     add("empty_turn", _is_empty_col(text))
     if cfg.enabled("sentinel_text"):
         # trimmed exact match against the sentinel list (defined-missing

@@ -94,3 +94,47 @@ def test_langid_perplexity_match_shared_scorer(spark, docs_pdf):
     got["doc_id"] = got["doc_id"].astype(str)
     assert (got["lang"].to_numpy() == want["lang"].to_numpy()).all()
     assert (got["ppl"].to_numpy() == want["ppl"].to_numpy()).all()
+
+
+def test_simhash_neardups_match_pandas_twin(spark, docs_df, docs_pdf):
+    got = _sorted(
+        dd.simhash_neardups(docs_df).toPandas(), ["doc_id", "dup_of", "hamming"]
+    )
+    want = _sorted(
+        oracle.simhash_neardups_pdf(docs_pdf), ["doc_id", "dup_of", "hamming"]
+    )
+    assert len(got) > 0  # injected near-dups at sf0.001
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_simhash_neardups_recall_on_near_identical(spark):
+    """Constructed ground truth: pairs differing in 1 of 80 tokens are
+    Hamming-near w.h.p.; unrelated random-vocab docs are far. Verified
+    against exact n-gram Jaccard as the quality baseline."""
+    import random
+
+    rng = random.Random(13)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    rows = []
+    n_pairs = 30
+    for i in range(n_pairs):
+        toks = [rng.choice(vocab) for _ in range(80)]
+        rows.append((2 * i, " ".join(toks)))
+        mut = list(toks)
+        mut[rng.randrange(80)] = rng.choice(vocab)
+        rows.append((2 * i + 1, " ".join(mut)))
+    for j in range(100):  # unrelated background docs
+        rows.append((1000 + j, " ".join(rng.choice(vocab) for _ in range(80))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dd.simhash_neardups(df, max_hamming=3).toPandas()
+    found = {(r.dup_of, r.doc_id) for r in got.itertuples()}
+    planted = {(2 * i, 2 * i + 1) for i in range(n_pairs)}
+    recall = len(found & planted) / n_pairs
+    assert recall >= 0.6, (recall, sorted(found)[:10])
+    # precision vs exact Jaccard: every reported pair must actually be
+    # similar (no random-pair false positives)
+    pdf = df.toPandas()
+    jac = oracle.ngram_jaccard_pdf(
+        pdf, pd.DataFrame({"a": [a for a, _ in found], "b": [b for _, b in found]})
+    )
+    assert (jac["jaccard"] > 0.5).all(), jac[jac["jaccard"] <= 0.5]
