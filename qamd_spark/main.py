@@ -95,6 +95,12 @@ def main(argv: list[str] | None = None) -> int:
     runp.add_argument("--no-checkpoint", action="store_true")
     runp.add_argument("--bucket-batch", type=int, default=16)
     runp.add_argument(
+        "--output-format", choices=("json", "html"), default="json",
+        help="also write summary.html when html (the reference's default "
+             "report format, src/bin/qamd.rs:212; summary.json is always "
+             "written as the machine-readable contract)",
+    )
+    runp.add_argument(
         "-m", "--metadata-only", action="store_true",
         help="suppress locator collection and per-bucket lineage; emit "
              "metadata + pass/fail summary only (reference -m flag, "
@@ -143,6 +149,9 @@ def main(argv: list[str] | None = None) -> int:
             args.summary_json or (args.output + "/summary.json"), "w"
         ) as f:
             f.write(summ)
+        if args.output_format == "html":
+            with open(args.output + "/summary.html", "w") as f:
+                f.write(report.to_html(json.loads(summ)))
         print(json.dumps({"status": "ok", "output": args.output}))
         return 0
     finally:

@@ -165,3 +165,70 @@ def summary_json(
             for r in locators(labeled).collect()
         }
     return json.dumps(doc, indent=2, default=str)
+
+
+def _esc(v) -> str:
+    import html as _html
+
+    return _html.escape(str(v))
+
+
+def to_html(doc: dict) -> str:
+    """HTML report sink (the reference's DEFAULT output format:
+    Report::to_html, src/report/html/mod.rs:19-102 — metadata block, one
+    table per check category, per-check locator tables capped at 1000
+    rows, src/report/html/mod.rs:115). Self-contained (inline CSS, no
+    CDN) so it renders offline; input is the summary_json document dict.
+    """
+    from qamd_spark.config import CATEGORIES
+
+    md = doc.get("metadata", {})
+    summary = doc.get("summary", [])
+    locs = doc.get("locators", {})
+    parts = [
+        "<!DOCTYPE html><html><head><meta charset='utf-8'>",
+        "<title>qamd_spark data health check</title>",
+        "<style>body{font-family:sans-serif;margin:2em}"
+        "table{border-collapse:collapse;margin:1em 0}"
+        "td,th{border:1px solid #999;padding:4px 8px;text-align:left}"
+        "th{background:#eee}.fail{color:#a00;font-weight:bold}"
+        ".pass{color:#080}</style></head><body>",
+        "<h1>Data health check</h1>",
+        "<h2>Metadata</h2><table>",
+    ]
+    for k, v in md.items():
+        parts.append(f"<tr><th>{_esc(k)}</th><td>{_esc(v)}</td></tr>")
+    parts.append("</table>")
+    for cat in CATEGORIES:
+        rows = [r for r in summary if r.get("category") == cat]
+        if not rows:
+            continue
+        parts.append(f"<h2>{_esc(cat.replace('_', ' ').title())}</h2>")
+        parts.append(
+            "<table><tr><th>rule</th><th>description</th><th>action</th>"
+            "<th>pass</th><th>fail</th></tr>"
+        )
+        for r in rows:
+            cls = "fail" if int(r["fail"]) > 0 else "pass"
+            parts.append(
+                f"<tr><td>{_esc(r['rule'])}</td><td>{_esc(r['desc'])}</td>"
+                f"<td>{_esc(r['action'])}</td><td>{int(r['pass'])}</td>"
+                f"<td class='{cls}'>{int(r['fail'])}</td></tr>"
+            )
+        parts.append("</table>")
+    if locs:
+        parts.append("<h2>Locators</h2>")
+        for rule, body in locs.items():
+            first = body.get("first", [])[:LOCATOR_CAP]  # reference cap, html/mod.rs:115
+            parts.append(
+                f"<h3>{_esc(rule)} ({int(body.get('n_fail', len(first)))} failing, "
+                f"first {len(first)} shown)</h3>"
+            )
+            parts.append("<table><tr><th>conv_id</th><th>turn_idx</th></tr>")
+            for conv_id, turn_idx in first:
+                parts.append(
+                    f"<tr><td>{_esc(conv_id)}</td><td>{int(turn_idx)}</td></tr>"
+                )
+            parts.append("</table>")
+    parts.append("</body></html>")
+    return "".join(parts)

@@ -68,3 +68,49 @@ def test_summary_json(labeled):
     doc = json.loads(report.summary_json(lab, cfg, {"source": "synth"}))
     assert doc["metadata"]["source"] == "synth"
     assert len(doc["summary"]) == len(cfg.enabled_rules())
+
+
+def test_html_report_golden(labeled):
+    """HTML sink structure golden (reference Report::to_html,
+    src/report/html/mod.rs:19-102 + golden-string test at :269-290):
+    metadata block, per-category tables, capped locator tables."""
+    import json as _json
+
+    from qamd_spark import report
+
+    lab, cfg = labeled
+    doc = _json.loads(
+        report.summary_json(lab, cfg, {"source": "synth"}, include_locators=True)
+    )
+    html = report.to_html(doc)
+    assert html.startswith("<!DOCTYPE html>")
+    assert "<h2>Metadata</h2>" in html and "synth" in html
+    for cat in ("Basic File Checks", "Data Integrity", "Disclosure Risk", "Quality"):
+        assert f"<h2>{cat}</h2>" in html
+    assert "empty_turn" in html and "<h2>Locators</h2>" in html
+    # locator tables stay capped
+    hit = next(v for v in doc["locators"].values() if v["n_fail"] > 0)
+    assert len(hit["first"]) <= report.LOCATOR_CAP
+    # escaping: no raw angle brackets from data can leak (scan outside tags)
+    import re as _re
+
+    assert not _re.search(r"<td>[^<]*<[^/t]", html)
+
+
+def test_cli_writes_html(tmp_path, synth_path):
+    import json as _json
+    import os
+
+    from qamd_spark import main
+
+    out = str(tmp_path / "html_out")
+    rc = main.main(
+        ["run", "--input", synth_path, "--output", out, "--master", "local[4]",
+         "--no-checkpoint", "--output-format", "html"]
+    )
+    assert rc == 0
+    assert os.path.exists(out + "/summary.json")
+    html = open(out + "/summary.html").read()
+    doc = _json.load(open(out + "/summary.json"))
+    for r in doc["summary"]:
+        assert r["rule"] in html
