@@ -99,6 +99,30 @@ def run_benchmarks() -> dict:
     ).count()
     n_turns = timed("transcript_pipeline", _pipeline)
 
+    # the SHIPPED path: checkpointed bucket-group runner (global stats side
+    # tables + per-group pre-filter + manifested writes). Measured so the
+    # CLI the user actually runs is what the bench grades, not just the
+    # raw plan; with the one-pass stats design this should sit within
+    # ~1.2x of the raw pipeline despite also writing the labeled output.
+    import shutil
+    import tempfile
+
+    ckpt_dir = tempfile.mkdtemp(prefix="qamd_bench_ckpt_")
+
+    def _checkpointed():
+        from qamd_spark import checkpoint
+
+        written = checkpoint.run_with_checkpoints(
+            spark, tpath, ckpt_dir, cfg, bucket_batch=16
+        )
+        return sum(m.n_rows for m in written)
+
+    try:
+        n_ckpt = timed("cli_checkpointed", _checkpointed)
+        assert n_ckpt == n_turns, (n_ckpt, n_turns)
+    finally:
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+
     # operator benchmarks over the driver tables at this SF
     for name in [
         "odd_char_ratio",
@@ -107,6 +131,7 @@ def run_benchmarks() -> dict:
         "summary_report",
         "ann_cosine_topk",
         "minhash_dedup",
+        "simhash_neardup",
         "fingerprint",
     ]:
         q = E.queries()[name]
@@ -122,6 +147,9 @@ def run_benchmarks() -> dict:
         "sf": sf,
         "n_turns": int(n_turns),
         "turns_per_sec": round(n_turns / timings["transcript_pipeline"], 1),
+        "cli_vs_pipeline_ratio": round(
+            timings["cli_checkpointed"] / timings["transcript_pipeline"], 3
+        ),
         "cpus": CPUS,
     }
 
@@ -272,18 +300,36 @@ def run_scaling(trials: int = 2) -> None:
     # pipeline's parallel fraction rather than Amdahl floor effects
     best_eff = max(pairs.values())
     lo, hi = min(p for p, e in pairs.items() if e >= best_eff - 0.05)
-    runs: dict[int, list[dict]] = {lo: [], hi: []}
+    # always ALSO run the fixed fallback pair so the headline can't be
+    # accused of picking the host's most favorable window (the calibrated
+    # pick and the fixed pair are both disclosed)
+    configs = sorted({lo, hi, SCALING_LO, SCALING_HI})
+    runs: dict[int, list[dict]] = {c: [] for c in configs}
     for _ in range(trials):
-        runs[lo].append(_scaling_child(lo))
-        runs[hi].append(_scaling_child(hi))
+        for c in configs:
+            runs[c].append(_scaling_child(c))
     best = {c: min(rs, key=lambda r: r["sec"]) for c, rs in runs.items()}
-    eff = (best[hi]["turns_per_sec"] / best[lo]["turns_per_sec"]) / (hi / lo)
+
+    def _eff(a, b):
+        return (best[b]["turns_per_sec"] / best[a]["turns_per_sec"]) / (b / a)
+
+    eff = _eff(lo, hi)
+    eff_fixed = _eff(SCALING_LO, SCALING_HI)
+    # a true strong-scaling efficiency cannot exceed 1; the excess is host
+    # drift between the two configs' windows — clamp the headline and
+    # disclose the residual
+    eff_headline = min(eff, 1.0)
     ceiling = pairs[(lo, hi)]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     trial_rows = "\n".join(
         f"| {c} cores, trial {i} | {r['sec']} | {r['turns_per_sec']} |"
-        for c in (lo, hi)
+        for c in configs
         for i, r in enumerate(runs[c])
+    )
+    config_rows = "\n".join(
+        f"| {c} cores (pinned) | {best[c]['n_turns']} | {best[c]['sec']} |"
+        f" {best[c]['turns_per_sec']} |"
+        for c in configs
     )
     md = f"""# BENCH/BASELINE.md — two-cluster-size scaling run
 
@@ -299,14 +345,17 @@ reporting min of 2 steady-state runs after a warmup.
 
 | config | turns | wall sec (best) | turns/sec (best) |
 |---|---|---|---|
-| {lo} cores (pinned) | {best[lo]['n_turns']} | {best[lo]['sec']} | {best[lo]['turns_per_sec']} |
-| {hi} cores (pinned) | {best[hi]['n_turns']} | {best[hi]['sec']} | {best[hi]['turns_per_sec']} |
+{config_rows}
 
-**Scaling efficiency ({lo}→{hi} cores, x{hi // lo}): {eff:.3f}**
-(target ≥ 0.8 per BASELINE.json).
-Drift-corrected (÷ same-window hardware ceiling {ceiling:.3f}):
-**{eff / ceiling:.3f}** — values > 1 in either figure indicate residual
-host drift between the two configs' windows, not genuine superlinearity.
+**Scaling efficiency (headline, {lo}→{hi} cores, x{hi // lo}):
+{eff_headline:.3f}** (target ≥ 0.8 per BASELINE.json; raw measured
+{eff:.3f}, clamped at 1.0 — a true strong-scaling efficiency cannot
+exceed 1, any excess is host drift between the two configs' windows).
+Fixed fallback pair {SCALING_LO}→{SCALING_HI}: **{eff_fixed:.3f}** —
+reported alongside the calibrated pick so the headline is not an artifact
+of choosing the host's most favorable window.
+Drift context: same-window pure-CPU hardware ceiling for {lo}→{hi} was
+{ceiling:.3f}.
 
 ## Why {lo}→{hi} (live hardware calibration)
 
@@ -342,10 +391,10 @@ parallelism-invariant by tests/test_pipeline_oracle.py.
             {
                 "pair": [lo, hi],
                 "hardware_ceiling": ceiling,
-                "best_lo": best[lo],
-                "best_hi": best[hi],
-                "scaling_efficiency": round(eff, 3),
-                "scaling_efficiency_drift_corrected": round(eff / ceiling, 3),
+                "best": {str(c): best[c] for c in configs},
+                "scaling_efficiency": round(eff_headline, 3),
+                "scaling_efficiency_raw": round(eff, 3),
+                "scaling_efficiency_fixed_pair": round(eff_fixed, 3),
             }
         )
     )
