@@ -101,45 +101,98 @@ _MINHASH_SCHEMA = T.StructType(
 )
 
 
+def _scatter_indices(offs: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Positions of each doc's items in a packed array with per-doc slots
+    starting at offs: repeat(offs, lens) + intra-doc arange. Pure numpy."""
+    tot = int(lens.sum())
+    if tot == 0:
+        return np.empty(0, dtype=np.int64)
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    intra = np.arange(tot, dtype=np.int64) - np.repeat(starts, lens)
+    return np.repeat(offs, lens) + intra
+
+
+_PERM_CHUNK = 8  # permutations per vector pass (memory: n_shingles x 8 x 8B)
+
+
+def _batch_band_hashes(tok_lists: list) -> np.ndarray:
+    """Vectorized minhash band hashes for a whole batch: (n_docs, N_BANDS)
+    int64 for the docs with tokens (order preserved).
+
+    Whole-batch formulation of the per-doc kernels (the oracle twin in
+    oracle/oracle.py keeps the per-doc path; exact-equality tests pin this
+    vectorization): docs are packed into one zero-padded token-hash
+    array, shingle hashes are computed with K shifted vector ops over the
+    packed array, cross-doc/padding shingle positions are masked to
+    UINT64_MAX (never win a min), and the per-doc permutation minima come
+    from np.minimum.reduceat at the doc offsets — no per-doc Python loop.
+    """
+    docs = [t for t in tok_lists if t]
+    n_docs = len(docs)
+    if n_docs == 0:
+        return np.zeros((0, N_BANDS), dtype=np.int64)
+    lens = np.fromiter((len(t) for t in docs), dtype=np.int64, count=n_docs)
+    pad_lens = np.maximum(lens, _SHINGLE_K)  # short docs zero-pad to 1 shingle
+    offs = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(pad_lens, out=offs[1:])
+    packed = np.zeros(int(offs[-1]), dtype=np.uint64)
+    packed[_scatter_indices(offs[:-1], lens)] = _token_hashes(
+        [w for t in docs for w in t]
+    )
+    n_pos = len(packed) - _SHINGLE_K + 1  # global candidate shingle starts
+    acc = np.zeros(n_pos, dtype=np.uint64)
+    for j in range(_SHINGLE_K):
+        acc = (acc + packed[j : j + n_pos] * _SHINGLE_C[j]) & _MASK
+    sh = _splitmix64(acc)
+    # invalid shingle starts (crossing a doc boundary / inside padding):
+    # doc d's valid range is [offs[d], offs[d] + pad_lens[d] - K + 1)
+    n_valid = pad_lens - _SHINGLE_K + 1
+    inv_start = offs[:-1] + n_valid
+    inv_lens = np.clip(np.minimum(offs[1:], n_pos) - inv_start, 0, None)
+    inv_idx = _scatter_indices(inv_start, inv_lens)
+    sig = np.empty((n_docs, N_PERM), dtype=np.uint64)
+    for p0 in range(0, N_PERM, _PERM_CHUNK):
+        p1 = min(p0 + _PERM_CHUNK, N_PERM)
+        v = (sh[:, None] * _PERM_A[None, p0:p1] + _PERM_B[None, p0:p1]) & _MASK
+        v[inv_idx, :] = _MASK  # masked positions never win the min
+        sig[:, p0:p1] = np.minimum.reduceat(v, offs[:-1], axis=0)
+    # band fold (vectorized _band_hashes)
+    bands = sig.reshape(n_docs, N_BANDS, ROWS_PER_BAND)
+    acc2 = np.zeros((n_docs, N_BANDS), dtype=np.uint64)
+    for j in range(ROWS_PER_BAND):
+        acc2 = (acc2 + bands[:, :, j] * _SHINGLE_C[j % _SHINGLE_K]) & _MASK
+    acc2 = (
+        acc2
+        + np.arange(1, N_BANDS + 1, dtype=np.uint64)[None, :]
+        * np.uint64(0x9E3779B97F4A7C15)
+    ) & _MASK
+    return _splitmix64(acc2).astype(np.int64)
+
+
 def minhash_bands(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """doc → N_BANDS (band, band_hash) rows. Pandas-UDF stage, narrow."""
+    """doc → N_BANDS (band, band_hash) rows. Pandas-UDF stage, narrow;
+    fully batch-vectorized (see _batch_band_hashes)."""
 
     band_idx = np.arange(N_BANDS, dtype=np.int32)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            # batch-level vectorized token hashing, per-doc numpy minhash
             tok_lists = [
                 t.lower().split() if isinstance(t, str) and t else None
                 for t in pdf[text_col]
             ]
-            all_tokens = [t for toks in tok_lists if toks for t in toks]
-            th_all = _token_hashes(all_tokens)
-            ids, hashes = [], []
-            pos = 0
-            for doc_id, toks in zip(pdf[id_col], tok_lists):
-                if not toks:
-                    continue
-                th = th_all[pos : pos + len(toks)]
-                pos += len(toks)
-                sig = _minhash_signature(_shingle_hashes_from_tokens(th))
-                ids.append(doc_id)
-                hashes.append(_band_hashes(sig).astype(np.int64))
-            if ids:
-                out = pd.DataFrame(
-                    {
-                        "doc_id": np.repeat(np.asarray(ids, dtype=np.int64), N_BANDS),
-                        "band": np.tile(band_idx, len(ids)),
-                        "band_hash": np.concatenate(hashes),
-                    }
-                )
-            else:
-                out = pd.DataFrame(
-                    {"doc_id": pd.Series([], dtype="int64"),
-                     "band": pd.Series([], dtype="int32"),
-                     "band_hash": pd.Series([], dtype="int64")}
-                )
-            yield out
+            ids = np.asarray(
+                [d for d, t in zip(pdf[id_col], tok_lists) if t], dtype=np.int64
+            )
+            hashes = _batch_band_hashes(tok_lists)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(ids, N_BANDS),
+                    "band": np.tile(band_idx, len(ids)),
+                    "band_hash": hashes.ravel(),
+                }
+            )
 
     return docs.select(id_col, text_col).mapInPandas(run, schema=_MINHASH_SCHEMA)
 
@@ -174,11 +227,36 @@ _SIMHASH_SCHEMA = T.StructType(
 )
 
 
-def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit simhash over word-unigram hashes (vectorized numpy)."""
+def _batch_simhash(tok_lists: list) -> np.ndarray:
+    """Vectorized 64-bit simhash for a whole batch: int64 per doc (empty
+    docs → 0). Bit votes are summed per doc with np.add.reduceat over the
+    concatenated token-hash array — no per-doc Python loop; bit positions
+    are processed 16 at a time to bound the vote matrix."""
+    n = len(tok_lists)
+    out = np.zeros(n, dtype=np.int64)
+    docs = [(i, t) for i, t in enumerate(tok_lists) if t]
+    if not docs:
+        return out
+    rows = np.fromiter((i for i, _ in docs), dtype=np.int64, count=len(docs))
+    lens = np.fromiter((len(t) for _, t in docs), dtype=np.int64, count=len(docs))
+    starts = np.zeros(len(docs), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    th = _token_hashes([w for _, t in docs for w in t])
+    sig = np.zeros(len(docs), dtype=np.uint64)
+    for b0 in range(0, 64, 16):
+        bit_pos = np.arange(b0, b0 + 16, dtype=np.uint64)
+        bits = ((th[:, None] >> bit_pos[None, :]) & np.uint64(1)).astype(np.int32)
+        ones = np.add.reduceat(bits, starts, axis=0)  # per-doc set-bit counts
+        votes_pos = 2 * ones > lens[:, None]  # majority of tokens set the bit
+        weights = (np.uint64(1) << bit_pos).astype(np.uint64)
+        sig += (votes_pos * weights[None, :]).sum(axis=1, dtype=np.uint64)
+    out[rows] = sig.astype(np.int64)
+    return out
 
-    bit_positions = np.arange(64, dtype=np.uint64)
-    bit_values = (np.uint64(1) << bit_positions).astype(np.uint64)
+
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit simhash over word-unigram hashes (batch-vectorized numpy;
+    exactness vs the per-doc oracle twin pinned in tests)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -186,24 +264,9 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
                 t.lower().split() if isinstance(t, str) and t else None
                 for t in pdf[text_col]
             ]
-            all_tokens = [t for toks in tok_lists if toks for t in toks]
-            th_all = _token_hashes(all_tokens)
-            ids, sigs = [], []
-            pos = 0
-            for doc_id, toks in zip(pdf[id_col], tok_lists):
-                ids.append(doc_id)
-                if not toks:
-                    sigs.append(0)
-                    continue
-                hs = th_all[pos : pos + len(toks)]
-                pos += len(toks)
-                bits = (hs[:, None] >> bit_positions[None, :]) & np.uint64(1)
-                votes = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
-                sig = bit_values[votes > 0].sum(dtype=np.uint64)
-                sigs.append(np.int64(sig))
             yield pd.DataFrame(
-                {"doc_id": np.asarray(ids, dtype=np.int64),
-                 "simhash": np.asarray(sigs, dtype=np.int64)}
+                {"doc_id": pdf[id_col].to_numpy(dtype=np.int64),
+                 "simhash": _batch_simhash(tok_lists)}
             )
 
     return docs.select(id_col, text_col).mapInPandas(run, schema=_SIMHASH_SCHEMA)
