@@ -104,6 +104,23 @@ def q_token_count(spark, sf_dir):
     )
 
 
+# BPE-ish pre-tokenizer classes (disjoint first-character alternatives, so
+# Java regex and RE2 agree without relying on alternation-order semantics):
+# letter runs, digit runs, symbol runs
+BPE_TOK_RX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def q_token_count_bpe(spark, sf_dir):
+    """Token counting with a BPE-style pre-tokenizer regex (letter/digit/
+    symbol runs) — the subword-aware complement of the whitespace count."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.regexp_extract_all(_txt(), F.lit(BPE_TOK_RX), 0))
+        .cast("int")
+        .alias("n_bpe_tok"),
+    )
+
+
 def q_stopword_fraction(spark, sf_dir):
     norm = F.lower(F.regexp_replace(_txt(), PUNCT_CLASS, ""))
     toks = F.split(norm, " ", -1)
@@ -602,6 +619,16 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_winnow(spark, sf_dir):
+    """Winnowing rolling-hash document fingerprints (SIGMOD'03 winnowing;
+    ops/text.winnow_fingerprints — batched masked sliding-window minima).
+    Rows-only in the driver gate; exact vs the pandas twin in
+    tests/test_hash_oracles.py."""
+    from qamd_spark.ops import text as tx
+
+    return tx.winnow_fingerprints(_docs(spark, sf_dir))
+
+
 def q_minhash_dedup(spark, sf_dir):
     from qamd_spark.ops import dedup as dd
 
@@ -648,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "odd_char_ratio": q_odd_char_ratio,
         "length_bounds": q_length_bounds,
         "token_count": q_token_count,
+        "token_count_bpe": q_token_count_bpe,
         "stopword_fraction": q_stopword_fraction,
         "all_stopwords": q_all_stopwords,
         "dedup_exact": q_dedup_exact,
@@ -677,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "field_length": q_field_length,
+        "winnow": q_winnow,
         "ngram_jaccard": q_ngram_jaccard,
         "media_features": q_media_features,
         "frame_plan": q_frame_plan,
@@ -721,6 +750,12 @@ def oracle_sql() -> dict[str, str]:
         "token_count": """
             SELECT doc_id,
                    len(str_split(coalesce(text,''), ' '))::INT AS n_tok
+            FROM documents
+        """,
+        "token_count_bpe": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(coalesce(text,''), '{BPE_TOK_RX}'))::INT
+                     AS n_bpe_tok
             FROM documents
         """,
         "stopword_fraction": f"""

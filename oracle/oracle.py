@@ -278,3 +278,39 @@ def simhash_neardups_pdf(pdf: pd.DataFrame, max_hamming: int = 3,
          "dup_of": out["cand"].astype(np.int64),
          "hamming": out["hamming"].astype(np.int32)}
     )
+
+
+def winnow_pdf(pdf: pd.DataFrame, k: int = 5, w: int = 4,
+               id_col: str = "doc_id", text_col: str = "text") -> pd.DataFrame:
+    """Per-doc loop twin of ops.text.winnow_fingerprints: same k-gram
+    hash kernel (FNV-ish polynomial + splitmix64), independent window
+    selection (explicit truncated windows + leftmost-min scan) in place
+    of the batched masked sliding-window formulation."""
+    from qamd_spark.ops.dedup import _MASK, _splitmix64
+
+    mult = np.uint64(0x100000001B3)
+    rows_id, rows_pos, rows_fp = [], [], []
+    for doc_id, t in zip(pdf[id_col], pdf[text_col]):
+        b = t.lower().encode("utf-8") if isinstance(t, str) else b""
+        if len(b) < k:
+            continue
+        bb = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+        n_kg = len(b) - k + 1
+        acc = np.zeros(n_kg, dtype=np.uint64)
+        for j in range(k):
+            acc = (acc * mult + bb[j : j + n_kg]) & _MASK
+        kh = _splitmix64(acc)
+        seen = set()
+        for s in range(max(n_kg - w + 1, 1)):
+            win = kh[s : min(s + w, n_kg)]
+            pos = s + int(np.argmin(win))  # leftmost min
+            if pos not in seen:
+                seen.add(pos)
+                rows_id.append(doc_id)
+                rows_pos.append(pos)
+                rows_fp.append(np.int64(kh[pos].astype(np.int64)))
+    return pd.DataFrame(
+        {"doc_id": np.asarray(rows_id, dtype=np.int64),
+         "pos": np.asarray(rows_pos, dtype=np.int64),
+         "fp": np.asarray(rows_fp, dtype=np.int64)}
+    )

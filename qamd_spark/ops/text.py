@@ -113,3 +113,109 @@ def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(t).alias("quality"),
         rolling_fingerprint(t).alias("fingerprint64"),
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, "Winnowing:
+# Local Algorithms for Document Fingerprinting", SIGMOD 2003): character
+# k-gram rolling hashes, then the minimum hash of every w-window is
+# selected (leftmost min on ties — deterministic), deduplicated by
+# position. Guarantees any shared substring of length >= w + k - 1
+# contributes a shared fingerprint — the rolling-hash fingerprinting
+# primitive for plagiarism/near-dup detection at corpus scale.
+
+WINNOW_K = 5  # k-gram length (characters)
+WINNOW_W = 4  # window size (k-grams)
+
+
+def _winnow_batch(texts, k=WINNOW_K, w=WINNOW_W):
+    """Vectorized winnowing over a whole batch: returns (row_idx, pos, fp)
+    int64 arrays. Texts are lowercased, encoded to UTF-8 bytes and packed
+    into one array with per-doc slots; k-gram hashes come from k shifted
+    vector ops (splitmix64-mixed polynomial); window minima via a
+    sliding-window view with cross-doc windows excluded by per-doc valid
+    ranges. No per-doc Python loop."""
+    import numpy as np
+
+    from qamd_spark.ops.dedup import (  # shared deterministic kernels
+        _MASK,
+        _scatter_indices,
+        _splitmix64,
+    )
+
+    bs = [t.lower().encode("utf-8") if isinstance(t, str) else b"" for t in texts]
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=len(bs))
+    keep = lens >= k  # docs shorter than one k-gram emit nothing
+    rows_keep = np.flatnonzero(keep)
+    if len(rows_keep) == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z
+    lens = lens[keep]
+    offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    packed = np.frombuffer(b"".join(bs[i] for i in rows_keep), dtype=np.uint8).astype(
+        np.uint64
+    )
+    # polynomial k-gram hash + splitmix64 finalizer, k shifted vector ops
+    n_pos = len(packed) - k + 1
+    mult = np.uint64(0x100000001B3)  # FNV-ish odd multiplier
+    acc = np.zeros(n_pos, dtype=np.uint64)
+    for j in range(k):
+        acc = (acc * mult + packed[j : j + n_pos]) & _MASK
+    kh = _splitmix64(acc)
+    # per-doc k-gram counts and valid window starts
+    n_kg = lens - k + 1  # >= 1 by construction
+    n_win = np.maximum(n_kg - w + 1, 1)  # short docs: one (short) window
+    # mask cross-doc hash positions so they never win a window min
+    inv_start = offs[:-1] + n_kg
+    inv_lens = np.clip(np.minimum(offs[1:], n_pos) - inv_start, 0, None)
+    kh[_scatter_indices(inv_start, inv_lens)] = _MASK
+    # sliding window minima over the global hash array
+    win = np.lib.stride_tricks.sliding_window_view(
+        np.concatenate([kh, np.full(w - 1, _MASK, dtype=np.uint64)]), w
+    )
+    local_arg = win.argmin(axis=1)  # leftmost min (np tie rule), per start
+    # valid window starts per doc: [offs[d], offs[d] + n_win[d])
+    wstarts = _scatter_indices(offs[:-1], n_win)
+    sel_pos = wstarts + local_arg[wstarts]  # global k-gram index of each min
+    sel_doc = np.repeat(np.arange(len(lens), dtype=np.int64), n_win)
+    # dedup consecutive selections of the same position (winnowing emits
+    # each selected k-gram once)
+    first = np.ones(len(sel_pos), dtype=bool)
+    first[1:] = (sel_pos[1:] != sel_pos[:-1]) | (sel_doc[1:] != sel_doc[:-1])
+    sel_pos, sel_doc = sel_pos[first], sel_doc[first]
+    rel_pos = sel_pos - offs[sel_doc]
+    return rows_keep[sel_doc], rel_pos, kh[sel_pos].astype(np.int64)
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """(doc_id, pos, fp) winnowed fingerprint rows per document — narrow
+    Arrow-batched map stage; downstream joins on fp find shared substrings
+    of length >= w + k - 1 across the corpus."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("pos", T.LongType()),
+            T.StructField("fp", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ridx, pos, fp = _winnow_batch(list(pdf[text_col]), k=k, w=w)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)[ridx] if len(ridx) else ridx
+            yield pd.DataFrame({"doc_id": ids, "pos": pos, "fp": fp})
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema=schema)

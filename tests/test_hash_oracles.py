@@ -138,3 +138,34 @@ def test_simhash_neardups_recall_on_near_identical(spark):
         pdf, pd.DataFrame({"a": [a for a, _ in found], "b": [b for _, b in found]})
     )
     assert (jac["jaccard"] > 0.5).all(), jac[jac["jaccard"] <= 0.5]
+
+
+def test_winnow_fingerprints_match_pandas_twin(spark, docs_df, docs_pdf):
+    from qamd_spark.ops import text as tx
+
+    got = _sorted(
+        tx.winnow_fingerprints(docs_df).toPandas(), ["doc_id", "pos", "fp"]
+    )
+    want = _sorted(oracle.winnow_pdf(docs_pdf), ["doc_id", "pos", "fp"])
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    """Winnowing guarantee: documents sharing a substring of length
+    >= w + k - 1 share at least one (fp) fingerprint."""
+    from qamd_spark.ops import text as tx
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, "PREFIX one " + shared + " SUFFIX alpha"),
+        (2, "totally different lead-in " + shared + " and another tail"),
+        (3, "no overlap here at all with anything interesting"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = tx.winnow_fingerprints(df).toPandas()
+    s1 = set(fp[fp.doc_id == 1]["fp"])
+    s2 = set(fp[fp.doc_id == 2]["fp"])
+    s3 = set(fp[fp.doc_id == 3]["fp"])
+    assert s1 & s2
+    assert not (s1 & s3) and not (s2 & s3)
