@@ -377,17 +377,76 @@ def ngram_jaccard_pairs(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            js = []
-            for x, y in zip(pdf["text_a"], pdf["text_b"]):
-                sa = _ngram_set(x, n)
-                sb = _ngram_set(y, n)
-                u = len(sa | sb)
-                js.append(len(sa & sb) / u if u else 1.0)
             out = pdf[["a", "b"]].copy()
-            out["jaccard"] = np.array(js, dtype=np.float64)
+            out["jaccard"] = _batch_jaccard(
+                list(pdf["text_a"]), list(pdf["text_b"]), n
+            )
             yield out
 
     return pairs.mapInPandas(run, schema=schema)
+
+
+def _batch_jaccard(texts_a: list, texts_b: list, n: int) -> np.ndarray:
+    """Exact n-gram Jaccard for aligned text pairs, batch-vectorized.
+
+    Tokens are factorized over the batch and each n-gram packed as a
+    base-V integer (V = #distinct + 1; 1-based digits, absent positions
+    0) — a BIJECTION onto the tuple space (short docs' < n-token tuples
+    occupy distinct lengths, so no collisions; the tuple-set oracle twin
+    in oracle/oracle.py pins equality). Per-pair distinct/union counts
+    come from one lexsort + first-occurrence bincount over the whole
+    batch — no per-pair Python set algebra. Falls back to the tuple-set
+    path on the (unrealistic) V**n overflow."""
+    m = len(texts_a)
+    if m == 0:
+        return np.empty(0, dtype=np.float64)
+    toks = [
+        t.lower().split() if isinstance(t, str) else [] for t in texts_a + texts_b
+    ]
+    all_tok = [w for tl in toks for w in tl]
+    if not all_tok:
+        return np.ones(m, dtype=np.float64)  # both-empty pairs: jaccard 1
+    codes, uniq = pd.factorize(np.asarray(all_tok, dtype=object))
+    V = np.uint64(len(uniq) + 1)
+    if float(V) ** n >= 2.0**63:  # pragma: no cover - ~10^6 distinct @ n=3
+        return np.fromiter(
+            (
+                (len(sa & sb) / u if (u := len((sa := _ngram_set(x, n)) | (sb := _ngram_set(y, n)))) else 1.0)
+                for x, y in zip(texts_a, texts_b)
+            ),
+            dtype=np.float64,
+            count=m,
+        )
+    lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=2 * m)
+    nz = lens > 0
+    pad_lens = np.where(nz, np.maximum(lens, n), 0)
+    offs = np.zeros(2 * m + 1, dtype=np.int64)
+    np.cumsum(pad_lens, out=offs[1:])
+    packed = np.zeros(int(offs[-1]), dtype=np.uint64)
+    packed[_scatter_indices(offs[:-1], lens)] = codes.astype(np.uint64) + np.uint64(1)
+    n_pos = max(len(packed) - n + 1, 0)
+    acc = np.zeros(n_pos, dtype=np.uint64)
+    for j in range(n):
+        acc += packed[j : j + n_pos] * (V ** np.uint64(j))
+    n_grams = np.where(nz, pad_lens - n + 1, 0)
+    gram_row = np.repeat(np.arange(2 * m, dtype=np.int64), n_grams)
+    grams = acc[_scatter_indices(offs[:-1], n_grams)]
+    # distinct grams within each (row, side)
+    order = np.lexsort((grams, gram_row))
+    gr, gv = gram_row[order], grams[order]
+    first = np.ones(len(gr), dtype=bool)
+    first[1:] = (gr[1:] != gr[:-1]) | (gv[1:] != gv[:-1])
+    gr, gv = gr[first], gv[first]
+    pair = gr % m  # rows 0..m-1 = a-side, m..2m-1 = b-side of pair (row % m)
+    d_side = np.bincount(gr, minlength=2 * m)
+    # union per pair: distinct over both sides
+    order2 = np.lexsort((gv, pair))
+    pr, pv = pair[order2], gv[order2]
+    u_first = np.ones(len(pr), dtype=bool)
+    u_first[1:] = (pr[1:] != pr[:-1]) | (pv[1:] != pv[:-1])
+    union = np.bincount(pr[u_first], minlength=m).astype(np.float64)
+    inter = d_side[:m] + d_side[m:] - union
+    return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
 
 
 def _ngram_set(text, n: int) -> set:
