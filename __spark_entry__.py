@@ -546,6 +546,19 @@ def q_embedding_neardup(spark, sf_dir):
     )
 
 
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """Corpus-scale embedding near-dup pairs via whole-table LSH
+    bucketing + exact-cosine verify (ops/similarity.lsh_neardup_pairs) —
+    the scale path that replaces q_embedding_neardup's bounded self-join.
+    Rows-only in the driver gate (recall < 1 by construction); planted-
+    pair recall/precision pinned in tests/test_ops.py."""
+    from qamd_spark.ops import similarity as sim
+
+    return sim.lsh_neardup_pairs(
+        _emb(spark, sf_dir), threshold=0.25, bits=4, n_tables=16, dim=64
+    ).select("vec_id", "dup_of", F.round("sim", 9).alias("sim"))
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate cosine top-k (the 100TB-scale ANN path;
     qamd_spark/ops/similarity.lsh_topk). Rows-only: recall < 1 by
@@ -697,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "locators": q_locators,
         "lineage_counts": q_lineage_counts,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "metadata": q_metadata,
         "ann_lsh_topk": q_ann_lsh_topk,
         "langid_docs": q_langid_docs,

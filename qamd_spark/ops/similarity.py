@@ -128,6 +128,56 @@ def lsh_signatures(
     return df.select(id_col, vec_col).mapInPandas(run, schema=schema)
 
 
+def lsh_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    bits: int = 4,
+    n_tables: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at corpus scale: LSH-bucket
+    the WHOLE table (no query set), resolve each (table, signature)
+    bucket to its min id with a hash aggregate — the same
+    no-all-pairs-bucket-join shape as minhash_duplicates, so a giant
+    bucket of identical boilerplate embeddings collapses in the
+    aggregate — then verify candidates with the exact cosine and keep
+    the smallest passing candidate (keep-first). Returns
+    (vec_id, dup_of, sim); recall < 1 by LSH construction (raise
+    n_tables/lower bits for higher-recall regimes), precision = 1 (exact
+    verify). This replaces the bounded O(N^2) self-join of the
+    embedding_neardup demo as the 100 TB path.
+    """
+    base = emb.select(F.col(id_col).alias("_nid"), _as_double(vec_col).alias("_e"))
+    sigs = lsh_signatures(
+        base, _all_hyperplanes(dim, bits, n_tables), "_nid", "_e", "_nid"
+    )
+    bmin = sigs.groupBy("tbl", "sig").agg(F.min("_nid").alias("_cand"))
+    cand = (
+        sigs.join(bmin, ["tbl", "sig"])
+        .filter(F.col("_cand") < F.col("_nid"))
+        .select("_nid", "_cand")
+        .dropDuplicates(["_nid", "_cand"])
+    )
+    cand = cand.join(base, "_nid").join(
+        base.select(F.col("_nid").alias("_cand"), F.col("_e").alias("_ce")), "_cand"
+    )
+    sim = _dot("_e", "_ce") / (_norm("_e") * _norm("_ce"))
+    verified = cand.select("_nid", "_cand", sim.alias("sim")).filter(
+        F.col("sim") >= threshold
+    )
+    return (
+        verified.groupBy("_nid")
+        .agg(F.min(F.struct("_cand", "sim")).alias("_m"))
+        .select(
+            F.col("_nid").alias(id_col),
+            F.col("_m._cand").alias("dup_of"),
+            F.col("_m.sim").alias("sim"),
+        )
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -181,3 +181,28 @@ def test_lsh_plan_is_compact(spark):
     assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2, plan
     # the literal-array formulation produced a multi-hundred-KB plan
     assert len(plan) < 40_000, len(plan)
+
+
+def test_lsh_neardup_pairs_planted(spark):
+    """Planted near-duplicate embeddings (base + small noise) must be
+    found with high recall; precision is 1 by the exact-cosine verify."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    base = rng.standard_normal((40, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, [float(x) for x in v]))
+        d = v + 0.03 * rng.standard_normal(64)  # noise norm ~0.24 -> cos ~0.97
+        d /= np.linalg.norm(d)
+        rows.append((2 * i + 1, [float(x) for x in d]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = similarity.lsh_neardup_pairs(emb, threshold=0.9, bits=8, n_tables=8).toPandas()
+    found = {(r.dup_of, r.vec_id) for r in got.itertuples()}
+    planted = {(2 * i, 2 * i + 1) for i in range(40)}
+    recall = len(found & planted) / 40
+    assert recall >= 0.9, (recall, sorted(found)[:5])
+    assert (got["sim"] >= 0.9).all()
+    # keep-first: dup_of is always the smaller id
+    assert (got["dup_of"] < got["vec_id"]).all()
