@@ -90,3 +90,72 @@ def stream_label(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_dedup(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stateful cross-batch exact dedup under Structured Streaming: the
+    one cross-row rule the stripped streaming pipeline cannot express is
+    implemented with applyInPandasWithState, keyed on sha2(text) — state
+    per text hash is a single seen-count, so a turn is a duplicate iff
+    any earlier micro-batch (or earlier row of this one, in
+    (conv_id, turn_idx) order) already carried the same text.
+
+    Semantics vs batch keep-first: within the processed prefix of the
+    stream the flags agree with the batch agg+join dedup whenever files
+    arrive in (conv_id, turn_idx) order; under out-of-order arrival
+    "first" means first-SEEN — the standard streaming relaxation,
+    documented here deliberately. Empty/null texts are never duplicates
+    (same as the batch rule). State is one long per distinct text hash:
+    at 10^12 turns the state store shards by the hash key across
+    executors and a hot duplicate text is one state entry, not a skewed
+    partition.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = read_stream(spark, input_path)
+    keyed = src.withColumn(
+        "_h",
+        F.sha2(F.coalesce(F.col("text"), F.lit("")), 256),
+    ).withColumn(
+        "_empty", F.col("text").isNull() | (F.col("text") == F.lit(""))
+    ).groupBy("_h")
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        import numpy as np
+
+        seen = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["conv_id", "turn_idx"])
+            is_dup = (np.arange(len(pdf)) + seen > 0) & ~pdf["_empty"].to_numpy()
+            seen += int((~pdf["_empty"]).sum())
+            out = pdf[["conv_id", "turn_idx"]].copy()
+            out["is_dup"] = is_dup
+            yield out
+        state.update((seen,))
+
+    out = keyed.applyInPandasWithState(
+        fn,
+        outputStructType="conv_id string, turn_idx int, is_dup boolean",
+        stateStructType="seen long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    w = (
+        out.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

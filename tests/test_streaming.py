@@ -65,3 +65,52 @@ def test_streaming_config_strips_cross_row_rules():
     for name in streaming.CROSS_ROW_RULES:
         assert not scfg.enabled(name)
     assert scfg.enabled("pii") and scfg.enabled("langid")
+
+
+def test_stateful_stream_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState dedup: a text first seen in micro-batch A is
+    flagged as duplicate when it reappears in micro-batch B after a
+    restart from the same checkpoint (state survives in the state store)."""
+    import pandas as pd
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def _write(fname, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        for c in ("conv_id", "role", "text", "tool"):
+            pdf[c] = pdf[c].astype("string")
+        pdf.to_parquet(os.path.join(src, fname))
+
+    _write("a.parquet", [
+        ("c1", 0, "user", "hello world", None, None),
+        ("c1", 1, "user", "unique one", None, None),
+        ("c2", 0, "user", "hello world", None, None),  # dup within batch
+        ("c2", 1, "user", "", None, None),             # empty: never dup
+    ])
+    q = streaming.stream_dedup(spark, src, out, ckpt)
+    q.awaitTermination(120)
+
+    _write("b.parquet", [
+        ("c3", 0, "user", "hello world", None, None),  # dup ACROSS batches
+        ("c3", 1, "user", "", None, None),             # empty still never dup
+        ("c3", 2, "user", "fresh text", None, None),
+    ])
+    q2 = streaming.stream_dedup(spark, src, out, ckpt)
+    q2.awaitTermination(120)
+
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["is_dup"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        ("c1", 0): False, ("c1", 1): False,
+        ("c2", 0): True, ("c2", 1): False,
+        ("c3", 0): True, ("c3", 1): False, ("c3", 2): False,
+    }
