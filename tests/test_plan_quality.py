@@ -72,3 +72,30 @@ def test_pipeline_aggregates_are_partial_final(spark, synth_path):
     assert plan.count("HashAggregate") >= 2, plan
     # partial agg emits partial_min/partial_count before the exchange
     assert "partial_" in plan, plan
+
+
+def test_dedup_op_plans_are_partial_agg_and_bounded(spark):
+    """Near-dup operators: bucket resolution must be partial+final hash
+    aggregation (map-side combine collapses hot buckets), plan size stays
+    bounded, and the only SortAggregates are the final min-over-struct
+    picks over VERIFIED candidates (bounded input). The signature
+    mapInPandas appears on both branches (groupBy + join-back) — a
+    documented recompute-over-persist tradeoff for a narrow CPU stage."""
+    from qamd_spark.ops import dedup as dd
+    from qamd_spark.ops import similarity as sim
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cases = {
+        "minhash": (dd.minhash_duplicates(docs), 2, 0),
+        "simhash_neardups": (dd.simhash_neardups(docs), 3, 2),
+        "lsh_neardup_pairs": (sim.lsh_neardup_pairs(emb, threshold=0.25), 2, 2),
+    }
+    for name, (df, max_py, max_sort) in cases.items():
+        plan = _fmt_plan(df)
+        assert "partial_" in plan, name
+        assert plan.count(") HashAggregate") >= 2, name
+        assert len(re.findall(r"\(\d+\) MapInPandas", plan)) <= max_py, name
+        assert plan.count(") SortAggregate") <= max_sort, (name, plan)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert len(plan) < 40_000, (name, len(plan))
