@@ -159,3 +159,50 @@ def stream_dedup(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_windowed_counts(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Watermarked tumbling-window lineage counts over the turn stream:
+    per (window, role) turn/empty counts — the streaming analogue of the
+    per-bucket batch lineage rows. The watermark bounds state (windows
+    older than max(ts) - watermark are finalized and evicted) and defines
+    the late-data contract: rows later than the watermark are dropped,
+    the standard Structured Streaming trade between completeness and
+    unbounded state. Append mode emits each window exactly once, on
+    finalization."""
+    from pyspark.sql import functions as F
+
+    src = read_stream(spark, input_path).withWatermark("ts", watermark)
+    agg = (
+        src.groupBy(F.window("ts", window).alias("w"), "role")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(
+                (F.col("text").isNull() | (F.col("text") == "")).cast("long")
+            ).alias("n_empty"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "role",
+            "n_turns",
+            "n_empty",
+        )
+    )
+    w = (
+        agg.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

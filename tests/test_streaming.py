@@ -114,3 +114,56 @@ def test_stateful_stream_dedup_across_batches(spark, tmp_path):
         ("c2", 0): True, ("c2", 1): False,
         ("c3", 0): True, ("c3", 1): False, ("c3", 2): False,
     }
+
+
+def test_windowed_counts_with_watermark_drop_late(spark, tmp_path):
+    """Tumbling-window counts finalize once the watermark passes; a row
+    arriving in a later batch with a timestamp older than the watermark
+    is dropped (its already-emitted window does not change)."""
+    import pandas as pd
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def _write(fname, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        for c in ("conv_id", "role", "text", "tool"):
+            pdf[c] = pdf[c].astype("string")
+        pdf.to_parquet(os.path.join(src, fname))
+
+    _write("a.parquet", [
+        ("c1", 0, "user", "hi", None, "2024-01-01T00:00:10"),
+        ("c1", 1, "user", "", None, "2024-01-01T00:00:40"),
+        ("c2", 0, "user", "yo", None, "2024-01-01T00:05:00"),  # advances watermark
+    ])
+    q = streaming.stream_windowed_counts(spark, src, out, ckpt)
+    q.awaitTermination(120)
+    first = {
+        (str(r["window_start"]), r["role"]): (r["n_turns"], r["n_empty"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # watermark = 00:05:00 - 2min = 00:03:00 > the first window's end, so
+    # window [00:00, 00:01) finalized with 2 turns / 1 empty
+    assert first[("2024-01-01 00:00:00", "user")] == (2, 1)
+
+    _write("b.parquet", [
+        ("c3", 0, "user", "too late", None, "2024-01-01T00:00:20"),  # < watermark
+        ("c3", 1, "user", "on time", None, "2024-01-01T00:09:00"),
+    ])
+    q2 = streaming.stream_windowed_counts(spark, src, out, ckpt)
+    q2.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["role"]): (r["n_turns"], r["n_empty"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # the late row did NOT reopen the finalized window
+    assert got[("2024-01-01 00:00:00", "user")] == (2, 1)
+    # the on-time row's window [00:09, 00:10) is finalized only when a
+    # later watermark passes; the 00:05 window IS final after batch b
+    assert got[("2024-01-01 00:05:00", "user")] == (1, 0)
