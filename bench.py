@@ -353,7 +353,9 @@ reporting min of 2 steady-state runs after a warmup.
 exceed 1, any excess is host drift between the two configs' windows).
 Fixed fallback pair {SCALING_LO}→{SCALING_HI}: **{eff_fixed:.3f}** —
 reported alongside the calibrated pick so the headline is not an artifact
-of choosing the host's most favorable window.
+of choosing the host's most favorable window (see `BENCH/ANALYSIS.md`
+for the stage-decomposition and bare-kernel controls that bound the
+pipeline's intrinsic scaling loss vs host drift).
 Drift context: same-window pure-CPU hardware ceiling for {lo}→{hi} was
 {ceiling:.3f}.
 
