@@ -92,6 +92,64 @@ def extract_features(
     return media.select(id_col, payload_col).mapInPandas(run, schema=_FEATURES_SCHEMA)
 
 
+_RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    width: int = 32,
+    height: int = 32,
+    decode_stub: bool = True,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Image resize stage: payload → resized payload at (width, height).
+
+    The Spark plumbing is real — binary in/binary out through Arrow
+    batches, image rows only, column-pruned to (id, payload) — while the
+    codec is STUBBED (no PIL in this container): ``decode_stub=True``
+    produces a deterministic strided resample of the raw bytes to
+    width*height bytes, so sizes/shapes flow end-to-end; ``False`` raises
+    where the real ``PIL.Image.open(...).resize(...)`` call would go.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = width * height
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real image resize requires PIL — not available in this "
+                    "container; pass decode_stub=True"
+                )
+            rows = {"media_id": [], "payload": [], "width": [], "height": []}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                if b:
+                    src = np.frombuffer(b, dtype=np.uint8)
+                    idx = np.linspace(0, len(src) - 1, n_out).astype(np.int64)
+                    out = src[idx].tobytes()
+                else:
+                    out = bytes(n_out)
+                rows["media_id"].append(mid)
+                rows["payload"].append(out)
+                rows["width"].append(width)
+                rows["height"].append(height)
+            yield pd.DataFrame(rows)
+
+    return (
+        media.filter(F.col("meta.media_type") == "image")
+        .select(id_col, payload_col)
+        .mapInPandas(run, schema=_RESIZED_SCHEMA)
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one row per planned frame timestamp —
     pure Column math (sequence + explode), the real decode being a later

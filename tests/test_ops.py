@@ -206,3 +206,21 @@ def test_lsh_neardup_pairs_planted(spark):
     assert (got["sim"] >= 0.9).all()
     # keep-first: dup_of is always the smaller id
     assert (got["dup_of"] < got["vec_id"]).all()
+
+
+def test_resize_images_stub(spark):
+    media = multimodal.synth_media(spark, n=12)
+    out = multimodal.resize_images(media, width=8, height=8).toPandas()
+    n_images = media.filter("meta.media_type = 'image'").count()
+    assert len(out) == n_images > 0
+    assert (out["width"] == 8).all() and (out["height"] == 8).all()
+    assert all(len(p) == 64 for p in out["payload"])
+    # deterministic across partitionings
+    out2 = multimodal.resize_images(media.repartition(4), width=8, height=8).toPandas()
+    a = dict(zip(out["media_id"], out["payload"]))
+    b = dict(zip(out2["media_id"], out2["payload"]))
+    assert a == b
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="PIL"):
+        multimodal.resize_images(media, decode_stub=False).collect()

@@ -1,0 +1,95 @@
+"""Property tests (hypothesis): the batch-vectorized kernels must equal
+their per-doc reference formulations on arbitrary unicode input —
+boundary conditions (empty strings, marker/separator bytes, multibyte
+UTF-8, doc-packing edges) are exactly where reduceat/masking bugs live.
+No Spark session needed: these pin the numpy kernels directly.
+"""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from qamd_spark.ops import dedup as dd
+
+TEXTS = st.lists(
+    st.one_of(
+        st.none(),
+        st.text(max_size=60),
+        st.text(alphabet="ab \x01\x00çü日", max_size=30),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(TEXTS)
+def test_batch_minhash_equals_per_doc(texts):
+    tok_lists = [
+        t.lower().split() if isinstance(t, str) and t else None for t in texts
+    ]
+    got = dd._batch_band_hashes(tok_lists)
+    want = []
+    for toks in tok_lists:
+        if not toks:
+            continue
+        th = dd._token_hashes(toks)
+        sig = dd._minhash_signature(dd._shingle_hashes_from_tokens(th))
+        want.append(dd._band_hashes(sig).astype(np.int64))
+    want = np.stack(want) if want else np.zeros((0, dd.N_BANDS), dtype=np.int64)
+    assert got.shape == want.shape
+    assert (got == want).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(TEXTS)
+def test_batch_simhash_equals_per_doc(texts):
+    tok_lists = [
+        t.lower().split() if isinstance(t, str) and t else None for t in texts
+    ]
+    got = dd._batch_simhash(tok_lists)
+    bit_positions = np.arange(64, dtype=np.uint64)
+    bit_values = (np.uint64(1) << bit_positions).astype(np.uint64)
+    for i, toks in enumerate(tok_lists):
+        if not toks:
+            assert got[i] == 0
+            continue
+        hs = dd._token_hashes(toks)
+        bits = (hs[:, None] >> bit_positions[None, :]) & np.uint64(1)
+        votes = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
+        want = np.int64(bit_values[votes > 0].sum(dtype=np.uint64))
+        assert got[i] == want, (i, toks)
+
+
+@settings(max_examples=60, deadline=None)
+@given(TEXTS, TEXTS)
+def test_batch_jaccard_equals_tuple_sets(ta, tb):
+    m = min(len(ta), len(tb))
+    ta, tb = ta[:m], tb[:m]
+    got = dd._batch_jaccard(ta, tb, 3)
+    for x, y, g in zip(ta, tb, got):
+        sa, sb = dd._ngram_set(x, 3), dd._ngram_set(y, 3)
+        u = len(sa | sb)
+        want = len(sa & sb) / u if u else 1.0
+        assert g == want, (x, y, g, want)
+
+
+@settings(max_examples=60, deadline=None)
+@given(TEXTS)
+def test_batch_winnow_equals_per_doc(texts):
+    from oracle import oracle
+    from qamd_spark.ops import text as tx
+
+    ridx, pos, fp = tx._winnow_batch(texts)
+    got = pd.DataFrame({"doc_id": ridx, "pos": pos, "fp": fp})
+    want = oracle.winnow_pdf(
+        pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    )
+    got = got.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    want = want.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    if len(got):
+        assert (got["doc_id"].to_numpy() == want["doc_id"].to_numpy()).all()
+        assert (got["pos"].to_numpy() == want["pos"].to_numpy()).all()
+        assert (got["fp"].to_numpy() == want["fp"].to_numpy()).all()
