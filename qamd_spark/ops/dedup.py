@@ -40,10 +40,32 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
 
 def _token_hashes(tokens: list[str]) -> np.ndarray:
     """Vectorized 64-bit token hashes (pandas SipHash with its fixed
-    default key — deterministic across processes and platforms)."""
+    default key — deterministic across processes and platforms).
+
+    categorize=True (the fast dedup-first path) is only safe when no
+    token embeds a NUL: pandas' categorize factorizes through a C-string
+    hash table that TRUNCATES at \\x00, so 'a' and 'a\\x00' sharing a
+    batch would get the same (first-seen) hash — a batch-composition-
+    dependent result. categorize=False siphashes each element's full
+    bytes and returns identical values for clean tokens, so the hybrid is
+    value-identical and batch-independent."""
     if not tokens:
         return np.empty(0, dtype=np.uint64)
-    return pd.util.hash_array(np.asarray(tokens, dtype=object))
+    cat = not any("\x00" in t for t in tokens)
+    return pd.util.hash_array(np.asarray(tokens, dtype=object), categorize=cat)
+
+
+def _exact_codes(flat: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """factorize with FULL-string equality for NUL-bearing batches
+    (pd.factorize's C-string keys truncate at \\x00, collapsing distinct
+    tokens batch-dependently)."""
+    cmap: dict = {}
+    codes = np.fromiter(
+        (cmap.setdefault(t, len(cmap)) for t in flat),
+        dtype=np.int64,
+        count=len(flat),
+    )
+    return codes, np.asarray(list(cmap), dtype=object)
 
 
 _SHINGLE_K = 5
@@ -406,7 +428,10 @@ def _batch_jaccard(texts_a: list, texts_b: list, n: int) -> np.ndarray:
     all_tok = [w for tl in toks for w in tl]
     if not all_tok:
         return np.ones(m, dtype=np.float64)  # both-empty pairs: jaccard 1
-    codes, uniq = pd.factorize(np.asarray(all_tok, dtype=object))
+    if any("\x00" in w for w in all_tok):  # see _exact_codes
+        codes, uniq = _exact_codes(all_tok)
+    else:
+        codes, uniq = pd.factorize(np.asarray(all_tok, dtype=object))
     V = np.uint64(len(uniq) + 1)
     if float(V) ** n >= 2.0**63:  # pragma: no cover - ~10^6 distinct @ n=3
         return np.fromiter(

@@ -86,12 +86,17 @@ def _token_stats(
         return frac, allstop, rep, oov
     vals = ["" if not isinstance(v, str) else v for v in norm.tolist()]
     # marker char: NOT \x00 — pandas' string hash table C-truncates at
-    # embedded NULs (factorize collides "" with "\x00"); \x01 hashes fine
-    if any("\x01" in v for v in vals):  # rare marker-bearing batch: row-wise
+    # embedded NULs (factorize collides "" with "\x00", and generally any
+    # token with a NUL-extension twin, batch-dependently); \x01 hashes
+    # fine. Batches bearing either byte take the row-wise branch with
+    # exact dict-based codes so token identity uses full strings.
+    if any("\x01" in v or "\x00" in v for v in vals):  # rare batch: row-wise
         toks_per_row = [v.split(" ") for v in vals]
         lens = np.fromiter((len(t) for t in toks_per_row), dtype=np.int64, count=n)
         flat: list[str] = [tok for toks in toks_per_row for tok in toks]
-        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+        from qamd_spark.ops.dedup import _exact_codes
+
+        codes, uniques = _exact_codes(flat)
     else:
         # one C-level split of the " \x01 "-joined batch instead of n
         # Python-level splits + a flatten loop. The marker is always a

@@ -93,3 +93,35 @@ def test_batch_winnow_equals_per_doc(texts):
         assert (got["doc_id"].to_numpy() == want["doc_id"].to_numpy()).all()
         assert (got["pos"].to_numpy() == want["pos"].to_numpy()).all()
         assert (got["fp"].to_numpy() == want["fp"].to_numpy()).all()
+
+
+def test_nul_extension_tokens_are_batch_independent():
+    """Regression (hypothesis-found): pandas' categorize/factorize paths
+    C-truncate at embedded NULs, so 'a' and 'a\\x00' sharing a batch used
+    to hash identically (batch-composition-dependent results). Full-byte
+    hashing must make every kernel independent of batch composition."""
+    # token hashes: alone vs together
+    together = dd._token_hashes(["\x08", "\x08\x00"])
+    assert together[0] == dd._token_hashes(["\x08"])[0]
+    assert together[1] == dd._token_hashes(["\x08\x00"])[0]
+    assert together[0] != together[1]
+    # simhash: per-doc equals batch for the falsifying example
+    got = dd._batch_simhash([["\x08"], ["\x08\x00"]])
+    alone = [dd._batch_simhash([["\x08"]])[0], dd._batch_simhash([["\x08\x00"]])[0]]
+    assert got.tolist() == alone
+    # jaccard: 'the' vs 'the\x00x' are DIFFERENT tokens
+    j = dd._batch_jaccard(["the a b", "the\x00x a b"], ["the\x00x a b", "the\x00x a b"], 3)
+    assert j[0] == 0.0 and j[1] == 1.0
+    # stopword stats: 'the\x00x' must NOT count as the stopword 'the',
+    # regardless of whether bare 'the' shares the batch
+    import pandas as pd
+
+    from qamd_spark import turnscore
+
+    sw = frozenset(["the"])
+    frac_mixed, _, _, _ = turnscore._token_stats(
+        pd.Series(["the", "the\x00x"]), sw
+    )
+    frac_alone, _, _, _ = turnscore._token_stats(pd.Series(["the\x00x"]), sw)
+    assert frac_mixed[1] == frac_alone[0] == 0.0
+    assert frac_mixed[0] == 1.0
