@@ -100,28 +100,45 @@ def run_benchmarks() -> dict:
     n_turns = timed("transcript_pipeline", _pipeline)
 
     # the SHIPPED path: checkpointed bucket-group runner (global stats side
-    # tables + per-group pre-filter + manifested writes). Measured so the
-    # CLI the user actually runs is what the bench grades, not just the
-    # raw plan; with the one-pass stats design this should sit within
-    # ~1.2x of the raw pipeline despite also writing the labeled output.
+    # tables + per-group pre-filter + manifested writes), measured against
+    # the like-for-like single-pass labeled WRITE (both materialize the
+    # output — comparing against the count-only pipeline would charge the
+    # CLI for the write itself). The residual ratio is the price of the
+    # per-group resume granularity: n_groups re-scans of the input, which
+    # on bucket-partitioned (Iceberg) input prune away but on this
+    # unpartitioned local file are full scans.
     import shutil
     import tempfile
 
-    ckpt_dir = tempfile.mkdtemp(prefix="qamd_bench_ckpt_")
+    def _pipeline_write():
+        d = tempfile.mkdtemp(prefix="qamd_bench_pw_")
+        try:
+            out = pipeline.label(spark.read.parquet(tpath), cfg)
+            (
+                pipeline.salted_repartition(out, cfg)
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(d + "/data")
+            )
+            return spark.read.parquet(d + "/data").count()
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
 
     def _checkpointed():
         from qamd_spark import checkpoint
 
-        written = checkpoint.run_with_checkpoints(
-            spark, tpath, ckpt_dir, cfg, bucket_batch=16
-        )
-        return sum(m.n_rows for m in written)
+        d = tempfile.mkdtemp(prefix="qamd_bench_ckpt_")
+        try:
+            written = checkpoint.run_with_checkpoints(
+                spark, tpath, d, cfg, bucket_batch=16
+            )
+            return sum(m.n_rows for m in written)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
 
-    try:
-        n_ckpt = timed("cli_checkpointed", _checkpointed)
-        assert n_ckpt == n_turns, (n_ckpt, n_turns)
-    finally:
-        shutil.rmtree(ckpt_dir, ignore_errors=True)
+    n_pw = timed("pipeline_write", _pipeline_write)
+    n_ckpt = timed("cli_checkpointed", _checkpointed)
+    assert n_ckpt == n_turns == n_pw, (n_ckpt, n_pw, n_turns)
 
     # operator benchmarks over the driver tables at this SF
     for name in [
@@ -148,7 +165,7 @@ def run_benchmarks() -> dict:
         "n_turns": int(n_turns),
         "turns_per_sec": round(n_turns / timings["transcript_pipeline"], 1),
         "cli_vs_pipeline_ratio": round(
-            timings["cli_checkpointed"] / timings["transcript_pipeline"], 3
+            timings["cli_checkpointed"] / timings["pipeline_write"], 3
         ),
         "cpus": CPUS,
     }

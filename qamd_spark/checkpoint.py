@@ -183,8 +183,9 @@ def run_with_checkpoints(
     downstream of the scoring stage, so every group re-scored and
     re-aggregated the whole input — an n_groups-fold recompute.)
 
-    Manifest counts come from reading back the just-written group output
-    (columnar count over keep only), not from re-running the group plan.
+    Manifest counts are collected DURING each group's write via the
+    Observation API (per-bucket conditional sums piggyback on the write
+    job) — no read-back job and no re-run of the group plan.
     """
     cfg = cfg or QamdConfig()
     store = CheckpointStore(out_dir)
@@ -200,10 +201,21 @@ def run_with_checkpoints(
     df = io.read_table(spark, input_path)
     ts, cs = global_stats_tables(spark, df, out_dir, cfg, in_fp, cfg_fp)
     written: list[Manifest] = []
+    from pyspark.sql import Observation
+
     for i in range(0, len(todo), bucket_batch):
         group = todo[i : i + bucket_batch]
         part_in = df.filter(_bucket_col(cfg).isin(group))
         part = pipeline.label(part_in, cfg, text_stats_df=ts, conv_stats_df=cs)
+        obs = Observation(f"qamd-group-{group[0]}")
+        metrics = []
+        for b in group:
+            is_b = F.col("bucket") == F.lit(b)
+            metrics.append(F.sum(is_b.cast("long")).alias(f"n_{b}"))
+            metrics.append(
+                F.sum((is_b & F.col("keep")).cast("long")).alias(f"k_{b}")
+            )
+        part = part.observe(obs, *metrics)
         (
             pipeline.salted_repartition(part, cfg)
             .write.mode("overwrite")
@@ -211,27 +223,15 @@ def run_with_checkpoints(
             .option("partitionOverwriteMode", "dynamic")
             .parquet(store.data_dir)
         )
-        have_parts = any(
-            name.startswith("bucket=") for name in os.listdir(store.data_dir)
-        )
-        counts = (
-            {
-                r["bucket"]: (r["n"], r["k"])
-                for r in spark.read.parquet(store.data_dir)
-                .filter(F.col("bucket").isin(group))  # partition-pruned read-back
-                .groupBy("bucket")
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.sum(F.col("keep").cast("long")).alias("k"),
-                )
-                .collect()
-            }
-            if have_parts
-            else {}
-        )
+        got = obs.get  # collected during the write job, no extra pass
         for b in group:
-            n, k = counts.get(b, (0, 0))
-            m = Manifest(b, int(n), int(k or 0), in_fp, cfg_fp)
+            m = Manifest(
+                b,
+                int(got.get(f"n_{b}") or 0),
+                int(got.get(f"k_{b}") or 0),
+                in_fp,
+                cfg_fp,
+            )
             store.write_manifest(m)
             written.append(m)
         if fail_after_buckets is not None and len(written) >= fail_after_buckets:
