@@ -164,6 +164,7 @@ def run_with_checkpoints(
     cfg: QamdConfig | None = None,
     bucket_batch: int = 8,
     fail_after_buckets: int | None = None,
+    progress: bool = False,
 ) -> list[Manifest]:
     """Label the table and write it bucket-group by bucket-group, manifesting
     each completed bucket. ``fail_after_buckets`` simulates a crash (tests).
@@ -234,6 +235,15 @@ def run_with_checkpoints(
             )
             store.write_manifest(m)
             written.append(m)
+        if progress:
+            # reference -p progress reporting (src/bin/qamd.rs progress
+            # flag); per-group lines instead of a per-cell bar
+            done_n = len(done) + len(written)
+            print(
+                f"[qamd] buckets {done_n}/{cfg.n_buckets} "
+                f"(+{sum(m.n_rows for m in written[-len(group):])} rows)",
+                flush=True,
+            )
         if fail_after_buckets is not None and len(written) >= fail_after_buckets:
             raise RuntimeError(f"simulated crash after {len(written)} buckets")
     return written

@@ -101,6 +101,10 @@ def main(argv: list[str] | None = None) -> int:
              "written as the machine-readable contract)",
     )
     runp.add_argument(
+        "-p", "--progress", action="store_true",
+        help="print per-bucket-group progress lines (reference -p flag)",
+    )
+    runp.add_argument(
         "-m", "--metadata-only", action="store_true",
         help="suppress locator collection and per-bucket lineage; emit "
              "metadata + pass/fail summary only (reference -m flag, "
@@ -131,7 +135,8 @@ def main(argv: list[str] | None = None) -> int:
             )
         else:
             checkpoint.run_with_checkpoints(
-                spark, args.input, args.output, cfg, bucket_batch=args.bucket_batch
+                spark, args.input, args.output, cfg,
+                bucket_batch=args.bucket_batch, progress=args.progress,
             )
         labeled = spark.read.parquet(args.output + "/data")
         if not args.metadata_only:

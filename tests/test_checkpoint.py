@@ -155,3 +155,13 @@ def test_checkpointed_labels_match_direct_label(spark, synth_path, tmp_path, cfg
         got["scrubbed_text"].fillna("<N>").to_numpy()
         == want["scrubbed_text"].fillna("<N>").to_numpy()
     ).all()
+
+
+def test_progress_lines(spark, synth_path, tmp_path, cfg, capsys):
+    checkpoint.run_with_checkpoints(
+        spark, synth_path, str(tmp_path / "out"), cfg, bucket_batch=3, progress=True
+    )
+    out = capsys.readouterr().out
+    lines = [ln for ln in out.splitlines() if ln.startswith("[qamd] buckets")]
+    assert len(lines) == 2  # 6 buckets / batch 3
+    assert "6/6" in lines[-1]
