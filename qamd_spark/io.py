@@ -94,6 +94,30 @@ def write_labeled(df: DataFrame, ref: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).partitionBy("bucket").parquet(ref)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    path: str,
+    n_buckets: int = 64,
+    key: str = "conv_id",
+) -> None:
+    """Write as a bucketed+sorted catalog table (the parquet analogue of
+    Iceberg's bucket(conv_id) partition spec): downstream equi-joins and
+    aggregations on ``key`` between tables bucketed the same way are
+    CO-LOCATED — Catalyst plans them with zero Exchange, which at 10^12
+    turns removes the dominant shuffle from join-heavy audits (see
+    tests/test_plan_quality.py::test_bucketed_join_has_no_exchange).
+    Bucketed writes require the catalog (saveAsTable), not a bare path."""
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .saveAsTable(name)
+    )
+
+
 def table_fingerprint(spark: SparkSession, ref: str) -> str:
     """Input identity for checkpoint manifests: Iceberg snapshot id when
     available, else the parquet file listing hash."""

@@ -99,3 +99,28 @@ def test_dedup_op_plans_are_partial_agg_and_bounded(spark):
         assert plan.count(") SortAggregate") <= max_sort, (name, plan)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
         assert len(plan) < 40_000, (name, len(plan))
+
+
+def test_bucketed_join_has_no_exchange(spark, synth_path, tmp_path):
+    """Two tables bucketed on conv_id join WITHOUT any shuffle: the
+    bucketing metadata satisfies the join's distribution requirement, so
+    the plan has zero Exchange — the co-located-join strategy that removes
+    the dominant shuffle at 10^12-turn scale."""
+    from qamd_spark import io as qio
+
+    df = spark.read.parquet(synth_path)
+    left = df.select("conv_id", "turn_idx", "text")
+    right = df.groupBy("conv_id").count()
+    qio.write_bucketed_table(left, "bt_left", str(tmp_path / "l"), n_buckets=8)
+    qio.write_bucketed_table(right, "bt_right", str(tmp_path / "r"), n_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bt_left").join(spark.table("bt_right"), "conv_id")
+        plan = _fmt_plan(j)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bt_left")
+        spark.sql("DROP TABLE IF EXISTS bt_right")
