@@ -377,6 +377,29 @@ def q_conv_pipeline_sql(spark, sf_dir):
     return j.select("conv", "turn", is_dup.alias("is_dup"), keep.alias("keep"))
 
 
+def q_conv_features(spark, sf_dir):
+    """Grouped-map operator (applyInPandas) over documents-as-conversations
+    (conv = doc_id % 97, role := source): per-conversation turn counts,
+    distinct roles, role-alternation ratio, empty ratio. The DuckDB twin
+    uses window lag — a cross-engine check of the grouped-map path."""
+    from qamd_spark.ops import conversation as cv
+
+    d = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 97).cast("string").alias("conv_id"),
+        F.floor(F.col("doc_id") / 97).cast("int").alias("turn_idx"),
+        F.col("source").alias("role"),
+        "text",
+    )
+    out = cv.conv_features(d)
+    return out.select(
+        F.col("conv_id").cast("long").alias("conv"),
+        "n_turns",
+        "n_roles",
+        "alternation_ratio",
+        "empty_ratio",
+    )
+
+
 def q_text_profile(spark, sf_dir):
     """Text-analysis feature set (qamd_spark/ops/text.py) — all ratios are
     exact-int-derived single divisions, so DuckDB matches bit-for-bit."""
@@ -707,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "custom_regex": q_custom_regex,
         "repetition_ratio": q_repetition_ratio,
         "conv_pipeline_sql": q_conv_pipeline_sql,
+        "conv_features": q_conv_features,
         "locators": q_locators,
         "lineage_counts": q_lineage_counts,
         "embedding_neardup": q_embedding_neardup,
@@ -915,6 +939,27 @@ def oracle_sql() -> dict[str, str]:
                 OR t.n < 2 OR t.n > 8000
               ) AS keep
             FROM t LEFT JOIN fk2 ON t.text = fk2.text JOIN cs ON t.conv = cs.conv
+        """,
+        "conv_features": """
+            WITH t AS (
+              SELECT (doc_id % 97)::BIGINT AS conv,
+                     (doc_id // 97)::BIGINT AS turn,
+                     source AS role,
+                     (text IS NULL OR text = '') AS empty
+              FROM documents),
+            l AS (
+              SELECT conv, turn, role, empty,
+                     lag(role) OVER (PARTITION BY conv ORDER BY turn) AS prev
+              FROM t)
+            SELECT conv,
+                   count(*)::INT AS n_turns,
+                   count(DISTINCT role)::INT AS n_roles,
+                   CASE WHEN count(*) > 1 THEN
+                     sum(CASE WHEN prev IS NOT NULL AND role <> prev
+                              THEN 1 ELSE 0 END)::DOUBLE / (count(*) - 1)
+                   ELSE 0.0 END AS alternation_ratio,
+                   sum(empty::INT)::DOUBLE / count(*) AS empty_ratio
+            FROM l GROUP BY conv
         """,
         "text_profile": f"""
             WITH b AS (

@@ -1,0 +1,73 @@
+"""Conversation-level grouped features via applyInPandas (grouped map).
+
+The per-turn pipeline is deliberately narrow (mapInPandas pass-through);
+some audit features need the WHOLE conversation in turn order — role
+alternation, per-conversation empty ratio, distinct-role counts. Those are
+the natural fit for ``groupBy(conv_id).applyInPandas``: Spark shuffles
+each conversation to one task, the function sees the full ordered group.
+
+Scale notes: groups are conversations (≤ thousands of turns), so group
+state is bounded; a hot conversation is one task but cheap (pure numpy
+over one group). The shuffle is the operator's cost — at 10^12 turns run
+it on the conv_id-bucketed table (io.write_bucketed_table) so the groupBy
+needs no Exchange.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+CONV_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("n_turns", T.IntegerType()),
+        T.StructField("n_roles", T.IntegerType()),
+        T.StructField("alternation_ratio", T.DoubleType()),
+        T.StructField("empty_ratio", T.DoubleType()),
+    ]
+)
+
+
+def conv_features(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per conversation: turn count, distinct roles, fraction of
+    consecutive turn pairs that switch roles (0.0 for single-turn convs),
+    empty-turn fraction. All ratios are exact small-int divisions, so the
+    SQL window-lag twin matches bit-for-bit. NULL-role semantics: a
+    transition to/from a NULL role counts as a switch here (elementwise
+    !=), while a SQL `role <> prev` would skip it — the driver oracle
+    exercises the null-free case; pick one convention before relying on
+    null-role alternation."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(turn_col)
+        n = len(pdf)
+        roles = pdf[role_col].to_numpy(dtype=object)
+        text = pdf[text_col]
+        switches = (
+            int((roles[1:] != roles[:-1]).sum()) if n > 1 else 0
+        )
+        return pd.DataFrame(
+            {
+                "conv_id": [pdf[conv_col].iloc[0]],
+                "n_turns": np.int32(n),
+                # distinct NON-NULL roles (matches SQL COUNT(DISTINCT ...))
+                "n_roles": np.int32(pd.unique(roles[pd.notna(roles)]).size),
+                "alternation_ratio": float(switches) / (n - 1) if n > 1 else 0.0,
+                "empty_ratio": float((text.isna() | (text == "")).sum()) / n,
+            }
+        )
+
+    return (
+        df.select(conv_col, turn_col, role_col, text_col)
+        .groupBy(conv_col)
+        .applyInPandas(fn, schema=CONV_FEATURES_SCHEMA)
+    )

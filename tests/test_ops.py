@@ -224,3 +224,26 @@ def test_resize_images_stub(spark):
 
     with _pytest.raises(Exception, match="PIL"):
         multimodal.resize_images(media, decode_stub=False).collect()
+
+
+def test_conv_features_grouped_map(spark):
+    from qamd_spark.ops import conversation as cv
+
+    rows = [
+        ("c1", 0, "user", "hi"),
+        ("c1", 1, "assistant", "hello"),
+        ("c1", 2, "assistant", ""),
+        ("c1", 3, "user", "bye"),
+        ("c2", 0, "user", "solo"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    out = {r["conv_id"]: r for r in cv.conv_features(df).collect()}
+    c1 = out["c1"]
+    assert c1["n_turns"] == 4 and c1["n_roles"] == 2
+    assert c1["alternation_ratio"] == 2 / 3  # u->a, a->a, a->u
+    assert c1["empty_ratio"] == 0.25
+    c2 = out["c2"]
+    assert c2["n_turns"] == 1 and c2["alternation_ratio"] == 0.0
+    # order independence: shuffled input gives identical features
+    out2 = {r["conv_id"]: r for r in cv.conv_features(df.orderBy(F.rand(7))).collect()}
+    assert {k: tuple(v) for k, v in out.items()} == {k: tuple(v) for k, v in out2.items()}
