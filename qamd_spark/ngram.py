@@ -124,6 +124,9 @@ def score_texts(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     starts = np.minimum(offsets[:-1], len(hashes) - 1)
     counts = np.add.reduceat(valid.astype(np.int64), starts)
     vf = valid.astype(np.float64)
+    # NB: keep the per-language 1-D gather+reduceat loop — a single
+    # (n, n_langs) gather with an axis-0 reduceat measured 4.5x SLOWER
+    # (2-D reduceat's segment loop is not vectorized over columns)
     lang_sums = np.empty((len(LANGS), n), dtype=np.float64)
     for li in range(len(LANGS)):
         lp = LANG_TABLES[li][hashes] * vf
