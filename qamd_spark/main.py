@@ -90,6 +90,11 @@ def main(argv: list[str] | None = None) -> int:
     runp.add_argument("--input", required=True)
     runp.add_argument("--output", required=True)
     runp.add_argument("--config", default=None)
+    runp.add_argument(
+        "--base64-config", default=None,
+        help="rules.yaml as a base64-encoded string (reference --base64 "
+             "flag, src/bin/qamd.rs:200-207); --config takes precedence",
+    )
     runp.add_argument("--master", default=None)
     runp.add_argument("--summary-json", default=None)
     runp.add_argument("--no-checkpoint", action="store_true")
@@ -117,7 +122,14 @@ def main(argv: list[str] | None = None) -> int:
         sys.stdout.write(DEFAULT_YAML)
         return 0
 
-    cfg = C.from_yaml(args.config) if args.config else C.QamdConfig()
+    if args.config:
+        cfg = C.from_yaml(args.config)
+    elif args.base64_config:
+        import base64
+
+        cfg = C.from_yaml(base64.b64decode(args.base64_config).decode("utf-8"))
+    else:
+        cfg = C.QamdConfig()
     from pyspark.sql import SparkSession
 
     # getOrCreate may hand back a session owned by an embedding application

@@ -105,3 +105,18 @@ def test_default_run_emits_locators(tmp_path, synth_path):
     assert hit_rules  # synth data contains empty turns
     for v in doc["locators"].values():
         assert len(v["first"]) <= 1000
+
+
+def test_base64_config(tmp_path, synth_path):
+    import base64
+
+    out = str(tmp_path / "b64")
+    enc = base64.b64encode(SMALL_YAML.encode()).decode()
+    rc = main.main(
+        ["run", "--input", synth_path, "--output", out, "--master", "local[4]",
+         "--no-checkpoint", "--metadata-only", "--base64-config", enc]
+    )
+    assert rc == 0
+    with open(out + "/summary.json") as f:
+        doc = json.load(f)
+    assert {s["rule"] for s in doc["summary"]} == {"empty_turn", "length_bounds"}
