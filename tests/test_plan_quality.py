@@ -124,3 +124,35 @@ def test_bucketed_join_has_no_exchange(spark, synth_path, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bt_left")
         spark.sql("DROP TABLE IF EXISTS bt_right")
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The skew story relies on AQE's skew-join for the joins the salting
+    doesn't cover: verify it actually engages. A hot key (50k of 60k rows)
+    under lowered thresholds must produce skew=true sides in the EXECUTED
+    adaptive SortMergeJoin plan."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 60000).select(
+            F.when(F.col("id") < 50000, 0).otherwise(F.col("id") % 100).alias("k"),
+            F.concat(F.lit("x" * 200), F.col("id").cast("string")).alias("pay"),
+        )
+        right = spark.range(0, 100).select(
+            F.col("id").alias("k"), F.lit("dim").alias("d")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 60000
+        plan = _fmt_plan(j)
+        assert "isFinalPlan=true" in plan
+        assert len(re.findall(r"skew=true", plan)) >= 1, plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
