@@ -130,3 +130,73 @@ def test_dedup_keep_first(spark):
     )
     dup = [("duplicate_turn" in h) for h in out["rule_hits"]]
     assert dup == [False, True, True, False]  # keep-first under (conv_id, turn_idx)
+
+
+def test_adversarial_texts_exact_parity(spark, tmp_path):
+    """Pipeline vs oracle on adversarial rows the synth generator never
+    emits: NUL bytes, the \\x01 marker, NUL-extension token twins (the
+    pandas C-truncation class), unicode whitespace, huge token repeats,
+    null roles/tools, cross-conversation duplicate texts, lone surrogates
+    excluded (not valid parquet UTF-8)."""
+    import pandas as pd
+
+    rows = []
+    texts = [
+        "the\x00x a b and more words here to pass length",
+        "the a b and more words here to pass length",
+        "contains \x01 marker token and some other words",
+        "tab\tseparated unicode spaces inside this text",
+        "dup across convs dup across convs dup across convs",
+        "dup across convs dup across convs dup across convs",
+        ("spam " * 50).strip(),
+        "email me at alice\x00bob@example.org maybe",
+        "normal sentence with a real email bob@example.org inside",
+        "",
+        "x",
+        None,
+        "N/A",
+        "word \x00 word",
+        "tail nul\x00",
+    ]
+    for i, t in enumerate(texts):
+        rows.append(
+            {
+                "conv_id": f"adv{i % 5}",
+                "turn_idx": np.int32(i),
+                "role": None if i % 7 == 3 else "user",
+                "text": t,
+                "tool": None if i % 2 else "t" * (i * 8),  # crosses field_length
+                "ts": pd.NaT,
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    p = str(tmp_path / "adv.parquet")
+    pdf2 = pdf.copy()
+    pdf2["ts"] = pd.to_datetime(pdf2["ts"]).astype("datetime64[us]")
+    for c in ("conv_id", "role", "text", "tool"):
+        pdf2[c] = pdf2[c].astype("string")
+    pdf2.to_parquet(p)
+
+    cfg = QamdConfig()
+    sp = (
+        pipeline.label(spark.read.parquet(p).repartition(4), cfg)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    orc = (
+        oracle.label_pdf(pdf, cfg)
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(sp) == len(orc) == len(texts)
+    assert (sp["keep"].to_numpy() == orc["keep"].to_numpy(dtype=bool)).all()
+    a = sp["scrubbed_text"].fillna("<N>").to_numpy()
+    b = orc["scrubbed_text"].fillna("<N>").to_numpy()
+    assert (a == b).all(), list(zip(a, b))
+    for x, y in zip(sp["rule_hits"], orc["rule_hits"]):
+        assert list(x) == list(y), (x, y)
+    # the NUL-extension token must NOT count as the stopword 'the'
+    i = int(np.flatnonzero(sp["text"].fillna("") == texts[0])[0])
+    j = int(np.flatnonzero(sp["text"].fillna("") == texts[1])[0])
+    assert sp["stopword_fraction"][i] < sp["stopword_fraction"][j]
