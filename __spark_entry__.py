@@ -377,6 +377,35 @@ def q_conv_pipeline_sql(spark, sf_dir):
     return j.select("conv", "turn", is_dup.alias("is_dup"), keep.alias("keep"))
 
 
+def q_token_topk(spark, sf_dir):
+    """Corpus-wide heavy hitters: top-50 whitespace tokens by frequency
+    (partial+final hash agg, then TakeOrdered — no global sort of the
+    full token table). Deterministic ties: (count desc, token asc)."""
+    toks = F.explode(F.split(F.lower(_txt()), r"\s+", -1)).alias("tok")
+    return (
+        _docs(spark, sf_dir)
+        .select(toks)
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(50)
+    )
+
+
+def q_length_histogram(spark, sf_dir):
+    """Power-of-2 text-length histogram (corpus shape analytics)."""
+    n = F.length(_txt())
+    bucket = F.when(n == 0, F.lit(-1)).otherwise(
+        F.floor(F.log2(n.cast("double"))).cast("long")
+    )
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(bucket.alias("log2_len"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def q_conv_features(spark, sf_dir):
     """Grouped-map operator (applyInPandas) over documents-as-conversations
     (conv = doc_id % 97, role := source): per-conversation turn counts,
@@ -731,6 +760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ratio": q_repetition_ratio,
         "conv_pipeline_sql": q_conv_pipeline_sql,
         "conv_features": q_conv_features,
+        "token_topk": q_token_topk,
+        "length_histogram": q_length_histogram,
         "locators": q_locators,
         "lineage_counts": q_lineage_counts,
         "embedding_neardup": q_embedding_neardup,
@@ -939,6 +970,21 @@ def oracle_sql() -> dict[str, str]:
                 OR t.n < 2 OR t.n > 8000
               ) AS keep
             FROM t LEFT JOIN fk2 ON t.text = fk2.text JOIN cs ON t.conv = cs.conv
+        """,
+        "token_topk": r"""
+            WITH toks AS (
+              SELECT unnest(regexp_split_to_array(lower(coalesce(text,'')), '\s+')) AS tok
+              FROM documents)
+            SELECT tok, count(*)::BIGINT AS n
+            FROM toks WHERE tok <> ''
+            GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 50
+        """,
+        "length_histogram": """
+            SELECT CASE WHEN length(coalesce(text,'')) = 0 THEN -1
+                        ELSE floor(log2(length(coalesce(text,''))::DOUBLE))::BIGINT
+                   END AS log2_len,
+                   count(*)::BIGINT AS n_docs
+            FROM documents GROUP BY 1
         """,
         "conv_features": """
             WITH t AS (
