@@ -33,16 +33,21 @@ def label_pdf(pdf: pd.DataFrame, cfg: QamdConfig | None = None) -> pd.DataFrame:
     empty = _is_empty(text)
     nonempty = ~empty
 
-    # cross-row stats (the Spark agg+join analogues)
+    # cross-row stats (the Spark agg+join analogues). Group on UTF-8
+    # ENCODED text: pandas' str hash table C-truncates at embedded NULs
+    # (so 'a' and 'a\x00' would merge, unlike Spark's full-string
+    # equality); bytes keys go through the PyObject table with full-byte
+    # hashing.
     ne = out[nonempty.to_numpy()]
-    grp = ne.groupby("text", sort=False)
+    gkey = ne["text"].str.encode("utf-8")
+    grp = ne.groupby(gkey, sort=False)
     occ = grp["conv_id"].transform("size")
     text_occ = pd.Series(np.zeros(len(out), dtype=np.int64), index=out.index)
     text_occ[nonempty] = occ.astype(np.int64)
     # keep-first under (conv_id, turn_idx): min of the tuple per text group
     keys = list(zip(ne["conv_id"], ne["turn_idx"]))
     first = (
-        pd.DataFrame({"text": ne["text"].to_numpy(), "key": keys})
+        pd.DataFrame({"text": gkey.to_numpy(), "key": keys})
         .groupby("text", sort=False)["key"]
         .transform("min")
     )

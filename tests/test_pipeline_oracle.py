@@ -200,3 +200,66 @@ def test_adversarial_texts_exact_parity(spark, tmp_path):
     i = int(np.flatnonzero(sp["text"].fillna("") == texts[0])[0])
     j = int(np.flatnonzero(sp["text"].fillna("") == texts[1])[0])
     assert sp["stopword_fraction"][i] < sp["stopword_fraction"][j]
+
+
+def test_seeded_fuzz_corpus_exact_parity(spark, tmp_path):
+    """500 seeded-random rows over mixed alphabets (ascii, punctuation,
+    control bytes, accented, CJK, emoji, whitespace runs) — one Spark run
+    vs the oracle, exact keep/scrub/rule_hits parity."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(20260817)
+    alphabets = [
+        "abcdefghij ",
+        "the a and of to in is it ",
+        "x@3.!? #&*ç ",
+        "日本語テキスト ",
+        "données déjà vu ",
+        "a\x00b \x01 \t\n",
+        "fraktz bob@x.io 077 1234 5678 ",
+    ]
+    rows = []
+    for i in range(500):
+        al = rng.choice(alphabets)
+        t = "".join(rng.choice(al) for _ in range(rng.randrange(0, 120)))
+        if rng.random() < 0.05:
+            t = None
+        rows.append(
+            {
+                "conv_id": f"f{rng.randrange(40)}",
+                "turn_idx": np.int32(i),
+                "role": rng.choice(["user", "assistant", None, "robot"]),
+                "text": t,
+                "tool": rng.choice([None, "search", "t" * 100]),
+                "ts": pd.NaT,
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    w = pdf.copy()
+    w["ts"] = pd.to_datetime(w["ts"]).astype("datetime64[us]")
+    for c in ("conv_id", "role", "text", "tool"):
+        w[c] = w[c].astype("string")
+    p = str(tmp_path / "fuzz.parquet")
+    w.to_parquet(p)
+
+    cfg = QamdConfig()
+    sp = (
+        pipeline.label(spark.read.parquet(p).repartition(8), cfg)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    orc = (
+        oracle.label_pdf(pdf, cfg)
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(sp) == len(orc) == 500
+    assert (sp["keep"].to_numpy() == orc["keep"].to_numpy(dtype=bool)).all()
+    a = sp["scrubbed_text"].fillna("<N>").to_numpy()
+    b = orc["scrubbed_text"].fillna("<N>").to_numpy()
+    assert (a == b).all()
+    for x, y in zip(sp["rule_hits"], orc["rule_hits"]):
+        assert list(x) == list(y), (x, y)
