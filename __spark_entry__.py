@@ -611,6 +611,25 @@ def q_embedding_neardup_lsh(spark, sf_dir):
     ).select("vec_id", "dup_of", F.round("sim", 9).alias("sim"))
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed approximate cosine top-k (the clustered-corpus scale
+    path; ops/similarity.ivf_train/ivf_topk — deterministic Lloyd
+    iterations, driver-coordinated). Rows-only: recall < 1 by
+    construction; clustered-data recall pinned in tests/test_ops.py."""
+    from qamd_spark.ops import similarity as sim
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    cent = sim.ivf_train(emb, n_clusters=16, n_iters=2)
+    out = sim.ivf_topk(emb, q, cent, k=10, n_probe=8)
+    return out.select(
+        "qid", "neighbor", F.round("sim", 9).alias("sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate cosine top-k (the 100TB-scale ANN path;
     qamd_spark/ops/similarity.lsh_topk). Rows-only: recall < 1 by
@@ -768,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "metadata": q_metadata,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "langid_docs": q_langid_docs,
         "transcript_pipeline": q_transcript_pipeline,
         "minhash_dedup": q_minhash_dedup,

@@ -178,6 +178,117 @@ def lsh_neardup_pairs(
     )
 
 
+def _assign_stage(df, cent: np.ndarray, id_out: str, vec_col: str):
+    """(id, cluster) rows: nearest centroid by cosine, one Arrow-batched
+    matmul per batch (centroid matrix in the closure — broadcast-style)."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    C = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    schema = T.StructType(
+        [T.StructField(id_out, T.LongType()), T.StructField("cluster", T.IntegerType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf.iloc[:, 1]])
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            yield pd.DataFrame(
+                {
+                    id_out: pdf.iloc[:, 0].to_numpy(dtype=np.int64),
+                    "cluster": (Vn @ C.T).argmax(axis=1).astype(np.int32),
+                }
+            )
+
+    return df.select(df.columns[0], vec_col).mapInPandas(run, schema=schema)
+
+
+def ivf_train(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: spherical k-means via Lloyd
+    iterations expressed as DataFrame jobs. Init = the vectors with the
+    ``n_clusters`` smallest ids (deterministic, no RNG); each iteration is
+    assign (Arrow matmul stage) → posexplode → groupBy(cluster, pos)
+    avg — all partial-aggregated — with only the (n_clusters × dim)
+    centroid matrix collected to the driver between iterations (the
+    classic driver-coordinated iterative-algorithm shape; the data never
+    leaves executors).
+    """
+    base = emb.select(F.col(id_col).alias("_nid"), _as_double(vec_col).alias("_e"))
+    seeds = base.orderBy("_nid").limit(n_clusters).collect()
+    cent = np.stack([np.asarray(r["_e"], dtype=np.float64) for r in seeds])
+    for _ in range(n_iters):
+        assigned = _assign_stage(base, cent, "_nid", "_e").join(base, "_nid")
+        sums = (
+            assigned.select("cluster", F.posexplode("_e").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        new = cent.copy()
+        acc: dict = {}
+        for r in sums:
+            acc.setdefault(r["cluster"], {})[r["pos"]] = r["s"] / r["c"]
+        for cl, d in acc.items():
+            new[cl] = [d[p] for p in range(len(d))]
+        cent = new
+    return cent
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    cent: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qe",
+) -> DataFrame:
+    """IVF approximate cosine top-k: corpus rows carry their coarse
+    cluster; each query probes its ``n_probe`` nearest clusters and
+    rescored exactly only within them. Complements lsh_topk: IVF wins on
+    CLUSTERED corpora (candidate set ~ n_probe/n_clusters of the data),
+    LSH on uniform ones, and both replace the O(N·Q) crossJoin. Returns
+    (qid, neighbor, sim, rank); recall < 1 by construction.
+    """
+    e_base = emb.select(F.col(id_col).alias("_nid"), _as_double(vec_col).alias("_e"))
+    q_base = queries.select(F.col(qid_col).alias("qid"), _as_double(qvec_col).alias("_q"))
+    e = _assign_stage(e_base, cent, "_nid", "_e").join(e_base, "_nid")
+    # queries are few: probe list computed driver-side from the collected
+    # query vectors (deterministic), then broadcast-joined on cluster
+    qrows = q_base.collect()
+    Cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    probes = []
+    for r in qrows:
+        qv = np.asarray(r["_q"], dtype=np.float64)
+        qv = qv / max(np.linalg.norm(qv), 1e-12)
+        order = np.argsort(-(Cn @ qv), kind="stable")[:n_probe]
+        probes.extend((int(r["qid"]), int(c)) for c in order)
+    spark = emb.sparkSession
+    probe_df = spark.createDataFrame(probes, "qid long, cluster int")
+    cand = e.join(F.broadcast(probe_df), "cluster").join(
+        F.broadcast(q_base), "qid"
+    ).filter(F.col("_nid") != F.col("qid"))
+    sim = _dot("_e", "_q") / (_norm("_e") * _norm("_q"))
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("neighbor"))
+    return (
+        cand.select("qid", F.col("_nid").alias("neighbor"), sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     queries: DataFrame,

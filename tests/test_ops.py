@@ -247,3 +247,37 @@ def test_conv_features_grouped_map(spark):
     # order independence: shuffled input gives identical features
     out2 = {r["conv_id"]: r for r in cv.conv_features(df.orderBy(F.rand(7))).collect()}
     assert {k: tuple(v) for k, v in out.items()} == {k: tuple(v) for k, v in out2.items()}
+
+
+def test_ivf_topk_on_clustered_data(spark):
+    """IVF must achieve high recall on a clustered corpus with few probes
+    (its design regime); sims must be exact where pairs overlap brute
+    force."""
+    rng = np.random.RandomState(3)
+    centers = rng.standard_normal((4, 64)) * 3
+    rows = []
+    vid = 0
+    for ci in range(4):
+        for _ in range(60):
+            v = centers[ci] + rng.standard_normal(64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id").isin([0, 61, 122, 183])).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    cent = similarity.ivf_train(emb, n_clusters=4, n_iters=2)
+    assert cent.shape == (4, 64)
+    approx = similarity.ivf_topk(emb, q, cent, k=5, n_probe=2).toPandas()
+    exact = similarity.brute_force_topk(emb, q, k=5).toPandas()
+    hits = 0
+    for qid in exact["qid"].unique():
+        e = set(exact[exact["qid"] == qid]["neighbor"])
+        a = set(approx[approx["qid"] == qid]["neighbor"])
+        hits += len(e & a)
+    assert hits / len(exact) >= 0.9, hits / len(exact)
+    merged = approx.merge(exact, on=["qid", "neighbor"], suffixes=("_a", "_e"))
+    assert np.allclose(merged["sim_a"], merged["sim_e"], rtol=0, atol=0)
+    # determinism: same centroids on re-train
+    cent2 = similarity.ivf_train(emb, n_clusters=4, n_iters=2)
+    assert (cent == cent2).all()
