@@ -120,3 +120,29 @@ def test_base64_config(tmp_path, synth_path):
     with open(out + "/summary.json") as f:
         doc = json.load(f)
     assert {s["rule"] for s in doc["summary"]} == {"empty_turn", "length_bounds"}
+
+
+def test_checkpointed_run_over_csv_source(spark, tmp_path):
+    """CSV source through the checkpointed runner (csv: ref + fingerprint
+    prefix-stripping + stats side tables)."""
+    from qamd_spark import checkpoint, config as C
+    from qamd_spark.config import QamdConfig
+
+    body = "conv_id,turn_idx,role,text,tool,ts\n" + "\n".join(
+        f"c{i % 4},{i // 4},user,row number {i} text body,," for i in range(40)
+    ) + "\nc9,0,user,,,\n"
+    p = str(tmp_path / "in.csv")
+    with open(p, "w") as f:
+        f.write(body)
+    settings = {name: None for name in C.RULE_BY_NAME}
+    settings.update({"empty_turn": True, "duplicate_turn": True,
+                     "conv_missing_fraction": 25})
+    cfg = QamdConfig(settings=settings, n_buckets=4)
+    out = str(tmp_path / "out")
+    written = checkpoint.run_with_checkpoints(spark, "csv:" + p, out, cfg, bucket_batch=2)
+    assert sum(m.n_rows for m in written) == 41
+    got = spark.read.parquet(out + "/data")
+    assert got.count() == 41
+    # the empty row was classified missing and dropped; c9 is 100% empty
+    kept = {r["conv_id"] for r in got.filter("keep").collect()}
+    assert "c9" not in kept and "c0" in kept
