@@ -24,7 +24,6 @@ import json
 import os
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from qamd_spark.config import QamdConfig
