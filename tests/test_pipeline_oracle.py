@@ -263,3 +263,44 @@ def test_seeded_fuzz_corpus_exact_parity(spark, tmp_path):
     assert (a == b).all()
     for x, y in zip(sp["rule_hits"], orc["rule_hits"]):
         assert list(x) == list(y), (x, y)
+
+
+def test_empty_input_and_megarow(spark, tmp_path):
+    """Degenerate inputs: an empty table labels to an empty frame with the
+    full schema; a 200 KB single-turn text flows through every stage (Arrow
+    batching, scrub, langid) and is dropped by length_bounds."""
+    import pandas as pd
+
+    from qamd_spark import schema as S
+
+    cfg = QamdConfig()
+    empty = spark.createDataFrame([], schema=S.TRANSCRIPT_SCHEMA)
+    out = pipeline.label(empty, cfg)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        f.name for f in S.LABELED_SCHEMA.fields
+    ]
+
+    mega = "word " * 40_000 + "tail bob@example.org"  # ~200KB, PII at the end
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["m1", "m1"],
+            "turn_idx": np.array([0, 1], dtype="int32"),
+            "role": ["user", "user"],
+            "text": [mega, "a normal short turn for contrast"],
+            "tool": pd.array([None, None], dtype="string"),
+            "ts": pd.Series([pd.NaT, pd.NaT]).astype("datetime64[us]"),
+        }
+    )
+    p = str(tmp_path / "mega.parquet")
+    pdf.to_parquet(p)
+    got = {
+        r["turn_idx"]: r
+        for r in pipeline.label(spark.read.parquet(p), cfg).collect()
+    }
+    assert not got[0]["keep"]
+    assert "length_bounds" in got[0]["rule_hits"]
+    assert got[0]["scrubbed_text"].endswith("tail <EMAIL>")  # scrub still ran
+    orc = oracle.label_pdf(pdf, cfg)
+    assert list(orc["keep"]) == [got[0]["keep"], got[1]["keep"]]
+    assert orc["scrubbed_text"][0] == got[0]["scrubbed_text"]
