@@ -377,6 +377,24 @@ def q_conv_pipeline_sql(spark, sf_dir):
     return j.select("conv", "turn", is_dup.alias("is_dup"), keep.alias("keep"))
 
 
+def q_conv_verdicts(spark, sf_dir):
+    """Conversation-level verdict from per-turn keeps (ops/conversation.
+    conv_verdicts, integer-exact threshold). keep here is a
+    SQL-expressible per-turn predicate so DuckDB can twin the whole
+    computation; in production it is the pipeline's keep column."""
+    from qamd_spark.ops import conversation as cv
+
+    n = F.length(_txt())
+    keep = (n >= LEN_MIN) & (n <= LEN_MAX)
+    d = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 97).cast("long").alias("conv_id"),
+        keep.alias("keep"),
+    )
+    return cv.conv_verdicts(d, min_keep_fraction=0.75).select(
+        F.col("conv_id").alias("conv"), "n_turns", "n_keep", "conv_keep"
+    )
+
+
 def q_token_topk(spark, sf_dir):
     """Corpus-wide heavy hitters: top-50 whitespace tokens by frequency
     (partial+final hash agg, then TakeOrdered — no global sort of the
@@ -779,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ratio": q_repetition_ratio,
         "conv_pipeline_sql": q_conv_pipeline_sql,
         "conv_features": q_conv_features,
+        "conv_verdicts": q_conv_verdicts,
         "token_topk": q_token_topk,
         "length_histogram": q_length_histogram,
         "locators": q_locators,
@@ -990,6 +1009,18 @@ def oracle_sql() -> dict[str, str]:
                 OR t.n < 2 OR t.n > 8000
               ) AS keep
             FROM t LEFT JOIN fk2 ON t.text = fk2.text JOIN cs ON t.conv = cs.conv
+        """,
+        "conv_verdicts": f"""
+            WITH t AS (
+              SELECT (doc_id % 97)::BIGINT AS conv,
+                     (length(coalesce(text,'')) >= {LEN_MIN}
+                      AND length(coalesce(text,'')) <= {LEN_MAX}) AS keep
+              FROM documents)
+            SELECT conv, count(*)::BIGINT AS n_turns,
+                   sum(keep::INT)::BIGINT AS n_keep,
+                   (sum(keep::INT)::BIGINT * 1000000000
+                    >= 750000000 * count(*)::BIGINT) AS conv_keep
+            FROM t GROUP BY conv
         """,
         "token_topk": r"""
             WITH toks AS (

@@ -71,3 +71,32 @@ def conv_features(
         .groupBy(conv_col)
         .applyInPandas(fn, schema=CONV_FEATURES_SCHEMA)
     )
+
+
+def conv_verdicts(
+    labeled: DataFrame,
+    min_keep_fraction: float = 0.5,
+    conv_col: str = "conv_id",
+) -> DataFrame:
+    """Conversation-level verdict from per-turn labels: a conversation
+    survives iff at least ``min_keep_fraction`` of its turns were kept
+    (the conversation-granularity drop policy layered on the per-turn
+    pipeline). One partial-aggregated pass over the labeled table;
+    boundary uses exact integer comparison (n_keep * 1 >= frac * n) to
+    stay engine-exact."""
+    from pyspark.sql import functions as F
+
+    agg = labeled.groupBy(conv_col).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+    )
+    # integer-exact threshold: keep iff n_keep >= ceil(frac * n) without
+    # float division (n_keep * 10^9 >= frac * 10^9 * n, all integral)
+    scale = 1_000_000_000
+    thr = int(round(min_keep_fraction * scale))
+    return agg.select(
+        conv_col,
+        "n_turns",
+        "n_keep",
+        (F.col("n_keep") * scale >= F.lit(thr) * F.col("n_turns")).alias("conv_keep"),
+    )
