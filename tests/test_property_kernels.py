@@ -125,3 +125,32 @@ def test_nul_extension_tokens_are_batch_independent():
     frac_alone, _, _, _ = turnscore._token_stats(pd.Series(["the\x00x"]), sw)
     assert frac_mixed[1] == frac_alone[0] == 0.0
     assert frac_mixed[0] == 1.0
+
+
+@settings(max_examples=80, deadline=None)
+@given(TEXTS)
+def test_token_stats_equals_naive_per_row(texts):
+    """turnscore._token_stats (marker-joined batch split + factorize +
+    reduceat + lexsort machinery) must equal a naive per-row Python
+    reference for every row: QAMD split-on-single-space semantics, empty
+    tokens from consecutive spaces, stopword/OOV membership on full
+    strings, mode-of-nonempty repetition."""
+    from qamd_spark import turnscore
+
+    stop = frozenset(["the", "a", "ab"])
+    vocab = frozenset(["the", "a", "b", "ab"])
+    norm = pd.Series(texts, dtype=object)
+    frac, allstop, rep, oov = turnscore._token_stats(norm, stop, vocab)
+    for i, v in enumerate(texts):
+        v = v if isinstance(v, str) else ""
+        toks = v.split(" ")
+        if v == "":
+            assert frac[i] == 0.0 and not allstop[i] and rep[i] == 0.0 and oov[i] == 0.0
+            continue
+        nstop = sum(t in stop for t in toks)
+        assert frac[i] == nstop / len(toks), (v, frac[i])
+        assert allstop[i] == (nstop == len(toks))
+        assert oov[i] == sum(t not in vocab for t in toks) / len(toks)
+        ne = [t for t in toks if t != ""]
+        want_rep = (max(ne.count(t) for t in set(ne)) / len(ne)) if ne else 0.0
+        assert rep[i] == want_rep, (v, rep[i], want_rep)
