@@ -154,3 +154,38 @@ def test_token_stats_equals_naive_per_row(texts):
         ne = [t for t in toks if t != ""]
         want_rep = (max(ne.count(t) for t in set(ne)) / len(ne)) if ne else 0.0
         assert rep[i] == want_rep, (v, rep[i], want_rep)
+
+
+SCRUB_TEXTS = st.lists(
+    st.one_of(
+        st.none(),
+        st.text(max_size=50),
+        st.text(alphabet="ab @.0-9çü fraktz ", max_size=40),
+        st.just("mail a.b@c.de and 077 1234 5678 plus 123-45-6789"),
+        st.just("fraktz! x@y.io"),
+    ),
+    min_size=0,
+    max_size=10,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(SCRUB_TEXTS)
+def test_scrub_megastring_equals_rowwise(texts):
+    """The megastring scrub (one regex pass over the \\x00-joined batch,
+    byte-level candidate prefilters) must be character-identical to
+    sequential per-row subn for arbitrary input."""
+    from qamd_spark.rules import pii
+
+    prof = pii.profanity_pattern(["fraktz", "blorgak"])
+    s = pd.Series(texts, dtype=object)
+    got_txt, got_hits, got_prof = pii.scrub_series(s, None, prof)
+    # rowwise reference, built the same way scrub_series builds its passes
+    values = ["" if not isinstance(t, str) else t for t in texts]
+    passes = list(pii.PII_PATTERNS) + [("__profanity__", prof, "<PROFANITY>")]
+    ref_txt, ref_hits, ref_prof = pii._scrub_series_rowwise(
+        s, list(values), passes, s.notna()
+    )
+    assert list(got_txt.fillna("<N>")) == list(ref_txt.fillna("<N>"))
+    assert [list(x) for x in got_hits] == [list(x) for x in ref_hits]
+    assert (got_prof == ref_prof).all()
