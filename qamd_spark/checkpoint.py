@@ -203,9 +203,24 @@ def run_with_checkpoints(
     written: list[Manifest] = []
     from pyspark.sql import Observation
 
+    # Pre-bucketed input fast path: when the input carries a `bucket`
+    # partition column (our own labeled output being re-audited, or an
+    # Iceberg table with a bucket(conv_id) spec read as partition dirs),
+    # filter on the PARTITION column — Spark prunes the group's
+    # directories at file-listing time, so each group job reads only its
+    # ~1/n_groups slice instead of scanning the full input to evaluate
+    # the hash expression. The column must equal
+    # pmod(xxhash64(conv_id), n_buckets) — a mismatch (e.g. a different
+    # n_buckets) would misroute rows across groups, so each group's
+    # observation also counts rows whose RECOMPUTED bucket fell outside
+    # the group and the run aborts loudly on the first misroute.
+    bucket_partitioned = "bucket" in df.columns
     for i in range(0, len(todo), bucket_batch):
         group = todo[i : i + bucket_batch]
-        part_in = df.filter(_bucket_col(cfg).isin(group))
+        if bucket_partitioned:
+            part_in = df.filter(F.col("bucket").isin(group)).drop("bucket")
+        else:
+            part_in = df.filter(_bucket_col(cfg).isin(group))
         part = pipeline.label(part_in, cfg, text_stats_df=ts, conv_stats_df=cs)
         obs = Observation(f"qamd-group-{group[0]}")
         metrics = []
@@ -214,6 +229,10 @@ def run_with_checkpoints(
             metrics.append(F.sum(is_b.cast("long")).alias(f"n_{b}"))
             metrics.append(
                 F.sum((is_b & F.col("keep")).cast("long")).alias(f"k_{b}")
+            )
+        if bucket_partitioned:
+            metrics.append(
+                F.sum((~F.col("bucket").isin(group)).cast("long")).alias("_misrouted")
             )
         part = part.observe(obs, *metrics)
         (
@@ -224,6 +243,14 @@ def run_with_checkpoints(
             .parquet(store.data_dir)
         )
         got = obs.get  # collected during the write job, no extra pass
+        if bucket_partitioned and int(got.get("_misrouted") or 0) > 0:
+            raise RuntimeError(
+                f"input `bucket` partition column disagrees with "
+                f"pmod(xxhash64(conv_id), {cfg.n_buckets}) for "
+                f"{got['_misrouted']} rows in group {group} — the input was "
+                "bucketed with a different spec; drop the column or set "
+                "engine.n_buckets to match"
+            )
         for b in group:
             m = Manifest(
                 b,

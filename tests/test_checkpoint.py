@@ -165,3 +165,62 @@ def test_progress_lines(spark, synth_path, tmp_path, cfg, capsys):
     lines = [ln for ln in out.splitlines() if ln.startswith("[qamd] buckets")]
     assert len(lines) == 2  # 6 buckets / batch 3
     assert "6/6" in lines[-1]
+
+
+@pytest.fixture()
+def bucketed_input(spark, synth_path, tmp_path_factory):
+    """Transcripts pre-partitioned by the bucket column (the Iceberg
+    bucket(conv_id)-spec shape, n_buckets=6)."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path_factory.mktemp("bi") / "bucketed")
+    df = spark.read.parquet(synth_path).withColumn(
+        "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(6)).cast("int")
+    )
+    df.write.mode("overwrite").partitionBy("bucket").parquet(p)
+    return p
+
+
+def test_prebucketed_input_prunes_partitions(spark, bucketed_input, tmp_path, cfg):
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(bucketed_input)
+    part_in = df.filter(F.col("bucket").isin([0, 1])).drop("bucket")
+    plan = part_in._sc._jvm.PythonSQLUtils.explainString(
+        part_in._jdf.queryExecution(), "formatted"
+    )
+    # partition filter reaches the scan: only the group's directories read
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:120], plan
+
+    out = str(tmp_path / "out")
+    written = checkpoint.run_with_checkpoints(
+        spark, bucketed_input, out, cfg, bucket_batch=2
+    )
+    assert {m.bucket for m in written} == set(range(6))
+    got = (
+        spark.read.parquet(out + "/data")
+        .select("conv_id", "turn_idx", "keep")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pipeline.label(
+            spark.read.parquet(bucketed_input).drop("bucket"), cfg
+        )
+        .select("conv_id", "turn_idx", "keep")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert (got["keep"].to_numpy() == want["keep"].to_numpy()).all()
+    assert len(got) == len(want)
+
+
+def test_prebucketed_mismatch_aborts(spark, bucketed_input, tmp_path):
+    # the input was bucketed with n_buckets=6; labeling with 5 must abort
+    bad = QamdConfig(n_buckets=5)
+    with pytest.raises(RuntimeError, match="disagrees"):
+        checkpoint.run_with_checkpoints(
+            spark, bucketed_input, str(tmp_path / "out"), bad, bucket_batch=2
+        )
