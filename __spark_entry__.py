@@ -377,6 +377,70 @@ def q_conv_pipeline_sql(spark, sf_dir):
     return j.select("conv", "turn", is_dup.alias("is_dup"), keep.alias("keep"))
 
 
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization over the events stream: a new session
+    starts when the per-user gap exceeds 30 minutes. Window lag + running
+    sum — partitioned by user, so the shuffle is one exchange on user_id
+    and a hot user is bounded by their own event count."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
+    new_s = (
+        prev.isNull() | ((F.unix_micros(F.col("ts").cast("timestamp")) - prev) > SESSION_GAP_US)
+    ).cast("long")
+    return (
+        _events(spark, sf_dir)
+        .select("user_id", "event_id", "ts", new_s.alias("_ns"))
+        .withColumn(
+            "session_idx",
+            F.sum("_ns").over(
+                Window.partitionBy("user_id")
+                .orderBy("ts", "event_id")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .select("user_id", "event_id", F.col("session_idx").cast("long").alias("session_idx"))
+    )
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join (brief's custom-operator example): for every 'error'
+    event, the most recent signup AT OR BEFORE it for the same user —
+    expressed as a composition of existing ops (single ordered window
+    with last-non-null carry-forward), NOT a per-row lookup: one shuffle
+    on user_id, no range explosion."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts", "event_type")
+    carried = ev.withColumn(
+        "asof_signup_us",
+        F.last(
+            F.when(F.col("event_type") == "signup", F.unix_micros(F.col("ts").cast("timestamp"))),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return carried.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", "asof_signup_us"
+    )
+
+
+def q_json_props(spark, sf_dir):
+    """JSON scalar extraction from the semi-structured props column."""
+    return _events(spark, sf_dir).select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
 def q_conv_verdicts(spark, sf_dir):
     """Conversation-level verdict from per-turn keeps (ops/conversation.
     conv_verdicts, integer-exact threshold). keep here is a
@@ -798,6 +862,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_pipeline_sql": q_conv_pipeline_sql,
         "conv_features": q_conv_features,
         "conv_verdicts": q_conv_verdicts,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "json_props": q_json_props,
         "token_topk": q_token_topk,
         "length_histogram": q_length_histogram,
         "locators": q_locators,
@@ -1009,6 +1076,39 @@ def oracle_sql() -> dict[str, str]:
                 OR t.n < 2 OR t.n > 8000
               ) AS keep
             FROM t LEFT JOIN fk2 ON t.text = fk2.text JOIN cs ON t.conv = cs.conv
+        """,
+        "sessionize": f"""
+            WITH l AS (
+              SELECT user_id, event_id, ts,
+                     lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS prev
+              FROM events),
+            f AS (
+              SELECT user_id, event_id, ts,
+                     (CASE WHEN prev IS NULL
+                            OR (epoch_us(ts) - prev) > {SESSION_GAP_US}
+                           THEN 1 ELSE 0 END)::BIGINT AS ns
+              FROM l)
+            SELECT user_id, event_id,
+                   sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     ::BIGINT AS session_idx
+            FROM f
+        """,
+        "asof_join": """
+            WITH c AS (
+              SELECT user_id, event_id, event_type,
+                     last_value(CASE WHEN event_type = 'signup'
+                                     THEN epoch_us(ts) END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS asof_signup_us
+              FROM events)
+            SELECT user_id, event_id, asof_signup_us
+            FROM c WHERE event_type = 'error'
+        """,
+        "json_props": """
+            SELECT event_id, (props ->> '$.k')::BIGINT AS k FROM events
         """,
         "conv_verdicts": f"""
             WITH t AS (
