@@ -319,3 +319,82 @@ def winnow_pdf(pdf: pd.DataFrame, k: int = 5, w: int = 4,
          "pos": np.asarray(rows_pos, dtype=np.int64),
          "fp": np.asarray(rows_fp, dtype=np.int64)}
     )
+
+
+def _seq_cosine(a: np.ndarray, b: np.ndarray) -> float:
+    """Sequential left-fold cosine — matches Spark's F.aggregate fold
+    order bit-for-bit (numpy dot uses pairwise/SIMD summation, which can
+    differ in the last ulp)."""
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a.tolist(), b.tolist()):
+        dot += x * y
+        na += x * x
+        nb += y * y
+    import math
+
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+def _lsh_sigs(V: np.ndarray, bits: int, n_tables: int) -> np.ndarray:
+    from qamd_spark.ops.similarity import _all_hyperplanes
+
+    planes = _all_hyperplanes(V.shape[1], bits, n_tables)
+    flat = planes.reshape(n_tables * bits, V.shape[1])
+    on = (V @ flat.T >= 0).reshape(len(V), n_tables, bits)
+    return (on * (1 << np.arange(bits, dtype=np.int64))).sum(axis=2)
+
+
+def lsh_topk_pdf(emb: pd.DataFrame, qids: list, k: int = 10, bits: int = 4,
+                 n_tables: int = 16) -> pd.DataFrame:
+    """Exact twin of ops.similarity.lsh_topk (same hyperplanes, same
+    any-table bucket match, same sequential-fold rescore and
+    (-sim, neighbor) ranking)."""
+    ids = emb["vec_id"].to_numpy()
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    sigs = _lsh_sigs(V, bits, n_tables)
+    pos = {int(i): n for n, i in enumerate(ids)}
+    rows = []
+    for q in qids:
+        qi = pos[q]
+        cand = np.flatnonzero((sigs == sigs[qi][None, :]).any(axis=1))
+        scored = [
+            (ids[c], _seq_cosine(V[c], V[qi])) for c in cand if ids[c] != q
+        ]
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        for r, (nid, s) in enumerate(scored[:k], start=1):
+            rows.append((q, int(nid), s, r))
+    return pd.DataFrame(rows, columns=["qid", "neighbor", "sim", "rank"])
+
+
+def lsh_neardup_pairs_pdf(emb: pd.DataFrame, threshold: float = 0.25,
+                          bits: int = 4, n_tables: int = 16) -> pd.DataFrame:
+    """Exact twin of ops.similarity.lsh_neardup_pairs (min-per-bucket
+    candidate resolution + sequential-fold verify + keep-first)."""
+    ids = emb["vec_id"].to_numpy()
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    sigs = _lsh_sigs(V, bits, n_tables)
+    best: dict = {}
+    for t in range(sigs.shape[1]):
+        col = sigs[:, t]
+        order = np.argsort(ids, kind="stable")
+        bucket_min: dict = {}
+        for i in order:
+            bucket_min.setdefault(col[i], ids[i])
+        for i in range(len(ids)):
+            m = bucket_min[col[i]]
+            if m < ids[i]:
+                best.setdefault(ids[i], set()).add(m)
+    rows = []
+    pos = {int(i): n for n, i in enumerate(ids)}
+    for did, cands in best.items():
+        verified = []
+        for c in sorted(cands):
+            s = _seq_cosine(V[pos[did]], V[pos[c]])
+            if s >= threshold:
+                verified.append((c, s))
+        if verified:
+            c, s = min(verified)  # min struct(cand, sim): smallest cand
+            rows.append((int(did), int(c), s))
+    return pd.DataFrame(rows, columns=["vec_id", "dup_of", "sim"])

@@ -169,3 +169,39 @@ def test_winnow_guarantee_shared_substring(spark):
     s3 = set(fp[fp.doc_id == 3]["fp"])
     assert s1 & s2
     assert not (s1 & s3) and not (s2 & s3)
+
+
+def test_lsh_topk_matches_pandas_twin(spark):
+    import __spark_entry__ as E
+
+    got = (
+        E.q_ann_lsh_topk(spark, SF)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    want = oracle.lsh_topk_pdf(emb, qids=[0, 1, 2, 3, 4], k=10)
+    want["sim"] = want["sim"].round(9)
+    want = want.sort_values(["qid", "rank"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    for c in ["qid", "neighbor", "rank", "sim"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_lsh_neardup_pairs_match_pandas_twin(spark):
+    import __spark_entry__ as E
+
+    got = (
+        E.q_embedding_neardup_lsh(spark, SF)
+        .toPandas()
+        .sort_values(["vec_id"])
+        .reset_index(drop=True)
+    )
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    want = oracle.lsh_neardup_pairs_pdf(emb, threshold=0.25)
+    want["sim"] = want["sim"].round(9)
+    want = want.sort_values(["vec_id"]).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    for c in ["vec_id", "dup_of", "sim"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
