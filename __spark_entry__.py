@@ -433,6 +433,61 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+RANGE_JOIN_US = 5 * 60 * 1_000_000  # 5 min
+
+
+def q_range_join(spark, sf_dir):
+    """Range join (brief's custom-operator example): pairs of events from
+    the same user within 5 minutes of each other (a < b by event_id).
+    Scale shape: time-BIN join — each side joins on (user, bin) with the
+    left side exploded to {bin-1, bin, bin+1}, then the exact |Δt| filter
+    — turning the naive per-user theta-join into an equi-join whose
+    candidate count is bounded by events per 5-minute bin, not per user."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", us.alias("us"),
+        F.floor(us / F.lit(RANGE_JOIN_US)).alias("bin"),
+    )
+    probe = ev.select(
+        "user_id", F.col("event_id").alias("b_id"), F.col("us").alias("b_us"),
+        F.explode(
+            F.array(F.col("bin") - 1, F.col("bin"), F.col("bin") + 1)
+        ).alias("bin"),
+    )
+    pairs = (
+        ev.join(probe, ["user_id", "bin"])
+        .filter(
+            (F.col("event_id") < F.col("b_id"))
+            & (F.abs(F.col("us") - F.col("b_us")) <= RANGE_JOIN_US)
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("a"),
+            F.col("b_id").alias("b"),
+            (F.col("b_us") - F.col("us")).alias("delta_us"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    return pairs
+
+
+def q_time_rollup(spark, sf_dir):
+    """Hypertable-style continuous-aggregate rollup: hourly buckets per
+    event_type with count and value sum. Float sums are partition-order-
+    dependent, so the sum goes through exact integer cents (value is
+    2-dp) and one final division — engine-exact and order-free."""
+    hour = F.date_trunc("hour", F.col("ts"))
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (
+        _events(spark, sf_dir)
+        .groupBy(hour.alias("hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents).cast("double") / F.lit(100.0)).alias("sum_value"),
+        )
+    )
+
+
 def q_json_props(spark, sf_dir):
     """JSON scalar extraction from the semi-structured props column."""
     return _events(spark, sf_dir).select(
@@ -863,6 +918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_features": q_conv_features,
         "conv_verdicts": q_conv_verdicts,
         "sessionize": q_sessionize,
+        "range_join": q_range_join,
+        "time_rollup": q_time_rollup,
         "asof_join": q_asof_join,
         "json_props": q_json_props,
         "token_topk": q_token_topk,
@@ -1094,6 +1151,21 @@ def oracle_sql() -> dict[str, str]:
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      ::BIGINT AS session_idx
             FROM f
+        """,
+        "range_join": f"""
+            SELECT a.user_id,
+                   a.event_id AS a, b.event_id AS b,
+                   (epoch_us(b.ts) - epoch_us(a.ts))::BIGINT AS delta_us
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND a.event_id < b.event_id
+             AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= {RANGE_JOIN_US}
+        """,
+        "time_rollup": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*)::BIGINT AS n_events,
+                   sum(round(value * 100, 0)::BIGINT)::DOUBLE / 100.0 AS sum_value
+            FROM events GROUP BY 1, 2
         """,
         "asof_join": """
             WITH c AS (
