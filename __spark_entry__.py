@@ -3,12 +3,16 @@
 ``entry(spark)`` runs the flagship transcript-quality pipeline on the
 sf0.001 documents table (each document = a single-turn conversation, per
 FIXTURES.md §5). ``queries()`` exposes the operator inventory from
-SURVEY.md §2 re-expressed over the driver's parquet tables; each entry has
-a DuckDB ``oracle_sql()`` twin unless the operator is genuinely
-non-SQL-expressible — those get the weaker rows-only check (pandas-UDF
-scoring: langid, perplexity, full pipeline; deterministic-hash ops:
-minhash, simhash, ngram-jaccard, LSH ANN; binary multimodal stubs:
-media_features, frame_plan).
+SURVEY.md §2 (plus the training-data-pipeline, event-analytics, and
+streaming extensions) re-expressed over the driver's parquet tables;
+each entry has a DuckDB ``oracle_sql()`` twin unless the operator is
+genuinely non-SQL-expressible. The rows-only entries all carry exact
+pandas twins or recall/quality tests instead (see OPERATORS.md for the
+per-query evidence map): pandas-UDF scoring (langid_docs,
+transcript_pipeline), deterministic-hash ops (minhash, simhash(+neardup),
+ngram_jaccard, winnow — exact twins in oracle/), ANN (ann_lsh_topk and
+embedding_neardup_lsh exact twins; ann_ivf_topk recall-pinned), and the
+binary multimodal stubs (media_features, frame_plan).
 
 Column-name and float-determinism discipline:
 - every computed column is aliased identically on both sides;
