@@ -198,7 +198,7 @@ def run_with_checkpoints(
 
     from qamd_spark import io, pipeline
 
-    df = io.read_table(spark, input_path)
+    df = io.normalize_input(io.read_table(spark, input_path))
     ts, cs = global_stats_tables(spark, df, out_dir, cfg, in_fp, cfg_fp)
     written: list[Manifest] = []
     from pyspark.sql import Observation

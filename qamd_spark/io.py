@@ -94,6 +94,23 @@ def write_labeled(df: DataFrame, ref: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).partitionBy("bucket").parquet(ref)
 
 
+def normalize_input(df: DataFrame) -> DataFrame:
+    """Project an input table down to the transcript columns (plus the
+    bucket partition column when present): labeled OUTPUT fed back as
+    input — the re-audit workflow (relabel under a tightened config,
+    partition-pruned per bucket group) — carries score/label columns that
+    would collide with the scoring stage's appended columns. Raises if
+    any required transcript column is missing."""
+    from qamd_spark import schema as S
+
+    required = [f.name for f in S.TRANSCRIPT_SCHEMA.fields]
+    missing = [c for c in required if c not in df.columns]
+    if missing:
+        raise ValueError(f"input is missing transcript columns: {missing}")
+    keep = required + (["bucket"] if "bucket" in df.columns else [])
+    return df.select(*keep) if set(df.columns) != set(keep) else df
+
+
 def write_bucketed_table(
     df: DataFrame,
     name: str,

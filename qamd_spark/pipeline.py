@@ -340,5 +340,7 @@ def run(
     from qamd_spark import io
 
     cfg = cfg or QamdConfig()
-    df = io.read_table(spark, input_path)
+    df = io.normalize_input(io.read_table(spark, input_path))
+    if "bucket" in df.columns:
+        df = df.drop("bucket")
     return label(df, cfg)

@@ -224,3 +224,40 @@ def test_prebucketed_mismatch_aborts(spark, bucketed_input, tmp_path):
         checkpoint.run_with_checkpoints(
             spark, bucketed_input, str(tmp_path / "out"), bad, bucket_batch=2
         )
+
+
+def test_reaudit_labeled_output(spark, synth_path, tmp_path, cfg):
+    """The re-audit workflow: feed a checkpointed run's OWN labeled
+    output back as input with a different (tightened) config — extra
+    score/label columns are projected away, the bucket partition column
+    drives pruned group scans, and results equal labeling the raw input
+    directly under the new config."""
+    first = str(tmp_path / "first")
+    checkpoint.run_with_checkpoints(spark, synth_path, first, cfg, bucket_batch=3)
+
+    from qamd_spark import config as C
+
+    tight_settings = dict(C.DEFAULT_SETTINGS)
+    tight_settings["length_bounds"] = {"min": 5, "max": 200}  # tightened
+    tight = QamdConfig(settings=tight_settings, n_buckets=6)
+    second = str(tmp_path / "second")
+    checkpoint.run_with_checkpoints(
+        spark, first + "/data", second, tight, bucket_batch=3
+    )
+    got = (
+        spark.read.parquet(second + "/data")
+        .select("conv_id", "turn_idx", "keep")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pipeline.label(spark.read.parquet(synth_path), tight)
+        .select("conv_id", "turn_idx", "keep")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got["keep"].to_numpy() == want["keep"].to_numpy()).all()
+    assert (got["keep"] != want["keep"]).sum() == 0 and not got["keep"].all()
