@@ -518,6 +518,28 @@ def q_conv_verdicts(spark, sf_dir):
     )
 
 
+SAMPLE_PCT = 10
+SAMPLE_SALT = "qamd-r2"
+
+
+def q_hash_sample(spark, sf_dir):
+    """Deterministic stratified sampling for corpus curation: keep ~10%
+    of documents per language stratum by a salted md5 hash of the
+    content key — reproducible across runs, engines, and cluster sizes
+    (no RNG), the curation-grade alternative to df.sample. The hash is
+    md5 (identical in Spark and DuckDB), first 8 hex digits parsed as an
+    integer, mod 100."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(SAMPLE_SALT), _txt())), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", (h % 100).alias("_b"))
+        .filter(F.col("_b") < SAMPLE_PCT)
+        .select("doc_id", "lang")
+    )
+
+
 def q_token_topk(spark, sf_dir):
     """Corpus-wide heavy hitters: top-50 whitespace tokens by frequency
     (partial+final hash agg, then TakeOrdered — no global sort of the
@@ -921,6 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_pipeline_sql": q_conv_pipeline_sql,
         "conv_features": q_conv_features,
         "conv_verdicts": q_conv_verdicts,
+        "hash_sample": q_hash_sample,
         "sessionize": q_sessionize,
         "range_join": q_range_join,
         "time_rollup": q_time_rollup,
@@ -1155,6 +1178,11 @@ def oracle_sql() -> dict[str, str]:
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      ::BIGINT AS session_idx
             FROM f
+        """,
+        "hash_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE (concat('0x', substr(md5(concat('{SAMPLE_SALT}', coalesce(text,''))), 1, 8)))::BIGINT
+                  % 100 < {SAMPLE_PCT}
         """,
         "range_join": f"""
             SELECT a.user_id,
