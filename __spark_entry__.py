@@ -153,10 +153,15 @@ def q_dedup_exact(spark, sf_dir):
     # so a hot duplicate never pins one task the way a
     # Window.partitionBy(text) would; equivalent to row_number()>1 because
     # min(doc_id) IS the rank-1 row. eqNullSafe matches the window/SQL
-    # semantics for NULL texts (one NULL group).
+    # semantics for NULL texts (one NULL group). The aggregated side is
+    # aliased (_t) so the predicate references distinct attributes — the
+    # unaliased self-join form logs a "trivially true equals predicate"
+    # warning and leans on analyzer lineage dedup.
     d = _docs(spark, sf_dir)
-    firsts = d.groupBy("text").agg(F.min("doc_id").alias("_first_id"))
-    j = d.join(firsts, d["text"].eqNullSafe(firsts["text"]), "left")
+    firsts = d.groupBy("text").agg(F.min("doc_id").alias("_first_id")).select(
+        F.col("text").alias("_t"), "_first_id"
+    )
+    j = d.join(firsts, d["text"].eqNullSafe(F.col("_t")), "left")
     return j.select(
         d["doc_id"], (d["doc_id"] != F.col("_first_id")).alias("is_dup")
     )
@@ -443,10 +448,12 @@ RANGE_JOIN_US = 5 * 60 * 1_000_000  # 5 min
 def q_range_join(spark, sf_dir):
     """Range join (brief's custom-operator example): pairs of events from
     the same user within 5 minutes of each other (a < b by event_id).
-    Scale shape: time-BIN join — each side joins on (user, bin) with the
-    left side exploded to {bin-1, bin, bin+1}, then the exact |Δt| filter
-    — turning the naive per-user theta-join into an equi-join whose
-    candidate count is bounded by events per 5-minute bin, not per user."""
+    Scale shape: time-BIN join — build side keeps its own bin, probe side
+    explodes DOWNWARD to {bin-1, bin} only, then an asymmetric exact
+    filter (build.bin < probe.bin, or equal bins with id ordering) emits
+    each qualifying pair exactly once — an equi-join whose candidate
+    count is bounded by events per 5-minute bin, with no dropDuplicates
+    exchange (the 3-bin symmetric form needed one; r2 VERDICT item 8)."""
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     ev = _events(spark, sf_dir).select(
         "user_id", "event_id", us.alias("us"),
@@ -454,23 +461,27 @@ def q_range_join(spark, sf_dir):
     )
     probe = ev.select(
         "user_id", F.col("event_id").alias("b_id"), F.col("us").alias("b_us"),
-        F.explode(
-            F.array(F.col("bin") - 1, F.col("bin"), F.col("bin") + 1)
-        ).alias("bin"),
+        F.col("bin").alias("b_bin"),
+        F.explode(F.array(F.col("bin") - 1, F.col("bin"))).alias("bin"),
     )
+    # each |Δt|<=R pair has bins differing by at most 1: bins unequal →
+    # matched once with build = earlier-bin side (via probe's bin-1 row);
+    # bins equal → both orientations join, keep one by id order
+    once = (F.col("bin") < F.col("b_bin")) | (
+        (F.col("bin") == F.col("b_bin")) & (F.col("event_id") < F.col("b_id"))
+    )
+    a_first = F.col("event_id") < F.col("b_id")  # output labels: a < b by id
     pairs = (
         ev.join(probe, ["user_id", "bin"])
-        .filter(
-            (F.col("event_id") < F.col("b_id"))
-            & (F.abs(F.col("us") - F.col("b_us")) <= RANGE_JOIN_US)
-        )
+        .filter(once & (F.abs(F.col("us") - F.col("b_us")) <= RANGE_JOIN_US))
         .select(
             "user_id",
-            F.col("event_id").alias("a"),
-            F.col("b_id").alias("b"),
-            (F.col("b_us") - F.col("us")).alias("delta_us"),
+            F.when(a_first, F.col("event_id")).otherwise(F.col("b_id")).alias("a"),
+            F.when(a_first, F.col("b_id")).otherwise(F.col("event_id")).alias("b"),
+            F.when(a_first, F.col("b_us") - F.col("us"))
+            .otherwise(F.col("us") - F.col("b_us"))
+            .alias("delta_us"),
         )
-        .dropDuplicates(["a", "b"])
     )
     return pairs
 

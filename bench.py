@@ -130,7 +130,7 @@ def run_benchmarks() -> dict:
         d = tempfile.mkdtemp(prefix="qamd_bench_ckpt_")
         try:
             written = checkpoint.run_with_checkpoints(
-                spark, tpath, d, cfg, bucket_batch=16
+                spark, tpath, d, cfg
             )
             return sum(m.n_rows for m in written)
         finally:

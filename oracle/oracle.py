@@ -249,10 +249,20 @@ def ngram_jaccard_pdf(pdf: pd.DataFrame, cand: pd.DataFrame, n: int = 3,
 
 def simhash_neardups_pdf(pdf: pd.DataFrame, max_hamming: int = 3,
                          id_col: str = "doc_id", text_col: str = "text") -> pd.DataFrame:
-    """(doc_id, dup_of, hamming) twin of ops.dedup.simhash_neardups:
-    same banding (4 x 16-bit chunks) and keep-first resolution, in pandas
-    groupby terms."""
+    """(doc_id, dup_of, hamming) twin of ops.dedup.simhash_neardups: same
+    banding (4 x 16-bit chunks) and the same two-phase bounded top-P
+    candidate resolution (min per (bucket, doc_id % N_SIMHASH_SALTS),
+    then the N_SIMHASH_CANDS smallest partial minima per bucket), in
+    pandas groupby terms."""
     sigs = simhash_pdf(pdf, id_col=id_col, text_col=text_col)
+    return simhash_neardups_from_sigs_pdf(sigs, max_hamming=max_hamming)
+
+
+def simhash_neardups_from_sigs_pdf(
+    sigs: pd.DataFrame, max_hamming: int = 3
+) -> pd.DataFrame:
+    from qamd_spark.ops.dedup import N_SIMHASH_CANDS, N_SIMHASH_SALTS
+
     sv = sigs["simhash"].to_numpy().astype(np.uint64)
     ids = sigs["doc_id"].to_numpy()
     rows = []
@@ -263,9 +273,21 @@ def simhash_neardups_pdf(pdf: pd.DataFrame, max_hamming: int = 3,
              "val": ((sv >> np.uint64(16 * i)) & np.uint64(0xFFFF)).astype(np.int64)}
         ))
     chunks = pd.concat(rows, ignore_index=True)
-    bmin = chunks.groupby(["chunk", "val"])["doc_id"].transform("min")
-    cand = chunks[bmin < chunks["doc_id"]].copy()
-    cand["cand"] = bmin[bmin < chunks["doc_id"]]
+    chunks["_salt"] = chunks["doc_id"] % N_SIMHASH_SALTS
+    pm = (
+        chunks.groupby(["chunk", "val", "_salt"], as_index=False)["doc_id"]
+        .min()
+        .rename(columns={"doc_id": "_pm"})
+    )
+    bucket_cands = (
+        pm.sort_values("_pm")
+        .groupby(["chunk", "val"], as_index=False)
+        .agg(_cands=("_pm", lambda s: list(s)[:N_SIMHASH_CANDS]))
+    )
+    cand = chunks.merge(bucket_cands, on=["chunk", "val"])
+    cand = cand.explode("_cands").rename(columns={"_cands": "cand"})
+    cand = cand[cand["cand"].astype(np.int64) < cand["doc_id"]].copy()
+    cand["cand"] = cand["cand"].astype(np.int64)
     cand = cand.drop_duplicates(["doc_id", "cand"])
     sig_of = dict(zip(ids, sv))
     xor = cand["sig"].to_numpy() ^ np.array([sig_of[c] for c in cand["cand"]], dtype=np.uint64)

@@ -84,21 +84,44 @@ class CheckpointStore:
 
 
 def input_fingerprint(spark, input_path: str) -> str:
-    """Fingerprint of the input table: file names + sizes + mtimes of the
-    parquet footprint (cheap driver-side listing; at Iceberg scale this
-    would be the snapshot id instead)."""
+    """Fingerprint of the input table's identity, used to decide whether a
+    manifest is still valid on resume.
+
+    - ``iceberg:`` refs delegate to the table's latest snapshot id
+      (io.table_fingerprint) — the canonical input identity there.
+    - a single file (e.g. a ``csv:`` path) is statted directly:
+      name + size + mtime.
+    - a directory hashes the file listing (relpath + size + mtime).
+
+    An input that yields NOTHING (missing path, empty dir) raises instead
+    of hashing the empty string: a constant fingerprint would make resume
+    treat a changed or entirely different input as already-done and skip
+    every bucket — the exact staleness the fingerprint exists to prevent.
+    """
+    if input_path.startswith("iceberg:"):
+        from qamd_spark.io import table_fingerprint
+
+        return table_fingerprint(spark, input_path)
+    path = input_path.removeprefix("csv:")
     parts = []
-    input_path = input_path.removeprefix("csv:")
-    for root, _dirs, files in os.walk(input_path):
-        for fn in sorted(files):
-            if fn.startswith("_") or fn.startswith("."):
-                continue
-            p = os.path.join(root, fn)
-            st = os.stat(p)
-            parts.append(f"{os.path.relpath(p, input_path)}:{st.st_size}")
-    if not parts and os.path.isfile(input_path):
-        st = os.stat(input_path)
-        parts.append(f"{os.path.basename(input_path)}:{st.st_size}")
+    if os.path.isfile(path):
+        st = os.stat(path)
+        parts.append(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}")
+    else:
+        for root, _dirs, files in os.walk(path):
+            for fn in sorted(files):
+                if fn.startswith("_") or fn.startswith("."):
+                    continue
+                p = os.path.join(root, fn)
+                st = os.stat(p)
+                parts.append(
+                    f"{os.path.relpath(p, path)}:{st.st_size}:{st.st_mtime_ns}"
+                )
+    if not parts:
+        raise FileNotFoundError(
+            f"input {input_path!r} has no data files to fingerprint — "
+            "refusing to checkpoint against an empty/missing input"
+        )
     return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
 
 
@@ -161,7 +184,7 @@ def run_with_checkpoints(
     input_path: str,
     out_dir: str,
     cfg: QamdConfig | None = None,
-    bucket_batch: int = 8,
+    bucket_batch: int | None = None,
     fail_after_buckets: int | None = None,
     progress: bool = False,
 ) -> list[Manifest]:
@@ -171,6 +194,17 @@ def run_with_checkpoints(
     Buckets are processed in fixed ascending order in groups of
     ``bucket_batch`` (one Spark job per group — amortizes scheduling while
     keeping the resume grain at a single bucket).
+
+    ``bucket_batch=None`` (default) is adaptive: a FRESH run (no completed
+    manifests) processes all buckets in ONE job — no per-group input
+    filter, one write, one Observation with per-bucket counters — so the
+    checkpointed CLI pays only the side-table stats pass over the raw
+    labeled write (the r2 grouped default paid n_groups re-scans plus
+    n_groups of per-job fixed cost and ran at 1.47x). A RESUME (some
+    manifests present) degrades to groups of 8, where the per-group input
+    pre-filter (partition-pruned on bucketed input) keeps redone work
+    proportional to the missing buckets. Passing an explicit int forces
+    that group size for both cases.
 
     Work shape (scale-critical): the global cross-row aggregations run
     ONCE into side tables (:func:`global_stats_tables`); each group job
@@ -195,29 +229,58 @@ def run_with_checkpoints(
     todo = [b for b in range(cfg.n_buckets) if b not in done]
     if not todo:
         return []
+    if bucket_batch is None:
+        # fresh run: one job over everything; resume: bucket-grained groups
+        bucket_batch = len(todo) if not done else 8
 
     from qamd_spark import io, pipeline
 
     df = io.normalize_input(io.read_table(spark, input_path))
+    # Pre-bucketed input fast path: when the input carries a `bucket`
+    # partition column (our own labeled output being re-audited, or an
+    # Iceberg table with a bucket(conv_id) spec read as partition dirs),
+    # group jobs filter on the PARTITION column — Spark prunes the group's
+    # directories at file-listing time, so each group job reads only its
+    # ~1/n_groups slice instead of scanning the full input to evaluate the
+    # hash expression. The column must equal pmod(xxhash64(conv_id),
+    # n_buckets): a mismatch (e.g. a different n_buckets) would misroute
+    # rows across groups AND — because the write uses dynamic partition
+    # overwrite — clobber partitions whose manifests already say done. So
+    # the spec is validated UP FRONT with one cheap early-exit scan of
+    # (conv_id, bucket), before anything is written (r2 ADVICE: the
+    # previous post-write Observation check fired only after the damage).
+    bucket_partitioned = "bucket" in df.columns
+    if bucket_partitioned:
+        # marker file keyed on (input, config) fingerprints: resume skips
+        # the validation scan it already paid
+        spec_ok = os.path.join(
+            store.manifest_dir, f"spec-ok-{in_fp}-{cfg_fp}"
+        )
+        if not os.path.exists(spec_ok):
+            bad = (
+                df.select("conv_id", "bucket")
+                .filter(F.col("bucket") != _bucket_col(cfg))
+                .limit(1)
+                .count()
+            )
+            if bad:
+                raise RuntimeError(
+                    f"input `bucket` partition column disagrees with "
+                    f"pmod(xxhash64(conv_id), {cfg.n_buckets}) — the input "
+                    "was bucketed with a different spec; drop the column or "
+                    "set engine.n_buckets to match"
+                )
+            with open(spec_ok, "w"):
+                pass
     ts, cs = global_stats_tables(spark, df, out_dir, cfg, in_fp, cfg_fp)
     written: list[Manifest] = []
     from pyspark.sql import Observation
 
-    # Pre-bucketed input fast path: when the input carries a `bucket`
-    # partition column (our own labeled output being re-audited, or an
-    # Iceberg table with a bucket(conv_id) spec read as partition dirs),
-    # filter on the PARTITION column — Spark prunes the group's
-    # directories at file-listing time, so each group job reads only its
-    # ~1/n_groups slice instead of scanning the full input to evaluate
-    # the hash expression. The column must equal
-    # pmod(xxhash64(conv_id), n_buckets) — a mismatch (e.g. a different
-    # n_buckets) would misroute rows across groups, so each group's
-    # observation also counts rows whose RECOMPUTED bucket fell outside
-    # the group and the run aborts loudly on the first misroute.
-    bucket_partitioned = "bucket" in df.columns
     for i in range(0, len(todo), bucket_batch):
         group = todo[i : i + bucket_batch]
-        if bucket_partitioned:
+        if len(group) == cfg.n_buckets:
+            part_in = df.drop("bucket") if bucket_partitioned else df
+        elif bucket_partitioned:
             part_in = df.filter(F.col("bucket").isin(group)).drop("bucket")
         else:
             part_in = df.filter(_bucket_col(cfg).isin(group))
@@ -230,10 +293,6 @@ def run_with_checkpoints(
             metrics.append(
                 F.sum((is_b & F.col("keep")).cast("long")).alias(f"k_{b}")
             )
-        if bucket_partitioned:
-            metrics.append(
-                F.sum((~F.col("bucket").isin(group)).cast("long")).alias("_misrouted")
-            )
         part = part.observe(obs, *metrics)
         (
             pipeline.salted_repartition(part, cfg)
@@ -243,14 +302,6 @@ def run_with_checkpoints(
             .parquet(store.data_dir)
         )
         got = obs.get  # collected during the write job, no extra pass
-        if bucket_partitioned and int(got.get("_misrouted") or 0) > 0:
-            raise RuntimeError(
-                f"input `bucket` partition column disagrees with "
-                f"pmod(xxhash64(conv_id), {cfg.n_buckets}) for "
-                f"{got['_misrouted']} rows in group {group} — the input was "
-                "bucketed with a different spec; drop the column or set "
-                "engine.n_buckets to match"
-            )
         for b in group:
             m = Manifest(
                 b,

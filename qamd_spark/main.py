@@ -98,7 +98,11 @@ def main(argv: list[str] | None = None) -> int:
     runp.add_argument("--master", default=None)
     runp.add_argument("--summary-json", default=None)
     runp.add_argument("--no-checkpoint", action="store_true")
-    runp.add_argument("--bucket-batch", type=int, default=16)
+    runp.add_argument(
+        "--bucket-batch", type=int, default=None,
+        help="buckets per checkpoint group job; default: adaptive (fresh run"
+        " = one job, resume = groups of 8)",
+    )
     runp.add_argument(
         "--output-format", choices=("json", "html"), default="json",
         help="also write summary.html when html (the reference's default "

@@ -41,19 +41,23 @@ def conv_features(
     """One row per conversation: turn count, distinct roles, fraction of
     consecutive turn pairs that switch roles (0.0 for single-turn convs),
     empty-turn fraction. All ratios are exact small-int divisions, so the
-    SQL window-lag twin matches bit-for-bit. NULL-role semantics: a
-    transition to/from a NULL role counts as a switch here (elementwise
-    !=), while a SQL `role <> prev` would skip it — the driver oracle
-    exercises the null-free case; pick one convention before relying on
-    null-role alternation."""
+    SQL window-lag twin matches bit-for-bit. NULL-role semantics follow
+    SQL (`role <> lag(role)` is NULL when either side is NULL): a
+    transition to or from a NULL role is NOT counted as a switch, while
+    the denominator stays n-1 — cross-engine consistent with the DuckDB
+    window-lag twin, including when roles contain NULLs (pinned by
+    tests/test_ops.py)."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(turn_col)
         n = len(pdf)
         roles = pdf[role_col].to_numpy(dtype=object)
         text = pdf[text_col]
+        nn = pd.notna(roles)
         switches = (
-            int((roles[1:] != roles[:-1]).sum()) if n > 1 else 0
+            int(((roles[1:] != roles[:-1]) & nn[1:] & nn[:-1]).sum())
+            if n > 1
+            else 0
         )
         return pd.DataFrame(
             {

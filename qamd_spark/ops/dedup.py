@@ -296,6 +296,8 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
 
 N_SIMHASH_CHUNKS = 4  # 4 x 16-bit chunks: pigeonhole guarantees any pair
                       # with hamming <= 3 shares at least one chunk exactly
+N_SIMHASH_SALTS = 16  # phase-1 partial-min classes per bucket (doc_id % S)
+N_SIMHASH_CANDS = 4   # candidate predecessors verified per (doc, bucket)
 
 
 def simhash_neardups(
@@ -305,20 +307,45 @@ def simhash_neardups(
     max_hamming: int = 3,
 ) -> DataFrame:
     """Hamming-neighbor join over simhash signatures (the consumer of
-    simhash_signatures): returns (doc_id, dup_of, hamming) with dup_of =
+    simhash_signatures). See :func:`simhash_neardups_from_sigs` for the
+    resolution semantics and recall characteristics."""
+    sigs = simhash_signatures(docs, id_col=id_col, text_col=text_col)
+    return simhash_neardups_from_sigs(sigs, max_hamming=max_hamming)
+
+
+def simhash_neardups_from_sigs(
+    sigs: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """(doc_id, dup_of, hamming) from a (doc_id, simhash) table: dup_of =
     the smallest candidate id whose signature is within ``max_hamming``
-    bits (keep-first convention), hamming = that pair's distance.
+    bits among the pairs the banding surfaces (keep-first convention).
 
     Scale shape mirrors minhash_duplicates: band the 64-bit signature
     into 4 x 16-bit chunks, shuffle on (chunk, value), resolve each
-    bucket to its min doc id with a hash aggregate (NOT an all-pairs
-    bucket self-join — a giant bucket of near-identical boilerplate
-    collapses in the aggregate), then verify candidates exactly with
-    bit_count(xor) <= r after joining the two signatures back.
-    ``max_hamming`` must stay < N_SIMHASH_CHUNKS for exact recall of the
-    banding (pigeonhole); larger radii degrade to candidate recall.
+    bucket to a BOUNDED candidate set with hash aggregates (never an
+    all-pairs bucket self-join — a giant bucket of near-identical
+    boilerplate collapses in the aggregates), then verify candidates
+    exactly with bit_count(xor) <= r after joining the signatures back.
+
+    Candidate resolution is a two-phase bounded top-P: phase 1 takes the
+    min doc id per (bucket, doc_id % N_SIMHASH_SALTS) — a partial
+    (map-side) hash aggregate, so a hot bucket collapses before the
+    shuffle; phase 2 folds each bucket's <= N_SIMHASH_SALTS partial
+    minima into its P = N_SIMHASH_CANDS smallest (collect_list bounded by
+    the salt count). Each doc is then verified against all P bucket
+    candidates below it, in every chunk.
+
+    Recall: pigeonhole guarantees any pair within hamming < 4 shares a
+    chunk bucket, and with P > 1 a near pair (B, C) survives even when a
+    far smaller doc A is the bucket minimum (the r2 min-per-bucket form
+    verified B and C only against A and silently missed B–C). Recall is
+    still < 1 adversarially: a pair is missed iff, in EVERY bucket it
+    shares, the smaller member is crowded out of the candidate set — by
+    >= P smaller partial-minima, or by a smaller id in its own salt
+    class. The exact same resolution is twinned in
+    oracle/oracle.py::simhash_neardups_pdf (bit-exact tests), and the
+    planted crowd-out scenario is pinned in tests/test_hash_oracles.py.
     """
-    sigs = simhash_signatures(docs, id_col=id_col, text_col=text_col)
     chunk_structs = [
         F.struct(
             F.lit(i).alias("chunk"),
@@ -331,11 +358,18 @@ def simhash_neardups(
     chunks = sigs.select(
         "doc_id", "simhash", F.explode(F.array(*chunk_structs)).alias("c")
     ).select("doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
-    bmin = chunks.groupBy("chunk", "val").agg(F.min("doc_id").alias("cand"))
+    partial_min = chunks.groupBy(
+        "chunk", "val", F.pmod("doc_id", F.lit(N_SIMHASH_SALTS)).alias("_salt")
+    ).agg(F.min("doc_id").alias("_pm"))
+    bucket_cands = partial_min.groupBy("chunk", "val").agg(
+        F.slice(F.array_sort(F.collect_list("_pm")), 1, N_SIMHASH_CANDS).alias(
+            "_cands"
+        )
+    )
     cand = (
-        chunks.join(bmin, ["chunk", "val"])
+        chunks.join(bucket_cands, ["chunk", "val"])
+        .select("doc_id", "simhash", F.explode("_cands").alias("cand"))
         .filter(F.col("cand") < F.col("doc_id"))
-        .select("doc_id", "simhash", "cand")
         .dropDuplicates(["doc_id", "cand"])
     )
     cand = cand.join(
@@ -363,9 +397,15 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     map-side before the shuffle, so a hot duplicate text never pins one
     task the way Window.partitionBy(text) would. Equivalent to
     row_number()>1 because min(id) IS the rank-1 row; eqNullSafe keeps the
-    window semantics for NULL texts (one NULL group)."""
-    firsts = docs.groupBy(text_col).agg(F.min(id_col).alias("_first_id"))
-    j = docs.join(firsts, docs[text_col].eqNullSafe(firsts[text_col]), "left")
+    window semantics for NULL texts (one NULL group). The aggregated side
+    is aliased to a distinct attribute (_t) so the join predicate never
+    references the same lineage on both sides — the unaliased form relies
+    on analyzer-side lineage deduplication and logs a "trivially true
+    equals predicate" warning."""
+    firsts = docs.groupBy(text_col).agg(F.min(id_col).alias("_first_id")).select(
+        F.col(text_col).alias("_t"), "_first_id"
+    )
+    j = docs.join(firsts, docs[text_col].eqNullSafe(F.col("_t")), "left")
     return j.select(
         docs[id_col], (docs[id_col] != F.col("_first_id")).alias("is_dup")
     )

@@ -134,8 +134,22 @@ def _winnow_batch(texts, k=WINNOW_K, w=WINNOW_W):
     into one array with per-doc slots; k-gram hashes come from k shifted
     vector ops (splitmix64-mixed polynomial); window minima via a
     sliding-window view with cross-doc windows excluded by per-doc valid
-    ranges. No per-doc Python loop."""
+    ranges. No per-doc Python loop.
+
+    Requires w <= k: the inter-doc invalid gap in the packed hash array is
+    exactly k-1 positions, so a window of length w <= k starting at a
+    valid position can never reach past the gap into the next document's
+    hashes. For w > k a short document's single window would read the
+    neighbor's hashes — batch-composition-dependent fingerprints — so that
+    configuration is rejected outright."""
     import numpy as np
+
+    if w > k:
+        raise ValueError(
+            f"winnowing requires w <= k (got w={w}, k={k}): the inter-doc "
+            "mask is k-1 positions, so larger windows could cross document "
+            "boundaries in the packed batch"
+        )
 
     from qamd_spark.ops.dedup import (  # shared deterministic kernels
         _MASK,

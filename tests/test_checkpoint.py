@@ -261,3 +261,70 @@ def test_reaudit_labeled_output(spark, synth_path, tmp_path, cfg):
     assert len(got) == len(want)
     assert (got["keep"].to_numpy() == want["keep"].to_numpy()).all()
     assert (got["keep"] != want["keep"]).sum() == 0 and not got["keep"].all()
+
+
+def test_input_fingerprint_identity(spark, synth_path, tmp_path):
+    """r2 ADVICE (high): the fingerprint must track input identity for
+    every input kind the runner accepts — never collapse to a constant."""
+    import os
+    import time
+
+    # missing/empty inputs refuse to fingerprint (a constant hash would
+    # make resume skip every bucket against a different input)
+    with pytest.raises(FileNotFoundError):
+        checkpoint.input_fingerprint(spark, str(tmp_path / "nope"))
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError):
+        checkpoint.input_fingerprint(spark, str(empty))
+    # single-file input: stat name+size+mtime directly
+    f = tmp_path / "x.csv"
+    f.write_text("conv_id,turn_idx,role,text,tool,ts\nc1,0,user,hi,,\n")
+    fp1 = checkpoint.input_fingerprint(spark, f"csv:{f}")
+    assert fp1 == checkpoint.input_fingerprint(spark, str(f))
+    time.sleep(0.01)
+    f.write_text("conv_id,turn_idx,role,text,tool,ts\nc1,0,user,yo,,\n")
+    assert checkpoint.input_fingerprint(spark, f"csv:{f}") != fp1
+    # directory input: content change flips the fingerprint
+    fp_dir = checkpoint.input_fingerprint(spark, synth_path)
+    assert fp_dir != fp1
+    # iceberg refs delegate to io.table_fingerprint (no runtime jar here,
+    # so the delegation path must raise rather than hash '')
+    with pytest.raises(Exception):
+        checkpoint.input_fingerprint(spark, "iceberg:cat.db.missing")
+
+
+def test_fresh_run_is_single_job_and_resume_is_grouped(spark, synth_path, tmp_path, cfg, capsys):
+    """Adaptive bucket_batch (r2 VERDICT item 2): a fresh run processes
+    all buckets in ONE group job (one progress line), writes every
+    manifest, and matches the direct label; a resume after a simulated
+    crash degrades to bucket-grained groups and completes the rest."""
+    out = str(tmp_path / "out")
+    written = checkpoint.run_with_checkpoints(
+        spark, synth_path, out, cfg, progress=True
+    )
+    lines = [
+        ln for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("[qamd] buckets")
+    ]
+    assert len(lines) == 1 and "6/6" in lines[0]
+    assert {m.bucket for m in written} == set(range(6))
+    assert sum(m.n_rows for m in written) == spark.read.parquet(synth_path).count()
+
+    out2 = str(tmp_path / "out2")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        checkpoint.run_with_checkpoints(
+            spark, synth_path, out2, cfg, bucket_batch=2, fail_after_buckets=2
+        )
+    resumed = checkpoint.run_with_checkpoints(spark, synth_path, out2, cfg)
+    assert 0 < len(resumed) <= 4
+    a = (
+        spark.read.parquet(out + "/data").select("conv_id", "turn_idx", "keep")
+        .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    b = (
+        spark.read.parquet(out2 + "/data").select("conv_id", "turn_idx", "keep")
+        .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    assert len(a) == len(b)
+    assert (a["keep"].to_numpy() == b["keep"].to_numpy()).all()

@@ -205,3 +205,31 @@ def test_lsh_neardup_pairs_match_pandas_twin(spark):
     assert len(got) == len(want) > 0
     for c in ["vec_id", "dup_of", "sim"]:
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_simhash_neardups_survive_bucket_min_crowding(spark):
+    """Planted crowd-out scenario (r2 ADVICE): B and C are hamming-1
+    neighbors, but a far-away smaller-id doc A shares EVERY chunk bucket
+    where B and C collide. The r2 min-per-bucket resolution verified B
+    and C only against A (both fail) and silently missed B–C; the bounded
+    top-P resolution must surface it — and the pandas twin must agree
+    bit-for-bit."""
+    A = 0xFFFF  # chunk0 = 0xFFFF, chunks 1-3 = 0  -> hamming(A, B) = 16
+    B = 0x0000  # all chunks 0
+    C = B ^ 1   # differs from B only in bit 0 (chunk0); shares chunks 1-3
+    sigs_rows = [(0, A), (10, B), (11, C)]
+    sigs = spark.createDataFrame(sigs_rows, "doc_id long, simhash long")
+    got = _sorted(
+        dd.simhash_neardups_from_sigs(sigs, max_hamming=3).toPandas(),
+        ["doc_id", "dup_of", "hamming"],
+    )
+    assert [(r.doc_id, r.dup_of, r.hamming) for r in got.itertuples()] == [
+        (11, 10, 1)
+    ], got
+    want = _sorted(
+        oracle.simhash_neardups_from_sigs_pdf(
+            pd.DataFrame({"doc_id": [0, 10, 11], "simhash": [A, B, C]})
+        ),
+        ["doc_id", "dup_of", "hamming"],
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -281,3 +281,60 @@ def test_ivf_topk_on_clustered_data(spark):
     # determinism: same centroids on re-train
     cent2 = similarity.ivf_train(emb, n_clusters=4, n_iters=2)
     assert (cent == cent2).all()
+
+
+def test_conv_features_null_roles_match_sql_convention(spark):
+    """NULL-role alternation follows SQL (`role <> lag(role)` is NULL →
+    not a switch): transitions to/from NULL roles are skipped while the
+    denominator stays n-1, and the DuckDB window-lag twin agrees."""
+    import duckdb
+    from qamd_spark.ops import conversation as cv
+
+    rows = [
+        ("c1", 0, "user", "a"),
+        ("c1", 1, None, "b"),       # user->NULL: not a switch
+        ("c1", 2, "assistant", "c"),  # NULL->assistant: not a switch
+        ("c1", 3, "user", "d"),     # assistant->user: switch
+        ("c2", 0, None, "x"),
+        ("c2", 1, None, "y"),       # NULL->NULL: not a switch
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    got = {r["conv_id"]: r for r in cv.conv_features(df).collect()}
+    assert got["c1"]["alternation_ratio"] == 1 / 3
+    assert got["c1"]["n_roles"] == 2  # distinct NON-NULL roles
+    assert got["c2"]["alternation_ratio"] == 0.0
+    assert got["c2"]["n_roles"] == 0
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = con.execute(
+        """
+        WITH l AS (
+          SELECT conv_id, role,
+                 lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+          FROM t)
+        SELECT conv_id,
+               CASE WHEN count(*) > 1 THEN
+                 sum(CASE WHEN role <> prev THEN 1 ELSE 0 END)::DOUBLE
+                 / (count(*) - 1)
+               ELSE 0.0 END AS alt,
+               count(DISTINCT role)::INT AS n_roles
+        FROM l GROUP BY conv_id
+        """
+    ).fetchdf()
+    for _, row in want.iterrows():
+        assert got[row["conv_id"]]["alternation_ratio"] == row["alt"]
+        assert got[row["conv_id"]]["n_roles"] == row["n_roles"]
+
+
+def test_winnow_rejects_window_wider_than_kgram(spark):
+    """w > k could read past the k-1 masked inter-doc gap in the packed
+    batch (batch-composition-dependent fingerprints) — rejected outright."""
+    from qamd_spark.ops import text as tx
+
+    df = spark.createDataFrame([(0, "hello world")], "doc_id long, text string")
+    with pytest.raises(Exception, match="w <= k"):
+        tx.winnow_fingerprints(df, k=4, w=6).collect()
+    # boundary w == k is allowed
+    assert tx.winnow_fingerprints(df, k=4, w=4).count() > 0
