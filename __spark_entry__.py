@@ -887,6 +887,22 @@ def q_winnow(spark, sf_dir):
     return tx.winnow_fingerprints(_docs(spark, sf_dir))
 
 
+def q_winnow_containment(spark, sf_dir):
+    """Consumer of the winnow fingerprints (r2 VERDICT item 4): which
+    documents share substrings with an earlier document, and what
+    fraction of their fingerprints that overlap covers
+    (ops/text.winnow_containment — fp-bucket-min candidates + exact
+    distinct-fp intersection). Rows-only in the driver gate; exact vs
+    the pandas twin in tests/test_hash_oracles.py. containment is an
+    exact small-int division, rounded for the gate's float compare."""
+    from qamd_spark.ops import text as tx
+
+    out = tx.winnow_containment(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "src_of", "shared_fp", F.round("containment", 9).alias("containment")
+    )
+
+
 def q_minhash_dedup(spark, sf_dir):
     from qamd_spark.ops import dedup as dd
 
@@ -976,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "field_length": q_field_length,
         "winnow": q_winnow,
+        "winnow_containment": q_winnow_containment,
         "ngram_jaccard": q_ngram_jaccard,
         "media_features": q_media_features,
         "frame_plan": q_frame_plan,

@@ -343,6 +343,31 @@ def winnow_pdf(pdf: pd.DataFrame, k: int = 5, w: int = 4,
     )
 
 
+def winnow_containment_pdf(pdf: pd.DataFrame, k: int = 5, w: int = 4,
+                           min_shared: int = 2, id_col: str = "doc_id",
+                           text_col: str = "text") -> pd.DataFrame:
+    """Twin of ops.text.winnow_containment: same keep-first candidate rule
+    (each doc vs the min-id owner of each shared fingerprint) and the same
+    EXACT distinct-fp intersection, in per-pair set algebra."""
+    fps = winnow_pdf(pdf, k=k, w=w, id_col=id_col, text_col=text_col)
+    sets = {d: set(g["fp"]) for d, g in fps.groupby(id_col)}
+    fmin = fps.groupby("fp")[id_col].min()
+    pairs = set()
+    for d, s in sets.items():
+        for fp in s:
+            m = fmin[fp]
+            if m < d:
+                pairs.add((d, int(m)))
+    rows = []
+    for d, c in sorted(pairs):
+        shared = len(sets[d] & sets[c])
+        if shared >= min_shared:
+            rows.append((d, c, shared, shared / len(sets[d])))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "src_of", "shared_fp", "containment"]
+    ).astype({"doc_id": np.int64, "src_of": np.int64, "shared_fp": np.int64})
+
+
 def _seq_cosine(a: np.ndarray, b: np.ndarray) -> float:
     """Sequential left-fold cosine — matches Spark's F.aggregate fold
     order bit-for-bit (numpy dot uses pairwise/SIMD summation, which can

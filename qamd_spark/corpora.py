@@ -80,7 +80,76 @@ el acero. la mayoría de las respuestas eran simples una vez que la pregunta
 estaba bien planteada.
 """
 
-LANG_CORPORA = {"en": EN, "fr": FR, "de": DE, "es": ES}
+IT = """
+il primo mattino copre la città e le strade profumano di pane fresco e di
+caffè. i bambini camminano verso la scuola parlando dei giochi del
+pomeriggio. la biblioteca all'angolo conserva una piccola raccolta di mappe
+e lettere del secolo scorso. quando arriva la pioggia le strade si svuotano
+in fretta e la gente aspetta sotto i portici guardando il cielo. una tazza
+di tè e un libro lungo rendono più brevi le sere lente. il treno parte
+dalla stazione alle sette e arriva in città poco prima delle nove. abbiamo
+misurato i risultati con cura e annotato ogni numero nel registro. il
+comitato si riunirà martedì per rivedere il bilancio e pianificare il
+prossimo trimestre. la storia insegna la pazienza e il giardino la insegna
+due volte. per favore ricordate di chiudere il cancello perché le pecore
+non escano sulla strada. l'ingegnere ha controllato di nuovo il ponte
+perché l'inverno era stato duro per l'acciaio. la maggior parte delle
+risposte era semplice una volta posta bene la domanda.
+"""
+
+PT = """
+a manhã cedo cobre a cidade e as ruas cheiram a pão fresco e a café. as
+crianças caminham para a escola falando dos jogos da tarde. a biblioteca da
+esquina guarda uma pequena coleção de mapas e cartas do século passado.
+quando chega a chuva as ruas esvaziam depressa e as pessoas esperam sob os
+toldos olhando o céu. uma xícara de chá e um livro longo tornam mais curtas
+as tardes lentas. o trem sai da estação às sete e chega à cidade pouco
+antes das nove. medimos os resultados com cuidado e anotamos cada número no
+registro. o comitê vai se reunir na terça para rever o orçamento e planejar
+o próximo trimestre. a história ensina paciência e o jardim a ensina duas
+vezes. por favor lembrem de fechar o portão para que as ovelhas não saiam
+para a estrada. o engenheiro verificou a ponte outra vez porque o inverno
+tinha sido duro para o aço. a maioria das respostas era simples depois que
+a pergunta estava bem colocada.
+"""
+
+NL = """
+de vroege ochtend ligt over de stad en de straten ruiken naar vers brood en
+koffie. de kinderen lopen naar school en praten over de spelletjes van de
+middag. de bibliotheek op de hoek bewaart een kleine verzameling kaarten en
+brieven uit de vorige eeuw. als de regen komt lopen de straten snel leeg en
+wachten de mensen onder de luifels naar de lucht te kijken. een kop thee en
+een lang boek maken de trage avonden korter. de trein vertrekt om zeven uur
+van het station en komt kort voor negen in de stad aan. wij hebben de
+resultaten zorgvuldig gemeten en elk getal in het boek geschreven. de
+commissie komt dinsdag bijeen om de begroting te bekijken en het volgende
+kwartaal te plannen. de geschiedenis leert geduld en de tuin leert het twee
+keer. denk eraan het hek te sluiten zodat de schapen niet de weg op lopen.
+de ingenieur controleerde de brug nog een keer omdat de winter zwaar was
+geweest voor het staal. de meeste antwoorden waren eenvoudig zodra de vraag
+goed gesteld was.
+"""
+
+SV = """
+den tidiga morgonen ligger över staden och gatorna doftar av färskt bröd
+och kaffe. barnen går till skolan och pratar om eftermiddagens lekar.
+biblioteket i hörnet bevarar en liten samling kartor och brev från förra
+århundradet. när regnet kommer tömmer sig gatorna snabbt och folk väntar
+under markiserna och tittar på himlen. en kopp te och en lång bok gör de
+långsamma kvällarna kortare. tåget lämnar stationen klockan sju och kommer
+fram till staden strax före nio. vi mätte resultaten noggrant och skrev ner
+varje tal i boken. kommittén träffas på tisdag för att granska budgeten och
+planera nästa kvartal. historien lär ut tålamod och trädgården lär ut det
+två gånger. kom ihåg att stänga grinden så att fåren inte springer ut på
+vägen. ingenjören kontrollerade bron en gång till eftersom vintern hade
+varit hård mot stålet. de flesta svaren var enkla när frågan väl var rätt
+ställd.
+"""
+
+LANG_CORPORA = {
+    "en": EN, "fr": FR, "de": DE, "es": ES,
+    "it": IT, "pt": PT, "nl": NL, "sv": SV,
+}
 
 # English stopword lexicon (broadcast side input; analogue of the
 # reference's test/stopwords.txt mechanism, reference

@@ -24,7 +24,8 @@ from qamd_spark import corpora
 
 TABLE_BITS = 15
 TABLE = 1 << TABLE_BITS
-LANGS = ("en", "fr", "de", "es")  # fixed order; argmax tie-break = first
+LANGS = ("en", "fr", "de", "es", "it", "pt", "nl", "sv")
+# fixed order; argmax tie-break = first
 UND = "und"
 PPL_EMPTY = 1.0e9  # sentinel perplexity for texts with no trigrams
 _SEP = 0xFF  # never occurs in valid UTF-8

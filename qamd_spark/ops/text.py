@@ -233,3 +233,62 @@ def winnow_fingerprints(
             yield pd.DataFrame({"doc_id": ids, "pos": pos, "fp": fp})
 
     return docs.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
+def winnow_containment(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Shared-substring / containment pairs — the consumer of
+    :func:`winnow_fingerprints` (the SIGMOD'03 use case: which documents
+    overlap, and how much). Returns
+    (doc_id, src_of, shared_fp, containment) where src_of is the
+    earliest (smallest-id) document owning a fingerprint this document
+    shares, shared_fp = |FP(doc) ∩ FP(src_of)| (EXACT distinct-
+    fingerprint intersection), containment = shared_fp / |FP(doc)| — the
+    fraction of this document's fingerprints also present in the source,
+    ~ the fraction of its text covered by substrings shared with it.
+
+    Scale shape (the same no-all-pairs discipline as minhash_duplicates):
+    candidate generation resolves each fingerprint bucket to its MIN doc
+    id with a hash aggregate — never a bucket self-join, so a fingerprint
+    shared by millions of boilerplate docs collapses in the aggregate —
+    then the exact intersection count runs only over candidate pairs via
+    an equi-join on (candidate, fp). Keep-first semantics: each document
+    is scored against the corpus-FIRST owner of its shared fingerprints
+    (the "find the original source" question); doc pairs that share text
+    only with each other and not with any earlier doc still surface,
+    because the earlier of the two IS the bucket min."""
+    fps = winnow_fingerprints(docs, id_col=id_col, text_col=text_col, k=k, w=w)
+    dfp = fps.select("doc_id", "fp").distinct()
+    n_fp = dfp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    fmin = dfp.groupBy("fp").agg(F.min("doc_id").alias("cand"))
+    pairs = (
+        dfp.join(fmin, "fp")
+        .filter(F.col("cand") < F.col("doc_id"))
+        .select("doc_id", "cand")
+        .distinct()
+    )
+    cand_fps = dfp.select(F.col("doc_id").alias("cand"), "fp")
+    shared = (
+        dfp.join(pairs, "doc_id")
+        .join(cand_fps, ["cand", "fp"])
+        .groupBy("doc_id", "cand")
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+    )
+    return (
+        shared.filter(F.col("shared_fp") >= min_shared)
+        .join(n_fp, "doc_id")
+        .select(
+            "doc_id",
+            F.col("cand").alias("src_of"),
+            "shared_fp",
+            (
+                F.col("shared_fp").cast("double") / F.col("n_fp").cast("double")
+            ).alias("containment"),
+        )
+    )

@@ -233,3 +233,41 @@ def test_simhash_neardups_survive_bucket_min_crowding(spark):
         ["doc_id", "dup_of", "hamming"],
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_winnow_containment_matches_pandas_twin(spark, docs_df, docs_pdf):
+    from qamd_spark.ops import text as tx
+
+    got = _sorted(
+        tx.winnow_containment(docs_df).toPandas(),
+        ["doc_id", "src_of", "shared_fp", "containment"],
+    )
+    want = _sorted(
+        oracle.winnow_containment_pdf(docs_pdf),
+        ["doc_id", "src_of", "shared_fp", "containment"],
+    )
+    assert len(got) > 0  # sf0.001 contains injected near-dups
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_winnow_containment_finds_shared_substring(spark):
+    """SIGMOD'03 guarantee, end-to-end: a long substring planted into an
+    otherwise-unrelated document must surface as a containment pair with
+    the source doc, with containment fraction reflecting the overlap;
+    unrelated docs must not pair."""
+    from qamd_spark.ops import text as tx
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, "source document padding text. " + shared + " trailing content here."),
+        (1, "zxqvj wkpfy mmbbg hhnnd rrttc zzqqx jjkkw vvbbn ccxxz qqwwe"),
+        (2, "novel prefix material " + shared + " and a different ending part"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tx.winnow_containment(df, min_shared=2).toPandas()
+    pairs = {(r.doc_id, r.src_of) for r in out.itertuples()}
+    assert (2, 0) in pairs, out
+    assert all(p[1] != 1 and p[0] != 1 for p in pairs), out
+    row = out[(out["doc_id"] == 2) & (out["src_of"] == 0)].iloc[0]
+    assert row["shared_fp"] >= 2
+    assert 0.1 < row["containment"] <= 1.0

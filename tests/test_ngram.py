@@ -12,7 +12,70 @@ def test_langid_basic():
     ]
     langs, margin, ppl = ngram.score_texts(texts)
     assert list(langs) == ["en", "fr", "de", "es"]
-    assert (margin > 0.5).all()
+    # margins shrink as the language set grows (es/pt/it are close); they
+    # must still clear the default langid gating threshold of 0.15
+    assert (margin > 0.15).all()
+
+
+# Held-out evaluation snippets: fresh prose per language, NOT drawn from
+# the training corpora in qamd_spark/corpora.py.
+HELD_OUT = {
+    "en": [
+        "she parked the car near the market and bought apples for the week",
+        "our team finished the report early and went outside for lunch",
+        "the winter storm closed the airport for nearly two days",
+    ],
+    "fr": [
+        "il a laissé son parapluie dans le bus et il pleut encore ce soir",
+        "nous avons visité le musée avant de prendre le déjeuner ensemble",
+        "la réunion de jeudi est reportée à la semaine prochaine",
+    ],
+    "de": [
+        "sie hat den schlüssel im büro vergessen und musste zurückfahren",
+        "am wochenende wandern wir gern durch den wald hinter dem dorf",
+        "das neue fahrrad steht seit gestern im keller neben der tür",
+    ],
+    "es": [
+        "olvidó las llaves en la oficina y tuvo que volver por ellas",
+        "el próximo viernes celebramos el cumpleaños de mi hermana en casa",
+        "el mercado abre temprano y conviene llegar antes de las ocho",
+    ],
+    "it": [
+        "ha dimenticato le chiavi in ufficio ed è dovuto tornare indietro",
+        "sabato andiamo al mare se il tempo resta bello tutto il giorno",
+        "il negozio chiude presto quindi conviene arrivare prima di sera",
+    ],
+    "pt": [
+        "ele esqueceu as chaves no escritório e precisou voltar para buscá-las",
+        "no domingo vamos à praia se o tempo continuar firme o dia todo",
+        "o mercado abre cedo e vale a pena chegar antes das oito",
+    ],
+    "nl": [
+        "hij vergat zijn sleutels op kantoor en moest terugrijden om ze te halen",
+        "zaterdag fietsen we naar het strand als het weer goed blijft",
+        "de winkel sluit vroeg dus het is slim om voor de avond te komen",
+    ],
+    "sv": [
+        "hon glömde nycklarna på kontoret och fick åka tillbaka efter dem",
+        "på lördag cyklar vi till stranden om vädret håller i sig",
+        "affären stänger tidigt så det är klokt att komma före kvällen",
+    ],
+}
+
+
+def test_langid_confusion_matrix_on_held_out():
+    """Per-language accuracy on held-out snippets (r2 VERDICT item 5):
+    every language in the 8-language set must classify its own held-out
+    prose correctly — the full confusion matrix is diagonal."""
+    confusion = {}
+    for true_lang, snippets in HELD_OUT.items():
+        langs, margin, _ = ngram.score_texts(snippets)
+        for pred in langs:
+            confusion[(true_lang, pred)] = confusion.get((true_lang, pred), 0) + 1
+    errors = {k: v for k, v in confusion.items() if k[0] != k[1]}
+    assert not errors, errors
+    # and every language is actually exercised
+    assert {k[0] for k in confusion} == set(ngram.LANGS)
 
 
 def test_empty_and_null():
