@@ -3,11 +3,13 @@
 Image/audio/video payloads are carried as `binary` columns with a typed
 metadata struct. Decode/feature-extraction run as Arrow-batched pandas
 stages over mapInPandas — the Spark-side plumbing (schema, batching,
-partition sizing) is real and tested; the actual codec step is STUBBED
-(this container has no image/audio libraries): `decode_stub=True` produces
-a deterministic fake decode so the pipeline shape is exercised end-to-end,
-and `decode_stub=False` raises NotImplementedError where a real
-`PIL.Image.open` / `soundfile.read` call would go.
+partition sizing) is real and tested. The codec step is import-gated:
+`decode_stub=True` produces a deterministic fake decode so the pipeline
+shape is exercised end-to-end without any media library;
+`decode_stub=False` uses PIL (images) / soundfile (audio) when those
+optional dependencies are installed, and raises NotImplementedError in
+codec-free containers like this sandbox (integration tests skip via
+importorskip).
 
 Scale notes: binary payloads dominate row size, so feature stages select
 ONLY (id, payload) — column pruning keeps the text/metadata out of the
@@ -67,6 +69,57 @@ def _fake_decode_features(payload: bytes) -> np.ndarray:
     return hist / max(len(arr), 1)
 
 
+def _codec_modules():
+    """Optional real codecs, import-gated (r2 VERDICT item 6): PIL for
+    images, soundfile for audio. Returns (PIL.Image | None, sf | None) —
+    the offline container has neither, so callers raise a clear
+    NotImplementedError instead of failing at import time."""
+    try:
+        from PIL import Image  # type: ignore
+    except ImportError:
+        Image = None
+    try:
+        import soundfile  # type: ignore
+    except ImportError:
+        soundfile = None
+    return Image, soundfile
+
+
+def _real_decode_features(payload: bytes) -> np.ndarray:
+    """Real decode→feature path: PIL luminance histogram for images,
+    soundfile amplitude histogram for audio. Deterministic (no model
+    forward pass — a 16-bucket normalized histogram in both cases, the
+    same output contract as the stub)."""
+    import io as _io
+
+    Image, soundfile = _codec_modules()
+    if Image is not None:
+        try:
+            img = Image.open(_io.BytesIO(payload))
+            arr = np.asarray(img.convert("L"), dtype=np.uint8).ravel()
+            hist = np.bincount(arr >> 4, minlength=_FEATURE_DIM).astype(np.float32)
+            return hist / max(arr.size, 1)
+        except Exception:
+            pass  # not an image (or corrupt) — fall through to audio
+    if soundfile is not None:
+        try:
+            data, _sr = soundfile.read(_io.BytesIO(payload), dtype="float32")
+            clipped = np.clip((np.ravel(data) + 1.0) / 2.0, 0.0, 1.0)
+            idx = np.minimum(
+                (clipped * _FEATURE_DIM).astype(np.int64), _FEATURE_DIM - 1
+            )
+            hist = np.bincount(idx, minlength=_FEATURE_DIM).astype(np.float32)
+            return hist / max(idx.size, 1)
+        except Exception:
+            pass
+    if Image is None and soundfile is None:
+        raise NotImplementedError(
+            "real media decode requires PIL/soundfile/ffmpeg — "
+            "not available in this container; pass decode_stub=True"
+        )
+    raise ValueError("payload not decodable by the available codecs")
+
+
 def extract_features(
     media: DataFrame, decode_stub: bool = True, id_col: str = "media_id",
     payload_col: str = "payload",
@@ -74,19 +127,15 @@ def extract_features(
     """payload → (n_bytes, sha256, feature vector). Arrow-batched."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _fake_decode_features if decode_stub else _real_decode_features
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode requires PIL/soundfile/ffmpeg — "
-                    "not available in this container; pass decode_stub=True"
-                )
             rows = {"media_id": [], "n_bytes": [], "sha256": [], "features": []}
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload) if payload is not None else b""
                 rows["media_id"].append(mid)
                 rows["n_bytes"].append(len(b))
                 rows["sha256"].append(hashlib.sha256(b).hexdigest())
-                rows["features"].append(_fake_decode_features(b).tolist())
+                rows["features"].append(decode(b).tolist())
             yield pd.DataFrame(rows)
 
     return media.select(id_col, payload_col).mapInPandas(run, schema=_FEATURES_SCHEMA)
@@ -113,30 +162,40 @@ def resize_images(
     """Image resize stage: payload → resized payload at (width, height).
 
     The Spark plumbing is real — binary in/binary out through Arrow
-    batches, image rows only, column-pruned to (id, payload) — while the
-    codec is STUBBED (no PIL in this container): ``decode_stub=True``
-    produces a deterministic strided resample of the raw bytes to
-    width*height bytes, so sizes/shapes flow end-to-end; ``False`` raises
-    where the real ``PIL.Image.open(...).resize(...)`` call would go.
+    batches, image rows only, column-pruned to (id, payload).
+    ``decode_stub=True`` produces a deterministic strided resample of the
+    raw bytes to width*height bytes, so sizes/shapes flow end-to-end
+    without any codec; ``decode_stub=False`` decodes with PIL when it is
+    installed (optional dependency; import-gated) — grayscale resize to
+    (width, height), emitting the raw w*h luminance bytes — and raises
+    NotImplementedError in codec-free containers like this sandbox.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n_out = width * height
-        for pdf in batches:
-            if not decode_stub:
+        Image = None
+        if not decode_stub:
+            Image, _ = _codec_modules()
+            if Image is None:
                 raise NotImplementedError(
                     "real image resize requires PIL — not available in this "
                     "container; pass decode_stub=True"
                 )
+        import io as _io
+
+        for pdf in batches:
             rows = {"media_id": [], "payload": [], "width": [], "height": []}
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload) if payload is not None else b""
-                if b:
+                if not b:
+                    out = bytes(n_out)
+                elif decode_stub:
                     src = np.frombuffer(b, dtype=np.uint8)
                     idx = np.linspace(0, len(src) - 1, n_out).astype(np.int64)
                     out = src[idx].tobytes()
                 else:
-                    out = bytes(n_out)
+                    img = Image.open(_io.BytesIO(b)).convert("L")
+                    out = img.resize((width, height)).tobytes()
                 rows["media_id"].append(mid)
                 rows["payload"].append(out)
                 rows["width"].append(width)

@@ -114,3 +114,45 @@ def test_cli_writes_html(tmp_path, synth_path):
     doc = _json.load(open(out + "/summary.json"))
     for r in doc["summary"]:
         assert r["rule"] in html
+
+
+def test_html_report_byte_golden():
+    """Byte-stable golden document (reference golden-string test pattern,
+    src/report/html/mod.rs:269-290): to_html over a FIXED fixture report
+    dict must reproduce tests/data/golden_report.html byte-for-byte —
+    any rendering change (ordering, escaping, CSS) must be a conscious
+    golden update. The fixture exercises metadata, one table per
+    category, escaping of & and <>, and locator tables."""
+    import os
+
+    from qamd_spark import report
+
+    doc = {
+        "metadata": {"source": "fixture.parquet", "variable_count": 6,
+                     "raw_case_count": 32, "engine": "qamd_spark"},
+        "summary": [
+            {"category": "basic_file_checks", "rule": "bad_conv_id",
+             "desc": "Conversation id should match the expected pattern",
+             "action": "fail", "pass": 30, "fail": 2},
+            {"category": "data_integrity", "rule": "empty_turn",
+             "desc": "Turn text should not be empty", "action": "drop",
+             "pass": 31, "fail": 1},
+            {"category": "disclosure_risk", "rule": "pii",
+             "desc": "Turn text should not contain PII <emails & phones>",
+             "action": "scrub", "pass": 32, "fail": 0},
+            {"category": "quality", "rule": "stopword_fraction",
+             "desc": "Turns should not be mostly stopwords", "action": "fail",
+             "pass": 29, "fail": 3},
+        ],
+        "locators": {
+            "bad_conv_id": {"n_fail": 2, "first": [["bad&conv", 0], ["x<y>", 3]]},
+            "empty_turn": {"n_fail": 1, "first": [["conv00007", 2]]},
+        },
+    }
+    golden = os.path.join(os.path.dirname(__file__), "data", "golden_report.html")
+    with open(golden) as f:
+        want = f.read()
+    got = report.to_html(doc)
+    assert got == want
+    # the escaping actually bit: raw '<' from data must not appear
+    assert "x<y>" not in got and "x&lt;y&gt;" in got
