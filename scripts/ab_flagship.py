@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Interleaved A/B(/C) attribution bench for the flagship pipeline.
+
+r2 VERDICT item 1: BENCH_r02 showed transcript_pipeline 12.1 s (r1) ->
+18.2 s (r2), but each round's number was a single uninterleaved run on a
+host whose throughput drifts up to ~3x between windows — unattributable
+as shipped. This script answers the question properly: it checks out the
+r1 and r2 code as git worktrees (.ab/r1, .ab/r2), runs the SAME input
+through each code version in fresh JVM children, ABAB-interleaved within
+ONE session, and reports min-of-trials per version plus pairwise ratios.
+
+Usage: python scripts/ab_flagship.py [--trials N] [--sf 0.1]
+Writes JSON to stdout; meant to be pasted into BENCH/ANALYSIS.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+VERSIONS = {
+    "r1": os.path.join(REPO, ".ab", "r1"),
+    "r2": os.path.join(REPO, ".ab", "r2"),
+    "r3": REPO,
+}
+
+CHILD = """
+import json, sys, time
+sys.path.insert(0, {root!r})
+from qamd_spark import pipeline, session
+from qamd_spark.config import QamdConfig
+spark = session.get_spark('qamd-ab', master='local[{cpus}]', shuffle_partitions={cpus},
+                          extra={{'spark.sql.files.maxPartitionBytes': '512k'}})
+cfg = QamdConfig()
+tpath = {tpath!r}
+# warmup: JVM codegen + spawn Python workers
+pipeline.label(spark.read.parquet(tpath).limit(20000).repartition({cpus}), cfg).count()
+best, n = 1e18, 0
+for _ in range(2):
+    df = spark.read.parquet(tpath)
+    t0 = time.perf_counter()
+    n = pipeline.label(df, cfg).count()
+    best = min(best, time.perf_counter() - t0)
+print(json.dumps({{"sec": round(best, 3), "n": n}}))
+spark.stop()
+"""
+
+
+def run_child(root: str, tpath: str, cpus: int) -> dict:
+    code = CHILD.format(root=root, tpath=tpath, cpus=cpus)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1200
+    )
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        sys.stderr.write(out.stderr[-4000:])
+        raise RuntimeError(f"child for {root} produced no result")
+    return json.loads(lines[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--versions", default="r1,r2,r3")
+    args = ap.parse_args()
+    sys.path.insert(0, REPO)
+    import bench
+
+    tpath = bench.transcripts_path(0.1)
+    versions = {v: VERSIONS[v] for v in args.versions.split(",")}
+    for v, root in versions.items():
+        if not os.path.isdir(root):
+            raise SystemExit(f"worktree missing for {v}: {root} (git worktree add)")
+    runs: dict[str, list[float]] = {v: [] for v in versions}
+    t_start = time.time()
+    for t in range(args.trials):
+        for v, root in versions.items():  # interleaved: r1,r2,r3,r1,r2,r3,...
+            r = run_child(root, tpath, args.cpus)
+            runs[v].append(r["sec"])
+            print(
+                f"# trial {t} {v}: {r['sec']}s (n={r['n']})",
+                file=sys.stderr,
+                flush=True,
+            )
+    best = {v: min(s) for v, s in runs.items()}
+    out = {
+        "input": tpath,
+        "cpus": args.cpus,
+        "trials": args.trials,
+        "session_sec": round(time.time() - t_start, 1),
+        "all_runs_sec": runs,
+        "best_sec": best,
+    }
+    vs = list(best)
+    for i in range(1, len(vs)):
+        out[f"ratio_{vs[i]}_vs_{vs[i-1]}"] = round(best[vs[i]] / best[vs[i - 1]], 3)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
