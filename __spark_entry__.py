@@ -909,6 +909,18 @@ def q_minhash_dedup(spark, sf_dir):
     return dd.minhash_duplicates(_docs(spark, sf_dir))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive near-duplicate clusters (connected components over the
+    minhash pairs; ops/dedup.duplicate_clusters — iterative hash-to-min
+    with pointer jumping, driver sees only a changed-count scalar per
+    iteration). Rows-only in the driver gate; exact vs the union-find
+    pandas twin in tests/test_hash_oracles.py."""
+    from qamd_spark.ops import dedup as dd
+
+    pairs = dd.minhash_duplicates(_docs(spark, sf_dir))
+    return dd.duplicate_clusters(pairs)
+
+
 def q_simhash(spark, sf_dir):
     from qamd_spark.ops import dedup as dd
 
@@ -993,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_length": q_field_length,
         "winnow": q_winnow,
         "winnow_containment": q_winnow_containment,
+        "dedup_clusters": q_dedup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
         "media_features": q_media_features,
         "frame_plan": q_frame_plan,

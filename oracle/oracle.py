@@ -343,6 +343,29 @@ def winnow_pdf(pdf: pd.DataFrame, k: int = 5, w: int = 4,
     )
 
 
+def clusters_pdf(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Union-find twin of ops.dedup.duplicate_clusters: (doc_id,
+    cluster_id = min doc id in the connected component), for every doc
+    appearing in the (doc_id, dup_of) pairs."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_id"], pairs["dup_of"]):
+        a, b = int(a), int(b)
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = sorted((v, find(v)) for v in parent)
+    return pd.DataFrame(rows, columns=["doc_id", "cluster_id"]).astype(np.int64)
+
+
 def winnow_containment_pdf(pdf: pd.DataFrame, k: int = 5, w: int = 4,
                            min_shared: int = 2, id_col: str = "doc_id",
                            text_col: str = "text") -> pd.DataFrame:

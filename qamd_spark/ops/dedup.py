@@ -411,6 +411,84 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def duplicate_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+    """Connected components over near-duplicate pairs: (doc_id,
+    cluster_id) for every doc appearing in ``pairs`` (doc_id, dup_of),
+    where cluster_id = the smallest doc id in the component. This is the
+    step between pairwise dedup output (minhash_duplicates /
+    simhash_neardups / winnow_containment) and a group-level keep
+    decision: keep-first pairs form CHAINS (C→B, B→A), and dropping "any
+    doc with a dup_of" while keeping only cluster minima requires the
+    transitive closure.
+
+    Algorithm: hash-to-min label propagation with pointer jumping — each
+    iteration every node takes min(own label, min neighbor label, label
+    of its label). Pure DataFrame joins + partial-aggregated mins (no
+    per-component state, skew-safe: a giant component collapses in the
+    min() aggregates), converging in O(log n) iterations rather than
+    O(diameter) thanks to the jump step. Per-iteration labels are
+    localCheckpoint()ed: iterative self-joins otherwise double the plan
+    per iteration. The driver-side loop reads only a single changed-count
+    scalar per iteration (no data collect); raises if ``max_iters`` is
+    hit without convergence (25 handles components of ~2^25 docs).
+
+    Exact pandas twin (union-find): oracle/oracle.py::clusters_pdf.
+    """
+    edges = pairs.select(
+        F.col("doc_id").alias("a"), F.col("dup_of").alias("b")
+    )
+    edges = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("a").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("lbl"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(
+                labels.select(F.col("v").alias("b"), F.col("lbl").alias("_nl")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("_nl").alias("_nbr_min"))
+            .select(F.col("a").alias("v"), "_nbr_min")
+        )
+        jump = labels.select(
+            F.col("lbl").alias("_jv"), F.col("v").alias("_of")
+        ).join(
+            labels.select(F.col("v").alias("_jv"), F.col("lbl").alias("_jl")),
+            "_jv",
+        ).select(F.col("_of").alias("v"), "_jl")
+        new = (
+            labels.join(nbr, "v", "left")
+            .join(jump, "v", "left")
+            .select(
+                "v",
+                F.least(
+                    "lbl",
+                    F.coalesce("_nbr_min", "lbl"),
+                    F.coalesce("_jl", "lbl"),
+                ).alias("lbl"),
+                (F.col("lbl")).alias("_old"),
+            )
+        )
+        new = new.localCheckpoint()  # truncate iterative lineage
+        changed = new.agg(
+            F.sum((F.col("lbl") != F.col("_old")).cast("long")).alias("c")
+        ).collect()[0]["c"]
+        labels = new.select("v", "lbl")
+        if not changed:
+            return labels.select(
+                F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id")
+            )
+    raise RuntimeError(
+        f"duplicate_clusters did not converge in {max_iters} iterations"
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     candidates: DataFrame,

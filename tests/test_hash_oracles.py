@@ -271,3 +271,39 @@ def test_winnow_containment_finds_shared_substring(spark):
     row = out[(out["doc_id"] == 2) & (out["src_of"] == 0)].iloc[0]
     assert row["shared_fp"] >= 2
     assert 0.1 < row["containment"] <= 1.0
+
+
+def test_duplicate_clusters_match_union_find_twin(spark, docs_df, docs_pdf):
+    got = _sorted(
+        dd.duplicate_clusters(dd.minhash_duplicates(docs_df)).toPandas(),
+        ["doc_id", "cluster_id"],
+    )
+    want = _sorted(
+        oracle.clusters_pdf(oracle.minhash_duplicates_pdf(docs_pdf)),
+        ["doc_id", "cluster_id"],
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_duplicate_clusters_resolve_chains(spark):
+    """Keep-first pairs form chains (C->B, B->A); the transitive closure
+    must label every chained doc with the component minimum, across
+    multiple components, including a long path (exercises the
+    pointer-jumping iterations)."""
+    chain = [(i + 1, i) for i in range(12)]          # path 0-1-...-12
+    pairs = chain + [(21, 20), (23, 21), (40, 35)]   # two more components
+    df = spark.createDataFrame(pairs, "doc_id long, dup_of long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dd.duplicate_clusters(df).collect()
+    }
+    for v in range(13):
+        assert got[v] == 0, (v, got[v])
+    for v in (20, 21, 23):
+        assert got[v] == 20
+    assert got[35] == 35 and got[40] == 35
+    want = oracle.clusters_pdf(
+        pd.DataFrame(pairs, columns=["doc_id", "dup_of"])
+    )
+    assert got == dict(zip(want["doc_id"], want["cluster_id"]))
