@@ -580,6 +580,23 @@ def q_length_histogram(spark, sf_dir):
     )
 
 
+QUALITY_TOPK_K = 5
+
+
+def q_quality_topk_lang(spark, sf_dir):
+    """Grouped top-k without a group window (ops/text.grouped_topk —
+    two-phase partition-local slice then merge, no hot-group task): the
+    top-5 documents per language by heuristic quality score, ties by
+    doc_id. Selection and order identical to SQL row_number() OVER
+    (PARTITION BY lang ORDER BY quality DESC, doc_id)."""
+    from qamd_spark.ops import text as tx
+
+    d = _docs(spark, sf_dir).select(
+        "lang", "doc_id", tx.quality_score(_txt()).alias("quality")
+    )
+    return tx.grouped_topk(d, "lang", "quality", "doc_id", QUALITY_TOPK_K)
+
+
 def q_conv_features(spark, sf_dir):
     """Grouped-map operator (applyInPandas) over documents-as-conversations
     (conv = doc_id % 97, role := source): per-conversation turn counts,
@@ -975,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summary_report": q_summary_report,
         "ann_cosine_topk": q_ann_cosine_topk,
         "text_profile": q_text_profile,
+        "quality_topk_lang": q_quality_topk_lang,
         "oov_fraction": q_oov_fraction,
         "sentinel_text": q_sentinel_text,
         "custom_regex": q_custom_regex,
@@ -1281,6 +1299,39 @@ def oracle_sql() -> dict[str, str]:
                    END AS log2_len,
                    count(*)::BIGINT AS n_docs
             FROM documents GROUP BY 1
+        """,
+        "quality_topk_lang": f"""
+            WITH q AS (
+              SELECT lang, doc_id,
+                greatest(0.0, least(1.0,
+                  (CASE WHEN length(coalesce(text,'')) >= 20
+                             AND length(coalesce(text,'')) <= 5000 THEN 1.0
+                        WHEN length(coalesce(text,'')) > 0 THEN 0.3
+                        ELSE 0.0 END)
+                  - (CASE WHEN length(coalesce(text,'')) > 0 AND
+                       (length(coalesce(text,'')) - length(regexp_replace(
+                          coalesce(text,''), '{PUNCT_CLASS}', '', 'g')))::DOUBLE
+                         / length(coalesce(text,''))::DOUBLE > 0.2
+                     THEN 0.3 ELSE 0.0 END)
+                  - (CASE WHEN length(coalesce(text,'')) > 0 AND
+                       (length(coalesce(text,'')) - length(regexp_replace(
+                          coalesce(text,''), '[A-Z]', '', 'g')))::DOUBLE
+                         / length(coalesce(text,''))::DOUBLE > 0.3
+                     THEN 0.2 ELSE 0.0 END)
+                  - (CASE WHEN length(coalesce(text,'')) > 0 AND
+                       (length(coalesce(text,'')) - length(regexp_replace(
+                          coalesce(text,''), '[0-9]', '', 'g')))::DOUBLE
+                         / length(coalesce(text,''))::DOUBLE > 0.3
+                     THEN 0.2 ELSE 0.0 END)
+                )) AS quality
+              FROM documents),
+            r AS (
+              SELECT lang, doc_id, quality,
+                     row_number() OVER (
+                       PARTITION BY lang ORDER BY quality DESC, doc_id
+                     )::INT AS rank
+              FROM q)
+            SELECT lang, doc_id, quality, rank FROM r WHERE rank <= {QUALITY_TOPK_K}
         """,
         "conv_features": """
             WITH t AS (

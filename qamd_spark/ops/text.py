@@ -99,6 +99,55 @@ def rolling_fingerprint(text: Column) -> Column:
     return F.xxhash64(norm)
 
 
+def grouped_topk(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """EXACT per-group top-k by (score desc, id asc), skew-safe: the same
+    two-phase shape as report.locators —
+
+    phase 1: groupBy(group, input partition id) → per-partition sorted
+             slice of ≤ k (bounded memory, partial-aggregated);
+    phase 2: groupBy(group) over ≤ k × #partitions tiny structs →
+             flatten + sort + slice = exact global top-k.
+
+    A Window.partitionBy(group) row_number would put EVERY row of a hot
+    group in one task (at 10^12 rows a language partition is ~10^11
+    rows); here no task ever holds more than k items per (group,
+    partition). Returns (group_col, id_col, score_col, rank) with rank
+    1..k — identical selection and order to the SQL
+    row_number() OVER (PARTITION BY group ORDER BY score DESC, id).
+    Ordering uses struct comparison on (-score, id); exact for finite
+    scores (NaNs excluded upstream)."""
+    item = F.struct(
+        (-F.col(score_col)).alias("_ns"),
+        F.col(id_col).alias("_id"),
+        F.col(score_col).alias("_s"),
+    )
+    stage1 = (
+        df.select(
+            F.col(group_col).alias("_grp"),
+            item.alias("_it"),
+            F.spark_partition_id().alias("_pid"),
+        )
+        .groupBy("_grp", "_pid")
+        .agg(F.slice(F.sort_array(F.collect_list("_it")), 1, k).alias("_its"))
+    )
+    merged = stage1.groupBy("_grp").agg(
+        F.slice(F.sort_array(F.flatten(F.collect_list("_its"))), 1, k).alias("_its")
+    )
+    ex = merged.select("_grp", F.posexplode("_its").alias("_pos", "_item"))
+    return ex.select(
+        F.col("_grp").alias(group_col),
+        F.col("_item._id").alias(id_col),
+        F.col("_item._s").alias(score_col),
+        (F.col("_pos") + 1).cast("int").alias("rank"),
+    )
+
+
 def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full text-analysis feature set (narrow, codegen-fused)."""
     t = F.col(text_col)

@@ -170,3 +170,17 @@ def test_range_join_has_no_dedup_exchange(spark):
         df._jdf.queryExecution(), "formatted"
     )
     assert "HashAggregate" not in plan and "SortAggregate" not in plan, plan
+
+
+def test_grouped_topk_has_no_window(spark):
+    """grouped_topk must be the two-phase partial-agg shape — no Window
+    operator (a window over PARTITION BY group pins every row of a hot
+    group to one task) and both aggregates partial+final."""
+    import __spark_entry__ as E
+
+    df = E.q_quality_topk_lang(spark, "/root/testdata/sf0.001")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Window" not in plan, plan
+    assert "partial_" in plan or "ObjectHashAggregate" in plan, plan
