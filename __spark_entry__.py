@@ -10,9 +10,10 @@ genuinely non-SQL-expressible. The rows-only entries all carry exact
 pandas twins or recall/quality tests instead (see OPERATORS.md for the
 per-query evidence map): pandas-UDF scoring (langid_docs,
 transcript_pipeline), deterministic-hash ops (minhash, simhash(+neardup),
-ngram_jaccard, winnow — exact twins in oracle/), ANN (ann_lsh_topk and
-embedding_neardup_lsh exact twins; ann_ivf_topk recall-pinned), and the
-binary multimodal stubs (media_features, frame_plan).
+ngram_jaccard, winnow(+containment), dedup_clusters — exact twins in
+oracle/), ANN (ann_lsh_topk and embedding_neardup_lsh exact twins;
+ann_ivf_topk recall-pinned), and the import-gated binary multimodal
+plumbing (media_features, frame_plan).
 
 Column-name and float-determinism discipline:
 - every computed column is aliased identically on both sides;

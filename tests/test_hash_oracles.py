@@ -307,3 +307,25 @@ def test_duplicate_clusters_resolve_chains(spark):
         pd.DataFrame(pairs, columns=["doc_id", "dup_of"])
     )
     assert got == dict(zip(want["doc_id"], want["cluster_id"]))
+
+
+def test_duplicate_clusters_random_pairs_match_union_find(spark):
+    """Randomized (seeded) topology: 300 random pairs over 150 nodes —
+    dense components, cycles, self-merges — must match union-find."""
+    import random
+
+    rng = random.Random(99)
+    pairs = []
+    for _ in range(300):
+        a, b = rng.randrange(150), rng.randrange(150)
+        if a != b:
+            pairs.append((max(a, b), min(a, b)))
+    df = spark.createDataFrame(pairs, "doc_id long, dup_of long")
+    got = _sorted(
+        dd.duplicate_clusters(df).toPandas(), ["doc_id", "cluster_id"]
+    )
+    want = _sorted(
+        oracle.clusters_pdf(pd.DataFrame(pairs, columns=["doc_id", "dup_of"])),
+        ["doc_id", "cluster_id"],
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
