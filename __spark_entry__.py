@@ -487,6 +487,41 @@ def q_range_join(spark, sf_dir):
     return pairs
 
 
+TS_LO_YEAR, TS_HI_YEAR = 2000, 2100
+
+
+def q_ts_sanity(spark, sf_dir):
+    """Typed-timestamp sanity — the DateFormat-check analogue for a typed
+    ts column (reference src/check/post.rs DateFormat validates date
+    STRINGS against patterns; with a typed schema the failure modes left
+    are nulls, out-of-range epochs, and per-user time regressions).
+    Window lag on (user_id, event_id) order: one exchange on user_id."""
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    ts = F.col("ts").cast("timestamp")
+    prev = F.lag(ts).over(w)
+    return _events(spark, sf_dir).select(
+        "event_id",
+        ts.isNull().alias("ts_null"),
+        F.coalesce(
+            (F.year(ts) >= TS_LO_YEAR) & (F.year(ts) < TS_HI_YEAR), F.lit(False)
+        ).alias("in_range"),
+        F.coalesce(ts < prev, F.lit(False)).alias("regressed"),
+    )
+
+
+def q_field_odd_chars(spark, sf_dir):
+    """VariableOddCharacters analogue (reference src/check/mod.rs odd
+    set over variable names/labels) applied to the non-text string FIELD
+    values: does source or lang contain any odd character."""
+    c = None
+    for ch in ODD_CHARS:
+        e = F.col("source").contains(F.lit(ch)) | F.col("lang").contains(F.lit(ch))
+        c = e if c is None else (c | e)
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.coalesce(c, F.lit(False)).alias("field_odd")
+    )
+
+
 def q_time_rollup(spark, sf_dir):
     """Hypertable-style continuous-aggregate rollup: hourly buckets per
     event_type with count and value sum. Float sums are partition-order-
@@ -1005,6 +1040,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "range_join": q_range_join,
         "time_rollup": q_time_rollup,
+        "ts_sanity": q_ts_sanity,
+        "field_odd_chars": q_field_odd_chars,
         "asof_join": q_asof_join,
         "json_props": q_json_props,
         "token_topk": q_token_topk,
@@ -1258,6 +1295,23 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    sum(round(value * 100, 0)::BIGINT)::DOUBLE / 100.0 AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "ts_sanity": f"""
+            SELECT event_id,
+                   (ts IS NULL) AS ts_null,
+                   coalesce(year(ts) >= {TS_LO_YEAR} AND year(ts) < {TS_HI_YEAR},
+                            FALSE) AS in_range,
+                   coalesce(ts < lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY event_id),
+                            FALSE) AS regressed
+            FROM events
+        """,
+        "field_odd_chars": f"""
+            SELECT doc_id,
+                   coalesce({" OR ".join(
+                       f"contains(source, '{c}') OR contains(lang, '{c}')"
+                       for c in ODD_CHARS)}, FALSE) AS field_odd
+            FROM documents
         """,
         "asof_join": """
             WITH c AS (
