@@ -44,7 +44,7 @@ def transcripts_path(sf: float) -> str:
     n_convs = max(2000, int(600000 * sf))
     cache = os.path.join(REPO, ".bench_cache")
     os.makedirs(cache, exist_ok=True)
-    path = os.path.join(cache, f"transcripts_n{n_convs}_rg10k_seed42.parquet")
+    path = os.path.join(cache, f"transcripts_n{n_convs}_rg10k_seed42_v3.parquet")
     if not os.path.exists(path):
         from qamd_spark import synth
 
@@ -194,7 +194,7 @@ SCALING_LO, SCALING_HI = 4, 16
 def scaling_input() -> str:
     cache = os.path.join(REPO, ".bench_cache")
     os.makedirs(cache, exist_ok=True)
-    path = os.path.join(cache, f"transcripts_n{SCALING_N_CONVS}_seed42.parquet")
+    path = os.path.join(cache, f"transcripts_n{SCALING_N_CONVS}_seed42_v3.parquet")
     if not os.path.exists(path):
         from qamd_spark import synth
 

@@ -109,6 +109,15 @@ def label_pdf(pdf: pd.DataFrame, cfg: QamdConfig | None = None) -> pd.DataFrame:
         thr = float(s["conv_missing_fraction"])
         pct = conv_empty.astype(np.float64) / conv_cnt.astype(np.float64) * 100.0
         add("conv_missing_fraction", pct > thr)
+    if cfg.enabled("ts_regression"):
+        prev_ts = (
+            out.sort_values(["conv_id", "turn_idx"])
+            .groupby("conv_id")["ts"]
+            .shift(1)
+            .reindex(out.index)
+        )
+        # NaT on either side compares False — the SQL lag convention
+        add("ts_regression", out["ts"] < prev_ts)
     add("pii", out["pii_hits"].map(len) > 0)
     add("profanity", out["profanity_hit"])
     add("all_stopwords", out["all_stopwords"])

@@ -79,6 +79,8 @@ RULE_REGISTRY: tuple[RuleSpec, ...] = (
              "Turn text should not duplicate an earlier turn (keep-first)"),
     RuleSpec("conv_missing_fraction", "data_integrity", "drop",
              "Conversation should not exceed the empty-turn percentage bound"),
+    RuleSpec("ts_regression", "data_integrity", "flag",
+             "Turn timestamp should not precede the previous turn's timestamp"),
     RuleSpec("pii", "disclosure_risk", "scrub",
              "Turn text should not contain PII patterns (scrubbed)"),
     RuleSpec("profanity", "disclosure_risk", "scrub",
@@ -124,6 +126,11 @@ DEFAULT_SETTINGS: dict[str, Any] = {
     "custom_regex": None,
     "duplicate_turn": True,
     "conv_missing_fraction": 25,  # percent, (0,100] like the reference
+    # DateFormat analogue for a typed ts column (reference
+    # src/check/post.rs DateFormat validates date strings; with a typed
+    # schema the remaining per-turn failure mode is time going backwards
+    # within a conversation). NULL ts never hits (SQL lag semantics).
+    "ts_regression": True,
     "pii": ["email", "ssn", "uk_mobile", "us_phone"],
     "profanity": list(corpora.PROFANITY),
     "all_stopwords": True,

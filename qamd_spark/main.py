@@ -55,6 +55,9 @@ data_integrity:
   conv_missing_fraction:
     setting: 25
     desc: "Conversation should not exceed the empty-turn percentage bound"
+  ts_regression:
+    setting: true
+    desc: "Turn timestamp should not precede the previous turn's timestamp"
 disclosure_risk:
   pii:
     setting: [email, ssn, uk_mobile, us_phone]

@@ -228,7 +228,15 @@ def minhash_duplicates(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     min-per-bucket broadcast-back; giant buckets (boilerplate text) are
     bounded by the min() aggregation, not a pairwise explosion.
     """
-    bands = minhash_bands(docs, id_col=id_col)
+    from pyspark.storagelevel import StorageLevel
+
+    # bands feed two consumers (the bucket-min aggregate AND the join
+    # back); without a persist both branches re-run the Python minhash
+    # stage — measured ~1.5x wall on the full op. ~320 B/doc, spills to
+    # disk beyond memory; evicted LRU when downstream moves on.
+    bands = minhash_bands(docs, id_col=id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     bucket_min = bands.groupBy("band", "band_hash").agg(
         F.min("doc_id").alias("bucket_min")
     )
@@ -308,8 +316,15 @@ def simhash_neardups(
 ) -> DataFrame:
     """Hamming-neighbor join over simhash signatures (the consumer of
     simhash_signatures). See :func:`simhash_neardups_from_sigs` for the
-    resolution semantics and recall characteristics."""
-    sigs = simhash_signatures(docs, id_col=id_col, text_col=text_col)
+    resolution semantics and recall characteristics. Signatures are
+    persisted (16 B/doc, MEMORY_AND_DISK): the banded join and the
+    verify join both consume them, and recomputing the Python signature
+    stage on each branch measured ~1.5x wall on the full op."""
+    from pyspark.storagelevel import StorageLevel
+
+    sigs = simhash_signatures(docs, id_col=id_col, text_col=text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     return simhash_neardups_from_sigs(sigs, max_hamming=max_hamming)
 
 

@@ -188,6 +188,8 @@ def rule_conditions(cfg: QamdConfig) -> list[tuple[str, "F.Column"]]:
         conds.append(("duplicate_turn", F.col("_dup_hit")))
     if cfg.enabled("conv_missing_fraction"):
         conds.append(("conv_missing_fraction", F.col("_convmiss_hit")))
+    if cfg.enabled("ts_regression"):
+        conds.append(("ts_regression", F.col("_tsreg_hit")))
     add("pii", F.size(F.col("pii_hits")) > F.lit(0))
     add("profanity", F.col("profanity_hit"))
     add("all_stopwords", F.col("all_stopwords"))
@@ -291,6 +293,20 @@ def label(
         )
     else:
         joined = joined.withColumn("_convmiss_hit", F.lit(False))
+    if cfg.enabled("ts_regression"):
+        # per-conversation lag — a window on conv_id is bounded by the
+        # conversation's own turn count (same key discipline as the
+        # conv_stats aggregate; zero-Exchange on conv_id-bucketed input).
+        # NULL ts / first turn ⇒ no hit (SQL lag semantics).
+        from pyspark.sql import Window
+
+        wts = Window.partitionBy("conv_id").orderBy("turn_idx")
+        joined = joined.withColumn(
+            "_tsreg_hit",
+            F.coalesce(F.col("ts") < F.lag("ts").over(wts), F.lit(False)),
+        )
+    else:
+        joined = joined.withColumn("_tsreg_hit", F.lit(False))
     joined = score_stage(joined, cfg)
     conds = rule_conditions(cfg)
     hit_arrays = [

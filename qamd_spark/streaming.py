@@ -38,7 +38,10 @@ from qamd_spark.config import QamdConfig
 
 # rules whose evaluation requires cross-row joins/aggregations — stripped
 # from the streaming plan (see module docstring)
-CROSS_ROW_RULES = ("duplicate_turn", "rare_signature", "conv_missing_fraction")
+CROSS_ROW_RULES = (
+    "duplicate_turn", "rare_signature", "conv_missing_fraction",
+    "ts_regression",  # needs per-conversation lag across rows
+)
 
 
 def streaming_config(cfg: QamdConfig | None = None) -> QamdConfig:

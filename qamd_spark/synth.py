@@ -128,6 +128,10 @@ def generate(
                 # mixed-case punctuated stopword-ish (tokenizer exactness)
                 text = "The  And Of! " + _sentence(rng, _EN_SENTENCES, 1)
             ts = _BASE_TS + dt.timedelta(minutes=ci * 7 + ti)
+            if ci % 13 == 5 and ti == 2:
+                # planted time regression (ts_regression rule): this turn's
+                # ts lands before turn 1's
+                ts -= dt.timedelta(minutes=5)
             rows.append((conv_id, ti, role, text, tool, ts))
     pdf = pd.DataFrame(
         rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
