@@ -272,7 +272,25 @@ def run_with_checkpoints(
                 )
             with open(spec_ok, "w"):
                 pass
-    ts, cs = global_stats_tables(spark, df, out_dir, cfg, in_fp, cfg_fp)
+    # The side-table stats pass exists so that MULTIPLE group jobs reuse
+    # one global aggregation. A single job covering every todo bucket
+    # (the fresh-run fast path) has no reuse to gain — inline aggregation
+    # inside pipeline.label is the same plan the raw labeled write runs,
+    # and skipping the extra stats job + side-table write/read is what
+    # keeps the checkpointed CLI at ~the raw write's cost. Resume (or an
+    # explicit multi-group bucket_batch) builds the side tables then —
+    # the deferred stats pass is paid once, only on the path that needs
+    # it, and the meta.json fingerprint check still allows reuse across
+    # repeated resumes.
+    # inline stats are only GLOBAL when the one job sees every bucket —
+    # a resume of 3 leftover buckets must still join the precomputed
+    # global side tables, or its inline aggregates would only cover the
+    # filtered slice
+    single_job = len(todo) == cfg.n_buckets and bucket_batch >= len(todo)
+    if single_job:
+        ts = cs = None
+    else:
+        ts, cs = global_stats_tables(spark, df, out_dir, cfg, in_fp, cfg_fp)
     written: list[Manifest] = []
     from pyspark.sql import Observation
 
