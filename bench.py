@@ -163,6 +163,9 @@ def run_benchmarks() -> dict:
         "ann_cosine_topk",
         "minhash_dedup",
         "simhash_neardup",
+        "dedup_clusters",
+        "winnow_containment",
+        "quality_topk_lang",
         "fingerprint",
     ]:
         q = E.queries()[name]

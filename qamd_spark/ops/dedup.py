@@ -449,12 +449,18 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
 
     Exact pandas twin (union-find): oracle/oracle.py::clusters_pdf.
     """
+    from pyspark.storagelevel import StorageLevel
+
     edges = pairs.select(
         F.col("doc_id").alias("a"), F.col("dup_of").alias("b")
     )
-    edges = edges.union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    # every iteration joins the edge list; without a persist each round
+    # re-runs the WHOLE upstream pairs pipeline (e.g. the minhash LSH)
+    edges = (
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     labels = (
         edges.select(F.col("a").alias("v"))
         .distinct()
@@ -496,6 +502,8 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         ).collect()[0]["c"]
         labels = new.select("v", "lbl")
         if not changed:
+            # labels are localCheckpoint-materialized; edges no longer needed
+            edges.unpersist()
             return labels.select(
                 F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id")
             )

@@ -312,8 +312,18 @@ def winnow_containment(
     (the "find the original source" question); doc pairs that share text
     only with each other and not with any earlier doc still surface,
     because the earlier of the two IS the bucket min."""
+    from pyspark.storagelevel import StorageLevel
+
     fps = winnow_fingerprints(docs, id_col=id_col, text_col=text_col, k=k, w=w)
-    dfp = fps.select("doc_id", "fp").distinct()
+    # dfp feeds FOUR consumers (n_fp, bucket-min, candidate pairs, and
+    # the exact-intersection join); without a persist each one re-runs
+    # the Python winnowing stage — measured ~2x wall on the full op.
+    # 16 B/row, spills to disk beyond memory, evicted LRU.
+    dfp = (
+        fps.select("doc_id", "fp")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     n_fp = dfp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     fmin = dfp.groupBy("fp").agg(F.min("doc_id").alias("cand"))
     pairs = (
