@@ -184,3 +184,24 @@ def test_grouped_topk_has_no_window(spark):
     )
     assert "Window" not in plan, plan
     assert "partial_" in plan or "ObjectHashAggregate" in plan, plan
+
+
+def test_new_ops_plans_have_no_nested_loop_joins(spark):
+    """winnow_containment and duplicate_clusters are join-heavy; every
+    join must stay an equi-join (hash/sort-merge/broadcast-hash) — a
+    BroadcastNestedLoopJoin or CartesianProduct in these plans would be
+    an all-pairs scale-killer."""
+    import __spark_entry__ as E
+    from qamd_spark.ops import dedup as dd
+    from qamd_spark.ops import text as tx
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for df in [
+        tx.winnow_containment(docs),
+        dd.minhash_duplicates(docs),
+    ]:
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
