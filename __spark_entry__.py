@@ -616,6 +616,44 @@ def q_length_histogram(spark, sf_dir):
     )
 
 
+CURATE_MIN_QUALITY = 0.5
+CURATE_LANGS = ("en",)
+
+
+def q_corpus_curate(spark, sf_dir):
+    """Composed corpus-curation decision — the whole keep/drop stack as
+    ONE declarative plan Catalyst can optimize end-to-end: exact-dedup
+    keep-first (skew-safe agg+join) AND quality gate AND language
+    allowlist AND the deterministic salted-hash 10% sample. Returns
+    (doc_id, selected, reasons) with reasons a '|'-joined sorted string
+    of failed gates (driver-gate-safe: no array columns)."""
+    from qamd_spark.ops import text as tx
+
+    d = _docs(spark, sf_dir)
+    firsts = d.groupBy("text").agg(F.min("doc_id").alias("_first_id")).select(
+        F.col("text").alias("_t"), "_first_id"
+    )
+    j = d.join(firsts, d["text"].eqNullSafe(F.col("_t")), "left")
+    is_dup = j["doc_id"] != F.col("_first_id")
+    low_q = tx.quality_score(F.col("text")) < CURATE_MIN_QUALITY
+    bad_lang = ~F.col("lang").isin(*[F.lit(x) for x in CURATE_LANGS])
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(SAMPLE_SALT), _txt())), 1, 8), 16, 10
+    ).cast("long")
+    unsampled = (h % 100) >= SAMPLE_PCT
+    reasons = F.concat(
+        F.when(is_dup, F.array(F.lit("dup"))).otherwise(F.array().cast("array<string>")),
+        F.when(low_q, F.array(F.lit("low_quality"))).otherwise(F.array().cast("array<string>")),
+        F.when(bad_lang, F.array(F.lit("lang"))).otherwise(F.array().cast("array<string>")),
+        F.when(unsampled, F.array(F.lit("unsampled"))).otherwise(F.array().cast("array<string>")),
+    )
+    return j.select(
+        j["doc_id"],
+        (F.size(reasons) == 0).alias("selected"),
+        F.array_join(F.array_sort(reasons), "|").alias("reasons"),
+    )
+
+
 QUALITY_TOPK_K = 5
 
 
@@ -952,7 +990,9 @@ def q_winnow_containment(spark, sf_dir):
 
     out = tx.winnow_containment(_docs(spark, sf_dir))
     return out.select(
-        "doc_id", "src_of", "shared_fp", F.round("containment", 9).alias("containment")
+        "doc_id", "src_of", "shared_fp",
+        F.round("containment", 9).alias("containment"),
+        F.round("containment_src", 9).alias("containment_src"),
     )
 
 
@@ -1029,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "text_profile": q_text_profile,
         "quality_topk_lang": q_quality_topk_lang,
+        "corpus_curate": q_corpus_curate,
         "oov_fraction": q_oov_fraction,
         "sentinel_text": q_sentinel_text,
         "custom_regex": q_custom_regex,
@@ -1354,6 +1395,46 @@ def oracle_sql() -> dict[str, str]:
                    END AS log2_len,
                    count(*)::BIGINT AS n_docs
             FROM documents GROUP BY 1
+        """,
+        "corpus_curate": f"""
+            WITH q AS (
+              SELECT doc_id, text, lang,
+                doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_dup,
+                greatest(0.0, least(1.0,
+                  (CASE WHEN length(coalesce(text,'')) >= 20
+                             AND length(coalesce(text,'')) <= 5000 THEN 1.0
+                        WHEN length(coalesce(text,'')) > 0 THEN 0.3
+                        ELSE 0.0 END)
+                  - (CASE WHEN length(coalesce(text,'')) > 0 AND
+                       (length(coalesce(text,'')) - length(regexp_replace(
+                          coalesce(text,''), '{PUNCT_CLASS}', '', 'g')))::DOUBLE
+                         / length(coalesce(text,''))::DOUBLE > 0.2
+                     THEN 0.3 ELSE 0.0 END)
+                  - (CASE WHEN length(coalesce(text,'')) > 0 AND
+                       (length(coalesce(text,'')) - length(regexp_replace(
+                          coalesce(text,''), '[A-Z]', '', 'g')))::DOUBLE
+                         / length(coalesce(text,''))::DOUBLE > 0.3
+                     THEN 0.2 ELSE 0.0 END)
+                  - (CASE WHEN length(coalesce(text,'')) > 0 AND
+                       (length(coalesce(text,'')) - length(regexp_replace(
+                          coalesce(text,''), '[0-9]', '', 'g')))::DOUBLE
+                         / length(coalesce(text,''))::DOUBLE > 0.3
+                     THEN 0.2 ELSE 0.0 END)
+                )) AS quality,
+                (concat('0x', substr(md5(concat('{SAMPLE_SALT}',
+                    coalesce(text,''))), 1, 8)))::BIGINT % 100
+                  >= {SAMPLE_PCT} AS unsampled
+              FROM documents),
+            r AS (
+              SELECT doc_id,
+                concat_ws('|',
+                  CASE WHEN is_dup THEN 'dup' END,
+                  CASE WHEN lang NOT IN {repr(tuple(CURATE_LANGS)) if len(CURATE_LANGS) > 1 else "('" + CURATE_LANGS[0] + "')"} THEN 'lang' END,
+                  CASE WHEN quality < {CURATE_MIN_QUALITY} THEN 'low_quality' END,
+                  CASE WHEN unsampled THEN 'unsampled' END
+                ) AS reasons
+              FROM q)
+            SELECT doc_id, (reasons = '') AS selected, reasons FROM r
         """,
         "quality_topk_lang": f"""
             WITH q AS (

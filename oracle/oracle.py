@@ -394,9 +394,13 @@ def winnow_containment_pdf(pdf: pd.DataFrame, k: int = 5, w: int = 4,
     for d, c in sorted(pairs):
         shared = len(sets[d] & sets[c])
         if shared >= min_shared:
-            rows.append((d, c, shared, shared / len(sets[d])))
+            rows.append(
+                (d, c, shared, shared / len(sets[d]), shared / len(sets[c]))
+            )
     return pd.DataFrame(
-        rows, columns=["doc_id", "src_of", "shared_fp", "containment"]
+        rows,
+        columns=["doc_id", "src_of", "shared_fp", "containment",
+                 "containment_src"],
     ).astype({"doc_id": np.int64, "src_of": np.int64, "shared_fp": np.int64})
 
 

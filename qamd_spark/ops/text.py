@@ -300,7 +300,11 @@ def winnow_containment(
     shares, shared_fp = |FP(doc) ∩ FP(src_of)| (EXACT distinct-
     fingerprint intersection), containment = shared_fp / |FP(doc)| — the
     fraction of this document's fingerprints also present in the source,
-    ~ the fraction of its text covered by substrings shared with it.
+    ~ the fraction of its text covered by substrings shared with it —
+    and containment_src = shared_fp / |FP(src_of)|, the symmetric
+    fraction (distinguishes "doc quotes a bit of src" from "doc IS src
+    plus noise": high containment + low containment_src = doc is a
+    fragment of a larger source; both high = near-identical documents).
 
     Scale shape (the same no-all-pairs discipline as minhash_duplicates):
     candidate generation resolves each fingerprint bucket to its MIN doc
@@ -339,9 +343,13 @@ def winnow_containment(
         .groupBy("doc_id", "cand")
         .agg(F.count(F.lit(1)).alias("shared_fp"))
     )
+    n_fp_src = n_fp.select(
+        F.col("doc_id").alias("cand"), F.col("n_fp").alias("_n_fp_src")
+    )
     return (
         shared.filter(F.col("shared_fp") >= min_shared)
         .join(n_fp, "doc_id")
+        .join(n_fp_src, "cand")
         .select(
             "doc_id",
             F.col("cand").alias("src_of"),
@@ -349,5 +357,8 @@ def winnow_containment(
             (
                 F.col("shared_fp").cast("double") / F.col("n_fp").cast("double")
             ).alias("containment"),
+            (
+                F.col("shared_fp").cast("double") / F.col("_n_fp_src").cast("double")
+            ).alias("containment_src"),
         )
     )

@@ -238,14 +238,9 @@ def test_simhash_neardups_survive_bucket_min_crowding(spark):
 def test_winnow_containment_matches_pandas_twin(spark, docs_df, docs_pdf):
     from qamd_spark.ops import text as tx
 
-    got = _sorted(
-        tx.winnow_containment(docs_df).toPandas(),
-        ["doc_id", "src_of", "shared_fp", "containment"],
-    )
-    want = _sorted(
-        oracle.winnow_containment_pdf(docs_pdf),
-        ["doc_id", "src_of", "shared_fp", "containment"],
-    )
+    cols = ["doc_id", "src_of", "shared_fp", "containment", "containment_src"]
+    got = _sorted(tx.winnow_containment(docs_df).toPandas(), cols)
+    want = _sorted(oracle.winnow_containment_pdf(docs_pdf), cols)
     assert len(got) > 0  # sf0.001 contains injected near-dups
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
