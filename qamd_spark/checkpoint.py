@@ -154,14 +154,20 @@ def global_stats_tables(
     meta_path = os.path.join(stats_dir, "meta.json")
     text_path = os.path.join(stats_dir, "text_stats.parquet")
     conv_path = os.path.join(stats_dir, "conv_stats.parquet")
+    # The side tables' CONTENT depends only on the input and on WHICH
+    # stats are needed — never on rule thresholds (text_stats is raw
+    # occurrence counts + keeper keys; conv_stats raw empty/turn counts).
+    # Keying reuse on the full config fingerprint would force a re-audit
+    # under a tightened threshold (the advertised workflow) to re-pay the
+    # global aggregation pass, so the meta records this narrower
+    # stats fingerprint instead. Bucket manifests still key on the full
+    # config fingerprint — labels DO change with thresholds.
+    stats_fp = f"{in_fp}:text={need_text}:conv={need_conv}"
     reuse = False
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
-        reuse = (
-            meta.get("input_fingerprint") == in_fp
-            and meta.get("config_fingerprint") == cfg_fp
-        )
+        reuse = meta.get("stats_fingerprint") == stats_fp
     if not reuse:
         os.makedirs(stats_dir, exist_ok=True)
         if need_text:
@@ -170,9 +176,7 @@ def global_stats_tables(
             pipeline.conv_stats(df).write.mode("overwrite").parquet(conv_path)
         tmp = meta_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(
-                {"input_fingerprint": in_fp, "config_fingerprint": cfg_fp}, f
-            )
+            json.dump({"stats_fingerprint": stats_fp}, f)
         os.replace(tmp, meta_path)  # atomic publish, after the data
     ts = spark.read.parquet(text_path) if need_text else None
     cs = spark.read.parquet(conv_path) if need_conv else None

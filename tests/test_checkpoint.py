@@ -328,3 +328,45 @@ def test_fresh_run_is_single_job_and_resume_is_grouped(spark, synth_path, tmp_pa
     )
     assert len(a) == len(b)
     assert (a["keep"].to_numpy() == b["keep"].to_numpy()).all()
+
+
+def test_stats_side_tables_survive_threshold_reaudit(spark, synth_path, tmp_path):
+    """The global stats side tables are threshold-independent (raw
+    occurrence/keeper/empty counts), so a re-audit under a tightened
+    threshold must REUSE them — only bucket manifests (keyed on the full
+    config fingerprint) re-run. A change to WHICH stats are needed still
+    rebuilds."""
+    import os
+
+    from qamd_spark import config as C
+
+    cfg = QamdConfig(n_buckets=6)
+    out = str(tmp_path / "out")
+    # grouped run (bucket_batch < n_buckets) so stats tables are built
+    checkpoint.run_with_checkpoints(spark, synth_path, out, cfg, bucket_batch=2)
+    stats = out + "/_stats/text_stats.parquet"
+    assert os.path.exists(stats)
+    mtime = max(
+        os.path.getmtime(os.path.join(stats, f)) for f in os.listdir(stats)
+    )
+    tight = dict(C.DEFAULT_SETTINGS)
+    tight["length_bounds"] = {"min": 5, "max": 100}
+    cfg2 = QamdConfig(settings=tight, n_buckets=6)
+    out2_written = checkpoint.run_with_checkpoints(
+        spark, synth_path, out, cfg2, bucket_batch=2
+    )
+    assert len(out2_written) == 6  # labels re-run (config fingerprint)
+    mtime2 = max(
+        os.path.getmtime(os.path.join(stats, f)) for f in os.listdir(stats)
+    )
+    assert mtime2 == mtime  # stats pass NOT re-paid
+    # flipping which stats are needed rebuilds the side tables
+    nostats = dict(C.DEFAULT_SETTINGS)
+    nostats["duplicate_turn"] = None
+    nostats["rare_signature"] = None
+    cfg3 = QamdConfig(settings=nostats, n_buckets=6)
+    checkpoint.run_with_checkpoints(spark, synth_path, out, cfg3, bucket_batch=2)
+    import json as _json
+
+    meta = _json.load(open(out + "/_stats/meta.json"))
+    assert "text=False" in meta["stats_fingerprint"]
