@@ -74,8 +74,14 @@ def main() -> None:
     import bench
 
     tpath = bench.transcripts_path(0.1)
+    commits = {"r1": "21d4078", "r2": "8679ad9"}
     versions = {v: VERSIONS[v] for v in args.versions.split(",")}
     for v, root in versions.items():
+        if not os.path.isdir(root) and v in commits:
+            subprocess.run(
+                ["git", "-C", REPO, "worktree", "add", "-f", root, commits[v]],
+                check=True,
+            )
         if not os.path.isdir(root):
             raise SystemExit(f"worktree missing for {v}: {root} (git worktree add)")
     runs: dict[str, list[float]] = {v: [] for v in versions}
