@@ -487,6 +487,43 @@ def q_range_join(spark, sf_dir):
     return pairs
 
 
+FUNNEL_WINDOW_US = 3600 * 1_000_000  # 1 hour
+
+
+def q_funnel(spark, sf_dir):
+    """Event funnel: for every signup, did the same user hit an 'error'
+    within the following hour. Same scale shape as range_join — the
+    per-user theta-join becomes a time-bin equi-join (errors explode to
+    {bin-1, bin}, so a signup's candidate errors are bounded per hour
+    bin), then an exists-style max aggregate per signup. The DuckDB twin
+    is the straightforward correlated EXISTS."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = _events(spark, sf_dir)
+    sig = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "event_id", us.alias("us"),
+        F.floor(us / F.lit(FUNNEL_WINDOW_US)).alias("bin"),
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id", us.alias("e_us"),
+        F.explode(
+            F.array(
+                F.floor(us / F.lit(FUNNEL_WINDOW_US)) - 1,
+                F.floor(us / F.lit(FUNNEL_WINDOW_US)),
+            )
+        ).alias("bin"),
+    )
+    hit = F.coalesce(
+        (F.col("e_us") > F.col("us"))
+        & (F.col("e_us") <= F.col("us") + FUNNEL_WINDOW_US),
+        F.lit(False),
+    )
+    return (
+        sig.join(err, ["user_id", "bin"], "left")
+        .groupBy("event_id")
+        .agg(F.max(hit).alias("converted"))
+    )
+
+
 TS_LO_YEAR, TS_HI_YEAR = 2000, 2100
 
 
@@ -1082,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "time_rollup": q_time_rollup,
         "ts_sanity": q_ts_sanity,
+        "funnel": q_funnel,
         "field_odd_chars": q_field_odd_chars,
         "asof_join": q_asof_join,
         "json_props": q_json_props,
@@ -1336,6 +1374,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    sum(round(value * 100, 0)::BIGINT)::DOUBLE / 100.0 AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "funnel": f"""
+            SELECT s.event_id,
+                   EXISTS (
+                     SELECT 1 FROM events e
+                     WHERE e.user_id = s.user_id
+                       AND e.event_type = 'error'
+                       AND epoch_us(e.ts) > epoch_us(s.ts)
+                       AND epoch_us(e.ts) <= epoch_us(s.ts) + {FUNNEL_WINDOW_US}
+                   ) AS converted
+            FROM events s WHERE s.event_type = 'signup'
         """,
         "ts_sanity": f"""
             SELECT event_id,
