@@ -367,3 +367,37 @@ def test_multimodal_real_codec_path(spark):
     assert len(f) == 16 and abs(f.sum() - 1.0) < 1e-5  # L1-normalized histogram
     out = multimodal.resize_images(media, width=8, height=8, decode_stub=False).toPandas()
     assert len(out) == 1 and len(out["payload"].iloc[0]) == 64
+
+
+def test_grouped_topk_ties_match_row_number(spark):
+    """Tie-heavy randomized case: many equal scores per group — the
+    two-phase top-k must select and rank EXACTLY like SQL row_number()
+    (score desc, id asc), which pandas emulates here."""
+    import random
+
+    import pandas as pd
+    from qamd_spark.ops import text as tx
+
+    rng = random.Random(7)
+    rows = [
+        (f"g{rng.randrange(5)}", i, float(rng.randrange(4)))  # scores 0..3 — heavy ties
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "grp string, id long, score double")
+    got = (
+        tx.grouped_topk(df, "grp", "score", "id", 7)
+        .toPandas()
+        .sort_values(["grp", "rank"])
+        .reset_index(drop=True)
+    )
+    pdf = pd.DataFrame(rows, columns=["grp", "id", "score"])
+    pdf = pdf.sort_values(["grp", "score", "id"], ascending=[True, False, True])
+    pdf["rank"] = pdf.groupby("grp").cumcount() + 1
+    want = (
+        pdf[pdf["rank"] <= 7][["grp", "id", "score", "rank"]]
+        .sort_values(["grp", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for c in ["grp", "id", "score", "rank"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
