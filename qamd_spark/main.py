@@ -123,11 +123,28 @@ def main(argv: list[str] | None = None) -> int:
              "src/bin/qamd.rs:214-218)",
     )
     sub.add_parser("init", help="print the default rules.yaml")
+    ded = sub.add_parser(
+        "dedup",
+        help="near-duplicate analysis over a (doc_id, text) table: "
+             "exact | minhash | simhash | clusters | containment",
+    )
+    ded.add_argument("--input", required=True, help="parquet with doc_id+text")
+    ded.add_argument("--output", required=True, help="output parquet path")
+    ded.add_argument(
+        "--method",
+        choices=("exact", "minhash", "simhash", "clusters", "containment"),
+        default="minhash",
+    )
+    ded.add_argument("--master", default=None)
+    ded.add_argument("--id-col", default="doc_id")
+    ded.add_argument("--text-col", default="text")
 
     args = p.parse_args(argv)
     if args.cmd == "init":
         sys.stdout.write(DEFAULT_YAML)
         return 0
+    if args.cmd == "dedup":
+        return _run_dedup(args)
 
     if args.config:
         cfg = C.from_yaml(args.config)
@@ -177,6 +194,49 @@ def main(argv: list[str] | None = None) -> int:
             with open(args.output + "/summary.html", "w") as f:
                 f.write(report.to_html(json.loads(summ)))
         print(json.dumps({"status": "ok", "output": args.output}))
+        return 0
+    finally:
+        if not preexisting:
+            spark.stop()
+
+
+def _run_dedup(args) -> int:
+    """CLI front-end for the ops/ dedup family (the library operators the
+    reference's single-purpose CLI has no analogue for): reads a parquet
+    table with (id, text) columns, writes the operator's output parquet,
+    prints one JSON status line."""
+    from pyspark.sql import SparkSession
+
+    from qamd_spark.ops import dedup as dd
+    from qamd_spark.ops import text as tx
+
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = session.get_spark("qamd_spark.dedup", master=args.master)
+    try:
+        raw = spark.read.parquet(args.input)
+        for col in (args.id_col, args.text_col):
+            if col not in raw.columns:
+                raise SystemExit(f"input is missing column {col!r}")
+        from pyspark.sql import functions as F
+
+        docs = raw.select(
+            F.col(args.id_col).cast("long").alias("doc_id"),
+            F.col(args.text_col).alias("text"),
+        )
+        if args.method == "exact":
+            out = dd.exact_duplicates(docs)
+        elif args.method == "minhash":
+            out = dd.minhash_duplicates(docs)
+        elif args.method == "simhash":
+            out = dd.simhash_neardups(docs)
+        elif args.method == "clusters":
+            out = dd.duplicate_clusters(dd.minhash_duplicates(docs))
+        else:
+            out = tx.winnow_containment(docs)
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(json.dumps({"status": "ok", "method": args.method,
+                          "output": args.output, "rows": n}))
         return 0
     finally:
         if not preexisting:

@@ -146,3 +146,35 @@ def test_checkpointed_run_over_csv_source(spark, tmp_path):
     # the empty row was classified missing and dropped; c9 is 100% empty
     kept = {r["conv_id"] for r in got.filter("keep").collect()}
     assert "c9" not in kept and "c0" in kept
+
+
+def test_cli_dedup_subcommand(tmp_path, spark):
+    """The dedup CLI front-end: every method runs over a (doc_id, text)
+    parquet and writes its output parquet; minhash output matches the
+    library call."""
+    import json as _json
+
+    from qamd_spark import main
+    from qamd_spark.ops import dedup as dd
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    for method, cols in [
+        ("exact", {"doc_id", "is_dup"}),
+        ("minhash", {"doc_id", "dup_of"}),
+        ("clusters", {"doc_id", "cluster_id"}),
+    ]:
+        out = str(tmp_path / method)
+        rc = main.main(
+            ["dedup", "--input", src, "--output", out, "--method", method,
+             "--master", "local[4]"]
+        )
+        assert rc == 0
+        got = spark.read.parquet(out)
+        assert set(got.columns) == cols, (method, got.columns)
+        assert got.count() > 0
+    lib = dd.minhash_duplicates(spark.read.parquet(src)).toPandas()
+    cli = spark.read.parquet(str(tmp_path / "minhash")).toPandas()
+    a = lib.sort_values(["doc_id"]).reset_index(drop=True)
+    b = cli.sort_values(["doc_id"]).reset_index(drop=True)
+    assert (a["doc_id"].to_numpy() == b["doc_id"].to_numpy()).all()
+    assert (a["dup_of"].to_numpy() == b["dup_of"].to_numpy()).all()
