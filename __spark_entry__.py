@@ -529,9 +529,10 @@ TS_LO_YEAR, TS_HI_YEAR = 2000, 2100
 
 def q_ts_sanity(spark, sf_dir):
     """Typed-timestamp sanity — the DateFormat-check analogue for a typed
-    ts column (reference src/check/post.rs DateFormat validates date
-    STRINGS against patterns; with a typed schema the failure modes left
-    are nulls, out-of-range epochs, and per-user time regressions).
+    ts column (reference src/check/variable.rs:20-44 validates date
+    STRINGS against configured patterns; with a typed schema the failure
+    modes left are nulls, out-of-range epochs, and per-user time
+    regressions).
     Window lag on (user_id, event_id) order: one exchange on user_id."""
     w = Window.partitionBy("user_id").orderBy("event_id")
     ts = F.col("ts").cast("timestamp")

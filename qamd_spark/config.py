@@ -126,10 +126,11 @@ DEFAULT_SETTINGS: dict[str, Any] = {
     "custom_regex": None,
     "duplicate_turn": True,
     "conv_missing_fraction": 25,  # percent, (0,100] like the reference
-    # DateFormat analogue for a typed ts column (reference
-    # src/check/post.rs DateFormat validates date strings; with a typed
-    # schema the remaining per-turn failure mode is time going backwards
-    # within a conversation). NULL ts never hits (SQL lag semantics).
+    # DateFormat analogue for a typed ts column (reference DateFormat
+    # checks variable date-format strings, src/check/variable.rs:20-44;
+    # with a typed schema the remaining per-turn failure mode is time
+    # going backwards within a conversation). NULL ts never hits (SQL
+    # lag semantics).
     "ts_regression": True,
     "pii": ["email", "ssn", "uk_mobile", "us_phone"],
     "profanity": list(corpora.PROFANITY),
