@@ -39,6 +39,33 @@ STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
 # exact ASCII-punctuation class (reference normalize_word,
 # src/check/dictionary.rs:110-115) — valid in both Java regex and RE2
 PUNCT_CLASS = r"[!-/:-@\[-`{-~]"
+
+# ops/text.quality_score as one DuckDB SQL expression (shared by the
+# corpus_curate and quality_topk_lang oracles — keep in lockstep with
+# qamd_spark/ops/text.py:quality_score)
+QUALITY_SQL = f"""greatest(0.0, least(1.0,
+                  (CASE WHEN length(coalesce(text,'')) >= 20
+                             AND length(coalesce(text,'')) <= 5000 THEN 1.0
+                        WHEN length(coalesce(text,'')) > 0 THEN 0.3
+                        ELSE 0.0 END)
+                  - (CASE WHEN length(coalesce(text,'')) > 0 AND
+                       (length(coalesce(text,'')) - length(regexp_replace(
+                          coalesce(text,''), '{PUNCT_CLASS}', '', 'g')))::DOUBLE
+                         / length(coalesce(text,''))::DOUBLE > 0.2
+                     THEN 0.3 ELSE 0.0 END)
+                  - (CASE WHEN length(coalesce(text,'')) > 0 AND
+                       (length(coalesce(text,'')) - length(regexp_replace(
+                          coalesce(text,''), '[A-Z]', '', 'g')))::DOUBLE
+                         / length(coalesce(text,''))::DOUBLE > 0.3
+                     THEN 0.2 ELSE 0.0 END)
+                  - (CASE WHEN length(coalesce(text,'')) > 0 AND
+                       (length(coalesce(text,'')) - length(regexp_replace(
+                          coalesce(text,''), '[0-9]', '', 'g')))::DOUBLE
+                         / length(coalesce(text,''))::DOUBLE > 0.3
+                     THEN 0.2 ELSE 0.0 END)
+                ))"""
+
+
 EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 SSN_RX = r"\b\d{3}-\d{2}-\d{4}\b"
 LEN_MIN, LEN_MAX = 2, 8000
@@ -1450,27 +1477,7 @@ def oracle_sql() -> dict[str, str]:
             WITH q AS (
               SELECT doc_id, text, lang,
                 doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_dup,
-                greatest(0.0, least(1.0,
-                  (CASE WHEN length(coalesce(text,'')) >= 20
-                             AND length(coalesce(text,'')) <= 5000 THEN 1.0
-                        WHEN length(coalesce(text,'')) > 0 THEN 0.3
-                        ELSE 0.0 END)
-                  - (CASE WHEN length(coalesce(text,'')) > 0 AND
-                       (length(coalesce(text,'')) - length(regexp_replace(
-                          coalesce(text,''), '{PUNCT_CLASS}', '', 'g')))::DOUBLE
-                         / length(coalesce(text,''))::DOUBLE > 0.2
-                     THEN 0.3 ELSE 0.0 END)
-                  - (CASE WHEN length(coalesce(text,'')) > 0 AND
-                       (length(coalesce(text,'')) - length(regexp_replace(
-                          coalesce(text,''), '[A-Z]', '', 'g')))::DOUBLE
-                         / length(coalesce(text,''))::DOUBLE > 0.3
-                     THEN 0.2 ELSE 0.0 END)
-                  - (CASE WHEN length(coalesce(text,'')) > 0 AND
-                       (length(coalesce(text,'')) - length(regexp_replace(
-                          coalesce(text,''), '[0-9]', '', 'g')))::DOUBLE
-                         / length(coalesce(text,''))::DOUBLE > 0.3
-                     THEN 0.2 ELSE 0.0 END)
-                )) AS quality,
+                {QUALITY_SQL} AS quality,
                 (concat('0x', substr(md5(concat('{SAMPLE_SALT}',
                     coalesce(text,''))), 1, 8)))::BIGINT % 100
                   >= {SAMPLE_PCT} AS unsampled
@@ -1489,27 +1496,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_topk_lang": f"""
             WITH q AS (
               SELECT lang, doc_id,
-                greatest(0.0, least(1.0,
-                  (CASE WHEN length(coalesce(text,'')) >= 20
-                             AND length(coalesce(text,'')) <= 5000 THEN 1.0
-                        WHEN length(coalesce(text,'')) > 0 THEN 0.3
-                        ELSE 0.0 END)
-                  - (CASE WHEN length(coalesce(text,'')) > 0 AND
-                       (length(coalesce(text,'')) - length(regexp_replace(
-                          coalesce(text,''), '{PUNCT_CLASS}', '', 'g')))::DOUBLE
-                         / length(coalesce(text,''))::DOUBLE > 0.2
-                     THEN 0.3 ELSE 0.0 END)
-                  - (CASE WHEN length(coalesce(text,'')) > 0 AND
-                       (length(coalesce(text,'')) - length(regexp_replace(
-                          coalesce(text,''), '[A-Z]', '', 'g')))::DOUBLE
-                         / length(coalesce(text,''))::DOUBLE > 0.3
-                     THEN 0.2 ELSE 0.0 END)
-                  - (CASE WHEN length(coalesce(text,'')) > 0 AND
-                       (length(coalesce(text,'')) - length(regexp_replace(
-                          coalesce(text,''), '[0-9]', '', 'g')))::DOUBLE
-                         / length(coalesce(text,''))::DOUBLE > 0.3
-                     THEN 0.2 ELSE 0.0 END)
-                )) AS quality
+                {QUALITY_SQL} AS quality
               FROM documents),
             r AS (
               SELECT lang, doc_id, quality,

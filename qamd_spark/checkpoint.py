@@ -261,9 +261,12 @@ def run_with_checkpoints(
             store.manifest_dir, f"spec-ok-{in_fp}-{cfg_fp}"
         )
         if not os.path.exists(spec_ok):
+            # null-SAFE inequality: a NULL bucket value must count as a
+            # mismatch (null-unsafe != would let NULL-bucket rows pass
+            # validation and then silently match no group's isin filter)
             bad = (
                 df.select("conv_id", "bucket")
-                .filter(F.col("bucket") != _bucket_col(cfg))
+                .filter(~F.col("bucket").eqNullSafe(_bucket_col(cfg)))
                 .limit(1)
                 .count()
             )

@@ -143,7 +143,15 @@ def table_fingerprint(spark: SparkSession, ref: str) -> str:
         row = spark.sql(
             f"SELECT snapshot_id FROM {name}.snapshots ORDER BY committed_at DESC LIMIT 1"
         ).collect()
-        return str(row[0][0]) if row else "empty"
+        if not row:
+            # same invariant as checkpoint.input_fingerprint: an empty
+            # input must never hash to a constant — a snapshot-less table
+            # would otherwise validate stale manifests forever
+            raise FileNotFoundError(
+                f"iceberg table {name!r} has no snapshots to fingerprint — "
+                "refusing to checkpoint against an empty table"
+            )
+        return str(row[0][0])
     from qamd_spark.checkpoint import input_fingerprint
 
     return input_fingerprint(spark, ref)

@@ -223,6 +223,13 @@ def _run_dedup(args) -> int:
             F.col(args.id_col).cast("long").alias("doc_id"),
             F.col(args.text_col).alias("text"),
         )
+        # a non-numeric id column casts to all-NULL doc_ids and the
+        # operators would return empty/garbage with exit code 0 — fail loud
+        if docs.filter(F.col("doc_id").isNull()).limit(1).count():
+            raise SystemExit(
+                f"id column {args.id_col!r} has values not castable to long "
+                "(string/UUID keys are not supported — provide a numeric id)"
+            )
         if args.method == "exact":
             out = dd.exact_duplicates(docs)
         elif args.method == "minhash":

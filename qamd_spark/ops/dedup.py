@@ -468,34 +468,7 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         .localCheckpoint()
     )
     for _ in range(max_iters):
-        nbr = (
-            edges.join(
-                labels.select(F.col("v").alias("b"), F.col("lbl").alias("_nl")),
-                "b",
-            )
-            .groupBy("a")
-            .agg(F.min("_nl").alias("_nbr_min"))
-            .select(F.col("a").alias("v"), "_nbr_min")
-        )
-        jump = labels.select(
-            F.col("lbl").alias("_jv"), F.col("v").alias("_of")
-        ).join(
-            labels.select(F.col("v").alias("_jv"), F.col("lbl").alias("_jl")),
-            "_jv",
-        ).select(F.col("_of").alias("v"), "_jl")
-        new = (
-            labels.join(nbr, "v", "left")
-            .join(jump, "v", "left")
-            .select(
-                "v",
-                F.least(
-                    "lbl",
-                    F.coalesce("_nbr_min", "lbl"),
-                    F.coalesce("_jl", "lbl"),
-                ).alias("lbl"),
-                (F.col("lbl")).alias("_old"),
-            )
-        )
+        new = _propagate_labels(labels, edges)
         new = new.localCheckpoint()  # truncate iterative lineage
         changed = new.agg(
             F.sum((F.col("lbl") != F.col("_old")).cast("long")).alias("c")
@@ -509,6 +482,41 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
             )
     raise RuntimeError(
         f"duplicate_clusters did not converge in {max_iters} iterations"
+    )
+
+
+def _propagate_labels(labels: DataFrame, edges: DataFrame) -> DataFrame:
+    """One hash-to-min + pointer-jump round: (v, lbl, _old) where lbl =
+    min(own label, min neighbor label, label of own label). Exposed
+    separately so the plan tests can pin the round's join strategy
+    (equi-joins + partial-agg min — never a nested-loop join)."""
+    nbr = (
+        edges.join(
+            labels.select(F.col("v").alias("b"), F.col("lbl").alias("_nl")),
+            "b",
+        )
+        .groupBy("a")
+        .agg(F.min("_nl").alias("_nbr_min"))
+        .select(F.col("a").alias("v"), "_nbr_min")
+    )
+    jump = labels.select(
+        F.col("lbl").alias("_jv"), F.col("v").alias("_of")
+    ).join(
+        labels.select(F.col("v").alias("_jv"), F.col("lbl").alias("_jl")),
+        "_jv",
+    ).select(F.col("_of").alias("v"), "_jl")
+    return (
+        labels.join(nbr, "v", "left")
+        .join(jump, "v", "left")
+        .select(
+            "v",
+            F.least(
+                "lbl",
+                F.coalesce("_nbr_min", "lbl"),
+                F.coalesce("_jl", "lbl"),
+            ).alias("lbl"),
+            (F.col("lbl")).alias("_old"),
+        )
     )
 
 

@@ -93,6 +93,15 @@ def _real_decode_features(payload: bytes) -> np.ndarray:
     import io as _io
 
     Image, soundfile = _codec_modules()
+    if not payload:
+        # NULL/empty payloads degrade like the stub (zero histogram)
+        # instead of aborting the whole job on an undecodable row
+        if Image is None and soundfile is None:
+            raise NotImplementedError(
+                "real media decode requires PIL/soundfile/ffmpeg — "
+                "not available in this container; pass decode_stub=True"
+            )
+        return np.zeros(_FEATURE_DIM, dtype=np.float32)
     if Image is not None:
         try:
             img = Image.open(_io.BytesIO(payload))

@@ -116,8 +116,11 @@ def grouped_topk(
 
     A Window.partitionBy(group) row_number would put EVERY row of a hot
     group in one task (at 10^12 rows a language partition is ~10^11
-    rows); here no task ever holds more than k items per (group,
-    partition). Returns (group_col, id_col, score_col, rank) with rank
+    rows); here phase 1's aggregation buffer is bounded by the rows of
+    one (group, INPUT partition) — i.e. partition size, set by
+    maxPartitionBytes, not group size — and only <= k survive the slice
+    into the phase-2 shuffle, whose tasks hold <= k x n_partitions tiny
+    structs. Returns (group_col, id_col, score_col, rank) with rank
     1..k — identical selection and order to the SQL
     row_number() OVER (PARTITION BY group ORDER BY score DESC, id).
     Ordering uses struct comparison on (-score, id); exact for finite
@@ -261,6 +264,15 @@ def winnow_fingerprints(
     """(doc_id, pos, fp) winnowed fingerprint rows per document — narrow
     Arrow-batched map stage; downstream joins on fp find shared substrings
     of length >= w + k - 1 across the corpus."""
+    if w > k:
+        # fail fast driver-side; _winnow_batch re-checks as defense in
+        # depth (an executor-only check would surface as a mid-job task
+        # error, or not at all on empty input)
+        raise ValueError(
+            f"winnowing requires w <= k (got w={w}, k={k}): the inter-doc "
+            "mask is k-1 positions, so larger windows could cross document "
+            "boundaries in the packed batch"
+        )
     from typing import Iterator
 
     import numpy as np

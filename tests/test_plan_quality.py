@@ -196,9 +196,12 @@ def test_new_ops_plans_have_no_nested_loop_joins(spark):
     from qamd_spark.ops import text as tx
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    labels = spark.createDataFrame([(1, 1), (2, 1)], "v long, lbl long")
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "a long, b long")
     for df in [
         tx.winnow_containment(docs),
         dd.minhash_duplicates(docs),
+        dd._propagate_labels(labels, edges),  # duplicate_clusters round
     ]:
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
