@@ -161,7 +161,10 @@ def test_cli_dedup_subcommand(tmp_path, spark):
     for method, cols in [
         ("exact", {"doc_id", "is_dup"}),
         ("minhash", {"doc_id", "dup_of"}),
+        ("simhash", {"doc_id", "dup_of", "hamming"}),
         ("clusters", {"doc_id", "cluster_id"}),
+        ("containment", {"doc_id", "src_of", "shared_fp", "containment",
+                         "containment_src"}),
     ]:
         out = str(tmp_path / method)
         rc = main.main(
