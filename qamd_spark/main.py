@@ -139,12 +139,34 @@ def main(argv: list[str] | None = None) -> int:
     ded.add_argument("--id-col", default="doc_id")
     ded.add_argument("--text-col", default="text")
 
+    st = sub.add_parser(
+        "stream",
+        help="incremental per-turn labeling via Structured Streaming "
+             "(availableNow trigger: process new files then stop; rerun "
+             "with the same --checkpoint to pick up only NEW files)",
+    )
+    st.add_argument("--input", required=True, help="parquet file/dir source")
+    st.add_argument("--output", required=True)
+    st.add_argument(
+        "--checkpoint", default=None,
+        help="streaming checkpointLocation (default <output>/_checkpoint)",
+    )
+    st.add_argument("--config", default=None)
+    st.add_argument("--master", default=None)
+    st.add_argument(
+        "--continuous", action="store_true",
+        help="keep running on the micro-batch trigger instead of "
+             "stopping when the source is drained",
+    )
+
     args = p.parse_args(argv)
     if args.cmd == "init":
         sys.stdout.write(DEFAULT_YAML)
         return 0
     if args.cmd == "dedup":
         return _run_dedup(args)
+    if args.cmd == "stream":
+        return _run_stream(args)
 
     if args.config:
         cfg = C.from_yaml(args.config)
@@ -194,6 +216,38 @@ def main(argv: list[str] | None = None) -> int:
             with open(args.output + "/summary.html", "w") as f:
                 f.write(report.to_html(json.loads(summ)))
         print(json.dumps({"status": "ok", "output": args.output}))
+        return 0
+    finally:
+        if not preexisting:
+            spark.stop()
+
+
+def _run_stream(args) -> int:
+    """CLI front-end for the streaming per-turn pipeline: the incremental
+    ingestion mode (new transcript files land in a directory; each
+    invocation labels only what the offset log hasn't committed yet).
+    Cross-row rules are stripped per streaming.CROSS_ROW_RULES — the
+    checkpointed batch `run` remains the system of record for global
+    dedup/aggregates."""
+    from pyspark.sql import SparkSession
+
+    from qamd_spark import streaming
+
+    cfg = C.from_yaml(args.config) if args.config else C.QamdConfig()
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = session.get_spark("qamd_spark.stream", master=args.master)
+    try:
+        q = streaming.stream_label(
+            spark,
+            args.input,
+            args.output + "/data",
+            args.checkpoint or (args.output + "/_checkpoint"),
+            cfg,
+            available_now=not args.continuous,
+        )
+        q.awaitTermination()
+        n = spark.read.parquet(args.output + "/data").count()
+        print(json.dumps({"status": "ok", "output": args.output, "rows": n}))
         return 0
     finally:
         if not preexisting:

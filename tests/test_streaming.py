@@ -167,3 +167,33 @@ def test_windowed_counts_with_watermark_drop_late(spark, tmp_path):
     # the on-time row's window [00:09, 00:10) is finalized only when a
     # later watermark passes; the 00:05 window IS final after batch b
     assert got[("2024-01-01 00:05:00", "user")] == (1, 0)
+
+
+def test_cli_stream_subcommand(tmp_path, spark, synth_path):
+    """The stream CLI: first invocation labels all current files; a
+    rerun with the same checkpoint ingests only NEW files (no
+    reprocessing — row count grows by exactly the new file's rows)."""
+    import json as _json
+    import shutil
+
+    from qamd_spark import main
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    shutil.copy(synth_path, src + "/part-0.parquet")
+    out = str(tmp_path / "out")
+    rc = main.main(["stream", "--input", src, "--output", out,
+                    "--master", "local[4]"])
+    assert rc == 0
+    n1 = spark.read.parquet(out + "/data").count()
+    assert n1 == spark.read.parquet(synth_path).count()
+    # second invocation with one new file: only its rows are appended
+    from qamd_spark import synth as _synth
+
+    _synth.write_parquet(src + "/part-1.parquet", n_convs=5, seed=99)
+    rc = main.main(["stream", "--input", src, "--output", out,
+                    "--master", "local[4]"])
+    assert rc == 0
+    n2 = spark.read.parquet(out + "/data").count()
+    n_new = spark.read.parquet(src + "/part-1.parquet").count()
+    assert n2 == n1 + n_new
