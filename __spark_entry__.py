@@ -1067,6 +1067,23 @@ def q_minhash_dedup(spark, sf_dir):
     return dd.minhash_duplicates(_docs(spark, sf_dir))
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination (ops/dedup.cross_corpus_contamination):
+    documents near-duplicating a held-out 'benchmark' slice (doc_id % 10
+    == 0 plays the benchmark corpus). LSH-then-verify: min-ref-per-bucket
+    candidates, exact 3-gram Jaccard >= 0.5. Rows-only in the driver
+    gate; exact vs the pandas twin in tests/test_hash_oracles.py."""
+    from qamd_spark.ops import dedup as dd
+
+    d = _docs(spark, sf_dir)
+    ref = d.filter(F.col("doc_id") % 10 == 0)
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    out = dd.cross_corpus_contamination(train, ref)
+    return out.select(
+        "doc_id", "contaminated_by", F.round("jaccard", 9).alias("jaccard")
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Transitive near-duplicate clusters (connected components over the
     minhash pairs; ops/dedup.duplicate_clusters — iterative hash-to-min
@@ -1169,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow": q_winnow,
         "winnow_containment": q_winnow_containment,
         "dedup_clusters": q_dedup_clusters,
+        "contamination": q_contamination,
         "ngram_jaccard": q_ngram_jaccard,
         "media_features": q_media_features,
         "frame_plan": q_frame_plan,

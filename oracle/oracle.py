@@ -352,6 +352,40 @@ def winnow_pdf(pdf: pd.DataFrame, k: int = 5, w: int = 4,
     )
 
 
+def contamination_pdf(pdf: pd.DataFrame, ref_pdf: pd.DataFrame,
+                      min_jaccard: float = 0.5) -> pd.DataFrame:
+    """Twin of ops.dedup.cross_corpus_contamination: same band kernels,
+    min-ref-per-bucket candidate rule, exact 3-gram Jaccard verify."""
+    from qamd_spark.ops import dedup as dd
+
+    d_bands = minhash_bands_pdf(pdf)
+    r_bands = minhash_bands_pdf(ref_pdf)
+    r_min = (
+        r_bands.groupby(["band", "band_hash"], as_index=False)["doc_id"]
+        .min()
+        .rename(columns={"doc_id": "_ref"})
+    )
+    cand = (
+        d_bands.merge(r_min, on=["band", "band_hash"])
+        .groupby("doc_id", as_index=False)["_ref"]
+        .min()
+        .rename(columns={"_ref": "contaminated_by"})
+    )
+    texts_d = dict(zip(pdf["doc_id"], pdf["text"]))
+    texts_r = dict(zip(ref_pdf["doc_id"], ref_pdf["text"]))
+    rows = []
+    for d, r in zip(cand["doc_id"], cand["contaminated_by"]):
+        sa = dd._ngram_set(texts_r.get(r), 3)
+        sb = dd._ngram_set(texts_d.get(d), 3)
+        u = len(sa | sb)
+        j = len(sa & sb) / u if u else 1.0
+        if j >= min_jaccard:
+            rows.append((int(d), int(r), j))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "contaminated_by", "jaccard"]
+    ).astype({"doc_id": np.int64, "contaminated_by": np.int64})
+
+
 def clusters_pdf(pairs: pd.DataFrame) -> pd.DataFrame:
     """Union-find twin of ops.dedup.duplicate_clusters: (doc_id,
     cluster_id = min doc id in the connected component), for every doc

@@ -426,6 +426,69 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def cross_corpus_contamination(
+    docs: DataFrame,
+    ref_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Benchmark decontamination: flag documents of ``docs`` that
+    near-duplicate any document of ``ref_docs`` (the held-out benchmark /
+    test corpus). Returns (doc_id, contaminated_by, jaccard) — one row
+    per contaminated doc, contaminated_by = the smallest ref id sharing a
+    minhash band bucket, jaccard = the EXACT word-3-gram Jaccard of that
+    pair (>= min_jaccard).
+
+    Scale shape: minhash bands for both sides; the ref side collapses to
+    min-ref-id per (band, bucket) — a hash aggregate, so the candidate
+    join is bounded by distinct buckets, never |docs| x |ref| — then the
+    LSH-then-verify discipline: candidates get the exact Jaccard and the
+    threshold. The ref corpus is typically tiny next to the training
+    corpus (benchmarks are ~10^3-10^6 docs), so the bucket-min table
+    broadcasts. Exact pandas twin: oracle/oracle.py::contamination_pdf.
+    """
+    d_bands = minhash_bands(docs, id_col=id_col, text_col=text_col)
+    r_bands = minhash_bands(ref_docs, id_col=id_col, text_col=text_col)
+    r_min = r_bands.groupBy("band", "band_hash").agg(
+        F.min("doc_id").alias("_ref")
+    )
+    cand = (
+        d_bands.join(r_min, ["band", "band_hash"])
+        .groupBy("doc_id")
+        .agg(F.min("_ref").alias("contaminated_by"))
+    )
+    pairs = cand.select(
+        F.col("contaminated_by").alias("a"), F.col("doc_id").alias("b")
+    )
+    ta = ref_docs.select(F.col(id_col).alias("a"), F.col(text_col).alias("text_a"))
+    tb = docs.select(F.col(id_col).alias("b"), F.col(text_col).alias("text_b"))
+    joined = pairs.join(ta, "a").join(tb, "b")
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("contaminated_by", T.LongType()),
+            T.StructField("jaccard", T.DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["b"].to_numpy(dtype=np.int64),
+                    "contaminated_by": pdf["a"].to_numpy(dtype=np.int64),
+                    "jaccard": _batch_jaccard(
+                        list(pdf["text_a"]), list(pdf["text_b"]), 3
+                    ),
+                }
+            )
+
+    verified = joined.mapInPandas(run, schema=schema)
+    return verified.filter(F.col("jaccard") >= min_jaccard)
+
+
 def duplicate_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     """Connected components over near-duplicate pairs: (doc_id,
     cluster_id) for every doc appearing in ``pairs`` (doc_id, dup_of),

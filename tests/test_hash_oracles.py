@@ -324,3 +324,47 @@ def test_duplicate_clusters_random_pairs_match_union_find(spark):
         ["doc_id", "cluster_id"],
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_contamination_matches_pandas_twin(spark, docs_df, docs_pdf):
+    from pyspark.sql import functions as F
+
+    ref_df = docs_df.filter(F.col("doc_id") % 10 == 0)
+    train_df = docs_df.filter(F.col("doc_id") % 10 != 0)
+    got = _sorted(
+        dd.cross_corpus_contamination(train_df, ref_df).toPandas(),
+        ["doc_id", "contaminated_by", "jaccard"],
+    )
+    ref_pdf = docs_pdf[docs_pdf["doc_id"] % 10 == 0]
+    train_pdf = docs_pdf[docs_pdf["doc_id"] % 10 != 0]
+    want = _sorted(
+        oracle.contamination_pdf(train_pdf, ref_pdf),
+        ["doc_id", "contaminated_by", "jaccard"],
+    )
+    assert len(got) == len(want)
+    for c in ["doc_id", "contaminated_by"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    assert (got["jaccard"].to_numpy() == want["jaccard"].to_numpy()).all()
+
+
+def test_contamination_planted(spark):
+    """A training doc that verbatim-copies a benchmark doc (plus light
+    edits) must be flagged; unrelated training docs must not."""
+    import random
+
+    rng = random.Random(31)
+    vocab = [f"w{i:03d}" for i in range(300)]
+    bench_text = " ".join(rng.choice(vocab) for _ in range(60))
+    contaminated = bench_text + " plus a short appended tail"  # light edit
+    rows_ref = [(0, bench_text), (1, " ".join(rng.choice(vocab) for _ in range(60)))]
+    rows_train = [
+        (100, contaminated),
+        (101, " ".join(rng.choice(vocab) for _ in range(60))),
+        (102, " ".join(rng.choice(vocab) for _ in range(60))),
+    ]
+    ref = spark.createDataFrame(rows_ref, "doc_id long, text string")
+    train = spark.createDataFrame(rows_train, "doc_id long, text string")
+    got = dd.cross_corpus_contamination(train, ref).toPandas()
+    flagged = dict(zip(got["doc_id"], got["contaminated_by"]))
+    assert flagged.get(100) == 0, got
+    assert 101 not in flagged and 102 not in flagged
