@@ -125,6 +125,12 @@ def input_fingerprint(spark, input_path: str) -> str:
     return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
 
 
+# widest group whose per-bucket counters still ride on the write via the
+# Observation API (2 aggregate exprs per bucket); wider groups read the
+# counters back from the written parquet instead
+_MAX_OBSERVED_BUCKETS = 256
+
+
 def _bucket_col(cfg: QamdConfig):
     # MUST match pipeline.label's bucket derivation so the input pre-filter
     # selects exactly the rows the group's output partitions will hold
@@ -310,15 +316,26 @@ def run_with_checkpoints(
         else:
             part_in = df.filter(_bucket_col(cfg).isin(group))
         part = pipeline.label(part_in, cfg, text_stats_df=ts, conv_stats_df=cs)
+        # Per-bucket manifest counters: piggyback on the write via the
+        # Observation API for normal group sizes (no extra pass). The
+        # Observation carries 2 aggregate expressions per bucket, so for
+        # very wide groups (the single-job fresh run with thousands of
+        # buckets) that would bloat the plan/codegen — there the counters
+        # come instead from one cheap post-write aggregation over the
+        # just-written parquet (reads only the bucket partition column +
+        # keep; dynamic overwrite guarantees the group's partitions hold
+        # exactly this run's rows).
+        use_obs = len(group) <= _MAX_OBSERVED_BUCKETS
         obs = Observation(f"qamd-group-{group[0]}")
-        metrics = []
-        for b in group:
-            is_b = F.col("bucket") == F.lit(b)
-            metrics.append(F.sum(is_b.cast("long")).alias(f"n_{b}"))
-            metrics.append(
-                F.sum((is_b & F.col("keep")).cast("long")).alias(f"k_{b}")
-            )
-        part = part.observe(obs, *metrics)
+        if use_obs:
+            metrics = []
+            for b in group:
+                is_b = F.col("bucket") == F.lit(b)
+                metrics.append(F.sum(is_b.cast("long")).alias(f"n_{b}"))
+                metrics.append(
+                    F.sum((is_b & F.col("keep")).cast("long")).alias(f"k_{b}")
+                )
+            part = part.observe(obs, *metrics)
         (
             pipeline.salted_repartition(part, cfg)
             .write.mode("overwrite")
@@ -326,7 +343,23 @@ def run_with_checkpoints(
             .option("partitionOverwriteMode", "dynamic")
             .parquet(store.data_dir)
         )
-        got = obs.get  # collected during the write job, no extra pass
+        if use_obs:
+            got = obs.get  # collected during the write job, no extra pass
+        else:
+            counts = (
+                spark.read.parquet(store.data_dir)
+                .filter(F.col("bucket").isin(group))
+                .groupBy("bucket")
+                .agg(
+                    F.count(F.lit(1)).alias("_n"),
+                    F.sum(F.col("keep").cast("long")).alias("_k"),
+                )
+                .collect()
+            )
+            got = {}
+            for r in counts:
+                got[f"n_{r['bucket']}"] = r["_n"]
+                got[f"k_{r['bucket']}"] = r["_k"]
         for b in group:
             m = Manifest(
                 b,

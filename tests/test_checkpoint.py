@@ -370,3 +370,19 @@ def test_stats_side_tables_survive_threshold_reaudit(spark, synth_path, tmp_path
 
     meta = _json.load(open(out + "/_stats/meta.json"))
     assert "text=False" in meta["stats_fingerprint"]
+
+
+def test_wide_group_counts_via_readback(spark, synth_path, tmp_path, monkeypatch):
+    """Groups wider than _MAX_OBSERVED_BUCKETS must take the post-write
+    readback path for manifest counters and produce identical manifests
+    to the Observation path."""
+    cfg6 = QamdConfig(n_buckets=6)
+    obs_out = str(tmp_path / "obs")
+    via_obs = checkpoint.run_with_checkpoints(spark, synth_path, obs_out, cfg6)
+    monkeypatch.setattr(checkpoint, "_MAX_OBSERVED_BUCKETS", 2)
+    rb_out = str(tmp_path / "rb")
+    via_rb = checkpoint.run_with_checkpoints(spark, synth_path, rb_out, cfg6)
+    a = {m.bucket: (m.n_rows, m.n_keep) for m in via_obs}
+    b = {m.bucket: (m.n_rows, m.n_keep) for m in via_rb}
+    assert a == b
+    assert sum(n for n, _ in a.values()) == spark.read.parquet(synth_path).count()
