@@ -165,6 +165,8 @@ def run_benchmarks() -> dict:
         "simhash_neardup",
         "dedup_clusters",
         "winnow_containment",
+        "contamination",
+        "corpus_curate",
         "quality_topk_lang",
         "fingerprint",
     ]:
