@@ -375,6 +375,70 @@ def q_repetition_ratio(spark, sf_dir):
     )
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher repetition panel (Rae et al. 2021, appendix A): top-2/3-gram
+    char fractions + duplicated-5-gram char fraction + combined keep gate.
+    Pure JVM fold over sorted per-row n-gram arrays (ops/text.py) — no
+    shuffle, no Python stage; integer numerators, one final division."""
+    from qamd_spark.ops.text import repetition_signals
+
+    sig = repetition_signals(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        sig["top2gram_frac"].alias("top2gram_frac"),
+        sig["top3gram_frac"].alias("top3gram_frac"),
+        sig["dup5gram_frac"].alias("dup5gram_frac"),
+        sig["repetition_keep"].alias("repetition_keep"),
+    )
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher word-level quality panel: word count bounds, mean word
+    length in [3,10], alphabetic-word fraction >= 0.8, >= 2 distinct
+    stop words present, symbol-to-word ratio <= 0.1. All exact-integer
+    aggregates with one division each (cross-engine IEEE-identical)."""
+    from qamd_spark.ops.text import words_array
+
+    w = words_array(F.col("text"))
+    nw = F.size(w)
+    sum_len = F.aggregate(w, F.lit(0), lambda a, x: a + F.length(x))
+    mean_wlen = F.when(
+        nw > 0, sum_len.cast("double") / nw.cast("double")
+    ).otherwise(0.0)
+    alpha = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
+    alpha_frac = F.when(
+        nw > 0, alpha.cast("double") / nw.cast("double")
+    ).otherwise(0.0)
+    stop_hits = F.size(
+        F.array_intersect(w, F.array(*[F.lit(s) for s in STOPWORDS]))
+    )
+    t = _txt()
+    symbols = (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))) + (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = F.when(
+        nw > 0, symbols.cast("double") / nw.cast("double")
+    ).otherwise(0.0)
+    keep = (
+        (nw >= 50)
+        & (nw <= 100000)
+        & (mean_wlen >= 3.0)
+        & (mean_wlen <= 10.0)
+        & (alpha_frac >= 0.8)
+        & (stop_hits >= 2)
+        & (symbol_ratio <= 0.1)
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        nw.alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.cast("int").alias("stop_hits"),
+        symbol_ratio.alias("symbol_ratio"),
+        keep.alias("gopher_keep"),
+    )
+
+
 def q_conv_pipeline_sql(spark, sf_dir):
     """SQL-expressible mini-pipeline over documents-as-conversations
     (conv = doc_id % 97): empty + length + exact-dup keep-first +
@@ -1156,6 +1220,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentinel_text": q_sentinel_text,
         "custom_regex": q_custom_regex,
         "repetition_ratio": q_repetition_ratio,
+        "gopher_repetition": q_gopher_repetition,
+        "gopher_quality": q_gopher_quality,
         "conv_pipeline_sql": q_conv_pipeline_sql,
         "conv_features": q_conv_features,
         "conv_verdicts": q_conv_verdicts,
@@ -1357,6 +1423,88 @@ def oracle_sql() -> dict[str, str]:
             SELECT mx.doc_id, mx.max_tok_count::INT AS max_tok_count,
                    mx.max_tok_count::DOUBLE / tot.n::DOUBLE AS rep_ratio
             FROM mx JOIN tot ON mx.doc_id = tot.doc_id
+        """,
+        "gopher_repetition": """
+            WITH d AS (
+              SELECT doc_id, trim(coalesce(text,'')) AS t FROM documents),
+            w AS (
+              SELECT doc_id, length(t) AS nchars,
+                     CASE WHEN t = '' THEN []::VARCHAR[]
+                          ELSE str_split(lower(t), ' ') END AS w
+              FROM d),
+            g AS (
+              SELECT doc_id, n.n AS n,
+                     CASE WHEN len(w) >= n.n THEN
+                       list_transform(range(1, len(w) - n.n + 2),
+                                      i -> array_to_string(w[i:i+n.n-1], ' '))
+                     ELSE []::VARCHAR[] END AS grams
+              FROM w CROSS JOIN (VALUES (2),(3),(5)) AS n(n)),
+            u AS (SELECT doc_id, n, unnest(grams) AS gr FROM g),
+            c AS (SELECT doc_id, n, gr, count(*) AS c
+                  FROM u GROUP BY doc_id, n, gr),
+            m AS (SELECT doc_id, n,
+                         max(c * length(gr)) AS topchars,
+                         sum(CASE WHEN c >= 2 THEN c * length(gr)
+                                  ELSE 0 END) AS dupchars
+                  FROM c GROUP BY doc_id, n),
+            f AS (
+              SELECT w.doc_id,
+                CASE WHEN w.nchars > 0 THEN
+                  coalesce(m2.topchars, 0)::DOUBLE / w.nchars::DOUBLE
+                ELSE 0.0 END AS top2gram_frac,
+                CASE WHEN w.nchars > 0 THEN
+                  coalesce(m3.topchars, 0)::DOUBLE / w.nchars::DOUBLE
+                ELSE 0.0 END AS top3gram_frac,
+                CASE WHEN w.nchars > 0 THEN
+                  coalesce(m5.dupchars, 0)::DOUBLE / w.nchars::DOUBLE
+                ELSE 0.0 END AS dup5gram_frac
+              FROM w
+              LEFT JOIN m m2 ON m2.doc_id = w.doc_id AND m2.n = 2
+              LEFT JOIN m m3 ON m3.doc_id = w.doc_id AND m3.n = 3
+              LEFT JOIN m m5 ON m5.doc_id = w.doc_id AND m5.n = 5)
+            SELECT doc_id, top2gram_frac, top3gram_frac, dup5gram_frac,
+                   (top2gram_frac <= 0.20 AND top3gram_frac <= 0.18
+                    AND dup5gram_frac <= 0.15) AS repetition_keep
+            FROM f
+        """,
+        "gopher_quality": f"""
+            WITH d AS (
+              SELECT doc_id, coalesce(text,'') AS raw,
+                     trim(coalesce(text,'')) AS t FROM documents),
+            w AS (
+              SELECT doc_id, raw,
+                     CASE WHEN t = '' THEN []::VARCHAR[]
+                          ELSE str_split(lower(t), ' ') END AS w
+              FROM d),
+            b AS (
+              SELECT doc_id,
+                len(w) AS nw,
+                coalesce(list_sum(list_transform(w, x -> length(x))), 0)
+                  AS sum_len,
+                len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                  AS alpha,
+                len(list_intersect(w, {_sql_stop_list()})) AS stop_hits,
+                (length(raw) - length(replace(raw, '#', '')))
+                  + (length(raw) - length(replace(raw, '...', ''))) / 3
+                  AS symbols
+              FROM w),
+            f AS (
+              SELECT doc_id, nw,
+                CASE WHEN nw > 0 THEN sum_len::DOUBLE / nw::DOUBLE
+                     ELSE 0.0 END AS mean_word_len,
+                CASE WHEN nw > 0 THEN alpha::DOUBLE / nw::DOUBLE
+                     ELSE 0.0 END AS alpha_word_frac,
+                stop_hits::INT AS stop_hits,
+                CASE WHEN nw > 0 THEN symbols::DOUBLE / nw::DOUBLE
+                     ELSE 0.0 END AS symbol_ratio
+              FROM b)
+            SELECT doc_id, nw::INT AS n_words, mean_word_len,
+                   alpha_word_frac, stop_hits, symbol_ratio,
+                   (nw >= 50 AND nw <= 100000
+                    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                    AND alpha_word_frac >= 0.8 AND stop_hits >= 2
+                    AND symbol_ratio <= 0.1) AS gopher_keep
+            FROM f
         """,
         "conv_pipeline_sql": """
             WITH t AS (

@@ -151,6 +151,127 @@ def grouped_topk(
     )
 
 
+# --------------------------------------------------------------------------
+# Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", appendix A:
+# repetition filters). Word-n-gram based — the variant that stays
+# meaningful on single-line text. All JVM-side Column expressions: the
+# per-row n-gram count table is a fold over the SORTED n-gram array
+# (run-length counting), so no per-row hash map and no Python stage.
+#
+# Metric definitions (deterministic, cross-engine exact):
+#   top_ngram_char_frac(n)  = max over distinct n-grams g of
+#                             count(g) * length(g), / length(trim(text)).
+#     (Gopher's "fraction of characters in the most frequent n-gram";
+#      ties between count/length combinations resolve by the max of the
+#      product, which is order-free and engine-agnostic.)
+#   dup_ngram_char_frac(n)  = sum over distinct n-grams g with count >= 2
+#                             of count(g) * length(g), / length(trim(text)).
+#     (Gopher's "fraction of characters in duplicated n-grams", counting
+#      every occurrence; overlaps are not position-deduplicated, so the
+#      fraction can exceed 1 on highly repetitive text — documented.)
+# Both numerators are exact integers; the single final division is
+# IEEE-identical in Spark and DuckDB, so the driver hash-gate holds.
+
+
+def words_array(text: Column) -> Column:
+    """Lowercased space-split word array; [] for null/empty text."""
+    t = F.trim(F.coalesce(text, F.lit("")))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.lower(t), " ", -1)
+    )
+
+
+def word_ngrams(words: Column, n: int) -> Column:
+    """Array of space-joined word n-grams; [] when fewer than n words."""
+    if n == 1:
+        return words
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def top_ngram_chars(grams: Column) -> Column:
+    """max over distinct grams of count*length, via one fold over the
+    sorted gram array (run-length counting; run*len grows monotonically
+    within a run, so taking greatest at every step is exact)."""
+    s = F.array_sort(grams)
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+    return F.aggregate(
+        s,
+        acc0,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+                * F.length(x),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+
+
+def dup_ngram_chars(grams: Column) -> Column:
+    """sum over distinct grams with count>=2 of count*length, via one
+    fold over the sorted gram array: when a run reaches its 2nd element
+    add 2*len (retroactively counting the 1st), each further element
+    adds len — totalling count*len per duplicated gram."""
+    s = F.array_sort(grams)
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("tot")
+    )
+    return F.aggregate(
+        s,
+        acc0,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            (
+                acc.tot
+                + F.when(
+                    x == acc.prev,
+                    F.when(acc.run == 1, F.lit(2) * F.length(x)).otherwise(
+                        F.length(x)
+                    ),
+                ).otherwise(F.lit(0))
+            ).alias("tot"),
+        ),
+        lambda acc: acc.tot,
+    )
+
+
+def repetition_signals(text: Column) -> dict[str, Column]:
+    """The Gopher repetition panel as named Column expressions:
+    top-2/3-gram char fractions + duplicated-5-gram char fraction, and
+    the combined keep gate at the Gopher thresholds (0.20 / 0.18 / 0.15).
+    """
+    w = words_array(text)
+    nchars = F.length(F.trim(F.coalesce(text, F.lit(""))))
+    denom = nchars.cast("double")
+
+    def frac(num: Column) -> Column:
+        return F.when(nchars > 0, num.cast("double") / denom).otherwise(0.0)
+
+    top2 = frac(top_ngram_chars(word_ngrams(w, 2)))
+    top3 = frac(top_ngram_chars(word_ngrams(w, 3)))
+    dup5 = frac(dup_ngram_chars(word_ngrams(w, 5)))
+    keep = (top2 <= 0.20) & (top3 <= 0.18) & (dup5 <= 0.15)
+    return {
+        "top2gram_frac": top2,
+        "top3gram_frac": top3,
+        "dup5gram_frac": dup5,
+        "repetition_keep": keep,
+    }
+
+
 def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full text-analysis feature set (narrow, codegen-fused)."""
     t = F.col(text_col)

@@ -401,3 +401,61 @@ def test_grouped_topk_ties_match_row_number(spark):
     assert len(got) == len(want)
     for c in ["grp", "id", "score", "rank"]:
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+# ---------------------------------------------------------------- gopher
+def _brute_ngram_stats(text, n):
+    """Brute-force reference for the sorted-run folds: dict gram -> count."""
+    t = (text or "").strip()
+    words = t.lower().split(" ") if t else []
+    grams = [
+        " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+    ] if len(words) >= n else []
+    counts = {}
+    for g in grams:
+        counts[g] = counts.get(g, 0) + 1
+    top = max((c * len(g) for g, c in counts.items()), default=0)
+    dup = sum(c * len(g) for g, c in counts.items() if c >= 2)
+    return top, dup
+
+
+def test_gopher_repetition_folds_match_bruteforce(spark):
+    texts = [
+        "",
+        None,
+        "one",
+        "a b a b a b a b a b",                  # pure bigram loop
+        "x y z x y z x y z q",                  # trigram repeats
+        " ".join(f"w{i}" for i in range(60)),   # all unique, long enough
+        "r r r r r r r r",                      # single-token run
+        "aa bb aa bb cc aa bb aa bb cc dd aa bb aa bb cc",
+        "p q " * 40 + "tail",                   # long repetitive + break
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sig = text_ops.repetition_signals(F.col("text"))
+    w = text_ops.words_array(F.col("text"))
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            text_ops.top_ngram_chars(text_ops.word_ngrams(w, 2)).alias("t2"),
+            text_ops.top_ngram_chars(text_ops.word_ngrams(w, 3)).alias("t3"),
+            text_ops.dup_ngram_chars(text_ops.word_ngrams(w, 5)).alias("d5"),
+            sig["dup5gram_frac"].alias("d5f"),
+            sig["repetition_keep"].alias("keep"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        t2, _ = _brute_ngram_stats(t, 2)
+        t3, _ = _brute_ngram_stats(t, 3)
+        _, d5 = _brute_ngram_stats(t, 5)
+        assert rows[i]["t2"] == t2, (i, t)
+        assert rows[i]["t3"] == t3, (i, t)
+        assert rows[i]["d5"] == d5, (i, t)
+    # the pure bigram loop must fail the gate; the all-unique doc must pass
+    assert not rows[3]["keep"]
+    assert rows[5]["keep"]
+    # dup fraction can exceed 1 on overlapping repeats — documented behavior
+    assert rows[3]["d5f"] > 1.0
