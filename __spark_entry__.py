@@ -439,6 +439,67 @@ def q_gopher_quality(spark, sf_dir):
     )
 
 
+def q_quality_classifier(spark, sf_dir):
+    """fastText-style trained quality classifier (qamd_spark/classifier.py):
+    linear model over hashed char-4-gram features, driver-trained from
+    frozen in-repo corpora, scored in one Arrow-vectorized mapInPandas
+    stage with the 64 KB weight vector shipped in the closure. Rows-only
+    (a trained model has no SQL twin); evidence = tests/test_classifier.py
+    (bit-exact Spark/local twin, held-out separation, batch invariance)."""
+    from qamd_spark.classifier import attach_quality_score
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return attach_quality_score(d).select("doc_id", "qc_score", "qc_keep")
+
+
+def q_source_divergence(spark, sf_dir):
+    """Outlier-source detector: total-variation distance between each
+    source's unigram distribution and the corpus distribution.
+
+    TV(s) = 1/2 * sum_tok |c_st/N_s - c_t/N|
+          = sum_tok |c_st*N - c_t*N_s| / (2*N*N_s)
+
+    The numerator is an exact-integer sum (order-free — no float-sum
+    nondeterminism), with ONE double division at the end, so the driver
+    hash-gate holds. Scale: two token-level hash aggregates; the global
+    vocab table (c_t) is broadcast against the per-source totals (for a
+    natural-language vocab it is ~1e6 rows); at 10^12-turn scale the
+    bigint products need decimal(38,0) — documented, not needed at test
+    scale."""
+    from qamd_spark.ops.text import words_array
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "source", F.explode(words_array(F.col("text"))).alias("tok")
+    )
+    sc = toks.groupBy("source", "tok").agg(F.count("*").alias("c_st"))
+    stot = sc.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    g = toks.groupBy("tok").agg(F.count("*").alias("c_t"))
+    ntot = g.agg(F.sum("c_t").alias("n_tot"))
+    full = (
+        stot.crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(ntot))
+        .join(sc, ["source", "tok"], "left")
+        .withColumn("c_st", F.coalesce(F.col("c_st"), F.lit(0)))
+    )
+    agg = (
+        full.withColumn(
+            "term",
+            F.abs(F.col("c_st") * F.col("n_tot") - F.col("c_t") * F.col("n_s")),
+        )
+        .groupBy("source", "n_s", "n_tot")
+        .agg(F.sum("term").alias("tv_num"))
+    )
+    return agg.select(
+        "source",
+        F.col("n_s").alias("n_tokens"),
+        (
+            F.col("tv_num").cast("double")
+            / (F.lit(2.0) * F.col("n_tot").cast("double") * F.col("n_s").cast("double"))
+        ).alias("tv_divergence"),
+    )
+
+
 def q_conv_pipeline_sql(spark, sf_dir):
     """SQL-expressible mini-pipeline over documents-as-conversations
     (conv = doc_id % 97): empty + length + exact-dup keep-first +
@@ -1222,6 +1283,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ratio": q_repetition_ratio,
         "gopher_repetition": q_gopher_repetition,
         "gopher_quality": q_gopher_quality,
+        "source_divergence": q_source_divergence,
+        "quality_classifier": q_quality_classifier,
         "conv_pipeline_sql": q_conv_pipeline_sql,
         "conv_features": q_conv_features,
         "conv_verdicts": q_conv_verdicts,
@@ -1505,6 +1568,34 @@ def oracle_sql() -> dict[str, str]:
                     AND alpha_word_frac >= 0.8 AND stop_hits >= 2
                     AND symbol_ratio <= 0.1) AS gopher_keep
             FROM f
+        """,
+        "source_divergence": """
+            WITH w AS (
+              SELECT source,
+                     CASE WHEN trim(coalesce(text,'')) = '' THEN []::VARCHAR[]
+                          ELSE str_split(lower(trim(coalesce(text,''))), ' ')
+                     END AS w
+              FROM documents),
+            t AS (SELECT source, unnest(w) AS tok FROM w),
+            sc AS (SELECT source, tok, count(*) AS c_st
+                   FROM t GROUP BY source, tok),
+            stot AS (SELECT source, sum(c_st)::BIGINT AS n_s
+                     FROM sc GROUP BY source),
+            g AS (SELECT tok, count(*) AS c_t FROM t GROUP BY tok),
+            nt AS (SELECT sum(c_t)::BIGINT AS n_tot FROM g),
+            fl AS (
+              SELECT s.source, s.n_s, g.tok, g.c_t, nt.n_tot,
+                     coalesce(sc.c_st, 0) AS c_st
+              FROM stot s CROSS JOIN g CROSS JOIN nt
+              LEFT JOIN sc ON sc.source = s.source AND sc.tok = g.tok),
+            agg AS (
+              SELECT source, n_s, n_tot,
+                     sum(abs(c_st * n_tot - c_t * n_s))::BIGINT AS tv_num
+              FROM fl GROUP BY source, n_s, n_tot)
+            SELECT source, n_s AS n_tokens,
+                   tv_num::DOUBLE / (2.0 * n_tot::DOUBLE * n_s::DOUBLE)
+                     AS tv_divergence
+            FROM agg
         """,
         "conv_pipeline_sql": """
             WITH t AS (
