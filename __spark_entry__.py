@@ -439,6 +439,21 @@ def q_gopher_quality(spark, sf_dir):
     )
 
 
+def q_token_budget_sample(spark, sf_dir):
+    """Deterministic per-language token-budget sampling (data mixing):
+    keep the maximal salted-md5-ordered prefix of each language whose
+    cumulative n_chars stays within 20000. Spark side runs the range-
+    chunked two-phase prefix sum (ops/sampling.py — no per-group global
+    window); the DuckDB twin is the plain single-window formulation, so
+    the gate proves the two-phase plan computes the same prefix."""
+    from qamd_spark.ops.sampling import token_budget_sample
+
+    d = _docs(spark, sf_dir)
+    return token_budget_sample(
+        d, group_col="lang", id_col="doc_id", weight_col="n_chars", budget=20000
+    )
+
+
 def q_quality_classifier(spark, sf_dir):
     """fastText-style trained quality classifier (qamd_spark/classifier.py):
     linear model over hashed char-4-gram features, driver-trained from
@@ -1285,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "source_divergence": q_source_divergence,
         "quality_classifier": q_quality_classifier,
+        "token_budget_sample": q_token_budget_sample,
         "conv_pipeline_sql": q_conv_pipeline_sql,
         "conv_features": q_conv_features,
         "conv_verdicts": q_conv_verdicts,
@@ -1568,6 +1584,20 @@ def oracle_sql() -> dict[str, str]:
                     AND alpha_word_frac >= 0.8 AND stop_hits >= 2
                     AND symbol_ratio <= 0.1) AS gopher_keep
             FROM f
+        """,
+        "token_budget_sample": """
+            WITH d AS (
+              SELECT lang, doc_id, coalesce(n_chars, 0)::BIGINT AS n_chars,
+                     md5(doc_id::VARCHAR || ':s') AS h
+              FROM documents),
+            c AS (
+              SELECT lang, doc_id, n_chars,
+                     sum(n_chars) OVER (
+                       PARTITION BY lang ORDER BY h, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum_weight
+              FROM d)
+            SELECT lang, doc_id, n_chars, cum_weight
+            FROM c WHERE cum_weight <= 20000
         """,
         "source_divergence": """
             WITH w AS (

@@ -168,6 +168,9 @@ def run_benchmarks() -> dict:
         "contamination",
         "corpus_curate",
         "quality_topk_lang",
+        "gopher_repetition",
+        "quality_classifier",
+        "source_divergence",
         "fingerprint",
     ]:
         q = E.queries()[name]

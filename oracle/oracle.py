@@ -134,6 +134,13 @@ def label_pdf(pdf: pd.DataFrame, cfg: QamdConfig | None = None) -> pd.DataFrame:
         add("langid", ~out["lang"].isin(s["langid"]["allowed"]))
     if cfg.enabled("perplexity"):
         add("perplexity", out["perplexity"] > float(s["perplexity"]["max"]))
+    if cfg.enabled("quality_classifier"):
+        # qc_score was produced by score_pdf with cfg's pinned model; the
+        # threshold comes from the SAME ensure_qc_model resolution, so
+        # oracle and pipeline compare identical doubles to an identical
+        # threshold (strict <, keep on >=)
+        _w, _b, thr = cfg.ensure_qc_model()
+        add("quality_classifier", out["qc_score"] < float(thr))
 
     name_order = [n for n, _ in conds]
     mat = (

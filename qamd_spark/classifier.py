@@ -138,16 +138,27 @@ def _train() -> tuple[np.ndarray, float, float]:
     return w, b, thr
 
 
-# Frozen model, trained ONCE in the driver process at import. The
+# Frozen model, trained LAZILY and only in the driver process. The
 # training matmuls go through BLAS, whose threaded reductions are NOT
 # bit-reproducible across processes with different thread pools (a Spark
 # Python worker pins OMP to 1 thread; the driver does not) — so the
-# weights are never retrained executor-side. attach_quality_score ships
-# this 64 KB vector through the task closure (the "broadcast small
-# model" pattern of the fastText-langid north star); SCORING is
-# BLAS-free (gather + reduceat), so driver and executor scores are
-# bit-identical for the same weights (tested).
-QC_WEIGHTS, QC_BIAS, QC_THRESHOLD = _train()
+# weights are never retrained executor-side. attach_quality_score and
+# the pipeline score stage ship the 64 KB vector through the task
+# closure (the "broadcast small model" pattern of the fastText-langid
+# north star); SCORING is BLAS-free (gather + reduceat), so driver and
+# executor scores are bit-identical for the same weights (tested).
+# Lazy (not at import) so that executor workers importing this module
+# never pay the ~1.5 s training cost they must not use anyway.
+_MODEL: tuple[np.ndarray, float, float] | None = None
+
+
+def get_model() -> tuple[np.ndarray, float, float]:
+    """(weights, bias, calibrated_threshold) — trained once per process."""
+    global _MODEL
+    if _MODEL is None:
+        _MODEL = _train()
+    return _MODEL
+
 
 _CHUNK_DOCS = 16384
 
@@ -159,8 +170,12 @@ def score_quality(texts, weights=None, bias=None) -> np.ndarray:
     weight sums via ``np.add.reduceat``. Chunked like ngram.score_texts
     to keep temporaries cache-sized; chunking is score-neutral.
     """
-    w = QC_WEIGHTS if weights is None else weights
-    b = QC_BIAS if bias is None else bias
+    if weights is None or bias is None:
+        mw, mb, _ = get_model()
+        w = mw if weights is None else weights
+        b = mb if bias is None else bias
+    else:
+        w, b = weights, bias
     n = len(texts)
     if n > _CHUNK_DOCS:
         return np.concatenate(
@@ -193,9 +208,9 @@ def attach_quality_score(df, text_col: str = "text", threshold: float | None = N
     (boolean) columns via one Arrow-batched mapInPandas stage. The
     driver-trained weights (64 KB) ride in the task closure so every
     executor scores with bit-identical parameters — executors never
-    retrain (see the note on QC_WEIGHTS above)."""
-    thr = QC_THRESHOLD if threshold is None else threshold
-    w, b = QC_WEIGHTS, QC_BIAS
+    retrain (see the note on get_model above)."""
+    w, b, cal = get_model()
+    thr = cal if threshold is None else threshold
 
     fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
     out_schema = f"{fields}, qc_score double, qc_keep boolean"

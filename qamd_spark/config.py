@@ -97,6 +97,8 @@ RULE_REGISTRY: tuple[RuleSpec, ...] = (
              "Turn language should be in the allowed set"),
     RuleSpec("perplexity", "quality", "drop",
              "Turn trigram perplexity should not exceed the bound"),
+    RuleSpec("quality_classifier", "quality", "drop",
+             "Trained quality score should not fall below the threshold"),
 )
 
 RULE_BY_NAME = {r.name: r for r in RULE_REGISTRY}
@@ -139,6 +141,10 @@ DEFAULT_SETTINGS: dict[str, Any] = {
     "rare_signature": 1,
     "langid": {"allowed": ["en"], "min_margin": 0.15},
     "perplexity": {"max": 30000.0},
+    # fastText-style trained quality model (qamd_spark/classifier.py):
+    # disabled by default — enabling adds a qc_score column and a drop
+    # rule. min_score None ⇒ use the model's calibrated threshold.
+    "quality_classifier": None,
 }
 
 
@@ -190,6 +196,25 @@ class QamdConfig:
     def lang_min_margin(self) -> float:
         s = self.settings.get("langid") or {}
         return float(s.get("min_margin", 0.0))
+
+    def ensure_qc_model(self) -> tuple:
+        """Resolve the quality-classifier model ONCE, in the caller's
+        process (driver or oracle), and pin it on the config object so
+        it pickles into task closures. Executors must never train the
+        model themselves (BLAS thread-pool nondeterminism — see
+        qamd_spark/classifier.py); they read this attribute off the
+        shipped config. Returns (weights, bias, threshold) with
+        ``min_score`` overriding the calibrated threshold."""
+        m = self.__dict__.get("_qc_model")
+        if m is None:
+            from qamd_spark import classifier
+
+            w, b, cal = classifier.get_model()
+            s = self.settings.get("quality_classifier") or {}
+            ms = s.get("min_score")
+            m = (w, b, cal if ms is None else float(ms))
+            self.__dict__["_qc_model"] = m
+        return m
 
     def enabled(self, name: str) -> bool:
         return self.settings.get(name) is not None
@@ -253,6 +278,14 @@ class QamdConfig:
                     raise ConfigError(f"{name}: must be >= 1")
             if name == "perplexity" and float(val["max"]) <= 0:
                 raise ConfigError("perplexity.max must be > 0")
+            if name == "quality_classifier":
+                if not isinstance(val, dict):
+                    raise ConfigError("quality_classifier: must be a dict")
+                ms = val.get("min_score")
+                if ms is not None and not (0.0 < float(ms) < 1.0):
+                    raise ConfigError(
+                        "quality_classifier.min_score must be in (0, 1)"
+                    )
         for name, act in self.actions.items():
             if act not in ACTIONS:
                 raise ConfigError(f"{name}: invalid action {act!r}")

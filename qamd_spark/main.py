@@ -81,6 +81,11 @@ quality:
   perplexity:
     setting: {max: 30000.0}
     desc: "Turn trigram perplexity should not exceed the bound"
+  # trained fastText-style quality model (disabled by default; enable by
+  # uncommenting — min_score null uses the model's calibrated threshold)
+  # quality_classifier:
+  #   setting: {min_score: null}
+  #   desc: "Trained quality score should not fall below the threshold"
 engine:
   n_buckets: 64
 """

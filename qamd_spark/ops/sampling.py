@@ -1,0 +1,85 @@
+"""Deterministic quota (token-budget) sampling for corpus curation.
+
+``token_budget_sample`` answers the data-mixing question "give me ~B
+tokens per language/source, reproducibly": per group, rows are ordered
+by a salted md5 of their id (engine-exact, no RNG — the same discipline
+as the hash_sample query) and the maximal prefix whose cumulative
+weight stays within the budget is kept.
+
+Scale design — exact global prefix-sum WITHOUT a per-group global
+window: a ``Window.partitionBy(group).orderBy(h)`` running sum puts an
+entire group (at 10^12 rows, a language is ~10^11 rows) into one task.
+Instead, the md5 order key is RANGE-chunked on its first two hex chars
+(256 ordered ranges, uniform by construction):
+
+  1. per (group, chunk): partial weight sums — one hash aggregate;
+  2. per group: chunk offsets = running sum over the <=256 aggregated
+     chunk rows (a window over the TINY aggregated table, not raw rows);
+  3. offsets join back on (group, chunk) — broadcastable (n_groups*256
+     rows) — and a within-chunk running sum bounded by ~N/256 rows per
+     task finishes the exact global cumulative weight.
+
+Hex-lexicographic ordering of lowercase md5 equals byte ordering in
+both Spark and DuckDB, so the oracle twin can use the straightforward
+single-window formulation — the driver gate then PROVES the two-phase
+plan computes the same prefix. Weights are exact integers; no floats
+anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def token_budget_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    budget: int,
+    salt: str = "s",
+) -> DataFrame:
+    """Rows of ``df`` kept by the per-group budget, with the exact
+    cumulative weight. Output: (group_col, id_col, weight_col, cum_weight)
+    for kept rows only, where cum_weight <= budget.
+
+    Determinism: order key = (md5(id || ':' || salt), id) — total order,
+    reproducible across engines, cluster sizes, and reruns.
+    """
+    d = (
+        df.select(
+            F.col(group_col).alias("_grp"),
+            F.col(id_col).alias("_id"),
+            F.coalesce(F.col(weight_col).cast("long"), F.lit(0)).alias("_w"),
+        )
+        .withColumn(
+            "_h", F.md5(F.concat(F.col("_id").cast("string"), F.lit(":" + salt)))
+        )
+        .withColumn("_chunk", F.substring("_h", 1, 2))
+    )
+
+    chunk_sums = d.groupBy("_grp", "_chunk").agg(F.sum("_w").alias("_wsum"))
+    woff = (
+        Window.partitionBy("_grp")
+        .orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = chunk_sums.select(
+        "_grp",
+        "_chunk",
+        F.coalesce(F.sum("_wsum").over(woff), F.lit(0)).alias("_off"),
+    )
+    wcum = (
+        Window.partitionBy("_grp", "_chunk")
+        .orderBy("_h", "_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = d.join(F.broadcast(offs), ["_grp", "_chunk"])
+    out = joined.withColumn("_cum", F.col("_off") + F.sum("_w").over(wcum))
+    return out.filter(F.col("_cum") <= F.lit(int(budget))).select(
+        F.col("_grp").alias(group_col),
+        F.col("_id").alias(id_col),
+        F.col("_w").alias(weight_col),
+        F.col("_cum").alias("cum_weight"),
+    )

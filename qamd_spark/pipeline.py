@@ -52,7 +52,11 @@ def score_stage(df: DataFrame, cfg: QamdConfig) -> DataFrame:
     score columns (scrubbed text etc.) are born post-shuffle and never
     travel through an exchange.
     """
-    out_schema = S.score_schema(df.schema)
+    out_schema = S.score_schema(df.schema, cfg)
+    if cfg.enabled("quality_classifier"):
+        # resolve + pin the model on cfg NOW (driver side) so the pickled
+        # closure carries the weights and executors never train
+        cfg.ensure_qc_model()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from qamd_spark import turnscore
@@ -212,6 +216,9 @@ def rule_conditions(cfg: QamdConfig) -> list[tuple[str, "F.Column"]]:
         conds.append(
             ("perplexity", F.col("perplexity") > F.lit(float(s["perplexity"]["max"])))
         )
+    if cfg.enabled("quality_classifier"):
+        _w, _b, thr = cfg.ensure_qc_model()
+        conds.append(("quality_classifier", F.col("qc_score") < F.lit(float(thr))))
     return conds
 
 
@@ -328,7 +335,7 @@ def label(
         "bucket",
         F.pmod(F.xxhash64(F.col("conv_id")), F.lit(cfg.n_buckets)).cast("int"),
     )
-    return out.select(*[f.name for f in S.LABELED_SCHEMA.fields])
+    return out.select(*[f.name for f in S.labeled_schema(cfg).fields])
 
 
 def salted_repartition(df: DataFrame, cfg: QamdConfig) -> DataFrame:

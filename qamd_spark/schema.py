@@ -45,10 +45,16 @@ SCORE_FIELDS = [
 ]
 
 
-def score_schema(input_schema: T.StructType) -> T.StructType:
+def score_schema(input_schema: T.StructType, cfg=None) -> T.StructType:
     """Scoring is a pass-through append: output = input columns (whatever
-    narrow flag columns have been joined on) + the score columns."""
-    return T.StructType(list(input_schema.fields) + SCORE_FIELDS)
+    narrow flag columns have been joined on) + the score columns. With a
+    config that enables the trained quality classifier, a ``qc_score``
+    double is appended as well (conditional so the default output shape
+    is unchanged)."""
+    fields = list(input_schema.fields) + SCORE_FIELDS
+    if cfg is not None and cfg.enabled("quality_classifier"):
+        fields = fields + [T.StructField("qc_score", T.DoubleType(), False)]
+    return T.StructType(fields)
 
 
 SCORE_SCHEMA = score_schema(TRANSCRIPT_SCHEMA)
@@ -61,3 +67,11 @@ LABELED_EXTRA_FIELDS = [
 ]
 
 LABELED_SCHEMA = T.StructType(SCORE_SCHEMA.fields + LABELED_EXTRA_FIELDS)
+
+
+def labeled_schema(cfg=None) -> T.StructType:
+    """LABELED_SCHEMA, plus qc_score when the config enables the trained
+    quality classifier (keeps the default shape byte-for-byte stable)."""
+    return T.StructType(
+        score_schema(TRANSCRIPT_SCHEMA, cfg).fields + LABELED_EXTRA_FIELDS
+    )

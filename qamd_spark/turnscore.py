@@ -213,4 +213,12 @@ def score_pdf(pdf: pd.DataFrame, cfg) -> pd.DataFrame:
     )
     out["lang"] = lang
     out["perplexity"] = ppl
+    if cfg.enabled("quality_classifier"):
+        # trained-model score; weights resolved by ensure_qc_model in the
+        # DRIVER (or oracle) process and shipped on cfg — executors never
+        # train (BLAS nondeterminism, see qamd_spark/classifier.py)
+        from qamd_spark import classifier
+
+        w, b, _thr = cfg.ensure_qc_model()
+        out["qc_score"] = classifier.score_quality(text.tolist(), w, b)
     return out

@@ -29,16 +29,17 @@ def test_retrain_is_deterministic():
     # within one process (same BLAS thread pool) training is exactly
     # reproducible; cross-process determinism is NOT claimed — weights
     # ship to executors in the closure instead (see classifier.py)
+    w, b, t = C.get_model()
     w2, b2, t2 = C._train()
-    assert np.array_equal(w2, C.QC_WEIGHTS)
-    assert b2 == C.QC_BIAS and t2 == C.QC_THRESHOLD
+    assert np.array_equal(w2, w)
+    assert b2 == b and t2 == t
 
 
 def test_heldout_separation():
     hp = C.score_quality(HELD_POS)
     hn = C.score_quality(HELD_NEG)
-    assert hp.min() > C.QC_THRESHOLD, (hp, C.QC_THRESHOLD)
-    assert hn.max() < C.QC_THRESHOLD, (hn, C.QC_THRESHOLD)
+    assert hp.min() > C.get_model()[2], (hp, C.get_model()[2])
+    assert hn.max() < C.get_model()[2], (hn, C.get_model()[2])
 
 
 def test_train_auc_is_one():
@@ -71,4 +72,37 @@ def test_spark_scores_equal_local_twin(spark):
     want = C.score_quality(texts)
     got = out["qc_score"].to_numpy()
     assert np.array_equal(got, want)  # bit-exact across Arrow transfer
-    assert (out["qc_keep"].to_numpy() == (want >= C.QC_THRESHOLD)).all()
+    assert (out["qc_keep"].to_numpy() == (want >= C.get_model()[2])).all()
+
+
+def test_pipeline_with_classifier_rule_matches_oracle(spark, synth_path, synth_pdf):
+    """End-to-end: enabling the quality_classifier rule keeps exact
+    Spark/oracle parity — keep, rule_hits, and qc_score bit-equal —
+    and the rule actually fires somewhere on the synthetic corpus."""
+    from oracle import oracle
+    from qamd_spark import pipeline
+    from qamd_spark.config import QamdConfig
+
+    cfg = QamdConfig()
+    cfg.settings["quality_classifier"] = {"min_score": None}
+    cfg.validate()
+    sp = (
+        pipeline.label(spark.read.parquet(synth_path), cfg)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    orc = (
+        oracle.label_pdf(synth_pdf, cfg)
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert "qc_score" in sp.columns and "qc_score" in orc.columns
+    assert len(sp) == len(orc)
+    assert np.array_equal(sp["qc_score"].to_numpy(), orc["qc_score"].to_numpy())
+    assert (sp["keep"].to_numpy() == orc["keep"].to_numpy()).all()
+    a = ["|".join(h) for h in sp["rule_hits"]]
+    b = ["|".join(h) for h in orc["rule_hits"]]
+    assert a == b
+    fired = sum("quality_classifier" in h for h in sp["rule_hits"])
+    assert fired > 0, "rule never fired on the synthetic corpus"

@@ -459,3 +459,49 @@ def test_gopher_repetition_folds_match_bruteforce(spark):
     assert rows[5]["keep"]
     # dup fraction can exceed 1 on overlapping repeats — documented behavior
     assert rows[3]["d5f"] > 1.0
+
+
+def test_token_budget_sample_matches_single_window(spark):
+    """Two-phase chunked prefix sum == the naive global-window
+    formulation, on data with a deliberately hot group; budget boundary
+    is inclusive (cum <= B) and straddling rows are excluded."""
+    from pyspark.sql import Window
+
+    from qamd_spark.ops.sampling import token_budget_sample
+
+    rows = [(i, "hot" if i % 10 else "cold", 7 + (i % 13)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "id long, grp string, w int")
+    budget = 400
+    got = (
+        token_budget_sample(df, "grp", "id", "w", budget)
+        .toPandas()
+        .sort_values(["grp", "id"])
+        .reset_index(drop=True)
+    )
+    # naive single-window reference (fine at test scale)
+    h = F.md5(F.concat(F.col("id").cast("string"), F.lit(":s")))
+    win = (
+        Window.partitionBy("grp")
+        .orderBy("_h", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = (
+        df.withColumn("_h", h)
+        .withColumn("cum", F.sum(F.col("w").cast("long")).over(win))
+        .filter(F.col("cum") <= budget)
+        .select("grp", "id", F.col("w").cast("long").alias("w"),
+                F.col("cum").alias("cum_weight"))
+        .toPandas()
+        .sort_values(["grp", "id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for c in ["grp", "id", "w", "cum_weight"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    assert got["cum_weight"].max() <= budget
+    # the raw-row window must partition by (group, chunk), never group alone
+    plan = token_budget_sample(df, "grp", "id", "w", budget)._jdf.queryExecution() \
+        .executedPlan().toString()
+    import re as _re
+    for m in _re.finditer(r"Window \[sum\(_w\)[^\]]*partitionBy=\[([^\]]*)\]", plan):
+        assert "_chunk" in m.group(1), plan[:2000]
