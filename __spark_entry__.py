@@ -439,6 +439,35 @@ def q_gopher_quality(spark, sf_dir):
     )
 
 
+def q_boilerplate_ngrams(spark, sf_dir):
+    """Corpus-wide boilerplate mining: the 50 most frequent word 5-grams
+    appearing in >= 3 distinct documents, by (count desc, gram asc).
+    Shape: explode grams -> one partial+final hash aggregate (count +
+    distinct-doc count via approx-free min/max? no — exact
+    count(distinct) over doc_id is a second shuffle; instead aggregate
+    (gram, doc_id) first — map-side combined — then count rows per gram),
+    then a TakeOrdered top-k (no global sort). The per-(gram,doc)
+    pre-aggregate bounds the heavy-hitter key: a gram repeated 10^6 times
+    inside one doc contributes ONE row to the gram-level count."""
+    from qamd_spark.ops.text import word_ngrams, words_array
+
+    d = _docs(spark, sf_dir)
+    grams = d.select(
+        "doc_id",
+        F.explode(word_ngrams(words_array(F.col("text")), 5)).alias("gram"),
+    )
+    per_doc = grams.groupBy("gram", "doc_id").agg(F.count("*").alias("occ"))
+    agg = per_doc.groupBy("gram").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("occ").alias("n_occurrences"),
+    )
+    return (
+        agg.filter(F.col("n_docs") >= 3)
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
+        .limit(50)
+    )
+
+
 def q_token_budget_sample(spark, sf_dir):
     """Deterministic per-language token-budget sampling (data mixing):
     keep the maximal salted-md5-ordered prefix of each language whose
@@ -1301,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_divergence": q_source_divergence,
         "quality_classifier": q_quality_classifier,
         "token_budget_sample": q_token_budget_sample,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
         "conv_pipeline_sql": q_conv_pipeline_sql,
         "conv_features": q_conv_features,
         "conv_verdicts": q_conv_verdicts,
@@ -1584,6 +1614,31 @@ def oracle_sql() -> dict[str, str]:
                     AND alpha_word_frac >= 0.8 AND stop_hits >= 2
                     AND symbol_ratio <= 0.1) AS gopher_keep
             FROM f
+        """,
+        "boilerplate_ngrams": """
+            WITH d AS (
+              SELECT doc_id, trim(coalesce(text,'')) AS t FROM documents),
+            w AS (
+              SELECT doc_id,
+                     CASE WHEN t = '' THEN []::VARCHAR[]
+                          ELSE str_split(lower(t), ' ') END AS w
+              FROM d),
+            g AS (
+              SELECT doc_id, unnest(
+                CASE WHEN len(w) >= 5 THEN
+                  list_transform(range(1, len(w) - 5 + 2),
+                                 i -> array_to_string(w[i:i+4], ' '))
+                ELSE []::VARCHAR[] END) AS gram
+              FROM w),
+            pd AS (SELECT gram, doc_id, count(*) AS occ
+                   FROM g GROUP BY gram, doc_id),
+            a AS (SELECT gram, count(*)::BIGINT AS n_docs,
+                         sum(occ)::BIGINT AS n_occurrences
+                  FROM pd GROUP BY gram)
+            SELECT gram, n_docs, n_occurrences FROM a
+            WHERE n_docs >= 3
+            ORDER BY n_occurrences DESC, gram ASC
+            LIMIT 50
         """,
         "token_budget_sample": """
             WITH d AS (

@@ -27,6 +27,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 VERSIONS = {
     "r1": os.path.join(REPO, ".ab", "r1"),
     "r2": os.path.join(REPO, ".ab", "r2"),
+    # r3a = the round-3 close-out commit before the continuation session
+    "r3a": os.path.join(REPO, ".ab", "r3a"),
     "r3": REPO,
 }
 
@@ -74,7 +76,7 @@ def main() -> None:
     import bench
 
     tpath = bench.transcripts_path(0.1)
-    commits = {"r1": "21d4078", "r2": "8679ad9"}
+    commits = {"r1": "21d4078", "r2": "8679ad9", "r3a": "ea46a97"}
     versions = {v: VERSIONS[v] for v in args.versions.split(",")}
     for v, root in versions.items():
         if not os.path.isdir(root) and v in commits:
