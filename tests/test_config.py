@@ -77,3 +77,35 @@ engine:
 def test_yaml_wrong_section_rejected():
     with pytest.raises(C.ConfigError):
         C.from_yaml("metadata:\n  pii:\n    setting: [email]\n")
+
+
+def test_quality_classifier_config():
+    """YAML round-trip + validation bounds for the trained-model rule."""
+    import pytest as _pytest
+
+    from qamd_spark import config as C
+
+    cfg = C.from_yaml(
+        """
+quality:
+  quality_classifier:
+    setting: {min_score: 0.4}
+    desc: "Trained quality score should not fall below the threshold"
+"""
+    )
+    assert cfg.enabled("quality_classifier")
+    assert cfg.action("quality_classifier") == "drop"
+    _w, _b, thr = cfg.ensure_qc_model()
+    assert thr == 0.4  # explicit min_score overrides the calibrated value
+    # null min_score => calibrated threshold from the trained model
+    cfg2 = C.QamdConfig()
+    cfg2.settings["quality_classifier"] = {"min_score": None}
+    _w2, _b2, thr2 = cfg2.ensure_qc_model()
+    assert 0.0 < thr2 < 1.0 and thr2 != 0.4
+    # bounds
+    with _pytest.raises(C.ConfigError):
+        C.QamdConfig(settings={**C.DEFAULT_SETTINGS,
+                               "quality_classifier": {"min_score": 1.5}})
+    with _pytest.raises(C.ConfigError):
+        C.QamdConfig(settings={**C.DEFAULT_SETTINGS,
+                               "quality_classifier": "yes"})
