@@ -468,6 +468,19 @@ def q_boilerplate_ngrams(spark, sf_dir):
     )
 
 
+def q_span_dedup(spark, sf_dir):
+    """C4-style duplicate-span removal (Raffel et al. 2020 §2.2's
+    three-sentence-span dedup, re-expressed as aligned 5-token windows
+    for sentence-free transcript text): every span occurring more than
+    once corpus-wide survives only at its first (doc_id, position)
+    occurrence; documents are reassembled from surviving spans. DuckDB
+    twin is the single-window row_number() formulation — proving the
+    skew-safe agg+join plan exact (see ops/dedup.span_dedup)."""
+    from qamd_spark.ops.dedup import span_dedup
+
+    return span_dedup(_docs(spark, sf_dir), span_tokens=5)
+
+
 def q_token_budget_sample(spark, sf_dir):
     """Deterministic per-language token-budget sampling (data mixing):
     keep the maximal salted-md5-ordered prefix of each language whose
@@ -1331,6 +1344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "token_budget_sample": q_token_budget_sample,
         "boilerplate_ngrams": q_boilerplate_ngrams,
+        "span_dedup": q_span_dedup,
         "conv_pipeline_sql": q_conv_pipeline_sql,
         "conv_features": q_conv_features,
         "conv_verdicts": q_conv_verdicts,
@@ -1639,6 +1653,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_docs >= 3
             ORDER BY n_occurrences DESC, gram ASC
             LIMIT 50
+        """,
+        "span_dedup": """
+            WITH toks AS (
+              SELECT doc_id, unnest(l) AS tok,
+                     generate_subscripts(l, 1) - 1 AS idx
+              FROM (SELECT doc_id,
+                           list_filter(string_split(coalesce(text,''), ' '),
+                                       x -> x <> '') AS l
+                    FROM documents)),
+            spans AS (
+              SELECT doc_id, idx // 5 AS span_idx,
+                     string_agg(tok, ' ' ORDER BY idx) AS span
+              FROM toks GROUP BY doc_id, idx // 5),
+            ranked AS (
+              SELECT doc_id, span_idx, span,
+                     row_number() OVER (
+                       PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+              FROM spans),
+            re AS (
+              SELECT doc_id,
+                     string_agg(span, ' ' ORDER BY span_idx)
+                       FILTER (WHERE rn = 1) AS clean_text,
+                     count(*) AS n_spans,
+                     count(*) FILTER (WHERE rn > 1) AS n_removed
+              FROM ranked GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(re.clean_text, '') AS clean_text,
+                   coalesce(re.n_spans, 0)::INT AS n_spans,
+                   coalesce(re.n_removed, 0)::INT AS n_removed
+            FROM documents d LEFT JOIN re USING (doc_id)
         """,
         "token_budget_sample": """
             WITH d AS (

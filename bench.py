@@ -169,6 +169,7 @@ def run_benchmarks() -> dict:
         "corpus_curate",
         "quality_topk_lang",
         "gopher_repetition",
+        "span_dedup",
         "quality_classifier",
         "source_divergence",
         "fingerprint",

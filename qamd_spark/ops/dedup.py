@@ -693,3 +693,104 @@ def _ngram_set(text, n: int) -> set:
     if len(toks) < n:
         return {tuple(toks)} if toks else set()
     return {tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def span_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 5,
+) -> DataFrame:
+    """C4-style corpus-wide duplicate-span removal (Raffel et al. 2020
+    deduplicate three-sentence spans; here the span is a fixed window of
+    ``span_tokens`` whitespace tokens, the sentence-free analogue for
+    transcript text). Every aligned span that occurs more than once in
+    the corpus is kept only at its first occurrence — ordered by
+    (id, span position) — and removed everywhere else; each document's
+    text is reassembled from its surviving spans.
+
+    Returns (doc_id, clean_text, n_spans, n_removed) for EVERY input
+    document (documents losing all spans keep an empty clean_text).
+    Tokenisation drops empty tokens, so runs of spaces collapse to one
+    separator in the reassembled text (a cleaning op normalises).
+
+    Scale shape: spans are built per-row with array expressions (no
+    token-level explode — the explode is at span granularity, ~1/W the
+    rows). Keep-first avoids a min(struct) aggregate (which Spark plans
+    as a SortAggregate over EVERY span): one fully hash-aggregable pass
+    computes (count, min(doc_id)) per span — map-side combine collapses
+    hot boilerplate spans before the shuffle — and the positional
+    tie-break (min span_idx inside the keeper doc) is resolved only for
+    spans that actually duplicate, the same dup-only discipline as
+    pipeline.text_stats. Unique spans (the vast majority) never touch
+    the keeper machinery. Aggregated sides are aliased (_c) so join
+    predicates reference distinct attributes. Reassembly shuffles once
+    more on the id; collect_list is bounded by a single document's span
+    count. At 100 TB the span-text shuffle key can be swapped for
+    xxhash64(span) to cut shuffle bytes ~8x (64-bit collision odds are
+    negligible but nonzero, so the exact-text key is the default
+    contract here).
+    """
+    if span_tokens < 1:
+        raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
+    W = int(span_tokens)
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda x: x != F.lit(""),
+    )
+    n = F.size(toks)
+    nch = F.ceil(n / F.lit(W)).cast("int")
+    spans = F.when(
+        n > F.lit(0),
+        F.transform(
+            F.sequence(F.lit(0), nch - F.lit(1)),
+            lambda i: F.array_join(F.slice(toks, i * W + 1, W), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select(F.col(id_col).alias("doc_id"), spans.alias("_spans"))
+    ex = base.select(
+        "doc_id", F.posexplode("_spans").alias("span_idx", "span")
+    )
+    stats = ex.groupBy("span").agg(
+        F.count(F.lit(1)).alias("_n"), F.min("doc_id").alias("_d0")
+    )
+    dup = stats.where(F.col("_n") > 1).select(
+        F.col("span").alias("_c"), "_d0"
+    )
+    keep_idx = (
+        ex.join(dup, ex["span"] == F.col("_c"))
+        .where(F.col("doc_id") == F.col("_d0"))
+        .groupBy("_c")
+        .agg(F.min("span_idx").alias("_i0"))
+    )
+    keepers = dup.join(keep_idx, "_c")
+    kept = (
+        ex.join(keepers, ex["span"] == F.col("_c"), "left")
+        .where(
+            F.col("_c").isNull()
+            | (
+                (F.col("doc_id") == F.col("_d0"))
+                & (F.col("span_idx") == F.col("_i0"))
+            )
+        )
+        .select("doc_id", "span_idx", "span")
+    )
+    re_docs = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_idx", "span"))),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("int").alias("_n_kept"),
+    )
+    counts = base.select("doc_id", F.size("_spans").alias("n_spans"))
+    return counts.join(re_docs, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.col("n_spans").cast("int").alias("n_spans"),
+        (F.col("n_spans") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+        .cast("int")
+        .alias("n_removed"),
+    )

@@ -505,3 +505,41 @@ def test_token_budget_sample_matches_single_window(spark):
     import re as _re
     for m in _re.finditer(r"Window \[sum\(_w\)[^\]]*partitionBy=\[([^\]]*)\]", plan):
         assert "_chunk" in m.group(1), plan[:2000]
+
+
+def test_span_dedup_keep_first_and_reassembly(spark):
+    # docs 1 and 2 share the aligned span "a b c"; doc 3 repeats it twice
+    # internally; doc 4 is NULL text; doc 5 is whitespace-only.
+    rows = [
+        (1, "a b c x y z"),          # keeper of "a b c"; "x y z" unique
+        (2, "a b c q r s"),          # loses its first span
+        (3, "a b c a b c"),          # loses both (span 0 lost to doc 1)
+        (4, None),
+        (5, "   "),
+        (6, "p q"),                  # short doc -> single partial span
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in dedup.span_dedup(d, span_tokens=3).collect()
+    }
+    assert out[1]["clean_text"] == "a b c x y z"
+    assert out[1]["n_spans"] == 2 and out[1]["n_removed"] == 0
+    assert out[2]["clean_text"] == "q r s"
+    assert out[2]["n_spans"] == 2 and out[2]["n_removed"] == 1
+    assert out[3]["clean_text"] == ""
+    assert out[3]["n_spans"] == 2 and out[3]["n_removed"] == 2
+    for empty_id in (4, 5):
+        assert out[empty_id]["clean_text"] == ""
+        assert out[empty_id]["n_spans"] == 0
+        assert out[empty_id]["n_removed"] == 0
+    assert out[6]["clean_text"] == "p q"  # partial trailing span kept
+    assert out[6]["n_spans"] == 1 and out[6]["n_removed"] == 0
+
+
+def test_span_dedup_collapses_space_runs_and_validates(spark):
+    d = spark.createDataFrame([(1, "a  b   c d")], ["doc_id", "text"])
+    row = dedup.span_dedup(d, span_tokens=2).collect()[0]
+    assert row["clean_text"] == "a b c d" and row["n_spans"] == 2
+    with pytest.raises(ValueError):
+        dedup.span_dedup(d, span_tokens=0)

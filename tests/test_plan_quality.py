@@ -90,6 +90,10 @@ def test_dedup_op_plans_are_partial_agg_and_bounded(spark):
         "minhash": (dd.minhash_duplicates(docs), 2, 0),
         "simhash_neardups": (dd.simhash_neardups(docs), 3, 2),
         "lsh_neardup_pairs": (sim.lsh_neardup_pairs(emb, threshold=0.25), 2, 2),
+        # span_dedup: pure JVM; keeper resolution must stay hash-aggregated
+        # (a min-over-struct formulation regresses to a SortAggregate over
+        # every span — pinned to zero here)
+        "span_dedup": (dd.span_dedup(docs), 0, 0),
     }
     for name, (df, max_py, max_sort) in cases.items():
         plan = _fmt_plan(df)
