@@ -66,6 +66,46 @@ QUALITY_SQL = f"""greatest(0.0, least(1.0,
                 ))"""
 
 
+def _encoding_profile_sql() -> str:
+    """DuckDB twin of ops/text.encoding_profile, generated from the SAME
+    frozen MOJIBAKE_MAP (derived utf8-seen-as-cp1252 pairs) and character
+    classes so the two engines can never drift apart."""
+    from qamd_spark.ops.text import (
+        CTRL_CLASS,
+        MOJIBAKE_MAP,
+        NON_ASCII_CLASS,
+        ZERO_WIDTH_CLASS,
+    )
+
+    t = "coalesce(text, '')"
+    fixed = t
+    hits = []
+    for pat, rep in MOJIBAKE_MAP.items():
+        fixed = f"replace({fixed}, '{pat}', '{rep}')"
+        hits.append(
+            f"(length({t}) - length(replace({t}, '{pat}', ''))) // {len(pat)}"
+        )
+    hits_sql = " + ".join(hits)
+
+    def count(cls: str) -> str:
+        return f"(length({t}) - length(regexp_replace({t}, '{cls}', '', 'g')))"
+
+    return f"""
+        SELECT doc_id,
+               {count(CTRL_CLASS)}::BIGINT AS n_ctrl,
+               {count(ZERO_WIDTH_CLASS)}::BIGINT AS n_zero_width,
+               {count("�")}::BIGINT AS n_replacement,
+               CASE WHEN length({t}) > 0
+                    THEN {count(NON_ASCII_CLASS)}::DOUBLE
+                         / length({t})::DOUBLE
+                    ELSE 0.0 END AS nonascii_frac,
+               ({hits_sql})::BIGINT AS mojibake_hits,
+               {fixed} AS fixed_text,
+               {fixed} <> {t} AS was_damaged
+        FROM documents
+    """
+
+
 EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 SSN_RX = r"\b\d{3}-\d{2}-\d{4}\b"
 LEN_MIN, LEN_MAX = 2, 8000
@@ -479,6 +519,16 @@ def q_span_dedup(spark, sf_dir):
     from qamd_spark.ops.dedup import span_dedup
 
     return span_dedup(_docs(spark, sf_dir), span_tokens=5)
+
+
+def q_encoding_profile(spark, sf_dir):
+    """ftfy-style encoding-damage panel: control / zero-width /
+    replacement characters, non-ASCII fraction, mojibake detection and
+    repair (utf8-seen-as-cp1252 pairs, table derived not hand-typed).
+    One codegen-fused projection — no shuffle, no Python stage."""
+    from qamd_spark.ops.text import encoding_profile
+
+    return encoding_profile(_docs(spark, sf_dir))
 
 
 def q_token_budget_sample(spark, sf_dir):
@@ -1345,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": q_token_budget_sample,
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "span_dedup": q_span_dedup,
+        "encoding_profile": q_encoding_profile,
         "conv_pipeline_sql": q_conv_pipeline_sql,
         "conv_features": q_conv_features,
         "conv_verdicts": q_conv_verdicts,
@@ -1654,6 +1705,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_occurrences DESC, gram ASC
             LIMIT 50
         """,
+        "encoding_profile": _encoding_profile_sql(),
         "span_dedup": """
             WITH toks AS (
               SELECT doc_id, unnest(l) AS tok,

@@ -91,6 +91,19 @@ def label_pdf(pdf: pd.DataFrame, cfg: QamdConfig | None = None) -> pd.DataFrame:
         add("odd_characters", nonempty & hit)
     if cfg.enabled("odd_char_ratio"):
         add("odd_char_ratio", out["odd_char_ratio"] > float(s["odd_char_ratio"]))
+    if cfg.enabled("encoding"):
+        # mirror of ops/text.encoding_damage: same derived MOJIBAKE_MAP
+        # and character classes (Python re and Java regex both read the
+        # \xNN escapes in CTRL_CLASS identically; the zero-width class
+        # embeds literal characters)
+        from qamd_spark.ops.text import CTRL_CLASS, MOJIBAKE_MAP, ZERO_WIDTH_CLASS
+
+        hit = pd.Series(np.zeros(len(out), dtype=bool), index=out.index)
+        for pat in MOJIBAKE_MAP:
+            hit |= text.str.contains(pat, regex=False, na=False)
+        for cls in (CTRL_CLASS, ZERO_WIDTH_CLASS, "�"):
+            hit |= text.str.contains(cls, regex=True, na=False)
+        add("encoding", nonempty & hit)
     if cfg.enabled("repetition"):
         r = s["repetition"]
         add(

@@ -71,6 +71,9 @@ RULE_REGISTRY: tuple[RuleSpec, ...] = (
              "Turn text should not contain the specified odd characters"),
     RuleSpec("odd_char_ratio", "data_integrity", "drop",
              "Fraction of odd characters should not exceed the bound"),
+    RuleSpec("encoding", "data_integrity", "flag",
+             "Turn text should not contain encoding damage "
+             "(mojibake / control / zero-width characters)"),
     RuleSpec("repetition", "data_integrity", "drop",
              "Most-frequent-token fraction should not exceed the bound"),
     RuleSpec("oov_fraction", "data_integrity", "flag",
@@ -119,6 +122,10 @@ DEFAULT_SETTINGS: dict[str, Any] = {
     "length_bounds": {"min": 2, "max": 8000},
     "odd_characters": DEFAULT_ODD_CHARS,
     "odd_char_ratio": 0.08,
+    # ftfy-style encoding-damage flag (ops/text.encoding_damage):
+    # mojibake (utf8-seen-as-cp1252), control / zero-width chars, U+FFFD.
+    # Off by default so existing output shapes are unchanged; True enables.
+    "encoding": None,
     "repetition": {"max": 0.6, "min_tokens": 5},
     # spellcheck/OOV analogue (reference dictionary checks,
     # src/check/post.rs:169-226): disabled by default (no bundled big vocab)

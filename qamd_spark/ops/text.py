@@ -495,3 +495,94 @@ def winnow_containment(
             ).alias("containment_src"),
         )
     )
+
+
+# ---------------------------------------------------------------- encoding
+# ftfy-style repair of the most common encoding damage in web-scraped
+# text: UTF-8 bytes that were decoded as Windows-1252 ("mojibake",
+# e.g. 'Ã©' for 'é', 'â€™' for a right single quote). The table is
+# DERIVED, not hand-typed: for each intended character, encode to UTF-8
+# and decode those bytes as cp1252; characters whose UTF-8 bytes hit a
+# cp1252 hole (0x81 0x8D 0x8F 0x90 0x9D — e.g. the right double quote)
+# are skipped rather than approximated. Single-pass semantics: doubly
+# mojibake'd text (decoded wrongly twice) needs two applications.
+MOJIBAKE_TARGETS = "’“–—…éèêëäöüçñíóúâ«»°"
+MOJIBAKE_MAP: dict[str, str] = {}
+for _c in MOJIBAKE_TARGETS:
+    try:
+        MOJIBAKE_MAP[_c.encode("utf-8").decode("cp1252")] = _c
+    except UnicodeDecodeError:
+        pass
+
+# character classes shared with the DuckDB oracle: actual characters are
+# embedded (no \uXXXX escapes) so the Java and RE2 regex engines parse
+# the identical class
+CTRL_CLASS = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+ZERO_WIDTH_CLASS = "[​‌‍﻿]"
+NON_ASCII_CLASS = "[^\\x00-\\x7f]"
+
+
+def _count_matches(text: Column, pattern: str) -> Column:
+    """Occurrences of a single-char regex class, as an exact integer."""
+    return (
+        F.length(text) - F.length(F.regexp_replace(text, pattern, ""))
+    ).cast("long")
+
+
+def mojibake_hits(text: Column) -> Column:
+    """Total occurrences of known mojibake sequences (exact integer:
+    each length delta is a multiple of the pattern length)."""
+    total = F.lit(0).cast("long")
+    for pat in MOJIBAKE_MAP:
+        delta = F.length(text) - F.length(F.replace(text, F.lit(pat), F.lit("")))
+        total = total + (delta / F.lit(len(pat))).cast("long")
+    return total
+
+
+def fix_mojibake(text: Column) -> Column:
+    """Repair the known mojibake sequences (chained JVM replaces, one
+    codegen-fused projection — no Python stage, no shuffle)."""
+    out = text
+    for pat, rep in MOJIBAKE_MAP.items():
+        out = F.replace(out, F.lit(pat), F.lit(rep))
+    return out
+
+
+def encoding_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document encoding-damage panel: control characters,
+    zero-width characters, U+FFFD replacement chars, non-ASCII fraction,
+    mojibake hits, and the repaired text. All columns are narrow JVM
+    expressions over one projection."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    fixed = fix_mojibake(t)
+    return df.select(
+        "doc_id",
+        _count_matches(t, CTRL_CLASS).alias("n_ctrl"),
+        _count_matches(t, ZERO_WIDTH_CLASS).alias("n_zero_width"),
+        _count_matches(t, "�").alias("n_replacement"),
+        F.when(
+            F.length(t) > 0,
+            _count_matches(t, NON_ASCII_CLASS).cast("double")
+            / F.length(t).cast("double"),
+        )
+        .otherwise(0.0)
+        .alias("nonascii_frac"),
+        mojibake_hits(t).alias("mojibake_hits"),
+        fixed.alias("fixed_text"),
+        (fixed != t).alias("was_damaged"),
+    )
+
+
+def encoding_damage(text: Column) -> Column:
+    """True when the text shows any encoding damage: a known mojibake
+    sequence, a control character, a zero-width character, or U+FFFD.
+    Pure JVM boolean (contains + regex class tests) — the pipeline's
+    `encoding` rule condition; panel detail lives in encoding_profile."""
+    hit = None
+    for pat in MOJIBAKE_MAP:
+        e = text.contains(F.lit(pat))
+        hit = e if hit is None else (hit | e)
+    for cls in (CTRL_CLASS, ZERO_WIDTH_CLASS, "�"):
+        e = F.regexp_like(text, F.lit(cls))
+        hit = hit | e
+    return F.coalesce(hit, F.lit(False))

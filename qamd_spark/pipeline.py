@@ -171,6 +171,10 @@ def rule_conditions(cfg: QamdConfig) -> list[tuple[str, "F.Column"]]:
         "odd_char_ratio",
         F.col("odd_char_ratio") > F.lit(float(s.get("odd_char_ratio") or 0)),
     )
+    if cfg.enabled("encoding"):
+        from qamd_spark.ops.text import encoding_damage
+
+        conds.append(("encoding", nonempty & encoding_damage(text)))
     if cfg.enabled("repetition"):
         r = s["repetition"]
         conds.append(

@@ -95,6 +95,14 @@ def main() -> None:
             ),
         ),
         (
+            "span_dedup",
+            "C4-style duplicate-span removal: span-granularity explode, "
+            "fully hash-aggregated keep-first ((count, min doc) stats "
+            "pass with map-side combine; positional tie-break only over "
+            "dup spans), bounded per-doc reassembly — zero SortAggregate.",
+            dd.span_dedup(docs),
+        ),
+        (
             "grouped_topk (quality_topk_lang)",
             "Window-free exact per-group top-k: partition-local sorted "
             "slice then a merge over <= k x partitions structs.",

@@ -543,3 +543,49 @@ def test_span_dedup_collapses_space_runs_and_validates(spark):
     assert row["clean_text"] == "a b c d" and row["n_spans"] == 2
     with pytest.raises(ValueError):
         dedup.span_dedup(d, span_tokens=0)
+
+
+def test_encoding_profile_repairs_planted_damage_and_matches_duckdb(spark):
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as E
+
+    orig = "mix " + text_ops.MOJIBAKE_TARGETS + " end"
+    damaged = orig.encode("utf-8").decode("cp1252")
+    assert damaged != orig
+    rows = [
+        (1, damaged),
+        (2, "zero​width﻿ and ctrl\x07 \x1f"),
+        (3, "replacement � char"),
+        (4, None),
+        (5, "plain"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    d = spark.createDataFrame(pdf)
+    out = {r["doc_id"]: r for r in text_ops.encoding_profile(d).collect()}
+    assert out[1]["fixed_text"] == orig
+    assert out[1]["was_damaged"]
+    assert out[1]["mojibake_hits"] == len(text_ops.MOJIBAKE_MAP)
+    assert out[2]["n_zero_width"] == 2 and out[2]["n_ctrl"] == 2
+    assert out[3]["n_replacement"] == 1
+    assert out[4]["fixed_text"] == "" and out[4]["nonascii_frac"] == 0.0
+    assert not out[5]["was_damaged"] and out[5]["mojibake_hits"] == 0
+    # engine parity on the PLANTED rows: the sf* documents corpus is
+    # encoding-clean, so the driver-gate twin only proves the no-damage
+    # path — this pins the repair path across Spark and DuckDB too
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    dk = (
+        con.sql(E._encoding_profile_sql())
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    sp = (
+        text_ops.encoding_profile(d)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(sp, dk[sp.columns], check_dtype=False)

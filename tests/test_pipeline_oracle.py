@@ -304,3 +304,70 @@ def test_empty_input_and_megarow(spark, tmp_path):
     orc = oracle.label_pdf(pdf, cfg)
     assert list(orc["keep"]) == [got[0]["keep"], got[1]["keep"]]
     assert orc["scrubbed_text"][0] == got[0]["scrubbed_text"]
+
+
+def test_encoding_rule_exact_parity(spark, tmp_path):
+    """The config-gated `encoding` flag rule: planted mojibake / control /
+    zero-width / U+FFFD rows fire it, clean rows don't; Spark vs pandas
+    oracle exact on keep and rule_hits. Default-off is also pinned (the
+    clean-config run must not emit the rule name at all)."""
+    import pandas as pd
+
+    from qamd_spark.ops.text import MOJIBAKE_TARGETS
+
+    damaged = ("mix " + MOJIBAKE_TARGETS + " end").encode("utf-8").decode("cp1252")
+    texts = [
+        damaged + " plus padding words to pass the length bounds",
+        "clean text with plenty of ordinary words in it today",
+        "zero​width mark inside this otherwise ordinary sentence",
+        "control\x07character inside this otherwise ordinary text",
+        "replacement � character inside this ordinary sentence",
+        "accented but legitimate: café crème brûlée señor niño",
+    ]
+    rows = [
+        {
+            "conv_id": "enc0",
+            "turn_idx": np.int32(i),
+            "role": "user",
+            "text": t,
+            "tool": None,
+            "ts": pd.NaT,
+        }
+        for i, t in enumerate(texts)
+    ]
+    pdf = pd.DataFrame(rows)
+    p = str(tmp_path / "enc.parquet")
+    pdf2 = pdf.copy()
+    pdf2["ts"] = pd.to_datetime(pdf2["ts"]).astype("datetime64[us]")
+    for c in ("conv_id", "role", "text", "tool"):
+        pdf2[c] = pdf2[c].astype("string")
+    pdf2.to_parquet(p)
+
+    cfg = QamdConfig()
+    cfg.settings["encoding"] = True
+    sp = (
+        pipeline.label(spark.read.parquet(p), cfg)
+        .toPandas()
+        .sort_values("turn_idx")
+        .reset_index(drop=True)
+    )
+    orc = (
+        oracle.label_pdf(pdf, cfg)
+        .sort_values("turn_idx")
+        .reset_index(drop=True)
+    )
+    assert (sp["keep"].to_numpy() == orc["keep"].to_numpy(dtype=bool)).all()
+    for x, y in zip(sp["rule_hits"], orc["rule_hits"]):
+        assert list(x) == list(y), (x, y)
+    fired = ["encoding" in list(h) for h in sp["rule_hits"]]
+    assert fired == [True, False, True, True, True, False]
+    # default config: the rule stays fully absent, and because `encoding`
+    # is a FLAG rule, enabling it must not change keep for any row
+    sp0 = (
+        pipeline.label(spark.read.parquet(p), QamdConfig())
+        .toPandas()
+        .sort_values("turn_idx")
+        .reset_index(drop=True)
+    )
+    assert not any("encoding" in list(h) for h in sp0["rule_hits"])
+    assert (sp["keep"].to_numpy() == sp0["keep"].to_numpy()).all()
