@@ -10,8 +10,8 @@ genuinely non-SQL-expressible. The rows-only entries all carry exact
 pandas twins or recall/quality tests instead (see OPERATORS.md for the
 per-query evidence map): pandas-UDF scoring (langid_docs,
 transcript_pipeline), deterministic-hash ops (minhash, simhash(+neardup),
-ngram_jaccard, winnow(+containment), dedup_clusters — exact twins in
-oracle/), ANN (ann_lsh_topk and embedding_neardup_lsh exact twins;
+ngram_jaccard, winnow(+containment), dedup_clusters, dedup_canonical —
+exact twins in oracle/), ANN (ann_lsh_topk and embedding_neardup_lsh exact twins;
 ann_ivf_topk recall-pinned), and the import-gated binary multimodal
 plumbing (media_features, frame_plan).
 
@@ -66,6 +66,53 @@ QUALITY_SQL = f"""greatest(0.0, least(1.0,
                 ))"""
 
 
+def _mojibake_fixed_sql(t: str) -> str:
+    """Nested-replace SQL expression repairing MOJIBAKE_MAP, innermost
+    pattern applied first — the same order as ops/text.fix_mojibake."""
+    from qamd_spark.ops.text import MOJIBAKE_MAP
+
+    fixed = t
+    for pat, rep in MOJIBAKE_MAP.items():
+        fixed = f"replace({fixed}, '{pat}', '{rep}')"
+    return fixed
+
+
+def _span_dedup_sql(source: str, select_clause: str) -> str:
+    """DuckDB twin of ops/dedup.span_dedup (W=5) over an arbitrary
+    (doc_id, text) source CTE — the single-window row_number()
+    formulation that proves the Spark hash-agg keep-first plan exact.
+    ``select_clause`` renders the final projection; it can reference
+    ``src`` (all input docs) and ``re`` (per-doc reassembly: clean_text,
+    n_spans, n_removed; absent for zero-token docs — LEFT JOIN it)."""
+    return f"""
+        WITH src AS ({source}),
+        toks AS (
+          SELECT doc_id, unnest(l) AS tok,
+                 generate_subscripts(l, 1) - 1 AS idx
+          FROM (SELECT doc_id,
+                       list_filter(string_split(coalesce(text,''), ' '),
+                                   x -> x <> '') AS l
+                FROM src)),
+        spans AS (
+          SELECT doc_id, idx // 5 AS span_idx,
+                 string_agg(tok, ' ' ORDER BY idx) AS span
+          FROM toks GROUP BY doc_id, idx // 5),
+        ranked AS (
+          SELECT doc_id, span_idx, span,
+                 row_number() OVER (
+                   PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+          FROM spans),
+        re AS (
+          SELECT doc_id,
+                 string_agg(span, ' ' ORDER BY span_idx)
+                   FILTER (WHERE rn = 1) AS clean_text,
+                 count(*) AS n_spans,
+                 count(*) FILTER (WHERE rn > 1) AS n_removed
+          FROM ranked GROUP BY doc_id)
+        {select_clause}
+    """
+
+
 def _encoding_profile_sql() -> str:
     """DuckDB twin of ops/text.encoding_profile, generated from the SAME
     frozen MOJIBAKE_MAP (derived utf8-seen-as-cp1252 pairs) and character
@@ -78,14 +125,11 @@ def _encoding_profile_sql() -> str:
     )
 
     t = "coalesce(text, '')"
-    fixed = t
-    hits = []
-    for pat, rep in MOJIBAKE_MAP.items():
-        fixed = f"replace({fixed}, '{pat}', '{rep}')"
-        hits.append(
-            f"(length({t}) - length(replace({t}, '{pat}', ''))) // {len(pat)}"
-        )
-    hits_sql = " + ".join(hits)
+    fixed = _mojibake_fixed_sql(t)
+    hits_sql = " + ".join(
+        f"(length({t}) - length(replace({t}, '{pat}', ''))) // {len(pat)}"
+        for pat in MOJIBAKE_MAP
+    )
 
     def count(cls: str) -> str:
         return f"(length({t}) - length(regexp_replace({t}, '{cls}', '', 'g')))"
@@ -529,6 +573,36 @@ def q_encoding_profile(spark, sf_dir):
     from qamd_spark.ops.text import encoding_profile
 
     return encoding_profile(_docs(spark, sf_dir))
+
+
+def q_dedup_canonical(spark, sf_dir):
+    """Quality-preferring representative selection over minhash near-dup
+    clusters (keep the BEST copy, not the first). Rows-only by design
+    (minhash bands are non-SQL-expressible); exact pandas twin:
+    tests/test_hash_oracles.py::test_canonical_keepers_match_pandas_twin."""
+    from qamd_spark.ops.dedup import canonical_keepers, minhash_duplicates
+
+    d = _docs(spark, sf_dir)
+    return canonical_keepers(d, minhash_duplicates(d))
+
+
+def q_corpus_transform(spark, sf_dir):
+    """The MATERIALIZATION half of corpus curation (corpus_curate is the
+    decision half): mojibake repair -> corpus-wide duplicate-span
+    removal -> PII scrub, composed declaratively so Catalyst fuses the
+    repair chain and scrub regexes into the span-dedup projections —
+    three conceptual passes, still only span_dedup's two shuffles."""
+    from qamd_spark.ops.dedup import span_dedup
+    from qamd_spark.ops.text import fix_mojibake
+
+    d = _docs(spark, sf_dir)
+    fixed = d.select("doc_id", fix_mojibake(_txt()).alias("text"))
+    sd = span_dedup(fixed, span_tokens=5)
+    s = F.regexp_replace(F.col("clean_text"), EMAIL_RX, "<EMAIL>")
+    s = F.regexp_replace(s, SSN_RX, "<SSN>")
+    return sd.select(
+        "doc_id", s.alias("final_text"), "n_spans", "n_removed"
+    )
 
 
 def q_token_budget_sample(spark, sf_dir):
@@ -1396,6 +1470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "span_dedup": q_span_dedup,
         "encoding_profile": q_encoding_profile,
+        "corpus_transform": q_corpus_transform,
+        "dedup_canonical": q_dedup_canonical,
         "conv_pipeline_sql": q_conv_pipeline_sql,
         "conv_features": q_conv_features,
         "conv_verdicts": q_conv_verdicts,
@@ -1706,36 +1782,31 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 50
         """,
         "encoding_profile": _encoding_profile_sql(),
-        "span_dedup": """
-            WITH toks AS (
-              SELECT doc_id, unnest(l) AS tok,
-                     generate_subscripts(l, 1) - 1 AS idx
-              FROM (SELECT doc_id,
-                           list_filter(string_split(coalesce(text,''), ' '),
-                                       x -> x <> '') AS l
-                    FROM documents)),
-            spans AS (
-              SELECT doc_id, idx // 5 AS span_idx,
-                     string_agg(tok, ' ' ORDER BY idx) AS span
-              FROM toks GROUP BY doc_id, idx // 5),
-            ranked AS (
-              SELECT doc_id, span_idx, span,
-                     row_number() OVER (
-                       PARTITION BY span ORDER BY doc_id, span_idx) AS rn
-              FROM spans),
-            re AS (
-              SELECT doc_id,
-                     string_agg(span, ' ' ORDER BY span_idx)
-                       FILTER (WHERE rn = 1) AS clean_text,
-                     count(*) AS n_spans,
-                     count(*) FILTER (WHERE rn > 1) AS n_removed
-              FROM ranked GROUP BY doc_id)
+        "span_dedup": _span_dedup_sql(
+            "SELECT doc_id, text FROM documents",
+            """
             SELECT d.doc_id,
                    coalesce(re.clean_text, '') AS clean_text,
                    coalesce(re.n_spans, 0)::INT AS n_spans,
                    coalesce(re.n_removed, 0)::INT AS n_removed
-            FROM documents d LEFT JOIN re USING (doc_id)
-        """,
+            FROM src d LEFT JOIN re USING (doc_id)
+            """,
+        ),
+        "corpus_transform": _span_dedup_sql(
+            "SELECT doc_id, "
+            + _mojibake_fixed_sql("coalesce(text, '')")
+            + " AS text FROM documents",
+            f"""
+            SELECT d.doc_id,
+                   regexp_replace(
+                     regexp_replace(coalesce(re.clean_text, ''),
+                                    '{EMAIL_RX}', '<EMAIL>', 'g'),
+                     '{SSN_RX}', '<SSN>', 'g') AS final_text,
+                   coalesce(re.n_spans, 0)::INT AS n_spans,
+                   coalesce(re.n_removed, 0)::INT AS n_removed
+            FROM src d LEFT JOIN re USING (doc_id)
+            """,
+        ),
         "token_budget_sample": """
             WITH d AS (
               SELECT lang, doc_id, coalesce(n_chars, 0)::BIGINT AS n_chars,

@@ -170,6 +170,7 @@ def run_benchmarks() -> dict:
         "quality_topk_lang",
         "gopher_repetition",
         "span_dedup",
+        "corpus_transform",
         "quality_classifier",
         "source_divergence",
         "fingerprint",

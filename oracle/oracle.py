@@ -535,3 +535,52 @@ def lsh_neardup_pairs_pdf(emb: pd.DataFrame, threshold: float = 0.25,
             c, s = min(verified)  # min struct(cand, sim): smallest cand
             rows.append((int(did), int(c), s))
     return pd.DataFrame(rows, columns=["vec_id", "dup_of", "sim"])
+
+
+def quality_score_np(texts) -> np.ndarray:
+    """Exact float64 twin of ops/text.quality_score (same fixed-order
+    double arithmetic: len gate minus punct/caps/digit penalties,
+    clamped to [0,1])."""
+    from qamd_spark.ops.text import PUNCT_CLASS
+
+    out = np.zeros(len(texts), dtype=np.float64)
+    for i, t in enumerate(texts):
+        t = "" if t is None or (isinstance(t, float) and np.isnan(t)) else str(t)
+        n = float(len(t))
+        if 20 <= n <= 5000:
+            len_ok = 1.0
+        elif n > 0:
+            len_ok = 0.3
+        else:
+            len_ok = 0.0
+        if n > 0:
+            p = len(re.findall(PUNCT_CLASS, t)) / n
+            u = len(re.findall(r"[A-Z]", t)) / n
+            d = len(re.findall(r"[0-9]", t)) / n
+        else:
+            p = u = d = 0.0
+        penalty = (
+            (0.3 if p > 0.2 else 0.0)
+            + (0.2 if u > 0.3 else 0.0)
+            + (0.2 if d > 0.3 else 0.0)
+        )
+        out[i] = max(0.0, min(1.0, len_ok - penalty))
+    return out
+
+
+def canonical_keepers_pdf(pdf: pd.DataFrame, pairs: pd.DataFrame) -> pd.DataFrame:
+    """Exact twin of ops/dedup.canonical_keepers: union-find clusters,
+    then per cluster argmax quality (ties -> smallest id)."""
+    cl = clusters_pdf(pairs)
+    q = pd.Series(
+        quality_score_np(list(pdf["text"])), index=pdf["doc_id"].to_numpy()
+    )
+    m = cl.copy()
+    m["_q"] = q.reindex(m["doc_id"].to_numpy()).to_numpy()
+    keep = {}
+    for cid, grp in m.groupby("cluster_id"):
+        best = sorted(zip(-grp["_q"], grp["doc_id"]))[0][1]
+        keep[cid] = int(best)
+    m["keeper_id"] = m["cluster_id"].map(keep).astype(np.int64)
+    m["is_canonical"] = m["doc_id"] == m["keeper_id"]
+    return m[["doc_id", "cluster_id", "keeper_id", "is_canonical"]]

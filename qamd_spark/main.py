@@ -131,13 +131,14 @@ def main(argv: list[str] | None = None) -> int:
     ded = sub.add_parser(
         "dedup",
         help="near-duplicate analysis over a (doc_id, text) table: "
-             "exact | minhash | simhash | clusters | containment",
+             "exact | minhash | simhash | clusters | containment | span",
     )
     ded.add_argument("--input", required=True, help="parquet with doc_id+text")
     ded.add_argument("--output", required=True, help="output parquet path")
     ded.add_argument(
         "--method",
-        choices=("exact", "minhash", "simhash", "clusters", "containment"),
+        choices=("exact", "minhash", "simhash", "clusters", "containment",
+                 "span"),
         default="minhash",
     )
     ded.add_argument("--master", default=None)
@@ -297,6 +298,10 @@ def _run_dedup(args) -> int:
             out = dd.simhash_neardups(docs)
         elif args.method == "clusters":
             out = dd.duplicate_clusters(dd.minhash_duplicates(docs))
+        elif args.method == "span":
+            # C4-style duplicate-span removal: writes the cleaned corpus
+            # (doc_id, clean_text, n_spans, n_removed), not a pair list
+            out = dd.span_dedup(docs)
         else:
             out = tx.winnow_containment(docs)
         out.write.mode("overwrite").parquet(args.output)

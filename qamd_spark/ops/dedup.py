@@ -794,3 +794,57 @@ def span_dedup(
         .cast("int")
         .alias("n_removed"),
     )
+
+
+def canonical_keepers(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-preferring representative selection for near-duplicate
+    clusters (the keep-one-copy step of C4/RefinedWeb-style dedup, but
+    keeping the BEST copy rather than the first): connected components
+    over ``pairs`` (doc_id, dup_of), then per cluster the member with
+    the highest ops/text.quality_score — ties broken to the smallest id.
+
+    Returns (doc_id, cluster_id, keeper_id, is_canonical) for every doc
+    appearing in ``pairs``; docs in no cluster are trivially canonical
+    and not emitted.
+
+    Scale shape: clusters come from duplicate_clusters (log-rounds
+    min-label propagation); the argmax is max(struct(score, -id)) —
+    a SortAggregate, but only over CLUSTER MEMBERS (docs that actually
+    near-duplicate, a small fraction of the corpus) — the same dup-only
+    discipline as span_dedup/text_stats. Exact pandas twin:
+    oracle/oracle.py::canonical_keepers_pdf.
+    """
+    from qamd_spark.ops.text import quality_score
+
+    clusters = duplicate_clusters(pairs)
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"),
+        quality_score(F.col(text_col)).alias("_q"),
+    )
+    m = clusters.join(scored, "doc_id")
+    k = (
+        m.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(F.col("_q").alias("_s"), (-F.col("doc_id")).alias("_nid"))
+            ).alias("_k")
+        )
+        .select(
+            F.col("cluster_id").alias("_cl"),
+            (-F.col("_k._nid")).cast("long").alias("keeper_id"),
+        )
+    )
+    return (
+        m.join(k, m["cluster_id"] == F.col("_cl"))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "keeper_id",
+            (F.col("doc_id") == F.col("keeper_id")).alias("is_canonical"),
+        )
+    )

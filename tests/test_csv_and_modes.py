@@ -165,6 +165,7 @@ def test_cli_dedup_subcommand(tmp_path, spark):
         ("clusters", {"doc_id", "cluster_id"}),
         ("containment", {"doc_id", "src_of", "shared_fp", "containment",
                          "containment_src"}),
+        ("span", {"doc_id", "clean_text", "n_spans", "n_removed"}),
     ]:
         out = str(tmp_path / method)
         rc = main.main(

@@ -368,3 +368,43 @@ def test_contamination_planted(spark):
     flagged = dict(zip(got["doc_id"], got["contaminated_by"]))
     assert flagged.get(100) == 0, got
     assert 101 not in flagged and 102 not in flagged
+
+
+def test_canonical_keepers_match_pandas_twin(spark, docs_df, docs_pdf):
+    cols = ["doc_id", "cluster_id", "keeper_id", "is_canonical"]
+    got = _sorted(
+        dd.canonical_keepers(docs_df, dd.minhash_duplicates(docs_df)).toPandas(),
+        cols,
+    )
+    want = _sorted(
+        oracle.canonical_keepers_pdf(docs_pdf, oracle.minhash_duplicates_pdf(docs_pdf)),
+        cols,
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # exactly one canonical doc per cluster
+    per = got.groupby("cluster_id")["is_canonical"].sum()
+    assert (per == 1).all()
+
+
+def test_canonical_keepers_prefer_quality_then_min_id(spark):
+    # doc 11 is junk (all digits -> digit penalty + short), doc 12 is
+    # clean prose, doc 13 is clean prose identical in quality to 12 —
+    # within one cluster the keeper must be 12 (max quality, then min id)
+    rows = [
+        (11, "123 456 789 012 345 678 901"),
+        (12, "a perfectly ordinary clean sentence with words"),
+        (13, "a perfectly ordinary clean sentence with words"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = spark.createDataFrame(
+        [(12, 11), (13, 12)], ["doc_id", "dup_of"]
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dd.canonical_keepers(docs, pairs).collect()
+    }
+    assert len(got) == 3
+    assert all(r["keeper_id"] == 12 for r in got.values())
+    assert got[12]["is_canonical"]
+    assert not got[11]["is_canonical"] and not got[13]["is_canonical"]

@@ -212,3 +212,21 @@ def test_new_ops_plans_have_no_nested_loop_joins(spark):
         )
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_corpus_transform_fuses_repair_and_scrub_into_span_dedup(spark):
+    """corpus_transform = mojibake repair -> span_dedup -> PII scrub as
+    ONE declarative composition: Catalyst must fuse the repair chain and
+    scrub regexes into span_dedup's projections — same Exchange count as
+    bare span_dedup, still zero SortAggregates and zero Python stages."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    a = _fmt_plan(E.q_span_dedup(spark, sf))
+    b = _fmt_plan(E.q_corpus_transform(spark, sf))
+    assert b.count(") Exchange") == a.count(") Exchange"), (
+        b.count(") Exchange"),
+        a.count(") Exchange"),
+    )
+    assert ") SortAggregate" not in b
+    assert "MapInPandas" not in b and "BatchEvalPython" not in b
