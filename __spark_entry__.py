@@ -586,6 +586,53 @@ def q_dedup_canonical(spark, sf_dir):
     return canonical_keepers(d, minhash_duplicates(d))
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal over
+    the embeddings table — coarse k-means clusters (deterministic IVF
+    trainer), then keep-first cosine dedup ONLY within clusters. Rows-only
+    by design (the iterative trainer + Arrow assignment stage are
+    non-SQL-expressible); exact pandas twin:
+    tests/test_hash_oracles.py::test_semantic_dedup_matches_pandas_twin."""
+    from qamd_spark.ops.similarity import ivf_train, semantic_dedup
+
+    e = _emb(spark, sf_dir)
+    cent = ivf_train(e, n_clusters=8, n_iters=2)
+    return semantic_dedup(e, cent, threshold=0.25)
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Per-document top-5 characteristic terms by a log-free tf-idf:
+    score = tf * N / df (term frequency x inverse document-frequency
+    ratio). The classic ln((N+1)/(df+1)) idf is deliberately replaced by
+    the plain ratio — ln() is libm-dependent across engines, while here
+    every operand is an exact integer and the single IEEE division is
+    bit-identical in Spark/DuckDB (the repo-wide float-determinism rule).
+    Shape: tf = partial+final hash agg on (doc, term); df = term-level agg
+    OVER the tf table (vocab-sized, broadcast back); per-doc top-5 via the
+    window-free two-phase grouped_topk (no hot-doc task)."""
+    from qamd_spark.ops.text import grouped_topk, words_array
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(words_array(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            ((F.col("tf") * F.col("n")).cast("double") / F.col("df")).alias(
+                "tfidf"
+            ),
+        )
+    )
+    return grouped_topk(scored, "doc_id", "tfidf", "term", 5)
+
+
 def q_corpus_transform(spark, sf_dir):
     """The MATERIALIZATION half of corpus curation (corpus_curate is the
     decision half): mojibake repair -> corpus-wide duplicate-span
@@ -1472,6 +1519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoding_profile": q_encoding_profile,
         "corpus_transform": q_corpus_transform,
         "dedup_canonical": q_dedup_canonical,
+        "semantic_dedup": q_semantic_dedup,
+        "tfidf_topk": q_tfidf_topk,
         "conv_pipeline_sql": q_conv_pipeline_sql,
         "conv_features": q_conv_features,
         "conv_verdicts": q_conv_verdicts,
@@ -1755,6 +1804,32 @@ def oracle_sql() -> dict[str, str]:
                     AND alpha_word_frac >= 0.8 AND stop_hits >= 2
                     AND symbol_ratio <= 0.1) AS gopher_keep
             FROM f
+        """,
+        "tfidf_topk": """
+            WITH d AS (
+              SELECT doc_id, trim(coalesce(text,'')) AS t FROM documents),
+            w AS (
+              SELECT doc_id,
+                     CASE WHEN t = '' THEN []::VARCHAR[]
+                          ELSE str_split(lower(t), ' ') END AS ws
+              FROM d),
+            toks AS (SELECT doc_id, unnest(ws) AS term FROM w),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                   FROM toks GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*)::BIGINT AS n FROM d),
+            scored AS (
+              SELECT tf.doc_id, tf.term,
+                     (tf.tf * n.n)::DOUBLE / dfreq.df AS tfidf
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+            ranked AS (
+              SELECT doc_id, term, tfidf,
+                     row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY tfidf DESC, term) AS rn
+              FROM scored)
+            SELECT doc_id, term, tfidf, rn::INT AS rank
+            FROM ranked WHERE rn <= 5
         """,
         "boilerplate_ngrams": """
             WITH d AS (

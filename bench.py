@@ -171,6 +171,8 @@ def run_benchmarks() -> dict:
         "gopher_repetition",
         "span_dedup",
         "corpus_transform",
+        "semantic_dedup",
+        "tfidf_topk",
         "quality_classifier",
         "source_divergence",
         "fingerprint",

@@ -584,3 +584,32 @@ def canonical_keepers_pdf(pdf: pd.DataFrame, pairs: pd.DataFrame) -> pd.DataFram
     m["keeper_id"] = m["cluster_id"].map(keep).astype(np.int64)
     m["is_canonical"] = m["doc_id"] == m["keeper_id"]
     return m[["doc_id", "cluster_id", "keeper_id", "is_canonical"]]
+
+
+def semantic_dedup_pdf(
+    emb: pd.DataFrame, cent: np.ndarray, threshold: float = 0.8
+) -> pd.DataFrame:
+    """Exact twin of ops.similarity.semantic_dedup: BLAS-free centroid
+    assignment (same np.add.reduce kernel as _assign_stage_exact), then
+    within-cluster keep-first — v duplicates the SMALLEST u < v with
+    sequential-fold cosine >= threshold."""
+    ids = emb["vec_id"].to_numpy(dtype=np.int64)
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    C = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    scores = np.add.reduce(Vn[:, None, :] * C[None, :, :], axis=2)
+    cl = scores.argmax(axis=1)
+    by_cluster: dict = {}
+    for i in np.argsort(ids, kind="stable"):
+        by_cluster.setdefault(int(cl[i]), []).append(i)
+    rows = []
+    for c, idxs in by_cluster.items():
+        for pos, j in enumerate(idxs):
+            for u in idxs[:pos]:  # ascending id — smallest hit wins
+                s = _seq_cosine(V[u], V[j])
+                if s >= threshold:
+                    rows.append((int(ids[j]), c, int(ids[u]), s))
+                    break
+    return pd.DataFrame(
+        rows, columns=["vec_id", "cluster", "dup_of", "sim"]
+    ).astype({"vec_id": np.int64, "cluster": np.int32, "dup_of": np.int64})

@@ -334,3 +334,97 @@ def lsh_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def _assign_stage_exact(df, cent: np.ndarray, id_out: str, vec_col: str):
+    """(id, cluster) rows like _assign_stage, but BLAS-free: the
+    similarity matrix is np.add.reduce over an explicit (n, k, d)
+    product instead of a matmul. BLAS threaded reductions are not
+    bit-reproducible across processes (measured 1e-5 driver-vs-executor
+    drift on this host for the quality classifier); add.reduce is a
+    fixed sequential-pairwise kernel, so executor scores equal a local
+    pandas twin bit-for-bit — semantic_dedup's exactness test depends on
+    this. ~k×slower than the matmul; use _assign_stage when recall-level
+    agreement is enough (IVF)."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    C = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    schema = T.StructType(
+        [T.StructField(id_out, T.LongType()), T.StructField("cluster", T.IntegerType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf.iloc[:, 1]])
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            scores = np.add.reduce(Vn[:, None, :] * C[None, :, :], axis=2)
+            yield pd.DataFrame(
+                {
+                    id_out: pdf.iloc[:, 0].to_numpy(dtype=np.int64),
+                    "cluster": scores.argmax(axis=1).astype(np.int32),
+                }
+            )
+
+    return df.select(df.columns[0], vec_col).mapInPandas(run, schema=schema)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    cent: np.ndarray,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal —
+    assign every embedding to its nearest coarse-quantizer centroid
+    (``cent`` from ivf_train), then search duplicate pairs ONLY within a
+    cluster; cross-cluster pairs are never compared. Keep-first by id
+    (the convention of every dedup op here): v is a duplicate iff some u
+    with u.id < v.id in v's cluster has cos(u, v) >= threshold; dup_of =
+    the smallest such u. Returns one row per dropped vector:
+    (vec_id, cluster, dup_of, sim-with-dup_of).
+
+    Scale shape: the quadratic step is the within-cluster self-join —
+    O(sum n_c^2) candidate rows, bounded by cluster granularity exactly
+    as in the paper (k is chosen so E[n_c] is small; they run k=50k on
+    LAION). The join is a shuffle equi-join on cluster, so AQE skew
+    handling splits a hot cluster across tasks; the per-pair cosine is a
+    JVM zip_with/aggregate fold (no Python), and the keep-first argmin
+    is a partial-aggregated min-of-struct. Assignment uses the BLAS-free
+    exact stage so the pandas twin (oracle.semantic_dedup_pdf) matches
+    bit-for-bit.
+    """
+    e_base = emb.select(F.col(id_col).alias("_nid"), _as_double(vec_col).alias("_e"))
+    a = _assign_stage_exact(e_base, cent, "_nid", "_e").join(e_base, "_nid")
+    left = a.select(
+        "cluster", F.col("_nid").alias("_uid"), F.col("_e").alias("_ue")
+    )
+    right = a.select(
+        "cluster", F.col("_nid").alias("vec_id"), F.col("_e").alias("_ve")
+    )
+    sim = _dot("_ue", "_ve") / (_norm("_ue") * _norm("_ve"))
+    hits = (
+        right.join(left, "cluster")
+        .filter(F.col("_uid") < F.col("vec_id"))
+        .select("vec_id", "cluster", F.col("_uid").alias("_u"), sim.alias("_s"))
+        .filter(F.col("_s") >= F.lit(float(threshold)))
+    )
+    return (
+        hits.groupBy("vec_id", "cluster")
+        .agg(
+            F.min(
+                F.struct(F.col("_u").alias("dup_of"), F.col("_s").alias("sim"))
+            ).alias("_k")
+        )
+        .select(
+            "vec_id",
+            "cluster",
+            F.col("_k.dup_of").alias("dup_of"),
+            F.col("_k.sim").alias("sim"),
+        )
+    )

@@ -408,3 +408,59 @@ def test_canonical_keepers_prefer_quality_then_min_id(spark):
     assert all(r["keeper_id"] == 12 for r in got.values())
     assert got[12]["is_canonical"]
     assert not got[11]["is_canonical"] and not got[13]["is_canonical"]
+
+
+def test_semantic_dedup_matches_pandas_twin(spark):
+    from qamd_spark.ops.similarity import ivf_train, semantic_dedup
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cent = ivf_train(e, n_clusters=8, n_iters=2)
+    got = (
+        semantic_dedup(e, cent, threshold=0.25)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        oracle.semantic_dedup_pdf(
+            pd.read_parquet(f"{SF}/embeddings.parquet"), cent, threshold=0.25
+        )
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # keep-first: every dup points at a strictly smaller id
+    assert (got["dup_of"] < got["vec_id"]).all()
+
+
+def test_semantic_dedup_planted_within_cluster_only(spark):
+    # two orthogonal cluster directions; 10/11/12 colinear near axis 0
+    # (exact dups of each other), 20 near axis 1. The cross-cluster pair
+    # (10, 20) is orthogonal and must never be compared; within the
+    # cluster both dups resolve to the SMALLEST id (10).
+    import numpy as np
+
+    from qamd_spark.ops.similarity import semantic_dedup
+
+    cent = np.zeros((2, 4))
+    cent[0, 0] = 1.0
+    cent[1, 1] = 1.0
+    rows = [
+        (10, [1.0, 0.1, 0.0, 0.0]),
+        (11, [1.0, 0.1, 0.0, 0.0]),
+        (12, [2.0, 0.2, 0.0, 0.0]),  # scaled copy: cosine exactly 1
+        (20, [0.0, 1.0, 0.0, 0.0]),
+        (21, [0.0, -1.0, 0.3, 0.0]),  # same cluster as 20, far below 0.9
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r
+        for r in semantic_dedup(emb, cent, threshold=0.9).collect()
+    }
+    assert set(got) == {11, 12}
+    assert got[11]["dup_of"] == 10 and got[12]["dup_of"] == 10
+    assert got[11]["sim"] == pytest.approx(1.0)

@@ -230,3 +230,25 @@ def test_corpus_transform_fuses_repair_and_scrub_into_span_dedup(spark):
     )
     assert ") SortAggregate" not in b
     assert "MapInPandas" not in b and "BatchEvalPython" not in b
+
+
+def test_semantic_dedup_and_tfidf_plans(spark):
+    """semantic_dedup's quadratic step must be a shuffle EQUI-join on
+    cluster (AQE-splittable), never a nested-loop; tfidf_topk must
+    broadcast the vocab-sized df table and stay Window-free (grouped_topk
+    two-phase shape)."""
+    import numpy as np
+
+    import __spark_entry__ as E
+    from qamd_spark.ops.similarity import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cent = np.eye(4, 64)
+    sd = _fmt_plan(semantic_dedup(emb, cent, threshold=0.25))
+    assert "CartesianProduct" not in sd and "BroadcastNestedLoopJoin" not in sd
+    assert "SortMergeJoin" in sd or "ShuffledHashJoin" in sd
+
+    tf = _fmt_plan(E.q_tfidf_topk(spark, "/root/testdata/sf0.001"))
+    assert "Window" not in tf, tf
+    assert "BroadcastHashJoin" in tf, tf
+    assert "MapInPandas" not in tf and "BatchEvalPython" not in tf
