@@ -1235,6 +1235,19 @@ def q_transcript_pipeline(spark, sf_dir):
     )
 
 
+def q_conv_neardup(spark, sf_dir):
+    """Conversation-level near-dup (pipeline rule `conv_neardup`): whole-
+    conversation MinHash LSH with STRING conv_id keys, keep-first by
+    lexicographically smallest conv_id. Rows-only (minhash is not
+    SQL-expressible); the exact pandas twin lives in
+    tests/test_hash_oracles.py / tests/test_pipeline_oracle.py."""
+    from qamd_spark import pipeline
+
+    return pipeline.conv_dup_stats(_doc_transcripts(spark, sf_dir)).orderBy(
+        "conv_id"
+    )
+
+
 def _doc_transcripts(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return d.select(
@@ -1545,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_docs": q_langid_docs,
         "transcript_pipeline": q_transcript_pipeline,
         "minhash_dedup": q_minhash_dedup,
+        "conv_neardup": q_conv_neardup,
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "field_length": q_field_length,

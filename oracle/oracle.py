@@ -118,6 +118,20 @@ def label_pdf(pdf: pd.DataFrame, cfg: QamdConfig | None = None) -> pd.DataFrame:
         )
     if cfg.enabled("duplicate_turn"):
         add("duplicate_turn", nonempty & ~is_first)
+    if cfg.enabled("conv_neardup"):
+        # whole-conversation MinHash LSH twin of pipeline.conv_dup_stats:
+        # non-empty turn texts joined in (turn_idx, text) order — the
+        # pandas mirror of array_sort(collect_list(struct(turn_idx,
+        # text))) — then the shared string-id minhash keep-first
+        ne_sorted = out[nonempty.to_numpy()].sort_values(["turn_idx", "text"])
+        docs = (
+            ne_sorted.groupby("conv_id", sort=False)["text"]
+            .agg(" ".join)
+            .reset_index()
+            .rename(columns={"conv_id": "doc_id"})
+        )
+        dups = minhash_duplicates_pdf(docs, string_ids=True)
+        add("conv_neardup", out["conv_id"].isin(set(dups["doc_id"])))
     if cfg.enabled("conv_missing_fraction"):
         thr = float(s["conv_missing_fraction"])
         pct = conv_empty.astype(np.float64) / conv_cnt.astype(np.float64) * 100.0
@@ -200,7 +214,8 @@ def summary_pdf(labeled: pd.DataFrame, cfg: QamdConfig | None = None) -> pd.Data
 
 
 def minhash_bands_pdf(pdf: pd.DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text") -> pd.DataFrame:
+                      text_col: str = "text",
+                      string_ids: bool = False) -> pd.DataFrame:
     from qamd_spark.ops import dedup as dd
 
     ids, bands, hashes = [], [], []
@@ -215,15 +230,19 @@ def minhash_bands_pdf(pdf: pd.DataFrame, id_col: str = "doc_id",
         bands.extend(range(dd.N_BANDS))
         hashes.extend(bh.tolist())
     return pd.DataFrame(
-        {"doc_id": np.asarray(ids, dtype=np.int64),
+        {"doc_id": np.asarray(ids, dtype=object if string_ids else np.int64),
          "band": np.asarray(bands, dtype=np.int32),
          "band_hash": np.asarray(hashes, dtype=np.int64)}
     )
 
 
-def minhash_duplicates_pdf(pdf: pd.DataFrame, id_col: str = "doc_id") -> pd.DataFrame:
-    """(doc_id, dup_of): smallest doc id sharing any band bucket."""
-    bands = minhash_bands_pdf(pdf, id_col=id_col)
+def minhash_duplicates_pdf(pdf: pd.DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           string_ids: bool = False) -> pd.DataFrame:
+    """(doc_id, dup_of): smallest doc id sharing any band bucket
+    (lexicographically smallest when string_ids)."""
+    bands = minhash_bands_pdf(pdf, id_col=id_col, text_col=text_col,
+                              string_ids=string_ids)
     bucket_min = bands.groupby(["band", "band_hash"])["doc_id"].transform("min")
     cand = bands[bucket_min < bands["doc_id"]].copy()
     cand["bucket_min"] = bucket_min[bucket_min < bands["doc_id"]]
@@ -231,6 +250,8 @@ def minhash_duplicates_pdf(pdf: pd.DataFrame, id_col: str = "doc_id") -> pd.Data
         cand.groupby("doc_id", sort=False)["bucket_min"].min().reset_index()
         .rename(columns={"bucket_min": "dup_of"})
     )
+    if string_ids:
+        return out[["doc_id", "dup_of"]]
     return out[["doc_id", "dup_of"]].astype({"doc_id": np.int64, "dup_of": np.int64})
 
 

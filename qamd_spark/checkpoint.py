@@ -142,7 +142,8 @@ def global_stats_tables(
 ):
     """One global pass for the cross-row aggregates, persisted as compact
     side tables under <out>/_stats (reused on resume when the input/config
-    fingerprints match). Returns (text_stats_df | None, conv_stats_df | None).
+    fingerprints match). Returns (text_stats_df | None, conv_stats_df | None,
+    conv_dup_df | None).
 
     These tables are SMALL relative to the input — text_stats has one row
     per duplicated-or-counted distinct text (occurrence counts only, no
@@ -156,10 +157,12 @@ def global_stats_tables(
 
     need_text = cfg.enabled("duplicate_turn") or cfg.enabled("rare_signature")
     need_conv = cfg.enabled("conv_missing_fraction")
+    need_cdup = cfg.enabled("conv_neardup")
     stats_dir = os.path.join(out_dir, "_stats")
     meta_path = os.path.join(stats_dir, "meta.json")
     text_path = os.path.join(stats_dir, "text_stats.parquet")
     conv_path = os.path.join(stats_dir, "conv_stats.parquet")
+    cdup_path = os.path.join(stats_dir, "conv_dup.parquet")
     # The side tables' CONTENT depends only on the input and on WHICH
     # stats are needed — never on rule thresholds (text_stats is raw
     # occurrence counts + keeper keys; conv_stats raw empty/turn counts).
@@ -168,7 +171,7 @@ def global_stats_tables(
     # global aggregation pass, so the meta records this narrower
     # stats fingerprint instead. Bucket manifests still key on the full
     # config fingerprint — labels DO change with thresholds.
-    stats_fp = f"{in_fp}:text={need_text}:conv={need_conv}"
+    stats_fp = f"{in_fp}:text={need_text}:conv={need_conv}:cdup={need_cdup}"
     reuse = False
     if os.path.exists(meta_path):
         with open(meta_path) as f:
@@ -180,13 +183,16 @@ def global_stats_tables(
             pipeline.text_stats(df).write.mode("overwrite").parquet(text_path)
         if need_conv:
             pipeline.conv_stats(df).write.mode("overwrite").parquet(conv_path)
+        if need_cdup:
+            pipeline.conv_dup_stats(df).write.mode("overwrite").parquet(cdup_path)
         tmp = meta_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"stats_fingerprint": stats_fp}, f)
         os.replace(tmp, meta_path)  # atomic publish, after the data
     ts = spark.read.parquet(text_path) if need_text else None
     cs = spark.read.parquet(conv_path) if need_conv else None
-    return ts, cs
+    cd = spark.read.parquet(cdup_path) if need_cdup else None
+    return ts, cs, cd
 
 
 def run_with_checkpoints(
@@ -301,9 +307,9 @@ def run_with_checkpoints(
     # filtered slice
     single_job = len(todo) == cfg.n_buckets and bucket_batch >= len(todo)
     if single_job:
-        ts = cs = None
+        ts = cs = cd = None
     else:
-        ts, cs = global_stats_tables(spark, df, out_dir, cfg, in_fp, cfg_fp)
+        ts, cs, cd = global_stats_tables(spark, df, out_dir, cfg, in_fp, cfg_fp)
     written: list[Manifest] = []
     from pyspark.sql import Observation
 
@@ -315,7 +321,9 @@ def run_with_checkpoints(
             part_in = df.filter(F.col("bucket").isin(group)).drop("bucket")
         else:
             part_in = df.filter(_bucket_col(cfg).isin(group))
-        part = pipeline.label(part_in, cfg, text_stats_df=ts, conv_stats_df=cs)
+        part = pipeline.label(
+            part_in, cfg, text_stats_df=ts, conv_stats_df=cs, conv_dup_df=cd
+        )
         # Per-bucket manifest counters: piggyback on the write via the
         # Observation API for normal group sizes (no extra pass). The
         # Observation carries 2 aggregate expressions per bucket, so for

@@ -80,6 +80,9 @@ RULE_REGISTRY: tuple[RuleSpec, ...] = (
              "Fraction of tokens outside the vocabulary should not exceed the bound"),
     RuleSpec("duplicate_turn", "data_integrity", "drop",
              "Turn text should not duplicate an earlier turn (keep-first)"),
+    RuleSpec("conv_neardup", "data_integrity", "drop",
+             "Conversation should not near-duplicate an earlier conversation "
+             "(whole-conversation MinHash LSH, keep-first by conv_id)"),
     RuleSpec("conv_missing_fraction", "data_integrity", "drop",
              "Conversation should not exceed the empty-turn percentage bound"),
     RuleSpec("ts_regression", "data_integrity", "flag",
@@ -134,6 +137,12 @@ DEFAULT_SETTINGS: dict[str, Any] = {
     # user regexes, disabled by default like the reference (default.yaml:148)
     "custom_regex": None,
     "duplicate_turn": True,
+    # conversation-level near-dup (MinHash LSH over the whole conversation
+    # text in turn order, qamd_spark/ops/dedup.py kernels): drops every
+    # turn of a conversation that near-duplicates a lexicographically
+    # earlier conv_id. Off by default — a cross-row rule that adds one
+    # global aggregation + broadcast join when enabled; True enables.
+    "conv_neardup": None,
     "conv_missing_fraction": 25,  # percent, (0,100] like the reference
     # DateFormat analogue for a typed ts column (reference DateFormat
     # checks variable date-format strings, src/check/variable.rs:20-44;

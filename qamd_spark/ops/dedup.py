@@ -122,6 +122,14 @@ _MINHASH_SCHEMA = T.StructType(
     ]
 )
 
+_MINHASH_SCHEMA_STR = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("band_hash", T.LongType()),
+    ]
+)
+
 
 def _scatter_indices(offs: np.ndarray, lens: np.ndarray) -> np.ndarray:
     """Positions of each doc's items in a packed array with per-doc slots
@@ -192,11 +200,19 @@ def _batch_band_hashes(tok_lists: list) -> np.ndarray:
     return _splitmix64(acc2).astype(np.int64)
 
 
-def minhash_bands(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def minhash_bands(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    string_ids: bool = False,
+) -> DataFrame:
     """doc → N_BANDS (band, band_hash) rows. Pandas-UDF stage, narrow;
-    fully batch-vectorized (see _batch_band_hashes)."""
+    fully batch-vectorized (see _batch_band_hashes). ``string_ids=True``
+    keeps the id column as a string (conversation-level dedup keys on
+    conv_id); keep-first then means lexicographically-smallest id."""
 
     band_idx = np.arange(N_BANDS, dtype=np.int32)
+    schema = _MINHASH_SCHEMA_STR if string_ids else _MINHASH_SCHEMA
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -204,8 +220,11 @@ def minhash_bands(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
                 t.lower().split() if isinstance(t, str) and t else None
                 for t in pdf[text_col]
             ]
-            ids = np.asarray(
-                [d for d, t in zip(pdf[id_col], tok_lists) if t], dtype=np.int64
+            kept = [d for d, t in zip(pdf[id_col], tok_lists) if t]
+            ids = (
+                np.asarray(kept, dtype=object)
+                if string_ids
+                else np.asarray(kept, dtype=np.int64)
             )
             hashes = _batch_band_hashes(tok_lists)
             yield pd.DataFrame(
@@ -216,10 +235,15 @@ def minhash_bands(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
                 }
             )
 
-    return docs.select(id_col, text_col).mapInPandas(run, schema=_MINHASH_SCHEMA)
+    return docs.select(id_col, text_col).mapInPandas(run, schema=schema)
 
 
-def minhash_duplicates(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def minhash_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    string_ids: bool = False,
+) -> DataFrame:
     """LSH candidate near-dups: docs sharing any band bucket.
 
     Returns (doc_id, dup_of) with dup_of = the smallest doc id in any
@@ -234,9 +258,9 @@ def minhash_duplicates(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     # back); without a persist both branches re-run the Python minhash
     # stage — measured ~1.5x wall on the full op. ~320 B/doc, spills to
     # disk beyond memory; evicted LRU when downstream moves on.
-    bands = minhash_bands(docs, id_col=id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    bands = minhash_bands(
+        docs, id_col=id_col, text_col=text_col, string_ids=string_ids
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     bucket_min = bands.groupBy("band", "band_hash").agg(
         F.min("doc_id").alias("bucket_min")
     )

@@ -111,6 +111,45 @@ def conv_stats(df: DataFrame) -> DataFrame:
     )
 
 
+def conv_dup_stats(df: DataFrame) -> DataFrame:
+    """Conversations near-duplicating an earlier (lexicographically
+    smaller) conv_id: whole-conversation MinHash LSH over the same
+    shingle/band kernels as document dedup (qamd_spark/ops/dedup.py),
+    keyed on the string conv_id. Returns one row per duplicated
+    conversation — (conv_id, conv_dup_of).
+
+    The per-conversation document is the non-empty turn texts joined with
+    a single space in (turn_idx, text) order; collect_list is
+    order-nondeterministic, so the struct array is array_sort-ed before
+    the join (deterministic across retries/partitionings — the
+    input_hint's stable-turn-ordering invariant).
+
+    Scale shape: the groupBy(conv_id) is a partial aggregation (a hot
+    conversation collapses map-side before its shuffle); the LSH banding
+    is the min-per-bucket aggregate from ops/dedup (no all-pairs bucket
+    join); the output holds only duplicated conversations, so the join
+    back in :func:`label` is broadcast-sized for real corpora and
+    AQE-planned otherwise.
+    """
+    from qamd_spark.ops import dedup as dd
+
+    docs = (
+        df.filter(~_is_empty_col(F.col("text")))
+        .groupBy("conv_id")
+        .agg(F.array_sort(F.collect_list(F.struct("turn_idx", "text"))).alias("_ts"))
+        .select(
+            "conv_id",
+            F.array_join(F.transform("_ts", lambda s: s["text"]), " ").alias("_doc"),
+        )
+    )
+    dups = dd.minhash_duplicates(
+        docs, id_col="conv_id", text_col="_doc", string_ids=True
+    )
+    return dups.select(
+        F.col("doc_id").alias("conv_id"), F.col("dup_of").alias("conv_dup_of")
+    )
+
+
 def rule_conditions(cfg: QamdConfig) -> list[tuple[str, "F.Column"]]:
     """(rule name, hit Column) in registry order, enabled rules only.
 
@@ -194,6 +233,8 @@ def rule_conditions(cfg: QamdConfig) -> list[tuple[str, "F.Column"]]:
         )
     if cfg.enabled("duplicate_turn"):
         conds.append(("duplicate_turn", F.col("_dup_hit")))
+    if cfg.enabled("conv_neardup"):
+        conds.append(("conv_neardup", F.col("_convdup_hit")))
     if cfg.enabled("conv_missing_fraction"):
         conds.append(("conv_missing_fraction", F.col("_convmiss_hit")))
     if cfg.enabled("ts_regression"):
@@ -231,12 +272,13 @@ def label(
     cfg: QamdConfig,
     text_stats_df: DataFrame | None = None,
     conv_stats_df: DataFrame | None = None,
+    conv_dup_df: DataFrame | None = None,
 ) -> DataFrame:
     """Full labeling: returns LABELED_SCHEMA columns (plus nothing else).
 
-    ``text_stats_df`` / ``conv_stats_df`` optionally supply PRECOMPUTED
-    global cross-row stats (same schemas as :func:`text_stats` /
-    :func:`conv_stats`). The checkpointed runner computes them once over
+    ``text_stats_df`` / ``conv_stats_df`` / ``conv_dup_df`` optionally
+    supply PRECOMPUTED global cross-row stats (same schemas as
+    :func:`text_stats` / :func:`conv_stats` / :func:`conv_dup_stats`). The checkpointed runner computes them once over
     the full input, persists them as compact side tables, and labels each
     bucket group against them — so a resumable run pays ONE global
     aggregation pass instead of one per group (the per-group input filter
@@ -286,6 +328,14 @@ def label(
         joined = joined.withColumn("_dup_hit", F.lit(False)).withColumn(
             "_rare_hit", F.lit(False)
         )
+    if cfg.enabled("conv_neardup"):
+        cd = conv_dup_df if conv_dup_df is not None else conv_dup_stats(df)
+        joined = joined.join(cd, on="conv_id", how="left")
+        joined = joined.withColumn(
+            "_convdup_hit", F.col("conv_dup_of").isNotNull()
+        ).drop("conv_dup_of")
+    else:
+        joined = joined.withColumn("_convdup_hit", F.lit(False))
     if cfg.enabled("conv_missing_fraction"):
         thr = float(cfg.settings["conv_missing_fraction"])
         cs = conv_stats_df if conv_stats_df is not None else conv_stats(df)

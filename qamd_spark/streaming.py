@@ -41,6 +41,7 @@ from qamd_spark.config import QamdConfig
 CROSS_ROW_RULES = (
     "duplicate_turn", "rare_signature", "conv_missing_fraction",
     "ts_regression",  # needs per-conversation lag across rows
+    "conv_neardup",  # needs whole-corpus conversation MinHash
 )
 
 

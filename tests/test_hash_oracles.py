@@ -464,3 +464,43 @@ def test_semantic_dedup_planted_within_cluster_only(spark):
     assert set(got) == {11, 12}
     assert got[11]["dup_of"] == 10 and got[12]["dup_of"] == 10
     assert got[11]["sim"] == pytest.approx(1.0)
+
+
+def test_conv_dup_stats_match_pandas_twin(spark, synth_pdf):
+    """pipeline.conv_dup_stats (string conv_id keys, whole-conversation
+    concat in (turn_idx, text) order) vs the pandas twin built from the
+    same concatenation rule + minhash_duplicates_pdf(string_ids=True).
+    Exercises the string-id LSH path end to end: lexicographic min in
+    the bucket aggregate, string `<` in the candidate filter."""
+    from qamd_spark import pipeline
+    from qamd_spark.schema import TRANSCRIPT_SCHEMA
+
+    pdf = synth_pdf.copy()
+    # plant a guaranteed whole-conversation duplicate under a later id
+    first_conv = sorted(pdf["conv_id"].unique())[0]
+    dup = pdf[pdf["conv_id"] == first_conv].copy()
+    dup["conv_id"] = "zzdup"
+    pdf = pd.concat([pdf, dup], ignore_index=True)
+    df = spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA)
+    got = (
+        pipeline.conv_dup_stats(df)
+        .toPandas()
+        .sort_values(["conv_id", "conv_dup_of"])
+        .reset_index(drop=True)
+    )
+    ne = pdf[~(pdf["text"].isna() | (pdf["text"] == ""))]
+    docs = (
+        ne.sort_values(["turn_idx", "text"])
+        .groupby("conv_id", sort=False)["text"]
+        .agg(" ".join)
+        .reset_index()
+        .rename(columns={"conv_id": "doc_id"})
+    )
+    want = (
+        oracle.minhash_duplicates_pdf(docs, string_ids=True)
+        .rename(columns={"doc_id": "conv_id", "dup_of": "conv_dup_of"})
+        .sort_values(["conv_id", "conv_dup_of"])
+        .reset_index(drop=True)
+    )
+    assert "zzdup" in set(got["conv_id"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

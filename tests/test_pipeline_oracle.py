@@ -371,3 +371,84 @@ def test_encoding_rule_exact_parity(spark, tmp_path):
     )
     assert not any("encoding" in list(h) for h in sp0["rule_hits"])
     assert (sp["keep"].to_numpy() == sp0["keep"].to_numpy()).all()
+
+
+def test_conv_neardup_rule_parity(spark):
+    """Planted conversation-level near-dups: c02 near-duplicates c01
+    (one word changed per turn, so duplicate_turn never fires), c03 is
+    unrelated. With the conv_neardup drop rule enabled, every turn of
+    c02 (the lexicographically LARGER conv_id) drops, c01/c03 keep, and
+    Spark labels match the pandas oracle exactly. The hash kernels are
+    deterministic, so the planted outcome is stable, not probabilistic."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from qamd_spark.schema import TRANSCRIPT_SCHEMA
+
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "today while the afternoon sun keeps every meadow warm and bright",
+        "a second turn with plenty of ordinary words describing the calm "
+        "weather outside and the slow clouds drifting across the open sky",
+        "finally we wrap up this conversation with a short polite farewell "
+        "message wishing everyone a restful evening and a pleasant tomorrow",
+    ]
+    variant = [
+        base[0].replace("near", "by"),
+        base[1].replace("plenty", "lots"),
+        base[2].replace("short", "brief"),
+    ]
+    other = [
+        "completely different topic about spark shuffle partitions and "
+        "broadcast joins tuned for adaptive execution on very large tables",
+        "nothing in common with the first two conversations at all since "
+        "this one discusses parquet statistics and column pruning instead",
+        "the closing line here covers checkpoint manifests and bucketed "
+        "writes rather than any weather meadow or farewell vocabulary",
+    ]
+    rows = []
+    for cid, turns in (("c01", base), ("c02", variant), ("c03", other)):
+        for i, t in enumerate(turns):
+            rows.append(
+                {
+                    "conv_id": cid,
+                    "turn_idx": np.int32(i),
+                    "role": "user",
+                    "text": t,
+                    "tool": None,
+                    "ts": dt.datetime(2026, 1, 1, 0, i),
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    cfg = QamdConfig()
+    cfg.settings["conv_neardup"] = True
+    df = spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA)
+    sp = (
+        pipeline.label(df, cfg)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    orc = (
+        oracle.label_pdf(pdf, cfg)
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert (sp["keep"].to_numpy() == orc["keep"].to_numpy()).all()
+    for a, b in zip(sp["rule_hits"], orc["rule_hits"]):
+        assert list(a) == list(b)
+    by_conv = {
+        cid: [("conv_neardup" in h) for h in grp["rule_hits"]]
+        for cid, grp in sp.groupby("conv_id")
+    }
+    assert all(by_conv["c02"])  # every turn of the near-dup conversation
+    assert not any(by_conv["c01"]) and not any(by_conv["c03"])
+    assert not sp[sp["conv_id"] == "c02"]["keep"].any()
+    # c01 keeps everything (c03 may trip unrelated quality rules —
+    # irrelevant here; the oracle-parity assertions above already pin it)
+    assert sp[sp["conv_id"] == "c01"]["keep"].all()
+    # rule off (default) => c02 keeps exactly what c01 does
+    cfg_off = QamdConfig()
+    sp_off = pipeline.label(df, cfg_off).toPandas()
+    assert sp_off[sp_off["conv_id"].isin(["c01", "c02"])]["keep"].all()
