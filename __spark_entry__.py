@@ -36,6 +36,11 @@ SF_DEFAULT = "/root/testdata/sf0.001"
 ODD_CHARS = ["&", "#", "@", "*", "ç", "ô", "ü"]  # single-char odd set
 ODD_ALL = ODD_CHARS + ["  "]  # + double-space (reference default.yaml:111-119)
 STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+# line_filter / pii_luhn shared parameters (Spark query + DuckDB twin)
+LINE_WORDS_PER_LINE = 7
+LINE_MIN_WORDS = 5
+LINE_BANNED = ("slow",)
+LINE_PAGE_BANNED = ("lorem ipsum", "vector")
 # exact ASCII-punctuation class (reference normalize_word,
 # src/check/dictionary.rs:110-115) — valid in both Java regex and RE2
 PUNCT_CLASS = r"[!-/:-@\[-`{-~]"
@@ -110,6 +115,49 @@ def _span_dedup_sql(source: str, select_clause: str) -> str:
                  count(*) FILTER (WHERE rn > 1) AS n_removed
           FROM ranked GROUP BY doc_id)
         {select_clause}
+    """
+
+
+def _pii_luhn_sql() -> str:
+    """DuckDB twin of q_pii_luhn, generated from the SAME candidate
+    regex (rules/pii.CARD_CANDIDATE_RX) and the same reversed-digit
+    mod-10 fold, so the two engines can never drift apart."""
+    from qamd_spark.rules.pii import CARD_CANDIDATE_RX
+
+    dig = "regexp_replace(c, '[^0-9]', '', 'g')"
+    luhn = (
+        f"length({dig}) BETWEEN 13 AND 19 AND "
+        f"list_sum(list_transform(range(1, length({dig}) + 1), "
+        "i -> CASE WHEN i % 2 = 0 THEN "
+        f"(CASE WHEN 2 * cast(substring(reverse({dig}), i, 1) as int) > 9 "
+        f"THEN 2 * cast(substring(reverse({dig}), i, 1) as int) - 9 "
+        f"ELSE 2 * cast(substring(reverse({dig}), i, 1) as int) END) "
+        f"ELSE cast(substring(reverse({dig}), i, 1) as int) END)) % 10 = 0"
+    )
+    return f"""
+        WITH s AS (
+          SELECT doc_id,
+            coalesce(text,'') ||
+            (CASE WHEN doc_id % 3 = 0
+               THEN ' pay ' || lpad(cast((doc_id * 48271 + 11)
+                                         % 10000000000000000 as varchar),
+                                    16, '0') || ' now'
+               ELSE '' END) ||
+            (CASE WHEN doc_id % 5 = 0 THEN ' ref 12345678901'
+               ELSE '' END) AS t2
+          FROM documents
+        ), c AS (
+          SELECT doc_id,
+                 regexp_extract_all(t2, '{CARD_CANDIDATE_RX}') AS cands
+          FROM s
+        ), v AS (
+          SELECT doc_id, cands, list_filter(cands, c -> {luhn}) AS valid
+          FROM c
+        )
+        SELECT doc_id, len(cands) AS n_candidates, len(valid) AS n_valid,
+               len(valid) > 0 AS has_card,
+               list_aggregate(valid, 'min') AS first_card
+        FROM v
     """
 
 
@@ -940,6 +988,73 @@ def q_field_odd_chars(spark, sf_dir):
     )
 
 
+def q_line_filter(spark, sf_dir):
+    """C4-style line-level filtering (Raffel et al. 2020 §2.2): drop
+    lines with < 5 words or a banned substring, page-drop docs with a
+    page-level banned term, reassemble surviving lines. The single-line
+    test corpus is first deterministically re-chunked into 7-word
+    pseudo-lines (ops/text.rechunk_lines) so the operator's multi-line
+    behavior is actually exercised; the DuckDB twin repeats the same
+    arithmetic, so the gate is hash-exact. Zero shuffles, no Python —
+    one codegen-fused projection (scan-bound at 10^12 rows)."""
+    from qamd_spark.ops.text import line_filter_cols, rechunk_lines
+
+    d = _docs(spark, sf_dir)
+    multi = rechunk_lines(F.col("text"), LINE_WORDS_PER_LINE)
+    cols = line_filter_cols(
+        multi,
+        delim="\n",
+        min_words=LINE_MIN_WORDS,
+        banned=LINE_BANNED,
+        require_terminal=False,
+        page_banned=LINE_PAGE_BANNED,
+    )
+    return d.select(
+        "doc_id",
+        cols["n_lines"].alias("n_lines"),
+        cols["n_kept"].alias("n_kept"),
+        cols["page_drop"].alias("page_drop"),
+        cols["doc_keep"].alias("doc_keep"),
+        cols["kept_text"].alias("kept_text"),
+    )
+
+
+def q_pii_luhn(spark, sf_dir):
+    """Luhn-verified payment-card detection: regex candidates (13-19
+    digits, space/dash separators) validated by the mod-10 checksum as a
+    pure-JVM higher-order fold (rules/pii.luhn_cards) — the validated
+    upgrade of the reference's regex disclosure check (src/check/
+    post.rs:354-391). The corpus has no digits, so a deterministic
+    synthetic card (arithmetic on doc_id, ~10% Luhn-valid) plus a
+    too-short decoy are stamped in first — identically in the DuckDB
+    twin — making the gate exercise extraction, length gating, and the
+    checksum with real variation. No shuffle, no Python stage."""
+    from qamd_spark.rules.pii import luhn_candidates, luhn_valid
+
+    d = _docs(spark, sf_dir)
+    card = F.lpad(
+        ((F.col("doc_id") * 48271 + 11) % F.lit(10_000_000_000_000_000)).cast(
+            "string"
+        ),
+        16,
+        "0",
+    )
+    t2 = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit(" pay "), card, F.lit(" now"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" ref 12345678901")).otherwise(F.lit("")),
+    )
+    cands = luhn_candidates(t2)
+    valid = F.filter(cands, luhn_valid)
+    return d.select(
+        "doc_id",
+        F.size(cands).alias("n_candidates"),
+        F.size(valid).alias("n_valid"),
+        (F.size(valid) > 0).alias("has_card"),
+        F.array_min(valid).alias("first_card"),
+    )
+
+
 def q_time_rollup(spark, sf_dir):
     """Hypertable-style continuous-aggregate rollup: hourly buckets per
     event_type with count and value sum. Float sums are partition-order-
@@ -1544,6 +1659,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_sanity": q_ts_sanity,
         "funnel": q_funnel,
         "field_odd_chars": q_field_odd_chars,
+        "line_filter": q_line_filter,
+        "pii_luhn": q_pii_luhn,
         "asof_join": q_asof_join,
         "json_props": q_json_props,
         "token_topk": q_token_topk,
@@ -2029,6 +2146,49 @@ def oracle_sql() -> dict[str, str]:
                        for c in ODD_CHARS)}, FALSE) AS field_odd
             FROM documents
         """,
+        "line_filter": f"""
+            WITH w AS (
+              SELECT doc_id, coalesce(text,'') AS t,
+                     str_split(coalesce(text,''), ' ') AS words
+              FROM documents
+            ), r AS (
+              SELECT doc_id, t,
+                CASE WHEN len(words) > 0 THEN
+                  array_to_string(list_transform(
+                    range(1, cast(ceil(len(words) / {LINE_WORDS_PER_LINE}.0)
+                                  as int) + 1),
+                    i -> array_to_string(list_slice(words,
+                           (i-1)*{LINE_WORDS_PER_LINE} + 1,
+                           (i-1)*{LINE_WORDS_PER_LINE} + {LINE_WORDS_PER_LINE}),
+                         ' ')), chr(10))
+                ELSE '' END AS multi
+              FROM w
+            ), l AS (
+              SELECT doc_id, t, str_split(multi, chr(10)) AS lines FROM r
+            ), k AS (
+              SELECT doc_id, t, lines,
+                list_filter(lines, s -> length(trim(s)) > 0
+                  AND len(str_split(trim(s), ' ')) >= {LINE_MIN_WORDS}
+                  AND {" AND ".join(
+                      f"NOT contains(lower(trim(s)), '{b}')"
+                      for b in LINE_BANNED)}) AS kept
+              FROM l
+            )
+            SELECT doc_id,
+                   len(lines) AS n_lines,
+                   len(kept) AS n_kept,
+                   ({" OR ".join(
+                       f"contains(lower(t), '{b}')"
+                       for b in LINE_PAGE_BANNED)}) AS page_drop,
+                   (len(kept) > 0 AND NOT ({" OR ".join(
+                       f"contains(lower(t), '{b}')"
+                       for b in LINE_PAGE_BANNED)})) AS doc_keep,
+                   coalesce(array_to_string(list_transform(kept,
+                                                           s -> trim(s)),
+                                            chr(10)), '') AS kept_text
+            FROM k
+        """,
+        "pii_luhn": _pii_luhn_sql(),
         "asof_join": """
             WITH c AS (
               SELECT user_id, event_id, event_type,

@@ -586,3 +586,101 @@ def encoding_damage(text: Column) -> Column:
         e = F.regexp_like(text, F.lit(cls))
         hit = hit | e
     return F.coalesce(hit, F.lit(False))
+
+
+# --------------------------------------------------------------------------
+# C4-style line-level filtering (Raffel et al. 2020, "Exploring the Limits
+# of Transfer Learning with a Unified Text-to-Text Transformer", §2.2 —
+# the C4 cleaning heuristics). The reference engine's closest relative is
+# the per-value StringValueOddCharacters / stopword family
+# (src/check/value.rs) — this extends the idea from whole-value to
+# line-within-value granularity, the form web-corpus curation needs.
+#
+# Everything is a single codegen-fused projection: split → per-line
+# predicate via a higher-order filter → reassemble. Zero shuffles, zero
+# Python — at 10^12 rows this is scan-bound.
+
+
+def line_split(text: Column, delim: str) -> Column:
+    """Literal (non-regex) split of text into lines; [] never — null/empty
+    text yields ['']. Uses \\Q..\\E quoting so any delimiter is literal."""
+    return F.split(F.coalesce(text, F.lit("")), "\\Q" + delim + "\\E", -1)
+
+
+def line_keep_predicate(
+    line: Column,
+    min_words: int,
+    banned: tuple[str, ...],
+    require_terminal: bool,
+    terminals: tuple[str, ...] = (".", "!", "?", '"'),
+) -> Column:
+    """C4 keep-this-line predicate over a trimmed line:
+    non-empty AND >= min_words space-split words AND (optionally) ends in
+    terminal punctuation AND contains no banned substring (lowercased).
+    Word counting splits on a literal single space — identical token
+    lists in Spark and DuckDB, so the oracle twin is exact."""
+    l = F.trim(line)
+    keep = (F.length(l) > 0) & (
+        F.size(F.split(l, "\\Q \\E", -1)) >= F.lit(min_words)
+    )
+    if require_terminal:
+        term = F.lit(False)
+        for t in terminals:
+            term = term | F.endswith(l, F.lit(t))
+        keep = keep & term
+    low = F.lower(l)
+    for b in banned:
+        keep = keep & ~low.contains(F.lit(b.lower()))
+    return keep
+
+
+def line_filter_cols(
+    text: Column,
+    delim: str = "\n",
+    min_words: int = 5,
+    banned: tuple[str, ...] = ("javascript", "lorem ipsum"),
+    require_terminal: bool = True,
+    page_banned: tuple[str, ...] = ("lorem ipsum", "{"),
+) -> dict[str, Column]:
+    """C4 line filter as named Columns:
+      kept_text  — surviving lines rejoined with delim ('' if none);
+      n_lines    — total lines;
+      n_kept     — surviving lines;
+      page_drop  — C4 page-level drop (any page_banned substring present
+                   anywhere in the doc, case-insensitive);
+      doc_keep   — n_kept > 0 AND NOT page_drop.
+    """
+    lines = line_split(text, delim)
+    kept = F.filter(
+        lines,
+        lambda l: line_keep_predicate(l, min_words, banned, require_terminal),
+    )
+    low = F.lower(F.coalesce(text, F.lit("")))
+    page_drop = F.lit(False)
+    for b in page_banned:
+        page_drop = page_drop | low.contains(F.lit(b.lower()))
+    n_kept = F.size(kept)
+    return {
+        "kept_text": F.array_join(F.transform(kept, lambda l: F.trim(l)), delim),
+        "n_lines": F.size(lines),
+        "n_kept": n_kept,
+        "page_drop": page_drop,
+        "doc_keep": (n_kept > 0) & ~page_drop,
+    }
+
+
+def rechunk_lines(text: Column, words_per_line: int) -> Column:
+    """Deterministically re-chunk a one-line text into pseudo-lines of
+    words_per_line space-split words, joined by newline — the synthesis
+    step that lets the single-line test corpus exercise multi-line
+    operators. Cross-engine exact (same arithmetic in the DuckDB twin)."""
+    words = F.split(F.coalesce(text, F.lit("")), "\\Q \\E", -1)
+    n = F.size(words)
+    w = F.lit(words_per_line)
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.ceil(n.cast("double") / w).cast("int")),
+        lambda i: F.array_join(
+            F.slice(words, (i - F.lit(1)) * w + F.lit(1), w), " "
+        ),
+    )
+    return F.when(n > 0, F.array_join(chunks, "\n")).otherwise(F.lit(""))

@@ -216,3 +216,77 @@ def _scrub_series_rowwise(
     else:
         hit_lists = pd.Series([[] for _ in range(n)], index=text.index)
     return scrubbed.where(notnull, None), hit_lists, prof_hit
+
+
+# --------------------------------------------------------------------------
+# Luhn-verified payment-card detection — the validated-PII upgrade of the
+# plain regex family above (a bare \d{13,19} regex false-positives on ids,
+# timestamps, order numbers; the Luhn mod-10 checksum rejects ~90% of
+# random digit runs). Unlike the patterns above this one is PURE JVM
+# Column algebra (regexp_extract_all + higher-order transform/aggregate),
+# so it runs inside whole-stage codegen with no Python stage — and the
+# identical arithmetic is expressible in DuckDB SQL, so the driver gate
+# checks it hash-exact (see __spark_entry__.oracle_sql()['pii_luhn']).
+
+# candidate: 13-19 digits, single space/dash separators allowed inside.
+# \b guards partial matches; valid in Java regex (Spark) and RE2 (DuckDB).
+CARD_CANDIDATE_RX = r"\b\d(?:[ -]?\d){11,17}\d\b"
+
+
+def luhn_candidates(text):
+    """Array column of raw card-number candidates in text."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_extract_all(
+        F.coalesce(text, F.lit("")), F.lit(CARD_CANDIDATE_RX), F.lit(0)
+    )
+
+
+def luhn_valid(candidate):
+    """Boolean Column: candidate's digits pass the Luhn mod-10 checksum
+    and are 13-19 digits long. Fold formulation shared with the DuckDB
+    twin: over i = 1..len positions of the REVERSED digit string, even
+    positions double (minus 9 above 9), sum % 10 == 0."""
+    from pyspark.sql import functions as F
+
+    digits = F.regexp_replace(candidate, "[^0-9]", "")
+    rev = F.split(F.reverse(digits), "", -1)  # array of single chars
+    total = F.aggregate(
+        F.sequence(F.lit(1), F.length(digits)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            i % 2 == 0,
+            F.when(
+                F.element_at(rev, i).cast("int") * 2 > 9,
+                F.element_at(rev, i).cast("int") * 2 - 9,
+            ).otherwise(F.element_at(rev, i).cast("int") * 2),
+        ).otherwise(F.element_at(rev, i).cast("int")),
+    )
+    return (
+        (F.length(digits) >= 13) & (F.length(digits) <= 19) & (total % 10 == 0)
+    )
+
+
+def luhn_cards(text):
+    """Array Column of Luhn-VALID card numbers found in text (raw form,
+    separators preserved) — input to counting or scrubbing."""
+    from pyspark.sql import functions as F
+
+    return F.filter(luhn_candidates(text), luhn_valid)
+
+
+# pure-Python twin of luhn_valid for the pandas oracle / property tests
+def luhn_valid_py(candidate: str) -> bool:
+    d = re.sub(r"[^0-9]", "", candidate)
+    if not (13 <= len(d) <= 19):
+        return False
+    total = 0
+    for i, ch in enumerate(reversed(d), start=1):
+        v = int(ch)
+        if i % 2 == 0:
+            v *= 2
+            if v > 9:
+                v -= 9
+        total += v
+    return total % 10 == 0

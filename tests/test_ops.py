@@ -589,3 +589,93 @@ def test_encoding_profile_repairs_planted_damage_and_matches_duckdb(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(sp, dk[sp.columns], check_dtype=False)
+
+
+def test_line_filter_c4_semantics(spark):
+    """C4 defaults: terminal punctuation required, >= 5 words, banned
+    'javascript' lines dropped, 'lorem ipsum'/'{' page-drop the doc."""
+    from qamd_spark.ops.text import line_filter_cols
+
+    rows = [
+        (1, "This is a perfectly good sentence.\nshort line\n"
+            "Please enable javascript to view this page.\n"
+            "Another wholly acceptable sentence appears right here!"),
+        (2, "A fine long sentence that ends with terminal punctuation.\n"
+            "this one has five words but no terminal punctuation"),
+        (3, "Lorem ipsum dolor sit amet consectetur adipiscing elit."),
+        (4, "function f() { return 1; } is code but long enough honestly."),
+        (5, None),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    cols = line_filter_cols(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in d.select("doc_id", *[v.alias(k) for k, v in cols.items()]).collect()
+    }
+    # doc 1: 4 lines; 'short line' (<5 words, no terminal) and the
+    # javascript line are dropped, 2 survive
+    assert out[1]["n_lines"] == 4 and out[1]["n_kept"] == 2
+    assert out[1]["kept_text"] == (
+        "This is a perfectly good sentence.\n"
+        "Another wholly acceptable sentence appears right here!"
+    )
+    assert out[1]["doc_keep"]
+    # doc 2: the unterminated line is dropped
+    assert out[2]["n_kept"] == 1 and out[2]["doc_keep"]
+    # doc 3: 'lorem ipsum' is banned at BOTH line and page level
+    assert out[3]["n_kept"] == 0 and out[3]["page_drop"] and not out[3]["doc_keep"]
+    # doc 4: '{' page-drops
+    assert out[4]["page_drop"] and not out[4]["doc_keep"]
+    # doc 5: null text -> one empty line, nothing kept
+    assert out[5]["n_kept"] == 0 and not out[5]["doc_keep"]
+
+
+def test_luhn_cards_known_numbers(spark):
+    """Known Luhn-valid test numbers pass; off-by-one checksum, too-short
+    and too-long runs are rejected; separators are tolerated. The JVM
+    fold agrees with the pure-Python twin on every candidate."""
+    from qamd_spark.rules.pii import luhn_cards, luhn_valid_py
+
+    rows = [
+        (1, "pay 4111111111111111 now"),          # valid visa test number
+        (2, "pay 4111 1111 1111 1111 now"),       # spaced, valid
+        (3, "pay 4111-1111-1111-1112 now"),       # checksum off by one
+        (4, "ref 123456789012 done"),             # 12 digits: too short
+        (5, "id 12345678901234567890 end"),       # 20 digits: too long
+        (6, "amex 378282246310005 ok"),           # 15-digit amex test number
+        (7, "no digits at all"),
+        (8, "5500 0000 0000 0004 and 4111111111111111"),  # two valid
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["cards"]
+        for r in d.select("doc_id", luhn_cards(F.col("text")).alias("cards")).collect()
+    }
+    assert out[1] == ["4111111111111111"]
+    assert out[2] == ["4111 1111 1111 1111"]
+    assert out[3] == [] and out[4] == [] and out[5] == [] and out[7] == []
+    assert out[6] == ["378282246310005"]
+    assert out[8] == ["5500 0000 0000 0004", "4111111111111111"]
+    # python twin agrees on every raw candidate string
+    for cand, expect in [
+        ("4111111111111111", True),
+        ("4111 1111 1111 1111", True),
+        ("4111-1111-1111-1112", False),
+        ("123456789012", False),
+        ("12345678901234567890", False),
+        ("378282246310005", True),
+        ("5500 0000 0000 0004", True),
+    ]:
+        assert luhn_valid_py(cand) is expect, cand
+
+
+def test_line_filter_and_luhn_plans_are_shuffle_free(spark):
+    """Both new operators must stay one codegen-fused projection:
+    no Exchange, no Python stage in the plan."""
+    import __spark_entry__ as E
+
+    for q in (E.q_line_filter, E.q_pii_luhn):
+        plan = q(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert bad not in plan
