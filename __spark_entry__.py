@@ -41,6 +41,8 @@ LINE_WORDS_PER_LINE = 7
 LINE_MIN_WORDS = 5
 LINE_BANNED = ("slow",)
 LINE_PAGE_BANNED = ("lorem ipsum", "vector")
+BLOOM_M = 1 << 20
+BLOOM_K = 7
 # exact ASCII-punctuation class (reference normalize_word,
 # src/check/dictionary.rs:110-115) — valid in both Java regex and RE2
 PUNCT_CLASS = r"[!-/:-@\[-`{-~]"
@@ -1055,6 +1057,32 @@ def q_pii_luhn(spark, sf_dir):
     )
 
 
+def q_bloom_dedup(spark, sf_dir):
+    """Bloom-filter incremental dedup (ops/dedup.bloom_build/probe):
+    odd-doc_id docs probed against the Bloom bit table of the even-doc_id
+    history. maybe_dup has NO false negatives by construction; is_member
+    is the exact ground truth (left-semi equi-join) packed alongside so
+    the containment invariant is visible in the output. Rows-only by
+    design (xxhash64 is not DuckDB-expressible); exact numpy-bitset twin
+    + planted-collision tests in tests/test_hash_oracles.py."""
+    from qamd_spark.ops.dedup import bloom_build, bloom_probe
+
+    d = _docs(spark, sf_dir)
+    history = d.filter(F.col("doc_id") % 2 == 0)
+    probe = d.filter(F.col("doc_id") % 2 == 1)
+    words = bloom_build(history, m=BLOOM_M, k=BLOOM_K)
+    flagged = bloom_probe(probe, words, m=BLOOM_M, k=BLOOM_K)
+    member = probe.join(
+        history.select(F.col("text").alias("_ht")).distinct(),
+        probe["text"] == F.col("_ht"),
+        "left",
+    ).select("doc_id", F.col("_ht").isNotNull().alias("is_member"))
+    return (
+        flagged.join(member, "doc_id")
+        .select("doc_id", "maybe_dup", "is_member")
+    )
+
+
 def q_time_rollup(spark, sf_dir):
     """Hypertable-style continuous-aggregate rollup: hourly buckets per
     event_type with count and value sum. Float sums are partition-order-
@@ -1661,6 +1689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_odd_chars": q_field_odd_chars,
         "line_filter": q_line_filter,
         "pii_luhn": q_pii_luhn,
+        "bloom_dedup": q_bloom_dedup,
         "asof_join": q_asof_join,
         "json_props": q_json_props,
         "token_topk": q_token_topk,

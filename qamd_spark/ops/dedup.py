@@ -872,3 +872,83 @@ def canonical_keepers(
             (F.col("doc_id") == F.col("keeper_id")).alias("is_canonical"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter incremental dedup — "is this text already in the historical
+# corpus?" without joining against the historical corpus. The CCNet /
+# Dolma-style scale play: history is 10^12 rows, the fresh crawl shard is
+# 10^9; an equi-join on text hash shuffles both sides, while a Bloom
+# filter reduces history to a fixed-size bit table built once and joined
+# broadcast-style against the probe's hash positions.
+#
+# Everything stays JVM-side — no Python stage, no driver-side bitmap:
+#   build: k salted xxhash64 positions per text -> (word_idx = pos/64,
+#          bit_or(1 << pos%64)) hash aggregate -> <= m/64 rows.
+#   probe: same k positions -> join the word table on word_idx (tiny ->
+#          broadcast; AQE degrades to shuffle join if m is sized huge) ->
+#          a doc is maybe_dup iff ALL k of its bits are set (min over hit).
+#
+# Guarantees: NO false negatives (a probe text byte-equal to any history
+# text always has all k bits set — same hash, same salt, same m).
+# False-positive rate ~ (1 - e^{-kn/m})^k; size m ~ 10 bits per history
+# row with k = 7 for ~1%. The reference's DuplicateValues check
+# (src/check/post.rs:228-257) is the exact-equality ancestor; this is its
+# cross-corpus approximate-membership scale form.
+
+
+def bloom_positions(text, m: int, k: int = 7):
+    """Array Column of k bit positions for text: pmod(xxhash64(text
+    salted with the probe index), m). Null text hashes as ''."""
+    t = F.coalesce(text, F.lit(""))
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(F.concat(t, F.lit(f"\x00bloom{i}"))), F.lit(m))
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    history: DataFrame, text_col: str = "text", m: int = 1 << 20, k: int = 7
+) -> DataFrame:
+    """The packed Bloom bit table of the history corpus: (word_idx long,
+    bits long) with at most m/64 rows. One explode + one hash aggregate
+    (map-side combined); nothing touches the driver."""
+    pos = (
+        history.select(
+            F.explode(bloom_positions(F.col(text_col), m, k)).alias("_pos")
+        )
+        .select(
+            (F.col("_pos") / 64).cast("long").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(_pos, 64) AS INT))").alias("_bit"),
+        )
+    )
+    return pos.groupBy("word_idx").agg(F.bit_or("_bit").alias("bits"))
+
+
+def bloom_probe(
+    probe: DataFrame,
+    bloom_words: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m: int = 1 << 20,
+    k: int = 7,
+) -> DataFrame:
+    """(id_col, maybe_dup): maybe_dup = all k Bloom bits set in the
+    history table. Probe positions explode to k rows per doc, join the
+    bit table on word_idx (broadcast at sane m; missing word -> miss),
+    and a min-over-hits aggregate folds back to one row per doc."""
+    pos = probe.select(
+        F.col(id_col),
+        F.explode(bloom_positions(F.col(text_col), m, k)).alias("_pos"),
+    ).select(
+        id_col,
+        (F.col("_pos") / 64).cast("long").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(_pos, 64) AS INT))").alias("_bit"),
+    )
+    hit = pos.join(F.broadcast(bloom_words), "word_idx", "left").select(
+        id_col,
+        F.coalesce(F.col("bits").bitwiseAND(F.col("_bit")) != 0, F.lit(False)).alias("_hit"),
+    )
+    return hit.groupBy(id_col).agg(F.min("_hit").alias("maybe_dup"))

@@ -12,6 +12,7 @@ import pandas as pd
 import pytest
 
 from oracle import oracle
+from pyspark.sql import functions as F
 from qamd_spark.ops import dedup as dd
 
 SF = "/root/testdata/sf0.001"
@@ -504,3 +505,81 @@ def test_conv_dup_stats_match_pandas_twin(spark, synth_pdf):
     )
     assert "zzdup" in set(got["conv_id"])
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_bloom_probe_matches_numpy_bitset_twin(spark, docs_df):
+    """The packed-word aggregate + broadcast join must compute exactly
+    what a numpy bitset computes from the SAME Spark-side positions."""
+    m, k = 1 << 16, 5
+    hist = docs_df.filter(F.col("doc_id") % 2 == 0)
+    probe = docs_df.filter(F.col("doc_id") % 2 == 1)
+    hp = hist.select(
+        dd.bloom_positions(F.col("text"), m, k).alias("pos")
+    ).collect()
+    bits = np.zeros(m, dtype=bool)
+    for r in hp:
+        bits[np.asarray(r["pos"], dtype=np.int64)] = True
+    pp = probe.select(
+        "doc_id", dd.bloom_positions(F.col("text"), m, k).alias("pos")
+    ).collect()
+    expect = {
+        r["doc_id"]: bool(bits[np.asarray(r["pos"], dtype=np.int64)].all())
+        for r in pp
+    }
+    got = {
+        r["doc_id"]: r["maybe_dup"]
+        for r in dd.bloom_probe(
+            probe, dd.bloom_build(hist, m=m, k=k), m=m, k=k
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_bloom_no_false_negatives_under_heavy_collision(spark):
+    """With m tiny (forced collisions / false positives), every probe
+    text that IS in history must still be flagged — the Bloom guarantee."""
+    m, k = 256, 3
+    hist_rows = [(i, f"history document number {i} text") for i in range(0, 100)]
+    probe_rows = [(1000 + i, f"history document number {i} text") for i in range(0, 100, 2)]
+    probe_rows += [(2000 + i, f"fresh unseen document {i}") for i in range(50)]
+    hist = spark.createDataFrame(hist_rows, "doc_id long, text string")
+    probe = spark.createDataFrame(probe_rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["maybe_dup"]
+        for r in dd.bloom_probe(
+            probe, dd.bloom_build(hist, m=m, k=k), m=m, k=k
+        ).collect()
+    }
+    for i in range(0, 100, 2):
+        assert out[1000 + i], f"false negative on member probe {i}"
+
+
+def test_bloom_false_positive_rate_bounded_at_sane_sizing(spark):
+    """At ~10 bits/element the non-member flag rate stays tiny."""
+    hist = spark.createDataFrame(
+        [(i, f"history document number {i} text") for i in range(500)],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(i, f"fresh unseen document {i}") for i in range(500)],
+        "doc_id long, text string",
+    )
+    m, k = 1 << 13, 7  # 8192 bits for 500 docs ≈ 16 bits/element
+    out = dd.bloom_probe(probe, dd.bloom_build(hist, m=m, k=k), m=m, k=k)
+    fp = out.filter(F.col("maybe_dup")).count()
+    assert fp <= 5, fp  # expected ~0 at this sizing
+
+
+def test_bloom_probe_plan_broadcasts_and_stays_jvm(spark):
+    """The bit-table join must broadcast; no Python stage anywhere."""
+    import __spark_entry__ as E
+
+    plan = (
+        E.q_bloom_dedup(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan
