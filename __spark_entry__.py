@@ -41,6 +41,7 @@ LINE_WORDS_PER_LINE = 7
 LINE_MIN_WORDS = 5
 LINE_BANNED = ("slow",)
 LINE_PAGE_BANNED = ("lorem ipsum", "vector")
+PACK_SEQ_LEN = 2048
 BLOOM_M = 1 << 20
 BLOOM_K = 7
 # exact ASCII-punctuation class (reference normalize_word,
@@ -1057,6 +1058,25 @@ def q_pii_luhn(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence packing (ops/sampling.
+    pack_sequences): documents laid end-to-end in salted-md5 corpus
+    order, the token stream cut into 2048-token blocks; per doc the
+    block span and in-block offset a packed-sequence writer needs.
+    Spark runs the range-chunked two-phase prefix sum (no single-task
+    global window); the DuckDB twin is the plain single-window
+    formulation — the gate proves the decomposition exact. All integer
+    arithmetic (div/mod), so the hash compare is trivially stable."""
+    from qamd_spark.ops.sampling import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir),
+        id_col="doc_id",
+        weight_col="n_chars",
+        seq_len=PACK_SEQ_LEN,
+    )
+
+
 def q_bloom_dedup(spark, sf_dir):
     """Bloom-filter incremental dedup (ops/dedup.bloom_build/probe):
     odd-doc_id docs probed against the Bloom bit table of the even-doc_id
@@ -1690,6 +1710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_filter": q_line_filter,
         "pii_luhn": q_pii_luhn,
         "bloom_dedup": q_bloom_dedup,
+        "pack_sequences": q_pack_sequences,
         "asof_join": q_asof_join,
         "json_props": q_json_props,
         "token_topk": q_token_topk,
@@ -2042,6 +2063,26 @@ def oracle_sql() -> dict[str, str]:
             FROM src d LEFT JOIN re USING (doc_id)
             """,
         ),
+        "pack_sequences": f"""
+            WITH d AS (
+              SELECT doc_id, coalesce(n_chars, 0)::BIGINT AS w,
+                     md5(doc_id::VARCHAR || ':pack') AS h
+              FROM documents),
+            c AS (
+              SELECT doc_id, w,
+                     coalesce(sum(w) OVER (ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS start_tok
+              FROM d)
+            SELECT doc_id, w AS n_chars, start_tok,
+                   start_tok // {PACK_SEQ_LEN} AS pack_first,
+                   (start_tok + greatest(w, 1) - 1) // {PACK_SEQ_LEN}
+                     AS pack_last,
+                   start_tok % {PACK_SEQ_LEN} AS offset_in_pack,
+                   ((start_tok + greatest(w, 1) - 1) // {PACK_SEQ_LEN}
+                    - start_tok // {PACK_SEQ_LEN} + 1) AS n_packs_spanned
+            FROM c
+        """,
         "token_budget_sample": """
             WITH d AS (
               SELECT lang, doc_id, coalesce(n_chars, 0)::BIGINT AS n_chars,

@@ -83,3 +83,70 @@ def token_budget_sample(
         F.col("_w").alias(weight_col),
         F.col("_cum").alias("cum_weight"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    seq_len: int,
+    salt: str = "pack",
+) -> DataFrame:
+    """Concatenate-and-chunk sequence packing — the GPT-style pretraining
+    layout: documents are laid end-to-end in a deterministic corpus order
+    (salted md5 of the id, then id) and the token stream is cut into
+    fixed seq_len blocks; a document may straddle block boundaries.
+    Output per doc: (id_col, weight_col, start_tok, pack_first,
+    pack_last, offset_in_pack, n_packs_spanned) — everything a writer
+    needs to emit packed sequences shard-locally.
+
+    Scale design: the global token prefix-sum uses the same range-chunked
+    two-phase plan as token_budget_sample (the md5 order key is binned on
+    its first two hex chars; a window runs only over the 256-row
+    aggregated chunk table and within bounded chunks) — no single-task
+    global window at 10^12 docs. All arithmetic is exact integers, so
+    the DuckDB single-window twin is hash-exact, proving the two-phase
+    decomposition correct."""
+    d = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.coalesce(F.col(weight_col).cast("long"), F.lit(0)).alias("_w"),
+        )
+        .withColumn(
+            "_h", F.md5(F.concat(F.col("_id").cast("string"), F.lit(":" + salt)))
+        )
+        .withColumn("_chunk", F.substring("_h", 1, 2))
+    )
+    chunk_sums = d.groupBy("_chunk").agg(F.sum("_w").alias("_wsum"))
+    woff = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = chunk_sums.select(
+        "_chunk", F.coalesce(F.sum("_wsum").over(woff), F.lit(0)).alias("_off")
+    )
+    wcum = (
+        Window.partitionBy("_chunk")
+        .orderBy("_h", "_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    joined = d.join(F.broadcast(offs), "_chunk")
+    start = F.col("_off") + F.coalesce(F.sum("_w").over(wcum), F.lit(0))
+    out = joined.withColumn("_start", start)
+    L = int(seq_len)
+    # integer `div` keeps everything exact at any corpus size (a double
+    # division would lose exactness past 2^53 total tokens)
+    out = out.withColumn(
+        "_last", F.col("_start") + F.greatest(F.col("_w"), F.lit(1)) - 1
+    )
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.col("_w").alias(weight_col),
+        F.col("_start").alias("start_tok"),
+        F.expr(f"_start div {L}").alias("pack_first"),
+        F.expr(f"_last div {L}").alias("pack_last"),
+        (F.col("_start") % L).alias("offset_in_pack"),
+        (F.expr(f"_last div {L}") - F.expr(f"_start div {L}") + 1)
+        .alias("n_packs_spanned"),
+    )

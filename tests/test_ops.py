@@ -2,6 +2,7 @@
 text analysis, multimodal plumbing."""
 
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -679,3 +680,40 @@ def test_line_filter_and_luhn_plans_are_shuffle_free(spark):
         assert "Exchange" not in plan, plan[:2000]
         for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert bad not in plan
+
+
+def test_pack_sequences_invariants_and_partition_invariance(spark):
+    """Concat-and-chunk packing: the laid-out stream is contiguous (each
+    doc starts where the previous ends), offsets stay inside the block,
+    span arithmetic is consistent, and the result is invariant to input
+    partitioning (the two-phase prefix sum is deterministic)."""
+    from qamd_spark.ops.sampling import pack_sequences
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    L = 512
+    out = pack_sequences(d, "doc_id", "n_chars", seq_len=L).toPandas()
+    out = out.sort_values("start_tok").reset_index(drop=True)
+    assert len(out) == d.count()
+    assert out["doc_id"].is_unique
+    # contiguity: each start is the previous start + previous weight
+    starts = out["start_tok"].to_numpy()
+    ws = out["n_chars"].to_numpy()
+    assert starts[0] == 0
+    assert (starts[1:] == starts[:-1] + ws[:-1]).all()
+    # block arithmetic
+    assert (out["offset_in_pack"].to_numpy() == starts % L).all()
+    assert (out["pack_first"].to_numpy() == starts // L).all()
+    last = starts + np.maximum(ws, 1) - 1
+    assert (out["pack_last"].to_numpy() == last // L).all()
+    assert (
+        out["n_packs_spanned"].to_numpy()
+        == last // L - starts // L + 1
+    ).all()
+    # partition invariance
+    out2 = (
+        pack_sequences(d.repartition(7), "doc_id", "n_chars", seq_len=L)
+        .toPandas()
+        .sort_values("start_tok")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)
