@@ -42,6 +42,7 @@ LINE_MIN_WORDS = 5
 LINE_BANNED = ("slow",)
 LINE_PAGE_BANNED = ("lorem ipsum", "vector")
 PACK_SEQ_LEN = 2048
+MIX_TARGETS = {"en": 0.4, "de": 0.2, "fr": 0.15, "es": 0.15, "zh": 0.10}
 BLOOM_M = 1 << 20
 BLOOM_K = 7
 # exact ASCII-punctuation class (reference normalize_word,
@@ -1058,6 +1059,68 @@ def q_pii_luhn(spark, sf_dir):
     )
 
 
+def q_script_profile(spark, sf_dir):
+    """Unicode-script composition per doc (ops/text.script_profile) —
+    the script-level complement of langid (Cyrillic chars in an 'en' doc
+    flag a langid bug; any Han fraction in a latin-only corpus flags
+    contamination). The all-Latin test corpus is first stamped with
+    deterministic Cyrillic/Han suffixes (doc_id arithmetic, mirrored in
+    the twin) so all branches of the fixed-order argmax are exercised.
+    Java spells the classes \\p{IsLatin}, RE2 \\p{Latin}; counts agree."""
+    from qamd_spark.ops.text import script_profile
+
+    d = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(" привет мир")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 6 == 0, F.lit(" 你好世界")).otherwise(F.lit("")),
+        ),
+    )
+    return script_profile(d)
+
+
+def q_mix_weights(spark, sf_dir):
+    """Domain-mixture reweighting (ops/sampling.mix_weights): per
+    language, actual char share vs a frozen target mix and the sampling
+    multiplier target/actual — the bookkeeping step of Dolma-style data
+    mixing, composing with token_budget_sample (quota) and hash_sample
+    (rate). Exact integer sums; multiplier computed left-to-right
+    identically in the DuckDB twin."""
+    from qamd_spark.ops.sampling import mix_weights
+
+    return mix_weights(
+        _docs(spark, sf_dir), group_col="lang", weight_col="n_chars",
+        targets=MIX_TARGETS,
+    )
+
+
+def q_corpus_diff(spark, sf_dir):
+    """Snapshot diff between corpus versions (ops/dedup.corpus_diff):
+    added / removed / changed / unchanged by content md5, one full-outer
+    equi-join. Version B is derived deterministically from the corpus
+    (drop doc_id%7, append ' v2' on doc_id%5, add shifted ids on
+    doc_id%11) — the same derivation in the DuckDB twin, so every status
+    branch carries rows and the gate is hash-exact."""
+    from qamd_spark.ops.dedup import corpus_diff
+
+    d = _docs(spark, sf_dir)
+    b_kept = d.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" v2")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    b_added = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("added "), F.coalesce(F.col("text"), F.lit(""))).alias("text"),
+    )
+    return corpus_diff(d, b_kept.unionByName(b_added))
+
+
 def q_pack_sequences(spark, sf_dir):
     """GPT-style concat-and-chunk sequence packing (ops/sampling.
     pack_sequences): documents laid end-to-end in salted-md5 corpus
@@ -1711,6 +1774,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_luhn": q_pii_luhn,
         "bloom_dedup": q_bloom_dedup,
         "pack_sequences": q_pack_sequences,
+        "script_profile": q_script_profile,
+        "mix_weights": q_mix_weights,
+        "corpus_diff": q_corpus_diff,
         "asof_join": q_asof_join,
         "json_props": q_json_props,
         "token_topk": q_token_topk,
@@ -2063,6 +2129,71 @@ def oracle_sql() -> dict[str, str]:
             FROM src d LEFT JOIN re USING (doc_id)
             """,
         ),
+        "script_profile": r"""
+            WITH s AS (
+              SELECT doc_id,
+                coalesce(text,'')
+                || (CASE WHEN doc_id % 4 = 0 THEN ' привет мир' ELSE '' END)
+                || (CASE WHEN doc_id % 6 = 0 THEN ' 你好世界' ELSE '' END) AS t
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                len(regexp_extract_all(t, '\p{Latin}')) AS n_latin,
+                len(regexp_extract_all(t, '\p{Cyrillic}')) AS n_cyrillic,
+                len(regexp_extract_all(t, '\p{Han}')) AS n_han,
+                length(t) AS n_chars_total
+              FROM s)
+            SELECT doc_id, n_latin, n_cyrillic, n_han, n_chars_total,
+              CASE WHEN n_chars_total > 0
+                   THEN n_latin::DOUBLE / n_chars_total::DOUBLE
+                   ELSE 0.0 END AS latin_frac,
+              CASE WHEN n_han >= n_cyrillic AND n_han >= n_latin
+                        AND n_han > 0 THEN 'han'
+                   WHEN n_cyrillic >= n_latin AND n_cyrillic > 0
+                        THEN 'cyrillic'
+                   WHEN n_latin > 0 THEN 'latin'
+                   ELSE 'none' END AS script_guess
+            FROM c
+        """,
+        "mix_weights": """
+            WITH a AS (
+              SELECT lang, count(*) AS n_rows,
+                     sum(coalesce(n_chars, 0)::BIGINT) AS w_sum
+              FROM documents GROUP BY lang),
+            t AS (SELECT sum(w_sum) AS w_total FROM a)
+            SELECT lang, n_rows, w_sum,
+                   w_sum::DOUBLE / w_total::DOUBLE AS actual_share,
+                   (CASE lang __TGT__ ELSE 0.0 END) AS target_share,
+                   (CASE lang __TGT__ ELSE 0.0 END)
+                     * w_total::DOUBLE / w_sum::DOUBLE AS mix_weight
+            FROM a, t
+        """.replace("__TGT__", " ".join(
+            f"WHEN '{k}' THEN {v}" for k, v in sorted(MIX_TARGETS.items()))),
+        "corpus_diff": """
+            WITH a AS (
+              SELECT doc_id,
+                     md5(coalesce(text, chr(0) || 'null')) AS ha
+              FROM documents),
+            bsrc AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0
+                          THEN coalesce(text,'') || ' v2'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 7 <> 0
+              UNION ALL
+              SELECT doc_id + 100000, 'added ' || coalesce(text,'')
+              FROM documents WHERE doc_id % 11 = 0),
+            b AS (
+              SELECT doc_id,
+                     md5(coalesce(text, chr(0) || 'null')) AS hb
+              FROM bsrc)
+            SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                   CASE WHEN a.doc_id IS NULL THEN 'added'
+                        WHEN b.doc_id IS NULL THEN 'removed'
+                        WHEN ha <> hb THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        """,
         "pack_sequences": f"""
             WITH d AS (
               SELECT doc_id, coalesce(n_chars, 0)::BIGINT AS w,

@@ -952,3 +952,35 @@ def bloom_probe(
         F.coalesce(F.col("bits").bitwiseAND(F.col("_bit")) != 0, F.lit(False)).alias("_hit"),
     )
     return hit.groupBy(id_col).agg(F.min("_hit").alias("maybe_dup"))
+
+
+def corpus_diff(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions by content hash:
+    (id, status) with status in added / removed / changed / unchanged —
+    the bookkeeping step of iterative crawls (what changed since the
+    last dump decides what re-enters the pipeline). One full-outer
+    equi-join on the id; content compared via md5 of the raw text so
+    renamed/moved text bodies still count as changed. The reference's
+    file-level input fingerprint (qamd check invalidation) is the
+    whole-corpus ancestor; this is its per-row form."""
+    ha = a.select(
+        F.col(id_col).alias("_id"),
+        F.md5(F.coalesce(F.col(text_col), F.lit("\x00null"))).alias("_ha"),
+    )
+    hb = b.select(
+        F.col(id_col).alias("_id"),
+        F.md5(F.coalesce(F.col(text_col), F.lit("\x00null"))).alias("_hb"),
+    )
+    j = ha.join(hb, "_id", "full_outer")
+    status = (
+        F.when(F.col("_ha").isNull(), F.lit("added"))
+        .when(F.col("_hb").isNull(), F.lit("removed"))
+        .when(F.col("_ha") != F.col("_hb"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(F.col("_id").alias(id_col), status.alias("status"))

@@ -150,3 +150,42 @@ def pack_sequences(
         (F.expr(f"_last div {L}") - F.expr(f"_start div {L}") + 1)
         .alias("n_packs_spanned"),
     )
+
+
+def mix_weights(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    targets: dict[str, float],
+) -> DataFrame:
+    """Domain-mixture reweighting (the Dolma / DoReMi-lite bookkeeping
+    step): per group, the corpus's actual token share vs the target
+    share, and the sampling multiplier target/actual that a mixing
+    sampler applies. One hash aggregate + a broadcast of the single
+    total row; shares are single divisions of exact integer sums and the
+    multiplier is computed left-to-right as target * total / group_sum,
+    so the DuckDB twin is bit-identical. Groups missing a target get
+    weight 0 (dropped domains)."""
+    agg = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.coalesce(F.col(weight_col).cast("long"), F.lit(0))).alias("w_sum"),
+    )
+    total = agg.groupBy().agg(
+        F.sum("w_sum").alias("w_total"), F.sum("n_rows").alias("n_total")
+    )
+    tgt = F.lit(0.0)
+    for k in sorted(targets):
+        tgt = F.when(F.col("grp") == k, F.lit(float(targets[k]))).otherwise(tgt)
+    j = agg.crossJoin(F.broadcast(total))
+    return j.select(
+        F.col("grp").alias(group_col),
+        "n_rows",
+        "w_sum",
+        (F.col("w_sum").cast("double") / F.col("w_total").cast("double")).alias(
+            "actual_share"
+        ),
+        tgt.alias("target_share"),
+        (
+            tgt * F.col("w_total").cast("double") / F.col("w_sum").cast("double")
+        ).alias("mix_weight"),
+    )

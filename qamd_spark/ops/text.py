@@ -684,3 +684,51 @@ def rechunk_lines(text: Column, words_per_line: int) -> Column:
         ),
     )
     return F.when(n > 0, F.array_join(chunks, "\n")).otherwise(F.lit(""))
+
+
+# --------------------------------------------------------------------------
+# Unicode-script composition — the script-level complement of langid
+# (a Cyrillic page labeled 'en' is a langid bug; a Han fraction > 0 in a
+# "latin-only" corpus is a contamination signal). Pure JVM regexp_count
+# over script classes; Java calls the classes \p{IsLatin}/\p{IsCyrillic}/
+# \p{IsHan} while RE2 (DuckDB) calls them \p{Latin}/\p{Cyrillic}/\p{Han} —
+# the SQL twin maps the names, the semantics coincide on these scripts.
+
+SCRIPTS = ("Latin", "Cyrillic", "Han")
+
+
+def script_counts(text: Column) -> dict[str, Column]:
+    t = F.coalesce(text, F.lit(""))
+    out = {}
+    for s in SCRIPTS:
+        out[f"n_{s.lower()}"] = F.regexp_count(t, F.lit(rf"\p{{Is{s}}}"))
+    out["n_chars_total"] = F.length(t)
+    return out
+
+
+def script_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, per-script char counts, latin_frac, script_guess). The guess
+    is an explicit fixed-order argmax (han > cyrillic > latin > none) so
+    ties resolve identically in the SQL twin."""
+    c = script_counts(F.col(text_col))
+    lat, cyr, han = c["n_latin"], c["n_cyrillic"], c["n_han"]
+    guess = (
+        F.when((han >= cyr) & (han >= lat) & (han > 0), F.lit("han"))
+        .when((cyr >= lat) & (cyr > 0), F.lit("cyrillic"))
+        .when(lat > 0, F.lit("latin"))
+        .otherwise(F.lit("none"))
+    )
+    tot = c["n_chars_total"]
+    return df.select(
+        id_col,
+        lat.alias("n_latin"),
+        cyr.alias("n_cyrillic"),
+        han.alias("n_han"),
+        tot.alias("n_chars_total"),
+        F.when(
+            tot > 0, lat.cast("double") / tot.cast("double")
+        ).otherwise(F.lit(0.0)).alias("latin_frac"),
+        guess.alias("script_guess"),
+    )

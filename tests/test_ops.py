@@ -717,3 +717,61 @@ def test_pack_sequences_invariants_and_partition_invariance(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_script_profile_argmax_branches(spark):
+    from qamd_spark.ops.text import script_profile
+
+    rows = [
+        (1, "hello world"),
+        (2, "привет мир"),
+        (3, "你好世界"),
+        (4, "хорошо 你好你好你好"),                # 6 han ties 6 cyr → han
+        (5, "12345 !!!"),                          # no script at all
+        (6, None),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in script_profile(d).collect()}
+    assert out[1]["script_guess"] == "latin" and out[1]["n_latin"] == 10
+    assert out[2]["script_guess"] == "cyrillic" and out[2]["n_cyrillic"] == 9
+    assert out[3]["script_guess"] == "han" and out[3]["n_han"] == 4
+    assert out[4]["n_han"] == 6 and out[4]["n_cyrillic"] == 6
+    assert out[4]["script_guess"] == "han"  # tie resolves han-first
+    assert out[5]["script_guess"] == "none" and out[5]["latin_frac"] == 0.0
+    assert out[6]["n_chars_total"] == 0 and out[6]["script_guess"] == "none"
+
+
+def test_mix_weights_math_and_missing_target(spark):
+    from qamd_spark.ops.sampling import mix_weights
+
+    d = spark.createDataFrame(
+        [(1, "en", 300), (2, "en", 100), (3, "de", 400), (4, "xx", 200)],
+        "doc_id long, lang string, n_chars long",
+    )
+    out = {
+        r["lang"]: r
+        for r in mix_weights(
+            d, "lang", "n_chars", {"en": 0.5, "de": 0.5}
+        ).collect()
+    }
+    assert out["en"]["actual_share"] == 0.4 and out["en"]["w_sum"] == 400
+    assert out["en"]["mix_weight"] == 0.5 * 1000 / 400
+    assert out["de"]["mix_weight"] == 0.5 * 1000 / 400
+    assert out["xx"]["target_share"] == 0.0 and out["xx"]["mix_weight"] == 0.0
+
+
+def test_corpus_diff_statuses(spark):
+    from qamd_spark.ops.dedup import corpus_diff
+
+    a = spark.createDataFrame(
+        [(1, "same"), (2, "old"), (3, "gone"), (4, None)],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(1, "same"), (2, "new"), (5, "brand new"), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["status"] for r in corpus_diff(a, b).collect()}
+    assert out == {
+        1: "unchanged", 2: "changed", 3: "removed", 5: "added", 4: "unchanged"
+    }
