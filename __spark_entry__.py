@@ -1676,6 +1676,24 @@ def q_contamination(spark, sf_dir):
     )
 
 
+def q_contamination_ngrams(spark, sf_dir):
+    """GPT-3-style EXACT 13-gram decontamination (Brown et al. 2020
+    appendix C) — the zero-false-positive complement of the LSH
+    `contamination` query: a training doc is contaminated iff it shares
+    any exact lowercased word 13-gram with the benchmark slice
+    (doc_id % 10 == 0). Distinct grams per doc, benchmark grams
+    broadcast, one partial-aggregated rollup. Plain SQL semantics, so
+    the DuckDB twin is hash-exact (ops/dedup.ngram_contamination)."""
+    from qamd_spark.ops.dedup import ngram_contamination
+
+    d = _docs(spark, sf_dir)
+    return ngram_contamination(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0),
+        n=13,
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Transitive near-duplicate clusters (connected components over the
     minhash pairs; ops/dedup.duplicate_clusters — iterative hash-to-min
@@ -1777,6 +1795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": q_script_profile,
         "mix_weights": q_mix_weights,
         "corpus_diff": q_corpus_diff,
+        "contamination_ngrams": q_contamination_ngrams,
         "asof_join": q_asof_join,
         "json_props": q_json_props,
         "token_topk": q_token_topk,
@@ -2077,6 +2096,40 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT doc_id, term, tfidf, rn::INT AS rank
             FROM ranked WHERE rn <= 5
+        """,
+        "contamination_ngrams": """
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN trim(coalesce(text,'')) = ''
+                          THEN []::VARCHAR[]
+                          ELSE str_split(lower(trim(coalesce(text,''))), ' ')
+                     END AS words
+              FROM documents),
+            g AS (
+              SELECT doc_id, unnest(
+                CASE WHEN len(words) >= 13 THEN
+                  list_transform(range(1, len(words) - 13 + 2),
+                                 i -> array_to_string(words[i:i+12], ' '))
+                ELSE []::VARCHAR[] END) AS gram
+              FROM w),
+            dg AS (SELECT DISTINCT doc_id, gram FROM g),
+            bg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 10 = 0),
+            per_doc AS (SELECT doc_id, count(*)::BIGINT AS n_grams
+                        FROM dg WHERE doc_id % 10 <> 0 GROUP BY doc_id),
+            hits AS (SELECT dg.doc_id, count(*)::BIGINT AS n_overlap
+                     FROM dg JOIN bg USING (gram)
+                     WHERE dg.doc_id % 10 <> 0 GROUP BY dg.doc_id)
+            SELECT p.doc_id, p.n_grams,
+                   coalesce(h.n_overlap, 0) AS n_overlap,
+                   coalesce(h.n_overlap, 0)::DOUBLE / p.n_grams::DOUBLE
+                     AS overlap_frac,
+                   coalesce(h.n_overlap, 0) > 0 AS contaminated
+            FROM per_doc p LEFT JOIN hits h ON p.doc_id = h.doc_id
+            UNION ALL
+            SELECT doc_id, 0::BIGINT, 0::BIGINT, 0.0, FALSE
+            FROM documents
+            WHERE doc_id % 10 <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM per_doc)
         """,
         "boilerplate_ngrams": """
             WITH d AS (

@@ -175,6 +175,9 @@ def run_benchmarks() -> dict:
         "tfidf_topk",
         "quality_classifier",
         "source_divergence",
+        "bloom_dedup",
+        "pack_sequences",
+        "line_filter",
         "fingerprint",
     ]:
         q = E.queries()[name]

@@ -984,3 +984,67 @@ def corpus_diff(
         .otherwise(F.lit("unchanged"))
     )
     return j.select(F.col("_id").alias(id_col), status.alias("status"))
+
+
+def ngram_contamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-3-style exact n-gram decontamination (Brown et al. 2020
+    appendix C; PaLM uses the same recipe): a training doc is
+    contaminated if it shares any exact lowercased word n-gram with the
+    benchmark corpus. Per doc: distinct-gram count, overlapping-gram
+    count, overlap fraction, contaminated flag — the exact complement of
+    the LSH-then-Jaccard cross_corpus_contamination above (this one has
+    zero false positives/negatives for the n-gram criterion and is plain
+    SQL, so it carries a hash-exact DuckDB twin).
+
+    Scale shape: grams are DISTINCT per doc before the join (bounded by
+    doc length), the benchmark side collapses to a distinct gram set
+    (tiny — benchmarks are ~10^5 docs vs 10^12 train) and broadcasts;
+    the per-doc rollup is one partial-aggregated count. Docs shorter
+    than n words have zero grams and report overlap 0."""
+    from qamd_spark.ops.text import word_ngrams, words_array
+
+    def grams(df):
+        return df.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(
+                    word_ngrams(words_array(F.col(text_col)), n)
+                )
+            ).alias("gram"),
+        )
+
+    tg = grams(train)
+    bg = grams(benchmark).select("gram").distinct()
+    per_doc = tg.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        tg.join(F.broadcast(bg), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    j = per_doc.join(hits, id_col, "left").select(
+        id_col,
+        "n_grams",
+        F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+        (
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double")
+            / F.col("n_grams").cast("double")
+        ).alias("overlap_frac"),
+        (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias("contaminated"),
+    )
+    # docs with < n words have no grams at all — report them explicitly
+    short = train.select(F.col(id_col)).exceptAll(per_doc.select(id_col))
+    return j.unionByName(
+        short.select(
+            id_col,
+            F.lit(0).cast("long").alias("n_grams"),
+            F.lit(0).cast("long").alias("n_overlap"),
+            F.lit(0.0).alias("overlap_frac"),
+            F.lit(False).alias("contaminated"),
+        )
+    )

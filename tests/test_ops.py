@@ -775,3 +775,32 @@ def test_corpus_diff_statuses(spark):
     assert out == {
         1: "unchanged", 2: "changed", 3: "removed", 5: "added", 4: "unchanged"
     }
+
+
+def test_ngram_contamination_planted(spark):
+    """Exactly-13-shared-words contaminates; 12 shared words does not;
+    short docs report zero grams and no contamination."""
+    from qamd_spark.ops.dedup import ngram_contamination
+
+    bench_sent = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    bench = spark.createDataFrame(
+        [(100, f"prefix words {bench_sent} suffix words")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, f"unrelated lead-in {bench_sent} and a different tail"),  # 13 shared
+            (2, "one two three four five six seven eight nine ten eleven twelve"
+                " XX padding words to reach thirteen total here"),        # only 12
+            (3, "too short"),
+            (4, "completely different words that never appear in the benchmark"
+                " corpus at all not even once truly"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_contamination(train, bench, n=13).collect()}
+    assert out[1]["contaminated"] and out[1]["n_overlap"] >= 1
+    assert not out[2]["contaminated"]
+    assert out[3]["n_grams"] == 0 and not out[3]["contaminated"]
+    assert not out[4]["contaminated"]
+    assert set(out) == {1, 2, 3, 4}
