@@ -22,6 +22,13 @@ import re
 import numpy as np
 import pandas as pd
 
+# payment-card candidate: 13-19 digits, single space/dash separators
+# allowed inside. Matches are only scrubbed when the Luhn mod-10 checksum
+# passes (PII_VALIDATORS below) — a bare digit-run regex false-positives
+# on ids/timestamps/order numbers. Valid in Python re, Java regex (Spark)
+# and RE2 (DuckDB); the JVM-side Column form lives further down.
+CARD_CANDIDATE_RX = r"\b\d(?:[ -]?\d){11,17}\d\b"
+
 # name -> (compiled pattern, replacement token). Declared application order.
 PII_PATTERNS: list[tuple[str, re.Pattern, str]] = [
     (
@@ -46,6 +53,17 @@ PII_PATTERNS: list[tuple[str, re.Pattern, str]] = [
         "us_phone",
         re.compile(r"(?<!\d)(?:\+?1[ .\-])?\(?\d{3}\)?[ .\-]\d{3}[ .\-]\d{4}(?!\d)"),
         "<PHONE>",
+    ),
+    (
+        # appended LAST so the declared order of the original patterns is
+        # untouched; not in the default config's `pii` list, so default
+        # pipeline output is unchanged until a user opts in. The earlier
+        # number patterns cannot consume part of a 4-4-4-4 card (their
+        # \b / lookaround shapes don't fit 4-digit groups), so position in
+        # the chain does not change what this pass sees.
+        "credit_card",
+        re.compile(CARD_CANDIDATE_RX),
+        "<CARD>",
     ),
 ]
 
@@ -132,7 +150,8 @@ def scrub_series(
     has_at = _row_mask(mb == ord("@"))
     has_digit = _row_mask((mb >= ord("0")) & (mb <= ord("9")))
     prefilter = {"email": has_at, "ssn": has_digit,
-                 "uk_mobile": has_digit, "us_phone": has_digit}
+                 "uk_mobile": has_digit, "us_phone": has_digit,
+                 "credit_card": has_digit}
 
     hit_cols: dict[str, np.ndarray] = {}
     for name, rx, repl in passes:
@@ -147,8 +166,11 @@ def scrub_series(
         else:
             sub_vals, sub_idx = [values[i] for i in cand], cand
         pos: list[int] = []
+        validator = PII_VALIDATORS.get(name)
 
-        def _repl(m, _pos=pos, _r=repl):
+        def _repl(m, _pos=pos, _r=repl, _v=validator):
+            if _v is not None and not _v(m.group(0)):
+                return m.group(0)  # candidate fails validation: untouched
             _pos.append(m.start())
             return _r
 
@@ -199,11 +221,26 @@ def _scrub_series_rowwise(
     hit_cols: dict[str, np.ndarray] = {}
     for name, rx, repl in passes:
         sub = rx.subn
+        validator = PII_VALIDATORS.get(name)
         hits = np.zeros(n, dtype=bool)
         for i, s in enumerate(values):
-            values[i], k = sub(repl, s)
-            if k:
-                hits[i] = True
+            if validator is None:
+                values[i], k = sub(repl, s)
+                if k:
+                    hits[i] = True
+            else:
+                replaced = False
+
+                def _r(m):
+                    nonlocal replaced
+                    if not validator(m.group(0)):
+                        return m.group(0)
+                    replaced = True
+                    return repl
+
+                values[i], _ = sub(_r, s)
+                if replaced:
+                    hits[i] = True
         hit_cols[name] = hits
     prof_hit = hit_cols.pop("__profanity__", np.zeros(n, dtype=bool))
     scrubbed = pd.Series(values, index=text.index, dtype=object)
@@ -228,9 +265,7 @@ def _scrub_series_rowwise(
 # identical arithmetic is expressible in DuckDB SQL, so the driver gate
 # checks it hash-exact (see __spark_entry__.oracle_sql()['pii_luhn']).
 
-# candidate: 13-19 digits, single space/dash separators allowed inside.
-# \b guards partial matches; valid in Java regex (Spark) and RE2 (DuckDB).
-CARD_CANDIDATE_RX = r"\b\d(?:[ -]?\d){11,17}\d\b"
+# (candidate regex CARD_CANDIDATE_RX is defined at the top of the module)
 
 
 def luhn_candidates(text):
@@ -290,3 +325,10 @@ def luhn_valid_py(candidate: str) -> bool:
                 v -= 9
         total += v
     return total % 10 == 0
+
+
+# match-validators applied by scrub_series/_scrub_series_rowwise before a
+# candidate is replaced: name -> callable(matched string) -> bool. Shared
+# by the Spark scoring stage and the pandas oracle (same module), so the
+# validated scrub is bit-identical on both paths by construction.
+PII_VALIDATORS = {"credit_card": luhn_valid_py}

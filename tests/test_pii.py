@@ -119,3 +119,95 @@ def test_nul_in_text_falls_back():
     s, hits, _ = _scrub(["pre\x00a@b.co post", "clean"])
     assert s == ["pre\x00<EMAIL> post", "clean"]
     assert hits == [["email"], []]
+
+
+def test_credit_card_scrub_is_luhn_gated():
+    """Valid card numbers scrub to <CARD>; checksum failures, too-short
+    and too-long digit runs stay untouched — in BOTH engine paths."""
+    texts = [
+        "pay 4111 1111 1111 1111 today",      # valid, spaced
+        "pay 4111111111111111 today",         # valid, bare
+        "amex 378282246310005 works",         # valid, 15 digits
+        "bad 4111-1111-1111-1112 stays",      # checksum off by one
+        "order 123456789012 is fine",         # 12 digits: too short
+        "serial 12345678901234567890 kept",   # 20 digits: too long
+        None,
+        "card 5500 0000 0000 0004 and mail a@b.org",
+    ]
+    s, hits, _ = _scrub(texts, ["credit_card", "email"])
+    assert s[0] == "pay <CARD> today" and hits[0] == ["credit_card"]
+    assert s[1] == "pay <CARD> today"
+    assert s[2] == "amex <CARD> works"
+    assert s[3] == texts[3] and hits[3] == []
+    assert s[4] == texts[4] and s[5] == texts[5]
+    assert s[6] is None
+    assert s[7] == "card <CARD> and mail <EMAIL>"
+    assert sorted(hits[7]) == ["credit_card", "email"]
+    # megastring path == rowwise path on validator-bearing batches
+    ser = pd.Series(texts)
+    passes = [p for p in pii.PII_PATTERNS if p[0] in ("credit_card", "email")]
+    vals = ["" if not isinstance(t, str) else t for t in texts]
+    exp_s, exp_h, _ = pii._scrub_series_rowwise(ser, vals, passes, ser.notna())
+    got_s, got_h, _ = pii.scrub_series(ser, ["credit_card", "email"])
+    assert list(exp_s) == list(got_s)
+    assert [sorted(a) for a in exp_h] == [sorted(b) for b in got_h]
+
+
+def test_credit_card_default_config_unchanged():
+    """credit_card is NOT in the default config's pii list: the default
+    pipeline never scrubs cards until a user opts in."""
+    from qamd_spark.config import QamdConfig
+
+    cfg = QamdConfig()
+    assert "credit_card" not in cfg.pii_pattern_names
+    s, hits, _ = _scrub(["pay 4111 1111 1111 1111 now"], cfg.pii_pattern_names)
+    assert s == ["pay 4111 1111 1111 1111 now"] and hits == [[]]
+
+
+def test_credit_card_pipeline_oracle_parity(spark, tmp_path):
+    """With credit_card enabled in the config, the Spark pipeline's
+    scrubbed text / hits equal the pandas oracle bit-for-bit (shared
+    engine), and the validated scrub actually fires on valid cards."""
+    import numpy as np
+    from oracle import oracle
+    from qamd_spark import pipeline
+    from qamd_spark.config import DEFAULT_SETTINGS, QamdConfig
+
+    rows = []
+    texts = [
+        "please charge 4111 1111 1111 1111 for the monthly invoice total",
+        "the reference number 4111-1111-1111-1112 is not a real card here",
+        "ship to alice@example.org and bill card 378282246310005 thanks",
+        "a perfectly ordinary sentence with enough words to pass checks",
+        "order id 123456789012 plus phone 415 555 1234 in one message",
+    ]
+    for i, t in enumerate(texts):
+        rows.append(
+            {"conv_id": f"c{i % 2}", "turn_idx": np.int32(i), "role": "user",
+             "text": t, "tool": None,
+             "ts": pd.Timestamp("2025-01-01") + pd.Timedelta(minutes=i)}
+        )
+    pdf = pd.DataFrame(rows)
+    for c in ("conv_id", "role", "text", "tool"):
+        pdf[c] = pdf[c].astype("string")
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    p = str(tmp_path / "cards.parquet")
+    pdf.to_parquet(p)
+
+    settings = dict(DEFAULT_SETTINGS)
+    settings["pii"] = ["email", "ssn", "uk_mobile", "us_phone", "credit_card"]
+    cfg = QamdConfig(settings=settings)
+    sp = (
+        pipeline.label(spark.read.parquet(p).repartition(3), cfg)
+        .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    orc = (
+        oracle.label_pdf(pdf, cfg)
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    assert (sp["scrubbed_text"].to_numpy() == orc["scrubbed_text"].to_numpy()).all()
+    assert (sp["keep"].to_numpy() == orc["keep"].to_numpy()).all()
+    joined = "\n".join(sp["scrubbed_text"].tolist())
+    assert "<CARD>" in joined
+    assert "4111-1111-1111-1112" in joined  # invalid checksum untouched
+    assert "<EMAIL>" in joined and "<PHONE>" in joined
