@@ -1023,6 +1023,30 @@ def q_line_filter(spark, sf_dir):
     )
 
 
+def q_line_dedup(spark, sf_dir):
+    """Within-document duplicate-line removal, keep-first (ops/text.
+    line_dedup_cols) — C4's in-page boilerplate-line drop, complementing
+    the corpus-wide span_dedup. The corpus is re-chunked into 7-word
+    pseudo-lines and docs with doc_id % 3 == 0 get their first line
+    re-appended (mirrored in the twin) so removal actually fires.
+    Zero shuffle, no Python — one codegen-fused projection."""
+    from qamd_spark.ops.text import line_dedup_cols, rechunk_lines
+
+    d = _docs(spark, sf_dir)
+    multi = rechunk_lines(F.col("text"), LINE_WORDS_PER_LINE)
+    first = F.element_at(F.split(multi, "\\Q\n\\E", -1), 1)
+    t2 = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(multi, F.lit("\n"), first)
+    ).otherwise(multi)
+    cols = line_dedup_cols(t2)
+    return d.select(
+        "doc_id",
+        cols["n_lines"].alias("n_lines"),
+        cols["n_removed"].alias("n_removed"),
+        cols["kept_text"].alias("kept_text"),
+    )
+
+
 def q_pii_luhn(spark, sf_dir):
     """Luhn-verified payment-card detection: regex candidates (13-19
     digits, space/dash separators) validated by the mod-10 checksum as a
@@ -1790,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_odd_chars": q_field_odd_chars,
         "line_filter": q_line_filter,
         "pii_luhn": q_pii_luhn,
+        "line_dedup": q_line_dedup,
         "bloom_dedup": q_bloom_dedup,
         "pack_sequences": q_pack_sequences,
         "script_profile": q_script_profile,
@@ -2440,6 +2465,44 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(array_to_string(list_transform(kept,
                                                            s -> trim(s)),
                                             chr(10)), '') AS kept_text
+            FROM k
+        """,
+        "line_dedup": f"""
+            WITH w AS (
+              SELECT doc_id, str_split(coalesce(text,''), ' ') AS words
+              FROM documents
+            ), r AS (
+              SELECT doc_id,
+                CASE WHEN len(words) > 0 THEN
+                  array_to_string(list_transform(
+                    range(1, cast(ceil(len(words) / {LINE_WORDS_PER_LINE}.0)
+                                  as int) + 1),
+                    i -> array_to_string(list_slice(words,
+                           (i-1)*{LINE_WORDS_PER_LINE} + 1,
+                           (i-1)*{LINE_WORDS_PER_LINE} + {LINE_WORDS_PER_LINE}),
+                         ' ')), chr(10))
+                ELSE '' END AS multi
+              FROM w
+            ), s AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0
+                     THEN multi || chr(10) || str_split(multi, chr(10))[1]
+                     ELSE multi END AS t2
+              FROM r
+            ), l AS (
+              SELECT doc_id, str_split(t2, chr(10)) AS lines FROM s
+            ), k AS (
+              SELECT doc_id, lines,
+                list_transform(
+                  list_filter(range(1, len(lines) + 1),
+                              i -> list_position(lines, lines[i]) = i),
+                  i -> lines[i]) AS kept
+              FROM l
+            )
+            SELECT doc_id,
+                   len(lines) AS n_lines,
+                   len(lines) - len(kept) AS n_removed,
+                   array_to_string(kept, chr(10)) AS kept_text
             FROM k
         """,
         "pii_luhn": _pii_luhn_sql(),

@@ -732,3 +732,24 @@ def script_profile(
         ).otherwise(F.lit(0.0)).alias("latin_frac"),
         guess.alias("script_guess"),
     )
+
+
+def line_dedup_cols(text: Column, delim: str = "\n") -> dict[str, Column]:
+    """Within-document duplicate-line removal, keep-first (the other half
+    of C4's line handling: its three-sentence dedup is corpus-wide —
+    span_dedup here — while pages also drop repeated boilerplate lines
+    in place). First-occurrence selection via array_position over the
+    index sequence: O(L^2) per doc in line count L (tiny), zero shuffle,
+    no Python — and the identical list_position idiom exists in DuckDB,
+    so the twin is hash-exact. Returns kept_text / n_lines / n_removed."""
+    lines = line_split(text, delim)
+    idx = F.sequence(F.lit(1), F.size(lines))
+    keep_idx = F.filter(
+        idx, lambda i: F.array_position(lines, F.element_at(lines, i)) == i
+    )
+    kept = F.transform(keep_idx, lambda i: F.element_at(lines, i))
+    return {
+        "kept_text": F.array_join(kept, delim),
+        "n_lines": F.size(lines),
+        "n_removed": F.size(lines) - F.size(kept),
+    }

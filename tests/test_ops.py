@@ -804,3 +804,31 @@ def test_ngram_contamination_planted(spark):
     assert out[3]["n_grams"] == 0 and not out[3]["contaminated"]
     assert not out[4]["contaminated"]
     assert set(out) == {1, 2, 3, 4}
+
+
+def test_line_dedup_keep_first_semantics(spark):
+    from qamd_spark.ops.text import line_dedup_cols
+
+    rows = [
+        (1, "boiler\ncontent one\nboiler\ncontent two\nboiler"),
+        (2, "a\na\na\na"),
+        (3, "unique one\nunique two"),
+        (4, None),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    c = line_dedup_cols(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in d.select("doc_id", *[v.alias(k) for k, v in c.items()]).collect()
+    }
+    assert out[1]["kept_text"] == "boiler\ncontent one\ncontent two"
+    assert out[1]["n_removed"] == 2
+    assert out[2]["kept_text"] == "a" and out[2]["n_removed"] == 3
+    assert out[3]["n_removed"] == 0
+    assert out[4]["kept_text"] == "" and out[4]["n_removed"] == 0
+    # shuffle-free, Python-free plan
+    plan = (
+        d.select(*[v.alias(k) for k, v in line_dedup_cols(F.col("text")).items()])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
