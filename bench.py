@@ -97,7 +97,15 @@ def run_benchmarks() -> dict:
     pipeline.label(
         spark.read.parquet(tpath).limit(20000).repartition(CPUS), cfg
     ).count()
-    n_turns = timed("transcript_pipeline", _pipeline)
+    # two trials, min — the same drift discipline as the write/CLI pair
+    # below (this host swings ~2-3x on minute timescales; a single-trial
+    # flagship number is hostage to the window it lands in)
+    fl_times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n_turns = _pipeline()
+        fl_times.append(time.perf_counter() - t0)
+    timings["transcript_pipeline"] = round(min(fl_times), 3)
 
     # the SHIPPED path: checkpointed bucket-group runner (global stats side
     # tables + per-group pre-filter + manifested writes), measured against
@@ -143,7 +151,7 @@ def run_benchmarks() -> dict:
     # protocol as the scaling run and scripts/ab_flagship.py.
     pw_times, ck_times = [], []
     n_pw = n_ckpt = 0
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         n_pw = _pipeline_write()
         pw_times.append(time.perf_counter() - t0)
