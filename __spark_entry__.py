@@ -1233,6 +1233,66 @@ def q_conv_verdicts(spark, sf_dir):
     )
 
 
+def q_refusal_scan(spark, sf_dir):
+    """Assistant-turn refusal/template detection (rules/refusal.py) —
+    the transcript-axis boilerplate filter (ShareGPT/OpenOrca-style
+    phrase blocklist; the phrase-panel analogue of the reference's
+    StringValueStopword lexicon, src/check/post.rs:229-268). Documents
+    become alternating-role turns (conv = doc_id % 97, even doc_id =>
+    user); every 11th doc is stamped with a panel phrase chosen by
+    doc_id — including USER turns, which must NOT count (scope is
+    assistant boilerplate, not quotation). Per conversation: assistant
+    count, refusal count, fraction (single exact division), first
+    matching phrase, and a >25% flag. Pure-JVM contains panel, one
+    partial+final hash aggregate — no Python stage, no window."""
+    from qamd_spark.rules import refusal as rf
+
+    panel = list(rf.DEFAULT_REFUSAL_PHRASES)
+    k = len(panel)
+    stamp = F.element_at(
+        F.array([F.lit(p) for p in panel]), ((F.col("doc_id") % k) + 1).cast("int")
+    )
+    t = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 97).cast("long").alias("conv"),
+        F.when((F.col("doc_id") % 2) == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.concat(
+            _txt(),
+            F.when(F.col("doc_id") % 11 == 3, F.concat(F.lit(" "), stamp)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    is_asst = (F.col("role") == "assistant").cast("int")
+    is_ref = (
+        (F.col("role") == "assistant") & rf.refusal_hit(F.col("text"), panel)
+    ).cast("int")
+    per = t.select(
+        "conv",
+        is_asst.alias("is_asst"),
+        is_ref.alias("is_ref"),
+        rf.first_refusal_phrase(F.col("text"), panel).alias("phrase"),
+    )
+    agg = per.groupBy("conv").agg(
+        F.sum("is_asst").alias("n_assistant"),
+        F.sum("is_ref").alias("n_refusal"),
+        F.min(F.when(F.col("is_ref") == 1, F.col("phrase"))).alias("first_phrase"),
+    )
+    frac = F.when(
+        F.col("n_assistant") > 0,
+        F.col("n_refusal").cast("double") / F.col("n_assistant").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "conv",
+        "n_assistant",
+        "n_refusal",
+        frac.alias("refusal_frac"),
+        "first_phrase",
+        (frac > 0.25).alias("conv_flag"),
+    )
+
+
 SAMPLE_PCT = 10
 SAMPLE_SALT = "qamd-r2"
 
@@ -1785,6 +1845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "text_profile": q_text_profile,
         "quality_topk_lang": q_quality_topk_lang,
+        "refusal_scan": q_refusal_scan,
         "corpus_curate": q_corpus_curate,
         "oov_fraction": q_oov_fraction,
         "sentinel_text": q_sentinel_text,
@@ -1858,7 +1919,53 @@ def oracle_sql() -> dict[str, str]:
     odd_cnt_terms = " + ".join(
         "(length(t) - length(replace(t, '{}', '')))".format(c) for c in ODD_CHARS
     )
+    from qamd_spark.rules.refusal import DEFAULT_REFUSAL_PHRASES as _RFP
+
+    _rf_panel = [p.replace("'", "''") for p in _RFP]
+    _rf_list = "[" + ", ".join(f"'{p}'" for p in _rf_panel) + "]"
+    _rf_hit = " OR ".join(f"contains(lower(text), '{p}')" for p in _rf_panel)
+    _rf_first = (
+        "CASE "
+        + " ".join(
+            f"WHEN contains(lower(text), '{p}') THEN '{p}'" for p in _rf_panel
+        )
+        + " ELSE NULL END"
+    )
     sqls = {
+        "refusal_scan": f"""
+            WITH t AS (
+              SELECT (doc_id % 97)::BIGINT AS conv,
+                     CASE WHEN doc_id % 2 = 0 THEN 'user'
+                          ELSE 'assistant' END AS role,
+                     coalesce(text,'') ||
+                       CASE WHEN doc_id % 11 = 3
+                            THEN ' ' || ({_rf_list})[
+                                   CAST(doc_id % {len(_rf_panel)} AS INT) + 1]
+                            ELSE '' END AS text
+              FROM documents),
+            p AS (
+              SELECT conv,
+                     CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS is_asst,
+                     CASE WHEN role = 'assistant' AND ({_rf_hit})
+                          THEN 1 ELSE 0 END AS is_ref,
+                     {_rf_first} AS phrase
+              FROM t),
+            g AS (
+              SELECT conv,
+                     sum(is_asst)::BIGINT AS n_assistant,
+                     sum(is_ref)::BIGINT AS n_refusal,
+                     min(CASE WHEN is_ref = 1 THEN phrase END) AS first_phrase
+              FROM p GROUP BY conv)
+            SELECT conv, n_assistant, n_refusal,
+                   CASE WHEN n_assistant > 0
+                        THEN n_refusal::DOUBLE / n_assistant::DOUBLE
+                        ELSE 0.0 END AS refusal_frac,
+                   first_phrase,
+                   (CASE WHEN n_assistant > 0
+                         THEN n_refusal::DOUBLE / n_assistant::DOUBLE
+                         ELSE 0.0 END) > 0.25 AS conv_flag
+            FROM g
+        """,
         "odd_chars_contains": f"""
             SELECT doc_id, ({odd_contains}) AS has_odd FROM documents
         """,

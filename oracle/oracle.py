@@ -157,6 +157,14 @@ def label_pdf(pdf: pd.DataFrame, cfg: QamdConfig | None = None) -> pd.DataFrame:
         for p in s["custom_regex"]:
             hit |= text.str.contains(p, regex=True, na=False)
         add("custom_regex", hit)
+    if cfg.enabled("refusal"):
+        from qamd_spark.rules.refusal import refusal_hit_pdf, resolve_panel
+
+        add(
+            "refusal",
+            (out["role"] == "assistant").fillna(False)
+            & refusal_hit_pdf(out["text"], resolve_panel(s["refusal"])),
+        )
     if cfg.enabled("langid"):
         add("langid", ~out["lang"].isin(s["langid"]["allowed"]))
     if cfg.enabled("perplexity"):

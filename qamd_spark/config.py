@@ -99,6 +99,9 @@ RULE_REGISTRY: tuple[RuleSpec, ...] = (
              "Turn text occurring <= threshold times globally (outlier)"),
     RuleSpec("custom_regex", "disclosure_risk", "flag",
              "Turn text should not match any user-specified regex pattern"),
+    RuleSpec("refusal", "quality", "flag",
+             "Assistant turn text should not contain canned refusal / "
+             "disclaimer template phrases"),
     RuleSpec("langid", "quality", "drop",
              "Turn language should be in the allowed set"),
     RuleSpec("perplexity", "quality", "drop",
@@ -155,6 +158,9 @@ DEFAULT_SETTINGS: dict[str, Any] = {
     "all_stopwords": True,
     "stopword_fraction": 0.85,
     "rare_signature": 1,
+    # assistant-turn refusal/template phrase panel (rules/refusal.py):
+    # off by default; True => DEFAULT_REFUSAL_PHRASES, or a phrase list.
+    "refusal": None,
     "langid": {"allowed": ["en"], "min_margin": 0.15},
     "perplexity": {"max": 30000.0},
     # fastText-style trained quality model (qamd_spark/classifier.py):
@@ -294,6 +300,12 @@ class QamdConfig:
                     raise ConfigError(f"{name}: must be >= 1")
             if name == "perplexity" and float(val["max"]) <= 0:
                 raise ConfigError("perplexity.max must be > 0")
+            if name == "refusal":
+                if val is not True and (not isinstance(val, list) or not val):
+                    raise ConfigError(
+                        "refusal: must be True (default panel) or a "
+                        "non-empty phrase list"
+                    )
             if name == "quality_classifier":
                 if not isinstance(val, dict):
                     raise ConfigError("quality_classifier: must be a dict")

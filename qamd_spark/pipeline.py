@@ -254,6 +254,16 @@ def rule_conditions(cfg: QamdConfig) -> list[tuple[str, "F.Column"]]:
             e = text.rlike(p)
             c = e if c is None else (c | e)
         conds.append(("custom_regex", c))
+    if cfg.enabled("refusal"):
+        from qamd_spark.rules.refusal import refusal_hit, resolve_panel
+
+        conds.append(
+            (
+                "refusal",
+                (F.col("role") == F.lit("assistant"))
+                & refusal_hit(text, resolve_panel(s["refusal"])),
+            )
+        )
     if cfg.enabled("langid"):
         allowed = [F.lit(a) for a in s["langid"]["allowed"]]
         conds.append(("langid", ~F.col("lang").isin(*allowed)))

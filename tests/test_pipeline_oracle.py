@@ -373,6 +373,97 @@ def test_encoding_rule_exact_parity(spark, tmp_path):
     assert (sp["keep"].to_numpy() == sp0["keep"].to_numpy()).all()
 
 
+def test_refusal_rule_exact_parity(spark, tmp_path):
+    """The config-gated `refusal` flag rule: a planted template phrase in
+    an ASSISTANT turn fires it; the same phrase in a USER turn does not
+    (quotation, not boilerplate); clean assistant turns don't fire.
+    Spark vs pandas oracle exact on keep and rule_hits; default-off and
+    keep-invariance (flag action) pinned."""
+    import pandas as pd
+
+    rows = [
+        # (role, text, should_fire)
+        ("user", "please tell me about the weather patterns today", False),
+        (
+            "assistant",
+            "As an AI language model, I cannot browse current weather data",
+            True,
+        ),
+        ("assistant", "the forecast shows light rain arriving late afternoon", False),
+        (
+            "user",
+            "my friend said as an ai language model you refuse things",
+            False,
+        ),
+        (
+            "assistant",
+            "I'm sorry, but I cannot help with that particular request today",
+            True,
+        ),
+        ("tool", "lookup(weather) -> partly cloudy with gentle breeze", False),
+    ]
+    pdf = pd.DataFrame(
+        [
+            {
+                "conv_id": "rf0",
+                "turn_idx": np.int32(i),
+                "role": r,
+                "text": t,
+                "tool": None,
+                "ts": pd.NaT,
+            }
+            for i, (r, t, _) in enumerate(rows)
+        ]
+    )
+    p = str(tmp_path / "rf.parquet")
+    pdf2 = pdf.copy()
+    pdf2["ts"] = pd.to_datetime(pdf2["ts"]).astype("datetime64[us]")
+    for c in ("conv_id", "role", "text", "tool"):
+        pdf2[c] = pdf2[c].astype("string")
+    pdf2.to_parquet(p)
+
+    cfg = QamdConfig()
+    cfg.settings["refusal"] = True
+    sp = (
+        pipeline.label(spark.read.parquet(p), cfg)
+        .toPandas()
+        .sort_values("turn_idx")
+        .reset_index(drop=True)
+    )
+    orc = oracle.label_pdf(pdf, cfg).sort_values("turn_idx").reset_index(drop=True)
+    assert (sp["keep"].to_numpy() == orc["keep"].to_numpy(dtype=bool)).all()
+    for x, y in zip(sp["rule_hits"], orc["rule_hits"]):
+        assert list(x) == list(y), (x, y)
+    fired = ["refusal" in list(h) for h in sp["rule_hits"]]
+    assert fired == [want for _, _, want in rows]
+    # custom panel: a narrower phrase list only fires on its own phrase
+    cfg2 = QamdConfig()
+    cfg2.settings["refusal"] = ["i'm sorry, but i cannot"]
+    sp2 = (
+        pipeline.label(spark.read.parquet(p), cfg2)
+        .toPandas()
+        .sort_values("turn_idx")
+        .reset_index(drop=True)
+    )
+    assert ["refusal" in list(h) for h in sp2["rule_hits"]] == [
+        False,
+        False,
+        False,
+        False,
+        True,
+        False,
+    ]
+    # default config: rule absent; flag action never changes keep
+    sp0 = (
+        pipeline.label(spark.read.parquet(p), QamdConfig())
+        .toPandas()
+        .sort_values("turn_idx")
+        .reset_index(drop=True)
+    )
+    assert not any("refusal" in list(h) for h in sp0["rule_hits"])
+    assert (sp["keep"].to_numpy() == sp0["keep"].to_numpy()).all()
+
+
 def test_conv_neardup_rule_parity(spark):
     """Planted conversation-level near-dups: c02 near-duplicates c01
     (one word changed per turn, so duplicate_turn never fires), c03 is
