@@ -1293,6 +1293,81 @@ def q_refusal_scan(spark, sf_dir):
     )
 
 
+def q_conv_shape(spark, sf_dir):
+    """Conversation completeness / balance audit — the transcript-axis
+    structural filter instruction-data curation applies before training:
+    a conversation that ends on a user turn is truncated (the assistant
+    reply was lost), one with no assistant turns at all is unusable, and
+    a degenerate user/assistant character balance flags scraped junk.
+    Documents become alternating-role turns (conv = doc_id % 97,
+    turn_idx = doc_id div 97 — unique per conv). One partial+final hash
+    aggregate; last_role via max_by on the unique turn_idx (exact in
+    both engines); the balance ratio is a single exact division."""
+    t = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 97).cast("long").alias("conv"),
+        F.floor(F.col("doc_id") / 97).cast("long").alias("turn_idx"),
+        F.when((F.col("doc_id") % 2) == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.length(_txt()).cast("long").alias("n_chars_txt"),
+    )
+    is_asst = (F.col("role") == "assistant").cast("long")
+    agg = t.groupBy("conv").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(is_asst).alias("n_assistant"),
+        F.max_by("role", "turn_idx").alias("last_role"),
+        F.sum(F.when(F.col("role") == "user", F.col("n_chars_txt")).otherwise(F.lit(0))).alias("user_chars"),
+        F.sum(F.when(F.col("role") == "assistant", F.col("n_chars_txt")).otherwise(F.lit(0))).alias("asst_chars"),
+    )
+    ratio = F.when(
+        F.col("user_chars") > 0,
+        F.col("asst_chars").cast("double") / F.col("user_chars").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "conv",
+        "n_turns",
+        "n_assistant",
+        "last_role",
+        (F.col("last_role") == "user").alias("truncated"),
+        (F.col("n_assistant") == 0).alias("no_assistant"),
+        "user_chars",
+        "asst_chars",
+        ratio.alias("asst_user_ratio"),
+    )
+
+
+def q_conv_lang_consistency(spark, sf_dir):
+    """Per-conversation language consistency (conv = doc_id % 97, lang
+    from the documents table): distinct-language count, majority
+    language (max count, ties to the lexicographically smallest lang —
+    the min(struct(-cnt, lang)) idiom, proven equal to SQL row_number
+    ordered by cnt DESC, lang ASC), majority fraction (exact single
+    division), and a <80% mixed-language flag. Mixed-language
+    conversations are dropped or routed separately by multilingual
+    curation pipelines (the conversation-level complement of the langid
+    turn rule). Two partial+final hash aggregates, no window."""
+    d = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 97).cast("long").alias("conv"), "lang"
+    )
+    per_lang = d.groupBy("conv", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    best = per_lang.groupBy("conv").agg(
+        F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("lang").alias("lg"))).alias("b"),
+        F.sum("cnt").alias("n_turns"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    maj_cnt = -F.col("b.neg")
+    frac = maj_cnt.cast("double") / F.col("n_turns").cast("double")
+    return best.select(
+        "conv",
+        "n_turns",
+        "n_langs",
+        F.col("b.lg").alias("majority_lang"),
+        maj_cnt.alias("majority_cnt"),
+        frac.alias("majority_frac"),
+        (frac < 0.8).alias("mixed_flag"),
+    )
+
+
 SAMPLE_PCT = 10
 SAMPLE_SALT = "qamd-r2"
 
@@ -1846,6 +1921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "quality_topk_lang": q_quality_topk_lang,
         "refusal_scan": q_refusal_scan,
+        "conv_shape": q_conv_shape,
+        "conv_lang_consistency": q_conv_lang_consistency,
         "corpus_curate": q_corpus_curate,
         "oov_fraction": q_oov_fraction,
         "sentinel_text": q_sentinel_text,
@@ -1965,6 +2042,55 @@ def oracle_sql() -> dict[str, str]:
                          THEN n_refusal::DOUBLE / n_assistant::DOUBLE
                          ELSE 0.0 END) > 0.25 AS conv_flag
             FROM g
+        """,
+        "conv_shape": """
+            WITH t AS (
+              SELECT (doc_id % 97)::BIGINT AS conv,
+                     (doc_id // 97)::BIGINT AS turn_idx,
+                     CASE WHEN doc_id % 2 = 0 THEN 'user'
+                          ELSE 'assistant' END AS role,
+                     length(coalesce(text,''))::BIGINT AS n
+              FROM documents),
+            g AS (
+              SELECT conv,
+                     count(*)::BIGINT AS n_turns,
+                     sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT
+                       AS n_assistant,
+                     arg_max(role, turn_idx) AS last_role,
+                     sum(CASE WHEN role = 'user' THEN n ELSE 0 END)::BIGINT
+                       AS user_chars,
+                     sum(CASE WHEN role = 'assistant' THEN n ELSE 0 END)::BIGINT
+                       AS asst_chars
+              FROM t GROUP BY conv)
+            SELECT conv, n_turns, n_assistant, last_role,
+                   (last_role = 'user') AS truncated,
+                   (n_assistant = 0) AS no_assistant,
+                   user_chars, asst_chars,
+                   CASE WHEN user_chars > 0
+                        THEN asst_chars::DOUBLE / user_chars::DOUBLE
+                        ELSE 0.0 END AS asst_user_ratio
+            FROM g
+        """,
+        "conv_lang_consistency": """
+            WITH c AS (
+              SELECT (doc_id % 97)::BIGINT AS conv, lang,
+                     count(*)::BIGINT AS cnt
+              FROM documents GROUP BY conv, lang),
+            r AS (
+              SELECT conv, lang, cnt,
+                     row_number() OVER (PARTITION BY conv
+                                        ORDER BY cnt DESC, lang ASC) AS rn,
+                     sum(cnt) OVER (PARTITION BY conv) AS n_turns,
+                     count(*) OVER (PARTITION BY conv) AS n_langs
+              FROM c)
+            SELECT conv,
+                   n_turns::BIGINT AS n_turns,
+                   n_langs::BIGINT AS n_langs,
+                   lang AS majority_lang,
+                   cnt AS majority_cnt,
+                   cnt::DOUBLE / n_turns::DOUBLE AS majority_frac,
+                   (cnt::DOUBLE / n_turns::DOUBLE) < 0.8 AS mixed_flag
+            FROM r WHERE rn = 1
         """,
         "odd_chars_contains": f"""
             SELECT doc_id, ({odd_contains}) AS has_odd FROM documents
