@@ -1368,6 +1368,84 @@ def q_conv_lang_consistency(spark, sf_dir):
     )
 
 
+def q_temperature_mix(spark, sf_dir):
+    """UniMax/T5-style temperature-scaled language sampling weights
+    (T = 2): w(lang) ∝ p(lang)^(1/2), renormalized — the standard fix
+    for head-language domination when mixing multilingual corpora
+    (complement of mix_weights' explicit-target reweighting). Float
+    discipline: p is one exact division of exact ints; sqrt is IEEE
+    correctly-rounded in both engines; the renormalization denominator
+    is a LEFT FOLD over the lang-sorted weight list (array_sort +
+    F.aggregate vs DuckDB ordered list + list_reduce), so the double
+    sum has one deterministic association order in both engines. The
+    lang table is tiny — both cross joins are broadcasts."""
+    g = _docs(spark, sf_dir).groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = g.agg(F.sum("n_docs").alias("total"))
+    w = g.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "total",
+        F.sqrt(F.col("n_docs").cast("double") / F.col("total").cast("double")).alias(
+            "w_raw"
+        ),
+    )
+    denom = w.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("lang", "w_raw"))),
+                lambda x: x["w_raw"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("denom")
+    )
+    share = F.col("n_docs").cast("double") / F.col("total").cast("double")
+    weight = F.col("w_raw") / F.col("denom")
+    return w.crossJoin(F.broadcast(denom)).select(
+        "lang",
+        "n_docs",
+        share.alias("share"),
+        weight.alias("weight"),
+        (weight / share).alias("multiplier"),
+    )
+
+
+def q_corpus_datasheet(spark, sf_dir):
+    """One-row corpus datasheet (Datasheets-for-Datasets style summary
+    card): document / source / language cardinalities, size totals,
+    empty and exact-duplicate fractions, mean length — the headline
+    numbers a curation run reports before and after filtering. One
+    fused aggregate over a single scan (count-distincts expand to a
+    partial+final hash-agg tree, no window, no Python); the fractions
+    are single exact divisions of exact ints."""
+    t = _txt()
+    agg = _docs(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct(t).alias("n_distinct_texts"),
+        F.sum(F.length(t)).alias("total_chars"),
+        F.sum(F.when(F.length(F.trim(t)) == 0, F.lit(1)).otherwise(F.lit(0))).alias(
+            "n_empty"
+        ),
+    )
+    return agg.select(
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        "n_distinct_texts",
+        "total_chars",
+        "n_empty",
+        (
+            (F.col("n_docs") - F.col("n_distinct_texts")).cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("dup_frac"),
+        (F.col("total_chars").cast("double") / F.col("n_docs").cast("double")).alias(
+            "mean_chars"
+        ),
+    )
+
+
 SAMPLE_PCT = 10
 SAMPLE_SALT = "qamd-r2"
 
@@ -1923,6 +2001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refusal_scan": q_refusal_scan,
         "conv_shape": q_conv_shape,
         "conv_lang_consistency": q_conv_lang_consistency,
+        "temperature_mix": q_temperature_mix,
+        "corpus_datasheet": q_corpus_datasheet,
         "corpus_curate": q_corpus_curate,
         "oov_fraction": q_oov_fraction,
         "sentinel_text": q_sentinel_text,
@@ -2091,6 +2171,43 @@ def oracle_sql() -> dict[str, str]:
                    cnt::DOUBLE / n_turns::DOUBLE AS majority_frac,
                    (cnt::DOUBLE / n_turns::DOUBLE) < 0.8 AS mixed_flag
             FROM r WHERE rn = 1
+        """,
+        "temperature_mix": """
+            WITH g AS (SELECT lang, count(*)::BIGINT AS n_docs
+                       FROM documents GROUP BY lang),
+            t AS (SELECT sum(n_docs)::BIGINT AS total FROM g),
+            w AS (SELECT lang, n_docs, total,
+                         sqrt(n_docs::DOUBLE / total::DOUBLE) AS w_raw
+                  FROM g, t),
+            d AS (SELECT list_reduce(
+                           list_prepend(0.0::DOUBLE,
+                                        list(w_raw ORDER BY lang)),
+                           (acc, x) -> acc + x)::DOUBLE AS denom
+                  FROM w)
+            SELECT lang, n_docs,
+                   n_docs::DOUBLE / total::DOUBLE AS share,
+                   w_raw / denom AS weight,
+                   (w_raw / denom) / (n_docs::DOUBLE / total::DOUBLE)
+                     AS multiplier
+            FROM w, d
+        """,
+        "corpus_datasheet": """
+            WITH a AS (
+              SELECT count(*)::BIGINT AS n_docs,
+                     count(DISTINCT source)::BIGINT AS n_sources,
+                     count(DISTINCT lang)::BIGINT AS n_langs,
+                     count(DISTINCT coalesce(text,''))::BIGINT
+                       AS n_distinct_texts,
+                     sum(length(coalesce(text,'')))::BIGINT AS total_chars,
+                     sum(CASE WHEN length(trim(coalesce(text,''), ' ')) = 0
+                              THEN 1 ELSE 0 END)::BIGINT AS n_empty
+              FROM documents)
+            SELECT n_docs, n_sources, n_langs, n_distinct_texts,
+                   total_chars, n_empty,
+                   (n_docs - n_distinct_texts)::DOUBLE / n_docs::DOUBLE
+                     AS dup_frac,
+                   total_chars::DOUBLE / n_docs::DOUBLE AS mean_chars
+            FROM a
         """,
         "odd_chars_contains": f"""
             SELECT doc_id, ({odd_contains}) AS has_odd FROM documents
