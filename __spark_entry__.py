@@ -1446,6 +1446,21 @@ def q_corpus_datasheet(spark, sf_dir):
     )
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al., NeurIPS 2023) over the
+    documents table: hashed char-4-gram log-likelihood ratio of the
+    frozen in-repo prose target vs the raw corpus (ops/sampling.py).
+    Pass 1 reduces the corpus to <= 16k hashed bucket counts (partial
+    counts per Arrow batch + one hash agg; only that bounded table hits
+    the driver); pass 2 scores with the broadcast lambda vector.
+    Rows-only in the driver gate (np.log is process-deterministic but
+    not SQL-expressible); tests/test_hash_oracles.py pins the exact
+    pandas twin and a planted prose-vs-junk ordering."""
+    from qamd_spark.ops import sampling as smp
+
+    return smp.dsir_weights(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
 SAMPLE_PCT = 10
 SAMPLE_SALT = "qamd-r2"
 
@@ -2003,6 +2018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_lang_consistency": q_conv_lang_consistency,
         "temperature_mix": q_temperature_mix,
         "corpus_datasheet": q_corpus_datasheet,
+        "dsir_weights": q_dsir_weights,
         "corpus_curate": q_corpus_curate,
         "oov_fraction": q_oov_fraction,
         "sentinel_text": q_sentinel_text,

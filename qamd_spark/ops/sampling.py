@@ -28,6 +28,7 @@ anywhere.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -149,6 +150,189 @@ def pack_sequences(
         (F.col("_start") % L).alias("offset_in_pack"),
         (F.expr(f"_last div {L}") - F.expr(f"_start div {L}") + 1)
         .alias("n_packs_spanned"),
+    )
+
+
+# --------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+# 2023): score every raw document by the hashed-n-gram log-likelihood
+# ratio log p_target(doc) - log p_raw(doc); documents that look like the
+# target domain get positive weight and selection keeps the high-weight
+# tail. Feature deviation, documented: the paper hashes word uni+bigrams;
+# we hash char-4-grams with the repo's existing vectorized byte-buffer
+# kernel (same feature family as the fastText-style classifier — no new
+# tokenizer, no per-row Python). Both distributions use +1 Laplace
+# smoothing over DSIR_DIM buckets.
+#
+# Scale design: pass 1 reduces the corpus to <= DSIR_DIM (16k) hashed
+# bucket counts — each Arrow batch emits its nonzero partial counts,
+# a hash aggregate sums them, and ONLY that bounded table reaches the
+# driver (the IVF-centroid-collect precedent). The 128 KB lambda vector
+# ships back in the task closure for pass 2 scoring. Exact-int counts
+# make pass 1 order-free; pass 2's per-doc float sum is a sequential
+# bincount fold in position order (see dsir_score_batch), so scores are
+# batch-composition invariant and the pandas twin is bit-exact.
+# --------------------------------------------------------------------
+
+DSIR_BITS = 14
+DSIR_DIM = 1 << DSIR_BITS
+_SEP = 0xFF  # _batch_buffers separator; never occurs in UTF-8
+
+
+def dsir_corpus_counts(texts) -> np.ndarray:
+    """Hashed char-4-gram bucket counts (int64[DSIR_DIM]) for a text
+    batch, over one separator-joined buffer; grams whose window touches
+    a separator byte are masked invalid, so no gram spans documents
+    (two consecutive 0xFF separators sit between docs, and any 4-byte
+    window crossing a boundary must contain one)."""
+    from qamd_spark.ngram import _batch_buffers
+
+    buf, _ = _batch_buffers(texts)
+    if len(buf) < 4:
+        return np.zeros(DSIR_DIM, dtype=np.int64)
+    a = buf.astype(np.int64)
+    h = (
+        a[:-3] * (31 * 31 * 31) + a[1:-2] * (31 * 31) + a[2:-1] * 31 + a[3:]
+    ) & (DSIR_DIM - 1)
+    valid = (
+        (a[:-3] != _SEP) & (a[1:-2] != _SEP) & (a[2:-1] != _SEP) & (a[3:] != _SEP)
+    )
+    return np.bincount(h[valid], minlength=DSIR_DIM).astype(np.int64)
+
+
+def dsir_score_batch(texts, lam: np.ndarray):
+    """(n_grams int64[n], logw float64[n]): per-doc gram counts and
+    importance weights sum(c_doc[b] * lam[b]).
+
+    The float accumulation is np.bincount(doc_of_pos, weights=...) — a
+    sequential left fold in position order per doc. NOT reduceat: its
+    np.add.reduce segments sum PAIRWISE, and the tree shape depends on
+    segment length, which differs for the last doc of a batch (the
+    buffer ends 3 positions early) — that made scores depend on Arrow
+    batch composition by 1-2 ulp."""
+    from qamd_spark.ngram import _batch_buffers
+
+    n = len(texts)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+    buf, offsets = _batch_buffers(texts)
+    a = buf.astype(np.int64)
+    if len(buf) < 4:
+        return np.zeros(n, dtype=np.int64), np.zeros(n, dtype=np.float64)
+    h = (
+        a[:-3] * (31 * 31 * 31) + a[1:-2] * (31 * 31) + a[2:-1] * 31 + a[3:]
+    ) & (DSIR_DIM - 1)
+    valid = (
+        (a[:-3] != _SEP) & (a[1:-2] != _SEP) & (a[2:-1] != _SEP) & (a[3:] != _SEP)
+    )
+    bounds = np.minimum(offsets, len(h))
+    doc_of_pos = np.repeat(np.arange(n, dtype=np.int64), bounds[1:] - bounds[:-1])
+    n_grams = np.bincount(doc_of_pos[valid], minlength=n).astype(np.int64)
+    per_pos = np.where(valid, lam[h], 0.0)
+    logw = np.bincount(doc_of_pos, weights=per_pos, minlength=n)
+    return n_grams, logw
+
+
+def default_target_counts() -> np.ndarray:
+    """Bucket counts of the frozen in-repo target domain: the clean
+    prose corpora (all languages) — the same positives the quality
+    classifier trains on. Deterministic; computed driver-side."""
+    from qamd_spark import corpora
+
+    texts = [corpora.LANG_CORPORA[k] for k in sorted(corpora.LANG_CORPORA)]
+    return dsir_corpus_counts(texts)
+
+
+def dsir_lambda(raw_counts: np.ndarray, target_counts: np.ndarray) -> np.ndarray:
+    """Per-bucket log-likelihood-ratio vector with +1 Laplace smoothing:
+    lam[b] = log((T[b]+1)/(T_tot+DIM)) - log((R[b]+1)/(R_tot+DIM))."""
+    t = target_counts.astype(np.float64)
+    r = raw_counts.astype(np.float64)
+    return (np.log(t + 1.0) - np.log(t.sum() + DSIR_DIM)) - (
+        np.log(r + 1.0) - np.log(r.sum() + DSIR_DIM)
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_counts: np.ndarray | None = None,
+) -> DataFrame:
+    """Per-document DSIR importance weights over ``df``.
+
+    Output: (id_col, n_grams, dsir_logw, selected) where selected =
+    dsir_logw > 0 (more target-like than the raw-corpus average).
+    Downstream, the weights compose with token_budget_sample (order by
+    -dsir_logw instead of the md5 key) or a deterministic Gumbel top-k
+    for the paper's resampling step.
+
+    Two scans: pass 1 aggregates the raw hashed-n-gram distribution to
+    <= DSIR_DIM rows (partial counts per Arrow batch + one hash agg);
+    pass 2 scores with the broadcast lambda vector. Both stages are
+    whole-batch numpy — no per-row Python."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    tgt = default_target_counts() if target_counts is None else target_counts
+
+    def _partial_counts(it):
+        for pdf in it:
+            c = dsir_corpus_counts(pdf[text_col].tolist())
+            nz = np.flatnonzero(c)
+            yield pd.DataFrame({"bucket": nz.astype(np.int64), "cnt": c[nz]})
+
+    partials = df.select(text_col).mapInPandas(
+        _partial_counts, schema="bucket long, cnt long"
+    )
+    agg = partials.groupBy("bucket").agg(F.sum("cnt").alias("cnt")).collect()
+    raw = np.zeros(DSIR_DIM, dtype=np.int64)
+    for row in agg:
+        raw[row["bucket"]] = row["cnt"]
+    lam = dsir_lambda(raw, tgt)
+    lam_bc = spark.sparkContext.broadcast(lam)
+
+    def _score(it):
+        lv = lam_bc.value
+        for pdf in it:
+            n_grams, logw = dsir_score_batch(pdf[text_col].tolist(), lv)
+            yield pd.DataFrame(
+                {
+                    "_id": pdf[id_col],
+                    "n_grams": n_grams,
+                    "dsir_logw": logw,
+                }
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    scored = df.select(id_col, text_col).mapInPandas(
+        _score, schema=f"_id {id_type}, n_grams long, dsir_logw double"
+    )
+    return scored.select(
+        F.col("_id").alias(id_col),
+        "n_grams",
+        "dsir_logw",
+        (F.col("dsir_logw") > 0.0).alias("selected"),
+    )
+
+
+def dsir_weights_pdf(pdf, id_col="doc_id", text_col="text", target_counts=None):
+    """Single-node pandas twin of dsir_weights — same kernels, same
+    two-pass structure, bit-exact (per-doc bincount folds are
+    batch-composition invariant)."""
+    import pandas as pd
+
+    tgt = default_target_counts() if target_counts is None else target_counts
+    raw = dsir_corpus_counts(pdf[text_col].tolist())
+    lam = dsir_lambda(raw, tgt)
+    n_grams, logw = dsir_score_batch(pdf[text_col].tolist(), lam)
+    return pd.DataFrame(
+        {
+            id_col: pdf[id_col].to_numpy(),
+            "n_grams": n_grams,
+            "dsir_logw": logw,
+            "selected": logw > 0.0,
+        }
     )
 
 

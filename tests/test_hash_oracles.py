@@ -583,3 +583,58 @@ def test_bloom_probe_plan_broadcasts_and_stays_jvm(spark):
     assert "BroadcastHashJoin" in plan
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert bad not in plan
+
+
+def test_dsir_weights_match_pandas_twin(spark, docs_df, docs_pdf):
+    """DSIR importance weights: the two-pass Spark plan (bucket-count
+    aggregate -> broadcast lambda -> Arrow scoring stage) must equal the
+    single-node pandas twin bit-for-bit — counts are exact ints and the
+    per-doc score sum is a reduceat over the doc's own byte segment, so
+    partitioning cannot change association order."""
+    from qamd_spark.ops import sampling as smp
+
+    got = (
+        smp.dsir_weights(docs_df.select("doc_id", "text"))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = smp.dsir_weights_pdf(docs_pdf).sort_values("doc_id").reset_index(drop=True)
+    assert (got["n_grams"].to_numpy() == want["n_grams"].to_numpy()).all()
+    assert (got["dsir_logw"].to_numpy() == want["dsir_logw"].to_numpy()).all()
+    assert (got["selected"].to_numpy() == want["selected"].to_numpy()).all()
+
+
+def test_dsir_prefers_target_like_prose(spark):
+    """Planted ordering: a document written in the target domain's own
+    words must outscore symbol/digit junk, per gram and in total; empty
+    and sub-4-byte docs get exactly 0."""
+    from qamd_spark import corpora
+    from qamd_spark.ops import sampling as smp
+
+    prose = " ".join(corpora.LANG_CORPORA["en"].split()[:40])
+    junk = "@#$% 0101 ^^&& ~~ || 9876543210 <<>> {}{}[] %%$$ ##@@ !!??"
+    df = spark.createDataFrame(
+        [(0, prose), (1, junk), (2, ""), (3, "abc"), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in smp.dsir_weights(df).collect()
+    }
+    pg = out[0]["dsir_logw"] / out[0]["n_grams"]
+    jg = out[1]["dsir_logw"] / out[1]["n_grams"]
+    assert pg > jg
+    assert out[0]["selected"] and not out[1]["selected"]
+    for i in (2, 3, 4):
+        assert out[i]["n_grams"] == 0 and out[i]["dsir_logw"] == 0.0
+
+
+def test_dsir_scores_batch_composition_invariant(spark):
+    """Repartitioning (different Arrow batch splits) must not change a
+    single bit of any score."""
+    from qamd_spark.ops import sampling as smp
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    a = smp.dsir_weights(docs.coalesce(1)).toPandas().sort_values("doc_id")
+    b = smp.dsir_weights(docs.repartition(17)).toPandas().sort_values("doc_id")
+    assert (a["dsir_logw"].to_numpy() == b["dsir_logw"].to_numpy()).all()
