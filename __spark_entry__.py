@@ -1461,6 +1461,30 @@ def q_dsir_weights(spark, sf_dir):
     return smp.dsir_weights(_docs(spark, sf_dir).select("doc_id", "text"))
 
 
+def q_percentile_profile(spark, sf_dir):
+    """Per-source exact length percentiles (p25/p50/p75/p95 of n_chars)
+    — the distribution panel a curation report shows next to the mean
+    (outlier sources surface as a blown-out p95). Spark's exact
+    `percentile` and DuckDB's quantile_cont share the lo + (hi-lo)*frac
+    interpolation on (n-1)*p, bit-equal on integer inputs (verified).
+    Exact percentile is a per-group sort aggregate — bounded by the
+    group, not the corpus; at the 100 TB tier swap in approx_percentile
+    (t-digest, fixed-size sketch, partial-aggregable) when ±0.1% error
+    is acceptable."""
+    q = F.expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.95D))")
+    agg = _docs(spark, sf_dir).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), q.alias("q")
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        F.col("q")[0].alias("p25"),
+        F.col("q")[1].alias("p50"),
+        F.col("q")[2].alias("p75"),
+        F.col("q")[3].alias("p95"),
+    )
+
+
 SAMPLE_PCT = 10
 SAMPLE_SALT = "qamd-r2"
 
@@ -1863,6 +1887,26 @@ def q_frame_plan(spark, sf_dir):
     return mm.frame_sample_plan(mm.synth_media(spark, n=50, seed=11))
 
 
+def q_phash_neardup(spark, sf_dir):
+    """Perceptual-hash near-duplicates over media payloads (aHash on
+    the decoded feature histogram, banded Hamming join — ops/
+    multimodal.phash_neardups): the multimodal member of the near-dup
+    family. Planted duplicates: every 5th synthetic media row gets a
+    payload-doubled copy (identical normalized histogram => identical
+    signature, Hamming 0). Rows-only (binary + Python decode stage);
+    tests/test_ops.py pins the exact pandas twin and the planted
+    links."""
+    from qamd_spark.ops import multimodal as mm
+
+    base = mm.synth_media(spark, n=60, seed=11)
+    copies = base.filter(F.col("media_id") % 5 == 0).select(
+        (F.col("media_id") + 1000).alias("media_id"),
+        F.concat("payload", "payload").alias("payload"),
+        "meta",
+    )
+    return mm.phash_neardups(base.unionByName(copies), max_hamming=2)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """LSH-then-verify: exact 3-gram Jaccard over the minhash candidate
     pairs (the verification stage of the classic near-dup pipeline)."""
@@ -2019,6 +2063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "corpus_datasheet": q_corpus_datasheet,
         "dsir_weights": q_dsir_weights,
+        "percentile_profile": q_percentile_profile,
         "corpus_curate": q_corpus_curate,
         "oov_fraction": q_oov_fraction,
         "sentinel_text": q_sentinel_text,
@@ -2079,6 +2124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "ngram_jaccard": q_ngram_jaccard,
         "media_features": q_media_features,
+        "phash_neardup": q_phash_neardup,
         "frame_plan": q_frame_plan,
     }
 
@@ -2224,6 +2270,15 @@ def oracle_sql() -> dict[str, str]:
                      AS dup_frac,
                    total_chars::DOUBLE / n_docs::DOUBLE AS mean_chars
             FROM a
+        """,
+        "percentile_profile": """
+            SELECT source,
+                   count(*)::BIGINT AS n_docs,
+                   quantile_cont(n_chars, 0.25) AS p25,
+                   quantile_cont(n_chars, 0.50) AS p50,
+                   quantile_cont(n_chars, 0.75) AS p75,
+                   quantile_cont(n_chars, 0.95) AS p95
+            FROM documents GROUP BY source
         """,
         "odd_chars_contains": f"""
             SELECT doc_id, ({odd_contains}) AS has_odd FROM documents

@@ -239,6 +239,158 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+PHASH_BITS = _FEATURE_DIM  # one bit per feature bucket
+
+
+def phash_signatures(
+    media: DataFrame, decode_stub: bool = True, features: DataFrame | None = None
+) -> DataFrame:
+    """Perceptual signature per media row: aHash over the decoded
+    feature histogram — bit i set when features[i] > mean(features)
+    (the average-hash construction, applied to whatever the decode
+    stage emits: 16-bucket luminance/amplitude histogram here, a model
+    embedding in production). The thresholding and bit packing are a
+    pure-JVM left fold over the feature array, so only the decode stage
+    is Python. Output: (media_id, sig long, nonzero boolean) — an
+    all-zero histogram (empty payload) gets nonzero=false and is
+    excluded from near-dup search rather than colliding with
+    everything."""
+    f = features if features is not None else extract_features(media, decode_stub)
+    feats = F.col("features")
+    total = F.aggregate(
+        feats, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    mean = total / F.lit(float(_FEATURE_DIM))
+    powers = F.array(
+        *[F.lit(1 << i).cast("long") for i in range(PHASH_BITS)]
+    )
+    sig = F.aggregate(
+        F.zip_with(
+            feats,
+            powers,
+            lambda x, p: F.when(x.cast("double") > mean, p).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return f.select(
+        "media_id", sig.alias("sig"), (total > 0.0).alias("nonzero")
+    )
+
+
+def phash_neardups(
+    media: DataFrame,
+    max_hamming: int = 2,
+    decode_stub: bool = True,
+    features: DataFrame | None = None,
+) -> DataFrame:
+    """Perceptual near-duplicates: (media_id, dup_of, hamming) where
+    dup_of is a smaller-id row whose signature is within max_hamming
+    bits — the multimodal member of the near-dup family (MinHash for
+    text, LSH-cosine for embeddings, aHash here).
+
+    Same no-all-pairs shape as ops/dedup: the signature splits into
+    max_hamming+1 disjoint bit bands (pigeonhole: any pair within
+    max_hamming agrees exactly on >= 1 band), candidates join each row
+    to its band bucket's MIN id (a hash aggregate, never a bucket
+    self-join), and an exact bit_count verify filters. Min-per-bucket
+    resolution means recall < 1 when a bucket's min id is itself not a
+    duplicate (the lsh_neardup_pairs tradeoff, documented there)."""
+    n_bands = max_hamming + 1
+    if n_bands > PHASH_BITS:
+        raise ValueError("max_hamming too large for the signature width")
+    base = PHASH_BITS // n_bands
+    widths = [base + (1 if i < PHASH_BITS % n_bands else 0) for i in range(n_bands)]
+    sigs = phash_signatures(media, decode_stub, features=features).filter(
+        F.col("nonzero")
+    )
+    bands = []
+    off = 0
+    for bi, w in enumerate(widths):
+        bands.append(
+            sigs.select(
+                "media_id",
+                "sig",
+                F.lit(bi).alias("band"),
+                F.shiftright("sig", off).bitwiseAND(F.lit((1 << w) - 1)).alias("bval"),
+            )
+        )
+        off += w
+    allb = bands[0]
+    for b in bands[1:]:
+        allb = allb.unionByName(b)
+    mins = allb.groupBy("band", "bval").agg(
+        F.min("media_id").alias("cand"), F.min_by("sig", "media_id").alias("cand_sig")
+    )
+    cand = (
+        allb.join(mins, ["band", "bval"])
+        .filter(F.col("media_id") > F.col("cand"))
+        .select("media_id", "sig", "cand", "cand_sig")
+        .dropDuplicates(["media_id", "cand"])
+    )
+    ham = F.bit_count(F.col("sig").bitwiseXOR(F.col("cand_sig")))
+    verified = cand.filter(ham <= F.lit(int(max_hamming))).select(
+        "media_id", F.col("cand").alias("dup_of"), ham.alias("hamming")
+    )
+    return verified.groupBy("media_id").agg(
+        F.min("dup_of").alias("dup_of"),
+        F.min_by("hamming", "dup_of").alias("hamming"),
+    )
+
+
+def phash_neardups_pdf(media_pdf, max_hamming: int = 2):
+    """pandas twin of phash_neardups (stub decode): same signatures,
+    same band/min-per-bucket/verify resolution, bit-exact."""
+    ids = media_pdf["media_id"].to_numpy()
+    sigs = np.zeros(len(ids), dtype=np.int64)
+    nonzero = np.zeros(len(ids), dtype=bool)
+    for r, payload in enumerate(media_pdf["payload"]):
+        f = _fake_decode_features(
+            bytes(payload) if payload is not None else b""
+        )
+        acc = 0.0
+        for v in f:
+            acc += float(v)
+        mean = acc / float(_FEATURE_DIM)
+        s = 0
+        for i in range(PHASH_BITS):
+            if float(f[i]) > mean:
+                s += 1 << i
+        sigs[r] = s
+        nonzero[r] = acc > 0.0
+    keep = nonzero
+    ids, sigs = ids[keep], sigs[keep]
+    n_bands = max_hamming + 1
+    base = PHASH_BITS // n_bands
+    widths = [base + (1 if i < PHASH_BITS % n_bands else 0) for i in range(n_bands)]
+    sig_of = dict(zip(ids.tolist(), sigs.tolist()))
+    best: dict[int, tuple[int, int]] = {}
+    off = 0
+    for bi, w in enumerate(widths):
+        bvals = (sigs >> off) & ((1 << w) - 1)
+        mins: dict[int, int] = {}
+        for i, b in zip(ids.tolist(), bvals.tolist()):
+            if b not in mins or i < mins[b]:
+                mins[b] = i
+        for i, b in zip(ids.tolist(), bvals.tolist()):
+            cand = mins[b]
+            if cand >= i:
+                continue
+            ham = bin(sig_of[i] ^ sig_of[cand]).count("1")
+            if ham <= max_hamming:
+                cur = best.get(i)
+                if cur is None or cand < cur[0]:
+                    best[i] = (cand, ham)
+        off += w
+    rows = [
+        {"media_id": i, "dup_of": c, "hamming": h}
+        for i, (c, h) in sorted(best.items())
+    ]
+    return pd.DataFrame(rows, columns=["media_id", "dup_of", "hamming"])
+
+
 def synth_media(spark, n: int = 50, seed: int = 11) -> DataFrame:
     """Deterministic fake media table for tests (no external data)."""
     import random

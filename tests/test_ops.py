@@ -832,3 +832,70 @@ def test_line_dedup_keep_first_semantics(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_phash_neardups_match_pandas_twin(spark):
+    """Banded Hamming join + min-per-bucket resolution must equal the
+    single-node twin exactly (same signatures, same resolution)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    base = multimodal.synth_media(spark, n=60, seed=11)
+    copies = base.filter(F.col("media_id") % 5 == 0).select(
+        (F.col("media_id") + 1000).alias("media_id"),
+        F.concat("payload", "payload").alias("payload"),
+        "meta",
+    )
+    media = base.unionByName(copies)
+    got = (
+        multimodal.phash_neardups(media, max_hamming=2)
+        .toPandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    mpdf = media.select("media_id", "payload").toPandas()
+    want = (
+        multimodal.phash_neardups_pdf(mpdf, max_hamming=2)
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) > 0
+
+
+def test_phash_planted_doubles_link_at_hamming_zero(spark):
+    """A payload-doubled copy has the identical normalized histogram,
+    hence the identical signature: it must link somewhere at Hamming 0
+    (min-per-bucket may resolve it to an even smaller equal-signature
+    row, so assert the distance, not the exact partner)."""
+    from pyspark.sql import functions as F
+
+    base = multimodal.synth_media(spark, n=40, seed=11)
+    copies = base.select(
+        (F.col("media_id") + 1000).alias("media_id"),
+        F.concat("payload", "payload").alias("payload"),
+        "meta",
+    )
+    out = {
+        r["media_id"]: r
+        for r in multimodal.phash_neardups(
+            base.unionByName(copies), max_hamming=2
+        ).collect()
+    }
+    linked = [mid for mid in range(1000, 1040) if mid in out]
+    assert len(linked) >= 35  # min-per-bucket can miss a few
+    assert all(out[m]["hamming"] == 0 for m in linked)
+
+
+def test_phash_signature_stage_is_jvm_after_decode(spark):
+    """Signature packing must not add a second Python stage: exactly
+    one MapInPandas (the decode), everything after it JVM."""
+    media = multimodal.synth_media(spark, n=10, seed=11)
+    plan = (
+        multimodal.phash_signatures(media)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
