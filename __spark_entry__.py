@@ -1485,6 +1485,92 @@ def q_percentile_profile(spark, sf_dir):
     )
 
 
+def q_dsir_resample(spark, sf_dir):
+    """DSIR's selection step: Gumbel-top-k over the importance weights
+    (sampling-without-replacement ∝ exp(logw) via the Gumbel-max trick,
+    made deterministic with SplitMix64 noise keyed on doc_id — no RNG).
+    Top-k plans as TakeOrderedAndProject, never a full sort. Rows-only;
+    the exact pandas twin and the determinism/plan tests live in
+    tests/test_hash_oracles.py."""
+    from qamd_spark.ops import sampling as smp
+
+    return smp.dsir_resample(
+        _docs(spark, sf_dir).select("doc_id", "text"), k=500
+    ).select("doc_id", "dsir_logw", F.round("gumbel_key", 9).alias("gumbel_key"))
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention over the events table — the classic
+    product-analytics matrix (cohort = user's first-seen ISO week;
+    cell = users of that cohort active N weeks later, plus the
+    retention fraction). Three hash aggregates and one equi-join on
+    user_id; the (user, week) activity table is pre-distinct'd so the
+    cell count is a plain count(*), and week arithmetic stays in exact
+    integer days (datediff div 7 — both truncations are Mondays, so
+    the division is exact). Retention is a single exact division."""
+    ev = _events(spark, sf_dir).filter(F.col("ts").isNotNull()).select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    act = ev.distinct()
+    week_n = (
+        F.datediff(F.col("week").cast("date"), F.col("cohort_week").cast("date"))
+        / F.lit(7)
+    ).cast("int")
+    per = (
+        act.join(firsts, "user_id")
+        .groupBy("cohort_week", week_n.alias("week_n"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return per.join(sizes, "cohort_week").select(
+        "cohort_week",
+        "week_n",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active").cast("double") / F.col("cohort_size").cast("double")).alias(
+            "retention"
+        ),
+    )
+
+
+def q_pack_efficiency(spark, sf_dir):
+    """One-row packing-efficiency summary on top of pack_sequences:
+    total docs/tokens, pack count, utilization of the fixed-length
+    blocks (padding only ever exists in the final pack), and the
+    boundary-straddler fraction — the numbers that decide whether
+    seq_len fits the corpus. Pure integer aggregate over the packing
+    plan; utilization and straddle fraction are single exact
+    divisions."""
+    from qamd_spark.ops.sampling import pack_sequences
+
+    L = PACK_SEQ_LEN
+    p = pack_sequences(
+        _docs(spark, sf_dir), id_col="doc_id", weight_col="n_chars", seq_len=L
+    )
+    agg = p.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_tokens"),
+        (F.max(F.col("pack_last")) + 1).alias("n_packs"),
+        F.sum((F.col("n_packs_spanned") > 1).cast("long")).alias("n_straddlers"),
+    )
+    return agg.select(
+        "n_docs",
+        "total_tokens",
+        "n_packs",
+        "n_straddlers",
+        (
+            F.col("total_tokens").cast("double")
+            / (F.col("n_packs") * F.lit(L)).cast("double")
+        ).alias("utilization"),
+        (
+            F.col("n_straddlers").cast("double") / F.col("n_docs").cast("double")
+        ).alias("straddle_frac"),
+    )
+
+
 SAMPLE_PCT = 10
 SAMPLE_SALT = "qamd-r2"
 
@@ -2064,6 +2150,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_datasheet": q_corpus_datasheet,
         "dsir_weights": q_dsir_weights,
         "percentile_profile": q_percentile_profile,
+        "dsir_resample": q_dsir_resample,
+        "cohort_retention": q_cohort_retention,
+        "pack_efficiency": q_pack_efficiency,
         "corpus_curate": q_corpus_curate,
         "oov_fraction": q_oov_fraction,
         "sentinel_text": q_sentinel_text,
@@ -2270,6 +2359,55 @@ def oracle_sql() -> dict[str, str]:
                      AS dup_frac,
                    total_chars::DOUBLE / n_docs::DOUBLE AS mean_chars
             FROM a
+        """,
+        "cohort_retention": """
+            WITH e AS (
+              SELECT user_id, date_trunc('week', ts) AS week
+              FROM events WHERE ts IS NOT NULL),
+            f AS (SELECT user_id, min(week) AS cohort_week
+                  FROM e GROUP BY user_id),
+            a AS (SELECT DISTINCT user_id, week FROM e),
+            j AS (SELECT a.user_id, f.cohort_week,
+                         ((a.week::DATE - f.cohort_week::DATE) // 7)::INT
+                           AS week_n
+                  FROM a JOIN f USING (user_id)),
+            p AS (SELECT cohort_week, week_n, count(*)::BIGINT AS n_active
+                  FROM j GROUP BY 1, 2),
+            s AS (SELECT cohort_week, count(*)::BIGINT AS cohort_size
+                  FROM f GROUP BY 1)
+            SELECT p.cohort_week, p.week_n, p.n_active, s.cohort_size,
+                   p.n_active::DOUBLE / s.cohort_size::DOUBLE AS retention
+            FROM p JOIN s USING (cohort_week)
+        """,
+        "pack_efficiency": f"""
+            WITH d AS (
+              SELECT doc_id, coalesce(n_chars, 0)::BIGINT AS w,
+                     md5(doc_id::VARCHAR || ':pack') AS h
+              FROM documents),
+            c AS (
+              SELECT doc_id, w,
+                     coalesce(sum(w) OVER (ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS start_tok
+              FROM d),
+            x AS (
+              SELECT w,
+                     start_tok // {PACK_SEQ_LEN} AS pack_first,
+                     (start_tok + greatest(w, 1) - 1) // {PACK_SEQ_LEN}
+                       AS pack_last
+              FROM c),
+            g AS (
+              SELECT count(*)::BIGINT AS n_docs,
+                     sum(w)::BIGINT AS total_tokens,
+                     (max(pack_last) + 1)::BIGINT AS n_packs,
+                     sum(CASE WHEN pack_last > pack_first THEN 1 ELSE 0
+                         END)::BIGINT AS n_straddlers
+              FROM x)
+            SELECT n_docs, total_tokens, n_packs, n_straddlers,
+                   total_tokens::DOUBLE
+                     / (n_packs * {PACK_SEQ_LEN})::DOUBLE AS utilization,
+                   n_straddlers::DOUBLE / n_docs::DOUBLE AS straddle_frac
+            FROM g
         """,
         "percentile_profile": """
             SELECT source,

@@ -316,6 +316,79 @@ def dsir_weights(
     )
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer (public PRNG construction) over int64 ids —
+    a pure-numpy uint64 bijection, bit-identical in every process."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def gumbel_keys(ids: np.ndarray, salt: int = 0) -> np.ndarray:
+    """Deterministic standard-Gumbel noise per id: u = splitmix64(id ^
+    salted-constant) mapped to (0,1), g = -log(-log(u)). No RNG state —
+    reproducible across runs, engines, and cluster sizes."""
+    h = _splitmix64(ids.astype(np.int64) ^ np.int64(salt))
+    u = (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    u = np.maximum(u, 2.0**-53)  # avoid log(0)
+    return -np.log(-np.log(u))
+
+
+def dsir_resample(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_counts: np.ndarray | None = None,
+    salt: int = 0,
+) -> DataFrame:
+    """The DSIR selection step: keep k documents by Gumbel-top-k over
+    the importance weights — equivalent to sampling WITHOUT replacement
+    with probability proportional to exp(dsir_logw) (the Gumbel-max
+    trick), but fully deterministic: the noise is a salted SplitMix64
+    hash of the id, not an RNG. Output: the k selected
+    (id, dsir_logw, gumbel_key) rows.
+
+    Scale: the noise rides in the same Arrow stage as the scores; the
+    global top-k plans as TakeOrderedAndProject (per-partition heaps +
+    driver merge of k rows), never a full sort."""
+    scored = dsir_weights(df, id_col, text_col, target_counts)
+    import pandas as pd
+
+    def _noise(it):
+        for pdf in it:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "dsir_logw": pdf["dsir_logw"],
+                    "gumbel_key": pdf["dsir_logw"].to_numpy()
+                    + gumbel_keys(ids, salt),
+                }
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    keyed = scored.select(id_col, "dsir_logw").mapInPandas(
+        _noise, schema=f"{id_col} {id_type}, dsir_logw double, gumbel_key double"
+    )
+    return keyed.orderBy(F.desc("gumbel_key"), F.col(id_col)).limit(int(k))
+
+
+def dsir_resample_pdf(pdf, k, id_col="doc_id", text_col="text",
+                      target_counts=None, salt: int = 0):
+    """pandas twin of dsir_resample (same kernels, same noise)."""
+    scored = dsir_weights_pdf(pdf, id_col, text_col, target_counts)
+    ids = scored[id_col].to_numpy(dtype=np.int64)
+    scored = scored.assign(
+        gumbel_key=scored["dsir_logw"].to_numpy() + gumbel_keys(ids, salt)
+    )
+    out = scored.sort_values(
+        ["gumbel_key", id_col], ascending=[False, True]
+    ).head(k)
+    return out[[id_col, "dsir_logw", "gumbel_key"]].reset_index(drop=True)
+
+
 def dsir_weights_pdf(pdf, id_col="doc_id", text_col="text", target_counts=None):
     """Single-node pandas twin of dsir_weights — same kernels, same
     two-pass structure, bit-exact (per-doc bincount folds are

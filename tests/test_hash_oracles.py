@@ -638,3 +638,62 @@ def test_dsir_scores_batch_composition_invariant(spark):
     a = smp.dsir_weights(docs.coalesce(1)).toPandas().sort_values("doc_id")
     b = smp.dsir_weights(docs.repartition(17)).toPandas().sort_values("doc_id")
     assert (a["dsir_logw"].to_numpy() == b["dsir_logw"].to_numpy()).all()
+
+
+def test_dsir_resample_matches_pandas_twin(spark, docs_df, docs_pdf):
+    """Gumbel-top-k selection: same k ids, same keys, bit-for-bit."""
+    from qamd_spark.ops import sampling as smp
+
+    got = (
+        smp.dsir_resample(docs_df.select("doc_id", "text"), k=100)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        smp.dsir_resample_pdf(docs_pdf, k=100)
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert (got["gumbel_key"].to_numpy() == want["gumbel_key"].to_numpy()).all()
+
+
+def test_dsir_resample_is_weight_biased_and_deterministic(spark):
+    """Selection ∝ exp(logw): target-domain prose must be selected at a
+    much higher rate than junk when half the corpus is each; two runs
+    (and two salts differing) pin determinism and salt sensitivity."""
+    from qamd_spark import corpora
+    from qamd_spark.ops import sampling as smp
+
+    words = corpora.LANG_CORPORA["en"].split()
+    rows = []
+    for i in range(200):
+        if i % 2 == 0:
+            s = " ".join(words[(3 * i) % 400 : (3 * i) % 400 + 25])
+        else:
+            s = ("@#$% 01 ^^&& ~ | 98765 <<>> {}{} %%$ " * 3) + str(i)
+        rows.append((i, s))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sel = smp.dsir_resample(df, k=50).toPandas()
+    prose = (sel["doc_id"] % 2 == 0).sum()
+    assert prose >= 45, prose  # junk should almost never win
+    sel2 = smp.dsir_resample(df, k=50).toPandas()
+    assert sel["doc_id"].tolist() == sel2["doc_id"].tolist()
+    sel3 = smp.dsir_resample(df, k=50, salt=99).toPandas()
+    assert sel["doc_id"].tolist() != sel3["doc_id"].tolist()
+
+
+def test_dsir_resample_plans_as_take_ordered(spark):
+    """The global top-k must be TakeOrderedAndProject (partition heaps),
+    not a full Sort + GlobalLimit."""
+    from qamd_spark.ops import sampling as smp
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    plan = (
+        smp.dsir_resample(docs, k=100)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
