@@ -1571,6 +1571,55 @@ def q_pack_efficiency(spark, sf_dir):
     )
 
 
+def q_sketch_profile(spark, sf_dir):
+    """Sketch-based cardinality per source — the 100 TB path for the
+    datasheet's distinct counts: HLL++ (approx_count_distinct) and an
+    Apache DataSketches HLL (hll_sketch_agg, lgK=12), side by side with
+    the exact count so the per-source relative error is visible in the
+    result. Both sketches are fixed-size mergeable partial aggregates —
+    at scale they replace the expand + two-level distinct aggregate
+    with one narrow pass. Rows-only (estimates are engine-specific by
+    construction); tests/test_ops.py bounds the errors."""
+    t = _txt()
+    agg = _docs(spark, sf_dir).groupBy("source").agg(
+        F.countDistinct(t).alias("exact_distinct"),
+        F.approx_count_distinct(t, 0.02).alias("hllpp_est"),
+        F.expr("hll_sketch_estimate(hll_sketch_agg(coalesce(text,''), 12))").alias(
+            "ds_hll_est"
+        ),
+    )
+    err = lambda c: F.abs(  # noqa: E731
+        F.col(c).cast("double") - F.col("exact_distinct").cast("double")
+    ) / F.col("exact_distinct").cast("double")
+    return agg.select(
+        "source",
+        "exact_distinct",
+        "hllpp_est",
+        "ds_hll_est",
+        F.round(err("hllpp_est"), 9).alias("hllpp_rel_err"),
+        F.round(err("ds_hll_est"), 9).alias("ds_hll_rel_err"),
+    )
+
+
+def q_heavy_hitters_sketch(spark, sf_dir):
+    """Sketch-based heavy hitters: approx_top_k over the exploded token
+    stream — the bounded-memory replacement for token_topk's full
+    hash aggregate when the token universe no longer fits a shuffle
+    (the aggregate is one mergeable sketch per partition instead of a
+    per-token hash table). Rows-only; tests/test_ops.py pins the top
+    tokens of a skewed stream against the exact count."""
+    toks = F.explode(F.split(F.lower(_txt()), r"\s+", -1)).alias("tok")
+    sk = (
+        _docs(spark, sf_dir)
+        .select(toks)
+        .filter(F.col("tok") != "")
+        .agg(F.expr("approx_top_k(tok, 25)").alias("top"))
+    )
+    return sk.select(F.explode("top").alias("e")).select(
+        F.col("e.item").alias("tok"), F.col("e.count").alias("est_count")
+    )
+
+
 SAMPLE_PCT = 10
 SAMPLE_SALT = "qamd-r2"
 
@@ -2153,6 +2202,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample": q_dsir_resample,
         "cohort_retention": q_cohort_retention,
         "pack_efficiency": q_pack_efficiency,
+        "sketch_profile": q_sketch_profile,
+        "heavy_hitters_sketch": q_heavy_hitters_sketch,
         "corpus_curate": q_corpus_curate,
         "oov_fraction": q_oov_fraction,
         "sentinel_text": q_sentinel_text,

@@ -899,3 +899,37 @@ def test_phash_signature_stage_is_jvm_after_decode(spark):
     )
     assert plan.count("MapInPandas") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sketch_profile_errors_bounded(spark):
+    """HLL++ (rsd 5%) and DataSketches HLL (lgK=12, ~1.6% typical) must
+    land near the exact per-source distinct counts."""
+    import __spark_entry__ as E
+
+    rows = E.q_sketch_profile(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["hllpp_rel_err"] <= 0.10, (r["source"], r["hllpp_rel_err"])
+        assert r["ds_hll_rel_err"] <= 0.05, (r["source"], r["ds_hll_rel_err"])
+
+
+def test_heavy_hitters_sketch_matches_exact_top(spark):
+    """On a skewed stream the sketch's top items must be the exact top
+    items with exact counts (approx_top_k is exact when the maintained
+    map never evicts — the guarantee that matters for heavy hitters)."""
+    from pyspark.sql import functions as F
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["tok"]: r["est_count"] for r in E.q_heavy_hitters_sketch(spark, sf).collect()}
+    exact = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select(F.explode(F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+", -1)).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok").count()
+        .orderBy(F.desc("count"), "tok")
+        .limit(10)
+        .collect()
+    )
+    for r in exact:
+        assert got.get(r["tok"]) == r["count"], (r["tok"], r["count"], got.get(r["tok"]))
