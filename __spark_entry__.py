@@ -1268,27 +1268,50 @@ def q_refusal_scan(spark, sf_dir):
     is_ref = (
         (F.col("role") == "assistant") & rf.refusal_hit(F.col("text"), panel)
     ).cast("int")
+    # aggregate the phrase as its LEX-RANK, not the string: min(string)
+    # forces a SortAggregate fallback (no mutable hash-agg buffer for
+    # strings); min(int) keeps the whole rollup a partial+final
+    # HashAggregate. Per turn the rank of the lexicographically smallest
+    # matching phrase, min'd over the conversation's refusal turns, maps
+    # back to the phrase via element_at after the agg — first_phrase is
+    # therefore "the lexicographically smallest phrase matched by any
+    # assistant refusal turn", mirrored exactly in the DuckDB twin.
+    sorted_panel = sorted(panel)
+    low = F.lower(F.col("text"))
+    phrase_idx = F.lit(None).cast("int")
+    for rank in range(len(sorted_panel) - 1, -1, -1):
+        phrase_idx = F.when(
+            low.contains(F.lit(sorted_panel[rank])), F.lit(rank)
+        ).otherwise(phrase_idx)
     per = t.select(
         "conv",
         is_asst.alias("is_asst"),
         is_ref.alias("is_ref"),
-        rf.first_refusal_phrase(F.col("text"), panel).alias("phrase"),
+        phrase_idx.alias("pidx"),
     )
     agg = per.groupBy("conv").agg(
         F.sum("is_asst").alias("n_assistant"),
         F.sum("is_ref").alias("n_refusal"),
-        F.min(F.when(F.col("is_ref") == 1, F.col("phrase"))).alias("first_phrase"),
+        F.min(F.when(F.col("is_ref") == 1, F.col("pidx"))).alias("first_idx"),
     )
     frac = F.when(
         F.col("n_assistant") > 0,
         F.col("n_refusal").cast("double") / F.col("n_assistant").cast("double"),
     ).otherwise(F.lit(0.0))
+    panel_arr = F.array(*[F.lit(p) for p in sorted_panel])
+    # explicit NULL guard: element_at(arr, NULL) does NOT return NULL in
+    # Spark (observed: it resolves like index -1, yielding the LAST
+    # element), so a no-refusal conversation must short-circuit
+    first_phrase = F.when(
+        F.col("first_idx").isNotNull(),
+        F.element_at(panel_arr, F.col("first_idx") + 1),
+    )
     return agg.select(
         "conv",
         "n_assistant",
         "n_refusal",
         frac.alias("refusal_frac"),
-        "first_phrase",
+        first_phrase.alias("first_phrase"),
         (frac > 0.25).alias("conv_flag"),
     )
 
@@ -1617,6 +1640,66 @@ def q_heavy_hitters_sketch(spark, sf_dir):
     )
     return sk.select(F.explode("top").alias("e")).select(
         F.col("e.item").alias("tok"), F.col("e.count").alias("est_count")
+    )
+
+
+def q_fertility_by_lang(spark, sf_dir):
+    """Tokenizer fertility per language: BPE-ish subword tokens per
+    whitespace word (corpus-level ratio of exact-int sums). Fertility
+    is the standard check that a tokenizer does not tax some languages
+    with 2-3x more tokens per word than others — it drives both the
+    token-budget math (token_budget_sample) and mixture decisions.
+    One partial+final hash aggregate; the ratio is a single exact
+    division."""
+    t = _txt()
+    trimmed = F.trim(t)
+    ws = F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+", -1))
+    )
+    bpe = F.size(F.regexp_extract_all(t, F.lit(BPE_TOK_RX), F.lit(0)))
+    agg = _docs(spark, sf_dir).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ws.cast("long")).alias("n_words"),
+        F.sum(bpe.cast("long")).alias("n_subwords"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_subwords",
+        F.when(
+            F.col("n_words") > 0,
+            F.col("n_subwords").cast("double") / F.col("n_words").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("fertility"),
+    )
+
+
+def q_embedding_norm_profile(spark, sf_dir):
+    """Embedding-space QA per label cluster: exact L2-norm distribution
+    (min / median / max) — collapsed or exploded norms flag a broken
+    encoder or a mis-scaled shard before ANN indexes are built. The
+    norm is the bit-exact left-fold dot product (the ann_cosine_topk
+    discipline, DuckDB list_dot_product ≡ Spark aggregate fold); the
+    median is the shared lo + (hi-lo)*frac interpolation. min/max are
+    order-free; no float SUM crosses rows (averages are deliberately
+    absent — their order-dependence would break the hash gate)."""
+    e = _emb(spark, sf_dir).select(
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("e", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    d = e.select("label", norm.alias("nrm"))
+    return d.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.min("nrm"), 9).alias("min_norm"),
+        F.round(F.expr("percentile(nrm, 0.5D)"), 9).alias("median_norm"),
+        F.round(F.max("nrm"), 9).alias("max_norm"),
     )
 
 
@@ -2204,6 +2287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_efficiency": q_pack_efficiency,
         "sketch_profile": q_sketch_profile,
         "heavy_hitters_sketch": q_heavy_hitters_sketch,
+        "fertility_by_lang": q_fertility_by_lang,
+        "embedding_norm_profile": q_embedding_norm_profile,
         "corpus_curate": q_corpus_curate,
         "oov_fraction": q_oov_fraction,
         "sentinel_text": q_sentinel_text,
@@ -2283,10 +2368,14 @@ def oracle_sql() -> dict[str, str]:
     _rf_panel = [p.replace("'", "''") for p in _RFP]
     _rf_list = "[" + ", ".join(f"'{p}'" for p in _rf_panel) + "]"
     _rf_hit = " OR ".join(f"contains(lower(text), '{p}')" for p in _rf_panel)
+    # per-turn phrase = lexicographically smallest match (WHEN chain in
+    # sorted order — mirrors the Spark side's lex-rank encoding; sort
+    # the RAW phrases, then escape, so SQL quoting can't reorder)
+    _rf_sorted = [p.replace("'", "''") for p in sorted(_RFP)]
     _rf_first = (
         "CASE "
         + " ".join(
-            f"WHEN contains(lower(text), '{p}') THEN '{p}'" for p in _rf_panel
+            f"WHEN contains(lower(text), '{p}') THEN '{p}'" for p in _rf_sorted
         )
         + " ELSE NULL END"
     )
@@ -2410,6 +2499,39 @@ def oracle_sql() -> dict[str, str]:
                      AS dup_frac,
                    total_chars::DOUBLE / n_docs::DOUBLE AS mean_chars
             FROM a
+        """,
+        "fertility_by_lang": f"""
+            WITH b AS (
+              SELECT lang,
+                     coalesce(text,'') AS t,
+                     trim(coalesce(text,''), ' ') AS trimmed
+              FROM documents),
+            p AS (
+              SELECT lang,
+                     CASE WHEN trimmed = '' THEN 0
+                          ELSE len(regexp_split_to_array(trimmed, '\\s+'))
+                          END::BIGINT AS ws,
+                     len(regexp_extract_all(t, '{BPE_TOK_RX}'))::BIGINT AS bpe
+              FROM b)
+            SELECT lang, count(*)::BIGINT AS n_docs,
+                   sum(ws)::BIGINT AS n_words,
+                   sum(bpe)::BIGINT AS n_subwords,
+                   CASE WHEN sum(ws) > 0
+                        THEN sum(bpe)::DOUBLE / sum(ws)::DOUBLE
+                        ELSE 0.0 END AS fertility
+            FROM p GROUP BY lang
+        """,
+        "embedding_norm_profile": """
+            WITH d AS (
+              SELECT label,
+                     sqrt(list_dot_product(embedding::DOUBLE[],
+                                           embedding::DOUBLE[])) AS nrm
+              FROM embeddings)
+            SELECT label, count(*)::BIGINT AS n_vecs,
+                   round(min(nrm), 9) AS min_norm,
+                   round(quantile_cont(nrm, 0.5), 9) AS median_norm,
+                   round(max(nrm), 9) AS max_norm
+            FROM d GROUP BY label
         """,
         "cohort_retention": """
             WITH e AS (

@@ -187,6 +187,10 @@ def run_benchmarks() -> dict:
         "pack_sequences",
         "line_filter",
         "fingerprint",
+        "dsir_weights",
+        "refusal_scan",
+        "cohort_retention",
+        "sketch_profile",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

@@ -303,24 +303,31 @@ def phash_neardups(
         raise ValueError("max_hamming too large for the signature width")
     base = PHASH_BITS // n_bands
     widths = [base + (1 if i < PHASH_BITS % n_bands else 0) for i in range(n_bands)]
-    sigs = phash_signatures(media, decode_stub, features=features).filter(
-        F.col("nonzero")
+    # persist the tiny (media_id, sig) table: it feeds two plan branches
+    # (band buckets + bucket minima) and would otherwise re-run the
+    # Python decode stage per branch (the simhash persist precedent)
+    sigs = (
+        phash_signatures(media, decode_stub, features=features)
+        .filter(F.col("nonzero"))
+        .select("media_id", "sig")
+        .persist()
     )
-    bands = []
+    # bands via a single explode (no per-band union re-reading the source)
+    band_structs = []
     off = 0
     for bi, w in enumerate(widths):
-        bands.append(
-            sigs.select(
-                "media_id",
-                "sig",
+        band_structs.append(
+            F.struct(
                 F.lit(bi).alias("band"),
-                F.shiftright("sig", off).bitwiseAND(F.lit((1 << w) - 1)).alias("bval"),
+                F.shiftright("sig", off)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("bval"),
             )
         )
         off += w
-    allb = bands[0]
-    for b in bands[1:]:
-        allb = allb.unionByName(b)
+    allb = sigs.select(
+        "media_id", "sig", F.explode(F.array(*band_structs)).alias("b")
+    ).select("media_id", "sig", "b.band", "b.bval")
     mins = allb.groupBy("band", "bval").agg(
         F.min("media_id").alias("cand"), F.min_by("sig", "media_id").alias("cand_sig")
     )

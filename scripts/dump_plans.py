@@ -133,6 +133,33 @@ def main() -> None:
             "against per-source totals; exact-integer TV numerator.",
             E.q_source_divergence(spark, SF),
         ),
+        (
+            "dsir_resample (scoring + Gumbel-top-k)",
+            "Two Arrow stages (score, then noise over the id/logw pair); "
+            "global top-k is TakeOrderedAndProject — partition heaps + a "
+            "k-row driver merge, never a full Sort; the <=16k-bucket "
+            "count pass ran at plan-build time (bounded driver collect).",
+            E.q_dsir_resample(spark, SF),
+        ),
+        (
+            "refusal_scan",
+            "Pure-JVM contains panel over the lowercased text, one "
+            "partial+final hash aggregate — zero Python stages.",
+            E.q_refusal_scan(spark, SF),
+        ),
+        (
+            "phash_neardup",
+            "One MapInPandas (the decode); signature packing, banding, "
+            "min-per-bucket resolution and bit_count verify all JVM.",
+            E.q_phash_neardup(spark, SF),
+        ),
+        (
+            "sketch_profile",
+            "Exact distinct (expand) next to two fixed-size mergeable "
+            "sketch aggregates (HLL++ / DataSketches HLL) — the sketches "
+            "are the 100 TB path.",
+            E.q_sketch_profile(spark, SF),
+        ),
     ]
     out = [
         "# PLANS.md — physical plans of the scale-critical paths",
