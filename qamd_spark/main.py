@@ -75,6 +75,11 @@ disclosure_risk:
     setting: 1
     desc: "Turn text occurring <= threshold times globally (outlier)"
 quality:
+  # assistant-turn refusal/template phrase panel (disabled by default;
+  # setting true uses the built-in panel, or list phrases explicitly)
+  # refusal:
+  #   setting: true
+  #   desc: "Assistant turns should not contain canned refusal templates"
   langid:
     setting: {allowed: [en], min_margin: 0.15}
     desc: "Turn language should be in the allowed set"
@@ -145,6 +150,34 @@ def main(argv: list[str] | None = None) -> int:
     ded.add_argument("--id-col", default="doc_id")
     ded.add_argument("--text-col", default="text")
 
+    smp = sub.add_parser(
+        "sample",
+        help="deterministic corpus sampling / data selection: "
+             "hash (salted md5 pct) | budget (per-group token quota) | "
+             "dsir (importance weights) | dsir-topk (Gumbel-top-k "
+             "selection)",
+    )
+    smp.add_argument("--input", required=True, help="parquet table")
+    smp.add_argument("--output", required=True, help="output parquet path")
+    smp.add_argument(
+        "--method", choices=("hash", "budget", "dsir", "dsir-topk"),
+        default="hash",
+    )
+    smp.add_argument("--master", default=None)
+    smp.add_argument("--id-col", default="doc_id")
+    smp.add_argument("--text-col", default="text")
+    smp.add_argument("--group-col", default="lang",
+                     help="stratum column (budget method)")
+    smp.add_argument("--weight-col", default="n_chars",
+                     help="weight column (budget method)")
+    smp.add_argument("--pct", type=int, default=10,
+                     help="percent kept (hash method)")
+    smp.add_argument("--budget", type=int, default=100_000,
+                     help="per-group weight budget (budget method)")
+    smp.add_argument("--k", type=int, default=1000,
+                     help="rows selected (dsir-topk method)")
+    smp.add_argument("--salt", default="s")
+
     st = sub.add_parser(
         "stream",
         help="incremental per-turn labeling via Structured Streaming "
@@ -171,6 +204,8 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.cmd == "dedup":
         return _run_dedup(args)
+    if args.cmd == "sample":
+        return _run_sample(args)
     if args.cmd == "stream":
         return _run_stream(args)
 
@@ -304,6 +339,64 @@ def _run_dedup(args) -> int:
             out = dd.span_dedup(docs)
         else:
             out = tx.winnow_containment(docs)
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(json.dumps({"status": "ok", "method": args.method,
+                          "output": args.output, "rows": n}))
+        return 0
+    finally:
+        if not preexisting:
+            spark.stop()
+
+
+def _run_sample(args) -> int:
+    """CLI front-end for the ops/sampling family: deterministic (no-RNG)
+    corpus sampling and DSIR data selection over a parquet table."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from qamd_spark.ops import sampling as smp
+
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = session.get_spark("qamd_spark.sample", master=args.master)
+    try:
+        df = spark.read.parquet(args.input)
+        need = {"hash": [args.id_col],
+                "budget": [args.group_col, args.id_col, args.weight_col],
+                "dsir": [args.id_col, args.text_col],
+                "dsir-topk": [args.id_col, args.text_col]}[args.method]
+        for col in need:
+            if col not in df.columns:
+                raise SystemExit(f"input is missing column {col!r}")
+        if args.method == "hash":
+            if not (0 < args.pct <= 100):
+                raise SystemExit("--pct must be in (0, 100]")
+            h = F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(args.salt + ":"),
+                            F.col(args.id_col).cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            out = df.filter((h % 100) < args.pct)
+        elif args.method == "budget":
+            out = smp.token_budget_sample(
+                df, args.group_col, args.id_col, args.weight_col,
+                budget=args.budget, salt=args.salt,
+            )
+        elif args.method == "dsir":
+            out = smp.dsir_weights(df, args.id_col, args.text_col)
+        else:
+            if args.k < 1:
+                raise SystemExit("--k must be >= 1")
+            out = smp.dsir_resample(df, args.k, args.id_col, args.text_col)
         out.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
         print(json.dumps({"status": "ok", "method": args.method,

@@ -182,3 +182,59 @@ def test_cli_dedup_subcommand(tmp_path, spark):
     b = cli.sort_values(["doc_id"]).reset_index(drop=True)
     assert (a["doc_id"].to_numpy() == b["doc_id"].to_numpy()).all()
     assert (a["dup_of"].to_numpy() == b["dup_of"].to_numpy()).all()
+
+
+def test_cli_sample_subcommand(tmp_path, spark):
+    """The sample CLI front-end: all four methods run over a documents
+    parquet and write their outputs; hash is reproducible and ~pct-sized;
+    dsir-topk returns exactly k rows matching the library call."""
+    from qamd_spark import main
+    from qamd_spark.ops import sampling as smp
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    n_src = spark.read.parquet(src).count()
+
+    out = str(tmp_path / "hash")
+    rc = main.main(["sample", "--input", src, "--output", out,
+                    "--method", "hash", "--pct", "10",
+                    "--master", "local[4]"])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert 0 < got.count() < n_src * 0.2
+    rc = main.main(["sample", "--input", src, "--output", str(tmp_path / "h2"),
+                    "--method", "hash", "--pct", "10",
+                    "--master", "local[4]"])
+    assert rc == 0
+    a = sorted(r["doc_id"] for r in got.collect())
+    b = sorted(r["doc_id"] for r in spark.read.parquet(str(tmp_path / "h2")).collect())
+    assert a == b  # no RNG anywhere
+
+    out = str(tmp_path / "budget")
+    rc = main.main(["sample", "--input", src, "--output", out,
+                    "--method", "budget", "--budget", "5000",
+                    "--master", "local[4]"])
+    assert rc == 0
+    bud = spark.read.parquet(out)
+    assert set(bud.columns) == {"lang", "doc_id", "n_chars", "cum_weight"}
+    assert bud.groupBy("lang").count().count() > 0
+    assert bud.filter("cum_weight > 5000").count() == 0
+
+    out = str(tmp_path / "dsir")
+    rc = main.main(["sample", "--input", src, "--output", out,
+                    "--method", "dsir", "--master", "local[4]"])
+    assert rc == 0
+    w = spark.read.parquet(out)
+    assert set(w.columns) == {"doc_id", "n_grams", "dsir_logw", "selected"}
+    assert w.count() == n_src
+
+    out = str(tmp_path / "topk")
+    rc = main.main(["sample", "--input", src, "--output", out,
+                    "--method", "dsir-topk", "--k", "50",
+                    "--master", "local[4]"])
+    assert rc == 0
+    sel = spark.read.parquet(out)
+    assert sel.count() == 50
+    lib = smp.dsir_resample(
+        spark.read.parquet(src).select("doc_id", "text"), k=50
+    ).toPandas()
+    assert sorted(r["doc_id"] for r in sel.collect()) == sorted(lib["doc_id"])
