@@ -1703,6 +1703,64 @@ def q_embedding_norm_profile(spark, sf_dir):
     )
 
 
+def q_normalize_text(spark, sf_dir):
+    """Whitespace/control normalization — the cheap canonicalization
+    every curation pipeline runs before hashing/dedup so that
+    formatting-only variants collapse: strip C0/C1 control characters
+    (keep \\t \\n), collapse horizontal whitespace runs, collapse 3+
+    newlines to 2, trim. One codegen-fused regexp_replace chain (fixed
+    order, so the DuckDB twin is byte-identical); emits the md5 before
+    and after, and the corpus-level changed flag, so the effect on
+    dedup keys is directly visible."""
+    t = _txt()
+    # order matters and is mirrored in SQL: controls -> hspace -> 3+\n -> trim
+    step1 = F.regexp_replace(t, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    step2 = F.regexp_replace(step1, r"[ \t]+", " ")
+    step3 = F.regexp_replace(step2, r"\n{3,}", "\n\n")
+    norm = F.trim(step3)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(t).alias("md5_raw"),
+        F.md5(norm).alias("md5_norm"),
+        (F.md5(t) != F.md5(norm)).alias("changed"),
+        F.length(t).cast("long").alias("len_raw"),
+        F.length(norm).cast("long").alias("len_norm"),
+    )
+
+
+def q_conv_export(spark, sf_dir):
+    """Conversation → training-document materialization: flatten each
+    conversation's turns, in turn order, into one role-tagged document
+    ("<role>: text" joined by newlines) plus turn/char counts — the
+    export step that feeds packing/tokenization after curation. Spark
+    builds the ordered document with array_sort(collect_list(struct))
+    + array_join (a hash aggregate — collect_list has a mutable buffer
+    — then per-row sort bounded by the conversation); the DuckDB twin
+    is the plain string_agg(... ORDER BY). Skew note: collect_list is
+    bounded by the largest conversation, the same bound the grouped-map
+    features operator documents."""
+    t = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 97).cast("long").alias("conv"),
+        F.floor(F.col("doc_id") / 97).cast("long").alias("turn_idx"),
+        F.when((F.col("doc_id") % 2) == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        _txt().alias("text"),
+    )
+    line = F.concat(F.col("role"), F.lit(": "), F.col("text"))
+    agg = t.select("conv", F.struct("turn_idx", line.alias("line")).alias("s")).groupBy(
+        "conv"
+    ).agg(F.array_sort(F.collect_list("s")).alias("arr"))
+    doc = F.array_join(F.transform("arr", lambda x: x["line"]), "\n")
+    return agg.select(
+        "conv",
+        F.size("arr").cast("long").alias("n_turns"),
+        doc.alias("doc"),
+        F.length(doc).cast("long").alias("n_chars_doc"),
+        F.md5(doc).alias("doc_md5"),
+    )
+
+
 SAMPLE_PCT = 10
 SAMPLE_SALT = "qamd-r2"
 
@@ -2289,6 +2347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_sketch": q_heavy_hitters_sketch,
         "fertility_by_lang": q_fertility_by_lang,
         "embedding_norm_profile": q_embedding_norm_profile,
+        "normalize_text": q_normalize_text,
+        "conv_export": q_conv_export,
         "corpus_curate": q_corpus_curate,
         "oov_fraction": q_oov_fraction,
         "sentinel_text": q_sentinel_text,
@@ -2499,6 +2559,38 @@ def oracle_sql() -> dict[str, str]:
                      AS dup_frac,
                    total_chars::DOUBLE / n_docs::DOUBLE AS mean_chars
             FROM a
+        """,
+        "normalize_text": r"""
+            WITH b AS (SELECT doc_id, coalesce(text,'') AS t FROM documents),
+            n AS (SELECT doc_id, t,
+                    trim(regexp_replace(regexp_replace(regexp_replace(t,
+                      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                      '[ \t]+', ' ', 'g'),
+                      '\n{3,}', '\n\n', 'g'), ' ') AS norm
+                  FROM b)
+            SELECT doc_id, md5(t) AS md5_raw, md5(norm) AS md5_norm,
+                   (md5(t) != md5(norm)) AS changed,
+                   length(t)::BIGINT AS len_raw,
+                   length(norm)::BIGINT AS len_norm
+            FROM n
+        """,
+        "conv_export": """
+            WITH t AS (
+              SELECT (doc_id % 97)::BIGINT AS conv,
+                     (doc_id // 97)::BIGINT AS turn_idx,
+                     CASE WHEN doc_id % 2 = 0 THEN 'user'
+                          ELSE 'assistant' END AS role,
+                     coalesce(text,'') AS text
+              FROM documents),
+            g AS (
+              SELECT conv, count(*)::BIGINT AS n_turns,
+                     string_agg(role || ': ' || text, chr(10)
+                                ORDER BY turn_idx) AS doc
+              FROM t GROUP BY conv)
+            SELECT conv, n_turns, doc,
+                   length(doc)::BIGINT AS n_chars_doc,
+                   md5(doc) AS doc_md5
+            FROM g
         """,
         "fertility_by_lang": f"""
             WITH b AS (
