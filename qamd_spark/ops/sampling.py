@@ -353,6 +353,14 @@ def dsir_resample(
     Scale: the noise rides in the same Arrow stage as the scores; the
     global top-k plans as TakeOrderedAndProject (per-partition heaps +
     driver merge of k rows), never a full sort."""
+    id_dtype = dict(df.dtypes)[id_col]
+    if id_dtype not in ("tinyint", "smallint", "int", "bigint", "long"):
+        # the SplitMix64 noise is keyed on the integer id; failing here
+        # beats a numpy cast error inside a task
+        raise ValueError(
+            f"dsir_resample requires an integer id column; {id_col!r} is "
+            f"{id_dtype} (hash string keys to int64 first, e.g. xxhash64)"
+        )
     scored = dsir_weights(df, id_col, text_col, target_counts)
     import pandas as pd
 

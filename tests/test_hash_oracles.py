@@ -697,3 +697,12 @@ def test_dsir_resample_plans_as_take_ordered(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dsir_resample_rejects_string_ids(spark):
+    df = spark.createDataFrame([("a", "text one"), ("b", "text two")],
+                               "doc_id string, text string")
+    from qamd_spark.ops import sampling as smp
+
+    with pytest.raises(ValueError, match="integer id"):
+        smp.dsir_resample(df, k=1)
