@@ -136,14 +136,15 @@ def main(argv: list[str] | None = None) -> int:
     ded = sub.add_parser(
         "dedup",
         help="near-duplicate analysis over a (doc_id, text) table: "
-             "exact | minhash | simhash | clusters | containment | span",
+             "exact | minhash | simhash | clusters | containment | span "
+             "| canonical",
     )
     ded.add_argument("--input", required=True, help="parquet with doc_id+text")
     ded.add_argument("--output", required=True, help="output parquet path")
     ded.add_argument(
         "--method",
         choices=("exact", "minhash", "simhash", "clusters", "containment",
-                 "span"),
+                 "span", "canonical"),
         default="minhash",
     )
     ded.add_argument("--master", default=None)
@@ -178,6 +179,22 @@ def main(argv: list[str] | None = None) -> int:
                      help="rows selected (dsir-topk method)")
     smp.add_argument("--salt", default="s")
 
+    prof = sub.add_parser(
+        "profile",
+        help="one-shot corpus profile (datasheet JSON): cardinalities, "
+             "size totals, dup/empty fractions, per-language histogram "
+             "and tokenizer fertility, per-source length percentiles",
+    )
+    prof.add_argument("--input", required=True, help="parquet table")
+    prof.add_argument("--output", default=None,
+                      help="write the JSON here (default: stdout)")
+    prof.add_argument("--master", default=None)
+    prof.add_argument("--text-col", default="text")
+    prof.add_argument("--lang-col", default="lang",
+                      help="optional; omitted from the profile if absent")
+    prof.add_argument("--source-col", default="source",
+                      help="optional; omitted from the profile if absent")
+
     st = sub.add_parser(
         "stream",
         help="incremental per-turn labeling via Structured Streaming "
@@ -206,6 +223,8 @@ def main(argv: list[str] | None = None) -> int:
         return _run_dedup(args)
     if args.cmd == "sample":
         return _run_sample(args)
+    if args.cmd == "profile":
+        return _run_profile(args)
     if args.cmd == "stream":
         return _run_stream(args)
 
@@ -337,6 +356,10 @@ def _run_dedup(args) -> int:
             # C4-style duplicate-span removal: writes the cleaned corpus
             # (doc_id, clean_text, n_spans, n_removed), not a pair list
             out = dd.span_dedup(docs)
+        elif args.method == "canonical":
+            # quality-preferring keep-one: minhash pairs -> clusters ->
+            # best-copy-per-cluster (max quality_score, ties to min id)
+            out = dd.canonical_keepers(docs, dd.minhash_duplicates(docs))
         else:
             out = tx.winnow_containment(docs)
         out.write.mode("overwrite").parquet(args.output)
@@ -405,6 +428,111 @@ def _run_sample(args) -> int:
     finally:
         if not preexisting:
             spark.stop()
+
+
+def _run_profile(args) -> int:
+    """One-shot corpus datasheet over any parquet table with a text
+    column: the profile a curation run reads before deciding filters
+    (Datasheets-for-Datasets style). All counts exact; fractions are
+    single divisions; everything is one scan per section."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = session.get_spark("qamd_spark.profile", master=args.master)
+    try:
+        df = spark.read.parquet(args.input)
+        if args.text_col not in df.columns:
+            raise SystemExit(f"input is missing column {args.text_col!r}")
+        t = F.coalesce(F.col(args.text_col), F.lit(""))
+        have_lang = args.lang_col in df.columns
+        have_src = args.source_col in df.columns
+
+        aggs = [
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(t).alias("n_distinct_texts"),
+            F.sum(F.length(t)).alias("total_chars"),
+            F.sum(
+                F.when(F.length(F.trim(t)) == 0, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_empty"),
+        ]
+        if have_lang:
+            aggs.append(F.countDistinct(F.col(args.lang_col)).alias("n_langs"))
+        if have_src:
+            aggs.append(F.countDistinct(F.col(args.source_col)).alias("n_sources"))
+        row = df.agg(*aggs).collect()[0].asDict()
+        n = row["n_docs"] or 1
+        profile = {
+            "input": args.input,
+            **{k: int(v) for k, v in row.items()},
+            "dup_frac": (row["n_docs"] - row["n_distinct_texts"]) / n,
+            "empty_frac": row["n_empty"] / n,
+            "mean_chars": row["total_chars"] / n,
+        }
+        if have_lang:
+            trimmed = F.trim(t)
+            ws = F.when(trimmed == "", F.lit(0)).otherwise(
+                F.size(F.split(trimmed, r"\s+", -1))
+            )
+            bpe = F.size(F.regexp_extract_all(t, F.lit(BPE_PROFILE_RX), F.lit(0)))
+            langs = (
+                df.groupBy(F.col(args.lang_col).alias("lang"))
+                .agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum(ws.cast("long")).alias("n_words"),
+                    F.sum(bpe.cast("long")).alias("n_subwords"),
+                )
+                .orderBy("lang")
+                .collect()
+            )
+            profile["languages"] = [
+                {
+                    "lang": r["lang"],
+                    "n_docs": r["n_docs"],
+                    "n_words": int(r["n_words"]),
+                    "fertility": (
+                        r["n_subwords"] / r["n_words"] if r["n_words"] else 0.0
+                    ),
+                }
+                for r in langs
+            ]
+        if have_src:
+            pct = F.expr(
+                f"percentile(length(coalesce({args.text_col}, '')), "
+                "array(0.25D, 0.5D, 0.75D, 0.95D))"
+            )
+            srcs = (
+                df.groupBy(F.col(args.source_col).alias("source"))
+                .agg(F.count(F.lit(1)).alias("n_docs"), pct.alias("q"))
+                .orderBy("source")
+                .collect()
+            )
+            profile["sources"] = [
+                {
+                    "source": r["source"],
+                    "n_docs": r["n_docs"],
+                    "p25": r["q"][0],
+                    "p50": r["q"][1],
+                    "p75": r["q"][2],
+                    "p95": r["q"][3],
+                }
+                for r in srcs
+            ]
+        out = json.dumps(profile, indent=2, sort_keys=True)
+        if args.output:
+            with open(args.output, "w") as f:
+                f.write(out)
+            print(json.dumps({"status": "ok", "output": args.output}))
+        else:
+            print(out)
+        return 0
+    finally:
+        if not preexisting:
+            spark.stop()
+
+
+# BPE-ish pre-tokenizer regex shared with the fertility query
+BPE_PROFILE_RX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
 
 
 if __name__ == "__main__":

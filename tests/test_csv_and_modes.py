@@ -238,3 +238,41 @@ def test_cli_sample_subcommand(tmp_path, spark):
         spark.read.parquet(src).select("doc_id", "text"), k=50
     ).toPandas()
     assert sorted(r["doc_id"] for r in sel.collect()) == sorted(lib["doc_id"])
+
+
+def test_cli_profile_and_canonical(tmp_path, spark):
+    """profile: datasheet JSON with language + source sections when those
+    columns exist; canonical dedup method writes keeper assignments."""
+    import json as _json
+
+    from qamd_spark import main
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "profile.json")
+    rc = main.main(["profile", "--input", src, "--output", out,
+                    "--master", "local[4]"])
+    assert rc == 0
+    prof = _json.load(open(out))
+    assert prof["n_docs"] == spark.read.parquet(src).count()
+    assert 0 <= prof["dup_frac"] < 1 and prof["mean_chars"] > 0
+    assert {l["lang"] for l in prof["languages"]} == {
+        r["lang"] for r in spark.read.parquet(src).select("lang").distinct().collect()
+    }
+    assert all(l["fertility"] > 0 for l in prof["languages"])
+    assert len(prof["sources"]) > 0
+    for s in prof["sources"]:
+        assert s["p25"] <= s["p50"] <= s["p75"] <= s["p95"]
+
+    outp = str(tmp_path / "canon")
+    rc = main.main(["dedup", "--input", src, "--output", outp,
+                    "--method", "canonical", "--master", "local[4]"])
+    assert rc == 0
+    got = spark.read.parquet(outp)
+    assert set(got.columns) == {"doc_id", "cluster_id", "keeper_id",
+                                "is_canonical"}
+    assert got.count() > 0
+    # exactly one canonical member per cluster
+    from pyspark.sql import functions as F
+    per = got.groupBy("cluster_id").agg(
+        F.sum(F.col("is_canonical").cast("int")).alias("n_keep"))
+    assert per.filter("n_keep != 1").count() == 0
