@@ -197,3 +197,46 @@ def test_cli_stream_subcommand(tmp_path, spark, synth_path):
     n2 = spark.read.parquet(out + "/data").count()
     n_new = spark.read.parquet(src + "/part-1.parquet").count()
     assert n2 == n1 + n_new
+
+
+def test_stream_applies_refusal_rule(spark, tmp_path):
+    """The refusal rule is per-row, so it must survive streaming_config's
+    cross-row strip and fire identically in the streamed plan."""
+    import datetime as dt
+
+    import pandas as pd
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    rows = [
+        ("s0", 0, "user", "please summarize the quarterly revenue table"),
+        ("s0", 1, "assistant",
+         "As an AI language model, I cannot access your revenue table"),
+        ("s0", 2, "assistant", "here is the requested quarterly summary"),
+    ]
+    pdf = pd.DataFrame(
+        [
+            {"conv_id": c, "turn_idx": i, "role": r, "text": t,
+             "tool": None, "ts": dt.datetime(2026, 1, 1, 0, i)}
+            for c, i, r, t in rows
+        ]
+    )
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    for col in ("conv_id", "role", "text", "tool"):
+        pdf[col] = pdf[col].astype("string")
+    pdf.to_parquet(os.path.join(src, "a.parquet"))
+
+    cfg = QamdConfig()
+    cfg.settings["refusal"] = True
+    assert streaming.streaming_config(cfg).enabled("refusal")
+    q = streaming.stream_label(spark, src, out, ckpt, cfg=cfg)
+    q.awaitTermination(120)
+    got = {
+        r["turn_idx"]: list(r["rule_hits"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert "refusal" in got[1]
+    assert "refusal" not in got[0] and "refusal" not in got[2]
