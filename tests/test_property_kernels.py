@@ -189,3 +189,42 @@ def test_scrub_megastring_equals_rowwise(texts):
     assert list(got_txt.fillna("<N>")) == list(ref_txt.fillna("<N>"))
     assert [list(x) for x in got_hits] == [list(x) for x in ref_hits]
     assert (got_prof == ref_prof).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(TEXTS)
+def test_dsir_batch_kernels_equal_per_doc(texts):
+    """Batch DSIR kernels == naive per-doc formulations on arbitrary
+    unicode input: corpus counts are the sum of single-doc counts, and
+    batch scores equal scoring each doc alone (the separator masking
+    and the bincount doc segmentation are exactly where packing bugs
+    would live — including \\xff-adjacent multibyte UTF-8)."""
+    from qamd_spark.ops import sampling as smp
+
+    batch = smp.dsir_corpus_counts(texts)
+    per_doc = np.zeros(smp.DSIR_DIM, dtype=np.int64)
+    for t in texts:
+        per_doc += smp.dsir_corpus_counts([t])
+    assert (batch == per_doc).all()
+
+    lam = smp.dsir_lambda(per_doc, smp.default_target_counts())
+    n_b, w_b = smp.dsir_score_batch(texts, lam)
+    for i, t in enumerate(texts):
+        n_1, w_1 = smp.dsir_score_batch([t], lam)
+        assert n_b[i] == n_1[0]
+        assert w_b[i] == w_1[0]  # bit-exact, not approx
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(min_value=-2**62, max_value=2**62), max_size=20),
+       st.integers(min_value=0, max_value=2**31))
+def test_gumbel_keys_deterministic_and_finite(ids, salt):
+    """SplitMix64-Gumbel noise: pure function of (id, salt), always
+    finite, and salt-sensitive on nonempty input."""
+    from qamd_spark.ops import sampling as smp
+
+    arr = np.array(ids, dtype=np.int64)
+    a = smp.gumbel_keys(arr, salt)
+    b = smp.gumbel_keys(arr, salt)
+    assert (a == b).all()
+    assert np.isfinite(a).all()
