@@ -258,14 +258,17 @@ def dsir_weights(
     id_col: str = "doc_id",
     text_col: str = "text",
     target_counts: np.ndarray | None = None,
+    gumbel_salt: int | None = None,
 ) -> DataFrame:
     """Per-document DSIR importance weights over ``df``.
 
     Output: (id_col, n_grams, dsir_logw, selected) where selected =
     dsir_logw > 0 (more target-like than the raw-corpus average).
-    Downstream, the weights compose with token_budget_sample (order by
-    -dsir_logw instead of the md5 key) or a deterministic Gumbel top-k
-    for the paper's resampling step.
+    With ``gumbel_salt`` set, an extra gumbel_key column
+    (dsir_logw + deterministic SplitMix64 Gumbel noise) rides in the
+    SAME scoring stage — dsir_resample uses it, so selection adds no
+    second Python stage. Downstream, the weights also compose with
+    token_budget_sample (order by -dsir_logw instead of the md5 key).
 
     Two scans: pass 1 aggregates the raw hashed-n-gram distribution to
     <= DSIR_DIM rows (partial counts per Arrow batch + one hash agg);
@@ -291,29 +294,36 @@ def dsir_weights(
         raw[row["bucket"]] = row["cnt"]
     lam = dsir_lambda(raw, tgt)
     lam_bc = spark.sparkContext.broadcast(lam)
+    with_gumbel = gumbel_salt is not None
 
     def _score(it):
         lv = lam_bc.value
         for pdf in it:
             n_grams, logw = dsir_score_batch(pdf[text_col].tolist(), lv)
-            yield pd.DataFrame(
-                {
-                    "_id": pdf[id_col],
-                    "n_grams": n_grams,
-                    "dsir_logw": logw,
-                }
-            )
+            out = {
+                "_id": pdf[id_col],
+                "n_grams": n_grams,
+                "dsir_logw": logw,
+            }
+            if with_gumbel:
+                ids = pdf[id_col].to_numpy(dtype=np.int64)
+                out["gumbel_key"] = logw + gumbel_keys(ids, gumbel_salt)
+            yield pd.DataFrame(out)
 
     id_type = dict(df.dtypes)[id_col]
-    scored = df.select(id_col, text_col).mapInPandas(
-        _score, schema=f"_id {id_type}, n_grams long, dsir_logw double"
-    )
-    return scored.select(
+    schema = f"_id {id_type}, n_grams long, dsir_logw double"
+    if with_gumbel:
+        schema += ", gumbel_key double"
+    scored = df.select(id_col, text_col).mapInPandas(_score, schema=schema)
+    cols = [
         F.col("_id").alias(id_col),
-        "n_grams",
-        "dsir_logw",
+        F.col("n_grams"),
+        F.col("dsir_logw"),
         (F.col("dsir_logw") > 0.0).alias("selected"),
-    )
+    ]
+    if with_gumbel:
+        cols.append(F.col("gumbel_key"))
+    return scored.select(*cols)
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
@@ -350,9 +360,10 @@ def dsir_resample(
     hash of the id, not an RNG. Output: the k selected
     (id, dsir_logw, gumbel_key) rows.
 
-    Scale: the noise rides in the same Arrow stage as the scores; the
-    global top-k plans as TakeOrderedAndProject (per-partition heaps +
-    driver merge of k rows), never a full sort."""
+    Scale: the noise rides in the same Arrow stage as the scores (one
+    Python stage total); the global top-k plans as
+    TakeOrderedAndProject (per-partition heaps + driver merge of k
+    rows), never a full sort."""
     id_dtype = dict(df.dtypes)[id_col]
     if id_dtype not in ("tinyint", "smallint", "int", "bigint", "long"):
         # the SplitMix64 noise is keyed on the integer id; failing here
@@ -361,26 +372,12 @@ def dsir_resample(
             f"dsir_resample requires an integer id column; {id_col!r} is "
             f"{id_dtype} (hash string keys to int64 first, e.g. xxhash64)"
         )
-    scored = dsir_weights(df, id_col, text_col, target_counts)
-    import pandas as pd
-
-    def _noise(it):
-        for pdf in it:
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "dsir_logw": pdf["dsir_logw"],
-                    "gumbel_key": pdf["dsir_logw"].to_numpy()
-                    + gumbel_keys(ids, salt),
-                }
-            )
-
-    id_type = dict(df.dtypes)[id_col]
-    keyed = scored.select(id_col, "dsir_logw").mapInPandas(
-        _noise, schema=f"{id_col} {id_type}, dsir_logw double, gumbel_key double"
+    scored = dsir_weights(df, id_col, text_col, target_counts, gumbel_salt=salt)
+    return (
+        scored.select(id_col, "dsir_logw", "gumbel_key")
+        .orderBy(F.desc("gumbel_key"), F.col(id_col))
+        .limit(int(k))
     )
-    return keyed.orderBy(F.desc("gumbel_key"), F.col(id_col)).limit(int(k))
 
 
 def dsir_resample_pdf(pdf, k, id_col="doc_id", text_col="text",

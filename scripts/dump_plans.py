@@ -135,10 +135,11 @@ def main() -> None:
         ),
         (
             "dsir_resample (scoring + Gumbel-top-k)",
-            "Two Arrow stages (score, then noise over the id/logw pair); "
-            "global top-k is TakeOrderedAndProject — partition heaps + a "
-            "k-row driver merge, never a full Sort; the <=16k-bucket "
-            "count pass ran at plan-build time (bounded driver collect).",
+            "ONE Arrow stage (the Gumbel noise rides in the scoring "
+            "stage); global top-k is TakeOrderedAndProject — partition "
+            "heaps + a k-row driver merge, never a full Sort; the "
+            "<=16k-bucket count pass ran at plan-build time (bounded "
+            "driver collect).",
             E.q_dsir_resample(spark, SF),
         ),
         (
