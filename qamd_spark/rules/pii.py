@@ -65,6 +65,19 @@ PII_PATTERNS: list[tuple[str, re.Pattern, str]] = [
         re.compile(CARD_CANDIDATE_RX),
         "<CARD>",
     ),
+    (
+        # opt-in like credit_card (absent from the default `pii` list):
+        # Dolma-style IPv4 scrubbing with exact octet bounds, so
+        # version-ish strings (1.2.3.4000) and out-of-range octets never
+        # match. The earlier phone patterns cannot consume a valid IPv4
+        # (their tails need a 4-digit group; octets are <= 3 digits).
+        "ip_address",
+        re.compile(
+            r"\b(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
+            r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b"
+        ),
+        "<IP>",
+    ),
 ]
 
 PII_NAMES = [name for name, _, _ in PII_PATTERNS]
@@ -151,7 +164,7 @@ def scrub_series(
     has_digit = _row_mask((mb >= ord("0")) & (mb <= ord("9")))
     prefilter = {"email": has_at, "ssn": has_digit,
                  "uk_mobile": has_digit, "us_phone": has_digit,
-                 "credit_card": has_digit}
+                 "credit_card": has_digit, "ip_address": has_digit}
 
     hit_cols: dict[str, np.ndarray] = {}
     for name, rx, repl in passes:

@@ -211,3 +211,82 @@ def test_credit_card_pipeline_oracle_parity(spark, tmp_path):
     assert "<CARD>" in joined
     assert "4111-1111-1111-1112" in joined  # invalid checksum untouched
     assert "<EMAIL>" in joined and "<PHONE>" in joined
+
+
+def test_ip_scrub_octet_bounded():
+    """Valid IPv4 scrubs to <IP> in both engine paths; out-of-range
+    octets, 4-digit groups, and version-like strings stay untouched;
+    default config never scrubs IPs (opt-in like credit_card)."""
+    texts = [
+        "connect to 192.168.1.1 now",
+        "edge 255.255.255.255 and 0.0.0.0 both",
+        "not an ip 256.1.1.1 here",
+        "not an ip 10.20.30.4000 either",
+        "version 1.2.3 stays",
+        None,
+        "host 10.0.0.7, mail a@b.org",
+    ]
+    s, hits, _ = _scrub(texts, ["email", "ip_address"])
+    assert s[0] == "connect to <IP> now" and hits[0] == ["ip_address"]
+    assert s[1] == "edge <IP> and <IP> both"
+    assert s[2] == texts[2] and hits[2] == []
+    assert s[3] == texts[3]
+    assert s[4] == texts[4]
+    assert s[5] is None
+    assert s[6] == "host <IP>, mail <EMAIL>"
+    assert sorted(hits[6]) == ["email", "ip_address"]
+    ser = pd.Series(texts)
+    passes = [p for p in pii.PII_PATTERNS if p[0] in ("email", "ip_address")]
+    vals = ["" if not isinstance(t, str) else t for t in texts]
+    exp_s, exp_h, _ = pii._scrub_series_rowwise(ser, vals, passes, ser.notna())
+    got_s, got_h, _ = pii.scrub_series(ser, ["email", "ip_address"])
+    assert list(exp_s) == list(got_s)
+    from qamd_spark.config import QamdConfig
+
+    cfg = QamdConfig()
+    assert "ip_address" not in cfg.pii_pattern_names
+    s0, h0, _ = _scrub(["ping 10.0.0.1"], cfg.pii_pattern_names)
+    assert s0 == ["ping 10.0.0.1"] and h0 == [[]]
+
+
+def test_ip_rule_pipeline_oracle_parity(spark, tmp_path):
+    """Enabling ip_address in the pii list: Spark pipeline output equals
+    the pandas oracle byte-for-byte (shared scrub engine)."""
+    import numpy as np
+
+    from oracle import oracle
+    from qamd_spark import pipeline
+    from qamd_spark.config import QamdConfig
+
+    rows = [
+        ("ip0", 0, "server at 203.0.113.9 responded quickly today indeed"),
+        ("ip0", 1, "clean text with no addresses in it at all right now"),
+        ("ip0", 2, "bad host 999.1.2.3 is not a valid address anyway"),
+    ]
+    pdf = pd.DataFrame(
+        [
+            {"conv_id": c, "turn_idx": np.int32(i), "role": "user",
+             "text": t, "tool": None, "ts": pd.NaT}
+            for c, i, t in rows
+        ]
+    )
+    p = str(tmp_path / "ip.parquet")
+    pdf2 = pdf.copy()
+    pdf2["ts"] = pd.to_datetime(pdf2["ts"]).astype("datetime64[us]")
+    for c in ("conv_id", "role", "text", "tool"):
+        pdf2[c] = pdf2[c].astype("string")
+    pdf2.to_parquet(p)
+    cfg = QamdConfig()
+    cfg.settings["pii"] = ["email", "ssn", "uk_mobile", "us_phone",
+                           "ip_address"]
+    sp = (
+        pipeline.label(spark.read.parquet(p), cfg)
+        .toPandas().sort_values("turn_idx").reset_index(drop=True)
+    )
+    orc = oracle.label_pdf(pdf, cfg).sort_values("turn_idx").reset_index(drop=True)
+    assert sp["scrubbed_text"][0] == orc["scrubbed_text"][0]
+    assert "<IP>" in sp["scrubbed_text"][0]
+    assert sp["scrubbed_text"][2] == rows[2][2]  # invalid octet untouched
+    assert (sp["keep"].to_numpy() == orc["keep"].to_numpy(dtype=bool)).all()
+    for x, y in zip(sp["rule_hits"], orc["rule_hits"]):
+        assert list(x) == list(y)
