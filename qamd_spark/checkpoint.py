@@ -102,7 +102,7 @@ def input_fingerprint(spark, input_path: str) -> str:
         from qamd_spark.io import table_fingerprint
 
         return table_fingerprint(spark, input_path)
-    path = input_path.removeprefix("csv:")
+    path = input_path.removeprefix("csv:").removeprefix("jsonl:")
     parts = []
     if os.path.isfile(path):
         st = os.stat(path)

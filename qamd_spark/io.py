@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 ICEBERG_PREFIX = "iceberg:"
 CSV_PREFIX = "csv:"
+JSONL_PREFIX = "jsonl:"
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -45,6 +46,8 @@ def read_table(spark: SparkSession, ref: str) -> DataFrame:
         return spark.read.table(name)
     if ref.startswith(CSV_PREFIX) or ref.endswith(".csv"):
         return read_csv(spark, ref.removeprefix(CSV_PREFIX))
+    if ref.startswith(JSONL_PREFIX) or ref.endswith((".jsonl", ".ndjson")):
+        return read_jsonl(spark, ref.removeprefix(JSONL_PREFIX))
     return spark.read.parquet(ref)
 
 
@@ -66,6 +69,36 @@ def read_csv(spark: SparkSession, path: str) -> DataFrame:
             F.col(f.name) if f.name in raw.columns else F.lit(None).cast("string")
         )
         cols.append(src.cast(f.dataType).alias(f.name))
+    return raw.select(*cols)
+
+
+def read_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """JSON-Lines transcript source — the de-facto interchange format of
+    LLM corpora (one JSON object per line). The schema is IMPOSED, not
+    inferred: inference would need an extra full pass and could type the
+    same column differently across shards; absent keys and JSON nulls
+    both become SQL NULL, matching the CSV source's ""⇒NULL missing
+    semantics. ts accepts epoch-seconds numbers or ISO-8601 strings.
+    Splittable parallel scan like CSV (newline-delimited)."""
+    from pyspark.sql import types as T
+
+    from qamd_spark import schema as S
+
+    # read ts as string first: a typed TimestampType field would silently
+    # null ISO strings vs numbers inconsistently across shards
+    raw_fields = [
+        T.StructField(f.name, T.StringType() if f.name == "ts" else f.dataType)
+        for f in S.TRANSCRIPT_SCHEMA.fields
+    ]
+    raw = spark.read.schema(T.StructType(raw_fields)).json(path)
+    ts = F.when(
+        F.col("ts").rlike(r"^-?\d+(\.\d+)?$"),
+        F.timestamp_seconds(F.col("ts").cast("double")),
+    ).otherwise(F.to_timestamp("ts"))
+    cols = [
+        ts.alias("ts") if f.name == "ts" else F.col(f.name).cast(f.dataType).alias(f.name)
+        for f in S.TRANSCRIPT_SCHEMA.fields
+    ]
     return raw.select(*cols)
 
 

@@ -96,3 +96,77 @@ def test_iceberg_roundtrip_when_runtime_present(tmp_path):
         "INSERT INTO smoke.db.t VALUES ('c2', 0, 'user', 'yo', NULL, NULL)"
     )
     assert qio.table_fingerprint(spark, "iceberg:smoke.db.t") != fp1
+
+
+def test_read_jsonl_imposed_schema_and_missing_semantics(spark, tmp_path):
+    """JSONL source: imposed transcript schema (no inference pass),
+    absent keys == JSON null == SQL NULL, ts accepts both epoch numbers
+    and ISO strings; prefix and extension dispatch both route here."""
+    import json as _json
+
+    from qamd_spark import io as qio
+
+    p = str(tmp_path / "t.jsonl")
+    rows = [
+        {"conv_id": "j0", "turn_idx": 0, "role": "user",
+         "text": "hello from a json line", "tool": None, "ts": 1700000000},
+        {"conv_id": "j0", "turn_idx": 1, "role": "assistant",
+         "text": "reply text", "ts": "2026-01-02T03:04:05"},  # no tool key
+        {"conv_id": "j1", "turn_idx": 0, "role": "user", "text": None,
+         "tool": "search", "ts": None},
+    ]
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+
+    for ref in (p, "jsonl:" + p):
+        df = qio.read_table(spark, ref)
+        assert [fl.name for fl in df.schema.fields] == [
+            "conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        got = {(r["conv_id"], r["turn_idx"]): r for r in df.collect()}
+        assert got[("j0", 0)]["ts"].year == 2023  # epoch seconds parsed
+        assert got[("j0", 1)]["tool"] is None     # absent key -> NULL
+        assert got[("j0", 1)]["ts"].year == 2026  # ISO string parsed
+        assert got[("j1", 0)]["text"] is None and got[("j1", 0)]["ts"] is None
+
+
+def test_cli_run_over_jsonl(tmp_path, spark):
+    """The checkpointed CLI path accepts a .jsonl input end-to-end and
+    labels it identically to the same data as parquet."""
+    import json as _json
+
+    from qamd_spark import main, synth
+
+    pdf = synth.generate(n_convs=8, seed=21)
+    src = str(tmp_path / "in.jsonl")
+    with open(src, "w") as f:
+        for r in pdf.to_dict("records"):
+            ts = r["ts"]
+            r["ts"] = None if ts is None or str(ts) == "NaT" else str(ts)
+            r["turn_idx"] = int(r["turn_idx"])
+            f.write(_json.dumps({k: v for k, v in r.items()}) + "\n")
+    out = str(tmp_path / "out")
+    rc = main.main(["run", "--input", src, "--output", out,
+                    "--master", "local[4]", "--no-checkpoint"])
+    assert rc == 0
+    got = spark.read.parquet(out + "/data")
+    assert got.count() == len(pdf)
+
+    pq = str(tmp_path / "in.parquet")
+    pdf2 = pdf.copy()
+    import pandas as pd
+    pdf2["ts"] = pd.to_datetime(pdf2["ts"]).astype("datetime64[us]")
+    for c in ("conv_id", "role", "text", "tool"):
+        pdf2[c] = pdf2[c].astype("string")
+    pdf2.to_parquet(pq)
+    out2 = str(tmp_path / "out2")
+    rc = main.main(["run", "--input", pq, "--output", out2,
+                    "--master", "local[4]", "--no-checkpoint"])
+    assert rc == 0
+    a = (spark.read.parquet(out + "/data")
+         .select("conv_id", "turn_idx", "keep", "rule_hits", "scrubbed_text")
+         .orderBy("conv_id", "turn_idx").collect())
+    b = (spark.read.parquet(out2 + "/data")
+         .select("conv_id", "turn_idx", "keep", "rule_hits", "scrubbed_text")
+         .orderBy("conv_id", "turn_idx").collect())
+    assert a == b
