@@ -80,23 +80,42 @@ def read_jsonl(spark: SparkSession, path: str) -> DataFrame:
     both become SQL NULL, matching the CSV source's ""⇒NULL missing
     semantics. ts accepts epoch-seconds numbers or ISO-8601 strings.
     Splittable parallel scan like CSV (newline-delimited)."""
+    raw = spark.read.schema(jsonl_raw_schema()).json(path)
+    return jsonl_project(raw)
+
+
+def jsonl_raw_schema():
+    """Imposed read schema for JSONL: ts as STRING first — a typed
+    TimestampType field would silently null ISO strings vs numbers
+    inconsistently across shards. Shared by the batch and streaming
+    readers so both parse identically."""
     from pyspark.sql import types as T
 
     from qamd_spark import schema as S
 
-    # read ts as string first: a typed TimestampType field would silently
-    # null ISO strings vs numbers inconsistently across shards
-    raw_fields = [
-        T.StructField(f.name, T.StringType() if f.name == "ts" else f.dataType)
-        for f in S.TRANSCRIPT_SCHEMA.fields
-    ]
-    raw = spark.read.schema(T.StructType(raw_fields)).json(path)
+    return T.StructType(
+        [
+            T.StructField(
+                f.name, T.StringType() if f.name == "ts" else f.dataType
+            )
+            for f in S.TRANSCRIPT_SCHEMA.fields
+        ]
+    )
+
+
+def jsonl_project(raw: DataFrame) -> DataFrame:
+    """jsonl_raw_schema -> TRANSCRIPT_SCHEMA projection (ts: epoch
+    seconds or ISO-8601)."""
+    from qamd_spark import schema as S
+
     ts = F.when(
         F.col("ts").rlike(r"^-?\d+(\.\d+)?$"),
         F.timestamp_seconds(F.col("ts").cast("double")),
     ).otherwise(F.to_timestamp("ts"))
     cols = [
-        ts.alias("ts") if f.name == "ts" else F.col(f.name).cast(f.dataType).alias(f.name)
+        ts.alias("ts")
+        if f.name == "ts"
+        else F.col(f.name).cast(f.dataType).alias(f.name)
         for f in S.TRANSCRIPT_SCHEMA.fields
     ]
     return raw.select(*cols)

@@ -61,6 +61,23 @@ def streaming_config(cfg: QamdConfig | None = None) -> QamdConfig:
 
 
 def read_stream(spark: SparkSession, input_path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over the transcript table: parquet by default,
+    JSONL when the path says so (jsonl: prefix / .jsonl/.ndjson files or
+    a directory of them) — same imposed schema and epoch/ISO ts parsing
+    as the batch reader (io.jsonl_raw_schema/jsonl_project), so streamed
+    and batch labels stay comparable."""
+    from qamd_spark import io as qio
+
+    is_jsonl = input_path.startswith(qio.JSONL_PREFIX) or input_path.rstrip(
+        "/"
+    ).endswith((".jsonl", ".ndjson"))
+    if is_jsonl:
+        r = spark.readStream.schema(qio.jsonl_raw_schema())
+        if max_files_per_trigger is not None:
+            r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+        return qio.jsonl_project(
+            r.json(input_path.removeprefix(qio.JSONL_PREFIX))
+        )
     r = spark.readStream.schema(S.TRANSCRIPT_SCHEMA)
     if max_files_per_trigger is not None:
         r = r.option("maxFilesPerTrigger", max_files_per_trigger)

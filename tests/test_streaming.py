@@ -240,3 +240,37 @@ def test_stream_applies_refusal_rule(spark, tmp_path):
     }
     assert "refusal" in got[1]
     assert "refusal" not in got[0] and "refusal" not in got[2]
+
+
+def test_stream_over_jsonl_source(spark, tmp_path):
+    """The streamed file source accepts JSONL (jsonl: prefix or a
+    directory of .jsonl files) with the same imposed schema + ts parsing
+    as the batch reader; labels equal the batch pipeline over the same
+    data."""
+    import json as _json
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    rows = [
+        {"conv_id": "sj0", "turn_idx": 0, "role": "user",
+         "text": "a perfectly ordinary question about the weather",
+         "ts": 1700000000},
+        {"conv_id": "sj0", "turn_idx": 1, "role": "assistant",
+         "text": "an equally ordinary answer about the weather",
+         "ts": "2026-01-02T03:04:05"},
+    ]
+    with open(os.path.join(src, "a.jsonl"), "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+
+    q = streaming.stream_label(spark, "jsonl:" + src, out, ckpt)
+    q.awaitTermination(120)
+    got = _collect_sorted(spark.read.parquet(out))
+    from qamd_spark import io as qio
+    scfg = streaming.streaming_config(QamdConfig())
+    exp = _collect_sorted(
+        pipeline.label(qio.read_jsonl(spark, src), scfg)
+    )
+    assert got == exp and len(got) == 2
