@@ -195,6 +195,21 @@ def main(argv: list[str] | None = None) -> int:
     prof.add_argument("--source-col", default="source",
                       help="optional; omitted from the profile if absent")
 
+    exp = sub.add_parser(
+        "export",
+        help="convert a table between parquet and JSONL shards "
+             "(the LLM-corpus interchange format); arrays/structs "
+             "serialize as JSON natively",
+    )
+    exp.add_argument("--input", required=True,
+                     help="parquet / csv: / jsonl: table ref")
+    exp.add_argument("--output", required=True)
+    exp.add_argument("--format", choices=("jsonl", "parquet"),
+                     default="jsonl")
+    exp.add_argument("--master", default=None)
+    exp.add_argument("--repartition", type=int, default=None,
+                     help="shard count (default: keep input partitioning)")
+
     st = sub.add_parser(
         "stream",
         help="incremental per-turn labeling via Structured Streaming "
@@ -225,6 +240,8 @@ def main(argv: list[str] | None = None) -> int:
         return _run_sample(args)
     if args.cmd == "profile":
         return _run_profile(args)
+    if args.cmd == "export":
+        return _run_export(args)
     if args.cmd == "stream":
         return _run_stream(args)
 
@@ -423,6 +440,36 @@ def _run_sample(args) -> int:
         out.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
         print(json.dumps({"status": "ok", "method": args.method,
+                          "output": args.output, "rows": n}))
+        return 0
+    finally:
+        if not preexisting:
+            spark.stop()
+
+
+def _run_export(args) -> int:
+    """Format interchange: any readable table ref -> JSONL or parquet
+    shards. JSONL writes are Spark's native json sink (one object per
+    line, splittable downstream); this is the export half of the
+    `jsonl:` source."""
+    from pyspark.sql import SparkSession
+
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = session.get_spark("qamd_spark.export", master=args.master)
+    try:
+        df = io.read_table(spark, args.input)
+        if args.repartition:
+            df = df.repartition(args.repartition)
+        if args.format == "jsonl":
+            df.write.mode("overwrite").json(args.output)
+        else:
+            df.write.mode("overwrite").parquet(args.output)
+        n = (
+            spark.read.json(args.output)
+            if args.format == "jsonl"
+            else spark.read.parquet(args.output)
+        ).count()
+        print(json.dumps({"status": "ok", "format": args.format,
                           "output": args.output, "rows": n}))
         return 0
     finally:

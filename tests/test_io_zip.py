@@ -170,3 +170,33 @@ def test_cli_run_over_jsonl(tmp_path, spark):
          .select("conv_id", "turn_idx", "keep", "rule_hits", "scrubbed_text")
          .orderBy("conv_id", "turn_idx").collect())
     assert a == b
+
+
+def test_cli_export_roundtrip(tmp_path, spark):
+    """export: parquet -> JSONL shards -> parquet, values preserved
+    (including the typed ts through the jsonl: source's parser)."""
+    from qamd_spark import main, synth
+
+    src = str(tmp_path / "in.parquet")
+    synth.write_parquet(src, n_convs=6, seed=9)
+    n = spark.read.parquet(src).count()
+
+    jl = str(tmp_path / "jl")
+    rc = main.main(["export", "--input", src, "--output", jl,
+                    "--format", "jsonl", "--repartition", "2",
+                    "--master", "local[4]"])
+    assert rc == 0
+    import glob
+    assert len(glob.glob(jl + "/part-*")) == 2
+
+    back = str(tmp_path / "back")
+    rc = main.main(["export", "--input", "jsonl:" + jl, "--output", back,
+                    "--format", "parquet", "--master", "local[4]"])
+    assert rc == 0
+    a = (spark.read.parquet(src)
+         .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+         .orderBy("conv_id", "turn_idx").collect())
+    b = (spark.read.parquet(back)
+         .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+         .orderBy("conv_id", "turn_idx").collect())
+    assert len(a) == n and a == b
