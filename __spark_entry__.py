@@ -1761,6 +1761,51 @@ def q_conv_export(spark, sf_dir):
     )
 
 
+def q_rollup_sets(spark, sf_dir):
+    """ROLLUP grouping-sets aggregate over events: (source-day,
+    event_type) cells plus per-day subtotals plus the grand total in
+    ONE pass (Spark expands grouping sets before the partial aggregate
+    — no second scan, no union of three jobs). grouping_id
+    disambiguates subtotal rows from genuine NULL keys, exactly as
+    DuckDB's GROUPING() does."""
+    day = F.date_format(F.col("ts"), "yyyy-MM-dd")
+    agg = (
+        _events(spark, sf_dir)
+        .filter(F.col("ts").isNotNull())
+        .rollup(day.alias("day"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+    # subtotal keys surface as the explicit 'ALL' sentinel, not NULL —
+    # NULL-vs-NaT comparison semantics differ across engines/pandas and
+    # would poison the value-hash; gid still disambiguates
+    return agg.select(
+        F.coalesce(F.col("day"), F.lit("ALL")).alias("day"),
+        F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+        "n_events",
+        "gid",
+    )
+
+
+def q_pivot_counts(spark, sf_dir):
+    """Hour-of-day × event-type pivot (the wide activity matrix an
+    analytics user reads directly). The pivot values are DECLARED, not
+    discovered — an undeclared pivot runs an extra distinct job and
+    produces schema drift between runs at 100 TB. Twin is conditional
+    aggregation (what a pivot lowers to)."""
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return (
+        _events(spark, sf_dir)
+        .filter(F.col("ts").isNotNull())
+        .groupBy(F.hour("ts").alias("hod"))
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, kinds)
+    )
+
+
 AWS_KEY_RX = r"\bAKIA[0-9A-Z]{16}\b"  # public AWS access-key-id shape
 HEX40_RX = r"\b[0-9a-f]{40}\b"  # sha1/token-like 40-hex run
 PK_HEADER = "PRIVATE KEY-----"  # PEM private-key block marker
@@ -2400,6 +2445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "conv_export": q_conv_export,
         "secrets_scan": q_secrets_scan,
+        "rollup_sets": q_rollup_sets,
+        "pivot_counts": q_pivot_counts,
         "corpus_curate": q_corpus_curate,
         "oov_fraction": q_oov_fraction,
         "sentinel_text": q_sentinel_text,
@@ -2610,6 +2657,30 @@ def oracle_sql() -> dict[str, str]:
                      AS dup_frac,
                    total_chars::DOUBLE / n_docs::DOUBLE AS mean_chars
             FROM a
+        """,
+        "rollup_sets": """
+            SELECT coalesce(strftime(ts, '%Y-%m-%d'), 'ALL') AS day,
+                   coalesce(event_type, 'ALL') AS event_type,
+                   count(*)::BIGINT AS n_events,
+                   GROUPING(strftime(ts, '%Y-%m-%d'), event_type)::INT
+                     AS gid
+            FROM events WHERE ts IS NOT NULL
+            GROUP BY ROLLUP (strftime(ts, '%Y-%m-%d'), event_type)
+        """,
+        "pivot_counts": """
+            SELECT hour(ts)::INT AS hod,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                       END)::BIGINT AS click,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                       END)::BIGINT AS error,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                       END)::BIGINT AS purchase,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0
+                       END)::BIGINT AS signup,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                       END)::BIGINT AS view
+            FROM events WHERE ts IS NOT NULL
+            GROUP BY hour(ts)
         """,
         "secrets_scan": f"""
             WITH t AS (
