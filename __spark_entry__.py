@@ -1712,12 +1712,11 @@ def q_normalize_text(spark, sf_dir):
     order, so the DuckDB twin is byte-identical); emits the md5 before
     and after, and the corpus-level changed flag, so the effect on
     dedup keys is directly visible."""
+    from qamd_spark.ops.text import normalize_ws
+
     t = _txt()
     # order matters and is mirrored in SQL: controls -> hspace -> 3+\n -> trim
-    step1 = F.regexp_replace(t, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
-    step2 = F.regexp_replace(step1, r"[ \t]+", " ")
-    step3 = F.regexp_replace(step2, r"\n{3,}", "\n\n")
-    norm = F.trim(step3)
+    norm = normalize_ws(F.col("text"))
     return _docs(spark, sf_dir).select(
         "doc_id",
         F.md5(t).alias("md5_raw"),

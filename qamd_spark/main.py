@@ -195,6 +195,33 @@ def main(argv: list[str] | None = None) -> int:
     prof.add_argument("--source-col", default="source",
                       help="optional; omitted from the profile if absent")
 
+    cur = sub.add_parser(
+        "curate",
+        help="end-to-end corpus curation over a (doc_id, text) table: "
+             "normalize -> dedup -> quality gate -> language allowlist "
+             "-> deterministic sample -> write, with a per-stage report",
+    )
+    cur.add_argument("--input", required=True)
+    cur.add_argument("--output", required=True)
+    cur.add_argument("--master", default=None)
+    cur.add_argument("--id-col", default="doc_id")
+    cur.add_argument("--text-col", default="text")
+    cur.add_argument("--no-normalize", action="store_true")
+    cur.add_argument("--dedup", choices=("exact", "minhash", "span", "none"),
+                     default="exact")
+    cur.add_argument("--min-quality", type=float, default=0.5,
+                     help="ops/text.quality_score threshold; <=0 disables")
+    cur.add_argument("--langs", default=None,
+                     help="comma-separated allowlist; uses the input's "
+                          "lang column if present, else the built-in "
+                          "hashed-trigram langid; omit to skip")
+    cur.add_argument("--sample-pct", type=int, default=None,
+                     help="deterministic salted-md5 percent kept; omit "
+                          "to keep everything")
+    cur.add_argument("--salt", default="curate")
+    cur.add_argument("--format", choices=("parquet", "jsonl"),
+                     default="parquet")
+
     exp = sub.add_parser(
         "export",
         help="convert a table between parquet and JSONL shards "
@@ -242,6 +269,8 @@ def main(argv: list[str] | None = None) -> int:
         return _run_profile(args)
     if args.cmd == "export":
         return _run_export(args)
+    if args.cmd == "curate":
+        return _run_curate(args)
     if args.cmd == "stream":
         return _run_stream(args)
 
@@ -441,6 +470,132 @@ def _run_sample(args) -> int:
         n = spark.read.parquet(args.output).count()
         print(json.dumps({"status": "ok", "method": args.method,
                           "output": args.output, "rows": n}))
+        return 0
+    finally:
+        if not preexisting:
+            spark.stop()
+
+
+def _run_curate(args) -> int:
+    """The composed curation recipe (the C4/FineWeb shape) as one
+    command: normalize -> dedup keep-first -> heuristic quality gate ->
+    language allowlist -> deterministic sample -> write, emitting a
+    per-stage survivor report (<output>/report.json).
+
+    Each stage is declarative on top of the ops/ library, so Catalyst
+    fuses the narrow ones; the per-stage counts cost one action each
+    (documented — drop the report for a single-action production run).
+    Determinism end to end: no RNG, agg+join dedup, salted-md5 sample."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from qamd_spark.ops import dedup as dd
+    from qamd_spark.ops import text as tx
+
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = session.get_spark("qamd_spark.curate", master=args.master)
+    try:
+        raw = io.read_table(spark, args.input)
+        for col in (args.id_col, args.text_col):
+            if col not in raw.columns:
+                raise SystemExit(f"input is missing column {col!r}")
+        df = raw.withColumnRenamed(args.id_col, "doc_id").withColumnRenamed(
+            args.text_col, "text"
+        )
+        if df.filter(
+            F.col("doc_id").cast("long").isNull() & F.col("doc_id").isNotNull()
+        ).limit(1).count():
+            raise SystemExit(
+                f"id column {args.id_col!r} has values not castable to long"
+            )
+        df = df.withColumn("doc_id", F.col("doc_id").cast("long"))
+        report = {"input": args.input, "stages": []}
+
+        def stage(name, out_df):
+            n = out_df.count()
+            report["stages"].append({"stage": name, "rows": n})
+            return out_df
+
+        df = stage("read", df)
+        if not args.no_normalize:
+            df = stage(
+                "normalize",
+                df.withColumn("text", tx.normalize_ws(F.col("text"))),
+            )
+        if args.dedup == "exact":
+            dups = dd.exact_duplicates(df).filter(F.col("is_dup")).select("doc_id")
+            df = stage("dedup_exact", df.join(dups, "doc_id", "left_anti"))
+        elif args.dedup == "minhash":
+            dups = dd.minhash_duplicates(df).select("doc_id")
+            df = stage("dedup_minhash", df.join(dups, "doc_id", "left_anti"))
+        elif args.dedup == "span":
+            cleaned = dd.span_dedup(df).select(
+                "doc_id", F.col("clean_text").alias("text")
+            )
+            others = [c for c in df.columns if c not in ("text",)]
+            df = stage("dedup_span", df.select(*others).join(cleaned, "doc_id"))
+        if args.min_quality > 0:
+            df = stage(
+                "quality",
+                df.filter(
+                    tx.quality_score(F.col("text"))
+                    >= F.lit(float(args.min_quality))
+                ),
+            )
+        if args.langs:
+            allowed = [x.strip() for x in args.langs.split(",") if x.strip()]
+            if "lang" in df.columns:
+                df = stage("langid", df.filter(F.col("lang").isin(allowed)))
+            else:
+                import pandas as pd
+
+                from qamd_spark import ngram
+
+                def _lid(it):
+                    for pdf in it:
+                        langs, _m, _p = ngram.score_texts(pdf["text"].tolist())
+                        out = pdf.copy()
+                        out["lang"] = langs
+                        yield out
+
+                schema = ", ".join(
+                    f"{f} {t}" for f, t in df.dtypes
+                ) + ", lang string"
+                df = stage(
+                    "langid",
+                    df.mapInPandas(_lid, schema=schema).filter(
+                        F.col("lang").isin(allowed)
+                    ),
+                )
+        if args.sample_pct:
+            if not (0 < args.sample_pct <= 100):
+                raise SystemExit("--sample-pct must be in (0, 100]")
+            h = F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(args.salt + ":"),
+                            F.col("doc_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            df = stage("sample", df.filter((h % 100) < args.sample_pct))
+        data = args.output + "/data"
+        if args.format == "jsonl":
+            df.write.mode("overwrite").json(data)
+        else:
+            df.write.mode("overwrite").parquet(data)
+        report["output"] = data
+        report["format"] = args.format
+        with open(args.output + "/report.json", "w") as f:
+            json.dump(report, f, indent=2)
+        print(json.dumps({"status": "ok", "output": args.output,
+                          "stages": report["stages"]}))
         return 0
     finally:
         if not preexisting:

@@ -70,6 +70,19 @@ def mean_word_length(text: Column) -> Column:
     ).otherwise(0.0)
 
 
+def normalize_ws(text: Column) -> Column:
+    """Whitespace/control canonicalization before hashing/dedup: strip
+    C0/C1 control characters (keep \\t \\n), collapse horizontal
+    whitespace runs, collapse 3+ newlines to 2, trim spaces. Fixed
+    application order (mirrored verbatim in the normalize_text DuckDB
+    twin); one codegen-fused regexp_replace chain, NULL -> ''."""
+    t = F.coalesce(text, F.lit(""))
+    step1 = F.regexp_replace(t, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    step2 = F.regexp_replace(step1, r"[ \t]+", " ")
+    step3 = F.regexp_replace(step2, r"\n{3,}", "\n\n")
+    return F.trim(step3)
+
+
 def quality_score(text: Column) -> Column:
     """Composite heuristic quality score in [0,1] — the classic
     length/punct/caps/digit gate (C4/Gopher-style rules, expressed as one

@@ -276,3 +276,53 @@ def test_cli_profile_and_canonical(tmp_path, spark):
     per = got.groupBy("cluster_id").agg(
         F.sum(F.col("is_canonical").cast("int")).alias("n_keep"))
     assert per.filter("n_keep != 1").count() == 0
+
+
+def test_cli_curate_end_to_end(tmp_path, spark):
+    """curate: normalize -> exact dedup -> quality -> langid allowlist
+    -> deterministic sample -> write + per-stage report; stage counts
+    monotonically non-increasing; rerun bit-identical; computed-langid
+    path exercised when the lang column is absent."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from qamd_spark import main
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "cur")
+    rc = main.main(["curate", "--input", src, "--output", out,
+                    "--dedup", "exact", "--langs", "en",
+                    "--sample-pct", "50", "--master", "local[4]"])
+    assert rc == 0
+    rep = _json.load(open(out + "/report.json"))
+    names = [s["stage"] for s in rep["stages"]]
+    assert names == ["read", "normalize", "dedup_exact", "quality",
+                     "langid", "sample"]
+    counts = [s["rows"] for s in rep["stages"]]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    got = spark.read.parquet(out + "/data")
+    assert got.count() == counts[-1] > 0
+    assert set(r["lang"] for r in got.select("lang").distinct().collect()) == {"en"}
+
+    out2 = str(tmp_path / "cur2")
+    rc = main.main(["curate", "--input", src, "--output", out2,
+                    "--dedup", "exact", "--langs", "en",
+                    "--sample-pct", "50", "--master", "local[4]"])
+    assert rc == 0
+    a = sorted(r["doc_id"] for r in got.collect())
+    b = sorted(r["doc_id"] for r in
+               spark.read.parquet(out2 + "/data").collect())
+    assert a == b  # no RNG anywhere
+
+    # computed-langid path: strip the lang column first
+    nolang = str(tmp_path / "nolang.parquet")
+    spark.read.parquet(src).drop("lang").write.parquet(nolang)
+    out3 = str(tmp_path / "cur3")
+    rc = main.main(["curate", "--input", nolang, "--output", out3,
+                    "--dedup", "none", "--min-quality", "0",
+                    "--langs", "en", "--master", "local[4]"])
+    assert rc == 0
+    got3 = spark.read.parquet(out3 + "/data")
+    assert got3.count() > 0
+    assert set(r["lang"] for r in got3.select("lang").distinct().collect()) == {"en"}
