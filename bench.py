@@ -162,6 +162,31 @@ def run_benchmarks() -> dict:
     timings["cli_checkpointed"] = round(min(ck_times), 3)
     assert n_ckpt == n_turns == n_pw, (n_ckpt, n_pw, n_turns)
 
+    # the composed curation CLI over the documents table at this SF
+    # (normalize -> minhash dedup -> quality -> langid allowlist): the
+    # end-to-end recipe number a curation user sees
+    def _curate():
+        import contextlib
+        import io as _io
+
+        from qamd_spark import main as qmain
+
+        d = tempfile.mkdtemp(prefix="qamd_bench_cur_")
+        try:
+            # swallow the subcommand's own status line — bench stdout is
+            # ONE JSON line by contract
+            with contextlib.redirect_stdout(_io.StringIO()):
+                rc = qmain.main(
+                    ["curate", "--input", f"{SF_DIR}/documents.parquet",
+                     "--output", d, "--dedup", "minhash", "--langs", "en"]
+                )
+            assert rc == 0
+            return spark.read.parquet(d + "/data").count()
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    timed("cli_curate", _curate)
+
     # operator benchmarks over the driver tables at this SF
     for name in [
         "odd_char_ratio",
