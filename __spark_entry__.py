@@ -1760,6 +1760,90 @@ def q_conv_export(spark, sf_dir):
     )
 
 
+URL_RX = r"https?://[A-Za-z0-9.\-/]+"
+
+
+def q_gopher_lines(spark, sf_dir):
+    """Gopher's LINE-level quality rules (Rae et al. 2021 appendix A —
+    the complement of the word-level gopher_quality panel): fraction of
+    lines starting with a bullet and fraction ending with an ellipsis;
+    drop gates bullet_frac > 0.9 / ellipsis_frac > 0.3. The single-line
+    corpus is re-chunked into 7-word pseudo-lines, then deterministic
+    decoration plants bulleted (doc_id%7==1) and ellipsis-heavy
+    (doc_id%5==2) documents — identically in the DuckDB twin. Exact-int
+    counts over the line array, two single divisions; zero shuffle, no
+    Python stage."""
+    from qamd_spark.ops.text import rechunk_lines
+
+    lines = F.split(rechunk_lines(F.col("text"), LINE_WORDS_PER_LINE), r"\n", -1)
+    deco = F.transform(
+        lines,
+        lambda x: F.concat(
+            F.when(F.col("doc_id") % 7 == 1, F.lit("- ")).otherwise(F.lit("")),
+            x,
+            F.when(F.col("doc_id") % 5 == 2, F.lit("...")).otherwise(F.lit("")),
+        ),
+    )
+    n_lines = F.size(deco)
+    n_bullet = F.size(F.filter(deco, lambda x: x.startswith("- ")))
+    n_ellip = F.size(F.filter(deco, lambda x: x.endswith("...")))
+    bullet_frac = F.when(
+        n_lines > 0, n_bullet.cast("double") / n_lines.cast("double")
+    ).otherwise(F.lit(0.0))
+    ellip_frac = F.when(
+        n_lines > 0, n_ellip.cast("double") / n_lines.cast("double")
+    ).otherwise(F.lit(0.0))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        n_bullet.alias("n_bullet"),
+        n_ellip.alias("n_ellipsis"),
+        bullet_frac.alias("bullet_frac"),
+        ellip_frac.alias("ellipsis_frac"),
+        ((bullet_frac > 0.9) | (ellip_frac > 0.3)).alias("line_drop"),
+    )
+
+
+def q_url_scan(spark, sf_dir):
+    """Link-density scan — the RefinedWeb/C4 web-quality signal that a
+    page is navigation/link spam rather than prose: URL count, links
+    per word, a >= 3-links spam flag, and the first domain. The corpus
+    has no URLs, so deterministic fakes are stamped from doc_id (one
+    URL at doc_id%6==1, three at doc_id%9==4) — identically in the
+    DuckDB twin. Pure-JVM regexp projection, no shuffle."""
+    dom = F.concat(
+        F.lit("ex"), (F.col("doc_id") % 5).cast("string"), F.lit(".example.com")
+    )
+    one = F.concat(F.lit(" see https://"), dom, F.lit("/p1"))
+    three = F.concat(
+        F.lit(" links http://"), dom, F.lit("/a https://"), dom,
+        F.lit("/b https://"), dom, F.lit("/c"),
+    )
+    t2 = F.concat(
+        _txt(),
+        F.when(F.col("doc_id") % 6 == 1, one).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 9 == 4, three).otherwise(F.lit("")),
+    )
+    urls = F.regexp_extract_all(t2, F.lit(URL_RX), F.lit(0))
+    trimmed = F.trim(t2)
+    words = F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+", -1))
+    )
+    n_links = F.size(urls)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n_links.alias("n_links"),
+        words.cast("long").alias("n_words"),
+        F.when(
+            words > 0, n_links.cast("double") / words.cast("double")
+        ).otherwise(F.lit(0.0)).alias("link_density"),
+        (n_links >= 3).alias("link_spam"),
+        F.regexp_extract(
+            F.try_element_at(urls, F.lit(1)), r"https?://([A-Za-z0-9.\-]+)", 1
+        ).alias("first_domain"),
+    )
+
+
 def q_rollup_sets(spark, sf_dir):
     """ROLLUP grouping-sets aggregate over events: (source-day,
     event_type) cells plus per-day subtotals plus the grand total in
@@ -2446,6 +2530,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "secrets_scan": q_secrets_scan,
         "rollup_sets": q_rollup_sets,
         "pivot_counts": q_pivot_counts,
+        "gopher_lines": q_gopher_lines,
+        "url_scan": q_url_scan,
         "corpus_curate": q_corpus_curate,
         "oov_fraction": q_oov_fraction,
         "sentinel_text": q_sentinel_text,
@@ -2656,6 +2742,91 @@ def oracle_sql() -> dict[str, str]:
                      AS dup_frac,
                    total_chars::DOUBLE / n_docs::DOUBLE AS mean_chars
             FROM a
+        """,
+        "gopher_lines": f"""
+            WITH w AS (
+              SELECT doc_id, str_split(coalesce(text,''), ' ') AS words
+              FROM documents
+            ), r AS (
+              SELECT doc_id,
+                CASE WHEN len(words) > 0 THEN
+                  array_to_string(list_transform(
+                    range(1, cast(ceil(len(words) / {LINE_WORDS_PER_LINE}.0)
+                                  as int) + 1),
+                    i -> array_to_string(list_slice(words,
+                           (i-1)*{LINE_WORDS_PER_LINE} + 1,
+                           (i-1)*{LINE_WORDS_PER_LINE} + {LINE_WORDS_PER_LINE}),
+                         ' ')), chr(10))
+                ELSE '' END AS multi
+              FROM w
+            ), d AS (
+              SELECT doc_id,
+                list_transform(str_split(multi, chr(10)),
+                  x -> (CASE WHEN doc_id % 7 = 1 THEN '- ' ELSE '' END)
+                       || x
+                       || (CASE WHEN doc_id % 5 = 2 THEN '...' ELSE '' END))
+                  AS lines
+              FROM r
+            ), c AS (
+              SELECT doc_id,
+                     len(lines)::INT AS n_lines,
+                     len(list_filter(lines, x -> starts_with(x, '- ')))::INT
+                       AS n_bullet,
+                     len(list_filter(lines, x -> ends_with(x, '...')))::INT
+                       AS n_ellipsis
+              FROM d
+            )
+            SELECT doc_id, n_lines, n_bullet, n_ellipsis,
+                   CASE WHEN n_lines > 0
+                        THEN n_bullet::DOUBLE / n_lines::DOUBLE
+                        ELSE 0.0 END AS bullet_frac,
+                   CASE WHEN n_lines > 0
+                        THEN n_ellipsis::DOUBLE / n_lines::DOUBLE
+                        ELSE 0.0 END AS ellipsis_frac,
+                   ((CASE WHEN n_lines > 0
+                          THEN n_bullet::DOUBLE / n_lines::DOUBLE
+                          ELSE 0.0 END) > 0.9
+                    OR (CASE WHEN n_lines > 0
+                             THEN n_ellipsis::DOUBLE / n_lines::DOUBLE
+                             ELSE 0.0 END) > 0.3) AS line_drop
+            FROM c
+        """,
+        "url_scan": f"""
+            WITH b AS (
+              SELECT doc_id,
+                     'ex' || (doc_id % 5)::VARCHAR || '.example.com' AS dom,
+                     coalesce(text,'') AS t
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     t
+                     || CASE WHEN doc_id % 6 = 1
+                          THEN ' see https://' || dom || '/p1'
+                          ELSE '' END
+                     || CASE WHEN doc_id % 9 = 4
+                          THEN ' links http://' || dom || '/a https://'
+                               || dom || '/b https://' || dom || '/c'
+                          ELSE '' END AS t2
+              FROM b
+            ), u AS (
+              SELECT doc_id, t2,
+                     regexp_extract_all(t2, '{URL_RX}') AS urls,
+                     trim(t2, ' ') AS trimmed
+              FROM s
+            )
+            SELECT doc_id,
+                   len(urls)::INT AS n_links,
+                   (CASE WHEN trimmed = '' THEN 0
+                         ELSE len(regexp_split_to_array(trimmed, '\\s+'))
+                         END)::BIGINT AS n_words,
+                   CASE WHEN trimmed <> '' THEN
+                     len(urls)::DOUBLE /
+                     len(regexp_split_to_array(trimmed, '\\s+'))::DOUBLE
+                   ELSE 0.0 END AS link_density,
+                   (len(urls) >= 3) AS link_spam,
+                   regexp_extract(urls[1], 'https?://([A-Za-z0-9.\\-]+)', 1)
+                     AS first_domain
+            FROM u
         """,
         "rollup_sets": """
             SELECT coalesce(strftime(ts, '%Y-%m-%d'), 'ALL') AS day,
