@@ -1760,6 +1760,37 @@ def q_conv_export(spark, sf_dir):
     )
 
 
+def q_value_correlation(spark, sf_dir):
+    """Pearson correlation of hour-of-day vs spend per event type —
+    the statistics capability row, made cross-engine EXACT: built-in
+    corr() accumulates floats in engine-internal order, so instead the
+    five sufficient statistics are exact integer sums (hour, cents,
+    hour*cents, squares — all << 2^53) and r is assembled in one fixed
+    IEEE op order on both sides. One partial+final hash aggregate."""
+    x = F.hour("ts").cast("long")
+    y = F.round(F.col("value") * 100, 0).cast("long")  # exact cents
+    d = _events(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    agg = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov_n = (F.col("sxy") * n - sx * sy).cast("double")
+    varx_n = (F.col("sxx") * n - sx * sx).cast("double")
+    vary_n = (F.col("syy") * n - sy * sy).cast("double")
+    r = F.when(
+        (varx_n > 0) & (vary_n > 0),
+        cov_n / (F.sqrt(varx_n) * F.sqrt(vary_n)),
+    ).otherwise(F.lit(0.0))
+    return agg.select("event_type", "n", r.alias("pearson_r"))
+
+
 URL_RX = r"https?://[A-Za-z0-9.\-/]+"
 
 
@@ -2532,6 +2563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_counts": q_pivot_counts,
         "gopher_lines": q_gopher_lines,
         "url_scan": q_url_scan,
+        "value_correlation": q_value_correlation,
         "corpus_curate": q_corpus_curate,
         "oov_fraction": q_oov_fraction,
         "sentinel_text": q_sentinel_text,
@@ -2741,6 +2773,27 @@ def oracle_sql() -> dict[str, str]:
                    (n_docs - n_distinct_texts)::DOUBLE / n_docs::DOUBLE
                      AS dup_frac,
                    total_chars::DOUBLE / n_docs::DOUBLE AS mean_chars
+            FROM a
+        """,
+        "value_correlation": """
+            WITH d AS (
+              SELECT event_type,
+                     hour(ts)::BIGINT AS x,
+                     round(value * 100, 0)::BIGINT AS y
+              FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+            a AS (
+              SELECT event_type,
+                     count(*)::BIGINT AS n,
+                     sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                     sum(x*y)::BIGINT AS sxy,
+                     sum(x*x)::BIGINT AS sxx, sum(y*y)::BIGINT AS syy
+              FROM d GROUP BY event_type)
+            SELECT event_type, n,
+                   CASE WHEN (sxx*n - sx*sx) > 0 AND (syy*n - sy*sy) > 0
+                        THEN (sxy*n - sx*sy)::DOUBLE
+                             / (sqrt((sxx*n - sx*sx)::DOUBLE)
+                                * sqrt((syy*n - sy*sy)::DOUBLE))
+                        ELSE 0.0 END AS pearson_r
             FROM a
         """,
         "gopher_lines": f"""

@@ -195,6 +195,13 @@ def main(argv: list[str] | None = None) -> int:
     prof.add_argument("--source-col", default="source",
                       help="optional; omitted from the profile if absent")
 
+    val = sub.add_parser(
+        "validate",
+        help="lint a rules.yaml: load + bounds-check it and print the "
+             "enabled rules with their actions (exit 1 on invalid)",
+    )
+    val.add_argument("--config", required=True)
+
     cur = sub.add_parser(
         "curate",
         help="end-to-end corpus curation over a (doc_id, text) table: "
@@ -271,6 +278,22 @@ def main(argv: list[str] | None = None) -> int:
         return _run_export(args)
     if args.cmd == "curate":
         return _run_curate(args)
+    if args.cmd == "validate":
+        try:
+            cfg = C.from_yaml(args.config)
+        except C.ConfigError as e:
+            print(json.dumps({"status": "invalid", "error": str(e)}))
+            return 1
+        print(json.dumps({
+            "status": "ok",
+            "enabled": [
+                {"rule": r.name, "category": r.category,
+                 "action": cfg.action(r.name)}
+                for r in cfg.enabled_rules()
+            ],
+            "n_buckets": cfg.n_buckets,
+        }))
+        return 0
     if args.cmd == "stream":
         return _run_stream(args)
 

@@ -326,3 +326,36 @@ def test_cli_curate_end_to_end(tmp_path, spark):
     got3 = spark.read.parquet(out3 + "/data")
     assert got3.count() > 0
     assert set(r["lang"] for r in got3.select("lang").distinct().collect()) == {"en"}
+
+
+def test_cli_validate(tmp_path):
+    """validate: lints a rules.yaml — ok + enabled list on the default
+    config, exit 1 + error string on an out-of-bounds setting."""
+    import json as _json
+    import subprocess
+    import sys
+
+    from qamd_spark import main
+
+    ok = str(tmp_path / "ok.yaml")
+    with open(ok, "w") as f:
+        f.write(main.DEFAULT_YAML)
+    import contextlib, io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main.main(["validate", "--config", ok])
+    assert rc == 0
+    out = _json.loads(buf.getvalue())
+    assert out["status"] == "ok"
+    assert {"rule": "length_bounds", "category": "data_integrity",
+            "action": "drop"} in out["enabled"]
+
+    bad = str(tmp_path / "bad.yaml")
+    with open(bad, "w") as f:
+        f.write("quality:\n  perplexity:\n    setting: {max: -5}\n")
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main.main(["validate", "--config", bad])
+    assert rc == 1
+    assert _json.loads(buf.getvalue())["status"] == "invalid"
