@@ -25,6 +25,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -310,7 +311,7 @@ def phash_neardups(
         phash_signatures(media, decode_stub, features=features)
         .filter(F.col("nonzero"))
         .select("media_id", "sig")
-        .persist()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # bands via a single explode (no per-band union re-reading the source)
     band_structs = []
