@@ -275,7 +275,7 @@ def q_token_count(spark, sf_dir):
 # BPE-ish pre-tokenizer classes (disjoint first-character alternatives, so
 # Java regex and RE2 agree without relying on alternation-order semantics):
 # letter runs, digit runs, symbol runs
-BPE_TOK_RX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+from qamd_spark.ops.text import BPE_TOK_RX  # one shared definition
 
 
 def q_token_count_bpe(spark, sf_dir):
@@ -1299,9 +1299,11 @@ def q_refusal_scan(spark, sf_dir):
         F.col("n_refusal").cast("double") / F.col("n_assistant").cast("double"),
     ).otherwise(F.lit(0.0))
     panel_arr = F.array(*[F.lit(p) for p in sorted_panel])
-    # explicit NULL guard: element_at(arr, NULL) does NOT return NULL in
-    # Spark (observed: it resolves like index -1, yielding the LAST
-    # element), so a no-refusal conversation must short-circuit
+    # explicit NULL guard: element_at(arr, i) with a NULL literal index
+    # returns NULL, but with an AGGREGATE-produced NULL index (min over
+    # an all-NULL group) it was observed to return the LAST element
+    # (Spark 4.1, ANSI off — null flag apparently lost after the agg),
+    # so a no-refusal conversation must short-circuit explicitly
     first_phrase = F.when(
         F.col("first_idx").isNotNull(),
         F.element_at(panel_arr, F.col("first_idx") + 1),
@@ -1369,8 +1371,13 @@ def q_conv_lang_consistency(spark, sf_dir):
     conversations are dropped or routed separately by multilingual
     curation pipelines (the conversation-level complement of the langid
     turn rule). Two partial+final hash aggregates, no window."""
-    d = _docs(spark, sf_dir).select(
-        (F.col("doc_id") % 97).cast("long").alias("conv"), "lang"
+    # NULL langs are excluded on BOTH sides: under a NULL-lang tie the
+    # min(struct) idiom orders NULL first while SQL ORDER BY lang ASC
+    # (NULLS LAST) orders it last — the filter removes the divergence
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.col("lang").isNotNull())
+        .select((F.col("doc_id") % 97).cast("long").alias("conv"), "lang")
     )
     per_lang = d.groupBy("conv", "lang").agg(F.count(F.lit(1)).alias("cnt"))
     best = per_lang.groupBy("conv").agg(
@@ -2721,7 +2728,7 @@ def oracle_sql() -> dict[str, str]:
             WITH c AS (
               SELECT (doc_id % 97)::BIGINT AS conv, lang,
                      count(*)::BIGINT AS cnt
-              FROM documents GROUP BY conv, lang),
+              FROM documents WHERE lang IS NOT NULL GROUP BY conv, lang),
             r AS (
               SELECT conv, lang, cnt,
                      row_number() OVER (PARTITION BY conv

@@ -463,21 +463,7 @@ def _run_sample(args) -> int:
         if args.method == "hash":
             if not (0 < args.pct <= 100):
                 raise SystemExit("--pct must be in (0, 100]")
-            h = F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit(args.salt + ":"),
-                            F.col(args.id_col).cast("string"),
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            out = df.filter((h % 100) < args.pct)
+            out = df.filter(smp.hash_pct_keep(args.id_col, args.salt, args.pct))
         elif args.method == "budget":
             out = smp.token_budget_sample(
                 df, args.group_col, args.id_col, args.weight_col,
@@ -593,21 +579,14 @@ def _run_curate(args) -> int:
         if args.sample_pct:
             if not (0 < args.sample_pct <= 100):
                 raise SystemExit("--sample-pct must be in (0, 100]")
-            h = F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit(args.salt + ":"),
-                            F.col("doc_id").cast("string"),
-                        )
-                    ),
-                    1,
-                    8,
+            from qamd_spark.ops import sampling as smp
+
+            df = stage(
+                "sample",
+                df.filter(
+                    smp.hash_pct_keep("doc_id", args.salt, args.sample_pct)
                 ),
-                16,
-                10,
-            ).cast("long")
-            df = stage("sample", df.filter((h % 100) < args.sample_pct))
+            )
         data = args.output + "/data"
         if args.format == "jsonl":
             df.write.mode("overwrite").json(data)
@@ -638,15 +617,14 @@ def _run_export(args) -> int:
         df = io.read_table(spark, args.input)
         if args.repartition:
             df = df.repartition(args.repartition)
+        # count BEFORE the write: re-reading the fresh JSONL would need
+        # schema inference, which throws on an empty (but valid) output
+        # and costs a redundant second full scan otherwise
+        n = df.count()
         if args.format == "jsonl":
             df.write.mode("overwrite").json(args.output)
         else:
             df.write.mode("overwrite").parquet(args.output)
-        n = (
-            spark.read.json(args.output)
-            if args.format == "jsonl"
-            else spark.read.parquet(args.output)
-        ).count()
         print(json.dumps({"status": "ok", "format": args.format,
                           "output": args.output, "rows": n}))
         return 0
@@ -663,6 +641,8 @@ def _run_profile(args) -> int:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
+    from qamd_spark.ops import text as tx
+
     preexisting = SparkSession.getActiveSession() is not None
     spark = session.get_spark("qamd_spark.profile", master=args.master)
     try:
@@ -673,12 +653,19 @@ def _run_profile(args) -> int:
         have_lang = args.lang_col in df.columns
         have_src = args.source_col in df.columns
 
+        # coalesce each sum: over 0 rows SUM is NULL and the int()/
+        # division below would raise instead of producing a zero profile
         aggs = [
             F.count(F.lit(1)).alias("n_docs"),
             F.countDistinct(t).alias("n_distinct_texts"),
-            F.sum(F.length(t)).alias("total_chars"),
-            F.sum(
-                F.when(F.length(F.trim(t)) == 0, F.lit(1)).otherwise(F.lit(0))
+            F.coalesce(F.sum(F.length(t)), F.lit(0)).alias("total_chars"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.length(F.trim(t)) == 0, F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                ),
+                F.lit(0),
             ).alias("n_empty"),
         ]
         if have_lang:
@@ -699,7 +686,7 @@ def _run_profile(args) -> int:
             ws = F.when(trimmed == "", F.lit(0)).otherwise(
                 F.size(F.split(trimmed, r"\s+", -1))
             )
-            bpe = F.size(F.regexp_extract_all(t, F.lit(BPE_PROFILE_RX), F.lit(0)))
+            bpe = F.size(F.regexp_extract_all(t, F.lit(tx.BPE_TOK_RX), F.lit(0)))
             langs = (
                 df.groupBy(F.col(args.lang_col).alias("lang"))
                 .agg(
@@ -754,10 +741,6 @@ def _run_profile(args) -> int:
     finally:
         if not preexisting:
             spark.stop()
-
-
-# BPE-ish pre-tokenizer regex shared with the fertility query
-BPE_PROFILE_RX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
 
 
 if __name__ == "__main__":

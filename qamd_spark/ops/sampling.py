@@ -33,6 +33,23 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def hash_pct_keep(id_col: str, salt: str, pct: int):
+    """The deterministic salted-md5 percent-keep predicate shared by the
+    sample and curate CLIs: md5(salt ':' id) first 8 hex digits as an
+    integer, mod 100 < pct. One definition so the two commands can never
+    desynchronize (the determinism contract is bit-level)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (h % 100) < int(pct)
+
+
 def token_budget_sample(
     df: DataFrame,
     group_col: str,
@@ -371,6 +388,14 @@ def dsir_resample(
         raise ValueError(
             f"dsir_resample requires an integer id column; {id_col!r} is "
             f"{id_dtype} (hash string keys to int64 first, e.g. xxhash64)"
+        )
+    if df.filter(F.col(id_col).isNull()).limit(1).count():
+        # a NULL id reaches pandas as float64/NaN and the int64 cast
+        # would mint an arbitrary-but-plausible Gumbel key that can
+        # displace legitimate selections — fail loud at the driver
+        # (one cheap limit-1 scan, the dedup-CLI precedent)
+        raise ValueError(
+            f"dsir_resample: id column {id_col!r} contains NULLs"
         )
     scored = dsir_weights(df, id_col, text_col, target_counts, gumbel_salt=salt)
     return (

@@ -70,6 +70,13 @@ def mean_word_length(text: Column) -> Column:
     ).otherwise(0.0)
 
 
+# BPE-ish pre-tokenizer: letter runs | digit runs | symbol runs.
+# Disjoint alternatives, so Java regex, RE2 (DuckDB) and Python `re`
+# agree — the ONE definition shared by the token_count_bpe /
+# fertility_by_lang queries and the profile CLI.
+BPE_TOK_RX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
 def normalize_ws(text: Column) -> Column:
     """Whitespace/control canonicalization before hashing/dedup: strip
     C0/C1 control characters (keep \\t \\n), collapse horizontal

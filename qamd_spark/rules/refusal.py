@@ -58,16 +58,6 @@ def refusal_hit(text: Column, phrases: list[str] | None = None) -> Column:
     return hit if hit is not None else F.lit(False)
 
 
-def first_refusal_phrase(text: Column, phrases: list[str] | None = None) -> Column:
-    """The first matching panel phrase by panel order, else NULL —
-    the diagnostic locator the scan query exposes."""
-    low = F.lower(F.coalesce(text, F.lit("")))
-    out = F.lit(None).cast("string")
-    for p in reversed(list(phrases or DEFAULT_REFUSAL_PHRASES)):
-        out = F.when(low.contains(F.lit(p)), F.lit(p)).otherwise(out)
-    return out
-
-
 def refusal_hit_pdf(text_series, phrases: list[str] | None = None):
     """pandas twin of refusal_hit (exact: same lowercase + substring)."""
     import numpy as np

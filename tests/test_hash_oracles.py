@@ -589,7 +589,8 @@ def test_dsir_weights_match_pandas_twin(spark, docs_df, docs_pdf):
     """DSIR importance weights: the two-pass Spark plan (bucket-count
     aggregate -> broadcast lambda -> Arrow scoring stage) must equal the
     single-node pandas twin bit-for-bit — counts are exact ints and the
-    per-doc score sum is a reduceat over the doc's own byte segment, so
+    per-doc score sum is a sequential bincount fold in position order
+    (NOT reduceat, whose pairwise tree depends on segment length), so
     partitioning cannot change association order."""
     from qamd_spark.ops import sampling as smp
 
