@@ -187,14 +187,20 @@ def score_quality(texts, weights=None, bias=None) -> np.ndarray:
     if n == 0:
         return np.empty(0, dtype=np.float64)
     buf, offsets = _batch_buffers(texts)
-    # 4-gram positions: one shorter than the trigram layout; the 2-byte
-    # 0xFF separators still block any 4-gram from spanning documents
     if len(buf) < 4:
         return np.full(n, QC_EMPTY, dtype=np.float64)
+    # pad 3 trailing separators so every doc's reduceat segment spans
+    # exactly len+2 positions regardless of batch position — reduceat's
+    # pairwise summation tree depends on segment length, and without
+    # the padding the final doc of a batch summed over a 3-shorter
+    # segment (observed 1-ulp batch-composition drift after the
+    # 12-language retrain). Padded positions are separator-masked
+    # zeros; x + 0.0 is exact. Same fix as ngram.score_texts.
+    buf = np.concatenate([buf, np.full(3, _SEP, dtype=np.uint8)])
     hashes = _4gram_hashes(buf)
     is_sep = buf == _SEP
     valid = ~(is_sep[:-3] | is_sep[1:-2] | is_sep[2:-1] | is_sep[3:])
-    starts = np.minimum(offsets[:-1], len(hashes) - 1)
+    starts = offsets[:-1]
     counts = np.add.reduceat(valid.astype(np.int64), starts)
     sums = np.add.reduceat(w[hashes] * valid.astype(np.float64), starts)
     safe = np.maximum(counts, 1)

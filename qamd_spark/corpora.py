@@ -146,9 +146,74 @@ varit hård mot stålet. de flesta svaren var enkla när frågan väl var rätt
 ställd.
 """
 
+PL = """
+wczesnym rankiem miasto budzi się powoli a na ulicach pachnie świeży chleb
+i kawa. dzieci idą do szkoły starą kamienną drogą i rozmawiają o zabawach
+które będą po południu. biblioteka na rogu przechowuje mały zbiór map i
+listów sprzed stu lat. kiedy przychodzi deszcz ludzie chowają się pod
+arkadami i czekają patrząc na niebo. filiżanka herbaty i długa książka
+sprawiają że powolne wieczory wydają się krótsze. pociąg odjeżdża ze stacji
+o siódmej i przyjeżdża do miasta tuż przed dziewiątą. zmierzyliśmy wyniki
+uważnie i zapisaliśmy każdą liczbę w zeszycie. komisja spotka się we wtorek
+aby przejrzeć budżet i zaplanować następny kwartał. historia uczy
+cierpliwości a ogród uczy jej dwa razy. pamiętaj proszę zamknąć bramę żeby
+owce nie wyszły na drogę. inżynier jeszcze raz sprawdził most ponieważ zima
+była ciężka dla stali. większość odpowiedzi była prosta gdy pytanie zostało
+dobrze postawione.
+"""
+
+FI = """
+aikaisin aamulla kaupunki herää hitaasti ja kaduilla tuoksuu tuore leipä ja
+kahvi. lapset kävelevät kouluun vanhaa kivistä tietä pitkin ja puhuvat
+iltapäivän leikeistä. kulman kirjasto säilyttää pientä kokoelmaa karttoja
+ja kirjeitä sadan vuoden takaa. kun sade tulee ihmiset menevät kaarien alle
+ja odottavat katsellen taivasta. kuppi teetä ja pitkä kirja tekevät
+hitaista illoista lyhyempiä. juna lähtee asemalta seitsemältä ja saapuu
+kaupunkiin juuri ennen yhdeksää. mittasimme tulokset huolellisesti ja
+kirjoitimme jokaisen luvun vihkoon. toimikunta kokoontuu tiistaina
+tarkastamaan talousarvion ja suunnittelemaan seuraavan neljänneksen.
+historia opettaa kärsivällisyyttä ja puutarha opettaa sitä kahdesti.
+muista sulkea portti jotta lampaat eivät karkaa tielle. insinööri tarkisti
+sillan vielä kerran koska talvi oli ollut kova teräkselle. useimmat
+vastaukset olivat yksinkertaisia kun kysymys oli esitetty hyvin.
+"""
+
+TR = """
+sabahın erken saatlerinde şehir yavaşça uyanır ve sokaklarda taze ekmek ile
+kahve kokusu yayılır. çocuklar eski taş yoldan okula yürür ve öğleden
+sonraki oyunları konuşur. köşedeki kütüphane yüz yıl öncesinden kalma küçük
+bir harita ve mektup koleksiyonu saklar. yağmur geldiğinde insanlar
+kemerlerin altına sığınır ve gökyüzüne bakarak bekler. bir fincan çay ve
+uzun bir kitap yavaş akşamları daha kısa gösterir. tren istasyondan yedide
+kalkar ve şehre dokuzdan hemen önce varır. sonuçları dikkatle ölçtük ve her
+sayıyı deftere yazdık. komite salı günü toplanıp bütçeyi gözden geçirecek
+ve gelecek çeyreği planlayacak. tarih sabrı öğretir ve bahçe bunu iki kez
+öğretir. koyunlar yola çıkmasın diye lütfen kapıyı kapatmayı unutma.
+mühendis köprüyü bir kez daha kontrol etti çünkü kış çelik için çok sert
+geçmişti. soru iyi sorulunca cevapların çoğu basitti.
+"""
+
+ID = """
+pagi pagi sekali kota bangun perlahan dan jalanan berbau roti segar serta
+kopi. anak anak berjalan ke sekolah melewati jalan batu tua sambil
+membicarakan permainan sore nanti. perpustakaan di sudut menyimpan koleksi
+kecil peta dan surat dari seratus tahun lalu. ketika hujan datang orang
+orang berteduh di bawah lengkungan dan menunggu sambil memandang langit.
+secangkir teh dan buku yang panjang membuat malam yang lambat terasa lebih
+pendek. kereta berangkat dari stasiun pukul tujuh dan tiba di kota tepat
+sebelum pukul sembilan. kami mengukur hasilnya dengan teliti dan menulis
+setiap angka di buku catatan. panitia akan bertemu hari selasa untuk
+meninjau anggaran dan merencanakan kuartal berikutnya. sejarah mengajarkan
+kesabaran dan kebun mengajarkannya dua kali. tolong ingat menutup gerbang
+supaya domba tidak keluar ke jalan. insinyur memeriksa jembatan sekali lagi
+karena musim dingin sangat keras bagi baja. sebagian besar jawaban menjadi
+sederhana setelah pertanyaannya diajukan dengan baik.
+"""
+
 LANG_CORPORA = {
     "en": EN, "fr": FR, "de": DE, "es": ES,
     "it": IT, "pt": PT, "nl": NL, "sv": SV,
+    "pl": PL, "fi": FI, "tr": TR, "id": ID,
 }
 
 # English stopword lexicon (broadcast side input; analogue of the

@@ -24,7 +24,8 @@ from qamd_spark import corpora
 
 TABLE_BITS = 15
 TABLE = 1 << TABLE_BITS
-LANGS = ("en", "fr", "de", "es", "it", "pt", "nl", "sv")
+LANGS = ("en", "fr", "de", "es", "it", "pt", "nl", "sv",
+         "pl", "fi", "tr", "id")
 # fixed order; argmax tie-break = first
 UND = "und"
 PPL_EMPTY = 1.0e9  # sentinel perplexity for texts with no trigrams
@@ -108,6 +109,15 @@ def score_texts(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
             np.empty(0, dtype=np.float64),
         )
     buf, offsets = _batch_buffers(texts)
+    # pad 2 trailing separators so EVERY doc's reduceat segment spans
+    # exactly len+2 positions, including the last doc of the batch.
+    # np.add.reduce sums segments PAIRWISE and the tree shape depends on
+    # segment length — without the padding the batch's final doc had a
+    # 2-shorter segment and its float sums could differ by 1-2 ulp from
+    # the same doc scored mid-batch (batch-composition dependence). The
+    # padded positions are separator-masked zeros: x + 0.0 is exact, so
+    # only the tree shape (now position-independent) changes.
+    buf = np.concatenate([buf, np.full(2, _SEP, dtype=np.uint8)])
     hashes = _trigram_hashes(buf)
     # docs with fewer than 3 text bytes have no trigrams at all
     empty = (offsets[1:] - offsets[:-1] - 2) < 3
@@ -120,9 +130,9 @@ def score_texts(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     # mask out any trigram touching a separator byte
     is_sep = buf == _SEP
     valid = ~(is_sep[:-2] | is_sep[1:-1] | is_sep[2:])
-    # clamp the (possibly out-of-range) final starts; clamped positions land
-    # on separator bytes, which are masked, so they contribute 0 everywhere
-    starts = np.minimum(offsets[:-1], len(hashes) - 1)
+    # offsets are strictly increasing and offsets[n] == len(hashes) after
+    # the padding, so every start is in range — no clamping needed
+    starts = offsets[:-1]
     counts = np.add.reduceat(valid.astype(np.int64), starts)
     vf = valid.astype(np.float64)
     # NB: keep the per-language 1-D gather+reduceat loop — a single

@@ -60,6 +60,26 @@ HELD_OUT = {
         "på lördag cyklar vi till stranden om vädret håller i sig",
         "affären stänger tidigt så det är klokt att komma före kvällen",
     ],
+    "pl": [
+        "zapomniała kluczy w biurze i musiała po nie wrócić wieczorem",
+        "w sobotę jedziemy nad jezioro jeśli pogoda się utrzyma",
+        "sklep zamyka się wcześnie więc warto przyjść przed wieczorem",
+    ],
+    "fi": [
+        "hän unohti avaimet toimistoon ja joutui palaamaan hakemaan ne",
+        "lauantaina pyöräilemme rannalle jos sää pysyy hyvänä koko päivän",
+        "kauppa sulkeutuu aikaisin joten kannattaa tulla ennen iltaa",
+    ],
+    "tr": [
+        "anahtarları ofiste unuttu ve onları almak için geri dönmek zorunda kaldı",
+        "hava güzel kalırsa cumartesi günü sahile bisikletle gideceğiz",
+        "dükkan erken kapanıyor bu yüzden akşamdan önce gelmek akıllıca",
+    ],
+    "id": [
+        "dia lupa kuncinya di kantor dan harus kembali untuk mengambilnya",
+        "hari sabtu kami bersepeda ke pantai kalau cuacanya tetap cerah",
+        "toko tutup lebih awal jadi sebaiknya datang sebelum malam",
+    ],
 }
 
 
