@@ -140,3 +140,27 @@ def test_single_empty_batch():
 def test_empty_input():
     langs, margin, ppl = ngram.score_texts([])
     assert len(langs) == 0
+
+
+def test_score_texts_batch_composition_invariant():
+    """Langid margins and perplexity must be bit-identical whether a doc
+    is scored alone, mid-batch, or last-in-batch — the property that
+    keeps Spark (Arrow batches) and the oracle (whole-column chunks)
+    structurally in sync. Long docs matter: numpy's pairwise summation
+    only kicks in past ~128 terms, so short fixtures cannot catch a
+    segment-length-dependent tree (the pre-fix bug: the batch's final
+    doc summed over a 2-shorter segment)."""
+    import numpy as np
+
+    from qamd_spark import corpora
+
+    words = corpora.LANG_CORPORA["en"].split()
+    long_docs = [" ".join(words[i % 60 : i % 60 + 80]) for i in range(9)]
+    texts = long_docs + ["", None, "short text here"] + long_docs[::-1]
+    whole_l, whole_m, whole_p = ngram.score_texts(texts)
+    for cut in (1, 5, 9, 12, len(texts) - 1):
+        a = ngram.score_texts(texts[:cut])
+        b = ngram.score_texts(texts[cut:])
+        assert list(whole_l) == list(a[0]) + list(b[0])
+        assert np.array_equal(whole_m, np.concatenate([a[1], b[1]]))
+        assert np.array_equal(whole_p, np.concatenate([a[2], b[2]]))
