@@ -98,11 +98,13 @@ def input_fingerprint(spark, input_path: str) -> str:
     treat a changed or entirely different input as already-done and skip
     every bucket — the exact staleness the fingerprint exists to prevent.
     """
-    if input_path.startswith("iceberg:"):
-        from qamd_spark.io import table_fingerprint
+    from qamd_spark import io as qio
 
-        return table_fingerprint(spark, input_path)
-    path = input_path.removeprefix("csv:").removeprefix("jsonl:")
+    if input_path.startswith(qio.ICEBERG_PREFIX):
+        return qio.table_fingerprint(spark, input_path)
+    path = input_path.removeprefix(qio.CSV_PREFIX).removeprefix(
+        qio.JSONL_PREFIX
+    )
     parts = []
     if os.path.isfile(path):
         st = os.stat(path)
@@ -122,6 +124,11 @@ def input_fingerprint(spark, input_path: str) -> str:
             f"input {input_path!r} has no data files to fingerprint — "
             "refusing to checkpoint against an empty/missing input"
         )
+    # os.walk yields SUBDIRECTORIES in filesystem-dependent order (only
+    # files within one directory are sorted above) — without this sort
+    # the same unchanged multi-directory input could fingerprint
+    # differently across machines and silently invalidate every manifest
+    parts.sort()
     return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
 
 
@@ -245,6 +252,18 @@ def run_with_checkpoints(
     todo = [b for b in range(cfg.n_buckets) if b not in done]
     if not todo:
         return []
+    if not done and os.path.isdir(store.data_dir):
+        # No manifest from this (input, config) is valid, so anything
+        # under data/ belongs to a PREVIOUS input/config. Dynamic
+        # partition overwrite only replaces partitions that receive new
+        # rows — a changed input whose rows no longer hash to bucket k
+        # (or a smaller n_buckets) would leave the old run's bucket=k
+        # files readable next to fresh manifests saying n_rows=0. Wipe
+        # before a full redo; on a partial resume (done non-empty) the
+        # surviving partitions are this run's own and must stay.
+        import shutil
+
+        shutil.rmtree(store.data_dir)
     if bucket_batch is None:
         # fresh run: one job over everything; resume: bucket-grained groups
         bucket_batch = len(todo) if not done else 8

@@ -136,12 +136,22 @@ def write_labeled(df: DataFrame, ref: str, mode: str = "overwrite") -> None:
     """Write the labeled table partitioned by bucket."""
     if ref.startswith(ICEBERG_PREFIX):
         name = ref[len(ICEBERG_PREFIX):]
-        (
-            df.writeTo(name)
-            .using("iceberg")
-            .partitionedBy(df.bucket)  # bucket column from pipeline.label
-            .createOrReplace()
-        )
+        w = df.writeTo(name).using("iceberg")
+        if mode == "append":
+            # append() requires the table to exist and never drops rows;
+            # an unconditional createOrReplace here would silently wipe a
+            # table a caller was incrementally appending to.
+            w.append()
+        elif mode == "overwrite":
+            (
+                w.partitionedBy(df.bucket)  # bucket column from pipeline.label
+                .createOrReplace()
+            )
+        else:
+            raise ValueError(
+                f"unsupported write mode {mode!r} for iceberg ref {ref!r}: "
+                "use 'append' or 'overwrite'"
+            )
         return
     df.write.mode(mode).partitionBy("bucket").parquet(ref)
 

@@ -34,6 +34,26 @@ def summarize(labeled: DataFrame, cfg: QamdConfig) -> DataFrame:
     rule_hits, fused by whole-stage codegen — the Spark translation of the
     reference's run-every-post-check-over-one-frequency-table pattern.
     """
+    spark = labeled.sparkSession
+    if not cfg.enabled_rules():
+        # a config with every rule absent is valid (labels everything
+        # keep=true); stack(0, ) would be a ParseException, so short-
+        # circuit to an empty summary with the contract schema
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("rule", T.StringType()),
+                    T.StructField("category", T.StringType()),
+                    T.StructField("action", T.StringType()),
+                    T.StructField("desc", T.StringType()),
+                    T.StructField("pass", T.LongType()),
+                    T.StructField("fail", T.LongType()),
+                ]
+            ),
+        )
     aggs = [F.count(F.lit(1)).alias("_total")]
     for spec in cfg.enabled_rules():
         aggs.append(
@@ -42,7 +62,6 @@ def summarize(labeled: DataFrame, cfg: QamdConfig) -> DataFrame:
             )
         )
     row = labeled.agg(*aggs)
-    spark = labeled.sparkSession
     meta = [
         (i, r.name, r.category, cfg.action(r.name), r.desc)
         for i, r in enumerate(cfg.enabled_rules())
@@ -82,12 +101,18 @@ def locators(labeled: DataFrame, cap: int = LOCATOR_CAP) -> DataFrame:
 
     phase 1: groupBy(rule, input partition id) → per-partition sorted
              slice of ≤ cap (bounded memory, map-side);
-    phase 2: groupBy(rule) over ≤ cap × #partitions tiny structs →
-             flatten + sort + slice = exact global first-cap.
+    phase 2: tree-reduce — while more than FANIN partials remain per
+             rule, combine groups of ≤ FANIN partials (each combine task
+             holds ≤ FANIN × cap structs), then one final groupBy(rule)
+             over ≤ FANIN partials = exact global first-cap.
 
     A naive groupBy(rule).collect_list would pull every hit of a hot rule
     (possibly 10^11 rows) into one task; a Window.partitionBy(rule) has
-    the same skew. Rule cardinality ≤ 16, so phase 2 is trivial.
+    the same skew; and a single-round phase 2 would concentrate
+    cap × #input-partitions structs into one task (at 10^6 scan
+    partitions that is ~10^9 structs — the very OOM this function
+    exists to avoid). The combine-round count is ceil(log_FANIN(npart)):
+    0 extra rounds at local test scale (≤ 64 partitions), 3 at 10^6.
     """
     exploded = (
         labeled.filter(F.size("rule_hits") > 0)
@@ -98,14 +123,30 @@ def locators(labeled: DataFrame, cap: int = LOCATOR_CAP) -> DataFrame:
             F.spark_partition_id().alias("_pid"),
         )
     )
-    stage1 = exploded.groupBy("rule", "_pid").agg(
+    part = exploded.groupBy("rule", "_pid").agg(
         F.slice(
             F.sort_array(F.collect_list(F.struct("conv_id", "turn_idx"))), 1, cap
         ).alias("locs"),
         F.count(F.lit(1)).alias("cnt"),
-    )
+    ).withColumnRenamed("_pid", "_g")
+    FANIN = 64
+    # getNumPartitions is plan translation only (no job); explode/filter
+    # are narrow, so exploded has the same partition count as labeled
+    npart = max(1, labeled.rdd.getNumPartitions())
+    while npart > FANIN:
+        npart = -(-npart // FANIN)
+        part = (
+            part.withColumn("_g", (F.col("_g") / FANIN).cast("long"))
+            .groupBy("rule", "_g")
+            .agg(
+                F.slice(
+                    F.sort_array(F.flatten(F.collect_list("locs"))), 1, cap
+                ).alias("locs"),
+                F.sum("cnt").alias("cnt"),
+            )
+        )
     return (
-        stage1.groupBy("rule")
+        part.groupBy("rule")
         .agg(
             F.slice(F.sort_array(F.flatten(F.collect_list("locs"))), 1, cap).alias(
                 "locators"

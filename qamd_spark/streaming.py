@@ -155,8 +155,18 @@ def stream_dedup(
         import numpy as np
 
         seen = state.get[0] if state.exists else 0
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["conv_id", "turn_idx"])
+        # applyInPandasWithState delivers the group as an ITERATOR of
+        # Arrow-sized chunks (~10k rows each); sorting per chunk would
+        # make "first" the minimum of chunk 1 only, mislabeling a
+        # globally-smaller (conv_id, turn_idx) row in a later chunk.
+        # Concatenate before sorting: the group is one distinct text's
+        # rows in this micro-batch, so memory is bounded by that text's
+        # batch multiplicity, not by the batch size.
+        frames = list(pdfs)
+        if frames:
+            pdf = pd.concat(frames, ignore_index=True).sort_values(
+                ["conv_id", "turn_idx"]
+            )
             is_dup = (np.arange(len(pdf)) + seen > 0) & ~pdf["_empty"].to_numpy()
             seen += int((~pdf["_empty"]).sum())
             out = pdf[["conv_id", "turn_idx"]].copy()
@@ -198,10 +208,22 @@ def stream_windowed_counts(
     the late-data contract: rows later than the watermark are dropped,
     the standard Structured Streaming trade between completeness and
     unbounded state. Append mode emits each window exactly once, on
-    finalization."""
+    finalization.
+
+    Rows with NULL ts (nullable in the schema; the JSONL reader nulls
+    unparseable timestamps) cannot be windowed. They are filtered
+    EXPLICITLY here — not silently discarded by the watermark — and
+    surfaced per micro-batch as the `null_ts_rows` observed metric
+    (query.lastProgress["observedMetrics"]["lineage_drops"]), so the
+    windowed counts can be reconciled against the batch lineage."""
     from pyspark.sql import functions as F
 
-    src = read_stream(spark, input_path).withWatermark("ts", watermark)
+    src = read_stream(spark, input_path)
+    src = src.observe(
+        "lineage_drops",
+        F.sum(F.col("ts").isNull().cast("long")).alias("null_ts_rows"),
+    )
+    src = src.filter(F.col("ts").isNotNull()).withWatermark("ts", watermark)
     agg = (
         src.groupBy(F.window("ts", window).alias("w"), "role")
         .agg(

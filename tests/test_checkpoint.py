@@ -386,3 +386,22 @@ def test_wide_group_counts_via_readback(spark, synth_path, tmp_path, monkeypatch
     b = {m.bucket: (m.n_rows, m.n_keep) for m in via_rb}
     assert a == b
     assert sum(n for n, _ in a.values()) == spark.read.parquet(synth_path).count()
+
+
+def test_shrunk_n_buckets_leaves_no_stale_partitions(spark, synth_path, tmp_path):
+    # dynamic partition overwrite only replaces partitions that receive
+    # new rows: rerunning into the same out/ with a smaller n_buckets
+    # used to leave bucket=8.. files from the old run readable next to
+    # fresh manifests. A full redo (no valid manifest) must wipe data/.
+    out = str(tmp_path / "shrink")
+    cfg_wide = QamdConfig(n_buckets=12)
+    checkpoint.run_with_checkpoints(spark, synth_path, out, cfg_wide, bucket_batch=12)
+    cfg_narrow = QamdConfig(n_buckets=4)
+    written = checkpoint.run_with_checkpoints(
+        spark, synth_path, out, cfg_narrow, bucket_batch=4
+    )
+    got = spark.read.parquet(out + "/data")
+    n_in = spark.read.parquet(synth_path).count()
+    assert got.count() == n_in  # no phantom rows from the 12-bucket run
+    assert got.select("bucket").distinct().count() <= 4
+    assert sum(m.n_rows for m in written) == n_in

@@ -156,3 +156,34 @@ def test_html_report_byte_golden():
     assert got == want
     # the escaping actually bit: raw '<' from data must not appear
     assert "x<y>" not in got and "x&lt;y&gt;" in got
+
+
+def test_locators_tree_reduce_many_partitions(labeled):
+    # >FANIN(=64) input partitions forces at least one combine round in
+    # locators(); the result must be identical to the no-round plan
+    lab, cfg = labeled
+    base = report.locators(lab, cap=7).toPandas().set_index("rule")
+    wide = (
+        report.locators(lab.repartition(130), cap=7)
+        .toPandas()
+        .set_index("rule")
+    )
+    assert sorted(base.index) == sorted(wide.index)
+    for rule in base.index:
+        assert base.loc[rule, "n_fail"] == wide.loc[rule, "n_fail"]
+        assert [
+            (l["conv_id"], l["turn_idx"]) for l in base.loc[rule, "locators"]
+        ] == [(l["conv_id"], l["turn_idx"]) for l in wide.loc[rule, "locators"]]
+
+
+def test_summarize_zero_rules_is_empty_not_parse_error(spark, synth_path):
+    # a config with every rule absent is valid (labels everything keep);
+    # stack(0, ) used to throw ParseException after the labeling write
+    from qamd_spark.config import DEFAULT_SETTINGS
+
+    cfg = QamdConfig(settings={k: None for k in DEFAULT_SETTINGS})
+    assert not cfg.enabled_rules()
+    lab = pipeline.label(spark.read.parquet(synth_path), cfg)
+    summ = report.summarize(lab, cfg)
+    assert summ.count() == 0
+    assert summ.columns == ["rule", "category", "action", "desc", "pass", "fail"]

@@ -274,3 +274,78 @@ def test_stream_over_jsonl_source(spark, tmp_path):
         pipeline.label(qio.read_jsonl(spark, src), scfg)
     )
     assert got == exp and len(got) == 2
+
+
+def test_stream_dedup_keep_first_spans_arrow_chunks(spark, tmp_path):
+    """applyInPandasWithState hands the group to fn as an ITERATOR of
+    Arrow chunks; the kept 'first' row must be the group's global
+    (conv_id, turn_idx) minimum even when the minimum arrives in a later
+    chunk. Shrinking maxRecordsPerBatch forces multi-chunk groups."""
+    import pandas as pd
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    # 9 copies of one text, written in DESCENDING conv_id order so the
+    # true first row ("c0", 0) lands in the LAST Arrow chunk
+    rows = [(f"c{i}", 0, "user", "same text", None, None) for i in range(8, -1, -1)]
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    for c in ("conv_id", "role", "text", "tool"):
+        pdf[c] = pdf[c].astype("string")
+    pdf.to_parquet(os.path.join(src, "a.parquet"))
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        q = streaming.stream_dedup(spark, src, out, ckpt)
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["is_dup"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[("c0", 0)] is False
+    assert sum(v for v in got.values()) == 8  # every other copy flagged
+
+
+def test_windowed_counts_surface_null_ts_drops(spark, tmp_path):
+    """NULL-ts rows cannot be windowed; they are filtered explicitly and
+    reported via the lineage_drops observed metric instead of vanishing."""
+    import pandas as pd
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    rows = [
+        ("c1", 0, "user", "hello", None, "2024-01-01T00:00:01"),
+        ("c1", 1, "assistant", "hi", None, "2024-01-01T00:00:02"),
+        ("c2", 0, "user", "no clock", None, None),  # NULL ts
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    for c in ("conv_id", "role", "text", "tool"):
+        pdf[c] = pdf[c].astype("string")
+    pdf.to_parquet(os.path.join(src, "a.parquet"))
+
+    q = streaming.stream_windowed_counts(spark, src, out, ckpt)
+    drops = 0
+    q.awaitTermination(120)
+    for p in q.recentProgress:
+        om = p["observedMetrics"] if isinstance(p, dict) else p.observedMetrics
+        m = (om or {}).get("lineage_drops")
+        if m is not None and m["null_ts_rows"] is not None:
+            drops += m["null_ts_rows"]
+    assert drops == 1
