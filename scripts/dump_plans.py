@@ -34,6 +34,22 @@ def summarize(plan: str) -> str:
     return ", ".join(f"{k}={counts.get(k, 0)}" for k in keys if counts.get(k))
 
 
+def _locators_wide(spark, pipeline, QamdConfig):
+    from qamd_spark import report
+
+    lab = pipeline.label(
+        spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+            "cast(doc_id as string) conv_id",
+            "cast(0 as int) turn_idx",
+            "'user' role",
+            "text",
+            "cast(null as string) tool",
+            "timestamp_seconds(doc_id) ts",
+        ),
+        QamdConfig(),
+    )
+    return report.locators(lab.repartition(130))
+
 def main() -> None:
     from qamd_spark import pipeline, session
     from qamd_spark.config import QamdConfig
@@ -160,6 +176,18 @@ def main() -> None:
             "sketch aggregates (HLL++ / DataSketches HLL) — the sketches "
             "are the 100 TB path.",
             E.q_sketch_profile(spark, SF),
+        ),
+        (
+            "locators (report.locators, 130-partition input)",
+            "Per-rule first-cap failing (conv_id, turn_idx): phase-1 "
+            "partial top-k per (rule, scan partition), then a fan-in-64 "
+            "TREE of combine aggregates — at 130 input partitions one "
+            "combine round appears between the partials and the final "
+            "per-rule aggregate, so no task ever holds more than "
+            "FANIN x cap structs (a single-round phase 2 would "
+            "concentrate cap x #partitions into one task at 10^6 "
+            "scan partitions).",
+            _locators_wide(spark, pipeline, QamdConfig),
         ),
     ]
     out = [
