@@ -2522,6 +2522,140 @@ def q_field_length(spark, sf_dir):
     return _docs(spark, sf_dir).select("doc_id", long_f.alias("field_len_fail"))
 
 
+# ---- echo / split / diversity / template queries (r3 continuation)
+ECHO_MAX_LEN = 1000  # levenshtein is O(n*m); longer texts are skipped
+# printable-ASCII complement — Spark levenshtein counts codepoints while
+# DuckDB's counts BYTES, so both engines compare an ASCII projection
+ASCII_NEG_RX = r"[^\x20-\x7e]"
+SPLIT_SALT = "split-v1"
+SPLIT_TRAIN_PCT, SPLIT_VAL_PCT = 90, 5
+TEMPLATE_PREFIX_TOKENS = 5
+TEMPLATE_MIN_DOCS = 3
+
+
+def q_echo_detect(spark, sf_dir):
+    """Adjacent-turn echo detection over documents-as-conversations
+    (conv = doc_id % 97, the conv_features mapping): levenshtein distance
+    between each turn and the previous turn of its conversation, flagged
+    as an echo when the distance is <= 20% of the longer side.
+    Instruction-tuning corpora are full of assistant turns that parrot
+    the user turn; this is the standard screen. Non-ASCII codepoints are
+    projected to 'X' on BOTH engines first (Spark's levenshtein is
+    codepoint-based, DuckDB's is byte-based — measured divergence on
+    multibyte text), and the flag is pure integer arithmetic
+    (lev*5 <= max_len), so no float crosses the gate. Texts longer than
+    ECHO_MAX_LEN are skipped (lev/max_len NULL, is_echo false) — the
+    same O(n*m) cost gate a 100 TB run needs. One shuffle on conv; the
+    lag window is bounded per conversation."""
+    a = F.regexp_replace(_txt(), ASCII_NEG_RX, "X")
+    d = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 97).alias("conv"),
+        F.floor(F.col("doc_id") / 97).alias("turn_idx"),
+        a.alias("t"),
+    )
+    w = Window.partitionBy("conv").orderBy("turn_idx")
+    d = d.withColumn("prev", F.lag("t").over(w)).filter(F.col("prev").isNotNull())
+    ok = (F.length("t") <= ECHO_MAX_LEN) & (F.length("prev") <= ECHO_MAX_LEN)
+    mx = F.greatest(F.length("t"), F.length("prev"))
+    lev = F.levenshtein("t", "prev")
+    return d.select(
+        "conv",
+        "turn_idx",
+        F.when(ok, lev).cast("long").alias("lev"),
+        F.when(ok, mx).cast("long").alias("max_len"),
+        (ok & (mx > 0) & (lev * 5 <= mx)).alias("is_echo"),
+    )
+
+
+def q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment (90/5/5) by salted md5 of
+    the content key — reproducible across runs, engines, and cluster
+    sizes, and stable under corpus growth (a doc's split never depends on
+    other rows, unlike randomSplit). Pure projection: no shuffle, no RNG;
+    the hash_sample idiom extended to multi-way splits."""
+    b = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(SPLIT_SALT), _txt())), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(b < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(b < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return _docs(spark, sf_dir).select("doc_id", "lang", split.alias("split"))
+
+
+def q_lexical_diversity(spark, sf_dir):
+    """Lexical diversity (type-token ratio) per source: distinct word
+    types / total word tokens — a cheap template/boilerplate-collapse
+    signal (spammy sources cycle a tiny vocabulary). Two-level hash
+    aggregate — (source, tok) partial counts first — so there is no
+    count-distinct Expand and both shuffles carry pre-aggregated rows;
+    the ratio is one division of exact integer sums."""
+    toks = F.explode(F.split(F.lower(F.trim(_txt())), r"\s+", -1)).alias("tok")
+    per = (
+        _docs(spark, sf_dir)
+        .select("source", toks)
+        .filter(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per.groupBy("source")
+        .agg(F.sum("c").alias("n_tokens"), F.count(F.lit(1)).alias("n_types"))
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            (
+                F.col("n_types").cast("double") / F.col("n_tokens").cast("double")
+            ).alias("ttr"),
+        )
+    )
+
+
+def q_prompt_templates(spark, sf_dir):
+    """Prompt-template mining: cluster documents by their normalized
+    first-5-token prefix and surface templates shared by >=
+    TEMPLATE_MIN_DOCS docs — the instruction-data analogue of
+    boilerplate detection (ShareGPT-style corpora are dominated by a few
+    seed templates, which skews mixtures and leaks across splits). One
+    partial+final hash aggregate over a short prefix key; output bounded
+    by the number of qualifying templates."""
+    toks = F.split(F.lower(F.trim(_txt())), r"\s+", -1)
+    tpl = F.concat_ws(" ", F.slice(toks, 1, TEMPLATE_PREFIX_TOKENS))
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", tpl.alias("template"))
+        .filter(F.col("template") != "")
+    )
+    return (
+        d.groupBy("template")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_docs") >= TEMPLATE_MIN_DOCS)
+    )
+
+
+BPE_TRAIN_MERGES = 30
+
+
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training (ops/bpe.py): learn the top-30
+    merges over the documents corpus. Iterative (one pair-count hash
+    aggregate per round over the DISTINCT-word table, single winning row
+    to the driver per round) — non-SQL-expressible, so rows-only in the
+    driver gate; tests/test_bpe.py pins the merge list bit-exact against
+    the pure-Python twin and the encoder's replay property."""
+    from qamd_spark.ops import bpe
+
+    merges = bpe.train_bpe(
+        _docs(spark, sf_dir), text_col="text", num_merges=BPE_TRAIN_MERGES
+    )
+    return bpe.merges_df(spark, merges)
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -2625,6 +2759,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "field_length": q_field_length,
+        "echo_detect": q_echo_detect,
+        "split_assign": q_split_assign,
+        "lexical_diversity": q_lexical_diversity,
+        "prompt_templates": q_prompt_templates,
+        "bpe_train": q_bpe_train,
         "winnow": q_winnow,
         "winnow_containment": q_winnow_containment,
         "dedup_clusters": q_dedup_clusters,
@@ -2972,6 +3111,68 @@ def oracle_sql() -> dict[str, str]:
                    length(doc)::BIGINT AS n_chars_doc,
                    md5(doc) AS doc_md5
             FROM g
+        """,
+        "echo_detect": f"""
+            WITH d AS (
+              SELECT doc_id % 97 AS conv,
+                     (doc_id // 97)::BIGINT AS turn_idx,
+                     regexp_replace(coalesce(text,''),
+                                    '{ASCII_NEG_RX}', 'X', 'g') AS t
+              FROM documents),
+            l AS (
+              SELECT conv, turn_idx, t,
+                     lag(t) OVER (PARTITION BY conv ORDER BY turn_idx) AS prev
+              FROM d)
+            SELECT conv, turn_idx,
+                   (CASE WHEN len(t) <= {ECHO_MAX_LEN}
+                              AND len(prev) <= {ECHO_MAX_LEN}
+                         THEN levenshtein(t, prev) END)::BIGINT AS lev,
+                   (CASE WHEN len(t) <= {ECHO_MAX_LEN}
+                              AND len(prev) <= {ECHO_MAX_LEN}
+                         THEN greatest(len(t), len(prev)) END)::BIGINT
+                     AS max_len,
+                   (len(t) <= {ECHO_MAX_LEN} AND len(prev) <= {ECHO_MAX_LEN}
+                    AND greatest(len(t), len(prev)) > 0
+                    AND levenshtein(t, prev) * 5
+                        <= greatest(len(t), len(prev))) AS is_echo
+            FROM l WHERE prev IS NOT NULL
+        """,
+        "split_assign": f"""
+            SELECT doc_id, lang,
+                   CASE WHEN b < {SPLIT_TRAIN_PCT} THEN 'train'
+                        WHEN b < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id, lang,
+                         (concat('0x', substr(md5(concat('{SPLIT_SALT}',
+                             coalesce(text,''))), 1, 8)))::BIGINT % 100 AS b
+                  FROM documents)
+        """,
+        "lexical_diversity": """
+            WITH toks AS (
+              SELECT source, t.tok AS tok
+              FROM documents,
+                   unnest(regexp_split_to_array(
+                       lower(trim(coalesce(text,''), ' ')), '\\s+')) AS t(tok)
+              WHERE t.tok <> ''),
+            per AS (
+              SELECT source, tok, count(*)::BIGINT AS c
+              FROM toks GROUP BY source, tok)
+            SELECT source, sum(c)::BIGINT AS n_tokens,
+                   count(*)::BIGINT AS n_types,
+                   count(*)::DOUBLE / sum(c)::DOUBLE AS ttr
+            FROM per GROUP BY source
+        """,
+        "prompt_templates": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     array_to_string(regexp_split_to_array(
+                         lower(trim(coalesce(text,''), ' ')),
+                         '\\s+')[1:{TEMPLATE_PREFIX_TOKENS}], ' ') AS template
+              FROM documents)
+            SELECT template, count(*)::BIGINT AS n_docs,
+                   min(doc_id)::BIGINT AS first_doc
+            FROM t WHERE template <> ''
+            GROUP BY template HAVING count(*) >= {TEMPLATE_MIN_DOCS}
         """,
         "fertility_by_lang": f"""
             WITH b AS (

@@ -1,0 +1,99 @@
+"""Distributed BPE training/encoding (qamd_spark/ops/bpe.py) vs the
+pure-Python twin: the learned merge list must be bit-identical, and the
+rank-greedy encoder must equal replaying the merge list in order."""
+
+import pandas as pd
+import pytest
+
+from qamd_spark.ops import bpe
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _wc_pdf(path=DOCS):
+    texts = pd.read_parquet(path, columns=["text"])["text"]
+    wc: dict[str, int] = {}
+    for t in texts:
+        for w in (t or "").lower().strip().split():
+            wc[w] = wc.get(w, 0) + 1
+    return wc
+
+
+def _replay(word: str, merges) -> list[str]:
+    syms = list(word)
+    for a, b, _ in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_train_matches_python_twin_exactly(spark):
+    df = spark.read.parquet(DOCS)
+    got = bpe.train_bpe(df, num_merges=25)
+    want = bpe.train_bpe_py(_wc_pdf(), num_merges=25)
+    assert got == want
+    # merges are well-formed and counts non-increasing is NOT guaranteed
+    # by BPE (a merge can create a more frequent pair), but every count
+    # must respect the floor
+    assert all(n >= 2 for _, _, n in got)
+    assert len(got) == 25  # corpus is repetitive enough to yield all 25
+
+
+def test_word_counts_matches_pandas(spark):
+    got = {
+        r["word"]: r["cnt"]
+        for r in bpe.word_counts(spark.read.parquet(DOCS)).collect()
+    }
+    assert got == _wc_pdf()
+
+
+def test_encoder_equals_merge_replay():
+    wc = _wc_pdf()
+    merges = bpe.train_bpe_py(wc, num_merges=40)
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+    for w in list(wc)[:200]:
+        enc = bpe.encode_word(w, ranks)
+        assert enc == _replay(w, merges), w
+        assert "".join(enc) == w  # lossless
+
+
+def test_bpe_encode_dataframe(spark):
+    df = spark.read.parquet(DOCS).limit(50)
+    merges = bpe.train_bpe_py(_wc_pdf(), num_merges=20)
+    out = bpe.bpe_encode(df, merges).select("doc_id", "text", "bpe_tokens")
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+    for r in out.collect():
+        want = []
+        for w in (r["text"] or "").lower().strip().split():
+            want.extend(bpe.encode_word(w, ranks))
+        assert list(r["bpe_tokens"]) == want
+        assert "".join(r["bpe_tokens"]) == "".join(
+            (r["text"] or "").lower().strip().split()
+        )
+
+
+def test_early_stop_on_min_pair_count():
+    merges = bpe.train_bpe_py({"ab": 1, "cd": 1}, num_merges=10, min_pair_count=2)
+    assert merges == []
+
+
+def test_tie_break_is_lexicographic():
+    # 'zz' and 'aa' both occur 3 times -> 'a','a' must win (pair asc)
+    merges = bpe.train_bpe_py({"zz": 3, "aa": 3}, num_merges=1)
+    assert merges[0][:2] == ("a", "a")
+
+
+@pytest.mark.parametrize("word", ["aaaa", "abab", "banana"])
+def test_greedy_leftmost_nonoverlapping(spark, word):
+    # spark fold application == python twin application on overlap traps
+    df = spark.createDataFrame([(word,)], "text string")
+    got = bpe.train_bpe(df, num_merges=3, min_pair_count=1)
+    want = bpe.train_bpe_py({word: 1}, num_merges=3, min_pair_count=1)
+    assert got == want
