@@ -2639,6 +2639,89 @@ def q_prompt_templates(spark, sf_dir):
 
 
 BPE_TRAIN_MERGES = 30
+ZIPF_TOPK = 100
+QUALITY_GATE_P = 0.10
+
+
+def q_zipf_profile(spark, sf_dir):
+    """Vocabulary concentration profile: the top-100 tokens with their
+    Zipf rank and CUMULATIVE corpus share — how much of the token stream
+    the head of the vocabulary covers (a natural-language corpus follows
+    Zipf; boilerplate/spam collapses the mass into the head). The full
+    vocab is reduced by a partial+final hash agg, the head selected by
+    TakeOrdered (count desc, token asc — total order), and the rank +
+    prefix-sum window runs on the 100-row result only (a driver-sized
+    table; no global sort of the vocabulary). cum_share is a single
+    division of exact integer sums."""
+    toks = F.explode(F.split(F.lower(F.trim(_txt())), r"\s+", -1)).alias("tok")
+    counts = (
+        _docs(spark, sf_dir)
+        .select(toks)
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("tok").asc()).limit(ZIPF_TOPK)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())  # 100 rows
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "tok",
+            "cnt",
+            (
+                F.sum("cnt")
+                .over(w.rowsBetween(Window.unboundedPreceding, 0))
+                .cast("double")
+                / F.col("total").cast("double")
+            ).alias("cum_share"),
+        )
+    )
+
+
+def q_quality_gate_by_source(spark, sf_dir):
+    """Dynamic per-source quality thresholding: instead of one global
+    cutoff, each source keeps its top (1 - p) quality mass — the exact
+    per-source p10 of the heuristic quality score gates that source's
+    docs (relative gating is how mixed-quality corpora are pruned without
+    starving clean-but-terse sources). Cutoffs are a per-source exact
+    percentile (a source-count-sized table, broadcast back); the gate
+    compares on values rounded to 9 decimals on BOTH engines so the
+    percentile interpolation can never flip a keep at 1 ulp.
+    approx_percentile is the declared 100 TB swap for the cutoff pass."""
+    from qamd_spark.ops import text as tx
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.round(tx.quality_score(_txt()), 9).alias("score")
+    )
+    cuts = d.groupBy("source").agg(
+        F.round(F.percentile("score", QUALITY_GATE_P), 9).alias("cutoff")
+    )
+    return d.join(F.broadcast(cuts), "source").select(
+        "doc_id",
+        "source",
+        "score",
+        "cutoff",
+        (F.col("score") >= F.col("cutoff")).alias("keep"),
+    )
+
+
+def q_prototypicality(spark, sf_dir):
+    """SSL-prototype pruning scores (Sorscher et al. 2022): cosine of
+    each embedding to its assigned k-means centroid — the ranking key
+    for prototype-based data pruning (drop the most prototypical /
+    redundant examples first at scale). Deterministic IVF trainer +
+    BLAS-free Arrow scoring stage (ops/similarity.prototype_scores);
+    rows-only by design (iterative trainer), exact pandas twin in
+    tests/test_ops.py. proto is rounded defensively for display; the
+    twin test compares the raw kernel output bit-for-bit."""
+    from qamd_spark.ops.similarity import ivf_train, prototype_scores
+
+    e = _emb(spark, sf_dir)
+    cent = ivf_train(e, n_clusters=8, n_iters=2)
+    out = prototype_scores(e, cent)
+    return out.select("vec_id", "cluster", F.round("proto", 9).alias("proto"))
 
 
 def q_bpe_train(spark, sf_dir):
@@ -2764,6 +2847,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_diversity": q_lexical_diversity,
         "prompt_templates": q_prompt_templates,
         "bpe_train": q_bpe_train,
+        "zipf_profile": q_zipf_profile,
+        "quality_gate_by_source": q_quality_gate_by_source,
+        "prototypicality": q_prototypicality,
         "winnow": q_winnow,
         "winnow_containment": q_winnow_containment,
         "dedup_clusters": q_dedup_clusters,
@@ -3111,6 +3197,39 @@ def oracle_sql() -> dict[str, str]:
                    length(doc)::BIGINT AS n_chars_doc,
                    md5(doc) AS doc_md5
             FROM g
+        """,
+        "zipf_profile": f"""
+            WITH toks AS (
+              SELECT t.tok AS tok
+              FROM documents,
+                   unnest(regexp_split_to_array(
+                       lower(trim(coalesce(text,''), ' ')), '\\s+')) AS t(tok)
+              WHERE t.tok <> ''),
+            counts AS (SELECT tok, count(*)::BIGINT AS cnt
+                       FROM toks GROUP BY tok),
+            tot AS (SELECT sum(cnt)::BIGINT AS total FROM counts),
+            ranked AS (
+              SELECT tok, cnt,
+                     row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rank
+              FROM counts),
+            top AS (SELECT * FROM ranked WHERE rank <= {ZIPF_TOPK})
+            SELECT rank::BIGINT AS rank, tok, cnt,
+                   (sum(cnt) OVER (ORDER BY rank
+                        ROWS UNBOUNDED PRECEDING))::DOUBLE
+                     / (SELECT total FROM tot)::DOUBLE AS cum_share
+            FROM top
+        """,
+        "quality_gate_by_source": f"""
+            WITH s AS (
+              SELECT doc_id, source, round({QUALITY_SQL}, 9) AS score
+              FROM documents),
+            c AS (
+              SELECT source, round(quantile_cont(score, {QUALITY_GATE_P}), 9)
+                       AS cutoff
+              FROM s GROUP BY source)
+            SELECT s.doc_id, s.source, s.score, c.cutoff,
+                   s.score >= c.cutoff AS keep
+            FROM s JOIN c USING (source)
         """,
         "echo_detect": f"""
             WITH d AS (

@@ -642,3 +642,21 @@ def semantic_dedup_pdf(
     return pd.DataFrame(
         rows, columns=["vec_id", "cluster", "dup_of", "sim"]
     ).astype({"vec_id": np.int64, "cluster": np.int32, "dup_of": np.int64})
+
+
+def prototype_scores_pdf(emb: pd.DataFrame, cent: np.ndarray) -> pd.DataFrame:
+    """Exact twin of ops.similarity.prototype_scores (same np.add.reduce
+    kernel; the dim-axis reduction makes it batch-invariant)."""
+    ids = emb["vec_id"].to_numpy(dtype=np.int64)
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    C = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    scores = np.add.reduce(Vn[:, None, :] * C[None, :, :], axis=2)
+    am = scores.argmax(axis=1)
+    return pd.DataFrame(
+        {
+            "vec_id": ids,
+            "cluster": am.astype(np.int32),
+            "proto": scores[np.arange(len(am)), am],
+        }
+    )

@@ -428,3 +428,54 @@ def semantic_dedup(
             F.col("_k.sim").alias("sim"),
         )
     )
+
+
+def prototype_scores(
+    emb: DataFrame,
+    cent: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SSL-prototype pruning scores (Sorscher et al. 2022, "Beyond neural
+    scaling laws"): cosine similarity of each vector to its assigned
+    (argmax-cosine) k-means centroid. At large data scale the LOW-
+    prototypicality ("hard") examples carry the information and the high
+    ones are redundant — this score is the ranking key for
+    prototype-based pruning. Returns (id, cluster, proto).
+
+    Same BLAS-free np.add.reduce kernel as ``_assign_stage_exact`` (the
+    reduction runs over the dim axis per (row, centroid), so scores are
+    batch-composition invariant and bit-equal to the local pandas twin
+    ``oracle.prototype_scores_pdf``); one narrow Arrow stage, no shuffle —
+    only the (k × dim) centroid matrix rides the closure."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    C = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("proto", T.DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf.iloc[:, 1]])
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            scores = np.add.reduce(Vn[:, None, :] * C[None, :, :], axis=2)
+            am = scores.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf.iloc[:, 0].to_numpy(dtype=np.int64),
+                    "cluster": am.astype(np.int32),
+                    "proto": scores[np.arange(len(am)), am],
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(run, schema=schema)

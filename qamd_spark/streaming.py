@@ -249,3 +249,58 @@ def stream_windowed_counts(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_session_counts(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Session-window aggregation over the turn stream (the streaming
+    twin of the batch ``sessionize`` query): per-conversation activity
+    sessions that close after ``gap`` of inactivity, via the built-in
+    ``F.session_window`` — Spark merges overlapping per-row windows
+    [ts, ts+gap) into sessions in the state store, so this is the
+    idiomatic form (no applyInPandasWithState needed for gap semantics).
+
+    Append mode emits each session exactly once, when the event-time
+    watermark passes its end; a session is therefore final and immutable
+    in the sink (late rows inside an emitted session are dropped by the
+    watermark, the same completeness/state trade as
+    ``stream_windowed_counts``). Batch parity: the SAME
+    session_window aggregation run in batch over the complete input
+    equals the streamed output restricted to finalized sessions
+    (tests/test_streaming.py)."""
+    from pyspark.sql import functions as F
+
+    src = read_stream(spark, input_path)
+    src = src.filter(F.col("ts").isNotNull()).withWatermark("ts", watermark)
+    agg = (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.min("turn_idx").alias("first_turn"),
+            F.max("turn_idx").alias("last_turn"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "conv_id",
+            "n_turns",
+            "first_turn",
+            "last_turn",
+        )
+    )
+    w = (
+        agg.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -933,3 +933,48 @@ def test_heavy_hitters_sketch_matches_exact_top(spark):
     )
     for r in exact:
         assert got.get(r["tok"]) == r["count"], (r["tok"], r["count"], got.get(r["tok"]))
+
+
+def test_prototype_scores_match_pandas_twin(spark):
+    import pandas as pd
+
+    from oracle import oracle
+    from qamd_spark.ops.similarity import ivf_train, prototype_scores
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    e = spark.read.parquet(path)
+    cent = ivf_train(e, n_clusters=8, n_iters=2)
+    got = (
+        prototype_scores(e, cent)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        oracle.prototype_scores_pdf(pd.read_parquet(path), cent)
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=0, rtol=0)
+    assert got["proto"].between(-1.0, 1.0 + 1e-12).all()
+
+
+def test_prototype_scores_planted_ordering(spark):
+    import numpy as np
+
+    from qamd_spark.ops.similarity import prototype_scores
+
+    cent = np.zeros((2, 4))
+    cent[0, 0] = 1.0
+    cent[1, 1] = 1.0
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),   # exactly the centroid: proto == 1
+        (2, [1.0, 1.0, 0.0, 0.0]),   # between the two: proto == cos(45deg)
+        (3, [0.0, 2.0, 0.0, 0.0]),   # scaled centroid 1: proto == 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: (r["cluster"], r["proto"]) for r in
+           prototype_scores(df, cent).collect()}
+    assert got[1][0] == 0 and abs(got[1][1] - 1.0) < 1e-12
+    assert got[3][0] == 1 and abs(got[3][1] - 1.0) < 1e-12
+    assert abs(got[2][1] - 2 ** -0.5) < 1e-12  # the "hard" example scores lower

@@ -349,3 +349,80 @@ def test_windowed_counts_surface_null_ts_drops(spark, tmp_path):
         if m is not None and m["null_ts_rows"] is not None:
             drops += m["null_ts_rows"]
     assert drops == 1
+
+
+def test_session_counts_finalize_and_match_batch(spark, tmp_path):
+    """Session windows emit exactly once (when the watermark passes the
+    session end) and the streamed rows equal the SAME session_window
+    aggregation run in batch over the complete input, restricted to
+    finalized sessions."""
+    import pandas as pd
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def _write(fname, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        for c in ("conv_id", "role", "text", "tool"):
+            pdf[c] = pdf[c].astype("string")
+        pdf.to_parquet(os.path.join(src, fname))
+
+    # c1 has two turns 10 min apart (one session, gap=30m); c2 at 02:00
+    # pushes the watermark to 01:00 > c1's session end (00:40)
+    _write("a.parquet", [
+        ("c1", 0, "user", "hi", None, "2024-01-01T00:00:00"),
+        ("c1", 1, "assistant", "hello", None, "2024-01-01T00:10:00"),
+        ("c2", 0, "user", "yo", None, "2024-01-01T02:00:00"),
+    ])
+    q = streaming.stream_session_counts(spark, src, out, ckpt)
+    q.awaitTermination(120)
+    got1 = {
+        (r["conv_id"], str(r["session_start"])): (
+            str(r["session_end"]), r["n_turns"], r["first_turn"], r["last_turn"]
+        )
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got1 == {
+        ("c1", "2024-01-01 00:00:00"): ("2024-01-01 00:40:00", 2, 0, 1),
+    }
+
+    # a second batch: c1 reappears at 03:00 (NEW session — the first one
+    # is closed and must not reopen) and c3 at 05:00 pushes the
+    # watermark to 04:00, finalizing c2's and the new c1 session
+    _write("b.parquet", [
+        ("c1", 2, "user", "again", None, "2024-01-01T03:00:00"),
+        ("c3", 0, "user", "mover", None, "2024-01-01T05:00:00"),
+    ])
+    q2 = streaming.stream_session_counts(spark, src, out, ckpt)
+    q2.awaitTermination(120)
+    streamed = spark.read.parquet(out)
+
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.min("turn_idx").alias("first_turn"),
+            F.max("turn_idx").alias("last_turn"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "conv_id", "n_turns", "first_turn", "last_turn",
+        )
+        # final watermark = 05:00 - 1h = 04:00; finalized sessions only
+        .filter(F.col("session_end") <= F.lit("2024-01-01 04:00:00").cast("timestamp"))
+    )
+    key = ["conv_id", "session_start"]
+    s = {tuple(str(r[k]) for k in key): (str(r["session_end"]), r["n_turns"])
+         for r in streamed.collect()}
+    b = {tuple(str(r[k]) for k in key): (str(r["session_end"]), r["n_turns"])
+         for r in batch.collect()}
+    assert s == b
+    assert ("c1", "2024-01-01 03:00:00") in s  # the reopened conv = new session
