@@ -216,6 +216,10 @@ def run_benchmarks() -> dict:
         "refusal_scan",
         "cohort_retention",
         "sketch_profile",
+        "bpe_train",
+        "echo_detect",
+        "prototypicality",
+        "quality_gate_by_source",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

@@ -195,6 +195,24 @@ def main(argv: list[str] | None = None) -> int:
     prof.add_argument("--source-col", default="source",
                       help="optional; omitted from the profile if absent")
 
+    bp = sub.add_parser(
+        "bpe",
+        help="train a BPE tokenizer over a parquet corpus (writes the "
+             "merge list as JSON) or encode a corpus with a trained one "
+             "(adds a bpe_tokens array column)",
+    )
+    bp.add_argument("--input", required=True, help="parquet table")
+    bp.add_argument("--output", required=True,
+                    help="merges JSON path (train) / parquet path (encode)")
+    bp.add_argument("--mode", choices=("train", "encode"), default="train")
+    bp.add_argument("--merges", type=int, default=200,
+                    help="merge rounds to learn (train mode)")
+    bp.add_argument("--merges-file", default=None,
+                    help="merges JSON from a train run (encode mode)")
+    bp.add_argument("--min-pair-count", type=int, default=2)
+    bp.add_argument("--text-col", default="text")
+    bp.add_argument("--master", default=None)
+
     val = sub.add_parser(
         "validate",
         help="lint a rules.yaml: load + bounds-check it and print the "
@@ -294,6 +312,8 @@ def main(argv: list[str] | None = None) -> int:
             "n_buckets": cfg.n_buckets,
         }))
         return 0
+    if args.cmd == "bpe":
+        return _run_bpe(args)
     if args.cmd == "stream":
         return _run_stream(args)
 
@@ -479,6 +499,50 @@ def _run_sample(args) -> int:
         n = spark.read.parquet(args.output).count()
         print(json.dumps({"status": "ok", "method": args.method,
                           "output": args.output, "rows": n}))
+        return 0
+    finally:
+        if not preexisting:
+            spark.stop()
+
+
+def _run_bpe(args) -> int:
+    """CLI front-end for ops/bpe: distributed merge learning (train) and
+    rank-greedy corpus encoding (encode). The merges JSON is the
+    interchange between the two modes (and with external tooling):
+    {"merges": [[left, right, pair_count], ...]} in rank order."""
+    from pyspark.sql import SparkSession
+
+    from qamd_spark.ops import bpe
+
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = session.get_spark("qamd_spark.bpe", master=args.master)
+    try:
+        df = spark.read.parquet(args.input)
+        if args.text_col not in df.columns:
+            raise SystemExit(f"input is missing column {args.text_col!r}")
+        if args.mode == "train":
+            if args.merges < 1:
+                raise SystemExit("--merges must be >= 1")
+            merges = bpe.train_bpe(
+                df, text_col=args.text_col, num_merges=args.merges,
+                min_pair_count=args.min_pair_count,
+            )
+            with open(args.output, "w", encoding="utf-8") as f:
+                json.dump({"merges": [list(m) for m in merges]}, f,
+                          ensure_ascii=False)
+            print(json.dumps({"status": "ok", "mode": "train",
+                              "n_merges": len(merges),
+                              "output": args.output}))
+        else:
+            if not args.merges_file:
+                raise SystemExit("--merges-file is required in encode mode")
+            with open(args.merges_file, encoding="utf-8") as f:
+                merges = [tuple(m) for m in json.load(f)["merges"]]
+            out = bpe.bpe_encode(df, merges, text_col=args.text_col)
+            out.write.mode("overwrite").parquet(args.output)
+            n = spark.read.parquet(args.output).count()
+            print(json.dumps({"status": "ok", "mode": "encode",
+                              "rows": n, "output": args.output}))
         return 0
     finally:
         if not preexisting:

@@ -97,3 +97,35 @@ def test_greedy_leftmost_nonoverlapping(spark, word):
     got = bpe.train_bpe(df, num_merges=3, min_pair_count=1)
     want = bpe.train_bpe_py({word: 1}, num_merges=3, min_pair_count=1)
     assert got == want
+
+
+def test_bpe_cli_train_and_encode(spark, tmp_path):
+    """main.py bpe: train writes the merges JSON (equal to the twin),
+    encode round-trips it onto the corpus."""
+    import contextlib
+    import io as _io
+    import json
+
+    from qamd_spark import main as qmain
+
+    mjson = str(tmp_path / "merges.json")
+    out = str(tmp_path / "enc")
+    with contextlib.redirect_stdout(_io.StringIO()) as s:
+        rc = qmain.main(["bpe", "--input", DOCS, "--output", mjson,
+                         "--merges", "15"])
+    assert rc == 0 and json.loads(s.getvalue())["n_merges"] == 15
+    got = [tuple(m) for m in json.load(open(mjson))["merges"]]
+    assert got == bpe.train_bpe_py(_wc_pdf(), num_merges=15)
+
+    with contextlib.redirect_stdout(_io.StringIO()) as s:
+        rc = qmain.main(["bpe", "--mode", "encode", "--input", DOCS,
+                         "--merges-file", mjson, "--output", out])
+    assert rc == 0
+    enc = spark.read.parquet(out)
+    assert "bpe_tokens" in enc.columns
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(got)}
+    r = enc.orderBy("doc_id").limit(1).collect()[0]
+    want = []
+    for w in (r["text"] or "").lower().strip().split():
+        want.extend(bpe.encode_word(w, ranks))
+    assert list(r["bpe_tokens"]) == want

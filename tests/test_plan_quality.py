@@ -252,3 +252,31 @@ def test_semantic_dedup_and_tfidf_plans(spark):
     assert "Window" not in tf, tf
     assert "BroadcastHashJoin" in tf, tf
     assert "MapInPandas" not in tf and "BatchEvalPython" not in tf
+
+
+def test_quality_gate_broadcasts_cutoffs_and_echo_has_one_exchange(spark):
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    # per-source cutoffs are a source-count-sized table: must broadcast
+    plan = _fmt_plan(E.q_quality_gate_by_source(spark, sf))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # echo_detect: exactly one Exchange (the conv hash partitioning for
+    # the lag window) — levenshtein and the flag are post-shuffle Columns
+    plan = _fmt_plan(E.q_echo_detect(spark, sf))
+    # formatted plans put the partitioning on the operator's detail line
+    n_exchange = len(re.findall(r"Arguments: hashpartitioning\(conv", plan))
+    assert n_exchange == 1, plan
+    assert plan.count("(3) Exchange") == 1 or plan.count("Exchange") == 1, plan
+
+
+def test_zipf_head_window_runs_on_takeordered_result(spark):
+    # the rank/prefix-sum window must sit ABOVE the TakeOrdered head
+    # selection (100 rows), never over the full vocabulary
+    import __spark_entry__ as E
+
+    plan = _fmt_plan(E.q_zipf_profile(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan
+    # (formatted plans print top-down: the Window consumes the head)
