@@ -2707,6 +2707,43 @@ def q_quality_gate_by_source(spark, sf_dir):
     )
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet-style perplexity partitioning (Wenzek et al. 2020): per-
+    language head/middle/tail TERCILES of LM perplexity — the standard
+    quality partition before mixing (head = lowest perplexity under the
+    target-language LM; CCNet trains downstream models on head+middle).
+    Perplexity comes from the shared hashed-trigram scorer (one Arrow
+    stage, batch-invariant by construction); the tercile cutoffs are an
+    exact per-language percentile (a lang-count-sized table broadcast
+    back; approx_percentile is the declared 100 TB swap). Rows-only
+    (pandas-UDF scorer); tests/test_ops.py pins buckets + raw ppl
+    bit-exact against the pandas twin sharing the scorer and Spark's
+    percentile interpolation."""
+    from qamd_spark import pipeline
+    from qamd_spark.config import QamdConfig
+
+    scored = pipeline.score_stage(_doc_transcripts(spark, sf_dir), QamdConfig())
+    d = scored.select(
+        F.col("conv_id").cast("long").alias("doc_id"), "lang", "perplexity"
+    )
+    cuts = d.groupBy("lang").agg(
+        F.percentile("perplexity", 1.0 / 3.0).alias("c1"),
+        F.percentile("perplexity", 2.0 / 3.0).alias("c2"),
+    )
+    return (
+        d.join(F.broadcast(cuts), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "perplexity",
+            F.when(F.col("perplexity") <= F.col("c1"), F.lit("head"))
+            .when(F.col("perplexity") <= F.col("c2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+
+
 def q_prototypicality(spark, sf_dir):
     """SSL-prototype pruning scores (Sorscher et al. 2022): cosine of
     each embedding to its assigned k-means centroid — the ranking key
@@ -2850,6 +2887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_profile": q_zipf_profile,
         "quality_gate_by_source": q_quality_gate_by_source,
         "prototypicality": q_prototypicality,
+        "ccnet_buckets": q_ccnet_buckets,
         "winnow": q_winnow,
         "winnow_containment": q_winnow_containment,
         "dedup_clusters": q_dedup_clusters,

@@ -978,3 +978,72 @@ def test_prototype_scores_planted_ordering(spark):
     assert got[1][0] == 0 and abs(got[1][1] - 1.0) < 1e-12
     assert got[3][0] == 1 and abs(got[3][1] - 1.0) < 1e-12
     assert abs(got[2][1] - 2 ** -0.5) < 1e-12  # the "hard" example scores lower
+
+
+def test_ccnet_buckets_match_pandas_twin(spark):
+    """ccnet_buckets: raw perplexity AND bucket labels bit-exact vs a
+    pandas twin that shares the scorer (turnscore.score_pdf) and
+    replicates Spark's exact-percentile interpolation
+    (lo + frac * (hi - lo) at pos = p * (n-1))."""
+    import math
+
+    import pandas as pd
+
+    import __spark_entry__ as E
+    from qamd_spark import turnscore
+    from qamd_spark.config import QamdConfig
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        E.q_ccnet_buckets(spark, sf)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    pdf = pd.DataFrame(
+        {
+            "conv_id": docs["doc_id"].astype(str),
+            "turn_idx": 0,
+            "role": "user",
+            "text": docs["text"],
+            "tool": None,
+            "ts": pd.NaT,
+        }
+    )
+    scored = turnscore.score_pdf(pdf, QamdConfig())
+    twin = pd.DataFrame(
+        {
+            "doc_id": scored["conv_id"].astype("int64"),
+            "lang": scored["lang"],
+            "perplexity": scored["perplexity"],
+        }
+    )
+
+    def spark_pct(vals, p):
+        v = sorted(vals)
+        pos = p * (len(v) - 1)
+        lo = math.floor(pos)
+        hi = math.ceil(pos)
+        if lo == hi:
+            return v[lo]
+        return v[lo] + (pos - lo) * (v[hi] - v[lo])
+
+    cuts = {
+        lang: (spark_pct(g["perplexity"], 1.0 / 3.0),
+               spark_pct(g["perplexity"], 2.0 / 3.0))
+        for lang, g in twin.groupby("lang")
+    }
+    twin["bucket"] = [
+        "head" if p <= cuts[la][0] else ("middle" if p <= cuts[la][1] else "tail")
+        for la, p in zip(twin["lang"], twin["perplexity"])
+    ]
+    twin = twin.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "lang", "perplexity", "bucket"]], twin,
+        check_dtype=False, atol=0, rtol=0,
+    )
+    # terciles: each lang's buckets split roughly in thirds
+    share = got.groupby(["lang", "bucket"]).size() / got.groupby("lang").size()
+    assert (share > 0.1).all(), share
