@@ -9,11 +9,13 @@ each entry has a DuckDB ``oracle_sql()`` twin unless the operator is
 genuinely non-SQL-expressible. The rows-only entries all carry exact
 pandas twins or recall/quality tests instead (see OPERATORS.md for the
 per-query evidence map): pandas-UDF scoring (langid_docs,
-transcript_pipeline), deterministic-hash ops (minhash, simhash(+neardup),
-ngram_jaccard, winnow(+containment), dedup_clusters, dedup_canonical —
-exact twins in oracle/), ANN (ann_lsh_topk and embedding_neardup_lsh exact twins;
-ann_ivf_topk recall-pinned), and the import-gated binary multimodal
-plumbing (media_features, frame_plan).
+transcript_pipeline, ccnet_buckets), deterministic-hash ops (minhash,
+simhash(+neardup), ngram_jaccard, winnow(+containment), dedup_clusters,
+dedup_canonical — exact twins in oracle/), ANN (ann_lsh_topk and
+embedding_neardup_lsh exact twins; ann_ivf_topk recall-pinned;
+prototypicality exact twin), iterative training (bpe_train — merge list
+bit-exact vs the pure-Python twin), and the import-gated binary
+multimodal plumbing (media_features, frame_plan).
 
 Column-name and float-determinism discipline:
 - every computed column is aliased identically on both sides;
@@ -73,6 +75,32 @@ QUALITY_SQL = f"""greatest(0.0, least(1.0,
                          / length(coalesce(text,''))::DOUBLE > 0.3
                      THEN 0.2 ELSE 0.0 END)
                 ))"""
+
+
+def _html_strip_sql() -> str:
+    """DuckDB twin of q_html_strip, generated from the SAME tag regex and
+    entity table (ops/text.HTML_TAG_RX / HTML_ENTITIES, &amp; last) so
+    the chains cannot drift."""
+    from qamd_spark.ops.text import HTML_ENTITIES, HTML_TAG_RX
+
+    esc = lambda s: s.replace("'", "''")  # noqa: E731
+    inner = f"regexp_replace(t2, '{HTML_TAG_RX}', ' ', 'g')"
+    for ent, rep in HTML_ENTITIES:
+        inner = f"replace({inner}, '{esc(ent)}', '{esc(rep)}')"
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN
+                   concat('<div id="d', doc_id::VARCHAR, '"><p>',
+                          replace(coalesce(text,''), 'and', '&amp;'),
+                          '</p><br/>&lt;EOF&gt;</div>')
+                 ELSE coalesce(text,'') END AS t2
+          FROM documents)
+        SELECT doc_id,
+               len(regexp_extract_all(t2, '{HTML_TAG_RX}'))::BIGINT AS n_tags,
+               trim(regexp_replace({inner}, '\\s+', ' ', 'g')) AS clean_text
+        FROM d
+    """
 
 
 def _mojibake_fixed_sql(t: str) -> str:
@@ -2707,6 +2735,85 @@ def q_quality_gate_by_source(spark, sf_dir):
     )
 
 
+def q_html_strip(spark, sf_dir):
+    """Web-corpus markup removal (ops/text.strip_html): tag strip +
+    named-entity decode (fixed order, &amp; last) + whitespace collapse.
+    The corpus has no HTML, so deterministic markup is stamped on
+    doc_id%7==0 docs (tags, a <br/>, escaped entities in the body) —
+    identically in the DuckDB twin, the rechunk_lines pattern. One
+    codegen-fused projection, no shuffle."""
+    from qamd_spark.ops import text as tx
+
+    deco = F.concat(
+        F.lit('<div id="d'),
+        F.col("doc_id").cast("string"),
+        F.lit('"><p>'),
+        F.replace(_txt(), F.lit("and"), F.lit("&amp;")),
+        F.lit("</p><br/>&lt;EOF&gt;</div>"),
+    )
+    t2 = F.when(F.col("doc_id") % 7 == 0, deco).otherwise(_txt())
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t2, F.lit(tx.HTML_TAG_RX), F.lit(0)))
+        .cast("long")
+        .alias("n_tags"),
+        tx.strip_html(t2).alias("clean_text"),
+    )
+
+
+URL_CANON_STAMP_DOC = """stamped messy URL (per doc): HTTPS://WWW.Ex{k}.
+Example.COM[:443]/Path[/]?utm_source=x&page={m}&utm_medium=y#Frag"""
+
+
+def q_url_normalize(spark, sf_dir):
+    """Canonical-URL normalization — the dedup key for web corpora
+    (the same page is crawled under scheme/host case variants, default
+    ports, www., tracking params, fragments, and trailing slashes).
+    Fixed chain, identical in both engines: drop fragment → lowercase
+    scheme+host only (path stays case-sensitive) → strip leading www. →
+    drop the scheme's default port → strip utm_* params (two global
+    regexes, no group-reference replacements — Java uses $1 where RE2
+    uses \\1, so replacements with backrefs are banned here) → drop
+    trailing path slashes → rebuild. Messy URLs are stamped
+    deterministically from doc_id (no URLs in the corpus). Pure
+    projection, no shuffle."""
+    u = F.concat(
+        F.lit("HTTPS://WWW.Ex"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Path"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=x&page="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&utm_medium=y#Frag"),
+    )
+    u1 = F.regexp_replace(u, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u1, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(u1, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
+    )
+    rest = F.regexp_extract(u1, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*(.*)$", 1)
+    host = F.regexp_replace(hostport, r"^www\.", "")
+    host = F.when(scheme == "https", F.regexp_replace(host, r":443$", "")).otherwise(
+        F.when(scheme == "http", F.regexp_replace(host, r":80$", "")).otherwise(host)
+    )
+    path = F.regexp_replace(F.regexp_extract(rest, r"^([^?]*)", 1), r"/+$", "")
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    query = F.regexp_replace(query, r"utm_[^&]*&", "")
+    query = F.regexp_replace(query, r"&?utm_[^&]*$", "")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", u.alias("url"), canon.alias("canon_url"), host.alias("domain")
+    )
+
+
 def q_ccnet_buckets(spark, sf_dir):
     """CCNet-style perplexity partitioning (Wenzek et al. 2020): per-
     language head/middle/tail TERCILES of LM perplexity — the standard
@@ -2888,6 +2995,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gate_by_source": q_quality_gate_by_source,
         "prototypicality": q_prototypicality,
         "ccnet_buckets": q_ccnet_buckets,
+        "html_strip": q_html_strip,
+        "url_normalize": q_url_normalize,
         "winnow": q_winnow,
         "winnow_containment": q_winnow_containment,
         "dedup_clusters": q_dedup_clusters,
@@ -3235,6 +3344,60 @@ def oracle_sql() -> dict[str, str]:
                    length(doc)::BIGINT AS n_chars_doc,
                    md5(doc) AS doc_md5
             FROM g
+        """,
+        "html_strip": _html_strip_sql(),
+        "url_normalize": """
+            WITH u0 AS (
+              SELECT doc_id,
+                     concat('HTTPS://WWW.Ex', (doc_id % 5)::VARCHAR,
+                            '.Example.COM',
+                            CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END,
+                            '/Path',
+                            CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
+                            '?utm_source=x&page=', (doc_id % 7)::VARCHAR,
+                            '&utm_medium=y#Frag') AS url
+              FROM documents),
+            p AS (
+              SELECT doc_id, url,
+                     regexp_replace(url, '#.*$', '') AS u1
+              FROM u0),
+            x AS (
+              SELECT doc_id, url,
+                     lower(regexp_extract(u1,
+                         '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+                     lower(regexp_extract(u1,
+                         '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1))
+                       AS hostport,
+                     regexp_extract(u1,
+                         '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*(.*)$', 1)
+                       AS rest
+              FROM p),
+            h AS (
+              SELECT doc_id, url, scheme, rest,
+                     CASE
+                       WHEN scheme = 'https' THEN regexp_replace(
+                         regexp_replace(hostport, '^www\\.', ''), ':443$', '')
+                       WHEN scheme = 'http' THEN regexp_replace(
+                         regexp_replace(hostport, '^www\\.', ''), ':80$', '')
+                       ELSE regexp_replace(hostport, '^www\\.', '')
+                     END AS host
+              FROM x),
+            pq AS (
+              SELECT doc_id, url, scheme, host,
+                     regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
+                                    '/+$', '') AS path,
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_extract(rest, '\\?(.*)$', 1),
+                         'utm_[^&]*&', '', 'g'),
+                       '&?utm_[^&]*$', '') AS query
+              FROM h)
+            SELECT doc_id, url,
+                   concat(scheme, '://', host, path,
+                          CASE WHEN query = '' THEN ''
+                               ELSE concat('?', query) END) AS canon_url,
+                   host AS domain
+            FROM pq
         """,
         "zipf_profile": f"""
             WITH toks AS (

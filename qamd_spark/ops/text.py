@@ -773,3 +773,29 @@ def line_dedup_cols(text: Column, delim: str = "\n") -> dict[str, Column]:
         "n_lines": F.size(lines),
         "n_removed": F.size(lines) - F.size(kept),
     }
+
+
+# HTML entity decode table — &amp; MUST decode last (decoding it first
+# would double-decode '&amp;lt;' into '<'); the order is part of the
+# contract and is mirrored verbatim into the DuckDB twin.
+HTML_TAG_RX = r"<[^>]*>"
+HTML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def strip_html(text: Column) -> Column:
+    """Web-corpus markup removal: drop tags (each replaced by a space so
+    adjacent text nodes don't fuse), decode the common named entities in
+    the fixed order above, collapse whitespace runs, trim. One
+    codegen-fused projection — no shuffle, no Python; identical regex
+    semantics in Java and RE2 (no lookbehind/backrefs)."""
+    out = F.regexp_replace(F.coalesce(text, F.lit("")), HTML_TAG_RX, " ")
+    for ent, rep in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
