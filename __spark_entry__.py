@@ -23,6 +23,13 @@ Column-name and float-determinism discipline:
   in Spark and DuckDB);
 - cosine similarities are left-fold double sums in both engines (verified
   bit-exact) and rounded defensively before output.
+
+Known cross-engine caveat (documented, not hit by these corpora): the
+``\\s`` class differs between Java regex (includes vertical tab \\x0B)
+and DuckDB's RE2 (excludes it), so every ``\\s+``-tokenizing twin in this
+file would diverge on text containing a VT. The synthetic corpora contain
+none; a VT-bearing corpus would need the explicit ASCII class
+``[ \\t\\n\\x0B\\f\\r]`` on both sides.
 """
 
 from __future__ import annotations
@@ -2735,6 +2742,42 @@ def q_quality_gate_by_source(spark, sf_dir):
     )
 
 
+CONTEXT_FIT_BUDGET = 120  # BPE-ish tokens kept per conversation (demo bound)
+
+
+def q_conv_context_fit(spark, sf_dir):
+    """Context-length fitting for SFT data: keep the longest SUFFIX of
+    each conversation whose total token count fits the context budget
+    (training on transcripts keeps the most recent turns; a truncated
+    HEAD would orphan the assistant's final answers). Expressed as a
+    reverse prefix sum — a window ordered by turn_idx DESC, rows kept
+    while the running total (including the current turn) stays within
+    budget — one exchange on conv, bounded per conversation. Token
+    counts are the exact-integer BPE-ish regex counts (token_count_bpe's
+    tokenizer), so the decision is engine-exact."""
+    from qamd_spark.ops.text import BPE_TOK_RX
+
+    d = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 97).alias("conv"),
+        F.floor(F.col("doc_id") / 97).alias("turn_idx"),
+        F.size(F.regexp_extract_all(_txt(), F.lit(BPE_TOK_RX), F.lit(0)))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("conv")
+        .orderBy(F.col("turn_idx").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return d.select(
+        "conv",
+        "turn_idx",
+        "n_tok",
+        F.sum("n_tok").over(w).alias("suffix_tok"),
+        (F.sum("n_tok").over(w) <= CONTEXT_FIT_BUDGET).alias("kept"),
+    )
+
+
 def q_html_strip(spark, sf_dir):
     """Web-corpus markup removal (ops/text.strip_html): tag strip +
     named-entity decode (fixed order, &amp; last) + whitespace collapse.
@@ -2829,10 +2872,13 @@ def q_ccnet_buckets(spark, sf_dir):
     from qamd_spark import pipeline
     from qamd_spark.config import QamdConfig
 
+    from pyspark import StorageLevel
+
     scored = pipeline.score_stage(_doc_transcripts(spark, sf_dir), QamdConfig())
     d = scored.select(
         F.col("conv_id").cast("long").alias("doc_id"), "lang", "perplexity"
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # feeds cutoffs AND the probe:
+    # without it the pandas-UDF scorer (the dominant cost) runs twice
     cuts = d.groupBy("lang").agg(
         F.percentile("perplexity", 1.0 / 3.0).alias("c1"),
         F.percentile("perplexity", 2.0 / 3.0).alias("c2"),
@@ -2997,6 +3043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "html_strip": q_html_strip,
         "url_normalize": q_url_normalize,
+        "conv_context_fit": q_conv_context_fit,
         "winnow": q_winnow,
         "winnow_containment": q_winnow_containment,
         "dedup_clusters": q_dedup_clusters,
@@ -3346,6 +3393,22 @@ def oracle_sql() -> dict[str, str]:
             FROM g
         """,
         "html_strip": _html_strip_sql(),
+        "conv_context_fit": f"""
+            WITH d AS (
+              SELECT doc_id % 97 AS conv,
+                     (doc_id // 97)::BIGINT AS turn_idx,
+                     len(regexp_extract_all(coalesce(text,''),
+                         '{BPE_TOK_RX}'))::BIGINT AS n_tok
+              FROM documents)
+            SELECT conv, turn_idx, n_tok,
+                   (sum(n_tok) OVER (PARTITION BY conv ORDER BY turn_idx DESC
+                                     ROWS UNBOUNDED PRECEDING))::BIGINT
+                     AS suffix_tok,
+                   (sum(n_tok) OVER (PARTITION BY conv ORDER BY turn_idx DESC
+                                     ROWS UNBOUNDED PRECEDING))::BIGINT
+                     <= {CONTEXT_FIT_BUDGET} AS kept
+            FROM d
+        """,
         "url_normalize": """
             WITH u0 AS (
               SELECT doc_id,

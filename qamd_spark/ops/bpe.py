@@ -20,11 +20,13 @@ Encoding applies the learned ranks in a single Arrow-batched stage with
 the rank table shipped in the task closure (GPT-2-style rank-greedy
 merge loop, memoized per distinct word within each batch).
 
-Determinism: winner selection orders by (count DESC, pair ASC) where
-the pair key is ``left + "\\x00" + right`` — exact integer counts and
-binary string order, identical in the pure-Python twin
-(``train_bpe_py``), so the learned merge list is bit-reproducible
-across engines and cluster sizes.
+Determinism: winner selection orders by (count DESC, left ASC,
+right ASC) over STRUCT pair keys — exact integer counts and binary
+string order, identical in the pure-Python twin (``train_bpe_py``,
+tuple keys), so the learned merge list is bit-reproducible across
+engines and cluster sizes. Struct keys (not a joined string) mean a
+separator character appearing inside a symbol can never make two
+distinct pairs collide.
 
 Reference scope: the reference (ukdataservice/qamd) has no tokenizer;
 this extends the training-data-pipeline surface (token_count_bpe /
@@ -40,11 +42,24 @@ from __future__ import annotations
 
 from typing import Iterable
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-PAIR_SEP = "\x00"  # cannot occur inside a symbol derived from \s+ tokens
+# Java regex \s (the training-side tokenizer) is the ASCII class below —
+# NOT Python's Unicode \s (which also matches NBSP etc.). The encoder and
+# the pure-Python twin split on exactly this class so training and
+# encoding always agree on what a word is.
+_JAVA_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _py_words(text: str | None) -> list[str]:
+    """Python twin of the Spark-side tokenization (lower + \\s+ split +
+    drop empties). str.lower() vs Java toLowerCase differ only on locale
+    edge cases (e.g. dotted İ) absent from these corpora."""
+    return [w for w in _JAVA_WS_RE.split((text or "").lower()) if w]
 
 
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -97,20 +112,20 @@ def train_bpe(
             F.zip_with(
                 F.slice("segs", 1, F.greatest(F.size("segs") - 1, F.lit(0))),
                 F.slice("segs", 2, F.greatest(F.size("segs") - 1, F.lit(0))),
-                lambda x, y: F.concat(x, F.lit(PAIR_SEP), y),
+                lambda x, y: F.struct(x.alias("l"), y.alias("r")),
             )
-        ).alias("pair")
+        ).alias("p")
         best = (
             words.select("cnt", pair)
-            .groupBy("pair")
+            .groupBy("p.l", "p.r")
             .agg(F.sum("cnt").alias("n"))
-            .orderBy(F.col("n").desc(), F.col("pair").asc())
+            .orderBy(F.col("n").desc(), F.col("l").asc(), F.col("r").asc())
             .limit(1)
             .collect()
         )
         if not best or best[0]["n"] < min_pair_count:
             break
-        left, right = best[0]["pair"].split(PAIR_SEP, 1)
+        left, right = best[0]["l"], best[0]["r"]
         merges.append((left, right, int(best[0]["n"])))
         prev = words
         words = words.select(
@@ -176,7 +191,7 @@ def bpe_encode(
 
         def enc_text(t):
             toks: list[str] = []
-            for w in (t or "").lower().strip().split():
+            for w in _py_words(t):  # same word boundary as training
                 got = memo.get(w)
                 if got is None:
                     got = memo[w] = encode_word(w, ranks)
@@ -193,8 +208,9 @@ def train_bpe_py(
     wc: dict[str, int], num_merges: int = 50, min_pair_count: int = 2
 ) -> list[tuple[str, str, int]]:
     """Pure-Python twin of train_bpe over a word->count dict (same
-    tie-break: count desc, then pair key ascending by codepoint — binary
-    order on the corpora's BMP text)."""
+    tie-break: count desc, then (left, right) tuple ascending by
+    codepoint — binary order on the corpora's BMP text, matching
+    Spark's (l ASC, r ASC) over UTF-8 binary string order)."""
     segs = {w: list(w) for w in wc}
     merges: list[tuple[str, str, int]] = []
     for _ in range(num_merges):
@@ -206,7 +222,7 @@ def train_bpe_py(
                 pc[p] = pc.get(p, 0) + c
         if not pc:
             break
-        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0] + PAIR_SEP + kv[0][1]))
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
         (a, b), n = best
         if n < min_pair_count:
             break

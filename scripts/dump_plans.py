@@ -178,6 +178,33 @@ def main() -> None:
             E.q_sketch_profile(spark, SF),
         ),
         (
+            "echo_detect",
+            "One Exchange on conv (the lag window's partitioning); the "
+            "ASCII projection, levenshtein and the integer echo flag are "
+            "all post-shuffle Columns — no Python, no second shuffle.",
+            E.q_echo_detect(spark, SF),
+        ),
+        (
+            "quality_gate_by_source",
+            "Per-source exact-percentile cutoffs (source-count-sized "
+            "aggregate) BROADCAST back to the probe — no SortMergeJoin; "
+            "gate comparisons on round-9 values.",
+            E.q_quality_gate_by_source(spark, SF),
+        ),
+        (
+            "zipf_profile",
+            "Vocab reduced by partial+final hash agg; head selected by "
+            "TakeOrderedAndProject; the rank/prefix-sum Window runs on "
+            "the 100-row head only (single tiny partition by design).",
+            E.q_zipf_profile(spark, SF),
+        ),
+        (
+            "conv_context_fit",
+            "Reverse prefix sum: one Exchange on conv, running-total "
+            "window bounded per conversation, exact-int token counts.",
+            E.q_conv_context_fit(spark, SF),
+        ),
+        (
             "locators (report.locators, 130-partition input)",
             "Per-rule first-cap failing (conv_id, turn_idx): phase-1 "
             "partial top-k per (rule, scan partition), then a fan-in-64 "

@@ -14,7 +14,7 @@ def _wc_pdf(path=DOCS):
     texts = pd.read_parquet(path, columns=["text"])["text"]
     wc: dict[str, int] = {}
     for t in texts:
-        for w in (t or "").lower().strip().split():
+        for w in bpe._py_words(t):  # the shared training/encoding tokenizer
             wc[w] = wc.get(w, 0) + 1
     return wc
 
@@ -71,12 +71,10 @@ def test_bpe_encode_dataframe(spark):
     ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
     for r in out.collect():
         want = []
-        for w in (r["text"] or "").lower().strip().split():
+        for w in bpe._py_words(r["text"]):
             want.extend(bpe.encode_word(w, ranks))
         assert list(r["bpe_tokens"]) == want
-        assert "".join(r["bpe_tokens"]) == "".join(
-            (r["text"] or "").lower().strip().split()
-        )
+        assert "".join(r["bpe_tokens"]) == "".join(bpe._py_words(r["text"]))
 
 
 def test_early_stop_on_min_pair_count():
