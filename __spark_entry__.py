@@ -2778,6 +2778,112 @@ def q_conv_context_fit(spark, sf_dir):
     )
 
 
+CHUNK_SIZE = 200  # chars per retrieval chunk (demo bound)
+CHUNK_STRIDE = 150  # chunk start spacing => 50-char overlap
+
+
+def q_chunk_text(spark, sf_dir):
+    """RAG-style sliding-window chunking: cut each document into
+    fixed-size character chunks with overlap (chunk i starts at
+    i*stride, covers chunk_size chars; the last chunk may be shorter).
+    n_chunks = 1 if len <= size else 1 + ceil((len-size)/stride), all in
+    exact integer arithmetic — (n-size+stride-1) integer-div stride —
+    so both engines agree on the chunk set. Explode of a per-row
+    integer sequence: a pure projection + generator, no shuffle at any
+    scale; chunk text via codepoint-based substring (identical
+    semantics in Spark and DuckDB)."""
+    C, S = CHUNK_SIZE, CHUNK_STRIDE
+    t = _txt()
+    n = F.length(t)
+    # integer ceil-div: floor((n-C+S-1)/S); operands < 2^31 so the
+    # double division inside floor() is exact
+    extra = F.floor((n - C + (S - 1)) / F.lit(S)).cast("int")
+    nch = F.when(n <= C, F.lit(1)).otherwise(F.lit(1) + extra)
+    d = _docs(spark, sf_dir).select(
+        "doc_id", t.alias("t"), nch.alias("nch")
+    )
+    idx = F.explode(F.sequence(F.lit(0), F.col("nch") - 1)).alias("chunk_idx")
+    return d.select("doc_id", "t", idx).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        (F.col("chunk_idx") * S).cast("int").alias("chunk_start"),
+        F.substring(F.col("t"), F.col("chunk_idx") * S + 1, C).alias("chunk"),
+    )
+
+
+def q_soft_dedup(spark, sf_dir):
+    """Soft deduplication: instead of DROPPING exact duplicates,
+    down-weight them — every copy of a text that occurs k times gets
+    sampling weight 1/k, so the duplicated content contributes one
+    document's worth of probability mass in expectation (the
+    counting-dedup alternative discussed for SlimPajama-style corpora).
+    Weight is one IEEE double division of an exact integer count,
+    bit-identical across engines. Shape: hash aggregate on md5(text)
+    (fixed 32-char key, never shuffles the full text twice) + an
+    aliased equi-join back — the skew-safe dedup_exact plan."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.md5(_txt()).alias("k")
+    )
+    cnt = d.groupBy("k").agg(F.count("*").alias("n_copies")).select(
+        F.col("k").alias("_k"), "n_copies"
+    )
+    return (
+        d.join(cnt, d["k"] == F.col("_k"))
+        .select(
+            "doc_id",
+            F.col("n_copies").cast("long").alias("n_copies"),
+            (F.lit(1.0) / F.col("n_copies")).alias("weight"),
+        )
+    )
+
+
+def q_source_overlap(spark, sf_dir):
+    """Cross-source contamination matrix: for every pair of sources,
+    how many distinct texts appear in BOTH — on two keys: the full text
+    ('exact', verbatim sharing) and its first 40 chars ('prefix40',
+    shared boilerplate/headers — the signal that fires before verbatim
+    bodies do). The audit you run before mixing corpora that may share
+    a crawl. Reduces to the distinct (kind, source, digest) table
+    first, then self-joins on the 32-char digest with source_a <
+    source_b; per-key fan-out is bounded by the source cardinality (a
+    handful), so the equi-join never explodes, and the pair count is a
+    hash aggregate. The near-dup generalization is `contamination`
+    (MinHash)."""
+    d = _docs(spark, sf_dir)
+    st = (
+        d.select(F.lit("exact").alias("kind"), "source", F.md5(_txt()).alias("k"))
+        .unionAll(
+            d.select(
+                F.lit("prefix40").alias("kind"),
+                "source",
+                F.md5(F.substring(_txt(), 1, 40)).alias("k"),
+            )
+        )
+        .distinct()
+    )
+    from pyspark import StorageLevel
+
+    # feeds BOTH join branches: without persist each side re-unions and
+    # re-distincts the full input (4 scans of documents instead of 2)
+    st = st.persist(StorageLevel.MEMORY_AND_DISK)
+    a = st.select("kind", F.col("source").alias("source_a"), "k")
+    b = st.select(
+        F.col("kind").alias("_kind"),
+        F.col("source").alias("source_b"),
+        F.col("k").alias("_k"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("k") == F.col("_k"))
+            & (F.col("kind") == F.col("_kind"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("kind", "source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+
+
 def q_html_strip(spark, sf_dir):
     """Web-corpus markup removal (ops/text.strip_html): tag strip +
     named-entity decode (fixed order, &amp; last) + whitespace collapse.
@@ -3044,6 +3150,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_strip": q_html_strip,
         "url_normalize": q_url_normalize,
         "conv_context_fit": q_conv_context_fit,
+        "chunk_text": q_chunk_text,
+        "soft_dedup": q_soft_dedup,
+        "source_overlap": q_source_overlap,
         "winnow": q_winnow,
         "winnow_containment": q_winnow_containment,
         "dedup_clusters": q_dedup_clusters,
@@ -3408,6 +3517,51 @@ def oracle_sql() -> dict[str, str]:
                                      ROWS UNBOUNDED PRECEDING))::BIGINT
                      <= {CONTEXT_FIT_BUDGET} AS kept
             FROM d
+        """,
+        "chunk_text": f"""
+            WITH d AS (
+              SELECT doc_id, coalesce(text,'') AS t,
+                     len(coalesce(text,'')) AS n
+              FROM documents),
+            c AS (
+              SELECT doc_id, t,
+                     CASE WHEN n <= {CHUNK_SIZE} THEN 1
+                          ELSE 1 + (n - {CHUNK_SIZE} + {CHUNK_STRIDE - 1})
+                               // {CHUNK_STRIDE} END AS nch
+              FROM d),
+            e AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(0, nch - 1))::INT AS chunk_idx
+              FROM c)
+            SELECT doc_id, chunk_idx,
+                   (chunk_idx * {CHUNK_STRIDE})::INT AS chunk_start,
+                   substr(t, chunk_idx * {CHUNK_STRIDE} + 1,
+                          {CHUNK_SIZE}) AS chunk
+            FROM e
+        """,
+        "soft_dedup": """
+            SELECT doc_id,
+                   (count(*) OVER (PARTITION BY md5(coalesce(text,''))))
+                     ::BIGINT AS n_copies,
+                   1.0::DOUBLE
+                     / (count(*) OVER (PARTITION BY md5(coalesce(text,''))))
+                     AS weight
+            FROM documents
+        """,
+        "source_overlap": """
+            WITH st AS (
+              SELECT DISTINCT 'exact' AS kind, source,
+                     md5(coalesce(text,'')) AS k
+              FROM documents
+              UNION
+              SELECT DISTINCT 'prefix40' AS kind, source,
+                     md5(substr(coalesce(text,''), 1, 40)) AS k
+              FROM documents)
+            SELECT a.kind, a.source AS source_a, b.source AS source_b,
+                   count(*)::BIGINT AS n_shared
+            FROM st a JOIN st b
+              ON a.k = b.k AND a.kind = b.kind AND a.source < b.source
+            GROUP BY 1, 2, 3
         """,
         "url_normalize": """
             WITH u0 AS (

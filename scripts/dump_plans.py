@@ -205,6 +205,26 @@ def main() -> None:
             E.q_conv_context_fit(spark, SF),
         ),
         (
+            "chunk_text",
+            "Zero-shuffle: one FileScan + Generate(explode(sequence)) — "
+            "chunking is a pure projection at any scale.",
+            E.q_chunk_text(spark, SF),
+        ),
+        (
+            "soft_dedup",
+            "Count side reduced by partial+final hash agg on the md5 "
+            "digest before the join — the full text shuffles at most "
+            "once; weight is one IEEE division of the exact count.",
+            E.q_soft_dedup(spark, SF),
+        ),
+        (
+            "source_overlap",
+            "distinct (kind, source, digest) reduced and PERSISTED "
+            "(feeds both join branches); digest equi-join fan-out "
+            "bounded by source cardinality.",
+            E.q_source_overlap(spark, SF),
+        ),
+        (
             "locators (report.locators, 130-partition input)",
             "Per-rule first-cap failing (conv_id, turn_idx): phase-1 "
             "partial top-k per (rule, scan partition), then a fan-in-64 "
