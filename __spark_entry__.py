@@ -2884,6 +2884,53 @@ def q_source_overlap(spark, sf_dir):
     )
 
 
+def q_embedding_quantize(spark, sf_dir):
+    """Int8 scalar quantization QA for ANN indexes: per-vector symmetric
+    scale (max|x|/127), quantize with the EXPLICIT deterministic
+    rounding floor(x/scale + 0.5) — not round(), whose half-tie rule
+    differs across engines — then report the post-quantization cosine
+    and max absolute reconstruction error per vector. This is the 4x
+    memory-reduction check run before swapping an ANN index to int8:
+    cos_deq ~ 1 and small max_err mean the index can be quantized.
+    Pure projection over the embeddings scan (no shuffle); all float
+    reductions are left folds / order-free maxima, bit-identical in
+    DuckDB (list_dot_product is a sequential fold), rounded
+    defensively at 9 places on both sides. All-zero vectors (scale 0)
+    are filtered identically on both sides."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    amax = F.array_max(F.transform("e", lambda x: F.abs(x)))
+    s = e.select("vec_id", "e", (amax / F.lit(127.0)).alias("scale")).where(
+        F.col("scale") > 0
+    )
+    deq = F.transform(
+        "e", lambda x: F.floor(x / F.col("scale") + F.lit(0.5)) * F.col("scale")
+    )
+    d = s.select("vec_id", "e", "scale", deq.alias("deq"))
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cos = _dot(F.col("e"), F.col("deq")) / (
+        F.sqrt(_dot(F.col("e"), F.col("e"))) * F.sqrt(_dot(F.col("deq"), F.col("deq")))
+    )
+    max_err = F.array_max(
+        F.zip_with("e", "deq", lambda x, y: F.abs(x - y))
+    )
+    return d.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.round(cos, 9).alias("cos_deq"),
+        F.round(max_err, 9).alias("max_err"),
+    )
+
+
 def q_html_strip(spark, sf_dir):
     """Web-corpus markup removal (ops/text.strip_html): tag strip +
     named-entity decode (fixed order, &amp; last) + whitespace collapse.
@@ -3153,6 +3200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_text": q_chunk_text,
         "soft_dedup": q_soft_dedup,
         "source_overlap": q_source_overlap,
+        "embedding_quantize": q_embedding_quantize,
         "winnow": q_winnow,
         "winnow_containment": q_winnow_containment,
         "dedup_clusters": q_dedup_clusters,
@@ -3538,6 +3586,29 @@ def oracle_sql() -> dict[str, str]:
                    substr(t, chunk_idx * {CHUNK_STRIDE} + 1,
                           {CHUNK_SIZE}) AS chunk
             FROM e
+        """,
+        "embedding_quantize": """
+            WITH d AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+            s AS (
+              SELECT vec_id, e,
+                     list_max(list_transform(e, x -> abs(x))) / 127.0
+                       AS scale
+              FROM d),
+            q AS (
+              SELECT vec_id, e, scale,
+                     list_transform(e, x -> floor(x / scale + 0.5) * scale)
+                       AS deq
+              FROM s WHERE scale > 0)
+            SELECT vec_id,
+                   round(scale, 9) AS scale,
+                   round(list_dot_product(e, deq)
+                         / (sqrt(list_dot_product(e, e))
+                            * sqrt(list_dot_product(deq, deq))), 9)
+                     AS cos_deq,
+                   round(list_max(list_transform(list_zip(e, deq),
+                         p -> abs(p[1] - p[2]))), 9) AS max_err
+            FROM q
         """,
         "soft_dedup": """
             SELECT doc_id,

@@ -220,6 +220,9 @@ def run_benchmarks() -> dict:
         "echo_detect",
         "prototypicality",
         "quality_gate_by_source",
+        "chunk_text",
+        "soft_dedup",
+        "source_overlap",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())
