@@ -225,6 +225,12 @@ def main() -> None:
             E.q_source_overlap(spark, SF),
         ),
         (
+            "embedding_quantize",
+            "Zero-shuffle projection over the embeddings scan; all "
+            "float reductions are left folds / order-free maxima.",
+            E.q_embedding_quantize(spark, SF),
+        ),
+        (
             "locators (report.locators, 130-partition input)",
             "Per-rule first-cap failing (conv_id, turn_idx): phase-1 "
             "partial top-k per (rule, scan partition), then a fan-in-64 "
