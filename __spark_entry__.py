@@ -2884,6 +2884,68 @@ def q_source_overlap(spark, sf_dir):
     )
 
 
+ABLATION_RULES = [
+    ("short_doc", "f_short"),
+    ("short_chars", "f_chars"),
+    ("no_stopwords", "f_nostop"),
+    ("all_stopwords", "f_allstop"),
+]
+
+
+def q_rule_ablation(spark, sf_dir):
+    """Filter-stack ablation audit: for each drop rule, how many docs it
+    fires on (n_fires) and how many it is the ONLY rule to fire on
+    (n_unique) — the marginal contribution that tells you which rules
+    actually shape the corpus and which are redundant behind others
+    (a rule with n_unique = 0 can be removed without changing the kept
+    set; on this corpus short_doc nests almost entirely inside
+    short_chars, which is exactly the redundancy the audit surfaces).
+    Four rules whose predicates are oracle-proven elsewhere: short-doc
+    (word count), short-chars (char count), no-stopwords (zero stopword
+    hits — word-salad/code smell), all-stopwords (no content words).
+    One fused projection computes every flag in a single scan pass, one
+    partial+final aggregate reduces to a single row, stack() pivots it
+    to long format — the summary_report shape, no per-rule scans."""
+    t = _txt()
+    n = F.length(t)
+    toks = F.split(t, " ", -1)
+    arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    f_short = F.size(toks) < 50
+    f_chars = n < 280
+    f_nostop = (
+        F.size(F.array_intersect(F.split(F.lower(t), " ", -1), arr)) == 0
+    )
+    norm = F.lower(F.regexp_replace(t, PUNCT_CLASS, ""))
+    f_allstop = (F.size(F.array_except(F.split(norm, " ", -1), arr)) == 0) & (
+        norm != F.lit("")
+    )
+    flags = dict(
+        f_short=f_short, f_chars=f_chars, f_nostop=f_nostop, f_allstop=f_allstop
+    )
+    d = _docs(spark, sf_dir).select(
+        *[c.alias(name) for name, c in flags.items()]
+    )
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for _, c in ABLATION_RULES:
+        others = [o for _, o in ABLATION_RULES if o != c]
+        uniq = F.col(c)
+        for o in others:
+            uniq = uniq & ~F.col(o)
+        aggs.append(F.sum(F.col(c).cast("long")).alias(f"n_{c}"))
+        aggs.append(F.sum(uniq.cast("long")).alias(f"u_{c}"))
+    row = d.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{rule}', n_{c}, u_{c}" for rule, c in ABLATION_RULES
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(ABLATION_RULES)}, {stack_args})"
+            " AS (rule, n_fires, n_unique)"
+        ),
+        "n_docs",
+    )
+
+
 def q_embedding_quantize(spark, sf_dir):
     """Int8 scalar quantization QA for ANN indexes: per-vector symmetric
     scale (max|x|/127), quantize with the EXPLICIT deterministic
@@ -3201,6 +3263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_dedup": q_soft_dedup,
         "source_overlap": q_source_overlap,
         "embedding_quantize": q_embedding_quantize,
+        "rule_ablation": q_rule_ablation,
         "winnow": q_winnow,
         "winnow_containment": q_winnow_containment,
         "dedup_clusters": q_dedup_clusters,
@@ -3586,6 +3649,47 @@ def oracle_sql() -> dict[str, str]:
                    substr(t, chunk_idx * {CHUNK_STRIDE} + 1,
                           {CHUNK_SIZE}) AS chunk
             FROM e
+        """,
+        "rule_ablation": """
+            WITH b AS (
+              SELECT
+                len(str_split(t, ' ')) < 50 AS f_short,
+                length(t) < 280 AS f_chars,
+                len(list_intersect(str_split(lower(t), ' '),
+                    ['the', 'a', 'and', 'of', 'to', 'in', 'is', 'it'])) = 0
+                  AS f_nostop,
+                (len(list_filter(str_split(norm, ' '),
+                     x -> NOT list_contains(
+                       ['the', 'a', 'and', 'of', 'to', 'in', 'is', 'it'],
+                       x))) = 0
+                 AND norm <> '') AS f_allstop
+              FROM (SELECT coalesce(text,'') AS t,
+                           lower(regexp_replace(coalesce(text,''),
+                                 '[!-/:-@\\[-`{-~]', '', 'g')) AS norm
+                    FROM documents)),
+            a AS (
+              SELECT count(*)::BIGINT AS n_docs,
+                (sum(CASE WHEN f_short THEN 1 ELSE 0 END))::BIGINT AS n_s,
+                (sum(CASE WHEN f_short AND NOT f_chars AND NOT f_nostop
+                          AND NOT f_allstop THEN 1 ELSE 0 END))::BIGINT AS u_s,
+                (sum(CASE WHEN f_chars THEN 1 ELSE 0 END))::BIGINT AS n_c,
+                (sum(CASE WHEN f_chars AND NOT f_short AND NOT f_nostop
+                          AND NOT f_allstop THEN 1 ELSE 0 END))::BIGINT AS u_c,
+                (sum(CASE WHEN f_nostop THEN 1 ELSE 0 END))::BIGINT AS n_n,
+                (sum(CASE WHEN f_nostop AND NOT f_short AND NOT f_chars
+                          AND NOT f_allstop THEN 1 ELSE 0 END))::BIGINT AS u_n,
+                (sum(CASE WHEN f_allstop THEN 1 ELSE 0 END))::BIGINT AS n_a,
+                (sum(CASE WHEN f_allstop AND NOT f_short AND NOT f_chars
+                          AND NOT f_nostop THEN 1 ELSE 0 END))::BIGINT AS u_a
+              FROM b)
+            SELECT 'short_doc' AS rule, n_s AS n_fires,
+                   u_s AS n_unique, n_docs FROM a
+            UNION ALL
+            SELECT 'short_chars', n_c, u_c, n_docs FROM a
+            UNION ALL
+            SELECT 'no_stopwords', n_n, u_n, n_docs FROM a
+            UNION ALL
+            SELECT 'all_stopwords', n_a, u_a, n_docs FROM a
         """,
         "embedding_quantize": """
             WITH d AS (
