@@ -223,6 +223,8 @@ def run_benchmarks() -> dict:
         "chunk_text",
         "soft_dedup",
         "source_overlap",
+        "embedding_quantize",
+        "rule_ablation",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

@@ -231,6 +231,13 @@ def main() -> None:
             E.q_embedding_quantize(spark, SF),
         ),
         (
+            "rule_ablation",
+            "All rule flags in ONE fused scan projection; partial+final "
+            "hash agg to a single row; stack() pivot — no per-rule "
+            "scans, no shuffle of raw rows beyond the 1-row agg.",
+            E.q_rule_ablation(spark, SF),
+        ),
+        (
             "locators (report.locators, 130-partition input)",
             "Per-rule first-cap failing (conv_id, turn_idx): phase-1 "
             "partial top-k per (rule, scan partition), then a fan-in-64 "
