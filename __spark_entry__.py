@@ -2884,6 +2884,41 @@ def q_source_overlap(spark, sf_dir):
     )
 
 
+def q_sft_pairs(spark, sf_dir):
+    """SFT pair extraction: materialize (prompt, response) training pairs
+    from conversations — each even turn (the user side under the
+    alternating convention) paired with the NEXT turn via lead() over
+    (conv, turn_idx), plus the pair-level stats used for length-bias
+    audits (token counts per side, response/prompt char ratio: a corpus
+    whose responses are uniformly shorter than prompts trains a
+    truncation-prone model). One exchange on conv; the window is bounded
+    per conversation; the ratio is one IEEE division of exact integer
+    lengths, guarded for empty prompts."""
+    d = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 97).alias("conv"),
+        F.floor(F.col("doc_id") / 97).cast("long").alias("turn_idx"),
+        _txt().alias("t"),
+    )
+    w = Window.partitionBy("conv").orderBy("turn_idx")
+    resp = F.lead("t", 1).over(w)
+    p = d.select("conv", "turn_idx", "t", resp.alias("resp")).where(
+        (F.col("turn_idx") % 2 == 0) & F.col("resp").isNotNull()
+    )
+    ratio = F.when(
+        F.length("t") > 0,
+        F.length("resp").cast("double") / F.length("t").cast("double"),
+    ).otherwise(0.0)
+    return p.select(
+        "conv",
+        "turn_idx",
+        F.col("t").alias("prompt"),
+        F.col("resp").alias("response"),
+        F.size(F.split("t", " ", -1)).cast("int").alias("n_tok_prompt"),
+        F.size(F.split("resp", " ", -1)).cast("int").alias("n_tok_response"),
+        ratio.alias("len_ratio"),
+    )
+
+
 ABLATION_RULES = [
     ("short_doc", "f_short"),
     ("short_chars", "f_chars"),
@@ -3264,6 +3299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "embedding_quantize": q_embedding_quantize,
         "rule_ablation": q_rule_ablation,
+        "sft_pairs": q_sft_pairs,
         "winnow": q_winnow,
         "winnow_containment": q_winnow_containment,
         "dedup_clusters": q_dedup_clusters,
@@ -3649,6 +3685,27 @@ def oracle_sql() -> dict[str, str]:
                    substr(t, chunk_idx * {CHUNK_STRIDE} + 1,
                           {CHUNK_SIZE}) AS chunk
             FROM e
+        """,
+        "sft_pairs": """
+            WITH d AS (
+              SELECT doc_id % 97 AS conv,
+                     (doc_id // 97)::BIGINT AS turn_idx,
+                     coalesce(text,'') AS t
+              FROM documents),
+            p AS (
+              SELECT conv, turn_idx, t,
+                     lead(t) OVER (PARTITION BY conv ORDER BY turn_idx)
+                       AS resp
+              FROM d)
+            SELECT conv, turn_idx,
+                   t AS prompt, resp AS response,
+                   len(str_split(t, ' '))::INT AS n_tok_prompt,
+                   len(str_split(resp, ' '))::INT AS n_tok_response,
+                   CASE WHEN length(t) > 0
+                        THEN length(resp)::DOUBLE / length(t)::DOUBLE
+                        ELSE 0.0 END AS len_ratio
+            FROM p
+            WHERE turn_idx % 2 = 0 AND resp IS NOT NULL
         """,
         "rule_ablation": """
             WITH b AS (
