@@ -3179,6 +3179,256 @@ def q_bpe_train(spark, sf_dir):
     return bpe.merges_df(spark, merges)
 
 
+KS_DRIFT_THRESHOLD = 0.15
+
+
+def q_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov drift detector: for each source, the
+    KS statistic between its doc-length distribution and the REST of the
+    corpus (the one-vs-rest shape check a mixture pipeline runs before
+    trusting a new crawl snapshot; complements q_source_divergence's
+    token-level TV distance with a length-level ECDF test).
+
+    Exactness: KS = max_len |cum_s/n_s - cum_r/n_r| is computed as an
+    integer max of |cum_s*n_r - cum_r*n_s| with ONE double division at
+    the end, so the DuckDB twin is hash-exact (no float-sum ordering).
+
+    Scale: everything after the first aggregate runs on the (source ×
+    distinct-length) histogram grid — bounded by max doc length, not by
+    corpus size; the per-source cumulative window sorts only that grid.
+    The raw table is touched once (one partial+final hash aggregate)."""
+    d = _docs(spark, sf_dir).select("source", F.length(_txt()).alias("len"))
+    per = d.groupBy("source", "len").agg(F.count(F.lit(1)).alias("c"))
+    tot = per.groupBy("source").agg(F.sum("c").alias("n_s"))
+    glob = per.groupBy("len").agg(F.sum("c").alias("c_all"))
+    ntot = glob.agg(F.sum("c_all").alias("n_tot"))
+    grid = (
+        tot.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(ntot))
+        .join(per, ["source", "len"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    w = Window.partitionBy("source").orderBy("len")
+    cum = grid.select(
+        "source",
+        "n_s",
+        (F.col("n_tot") - F.col("n_s")).alias("n_r"),
+        F.sum("c").over(w).alias("cum_s"),
+        (F.sum("c_all").over(w) - F.sum("c").over(w)).alias("cum_r"),
+    )
+    agg = cum.groupBy("source", "n_s", "n_r").agg(
+        F.max(
+            F.abs(F.col("cum_s") * F.col("n_r") - F.col("cum_r") * F.col("n_s"))
+        ).alias("ks_num")
+    )
+    ks = F.when(
+        F.col("n_r") > 0,
+        F.col("ks_num").cast("double")
+        / (F.col("n_s") * F.col("n_r")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "source",
+        F.col("n_s").alias("n_docs"),
+        ks.alias("ks_stat"),
+        (ks > F.lit(KS_DRIFT_THRESHOLD)).alias("drifted"),
+    )
+
+
+def _median2_from_hist(hist, key_col, cnt_col, out_col):
+    """2×median of an integer value from its per-source histogram:
+    cumulative counts over the sorted grid, then the two middle order
+    statistics picked as min-key-with-cum≥pos (sum of both ⇒ exact 2×
+    median, integer — no interpolation float). Runs entirely on the
+    histogram grid, never on raw rows."""
+    w = Window.partitionBy("source").orderBy(key_col)
+    tot = hist.groupBy("source").agg(F.sum(cnt_col).alias("_n"))
+    cum = hist.select(
+        "source", key_col, F.sum(cnt_col).over(w).alias("_cum")
+    ).join(F.broadcast(tot), "source")
+    pos1 = F.floor((F.col("_n") + 1) / 2)
+    pos2 = F.floor((F.col("_n") + 2) / 2)
+    return cum.groupBy("source").agg(
+        (
+            F.min(F.when(F.col("_cum") >= pos1, F.col(key_col)))
+            + F.min(F.when(F.col("_cum") >= pos2, F.col(key_col)))
+        ).alias(out_col)
+    )
+
+
+def q_length_outliers(spark, sf_dir):
+    """Robust per-source length outliers via the modified z-score
+    (Iglewicz & Hoaglin 1993): flag |0.6745·(len−median)/MAD| > 3.5.
+    The filter-tuning complement of the fixed LEN_MIN/LEN_MAX bounds —
+    thresholds adapt to each source's own distribution, so a code-heavy
+    source doesn't get its long docs mass-dropped by a global bound.
+
+    Exactness: medians come from the integer histogram (2×median and
+    4×MAD are exact integers — the .5 halves are doubled away), and the
+    flag is the all-integer comparison 1349·|2len−2med| > 3500·4MAD
+    (both sides ×2000); robust_z is ONE double division of exact-integer
+    products. MAD=0 (over half the source at the median) degenerates to
+    z=NULL / outlier ⇔ len≠median, the standard convention.
+
+    Scale: both median passes run on the (source × distinct-length)
+    histogram grid; raw rows are aggregated once and joined once against
+    the 20-row broadcast stats table — no per-source sort of raw data."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.length(_txt()).alias("len")
+    )
+    hist = d.groupBy("source", "len").agg(F.count(F.lit(1)).alias("c"))
+    med2 = _median2_from_hist(hist, "len", "c", "med2")
+    devh = (
+        hist.join(F.broadcast(med2), "source")
+        .select(
+            "source",
+            F.abs(2 * F.col("len") - F.col("med2")).alias("dev2"),
+            "c",
+        )
+        .groupBy("source", "dev2")
+        .agg(F.sum("c").alias("c"))
+    )
+    mad4 = _median2_from_hist(devh, "dev2", "c", "mad4")
+    stats = med2.join(mad4, "source")
+    sdev2 = 2 * F.col("len") - F.col("med2")
+    dev2 = F.abs(sdev2)
+    return (
+        d.join(F.broadcast(stats), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.col("len").alias("n_chars"),
+            (F.col("med2").cast("double") / F.lit(2.0)).alias("median_len"),
+            (F.col("mad4").cast("double") / F.lit(4.0)).alias("mad"),
+            F.when(
+                F.col("mad4") > 0,
+                (1349 * sdev2).cast("double")
+                / (1000 * F.col("mad4")).cast("double"),
+            ).alias("robust_z"),
+            F.when(F.col("mad4") > 0, (1349 * dev2) > (3500 * F.col("mad4")))
+            .otherwise(dev2 > 0)
+            .alias("is_outlier"),
+        )
+    )
+
+
+NOVELTY_N = 8
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Per-document novelty score: the fraction of a doc's DISTINCT word
+    8-grams that occur in no other document (RefinedWeb-style uniqueness
+    ranking — high-novelty docs carry information the corpus doesn't
+    already have; low-novelty docs are near-boilerplate even when no
+    single duplicate pair fires). Inverse of q_prototypicality's
+    redundancy ranking, at exact n-gram rather than embedding level.
+
+    Scale: grams are distinct-per-doc before the corpus-wide gram count
+    (one hash aggregate each); the count table joins back on gram (hash
+    join, no broadcast — the gram table is corpus-sized). novelty is a
+    single division of exact integers; docs with < 8 words report 0/0→0."""
+    from qamd_spark.ops.text import word_ngrams, words_array
+
+    d = _docs(spark, sf_dir)
+    tg = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_ngrams(words_array(F.col("text")), NOVELTY_N))
+        ).alias("gram"),
+    )
+    gcount = tg.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs_with"))
+    per_doc = tg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    uniq = (
+        tg.join(gcount, "gram")
+        .filter(F.col("n_docs_with") == 1)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(uniq, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("n_unique"), F.lit(0)).alias("n_unique"),
+            F.when(
+                F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+                F.coalesce(F.col("n_unique"), F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("novelty"),
+        )
+    )
+
+
+def q_event_latency(spark, sf_dir):
+    """Per-event-type inter-arrival latency profile: for each event, the
+    gap to the SAME USER's previous event (any type), attributed to the
+    later event's type — n, min, max, exact mean and exact median gap in
+    microseconds (the latency decomposition an agent-traffic dashboard
+    needs before setting session gaps or timeout budgets; q_sessionize's
+    30-min constant comes from exactly this distribution).
+
+    Exactness: mean is ONE division of an exact bigint sum; the median
+    uses the same integer histogram order-statistic trick as
+    q_length_outliers (2×median exact, halved once for display).
+
+    Scale: one exchange on user_id for the lag, then histogram-grid
+    medians. The exact median is the ORACLE-GATE path; at 10^12 events
+    the production answer is q_sketch_profile's mergeable KLL quantiles
+    — this query is its ground-truth checker at test scale."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = (
+        _events(spark, sf_dir)
+        .select("user_id", "event_id", "ts", "event_type")
+        .withColumn("gap_us", us - F.lag(us).over(w))
+        .filter(F.col("gap_us").isNotNull())
+        .select(F.col("event_type").alias("source"), "gap_us")
+    )
+    hist = gaps.groupBy("source", "gap_us").agg(F.count(F.lit(1)).alias("c"))
+    med2 = _median2_from_hist(hist, "gap_us", "c", "med2")
+    agg = gaps.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.sum("gap_us").alias("_sum"),
+    )
+    return agg.join(med2, "source").select(
+        F.col("source").alias("event_type"),
+        "n_gaps",
+        "min_gap_us",
+        "max_gap_us",
+        (F.col("_sum").cast("double") / F.col("n_gaps").cast("double")).alias(
+            "mean_gap_us"
+        ),
+        (F.col("med2").cast("double") / F.lit(2.0)).alias("median_gap_us"),
+    )
+
+
+def q_embedding_pca(spark, sf_dir):
+    """PCA projection of the embedding table to 4 principal components
+    plus per-vector reconstruction error — the dimensionality-reduction
+    front end for embedding pipelines (cheaper ANN, whitening before
+    clustering, and the variance-explained QA check that catches a
+    collapsed encoder). Rows-only by design (eigendecomposition is not
+    SQL); tests/test_ops.py pins the projection bit-exact against a
+    local numpy twin and checks orthonormality + variance ordering.
+
+    Scale: the covariance is accumulated as per-batch partial (n, sum,
+    gram) rows — only #batches × (d + d²) floats reach the driver, the
+    same bounded-coordination shape as ivf_train's centroid collect; the
+    projection is one narrow Arrow stage, no shuffle."""
+    from qamd_spark.ops.similarity import pca_project, pca_train
+
+    e = _emb(spark, sf_dir)
+    model = pca_train(e, k=4)
+    out = pca_project(e, model)
+    cols = [F.round(F.col(f"pc{i}"), 9).alias(f"pc{i}") for i in range(1, 5)]
+    return out.select("vec_id", *cols, F.round("recon_err", 9).alias("recon_err"))
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -3300,6 +3550,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "rule_ablation": q_rule_ablation,
         "sft_pairs": q_sft_pairs,
+        "ks_drift": q_ks_drift,
+        "length_outliers": q_length_outliers,
+        "ngram_novelty": q_ngram_novelty,
+        "event_latency": q_event_latency,
+        "embedding_pca": q_embedding_pca,
         "winnow": q_winnow,
         "winnow_containment": q_winnow_containment,
         "dedup_clusters": q_dedup_clusters,
@@ -4891,6 +5146,157 @@ def oracle_sql() -> dict[str, str]:
               FROM sims)
             SELECT qid, neighbor, round(sim, 9) AS sim, rank::INT AS rank
             FROM ranked WHERE rank <= 10
+        """,
+"ks_drift": f"""
+            WITH d AS (SELECT source, length(coalesce(text,'')) AS len
+                       FROM documents),
+            per AS (SELECT source, len, count(*)::BIGINT AS c
+                    FROM d GROUP BY source, len),
+            tot AS (SELECT source, sum(c)::BIGINT AS n_s FROM per GROUP BY source),
+            gl AS (SELECT len, sum(c)::BIGINT AS c_all FROM per GROUP BY len),
+            ntot AS (SELECT sum(c_all)::BIGINT AS n_tot FROM gl),
+            grid AS (
+              SELECT t.source, t.n_s, g.len, g.c_all, n.n_tot,
+                     coalesce(p.c, 0) AS c
+              FROM tot t CROSS JOIN gl g CROSS JOIN ntot n
+              LEFT JOIN per p ON p.source = t.source AND p.len = g.len),
+            cum AS (
+              SELECT source, n_s, (n_tot - n_s) AS n_r,
+                     sum(c) OVER (PARTITION BY source ORDER BY len) AS cum_s,
+                     sum(c_all) OVER (PARTITION BY source ORDER BY len)
+                       - sum(c) OVER (PARTITION BY source ORDER BY len) AS cum_r
+              FROM grid),
+            agg AS (
+              SELECT source, n_s, n_r,
+                     max(abs(cum_s * n_r - cum_r * n_s))::BIGINT AS ks_num
+              FROM cum GROUP BY source, n_s, n_r)
+            SELECT source, n_s AS n_docs,
+                   CASE WHEN n_r > 0
+                        THEN ks_num::DOUBLE / (n_s * n_r)::DOUBLE
+                        ELSE 0.0 END AS ks_stat,
+                   (CASE WHEN n_r > 0
+                         THEN ks_num::DOUBLE / (n_s * n_r)::DOUBLE
+                         ELSE 0.0 END) > {KS_DRIFT_THRESHOLD} AS drifted
+            FROM agg
+        """,
+        "length_outliers": """
+            WITH d AS (SELECT doc_id, source,
+                              length(coalesce(text,'')) AS len
+                       FROM documents),
+            hist AS (SELECT source, len, count(*)::BIGINT AS c
+                     FROM d GROUP BY source, len),
+            htot AS (SELECT source, sum(c)::BIGINT AS _n
+                     FROM hist GROUP BY source),
+            hcum AS (SELECT h.source, h.len,
+                            sum(h.c) OVER (PARTITION BY h.source
+                                           ORDER BY h.len) AS _cum,
+                            t._n
+                     FROM hist h JOIN htot t USING (source)),
+            med AS (SELECT source,
+                           min(CASE WHEN _cum >= floor((_n + 1) / 2)
+                                    THEN len END)
+                         + min(CASE WHEN _cum >= floor((_n + 2) / 2)
+                                    THEN len END) AS med2
+                    FROM hcum GROUP BY source),
+            devh AS (SELECT h.source,
+                            abs(2 * h.len - m.med2) AS dev2,
+                            sum(h.c)::BIGINT AS c
+                     FROM hist h JOIN med m USING (source)
+                     GROUP BY h.source, abs(2 * h.len - m.med2)),
+            dtot AS (SELECT source, sum(c)::BIGINT AS _n
+                     FROM devh GROUP BY source),
+            dcum AS (SELECT h.source, h.dev2,
+                            sum(h.c) OVER (PARTITION BY h.source
+                                           ORDER BY h.dev2) AS _cum,
+                            t._n
+                     FROM devh h JOIN dtot t USING (source)),
+            madt AS (SELECT source,
+                            min(CASE WHEN _cum >= floor((_n + 1) / 2)
+                                     THEN dev2 END)
+                          + min(CASE WHEN _cum >= floor((_n + 2) / 2)
+                                     THEN dev2 END) AS mad4
+                     FROM dcum GROUP BY source)
+            SELECT d.doc_id, d.source, d.len AS n_chars,
+                   m.med2::DOUBLE / 2.0 AS median_len,
+                   a.mad4::DOUBLE / 4.0 AS mad,
+                   CASE WHEN a.mad4 > 0
+                        THEN (1349 * (2 * d.len - m.med2))::DOUBLE
+                             / (1000 * a.mad4)::DOUBLE
+                        END AS robust_z,
+                   CASE WHEN a.mad4 > 0
+                        THEN (1349 * abs(2 * d.len - m.med2))
+                               > (3500 * a.mad4)
+                        ELSE abs(2 * d.len - m.med2) > 0
+                        END AS is_outlier
+            FROM d JOIN med m USING (source) JOIN madt a USING (source)
+        """,
+        "ngram_novelty": """
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN trim(coalesce(text,'')) = ''
+                          THEN []::VARCHAR[]
+                          ELSE str_split(lower(trim(coalesce(text,''))), ' ')
+                     END AS words
+              FROM documents),
+            g AS (
+              SELECT doc_id, unnest(
+                CASE WHEN len(words) >= 8 THEN
+                  list_transform(range(1, len(words) - 8 + 2),
+                                 i -> array_to_string(words[i:i+7], ' '))
+                ELSE []::VARCHAR[] END) AS gram
+              FROM w),
+            dg AS (SELECT DISTINCT doc_id, gram FROM g),
+            gc AS (SELECT gram, count(*)::BIGINT AS n_docs_with
+                   FROM dg GROUP BY gram),
+            pd AS (SELECT doc_id, count(*)::BIGINT AS n_grams
+                   FROM dg GROUP BY doc_id),
+            uq AS (SELECT dg.doc_id, count(*)::BIGINT AS n_unique
+                   FROM dg JOIN gc USING (gram)
+                   WHERE gc.n_docs_with = 1 GROUP BY dg.doc_id)
+            SELECT d.doc_id,
+                   coalesce(p.n_grams, 0) AS n_grams,
+                   coalesce(u.n_unique, 0) AS n_unique,
+                   CASE WHEN coalesce(p.n_grams, 0) > 0
+                        THEN coalesce(u.n_unique, 0)::DOUBLE
+                             / p.n_grams::DOUBLE
+                        ELSE 0.0 END AS novelty
+            FROM documents d
+            LEFT JOIN pd p USING (doc_id)
+            LEFT JOIN uq u USING (doc_id)
+        """,
+        "event_latency": """
+            WITH g0 AS (
+              SELECT event_type,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+              FROM events),
+            gaps AS (SELECT event_type AS source, gap_us
+                     FROM g0 WHERE gap_us IS NOT NULL),
+            hist AS (SELECT source, gap_us, count(*)::BIGINT AS c
+                     FROM gaps GROUP BY source, gap_us),
+            htot AS (SELECT source, sum(c)::BIGINT AS _n
+                     FROM hist GROUP BY source),
+            hcum AS (SELECT h.source, h.gap_us,
+                            sum(h.c) OVER (PARTITION BY h.source
+                                           ORDER BY h.gap_us) AS _cum,
+                            t._n
+                     FROM hist h JOIN htot t USING (source)),
+            med AS (SELECT source,
+                           min(CASE WHEN _cum >= floor((_n + 1) / 2)
+                                    THEN gap_us END)
+                         + min(CASE WHEN _cum >= floor((_n + 2) / 2)
+                                    THEN gap_us END) AS med2
+                    FROM hcum GROUP BY source),
+            agg AS (SELECT source, count(*)::BIGINT AS n_gaps,
+                           min(gap_us) AS min_gap_us,
+                           max(gap_us) AS max_gap_us,
+                           sum(gap_us)::BIGINT AS _sum
+                    FROM gaps GROUP BY source)
+            SELECT a.source AS event_type, a.n_gaps, a.min_gap_us,
+                   a.max_gap_us,
+                   a._sum::DOUBLE / a.n_gaps::DOUBLE AS mean_gap_us,
+                   m.med2::DOUBLE / 2.0 AS median_gap_us
+            FROM agg a JOIN med m USING (source)
         """,
     }
     return {k: v.strip() for k, v in sqls.items()}

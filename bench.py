@@ -225,6 +225,10 @@ def run_benchmarks() -> dict:
         "source_overlap",
         "embedding_quantize",
         "rule_ablation",
+        "ks_drift",
+        "length_outliers",
+        "ngram_novelty",
+        "embedding_pca",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

@@ -660,3 +660,21 @@ def prototype_scores_pdf(emb: pd.DataFrame, cent: np.ndarray) -> pd.DataFrame:
             "proto": scores[np.arange(len(am)), am],
         }
     )
+
+
+def pca_project_pdf(emb: pd.DataFrame, model) -> pd.DataFrame:
+    """Exact twin of ops.similarity.pca_project (same np.add.reduce kernel
+    and axis order, so the Spark stage must match bit-for-bit)."""
+    ids = emb["vec_id"].to_numpy(dtype=np.int64)
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    W = np.asarray(model.components, dtype=np.float64)
+    mu = np.asarray(model.mean, dtype=np.float64)
+    X = V - mu
+    Y = np.add.reduce(X[:, None, :] * W[None, :, :], axis=2)
+    R = X - np.add.reduce(Y[:, :, None] * W[None, :, :], axis=1)
+    err = np.sqrt(np.add.reduce(R * R, axis=1))
+    out = {"vec_id": ids}
+    for i in range(W.shape[0]):
+        out[f"pc{i + 1}"] = Y[:, i]
+    out["recon_err"] = err
+    return pd.DataFrame(out)

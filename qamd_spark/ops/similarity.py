@@ -479,3 +479,129 @@ def prototype_scores(
             )
 
     return emb.select(id_col, vec_col).mapInPandas(run, schema=schema)
+
+
+class PcaModel:
+    """Frozen PCA model: ``mean`` (d,), ``components`` (k, d) rows =
+    principal axes (orthonormal, deterministically sign-fixed), ``eigvals``
+    (k,) descending explained variances, ``explained_ratio`` (k,)."""
+
+    def __init__(self, mean, components, eigvals, explained_ratio):
+        self.mean = mean
+        self.components = components
+        self.eigvals = eigvals
+        self.explained_ratio = explained_ratio
+
+
+def pca_train(
+    emb: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> PcaModel:
+    """Exact-covariance PCA trainer as a distributed two-moment pass:
+    each Arrow batch emits ONE partial row (n, Σv, flattened Σvvᵀ), so
+    only #batches × (d + d²) floats ever reach the driver — the same
+    bounded-coordination shape as ``ivf_train``'s centroid collect; the
+    eigendecomposition runs driver-side on the d×d covariance (d is the
+    embedding width, never the corpus size). Partials are combined in
+    sorted-by-min-id order with math.fsum per entry, so the combine step
+    adds no float-order nondeterminism on top of batch composition.
+
+    Eigenvectors are sign-fixed deterministically (largest-|w| entry made
+    positive) and ordered by descending eigenvalue. No RNG anywhere."""
+    import math
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("min_id", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+            T.StructField("g", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf.iloc[:, 1]])
+            yield pd.DataFrame(
+                {
+                    "min_id": [int(pdf.iloc[:, 0].min())],
+                    "n": [len(V)],
+                    "s": [V.sum(axis=0).tolist()],
+                    "g": [(V.T @ V).ravel().tolist()],
+                }
+            )
+
+    rows = (
+        emb.select(id_col, vec_col).mapInPandas(partials, schema=schema).collect()
+    )
+    rows.sort(key=lambda r: r["min_id"])
+    d = len(rows[0]["s"])
+    n = sum(r["n"] for r in rows)
+    s = np.array([math.fsum(r["s"][i] for r in rows) for i in range(d)])
+    g = np.array(
+        [math.fsum(r["g"][i] for r in rows) for i in range(d * d)]
+    ).reshape(d, d)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    cov = (cov + cov.T) / 2.0  # enforce exact symmetry for eigh
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    order = np.argsort(eigvals)[::-1][:k]
+    W = eigvecs[:, order].T.copy()  # (k, d)
+    for i in range(W.shape[0]):  # deterministic sign convention
+        j = int(np.argmax(np.abs(W[i])))
+        if W[i, j] < 0:
+            W[i] = -W[i]
+    ev = eigvals[order]
+    total = math.fsum(np.maximum(eigvals, 0.0).tolist()) or 1.0
+    return PcaModel(mean, W, ev, ev / total)
+
+
+def pca_project(
+    emb: DataFrame,
+    model: PcaModel,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project each embedding onto the model's principal axes and score
+    the L2 reconstruction error. One narrow Arrow stage, no shuffle —
+    only the (k×d) component matrix and the mean ride the closure. Every
+    reduction runs with np.add.reduce over a FIXED axis order, so
+    outputs are batch-composition invariant and bit-equal to the local
+    numpy twin (tests/test_ops.py::test_pca_projection_matches_numpy_twin)."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    W = np.asarray(model.components, dtype=np.float64)
+    mu = np.asarray(model.mean, dtype=np.float64)
+    kk = W.shape[0]
+    fields = [T.StructField(id_col, T.LongType())]
+    fields += [T.StructField(f"pc{i + 1}", T.DoubleType()) for i in range(kk)]
+    fields += [T.StructField("recon_err", T.DoubleType())]
+    schema = T.StructType(fields)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf.iloc[:, 1]])
+            X = V - mu
+            Y = np.add.reduce(X[:, None, :] * W[None, :, :], axis=2)  # (n, k)
+            R = X - np.add.reduce(Y[:, :, None] * W[None, :, :], axis=1)
+            err = np.sqrt(np.add.reduce(R * R, axis=1))
+            out = {id_col: pdf.iloc[:, 0].to_numpy(dtype=np.int64)}
+            for i in range(kk):
+                out[f"pc{i + 1}"] = Y[:, i]
+            out["recon_err"] = err
+            yield pd.DataFrame(out)
+
+    return emb.select(id_col, vec_col).mapInPandas(run, schema=schema)

@@ -1047,3 +1047,77 @@ def test_ccnet_buckets_match_pandas_twin(spark):
     # terciles: each lang's buckets split roughly in thirds
     share = got.groupby(["lang", "bucket"]).size() / got.groupby("lang").size()
     assert (share > 0.1).all(), share
+
+
+def test_pca_projection_matches_numpy_twin(spark):
+    import pandas as pd
+
+    from oracle import oracle
+    from qamd_spark.ops.similarity import pca_project, pca_train
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    e = spark.read.parquet(path)
+    model = pca_train(e, k=4)
+    got = (
+        pca_project(e, model)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        oracle.pca_project_pdf(pd.read_parquet(path), model)
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    # same np.add.reduce kernel and axis order on both sides => bit-exact
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=0, rtol=0)
+
+
+def test_pca_model_properties(spark):
+    import numpy as np
+    import pandas as pd
+
+    from qamd_spark.ops.similarity import pca_train
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    e = spark.read.parquet(path)
+    model = pca_train(e, k=4)
+    W = np.asarray(model.components)
+    # orthonormal rows, deterministic sign (largest-|w| entry positive)
+    assert np.allclose(W @ W.T, np.eye(4), atol=1e-10)
+    for row in W:
+        assert row[int(np.argmax(np.abs(row)))] > 0
+    # eigenvalues descending, non-negative, sane explained ratios
+    ev = np.asarray(model.eigvals)
+    assert (ev[:-1] >= ev[1:] - 1e-15).all() and (ev >= -1e-10).all()
+    er = np.asarray(model.explained_ratio)
+    assert 0.0 < er.sum() <= 1.0 + 1e-12
+    # subspace agrees with a direct local covariance eigendecomposition:
+    # compare the rank-k projector matrices, which are basis-independent
+    pdf = pd.read_parquet(path)
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    C = np.cov(V, rowvar=False, bias=True)
+    lv, lw = np.linalg.eigh(C)
+    Wl = lw[:, np.argsort(lv)[::-1][:4]].T
+    assert np.allclose(W.T @ W, Wl.T @ Wl, atol=1e-6)
+
+
+def test_pca_planted_rank_k_reconstruction(spark):
+    import numpy as np
+
+    from qamd_spark.ops.similarity import pca_project, pca_train
+
+    # data exactly on a 2-D plane in 6-D => k=2 reconstructs exactly
+    rng = np.random.default_rng(11)
+    A = rng.normal(size=(200, 2))
+    B = np.zeros((2, 6))
+    B[0, 0] = 3.0
+    B[1, 3] = 2.0
+    V = A @ B + np.array([1.0, 0, 0, 0, 0, 0])
+    rows = [(i, V[i].tolist()) for i in range(len(V))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    model = pca_train(df, k=2)
+    out = pca_project(df, model).toPandas()
+    assert float(out["recon_err"].max()) < 1e-9
+    # the two planted directions carry all the variance
+    assert float(np.asarray(model.explained_ratio).sum()) > 1.0 - 1e-9
