@@ -3429,6 +3429,154 @@ def q_embedding_pca(spark, sf_dir):
     return out.select("vec_id", *cols, F.round("recon_err", 9).alias("recon_err"))
 
 
+def q_lang_source_chi2(spark, sf_dir):
+    """Chi-square independence test on the language × source contingency
+    table (+ Cramér's V effect size) — the corpus-mix QA check for
+    "is language distribution independent of source?" (a strongly
+    dependent table means per-source language filters are load-bearing
+    and a source outage shifts the language mix).
+
+    Float discipline: each cell's term is (o·N − r·c)²/(r·c·N) — the
+    numerator is an exact bigint squared in double (exact below 2^53),
+    the denominator an exact-int product, ONE division per cell; the
+    chi2 total is a LEFT FOLD over the (lang, source)-sorted term list
+    (F.aggregate vs DuckDB list_reduce — the q_temperature_mix pattern),
+    so the double sum has one deterministic association order in both
+    engines. Zero-count grid cells contribute their expected mass, per
+    the standard statistic.
+
+    Scale: one hash aggregate over the corpus; everything downstream
+    runs on the (n_langs × n_sources) grid — broadcast-sized by
+    construction."""
+    d = _docs(spark, sf_dir)
+    o = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    r = o.groupBy("lang").agg(F.sum("o").alias("r_tot"))
+    c = o.groupBy("source").agg(F.sum("o").alias("c_tot"))
+    n = o.agg(F.sum("o").alias("n_tot"))
+    grid = (
+        r.crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(n))
+        .join(o, ["lang", "source"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+    )
+    num = (F.col("o") * F.col("n_tot") - F.col("r_tot") * F.col("c_tot")).cast(
+        "double"
+    )
+    # (o−e)²/e with e=r·c/N rearranges to (o·N − r·c)² / (r·c·N)
+    term = (num * num) / (
+        F.col("r_tot") * F.col("c_tot") * F.col("n_tot")
+    ).cast("double")
+    cells = grid.select("lang", "source", "n_tot", term.alias("term"))
+    agg = cells.groupBy("n_tot").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("lang", "source", "term"))),
+                lambda x: x["term"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("chi2"),
+        F.count_distinct(F.col("lang")).alias("n_langs"),
+        F.count_distinct(F.col("source")).alias("n_sources"),
+    )
+    mink = F.least(F.col("n_langs"), F.col("n_sources")) - 1
+    return agg.select(
+        "n_langs",
+        "n_sources",
+        ((F.col("n_langs") - 1) * (F.col("n_sources") - 1)).alias("dof"),
+        "chi2",
+        F.sqrt(
+            F.col("chi2") / (F.col("n_tot") * mink).cast("double")
+        ).alias("cramers_v"),
+    )
+
+
+def q_quality_calibration(spark, sf_dir):
+    """Calibration of the heuristic quality score against an independent
+    signal: per DISTINCT score value (the score is a discrete lattice —
+    a base term minus three fixed penalties), the exact-duplicate rate
+    and mean length. A score whose dup_rate does not fall as the score
+    rises is not measuring quality — this is the audit run before
+    trusting quality gates in a curation recipe (the discrete-value
+    analogue of a decile reliability diagram; no global sort/ntile, so
+    no single-partition window at scale).
+
+    Exactness: score values come from the SAME expression both engines
+    (QUALITY_SQL, proven by corpus_curate); dup flags from an integer
+    occurrence count; both ratios are single divisions of exact ints.
+    The gate corpus is uniformly clean (one lattice point), so the text
+    is deterministically decorated by doc_id stripe — truncated short,
+    upper-cased, punctuation-flooded — to exercise the score lattice
+    (the html_strip decoration pattern); the SQL twin applies the SAME
+    stripes before QUALITY_SQL."""
+    from qamd_spark.ops import text as tx
+
+    base = _docs(spark, sf_dir)
+    t2 = (
+        F.when(F.col("doc_id") % 5 == 1, F.substring(_txt(), 1, 10))
+        .when(F.col("doc_id") % 5 == 2, F.upper(_txt()))
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(_txt(), F.repeat(F.lit("!"), F.length(_txt()))),
+        )
+        .otherwise(_txt())
+    )
+    d = base.select("doc_id", t2.alias("text"))
+    occ = d.groupBy("text").agg(F.count(F.lit(1)).alias("occ")).select(
+        F.col("text").alias("_t"), "occ"
+    )
+    j = d.join(occ, d["text"].eqNullSafe(F.col("_t")), "left")
+    return (
+        j.select(
+            tx.quality_score(F.col("text")).alias("quality"),
+            (F.col("occ") > 1).cast("long").alias("_dup"),
+            F.length(_txt()).alias("_len"),
+        )
+        .groupBy("quality")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_dup").alias("n_dups"),
+            (F.sum("_dup").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "dup_rate"
+            ),
+            (F.sum("_len").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "mean_len"
+            ),
+        )
+    )
+
+
+K_ANON = 5
+
+
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over the events stream: equivalence classes on
+    the quasi-identifier pair (event_type, hour) with record count and
+    distinct-user count; a class smaller than k=5 records re-identifies
+    its members and must be suppressed or generalized before the table
+    is released (the privacy gate a training-data pipeline runs on
+    telemetry-derived corpora, complementing the content-level pii/
+    secrets scans). One partial+final hash aggregate — count_distinct
+    is exact here by design (the release decision is per-class and
+    binary); approx_count_distinct is the declared 10^12-row swap."""
+    hour = F.date_trunc("hour", F.col("ts"))
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.col("event_type"), hour.alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+        .select(
+            "event_type",
+            "hour",
+            "class_size",
+            "n_users",
+            (F.col("class_size") < K_ANON).alias("k_violation"),
+        )
+    )
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -3555,6 +3703,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "event_latency": q_event_latency,
         "embedding_pca": q_embedding_pca,
+        "lang_source_chi2": q_lang_source_chi2,
+        "quality_calibration": q_quality_calibration,
+        "k_anonymity": q_k_anonymity,
         "winnow": q_winnow,
         "winnow_containment": q_winnow_containment,
         "dedup_clusters": q_dedup_clusters,
@@ -5297,6 +5448,72 @@ def oracle_sql() -> dict[str, str]:
                    a._sum::DOUBLE / a.n_gaps::DOUBLE AS mean_gap_us,
                    m.med2::DOUBLE / 2.0 AS median_gap_us
             FROM agg a JOIN med m USING (source)
+        """,
+        "lang_source_chi2": """
+            WITH o AS (SELECT lang, source, count(*)::BIGINT AS o
+                       FROM documents GROUP BY lang, source),
+            r AS (SELECT lang, sum(o)::BIGINT AS r_tot FROM o GROUP BY lang),
+            c AS (SELECT source, sum(o)::BIGINT AS c_tot
+                  FROM o GROUP BY source),
+            n AS (SELECT sum(o)::BIGINT AS n_tot FROM o),
+            grid AS (
+              SELECT r.lang, c.source, r.r_tot, c.c_tot, n.n_tot,
+                     coalesce(o.o, 0) AS o
+              FROM r CROSS JOIN c CROSS JOIN n
+              LEFT JOIN o ON o.lang = r.lang AND o.source = c.source),
+            cells AS (
+              SELECT lang, source, n_tot,
+                     ((o * n_tot - r_tot * c_tot)::DOUBLE
+                      * (o * n_tot - r_tot * c_tot)::DOUBLE)
+                       / (r_tot * c_tot * n_tot)::DOUBLE AS term
+              FROM grid),
+            agg AS (
+              SELECT n_tot,
+                     list_reduce(
+                       list_prepend(0.0::DOUBLE,
+                                    list(term ORDER BY lang, source)),
+                       (acc, x) -> acc + x)::DOUBLE AS chi2,
+                     count(DISTINCT lang)::BIGINT AS n_langs,
+                     count(DISTINCT source)::BIGINT AS n_sources
+              FROM cells GROUP BY n_tot)
+            SELECT n_langs, n_sources,
+                   (n_langs - 1) * (n_sources - 1) AS dof,
+                   chi2,
+                   sqrt(chi2 / (n_tot * least(n_langs, n_sources) - n_tot)::DOUBLE)
+                     AS cramers_v
+            FROM agg
+        """,
+        "quality_calibration": f"""
+            WITH dec AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 1
+                            THEN substring(coalesce(text,''), 1, 10)
+                          WHEN doc_id % 5 = 2 THEN upper(coalesce(text,''))
+                          WHEN doc_id % 5 = 3
+                            THEN coalesce(text,'')
+                                 || repeat('!', length(coalesce(text,'')))
+                          ELSE coalesce(text,'') END AS text
+              FROM documents),
+            occ AS (SELECT text AS _t, count(*)::BIGINT AS occ
+                    FROM dec GROUP BY text),
+            j AS (SELECT {QUALITY_SQL} AS quality,
+                         CASE WHEN o.occ > 1 THEN 1 ELSE 0 END AS _dup,
+                         length(coalesce(d.text,'')) AS _len
+                  FROM dec d
+                  JOIN occ o ON d.text IS NOT DISTINCT FROM o._t)
+            SELECT quality,
+                   count(*)::BIGINT AS n_docs,
+                   sum(_dup)::BIGINT AS n_dups,
+                   sum(_dup)::DOUBLE / count(*)::DOUBLE AS dup_rate,
+                   sum(_len)::DOUBLE / count(*)::DOUBLE AS mean_len
+            FROM j GROUP BY quality
+        """,
+        "k_anonymity": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   count(*)::BIGINT AS class_size,
+                   count(DISTINCT user_id)::BIGINT AS n_users,
+                   count(*) < 5 AS k_violation
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
         """,
     }
     return {k: v.strip() for k, v in sqls.items()}
