@@ -3577,6 +3577,166 @@ def q_k_anonymity(spark, sf_dir):
     )
 
 
+def q_token_concentration(spark, sf_dir):
+    """Per-source vocabulary concentration via the Simpson index — the
+    collision probability that two random tokens are the same type.
+    High concentration (low diversity) flags template/boilerplate
+    sources before they distort a training mix; the unigram analogue of
+    lexical_diversity's TTR, but a true probability rather than a
+    size-biased ratio.
+
+    Exactness: n and Σc² are exact bigints (c ≤ ~1e6 per type at bench
+    scale, Σc² < n² < 2^53 at sf0.1); simpson = (n²−Σc²)/n² and the
+    effective type count n²/Σc² are each ONE IEEE division of exact
+    ints, so the twin is bit-compared. The 2^53 headroom bound is the
+    declared test-scale contract — the 10^12-token swap is the same
+    aggregate over per-shard decimals.
+
+    Scale: tokenization is a JVM-side explode (no Python), then two
+    stacked hash aggregates (source×tok, then source) — partial
+    aggregation collapses hot tokens map-side."""
+    toks = F.explode(F.split(F.lower(_txt()), r"\s+", -1)).alias("tok")
+    c = (
+        _docs(spark, sf_dir)
+        .select("source", toks)
+        .filter(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = c.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).alias("sumsq"),
+    )
+    n2 = F.col("n_tokens") * F.col("n_tokens")
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        ((n2 - F.col("sumsq")).cast("double") / n2.cast("double")).alias("simpson"),
+        (n2.cast("double") / F.col("sumsq").cast("double")).alias("inv_simpson"),
+    )
+
+
+# Benford expected leading-digit probabilities log10(1+1/d), d=1..9 —
+# frozen decimal literals so Spark and DuckDB parse the IDENTICAL doubles
+# (computing log10 in-engine would race transcendental libm variants)
+BENFORD_P = (
+    "0.3010299956639812",
+    "0.17609125905568124",
+    "0.12493873660829992",
+    "0.09691001300805642",
+    "0.07918124604762482",
+    "0.06694678963061322",
+    "0.05799194697768673",
+    "0.05115252244738129",
+    "0.04575749056067514",
+)
+
+
+def q_benford_amounts(spark, sf_dir):
+    """Benford's-law audit on order amounts: observed vs expected
+    leading-digit distribution + per-digit chi-square contribution —
+    the fabricated-/synthetic-numeric-data screen a pipeline runs on
+    transaction-like columns before trusting them as training signal
+    (naturally occurring multi-scale amounts follow log10(1+1/d);
+    uniform or generator-striped data does not).
+
+    Exactness: the leading digit comes from the DECIMAL STRING of the
+    exact bigint floor(amount) — never from floor(log10(x)), whose
+    1-ulp races at power-of-10 boundaries differ across engines.
+    Expected counts are exact-int × frozen-literal products; each chi2
+    term is computed once per digit row, no float sums at all.
+    All 9 digits are materialized (missing digits contribute their
+    full expected mass) via a static 9-row frame.
+
+    Scale: one partial+final hash aggregate over the scan onto a 9-row
+    grid; the digit frame is a driver-side literal."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    obs = orders.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    total = orders.agg(F.count(F.lit(1)).alias("n_total"))
+    digits = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    p = F.element_at(
+        F.array(*[F.lit(float(x)) for x in BENFORD_P]), F.col("digit")
+    )
+    grid = (
+        digits.crossJoin(F.broadcast(total))
+        .join(obs, ["digit"], "left")
+        .withColumn("n_obs", F.coalesce(F.col("n_obs"), F.lit(0)))
+    )
+    expected = F.col("n_total").cast("double") * p
+    diff = F.col("n_obs").cast("double") - expected
+    return grid.select(
+        "digit",
+        "n_obs",
+        expected.alias("expected"),
+        ((diff * diff) / expected).alias("chi2_term"),
+    )
+
+
+COLLOC_MIN_SUPPORT = 5
+COLLOC_TOPK = 30
+
+
+def q_collocations(spark, sf_dir):
+    """Top-30 adjacent-bigram collocations by lift — n·c(xy)/(c(x)·c(y)),
+    the exact-ratio monotone transform of PMI (same ranking, no log, so
+    no transcendental cross-engine races). Collocation mining feeds
+    tokenizer-vocab decisions and boilerplate phrase detection; lift ≫ 1
+    means the pair co-occurs far above independence.
+
+    Exactness: every count is an exact bigint (c_xy·n ≤ n² < 2^53 at
+    bench scale); lift is ONE IEEE division of exact-int products.
+    Deterministic head: (lift desc, w1, w2) — float ties are true ties
+    because both engines divide the identical exact ints. Min support
+    5 bounds the ranked set.
+
+    Scale: tokens stay JVM-side (split + slice + arrays_zip explode);
+    bigram and unigram tables are partial+final hash aggregates; the
+    two unigram joins are on the SUPPORT-FILTERED bigram table (small),
+    and the top-30 head is a TakeOrdered, not a global sort."""
+    arr = F.filter(F.split(F.lower(_txt()), r"\s+", -1), lambda x: x != "")
+    d = _docs(spark, sf_dir).select(arr.alias("a"))
+    n_tok = F.size(F.col("a"))
+    pairs = d.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("a"), 1, n_tok - 1).alias("w1"),
+                F.slice(F.col("a"), 2, n_tok - 1).alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= COLLOC_MIN_SUPPORT)
+    )
+    uni = (
+        d.select(F.explode(F.col("a")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = uni.agg(F.sum("c").alias("n_total"))
+    j = (
+        big.join(uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n))
+    )
+    lift = (F.col("c_xy") * F.col("n_total")).cast("double") / (
+        F.col("c1") * F.col("c2")
+    ).cast("double")
+    return (
+        j.select("w1", "w2", "c_xy", "c1", "c2", lift.alias("lift"))
+        .orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
+        .limit(COLLOC_TOPK)
+    )
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -3706,6 +3866,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_source_chi2": q_lang_source_chi2,
         "quality_calibration": q_quality_calibration,
         "k_anonymity": q_k_anonymity,
+        "token_concentration": q_token_concentration,
+        "benford_amounts": q_benford_amounts,
+        "collocations": q_collocations,
         "winnow": q_winnow,
         "winnow_containment": q_winnow_containment,
         "dedup_clusters": q_dedup_clusters,
@@ -5514,6 +5677,68 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id)::BIGINT AS n_users,
                    count(*) < 5 AS k_violation
             FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "token_concentration": r"""
+            WITH toks AS (
+              SELECT source,
+                     unnest(regexp_split_to_array(lower(coalesce(text,'')),
+                                                  '\s+')) AS tok
+              FROM documents),
+            c AS (SELECT source, tok, count(*)::BIGINT AS c
+                  FROM toks WHERE tok <> '' GROUP BY source, tok),
+            agg AS (SELECT source,
+                           sum(c)::BIGINT AS n_tokens,
+                           count(*)::BIGINT AS n_types,
+                           sum(c * c)::BIGINT AS sumsq
+                    FROM c GROUP BY source)
+            SELECT source, n_tokens, n_types,
+                   (n_tokens * n_tokens - sumsq)::DOUBLE
+                     / (n_tokens * n_tokens)::DOUBLE AS simpson,
+                   (n_tokens * n_tokens)::DOUBLE / sumsq::DOUBLE AS inv_simpson
+            FROM agg
+        """,
+        "benford_amounts": f"""
+            WITH obs AS (
+              SELECT substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                    AS VARCHAR), 1, 1)::INT AS digit,
+                     count(*)::BIGINT AS n_obs
+              FROM orders GROUP BY 1),
+            total AS (SELECT count(*)::BIGINT AS n_total FROM orders),
+            grid AS (
+              SELECT d.digit::INT AS digit, t.n_total,
+                     coalesce(o.n_obs, 0) AS n_obs,
+                     ([{', '.join(f"{p}::DOUBLE" for p in BENFORD_P)}])[d.digit]
+                       AS p
+              FROM generate_series(1, 9) AS d(digit)
+              CROSS JOIN total t LEFT JOIN obs o ON o.digit = d.digit)
+            SELECT digit, n_obs,
+                   n_total::DOUBLE * p AS expected,
+                   ((n_obs::DOUBLE - n_total::DOUBLE * p)
+                    * (n_obs::DOUBLE - n_total::DOUBLE * p))
+                     / (n_total::DOUBLE * p) AS chi2_term
+            FROM grid
+        """,
+        "collocations": r"""
+            WITH arr AS (
+              SELECT list_filter(regexp_split_to_array(lower(coalesce(text,'')),
+                                                       '\s+'),
+                                 x -> x <> '') AS a
+              FROM documents),
+            pairs AS (
+              SELECT p[1] AS w1, p[2] AS w2
+              FROM (SELECT unnest(list_zip(a[1:-2], a[2:-1])) AS p FROM arr)),
+            big AS (SELECT w1, w2, count(*)::BIGINT AS c_xy
+                    FROM pairs GROUP BY w1, w2 HAVING count(*) >= 5),
+            uni AS (SELECT unnest(a) AS tok FROM arr),
+            unic AS (SELECT tok, count(*)::BIGINT AS c FROM uni GROUP BY tok),
+            n AS (SELECT sum(c)::BIGINT AS n_total FROM unic)
+            SELECT b.w1, b.w2, b.c_xy, u1.c AS c1, u2.c AS c2,
+                   (b.c_xy * n.n_total)::DOUBLE / (u1.c * u2.c)::DOUBLE AS lift
+            FROM big b
+            JOIN unic u1 ON u1.tok = b.w1
+            JOIN unic u2 ON u2.tok = b.w2
+            CROSS JOIN n
+            ORDER BY lift DESC, b.w1 ASC, b.w2 ASC LIMIT 30
         """,
     }
     return {k: v.strip() for k, v in sqls.items()}
