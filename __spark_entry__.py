@@ -3737,6 +3737,54 @@ def q_collocations(spark, sf_dir):
     )
 
 
+def q_revenue_by_region(spark, sf_dir):
+    """Star-join rollup across the relational side of the corpus:
+    region → nation → customer → orders → lineitem, revenue
+    Σ price·(1−discount) per region — the canonical
+    fact-table-joins-dimension-chain shape (TPC-H Q5 flavor) that
+    exercises broadcast-dimension planning on tables the transcript
+    queries never touch.
+
+    Exactness: price and discount are 2-decimal doubles; both are
+    rescaled to exact ints FIRST (floor(x·100 + 0.5) — explicit
+    half-up, round()'s tie rule differs across engines), so each line's
+    revenue contribution price_cents·(100−disc_pct) is an exact bigint
+    (≤1e9/row; Σ < 2^53 at bench scale — per-shard decimals are the
+    10^12 swap), summed exactly and divided ONCE at the end.
+
+    Scale: lineitem⨝orders and orders⨝customer are equi-joins on their
+    keys (AQE picks shuffle strategy + skew splits); nation and region
+    are broadcast by hint — the fact table never shuffles for them."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    disc = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    rev = cents * (F.lit(100) - disc)
+    return (
+        li.select(F.col("l_orderkey").alias("ok"), rev.alias("rev_e4"))
+        .join(o.select(F.col("o_orderkey").alias("ok"), "o_custkey"), "ok")
+        .join(c.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey"),
+              "o_custkey")
+        .join(F.broadcast(n.select(F.col("n_nationkey").alias("c_nationkey"),
+                                   "n_regionkey")), "c_nationkey")
+        .join(F.broadcast(r.select(F.col("r_regionkey").alias("n_regionkey"),
+                                   "r_name")), "n_regionkey")
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("rev_e4").alias("rev_e4"),
+        )
+        .select(
+            "r_name",
+            "n_lines",
+            (F.col("rev_e4").cast("double") / F.lit(10000.0)).alias("revenue"),
+        )
+    )
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -3869,6 +3917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_concentration": q_token_concentration,
         "benford_amounts": q_benford_amounts,
         "collocations": q_collocations,
+        "revenue_by_region": q_revenue_by_region,
         "winnow": q_winnow,
         "winnow_containment": q_winnow_containment,
         "dedup_clusters": q_dedup_clusters,
@@ -5739,6 +5788,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN unic u2 ON u2.tok = b.w2
             CROSS JOIN n
             ORDER BY lift DESC, b.w1 ASC, b.w2 ASC LIMIT 30
+        """,
+        "revenue_by_region": """
+            SELECT r.r_name,
+                   count(*)::BIGINT AS n_lines,
+                   sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (100 - CAST(floor(l.l_discount * 100 + 0.5)
+                                     AS BIGINT)))::DOUBLE
+                     / 10000.0 AS revenue
+            FROM lineitem l
+            JOIN orders o   ON o.o_orderkey  = l.l_orderkey
+            JOIN customer c ON c.c_custkey   = o.o_custkey
+            JOIN nation n   ON n.n_nationkey = c.c_nationkey
+            JOIN region r   ON r.r_regionkey = n.n_regionkey
+            GROUP BY r.r_name
         """,
     }
     return {k: v.strip() for k, v in sqls.items()}

@@ -229,6 +229,9 @@ def run_benchmarks() -> dict:
         "length_outliers",
         "ngram_novelty",
         "embedding_pca",
+        "lang_source_chi2",
+        "token_concentration",
+        "collocations",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

@@ -238,6 +238,28 @@ def main() -> None:
             E.q_rule_ablation(spark, SF),
         ),
         (
+            "token_concentration",
+            "Two STACKED partial+final hash aggregates (source x tok, "
+            "then source) — hot tokens collapse map-side; Simpson and "
+            "inv-Simpson are single divisions of exact bigints.",
+            E.q_token_concentration(spark, SF),
+        ),
+        (
+            "collocations",
+            "Bigrams by JVM slice+arrays_zip explode (no Python); "
+            "support filter shrinks the bigram table BEFORE the two "
+            "unigram joins; head is TakeOrderedAndProject — partition "
+            "heaps, never a global Sort.",
+            E.q_collocations(spark, SF),
+        ),
+        (
+            "lang_source_chi2",
+            "One corpus-wide hash aggregate; the contingency grid and "
+            "every float term live on the broadcast-sized "
+            "(langs x sources) cross — left-fold chi2 sum.",
+            E.q_lang_source_chi2(spark, SF),
+        ),
+        (
             "locators (report.locators, 130-partition input)",
             "Per-rule first-cap failing (conv_id, turn_idx): phase-1 "
             "partial top-k per (rule, scan partition), then a fan-in-64 "

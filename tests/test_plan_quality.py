@@ -280,3 +280,25 @@ def test_zipf_head_window_runs_on_takeordered_result(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan
     # (formatted plans print top-down: the Window consumes the head)
+
+
+def test_collocations_and_concentration_plans(spark):
+    """The new corpus-QA queries stay JVM-side with bounded heads:
+    collocations' top-30 is a TakeOrderedAndProject (partition heaps,
+    no global Sort of the scored bigram table) and its joins are all
+    equi-joins; token_concentration is pure stacked hash aggregates —
+    no Python stage, no SortAggregate, no window anywhere."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    plan = _fmt_plan(E.q_collocations(spark, sf))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert ") Sort " not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+    plan = _fmt_plan(E.q_token_concentration(spark, sf))
+    assert ") SortAggregate" not in plan, plan
+    assert ") Window" not in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+    assert ") HashAggregate" in plan, plan
