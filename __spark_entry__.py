@@ -3785,6 +3785,172 @@ def q_revenue_by_region(spark, sf_dir):
     )
 
 
+TOOL_NAMES = ["browser", "calculator", "python", "search", "sql"]
+SPLIT_LEAK_SALT = "leak-v1"
+
+
+def q_tool_usage(spark, sf_dir):
+    """Agent-transcript tool-call analytics: per-tool call volume,
+    conversation reach, failure rate, and mean result size — the usage
+    panel an agent-trace curation pass reads before deciding which tool
+    trajectories to keep (a tool with a high failure rate pollutes SFT
+    data with dead-end turns). Documents become turns under the shared
+    conv = doc_id % 97 convention with a three-way role cycle
+    (doc_id % 3: user / assistant / tool); tool turns carry a
+    deterministic tool name (doc_id % 5 over a fixed panel) and a
+    deterministic failure flag (result length % 11 == 0 — data-derived,
+    so both engines agree per row). Two stacked partial+final hash
+    aggregates ((tool, conv) first, so there is no count-distinct
+    Expand and the second shuffle carries <= |tools|x|convs| rows);
+    error_rate and mean_chars are single IEEE divisions of exact
+    bigints."""
+    tool = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(TOOL_NAMES[0]))
+        .when(F.col("doc_id") % 5 == 1, F.lit(TOOL_NAMES[1]))
+        .when(F.col("doc_id") % 5 == 2, F.lit(TOOL_NAMES[2]))
+        .when(F.col("doc_id") % 5 == 3, F.lit(TOOL_NAMES[3]))
+        .otherwise(F.lit(TOOL_NAMES[4]))
+    )
+    t = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 3 == 2)
+        .select(
+            (F.col("doc_id") % 97).cast("long").alias("conv"),
+            tool.alias("tool"),
+            F.length(_txt()).cast("long").alias("n_chars"),
+            ((F.length(_txt()) % 11) == 0).cast("long").alias("err"),
+        )
+    )
+    per = t.groupBy("tool", "conv").agg(
+        F.count(F.lit(1)).alias("n_calls"),
+        F.sum("err").alias("n_errors"),
+        F.sum("n_chars").alias("chars"),
+    )
+    return (
+        per.groupBy("tool")
+        .agg(
+            F.sum("n_calls").alias("n_calls"),
+            F.count(F.lit(1)).alias("n_convs"),
+            F.sum("n_errors").alias("n_errors"),
+            F.sum("chars").alias("chars"),
+        )
+        .select(
+            "tool",
+            "n_calls",
+            "n_convs",
+            "n_errors",
+            (
+                F.col("n_errors").cast("double") / F.col("n_calls").cast("double")
+            ).alias("error_rate"),
+            (
+                F.col("chars").cast("double") / F.col("n_calls").cast("double")
+            ).alias("mean_chars"),
+        )
+    )
+
+
+def q_role_patterns(spark, sf_dir):
+    """Conversation-structure template mining: each conversation's role
+    sequence as a compact initial string (U/A/T per turn, in turn
+    order), grouped into structural templates with conversation counts —
+    the shape histogram that surfaces scripted / single-pattern agent
+    corpora (one dominant pattern = a synthetic seed loop, the
+    structural analogue of prompt_templates). Ordered concat is the
+    conv_export idiom: array_sort(collect_list(struct)) + array_join on
+    the unique turn_idx (bounded by the largest conversation), the
+    DuckDB twin the plain string_agg(... ORDER BY); tool-turn count is
+    derived from the pattern string itself (length minus 'T'-stripped
+    length) so both engines read the same materialized value."""
+    ini = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("U"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("A"))
+        .otherwise(F.lit("T"))
+    )
+    t = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 97).cast("long").alias("conv"),
+        F.struct(
+            F.floor(F.col("doc_id") / 97).cast("long").alias("turn_idx"),
+            ini.alias("ini"),
+        ).alias("s"),
+    )
+    pat = t.groupBy("conv").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("s")), lambda x: x["ini"]), ""
+        ).alias("pattern")
+    )
+    return (
+        pat.groupBy("pattern")
+        .agg(F.count(F.lit(1)).alias("n_convs"), F.min("conv").alias("first_conv"))
+        .select(
+            "pattern",
+            "n_convs",
+            "first_conv",
+            F.length("pattern").cast("long").alias("n_turns"),
+            (
+                F.length("pattern")
+                - F.length(F.replace(F.col("pattern"), F.lit("T"), F.lit("")))
+            ).cast("long").alias("n_tool_turns"),
+        )
+    )
+
+
+def q_split_leakage(spark, sf_dir):
+    """Cross-split contamination audit: with a doc-level 90/5/5 split
+    (salted md5 of doc_id — i.i.d. over documents, NOT content-keyed,
+    which is exactly how real pipelines leak), count content keys that
+    appear in more than one split, per pair and in total — the
+    train/test-leak check run before trusting any eval number. Two key
+    grains mirror source_overlap: exact normalized text and its 40-char
+    prefix (boilerplate leaks before verbatim bodies). Membership flags
+    via max() over a (kind, key) hash aggregate — no count-distinct
+    Expand, no window; every output number is an exact integer sum."""
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(SPLIT_LEAK_SALT), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(b < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(b < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    norm = F.lower(F.trim(_txt()))
+    base = _docs(spark, sf_dir).select(split.alias("split"), norm.alias("norm"))
+    keys = base.select(
+        F.lit("exact").alias("kind"), F.md5("norm").alias("k"), "split"
+    ).unionByName(
+        base.select(
+            F.lit("prefix40").alias("kind"),
+            F.md5(F.substring("norm", 1, 40)).alias("k"),
+            "split",
+        )
+    )
+    per_key = keys.groupBy("kind", "k").agg(
+        F.max((F.col("split") == "train").cast("long")).alias("ht"),
+        F.max((F.col("split") == "val").cast("long")).alias("hv"),
+        F.max((F.col("split") == "test").cast("long")).alias("hs"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    multi = (F.col("ht") + F.col("hv") + F.col("hs")) > 1
+    return per_key.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.col("ht") * F.col("hv")).alias("train_val"),
+        F.sum(F.col("ht") * F.col("hs")).alias("train_test"),
+        F.sum(F.col("hv") * F.col("hs")).alias("val_test"),
+        F.sum(multi.cast("long")).alias("n_leaked_keys"),
+        F.sum(F.when(multi, F.col("n_docs")).otherwise(F.lit(0))).alias(
+            "n_leaked_docs"
+        ),
+    )
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -3918,6 +4084,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_amounts": q_benford_amounts,
         "collocations": q_collocations,
         "revenue_by_region": q_revenue_by_region,
+        "tool_usage": q_tool_usage,
+        "role_patterns": q_role_patterns,
+        "split_leakage": q_split_leakage,
         "winnow": q_winnow,
         "winnow_containment": q_winnow_containment,
         "dedup_clusters": q_dedup_clusters,
@@ -5802,6 +5971,75 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n   ON n.n_nationkey = c.c_nationkey
             JOIN region r   ON r.r_regionkey = n.n_regionkey
             GROUP BY r.r_name
+        """,
+        "tool_usage": f"""
+            WITH t AS (
+              SELECT (doc_id % 97)::BIGINT AS conv,
+                     CASE doc_id % 5
+                       WHEN 0 THEN '{TOOL_NAMES[0]}' WHEN 1 THEN '{TOOL_NAMES[1]}'
+                       WHEN 2 THEN '{TOOL_NAMES[2]}' WHEN 3 THEN '{TOOL_NAMES[3]}'
+                       ELSE '{TOOL_NAMES[4]}' END AS tool,
+                     length(coalesce(text,''))::BIGINT AS n_chars,
+                     (length(coalesce(text,'')) % 11 = 0)::BIGINT AS err
+              FROM documents WHERE doc_id % 3 = 2),
+            per AS (
+              SELECT tool, conv, count(*)::BIGINT AS n_calls,
+                     sum(err)::BIGINT AS n_errors, sum(n_chars)::BIGINT AS chars
+              FROM t GROUP BY tool, conv)
+            SELECT tool, sum(n_calls)::BIGINT AS n_calls,
+                   count(*)::BIGINT AS n_convs,
+                   sum(n_errors)::BIGINT AS n_errors,
+                   sum(n_errors)::DOUBLE / sum(n_calls)::DOUBLE AS error_rate,
+                   sum(chars)::DOUBLE / sum(n_calls)::DOUBLE AS mean_chars
+            FROM per GROUP BY tool
+        """,
+        "role_patterns": """
+            WITH t AS (
+              SELECT (doc_id % 97)::BIGINT AS conv,
+                     (doc_id // 97)::BIGINT AS turn_idx,
+                     CASE doc_id % 3 WHEN 0 THEN 'U' WHEN 1 THEN 'A'
+                       ELSE 'T' END AS ini
+              FROM documents),
+            pat AS (
+              SELECT conv, string_agg(ini, '' ORDER BY turn_idx) AS pattern
+              FROM t GROUP BY conv)
+            SELECT pattern, count(*)::BIGINT AS n_convs,
+                   min(conv)::BIGINT AS first_conv,
+                   length(pattern)::BIGINT AS n_turns,
+                   (length(pattern)
+                    - length(replace(pattern, 'T', '')))::BIGINT AS n_tool_turns
+            FROM pat GROUP BY pattern
+        """,
+        "split_leakage": f"""
+            WITH d AS (
+              SELECT CASE WHEN b < {SPLIT_TRAIN_PCT} THEN 'train'
+                          WHEN b < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+                          ELSE 'test' END AS split,
+                     norm
+              FROM (SELECT (concat('0x', substr(md5(concat('{SPLIT_LEAK_SALT}',
+                               doc_id::VARCHAR)), 1, 8)))::BIGINT % 100 AS b,
+                           lower(trim(coalesce(text,''), ' ')) AS norm
+                    FROM documents)),
+            keys AS (
+              SELECT 'exact' AS kind, md5(norm) AS k, split FROM d
+              UNION ALL
+              SELECT 'prefix40' AS kind, md5(substr(norm, 1, 40)) AS k, split
+              FROM d),
+            per_key AS (
+              SELECT kind, k,
+                     max((split = 'train')::BIGINT) AS ht,
+                     max((split = 'val')::BIGINT) AS hv,
+                     max((split = 'test')::BIGINT) AS hs,
+                     count(*)::BIGINT AS n_docs
+              FROM keys GROUP BY kind, k)
+            SELECT kind, count(*)::BIGINT AS n_keys,
+                   sum(ht * hv)::BIGINT AS train_val,
+                   sum(ht * hs)::BIGINT AS train_test,
+                   sum(hv * hs)::BIGINT AS val_test,
+                   sum((ht + hv + hs > 1)::BIGINT)::BIGINT AS n_leaked_keys,
+                   sum(CASE WHEN ht + hv + hs > 1 THEN n_docs
+                            ELSE 0 END)::BIGINT AS n_leaked_docs
+            FROM per_key GROUP BY kind
         """,
     }
     return {k: v.strip() for k, v in sqls.items()}

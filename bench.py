@@ -232,6 +232,8 @@ def run_benchmarks() -> dict:
         "lang_source_chi2",
         "token_concentration",
         "collocations",
+        "tool_usage",
+        "split_leakage",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

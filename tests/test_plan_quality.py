@@ -302,3 +302,21 @@ def test_collocations_and_concentration_plans(spark):
     assert ") Window" not in plan, plan
     assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
     assert ") HashAggregate" in plan, plan
+
+
+def test_tool_usage_and_split_leakage_plans(spark):
+    """Agent-trace analytics stay JVM-side: tool_usage is two stacked
+    partial+final hash aggregates (the (tool, conv) pre-aggregate kills
+    the count-distinct Expand); split_leakage's membership flags are
+    plain max() aggregates over (kind, key) — no Expand, no Window, no
+    SortAggregate, no Python stage in either plan."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    for q in (E.q_tool_usage, E.q_split_leakage):
+        plan = _fmt_plan(q(spark, sf))
+        assert ") Expand" not in plan, plan
+        assert ") Window" not in plan, plan
+        assert ") SortAggregate" not in plan, plan
+        assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+        assert ") HashAggregate" in plan, plan
