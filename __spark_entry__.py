@@ -3951,6 +3951,249 @@ def q_split_leakage(spark, sf_dir):
     )
 
 
+LOOP_RUN_MIN = 2  # consecutive identical calls that count as a loop
+ECHO_CONTAIN = 0.6  # response-word containment in prompt that flags an echo
+
+
+def q_turn_integrity(spark, sf_dir):
+    """Conversation turn-index integrity audit: duplicate turn_idx values
+    and index gaps per conversation — the ingest-corruption check run
+    before any window/lead() logic is trusted (a duplicated idx silently
+    double-feeds lead(); a gap truncates context packing). Turn indexes
+    are deterministically damaged on both engines (every 13th doc shifts
+    +3 → a gap, every 17th shifts −1 → a collision with its predecessor)
+    so the audit exercises real damage. Two stacked partial+final hash
+    aggregates — the (conv, idx) pre-aggregate avoids a count-distinct
+    Expand; every output is an exact integer or boolean."""
+    idx = F.floor(F.col("doc_id") / 97).cast("long")
+    eff = (
+        F.when(F.col("doc_id") % 13 == 0, idx + 3)
+        .when((F.col("doc_id") % 17 == 0) & (idx > 0), idx - 1)
+        .otherwise(idx)
+    )
+    d = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 97).cast("long").alias("conv"), eff.alias("idx")
+    )
+    per = d.groupBy("conv", "idx").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per.groupBy("conv")
+        .agg(
+            F.sum("c").alias("n_turns"),
+            F.count(F.lit(1)).alias("n_distinct_idx"),
+            F.min("idx").alias("min_idx"),
+            F.max("idx").alias("max_idx"),
+        )
+        .select(
+            "conv",
+            "n_turns",
+            (F.col("n_turns") - F.col("n_distinct_idx")).alias("n_dup_idx"),
+            "min_idx",
+            "max_idx",
+            (
+                F.col("max_idx") - F.col("min_idx") + 1 - F.col("n_distinct_idx")
+            ).alias("n_gaps"),
+            (
+                (F.col("n_turns") == F.col("n_distinct_idx"))
+                & (F.col("max_idx") - F.col("min_idx") + 1 == F.col("n_distinct_idx"))
+                & (F.col("min_idx") == 0)
+            ).alias("contiguous"),
+        )
+    )
+
+
+def q_preference_pairs(spark, sf_dir):
+    """DPO/RLHF preference-pair construction: per conversation, pick the
+    best and worst assistant turn by the heuristic quality score as
+    (chosen, rejected) with the score margin — the pair-mining step that
+    turns rated transcripts into preference data (zero-margin pairs are
+    dropped: training on ties teaches nothing). Selection is total-order
+    deterministic via min/max over struct(score, -turn_idx) — max takes
+    the highest score breaking ties to the EARLIEST turn, min the lowest
+    score breaking ties to the LATEST turn — proven equivalent to the
+    SQL row_number twin (the conv_lang_consistency idiom). Margin is one
+    IEEE subtraction of identically-computed doubles, so the filter
+    agrees bit-for-bit across engines. The uniformly-clean gate corpus
+    sits on one lattice point, so candidate texts are deterministically
+    decorated by doc_id stripe (truncate/upper/punct-flood — the
+    quality_calibration pattern, mirrored in the twin) so real margins
+    exist."""
+    from qamd_spark.ops import text as tx
+
+    t2 = (
+        F.when(F.col("doc_id") % 5 == 1, F.substring(_txt(), 1, 10))
+        .when(F.col("doc_id") % 5 == 2, F.upper(_txt()))
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(_txt(), F.repeat(F.lit("!"), F.length(_txt()))),
+        )
+        .otherwise(_txt())
+    )
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 3 == 1)
+        .select(
+            (F.col("doc_id") % 97).cast("long").alias("conv"),
+            F.floor(F.col("doc_id") / 97).cast("long").alias("turn_idx"),
+            tx.quality_score(t2).alias("score"),
+        )
+    )
+    s = F.struct(F.col("score").alias("sc"), (-F.col("turn_idx")).alias("neg"))
+    agg = d.groupBy("conv").agg(
+        F.max(s).alias("ch"),
+        F.min(s).alias("rj"),
+        F.count(F.lit(1)).alias("n_candidates"),
+    )
+    return (
+        agg.select(
+            "conv",
+            "n_candidates",
+            (-F.col("ch.neg")).cast("long").alias("chosen_idx"),
+            F.col("ch.sc").alias("chosen_score"),
+            (-F.col("rj.neg")).cast("long").alias("rejected_idx"),
+            F.col("rj.sc").alias("rejected_score"),
+            (F.col("ch.sc") - F.col("rj.sc")).alias("margin"),
+        )
+        .filter(F.col("margin") > 0)
+    )
+
+
+def q_response_copy(spark, sf_dir):
+    """Prompt-echo detection for SFT pairs: distinct-word containment of
+    the response in its prompt (|W(resp) ∩ W(prompt)| / |W(resp)|) — a
+    response that merely restates the prompt is extraction-shaped junk
+    that trains parroting. Pairs come from the sft_pairs derivation
+    (even turn + lead()); containment is computed set-wise via exploded
+    distinct words and an equi-join (both engines use the same exact
+    space-split + explode formulation — no reliance on engine-specific
+    list-intersect semantics). The join keys are (conv, turn_idx, word):
+    bounded per pair, AQE-splittable on hot pairs."""
+    d = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 97).cast("long").alias("conv"),
+        F.floor(F.col("doc_id") / 97).cast("long").alias("turn_idx"),
+        _txt().alias("t"),
+    )
+    w = Window.partitionBy("conv").orderBy("turn_idx")
+    pairs = (
+        d.select("conv", "turn_idx", "t", F.lead("t", 1).over(w).alias("resp"))
+        .where((F.col("turn_idx") % 2 == 0) & F.col("resp").isNotNull())
+    )
+
+    def words(col):
+        return F.explode(
+            F.array_distinct(
+                F.filter(F.split(col, " ", -1), lambda x: x != "")
+            )
+        )
+
+    rw = pairs.select("conv", "turn_idx", words(F.col("resp")).alias("w"))
+    pw = pairs.select("conv", "turn_idx", words(F.col("t")).alias("w"))
+    nresp = rw.groupBy("conv", "turn_idx").agg(F.count(F.lit(1)).alias("n_resp_words"))
+    nshared = (
+        rw.join(pw, ["conv", "turn_idx", "w"], "left_semi")
+        .groupBy("conv", "turn_idx")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    out = (
+        pairs.select("conv", "turn_idx")
+        .join(nresp, ["conv", "turn_idx"], "left")
+        .join(nshared, ["conv", "turn_idx"], "left")
+        .fillna(0, ["n_resp_words", "n_shared"])
+    )
+    contain = F.when(
+        F.col("n_resp_words") > 0,
+        F.col("n_shared").cast("double") / F.col("n_resp_words").cast("double"),
+    ).otherwise(0.0)
+    return out.select(
+        "conv",
+        "turn_idx",
+        "n_resp_words",
+        "n_shared",
+        contain.alias("containment"),
+        (contain >= ECHO_CONTAIN).alias("is_echo"),
+    )
+
+
+def q_agent_loop_detect(spark, sf_dir):
+    """Stuck-agent loop detection: longest run of consecutive identical
+    tool calls per conversation (an agent re-issuing the same call is a
+    dead-end trajectory that should not survive into SFT data). Call
+    signatures are the tool name with a deterministic planted retry
+    marker (doc_id % 7 ≥ 3 → 'retry:search') so real runs exist on the
+    synthetic corpus. Runs are the classic gaps-and-islands double
+    row_number (rn − rn-per-signature is constant within a run); both
+    windows order by the unique turn index, so run boundaries are
+    deterministic. One exchange on conv; windows and the run aggregate
+    are bounded per conversation."""
+    tool = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(TOOL_NAMES[0]))
+        .when(F.col("doc_id") % 5 == 1, F.lit(TOOL_NAMES[1]))
+        .when(F.col("doc_id") % 5 == 2, F.lit(TOOL_NAMES[2]))
+        .when(F.col("doc_id") % 5 == 3, F.lit(TOOL_NAMES[3]))
+        .otherwise(F.lit(TOOL_NAMES[4]))
+    )
+    sig = F.when(F.col("doc_id") % 7 < 3, tool).otherwise(F.lit("retry:search"))
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 3 == 2)
+        .select(
+            (F.col("doc_id") % 97).cast("long").alias("conv"),
+            F.floor(F.col("doc_id") / 97).cast("long").alias("idx"),
+            sig.alias("sig"),
+        )
+    )
+    w_all = Window.partitionBy("conv").orderBy("idx")
+    w_sig = Window.partitionBy("conv", "sig").orderBy("idx")
+    runs = (
+        d.select(
+            "conv",
+            "sig",
+            (F.row_number().over(w_all) - F.row_number().over(w_sig)).alias("grp"),
+        )
+        .groupBy("conv", "sig", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return (
+        runs.groupBy("conv")
+        .agg(
+            F.sum("run_len").alias("n_calls"),
+            F.count(F.lit(1)).alias("n_runs"),
+            F.max("run_len").alias("max_run"),
+            (F.sum("run_len") - F.count(F.lit(1))).alias("n_repeat_steps"),
+        )
+        .select(
+            "conv",
+            "n_calls",
+            "n_runs",
+            "max_run",
+            "n_repeat_steps",
+            (F.col("max_run") >= LOOP_RUN_MIN).alias("looping"),
+        )
+    )
+
+
+def q_compression_ratio(spark, sf_dir):
+    """zlib-compressibility quality proxy per document (rows-only: zlib
+    is not expressible in SQL; exact pandas-twin + planted-damage pytests
+    in tests/test_ops.py). Repetitive boilerplate compresses far below
+    prose (ratio < 0.3 at corpus lengths), already-compressed or random
+    payloads don't compress at all (ratio near/above 1) — the cheap
+    screen that catches both failure modes with one narrow Arrow stage.
+    Flags are computed from the exact integer lengths, so they are
+    batch-invariant."""
+    from qamd_spark.ops.text import compression_profile
+
+    prof = compression_profile(_docs(spark, sf_dir).select("doc_id", _txt().alias("text")))
+    return prof.select(
+        "doc_id",
+        "n_bytes",
+        "n_compressed",
+        "ratio",
+        # integer-side comparisons: 10*nc < 3*nb  <=>  ratio < 0.3
+        ((F.col("n_compressed") * 10) < (F.col("n_bytes") * 3)).alias("too_repetitive"),
+        ((F.col("n_compressed") * 100) > (F.col("n_bytes") * 95)).alias("near_random"),
+    )
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -4087,6 +4330,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_usage": q_tool_usage,
         "role_patterns": q_role_patterns,
         "split_leakage": q_split_leakage,
+        "turn_integrity": q_turn_integrity,
+        "preference_pairs": q_preference_pairs,
+        "response_copy": q_response_copy,
+        "agent_loop_detect": q_agent_loop_detect,
+        "compression_ratio": q_compression_ratio,
         "winnow": q_winnow,
         "winnow_containment": q_winnow_containment,
         "dedup_clusters": q_dedup_clusters,
@@ -6040,6 +6288,128 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN ht + hv + hs > 1 THEN n_docs
                             ELSE 0 END)::BIGINT AS n_leaked_docs
             FROM per_key GROUP BY kind
+        """,
+        "turn_integrity": """
+            WITH t AS (
+              SELECT (doc_id % 97)::BIGINT AS conv,
+                     CASE WHEN doc_id % 13 = 0 THEN (doc_id // 97) + 3
+                          WHEN doc_id % 17 = 0 AND (doc_id // 97) > 0
+                            THEN (doc_id // 97) - 1
+                          ELSE (doc_id // 97) END::BIGINT AS idx
+              FROM documents),
+            per AS (
+              SELECT conv, idx, count(*)::BIGINT AS c FROM t GROUP BY conv, idx),
+            agg AS (
+              SELECT conv, sum(c)::BIGINT AS n_turns,
+                     count(*)::BIGINT AS n_distinct_idx,
+                     min(idx)::BIGINT AS min_idx, max(idx)::BIGINT AS max_idx
+              FROM per GROUP BY conv)
+            SELECT conv, n_turns,
+                   (n_turns - n_distinct_idx)::BIGINT AS n_dup_idx,
+                   min_idx, max_idx,
+                   (max_idx - min_idx + 1 - n_distinct_idx)::BIGINT AS n_gaps,
+                   (n_turns = n_distinct_idx
+                    AND max_idx - min_idx + 1 = n_distinct_idx
+                    AND min_idx = 0) AS contiguous
+            FROM agg
+        """,
+        "preference_pairs": f"""
+            WITH dec AS (
+              SELECT (doc_id % 97)::BIGINT AS conv,
+                     (doc_id // 97)::BIGINT AS turn_idx,
+                     CASE WHEN doc_id % 5 = 1
+                            THEN substr(coalesce(text,''), 1, 10)
+                          WHEN doc_id % 5 = 2 THEN upper(coalesce(text,''))
+                          WHEN doc_id % 5 = 3
+                            THEN concat(coalesce(text,''),
+                                        repeat('!', length(coalesce(text,''))))
+                          ELSE coalesce(text,'') END AS text
+              FROM documents WHERE doc_id % 3 = 1),
+            a AS (
+              SELECT conv, turn_idx, {QUALITY_SQL} AS score FROM dec),
+            r AS (
+              SELECT conv, turn_idx, score,
+                     row_number() OVER (PARTITION BY conv
+                        ORDER BY score DESC, turn_idx ASC) AS rc,
+                     row_number() OVER (PARTITION BY conv
+                        ORDER BY score ASC, turn_idx DESC) AS rr,
+                     count(*) OVER (PARTITION BY conv) AS n_candidates
+              FROM a)
+            SELECT c.conv, c.n_candidates::BIGINT AS n_candidates,
+                   c.turn_idx AS chosen_idx, c.score AS chosen_score,
+                   j.turn_idx AS rejected_idx, j.score AS rejected_score,
+                   c.score - j.score AS margin
+            FROM (SELECT * FROM r WHERE rc = 1) c
+            JOIN (SELECT * FROM r WHERE rr = 1) j USING (conv)
+            WHERE c.score - j.score > 0
+        """,
+        "response_copy": f"""
+            WITH d AS (
+              SELECT (doc_id % 97)::BIGINT AS conv,
+                     (doc_id // 97)::BIGINT AS turn_idx,
+                     coalesce(text,'') AS t
+              FROM documents),
+            pairs AS (
+              SELECT conv, turn_idx, t,
+                     lead(t) OVER (PARTITION BY conv ORDER BY turn_idx) AS resp
+              FROM d
+              QUALIFY turn_idx % 2 = 0 AND resp IS NOT NULL),
+            rw AS (
+              SELECT DISTINCT conv, turn_idx, w FROM (
+                SELECT conv, turn_idx, unnest(str_split(resp, ' ')) AS w
+                FROM pairs) WHERE w <> ''),
+            pw AS (
+              SELECT DISTINCT conv, turn_idx, w FROM (
+                SELECT conv, turn_idx, unnest(str_split(t, ' ')) AS w
+                FROM pairs) WHERE w <> ''),
+            nresp AS (
+              SELECT conv, turn_idx, count(*)::BIGINT AS n_resp_words
+              FROM rw GROUP BY conv, turn_idx),
+            nshared AS (
+              SELECT conv, turn_idx, count(*)::BIGINT AS n_shared
+              FROM rw JOIN pw USING (conv, turn_idx, w)
+              GROUP BY conv, turn_idx)
+            SELECT p.conv, p.turn_idx,
+                   coalesce(n.n_resp_words, 0)::BIGINT AS n_resp_words,
+                   coalesce(s.n_shared, 0)::BIGINT AS n_shared,
+                   CASE WHEN coalesce(n.n_resp_words, 0) > 0
+                        THEN coalesce(s.n_shared, 0)::DOUBLE
+                             / n.n_resp_words::DOUBLE
+                        ELSE 0.0 END AS containment,
+                   (CASE WHEN coalesce(n.n_resp_words, 0) > 0
+                         THEN coalesce(s.n_shared, 0)::DOUBLE
+                              / n.n_resp_words::DOUBLE
+                         ELSE 0.0 END) >= {ECHO_CONTAIN} AS is_echo
+            FROM pairs p
+            LEFT JOIN nresp n USING (conv, turn_idx)
+            LEFT JOIN nshared s USING (conv, turn_idx)
+        """,
+        "agent_loop_detect": f"""
+            WITH t AS (
+              SELECT (doc_id % 97)::BIGINT AS conv,
+                     (doc_id // 97)::BIGINT AS idx,
+                     CASE WHEN doc_id % 7 < 3 THEN
+                       CASE doc_id % 5
+                         WHEN 0 THEN '{TOOL_NAMES[0]}' WHEN 1 THEN '{TOOL_NAMES[1]}'
+                         WHEN 2 THEN '{TOOL_NAMES[2]}' WHEN 3 THEN '{TOOL_NAMES[3]}'
+                         ELSE '{TOOL_NAMES[4]}' END
+                     ELSE 'retry:search' END AS sig
+              FROM documents WHERE doc_id % 3 = 2),
+            g AS (
+              SELECT conv, sig,
+                     row_number() OVER (PARTITION BY conv ORDER BY idx)
+                   - row_number() OVER (PARTITION BY conv, sig ORDER BY idx)
+                       AS grp
+              FROM t),
+            runs AS (
+              SELECT conv, sig, grp, count(*)::BIGINT AS run_len
+              FROM g GROUP BY conv, sig, grp)
+            SELECT conv, sum(run_len)::BIGINT AS n_calls,
+                   count(*)::BIGINT AS n_runs,
+                   max(run_len)::BIGINT AS max_run,
+                   (sum(run_len) - count(*))::BIGINT AS n_repeat_steps,
+                   max(run_len) >= {LOOP_RUN_MIN} AS looping
+            FROM runs GROUP BY conv
         """,
     }
     return {k: v.strip() for k, v in sqls.items()}

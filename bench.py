@@ -234,6 +234,8 @@ def run_benchmarks() -> dict:
         "collocations",
         "tool_usage",
         "split_leakage",
+        "compression_ratio",
+        "agent_loop_detect",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

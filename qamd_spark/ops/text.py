@@ -799,3 +799,81 @@ def strip_html(text: Column) -> Column:
     for ent, rep in HTML_ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(rep))
     return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+# --------------------------------------------------------------- compression
+COMPRESS_LEVEL = 6  # zlib default-ish; frozen so ratios are reproducible
+
+
+def _compression_batch(texts, level=COMPRESS_LEVEL):
+    """Per-text (n_bytes, n_compressed) under zlib at a frozen level.
+
+    zlib output length is deterministic for a given (input, level,
+    library) — the C library is the same in driver, executors, and the
+    pandas twin inside one container, so the twin comparison is exact.
+    Per-row compress() calls are C-side; the Python loop only moves
+    bytes objects (no numeric work).
+    """
+    import zlib
+
+    nb, nc = [], []
+    for t in texts:
+        b = ("" if t is None else t).encode("utf-8")
+        nb.append(len(b))
+        nc.append(len(zlib.compress(b, level)))
+    return nb, nc
+
+
+def compression_profile(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = COMPRESS_LEVEL,
+) -> DataFrame:
+    """zlib-compressibility quality proxy (the classic corpus screen:
+    boilerplate/repetitive junk compresses far below prose, while
+    already-compressed or random payloads don't compress at all).
+    One narrow Arrow-batched map stage over (id, text); ratio is one
+    IEEE division of exact integer lengths, so it is batch-invariant
+    and twin-exact by construction. Empty docs get ratio NULL (a 0-byte
+    input has no meaningful compressibility).
+    """
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("n_compressed", T.LongType()),
+            T.StructField("ratio", T.DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            nb, nc = _compression_batch(list(pdf[text_col]), level=level)
+            out = pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "n_bytes": nb, "n_compressed": nc}
+            )
+            out["ratio"] = [
+                (c / b) if b > 0 else None for b, c in zip(nb, nc)
+            ]
+            yield out
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
+def compression_profile_pdf(pdf, id_col="doc_id", text_col="text",
+                            level=COMPRESS_LEVEL):
+    """Exact pandas twin of compression_profile (same kernel)."""
+    import pandas as pd
+
+    nb, nc = _compression_batch(list(pdf[text_col]), level=level)
+    out = pd.DataFrame(
+        {id_col: pdf[id_col].to_numpy(), "n_bytes": nb, "n_compressed": nc}
+    )
+    out["ratio"] = [(c / b) if b > 0 else None for b, c in zip(nb, nc)]
+    return out

@@ -1121,3 +1121,90 @@ def test_pca_planted_rank_k_reconstruction(spark):
     assert float(out["recon_err"].max()) < 1e-9
     # the two planted directions carry all the variance
     assert float(np.asarray(model.explained_ratio).sum()) > 1.0 - 1e-9
+
+
+# ------------------------------------------------------------ compression
+def test_compression_profile_matches_pandas_twin(spark):
+    """Spark compression_profile equals the pandas twin bit-for-bit —
+    same zlib library, same level, ratio is one IEEE division of exact
+    integer lengths (batch-invariant by construction)."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                "ab" * 500,                      # highly repetitive
+                "the quick brown fox jumps over the lazy dog",
+                None,                            # null → empty
+                "",                              # empty
+                "x",                             # shorter than zlib header
+                "mixed 123 !!! content with SOME entropy éé",
+            ],
+        }
+    )
+    sp = (
+        text_ops.compression_profile(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    tw = text_ops.compression_profile_pdf(pdf).sort_values("doc_id").reset_index(
+        drop=True
+    )
+    assert (sp["n_bytes"].to_numpy() == tw["n_bytes"].to_numpy()).all()
+    assert (sp["n_compressed"].to_numpy() == tw["n_compressed"].to_numpy()).all()
+    a, b = sp["ratio"].to_numpy(float), tw["ratio"].to_numpy(float)
+    assert np.array_equal(a, b, equal_nan=True)
+
+
+def test_compression_profile_batch_invariant(spark):
+    """Same rows through 1 partition vs 6 partitions → identical output
+    (per-row kernel: no cross-row state to leak across Arrow batches)."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(12, dtype=np.int64),
+            "text": [f"document {i} " + "filler " * (i % 5) for i in range(12)],
+        }
+    )
+    one = (
+        text_ops.compression_profile(spark.createDataFrame(pdf).coalesce(1))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    many = (
+        text_ops.compression_profile(spark.createDataFrame(pdf).repartition(6))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(one, many)
+
+
+def test_compression_flags_planted_damage(spark):
+    """A pure repetition compresses under 0.3; an sha-hex-ish random
+    string does not compress (ratio near 1); clean prose sits between."""
+    import hashlib
+
+    rand = "".join(
+        hashlib.sha256(str(i).encode()).hexdigest() for i in range(40)
+    )
+    prose = (
+        "A quality filter built on compressibility exploits a simple fact: "
+        "natural prose carries steady novelty, so the deflate window keeps "
+        "finding fresh material, while boilerplate repeats its own recent "
+        "past and collapses toward nothing. Between those poles sit tables, "
+        "logs, and templated pages, each with its own signature ratio."
+    )
+    rows = [
+        (0, "spam " * 400),
+        (1, rand),
+        (2, prose),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in text_ops.compression_profile(df).collect()
+    }
+    assert out[0]["ratio"] < 0.3
+    assert out[1]["ratio"] > 0.5  # hex of hashes barely compresses
+    assert 0.3 < out[2]["ratio"] < 0.9

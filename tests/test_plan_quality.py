@@ -320,3 +320,38 @@ def test_tool_usage_and_split_leakage_plans(spark):
         assert ") SortAggregate" not in plan, plan
         assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
         assert ") HashAggregate" in plan, plan
+
+
+def test_turn_integrity_and_loop_detect_plans(spark):
+    """turn_integrity is two stacked hash aggregates (no count-distinct
+    Expand, no Window); agent_loop_detect's two windows share ONE
+    exchange on conv (the per-(conv,sig) window re-sorts locally but
+    must not reshuffle) and its aggregates are hash aggregates."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    plan = _fmt_plan(E.q_turn_integrity(spark, sf))
+    assert ") Expand" not in plan, plan
+    assert ") Window" not in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+    plan = _fmt_plan(E.q_agent_loop_detect(spark, sf))
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+    assert ") SortAggregate" not in plan, plan
+    n_exch = len(re.findall(r"\) Exchange", plan))
+    # one exchange feeds both windows (same conv hash partitioning);
+    # the run aggregate re-partitions on (conv, sig, grp)
+    assert n_exch <= 2, plan
+
+
+def test_compression_ratio_is_single_narrow_python_stage(spark):
+    """compression_ratio has exactly one MapInPandas over a 2-column
+    scan — the payload never reaches a shuffle."""
+    import __spark_entry__ as E
+
+    plan = _fmt_plan(E.q_compression_ratio(spark, "/root/testdata/sf0.001"))
+    assert plan.count(") MapInPandas") == 1, plan
+    assert ") Exchange" not in plan, plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"doc_id", "text"}, cols
