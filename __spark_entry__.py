@@ -237,6 +237,66 @@ def _encoding_profile_sql() -> str:
     """
 
 
+
+def _url_canon_sql() -> str:
+    """DuckDB twin of the stamped-URL canonicalization chain (shared by
+    the url_normalize and url_dedup oracles — one definition, zero
+    drift)."""
+    return """
+            WITH u0 AS (
+              SELECT doc_id,
+                     concat('HTTPS://WWW.Ex', (doc_id % 5)::VARCHAR,
+                            '.Example.COM',
+                            CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END,
+                            '/Path',
+                            CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
+                            '?utm_source=x&page=', (doc_id % 7)::VARCHAR,
+                            '&utm_medium=y#Frag') AS url
+              FROM documents),
+            p AS (
+              SELECT doc_id, url,
+                     regexp_replace(url, '#.*$', '') AS u1
+              FROM u0),
+            x AS (
+              SELECT doc_id, url,
+                     lower(regexp_extract(u1,
+                         '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+                     lower(regexp_extract(u1,
+                         '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1))
+                       AS hostport,
+                     regexp_extract(u1,
+                         '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*(.*)$', 1)
+                       AS rest
+              FROM p),
+            h AS (
+              SELECT doc_id, url, scheme, rest,
+                     CASE
+                       WHEN scheme = 'https' THEN regexp_replace(
+                         regexp_replace(hostport, '^www\\.', ''), ':443$', '')
+                       WHEN scheme = 'http' THEN regexp_replace(
+                         regexp_replace(hostport, '^www\\.', ''), ':80$', '')
+                       ELSE regexp_replace(hostport, '^www\\.', '')
+                     END AS host
+              FROM x),
+            pq AS (
+              SELECT doc_id, url, scheme, host,
+                     regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
+                                    '/+$', '') AS path,
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_extract(rest, '\\?(.*)$', 1),
+                         'utm_[^&]*&', '', 'g'),
+                       '&?utm_[^&]*$', '') AS query
+              FROM h)
+            SELECT doc_id, url,
+                   concat(scheme, '://', host, path,
+                          CASE WHEN query = '' THEN ''
+                               ELSE concat('?', query) END) AS canon_url,
+                   host AS domain
+            FROM pq
+        """
+
+
 EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 SSN_RX = r"\b\d{3}-\d{2}-\d{4}\b"
 LEN_MIN, LEN_MAX = 2, 8000
@@ -3070,6 +3130,16 @@ def q_url_normalize(spark, sf_dir):
     trailing path slashes → rebuild. Messy URLs are stamped
     deterministically from doc_id (no URLs in the corpus). Pure
     projection, no shuffle."""
+    c = _url_canon_cols()
+    return _docs(spark, sf_dir).select(
+        "doc_id", c["url"], c["canon_url"], c["domain"]
+    )
+
+
+def _url_canon_cols():
+    """The stamped-URL canonicalization chain shared by q_url_normalize
+    and q_url_dedup (one definition so the queries cannot drift; the SQL
+    twin is likewise shared via _url_canon_sql)."""
     u = F.concat(
         F.lit("HTTPS://WWW.Ex"),
         (F.col("doc_id") % 5).cast("string"),
@@ -3102,9 +3172,11 @@ def q_url_normalize(spark, sf_dir):
         path,
         F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
     )
-    return _docs(spark, sf_dir).select(
-        "doc_id", u.alias("url"), canon.alias("canon_url"), host.alias("domain")
-    )
+    return {
+        "url": u.alias("url"),
+        "canon_url": canon.alias("canon_url"),
+        "domain": host.alias("domain"),
+    }
 
 
 def q_ccnet_buckets(spark, sf_dir):
@@ -4194,6 +4266,189 @@ def q_compression_ratio(spark, sf_dir):
     )
 
 
+LICENSE_MARKERS = [
+    ("cc", "creative commons"),
+    ("mit", "mit license"),
+    ("apache", "apache license"),
+    ("gpl", "general public license"),
+    ("arr", "all rights reserved"),
+]
+LICENSE_OPEN = ("cc", "mit", "apache", "gpl")
+
+
+def _license_scan_sql() -> str:
+    """DuckDB twin of q_license_scan, GENERATED from LICENSE_MARKERS /
+    LICENSE_OPEN so the panel, stamp, and priority order cannot drift."""
+    footer = " ".join(
+        f"WHEN {i} THEN '{m}'" for i, (_k, m) in enumerate(LICENSE_MARKERS)
+    )
+    flags = ",\n                     ".join(
+        f"contains(t, '{m}') AS m_{k}" for k, m in LICENSE_MARKERS
+    )
+    first = " ".join(f"WHEN m_{k} THEN '{k}'" for k, _m in LICENSE_MARKERS)
+    has = " OR ".join(f"m_{k}" for k, _m in LICENSE_MARKERS)
+    is_open = " OR ".join(f"m_{k}" for k in LICENSE_OPEN)
+    cols = ", ".join(f"m_{k}" for k, _m in LICENSE_MARKERS)
+    return f"""
+            WITH s AS (
+              SELECT doc_id,
+                     lower(CASE WHEN doc_id % 9 = 4 THEN
+                       concat(coalesce(text,''), ' License: ',
+                              CASE doc_id % 5 {footer} END, '.')
+                     ELSE coalesce(text,'') END) AS t
+              FROM documents),
+            f AS (
+              SELECT doc_id,
+                     {flags}
+              FROM s)
+            SELECT doc_id, ({has}) AS has_license,
+                   CASE {first} END AS license,
+                   (({is_open}) AND ({has})) AS is_open_license,
+                   {cols}
+            FROM f
+    """
+
+
+def q_license_scan(spark, sf_dir):
+    """License-marker curation filter: per-document detection of common
+    license/rights strings (the compliance screen web corpora run before
+    training — 'all rights reserved' pages are dropped, permissive
+    licenses kept with attribution). Markers are substring tests on the
+    lowercased text; every 9th doc gets a deterministic license footer
+    (marker chosen by doc_id % 5) so all panel branches fire on the gate
+    corpus. First-match priority is the fixed panel order via one
+    case-when chain — identical in both engines. Pure projection, no
+    shuffle."""
+    footer = F.concat(
+        F.lit(" License: "),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(LICENSE_MARKERS[0][1]))
+        .when(F.col("doc_id") % 5 == 1, F.lit(LICENSE_MARKERS[1][1]))
+        .when(F.col("doc_id") % 5 == 2, F.lit(LICENSE_MARKERS[2][1]))
+        .when(F.col("doc_id") % 5 == 3, F.lit(LICENSE_MARKERS[3][1]))
+        .otherwise(F.lit(LICENSE_MARKERS[4][1])),
+        F.lit("."),
+    )
+    t = F.lower(
+        F.when(F.col("doc_id") % 9 == 4, F.concat(_txt(), footer)).otherwise(_txt())
+    )
+    flags = {k: t.contains(m) for k, m in LICENSE_MARKERS}
+    lic = F.lit(None).cast("string")
+    for k, _m in reversed(LICENSE_MARKERS):
+        lic = F.when(flags[k], F.lit(k)).otherwise(lic)
+    has = None
+    for k, _m in LICENSE_MARKERS:
+        has = flags[k] if has is None else (has | flags[k])
+    is_open = None
+    for k in LICENSE_OPEN:
+        is_open = flags[k] if is_open is None else (is_open | flags[k])
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        has.alias("has_license"),
+        lic.alias("license"),
+        (is_open & has).alias("is_open_license"),
+        *[flags[k].alias(f"m_{k}") for k, _m in LICENSE_MARKERS],
+    )
+
+
+def q_readability(spark, sf_dir):
+    """Flesch reading-ease + Flesch–Kincaid grade per document — the
+    readability axis of educational-quality scoring (FineWeb-Edu-style
+    filters gate on exactly these signals). Words are lowercase alpha
+    runs, syllables are vowel-group runs (a vowel group can never span a
+    word boundary, so no per-word loop is needed), sentences are
+    terminal-punctuation runs floored at 1 — all exact regexp-match
+    counts. Both formulas are written in the same fixed operation order
+    in both engines (left-assoc subtract/add of literal·division terms),
+    so the doubles and the band classification agree bit-for-bit. Pure
+    projection, no shuffle."""
+    t = F.lower(_txt())
+    words = F.size(F.regexp_extract_all(t, F.lit("[a-z]+"), F.lit(0))).cast("long")
+    syll = F.size(F.regexp_extract_all(t, F.lit("[aeiouy]+"), F.lit(0))).cast("long")
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit("[.!?]+"), F.lit(0))).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    wps = words.cast("double") / sents.cast("double")
+    spw = syll.cast("double") / words.cast("double")
+    flesch = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    fk = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    has_words = words > 0
+    flesch = F.when(has_words, flesch)
+    band = F.when(~has_words, F.lit("empty")).when(
+        flesch >= 60.0, F.lit("easy")
+    ).when(flesch >= 30.0, F.lit("medium")).otherwise(F.lit("hard"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        words.alias("n_words"),
+        syll.alias("n_syllables"),
+        sents.alias("n_sentences"),
+        flesch.alias("flesch"),
+        F.when(has_words, fk).alias("fk_grade"),
+        band.alias("band"),
+    )
+
+
+def q_url_dedup(spark, sf_dir):
+    """Canonical-URL deduplication: keep-first by normalized URL with the
+    crawl-multiplicity count — the Dolma/CC pipeline's first dedup pass
+    (URL identity is free; content hashing comes later). Composes the
+    shared canonicalization chain (_url_canon_cols — one definition with
+    q_url_normalize) with the skew-safe min-per-key hash aggregate (the
+    dedup_exact shape: no window over the URL key). The domain is
+    re-extracted from the canonical URL AFTER the aggregate — it is
+    functionally dependent on the key, and carrying it through as
+    min(string) would regress the plan to a SortAggregate (the
+    refusal_scan lesson; plan-pinned)."""
+    c = _url_canon_cols()
+    d = _docs(spark, sf_dir).select("doc_id", c["canon_url"])
+    return (
+        d.groupBy("canon_url")
+        .agg(
+            F.min("doc_id").alias("keeper_doc"),
+            F.count(F.lit(1)).alias("n_crawls"),
+        )
+        .select(
+            "canon_url",
+            F.regexp_extract(
+                F.col("canon_url"), r"^[a-z][a-z0-9+.\-]*://([^/?#]*)", 1
+            ).alias("domain"),
+            "keeper_doc",
+            "n_crawls",
+            (F.col("n_crawls") - 1).alias("n_dropped"),
+        )
+    )
+
+
+def q_lang_agreement(spark, sf_dir):
+    """Declared-vs-detected language agreement matrix: the corpus `lang`
+    column (upstream metadata) against the hashed-trigram langid over
+    the text, with per-cell counts — the mislabel audit run before
+    trusting declared language for mixture weighting (rows-only: langid
+    is the Arrow-batched scorer; its bit-exactness is pinned by the
+    shared-scorer equality test in tests/test_ngram.py). Prediction is
+    one narrow Python stage; the matrix is a single hash aggregate over
+    ≤ |langs|² cells."""
+    from qamd_spark import pipeline
+    from qamd_spark.config import QamdConfig
+
+    pred = pipeline.score_stage(_doc_transcripts(spark, sf_dir), QamdConfig()).select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.col("lang").alias("pred_lang"),
+    )
+    decl = _docs(spark, sf_dir).select("doc_id", F.col("lang").alias("decl_lang"))
+    return (
+        decl.join(pred, "doc_id")
+        .groupBy("decl_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "decl_lang",
+            "pred_lang",
+            "n",
+            (F.col("decl_lang") == F.col("pred_lang")).alias("agree"),
+        )
+    )
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -4335,6 +4590,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "response_copy": q_response_copy,
         "agent_loop_detect": q_agent_loop_detect,
         "compression_ratio": q_compression_ratio,
+        "license_scan": q_license_scan,
+        "readability": q_readability,
+        "url_dedup": q_url_dedup,
+        "lang_agreement": q_lang_agreement,
         "winnow": q_winnow,
         "winnow_containment": q_winnow_containment,
         "dedup_clusters": q_dedup_clusters,
@@ -4830,59 +5089,7 @@ def oracle_sql() -> dict[str, str]:
               ON a.k = b.k AND a.kind = b.kind AND a.source < b.source
             GROUP BY 1, 2, 3
         """,
-        "url_normalize": """
-            WITH u0 AS (
-              SELECT doc_id,
-                     concat('HTTPS://WWW.Ex', (doc_id % 5)::VARCHAR,
-                            '.Example.COM',
-                            CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END,
-                            '/Path',
-                            CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
-                            '?utm_source=x&page=', (doc_id % 7)::VARCHAR,
-                            '&utm_medium=y#Frag') AS url
-              FROM documents),
-            p AS (
-              SELECT doc_id, url,
-                     regexp_replace(url, '#.*$', '') AS u1
-              FROM u0),
-            x AS (
-              SELECT doc_id, url,
-                     lower(regexp_extract(u1,
-                         '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
-                     lower(regexp_extract(u1,
-                         '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1))
-                       AS hostport,
-                     regexp_extract(u1,
-                         '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*(.*)$', 1)
-                       AS rest
-              FROM p),
-            h AS (
-              SELECT doc_id, url, scheme, rest,
-                     CASE
-                       WHEN scheme = 'https' THEN regexp_replace(
-                         regexp_replace(hostport, '^www\\.', ''), ':443$', '')
-                       WHEN scheme = 'http' THEN regexp_replace(
-                         regexp_replace(hostport, '^www\\.', ''), ':80$', '')
-                       ELSE regexp_replace(hostport, '^www\\.', '')
-                     END AS host
-              FROM x),
-            pq AS (
-              SELECT doc_id, url, scheme, host,
-                     regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
-                                    '/+$', '') AS path,
-                     regexp_replace(
-                       regexp_replace(
-                         regexp_extract(rest, '\\?(.*)$', 1),
-                         'utm_[^&]*&', '', 'g'),
-                       '&?utm_[^&]*$', '') AS query
-              FROM h)
-            SELECT doc_id, url,
-                   concat(scheme, '://', host, path,
-                          CASE WHEN query = '' THEN ''
-                               ELSE concat('?', query) END) AS canon_url,
-                   host AS domain
-            FROM pq
-        """,
+        "url_normalize": _url_canon_sql(),
         "zipf_profile": f"""
             WITH toks AS (
               SELECT t.tok AS tok
@@ -6410,6 +6617,49 @@ def oracle_sql() -> dict[str, str]:
                    (sum(run_len) - count(*))::BIGINT AS n_repeat_steps,
                    max(run_len) >= {LOOP_RUN_MIN} AS looping
             FROM runs GROUP BY conv
+        """,
+        "license_scan": _license_scan_sql(),
+        "readability": """
+            WITH d AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(lower(coalesce(text,'')),
+                         '[a-z]+'))::BIGINT AS n_words,
+                     len(regexp_extract_all(lower(coalesce(text,'')),
+                         '[aeiouy]+'))::BIGINT AS n_syllables,
+                     greatest(len(regexp_extract_all(lower(coalesce(text,'')),
+                         '[.!?]+'))::BIGINT, 1::BIGINT) AS n_sentences
+              FROM documents),
+            x AS (
+              SELECT doc_id, n_words, n_syllables, n_sentences,
+                     n_words::DOUBLE / n_sentences::DOUBLE AS wps,
+                     n_syllables::DOUBLE / n_words::DOUBLE AS spw
+              FROM d),
+            f AS (
+              SELECT doc_id, n_words, n_syllables, n_sentences,
+                     CASE WHEN n_words > 0
+                          THEN 206.835 - 1.015 * wps - 84.6 * spw END AS flesch,
+                     CASE WHEN n_words > 0
+                          THEN 0.39 * wps + 11.8 * spw - 15.59 END AS fk_grade
+              FROM x)
+            SELECT doc_id, n_words, n_syllables, n_sentences, flesch, fk_grade,
+                   CASE WHEN n_words = 0 THEN 'empty'
+                        WHEN flesch >= 60.0 THEN 'easy'
+                        WHEN flesch >= 30.0 THEN 'medium'
+                        ELSE 'hard' END AS band
+            FROM f
+        """,
+        "url_dedup": f"""
+            WITH c AS ({_url_canon_sql()}),
+            g AS (
+              SELECT canon_url, min(doc_id)::BIGINT AS keeper_doc,
+                     count(*)::BIGINT AS n_crawls
+              FROM c GROUP BY canon_url)
+            SELECT canon_url,
+                   regexp_extract(canon_url,
+                       '^[a-z][a-z0-9+.\\-]*://([^/?#]*)', 1) AS domain,
+                   keeper_doc, n_crawls,
+                   (n_crawls - 1)::BIGINT AS n_dropped
+            FROM g
         """,
     }
     return {k: v.strip() for k, v in sqls.items()}

@@ -236,6 +236,8 @@ def run_benchmarks() -> dict:
         "split_leakage",
         "compression_ratio",
         "agent_loop_detect",
+        "readability",
+        "url_dedup",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

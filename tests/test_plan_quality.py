@@ -355,3 +355,22 @@ def test_compression_ratio_is_single_narrow_python_stage(spark):
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert cols == {"doc_id", "text"}, cols
+
+
+def test_license_readability_urldedup_plans(spark):
+    """license_scan and readability are pure codegen projections (no
+    Exchange, no Python); url_dedup is one partial+final hash aggregate
+    over the canonical key — no Window, no SortAggregate."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    for q in (E.q_license_scan, E.q_readability):
+        plan = _fmt_plan(q(spark, sf))
+        assert ") Exchange" not in plan, plan
+        assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+    plan = _fmt_plan(E.q_url_dedup(spark, sf))
+    assert ") Window" not in plan, plan
+    assert ") SortAggregate" not in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+    assert ") HashAggregate" in plan, plan
