@@ -282,7 +282,30 @@ def main(argv: list[str] | None = None) -> int:
              "stopping when the source is drained",
     )
 
+    qr = sub.add_parser(
+        "query",
+        help="run a registered corpus-analytics query over a table "
+             "directory (the __spark_entry__ registry: dedup, quality, "
+             "readability, contamination, ... — `query --list` for names)",
+    )
+    qr.add_argument("--name", default=None, help="query name (see --list)")
+    qr.add_argument(
+        "--sf-dir", default=None, required=False,
+        help="directory holding the parquet tables the query reads",
+    )
+    qr.add_argument(
+        "--output", default=None,
+        help="write the result as parquet here (default: print rows)",
+    )
+    qr.add_argument("--limit", type=int, default=20,
+                    help="rows to print without --output")
+    qr.add_argument("--list", action="store_true",
+                    help="list query names (oracle-checked ones marked)")
+    qr.add_argument("--master", default=None)
+
     args = p.parse_args(argv)
+    if args.cmd == "query":
+        return _run_query(args)
     if args.cmd == "init":
         sys.stdout.write(DEFAULT_YAML)
         return 0
@@ -365,6 +388,65 @@ def main(argv: list[str] | None = None) -> int:
             with open(args.output + "/summary.html", "w") as f:
                 f.write(report.to_html(json.loads(summ)))
         print(json.dumps({"status": "ok", "output": args.output}))
+        return 0
+    finally:
+        if not preexisting:
+            spark.stop()
+
+
+def _load_query_registry():
+    """Import the repo-root query registry. Importable when running from
+    the repo root or when __spark_entry__.py is shipped alongside the
+    package zip via spark-submit --py-files; a clear error otherwise."""
+    try:
+        import __spark_entry__ as E
+    except ModuleNotFoundError:
+        raise SystemExit(
+            "the query registry (__spark_entry__.py) is not on the Python "
+            "path — run from the repo root or ship it with --py-files"
+        )
+    return E
+
+
+def _run_query(args) -> int:
+    """Run one registered analytics query by name over a table directory
+    and either write the result as parquet or print the head — the CLI
+    face of the 140+-query registry (every entry is the same
+    (spark, sf_dir) -> DataFrame contract the external driver uses)."""
+    E = _load_query_registry()
+    qs = E.queries()
+    if args.list:
+        oracled = set(E.oracle_sql())
+        try:
+            for name in sorted(qs):
+                mark = "oracle" if name in oracled else "rows-only"
+                print(f"{name}\t{mark}")
+        except BrokenPipeError:  # `query --list | head` is normal usage
+            pass
+        return 0
+    if not args.name:
+        raise SystemExit("--name is required (or use --list)")
+    if args.name not in qs:
+        raise SystemExit(
+            f"unknown query {args.name!r} — `query --list` for names"
+        )
+    if not args.sf_dir:
+        raise SystemExit("--sf-dir is required to run a query")
+    preexisting = __import__("pyspark").sql.SparkSession.getActiveSession() is not None
+    spark = session.get_spark("qamd_spark.query", master=args.master)
+    try:
+        df = qs[args.name](spark, args.sf_dir)
+        if args.output:
+            df.write.mode("overwrite").parquet(args.output)
+            n = spark.read.parquet(args.output).count()
+            print(json.dumps({"status": "ok", "query": args.name,
+                              "rows": n, "output": args.output}))
+        else:
+            rows = df.limit(args.limit).collect()
+            for r in rows:
+                print(json.dumps(r.asDict(), default=str))
+            print(json.dumps({"status": "ok", "query": args.name,
+                              "printed": len(rows)}))
         return 0
     finally:
         if not preexisting:

@@ -359,3 +359,45 @@ def test_cli_validate(tmp_path):
         rc = main.main(["validate", "--config", bad])
     assert rc == 1
     assert _json.loads(buf.getvalue())["status"] == "invalid"
+
+
+def test_cli_query_runner(tmp_path, spark, capsys):
+    """query: --list names every registry entry with its evidence tier;
+    --name runs the query and the parquet output equals the library
+    call exactly."""
+    import json as _json
+
+    import __spark_entry__ as E
+    from qamd_spark import main
+
+    rc = main.main(["query", "--list"])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l]
+    names = {l.split("\t")[0] for l in lines}
+    assert names == set(E.queries())
+    tiers = {l.split("\t")[1] for l in lines}
+    assert tiers == {"oracle", "rows-only"}
+
+    out = str(tmp_path / "q")
+    rc = main.main(["query", "--name", "length_histogram",
+                    "--sf-dir", "/root/testdata/sf0.001",
+                    "--output", out, "--master", "local[4]"])
+    assert rc == 0
+    status = _json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert status["status"] == "ok"
+    got = {
+        (r["log2_len"], r["n_docs"]) for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["log2_len"], r["n_docs"])
+        for r in E.queries()["length_histogram"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got == want
+
+    # unknown names fail loudly, not with a stack trace into Spark
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main.main(["query", "--name", "nope", "--sf-dir", "/tmp"])
