@@ -4449,6 +4449,120 @@ def q_lang_agreement(spark, sf_dir):
     )
 
 
+def q_conv_pii_rollup(spark, sf_dir):
+    """Conversation-level PII policy rollup: per-turn detection is not
+    the decision grain — real pipelines drop the WHOLE conversation on a
+    hard identifier (SSN) and scrub-in-place on soft ones (email), so
+    the rollup (n_pii turns, any-SSN flag) is what the keep decision
+    actually reads. Deterministic fake identifiers are stamped on both
+    engines (the secrets_scan pattern — the corpus itself is PII-free).
+    One partial+final hash aggregate on conv; flags are max() over
+    booleans cast to ints (no Expand)."""
+    stamped = F.concat(
+        _txt(),
+        F.when(
+            F.col("doc_id") % 23 == 7,
+            F.concat(
+                F.lit(" contact user"),
+                (F.col("doc_id") % 100).cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 31 == 7,
+            F.concat(
+                F.lit(" ssn 123-45-67"),
+                F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    d = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 97).cast("long").alias("conv"),
+        stamped.rlike(EMAIL_RX).cast("long").alias("e"),
+        stamped.rlike(SSN_RX).cast("long").alias("s"),
+    )
+    return (
+        d.groupBy("conv")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.greatest("e", "s")).alias("n_pii_turns"),
+            F.max("e").alias("he"),
+            F.max("s").alias("hs"),
+        )
+        .select(
+            "conv",
+            "n_turns",
+            "n_pii_turns",
+            (F.col("he") == 1).alias("has_email"),
+            (F.col("hs") == 1).alias("has_ssn"),
+            (F.col("hs") == 1).alias("drop_conv"),
+            ((F.col("he") == 1) & (F.col("hs") == 0)).alias("scrub_only"),
+        )
+    )
+
+
+def q_tool_error_cascade(spark, sf_dir):
+    """Tool-failure cascade analytics: P(this tool call fails | the
+    PREVIOUS tool call in the conversation failed) vs P(fails | previous
+    succeeded), per tool, with the cascade lift — the signal that
+    separates flaky tools from genuinely stuck trajectories (a lift ≫ 1
+    means failures beget failures and those tails should be cut before
+    SFT). Failure flags and tool names are the tool_usage conventions;
+    prev flag comes from one lag() over (conv, idx) on the tool-turn
+    subset; all probabilities and the lift are single IEEE divisions of
+    exact integer counts (lift = (a·d)/(b·c), products first)."""
+    tool = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(TOOL_NAMES[0]))
+        .when(F.col("doc_id") % 5 == 1, F.lit(TOOL_NAMES[1]))
+        .when(F.col("doc_id") % 5 == 2, F.lit(TOOL_NAMES[2]))
+        .when(F.col("doc_id") % 5 == 3, F.lit(TOOL_NAMES[3]))
+        .otherwise(F.lit(TOOL_NAMES[4]))
+    )
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 3 == 2)
+        .select(
+            (F.col("doc_id") % 97).cast("long").alias("conv"),
+            F.floor(F.col("doc_id") / 97).cast("long").alias("idx"),
+            tool.alias("tool"),
+            ((F.length(_txt()) % 11) == 0).cast("long").alias("err"),
+        )
+    )
+    w = Window.partitionBy("conv").orderBy("idx")
+    pairs = d.select(
+        "tool", "err", F.lag("err", 1).over(w).alias("prev_err")
+    ).where(F.col("prev_err").isNotNull())
+    agg = pairs.groupBy("tool").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("err") * F.col("prev_err")).alias("a"),
+        F.sum("prev_err").alias("b"),
+        F.sum(F.col("err") * (1 - F.col("prev_err"))).alias("c"),
+        F.sum(1 - F.col("prev_err")).alias("d"),
+    )
+    p_ff = F.when(
+        F.col("b") > 0, F.col("a").cast("double") / F.col("b").cast("double")
+    )
+    p_fo = F.when(
+        F.col("d") > 0, F.col("c").cast("double") / F.col("d").cast("double")
+    )
+    lift = F.when(
+        (F.col("b") > 0) & (F.col("c") > 0) & (F.col("d") > 0),
+        (F.col("a") * F.col("d")).cast("double")
+        / (F.col("b") * F.col("c")).cast("double"),
+    )
+    return agg.select(
+        "tool",
+        "n_pairs",
+        F.col("a").alias("n_fail_after_fail"),
+        F.col("b").alias("n_after_fail"),
+        F.col("c").alias("n_fail_after_ok"),
+        F.col("d").alias("n_after_ok"),
+        p_ff.alias("p_fail_after_fail"),
+        p_fo.alias("p_fail_after_ok"),
+        lift.alias("cascade_lift"),
+    )
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -4594,6 +4708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "url_dedup": q_url_dedup,
         "lang_agreement": q_lang_agreement,
+        "conv_pii_rollup": q_conv_pii_rollup,
+        "tool_error_cascade": q_tool_error_cascade,
         "winnow": q_winnow,
         "winnow_containment": q_winnow_containment,
         "dedup_clusters": q_dedup_clusters,
@@ -6660,6 +6776,67 @@ def oracle_sql() -> dict[str, str]:
                    keeper_doc, n_crawls,
                    (n_crawls - 1)::BIGINT AS n_dropped
             FROM g
+        """,
+        "conv_pii_rollup": f"""
+            WITH s AS (
+              SELECT (doc_id % 97)::BIGINT AS conv,
+                     concat(coalesce(text,''),
+                       CASE WHEN doc_id % 23 = 7 THEN
+                         concat(' contact user', (doc_id % 100)::VARCHAR,
+                                '@example.com') ELSE '' END,
+                       CASE WHEN doc_id % 31 = 7 THEN
+                         concat(' ssn 123-45-67',
+                                lpad((doc_id % 100)::VARCHAR, 2, '0'))
+                         ELSE '' END) AS t
+              FROM documents),
+            f AS (
+              SELECT conv,
+                     regexp_matches(t, '{EMAIL_RX}')::BIGINT AS e,
+                     regexp_matches(t, '{SSN_RX}')::BIGINT AS s
+              FROM s),
+            a AS (
+              SELECT conv, count(*)::BIGINT AS n_turns,
+                     sum(greatest(e, s))::BIGINT AS n_pii_turns,
+                     max(e) AS he, max(s) AS hs
+              FROM f GROUP BY conv)
+            SELECT conv, n_turns, n_pii_turns,
+                   he = 1 AS has_email, hs = 1 AS has_ssn,
+                   hs = 1 AS drop_conv,
+                   (he = 1 AND hs = 0) AS scrub_only
+            FROM a
+        """,
+        "tool_error_cascade": f"""
+            WITH t AS (
+              SELECT (doc_id % 97)::BIGINT AS conv,
+                     (doc_id // 97)::BIGINT AS idx,
+                     CASE doc_id % 5
+                       WHEN 0 THEN '{TOOL_NAMES[0]}' WHEN 1 THEN '{TOOL_NAMES[1]}'
+                       WHEN 2 THEN '{TOOL_NAMES[2]}' WHEN 3 THEN '{TOOL_NAMES[3]}'
+                       ELSE '{TOOL_NAMES[4]}' END AS tool,
+                     (length(coalesce(text,'')) % 11 = 0)::BIGINT AS err
+              FROM documents WHERE doc_id % 3 = 2),
+            p AS (
+              SELECT tool, err,
+                     lag(err) OVER (PARTITION BY conv ORDER BY idx) AS prev_err
+              FROM t QUALIFY prev_err IS NOT NULL),
+            agg AS (
+              SELECT tool, count(*)::BIGINT AS n_pairs,
+                     sum(err * prev_err)::BIGINT AS a,
+                     sum(prev_err)::BIGINT AS b,
+                     sum(err * (1 - prev_err))::BIGINT AS c,
+                     sum(1 - prev_err)::BIGINT AS d
+              FROM p GROUP BY tool)
+            SELECT tool, n_pairs,
+                   a AS n_fail_after_fail, b AS n_after_fail,
+                   c AS n_fail_after_ok, d AS n_after_ok,
+                   CASE WHEN b > 0 THEN a::DOUBLE / b::DOUBLE END
+                     AS p_fail_after_fail,
+                   CASE WHEN d > 0 THEN c::DOUBLE / d::DOUBLE END
+                     AS p_fail_after_ok,
+                   CASE WHEN b > 0 AND c > 0 AND d > 0
+                        THEN (a * d)::DOUBLE / (b * c)::DOUBLE END
+                     AS cascade_lift
+            FROM agg
         """,
     }
     return {k: v.strip() for k, v in sqls.items()}

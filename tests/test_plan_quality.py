@@ -374,3 +374,22 @@ def test_license_readability_urldedup_plans(spark):
     assert ") SortAggregate" not in plan, plan
     assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
     assert ") HashAggregate" in plan, plan
+
+
+def test_pii_rollup_and_cascade_plans(spark):
+    """conv_pii_rollup is one partial+final hash aggregate (no Expand,
+    no Window); tool_error_cascade has exactly one Window (the lag) fed
+    by one exchange on conv, and hash aggregates only."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    plan = _fmt_plan(E.q_conv_pii_rollup(spark, sf))
+    assert ") Expand" not in plan and ") Window" not in plan, plan
+    assert ") SortAggregate" not in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+    assert ") HashAggregate" in plan, plan
+
+    plan = _fmt_plan(E.q_tool_error_cascade(spark, sf))
+    assert plan.count(") Window") == 1, plan
+    assert ") SortAggregate" not in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
