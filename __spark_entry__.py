@@ -4563,6 +4563,140 @@ def q_tool_error_cascade(spark, sf_dir):
     )
 
 
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shape pricing summary over lineitem: per (returnflag,
+    linestatus) the qty / base / discounted / charged sums and averages
+    — the canonical full-scan aggregate that proves classic OLAP rollups
+    next to the corpus analytics. Exactness: price/discount/tax/qty are
+    rescaled to exact ints FIRST (explicit half-up floor — round()'s tie
+    rule differs across engines); each line's discounted (e4) and
+    charged (e6) contributions are exact bigints summed exactly (int64
+    headroom ≥ 100× bench scale; per-shard decimals are the 10^12 swap);
+    every float output is ONE division (or one int64→double cast) of the
+    same exact integer on both engines. One partial+final hash aggregate
+    onto a ≤9-group grid."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    disc = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    tax = F.floor(F.col("l_tax") * 100 + F.lit(0.5)).cast("long")
+    qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+    d = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        qty.alias("q"),
+        cents.alias("p"),
+        (cents * (F.lit(100) - disc)).alias("dp"),
+        (cents * (F.lit(100) - disc) * (F.lit(100) + tax)).alias("ch"),
+        disc.alias("dc"),
+    )
+    a = d.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("q").alias("sum_qty"),
+        F.sum("p").alias("p_e2"),
+        F.sum("dp").alias("dp_e4"),
+        F.sum("ch").alias("ch_e6"),
+        F.sum("dc").alias("dc_e2"),
+    )
+    return a.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n_lines",
+        "sum_qty",
+        (F.col("p_e2").cast("double") / F.lit(100.0)).alias("sum_base_price"),
+        (F.col("dp_e4").cast("double") / F.lit(10000.0)).alias("sum_disc_price"),
+        (F.col("ch_e6").cast("double") / F.lit(1000000.0)).alias("sum_charge"),
+        (
+            F.col("sum_qty").cast("double") / F.col("n_lines").cast("double")
+        ).alias("avg_qty"),
+        (
+            F.col("p_e2").cast("double") / (F.col("n_lines") * 100).cast("double")
+        ).alias("avg_price"),
+        (
+            F.col("dc_e2").cast("double") / (F.col("n_lines") * 100).cast("double")
+        ).alias("avg_disc"),
+    )
+
+
+LATE_SHIP_DAYS = 60
+
+
+def q_order_fulfillment(spark, sf_dir):
+    """TPC-H Q4-shape fulfillment audit: per order priority, how many
+    orders have at least one line shipped more than LATE_SHIP_DAYS after
+    the order date — the EXISTS-semi-join capability row (the join
+    carries an equi key plus a non-equi timestamp predicate, exactly the
+    shape Spark plans as SortMergeJoin LeftSemi with a join-side
+    filter). late_frac is one division of exact counts."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_SHIP_DAYS} DAYS")
+        ),
+        "left_semi",
+    )
+    tot = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+    nl = late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_late"))
+    return (
+        tot.join(nl, "o_orderpriority", "left")
+        .fillna(0, ["n_late"])
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "n_late",
+            (
+                F.col("n_late").cast("double") / F.col("n_orders").cast("double")
+            ).alias("late_frac"),
+        )
+    )
+
+
+def q_jackknife_keep(spark, sf_dir):
+    """Leave-one-source-out influence audit on the quality gate: for each
+    source, the corpus keep rate WITHOUT that source next to the overall
+    rate — the cheap jackknife that names which source is dragging (or
+    propping up) the corpus metric before anyone retunes thresholds on
+    the whole mix. All counts are exact integers from one hash aggregate;
+    the leave-one-out rate is one division of exact differences, and the
+    influence is one subtraction of two identically-computed doubles, so
+    the ranking is engine-exact."""
+    from qamd_spark.ops import text as tx
+
+    keep = (tx.quality_score(_txt()) >= CURATE_MIN_QUALITY).cast("long")
+    per = (
+        _docs(spark, sf_dir)
+        .select("source", keep.alias("k"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("k").alias("n_keep"))
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("N"), F.sum("n_keep").alias("K")
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    overall = F.col("K").cast("double") / F.col("N").cast("double")
+    loo = (F.col("K") - F.col("n_keep")).cast("double") / (
+        F.col("N") - F.col("n_docs")
+    ).cast("double")
+    return j.select(
+        "source",
+        "n_docs",
+        "n_keep",
+        (
+            F.col("n_keep").cast("double") / F.col("n_docs").cast("double")
+        ).alias("keep_rate_source"),
+        overall.alias("keep_rate_overall"),
+        loo.alias("keep_rate_loo"),
+        (loo - overall).alias("influence"),
+    )
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -4710,6 +4844,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_agreement": q_lang_agreement,
         "conv_pii_rollup": q_conv_pii_rollup,
         "tool_error_cascade": q_tool_error_cascade,
+        "pricing_summary": q_pricing_summary,
+        "order_fulfillment": q_order_fulfillment,
+        "jackknife_keep": q_jackknife_keep,
         "winnow": q_winnow,
         "winnow_containment": q_winnow_containment,
         "dedup_clusters": q_dedup_clusters,
@@ -6837,6 +6974,69 @@ def oracle_sql() -> dict[str, str]:
                         THEN (a * d)::DOUBLE / (b * c)::DOUBLE END
                      AS cascade_lift
             FROM agg
+        """,
+        "pricing_summary": """
+            WITH d AS (
+              SELECT l_returnflag, l_linestatus,
+                     floor(l_quantity + 0.5)::BIGINT AS q,
+                     floor(l_extendedprice * 100 + 0.5)::BIGINT AS p,
+                     floor(l_discount * 100 + 0.5)::BIGINT AS dc,
+                     floor(l_tax * 100 + 0.5)::BIGINT AS tx
+              FROM lineitem),
+            a AS (
+              SELECT l_returnflag, l_linestatus,
+                     count(*)::BIGINT AS n_lines,
+                     sum(q)::BIGINT AS sum_qty,
+                     sum(p)::BIGINT AS p_e2,
+                     sum(p * (100 - dc))::BIGINT AS dp_e4,
+                     sum(p * (100 - dc) * (100 + tx))::BIGINT AS ch_e6,
+                     sum(dc)::BIGINT AS dc_e2
+              FROM d GROUP BY l_returnflag, l_linestatus)
+            SELECT l_returnflag, l_linestatus, n_lines, sum_qty,
+                   p_e2::DOUBLE / 100.0 AS sum_base_price,
+                   dp_e4::DOUBLE / 10000.0 AS sum_disc_price,
+                   ch_e6::DOUBLE / 1000000.0 AS sum_charge,
+                   sum_qty::DOUBLE / n_lines::DOUBLE AS avg_qty,
+                   p_e2::DOUBLE / (n_lines * 100)::DOUBLE AS avg_price,
+                   dc_e2::DOUBLE / (n_lines * 100)::DOUBLE AS avg_disc
+            FROM a
+        """,
+        "order_fulfillment": f"""
+            WITH tot AS (
+              SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+              FROM orders GROUP BY o_orderpriority),
+            nl AS (
+              SELECT o_orderpriority, count(*)::BIGINT AS n_late
+              FROM orders o
+              WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate
+                        + INTERVAL {LATE_SHIP_DAYS} DAY)
+              GROUP BY o_orderpriority)
+            SELECT t.o_orderpriority, t.n_orders,
+                   coalesce(nl.n_late, 0)::BIGINT AS n_late,
+                   coalesce(nl.n_late, 0)::DOUBLE / t.n_orders::DOUBLE
+                     AS late_frac
+            FROM tot t LEFT JOIN nl USING (o_orderpriority)
+        """,
+        "jackknife_keep": f"""
+            WITH per AS (
+              SELECT source, count(*)::BIGINT AS n_docs,
+                     sum(({QUALITY_SQL} >= {CURATE_MIN_QUALITY})::BIGINT)::BIGINT
+                       AS n_keep
+              FROM documents GROUP BY source),
+            tot AS (
+              SELECT sum(n_docs)::BIGINT AS N, sum(n_keep)::BIGINT AS K
+              FROM per)
+            SELECT source, n_docs, n_keep,
+                   n_keep::DOUBLE / n_docs::DOUBLE AS keep_rate_source,
+                   K::DOUBLE / N::DOUBLE AS keep_rate_overall,
+                   (K - n_keep)::DOUBLE / (N - n_docs)::DOUBLE
+                     AS keep_rate_loo,
+                   ((K - n_keep)::DOUBLE / (N - n_docs)::DOUBLE)
+                     - (K::DOUBLE / N::DOUBLE) AS influence
+            FROM per, tot
         """,
     }
     return {k: v.strip() for k, v in sqls.items()}

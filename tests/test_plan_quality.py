@@ -393,3 +393,26 @@ def test_pii_rollup_and_cascade_plans(spark):
     assert plan.count(") Window") == 1, plan
     assert ") SortAggregate" not in plan, plan
     assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+
+def test_pricing_fulfillment_jackknife_plans(spark):
+    """pricing_summary is one partial+final hash aggregate over the scan
+    (no Python, no Window, ≤9 groups); order_fulfillment's EXISTS is a
+    real LeftSemi join (equi key + non-equi ship-date filter) — never a
+    CartesianProduct; jackknife_keep broadcasts its 1-row totals."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    plan = _fmt_plan(E.q_pricing_summary(spark, sf))
+    assert "partial_" in plan and ") HashAggregate" in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+    assert ") Window" not in plan, plan
+
+    plan = _fmt_plan(E.q_order_fulfillment(spark, sf))
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+    plan = _fmt_plan(E.q_jackknife_keep(spark, sf))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert ") HashAggregate" in plan, plan
