@@ -238,6 +238,9 @@ def run_benchmarks() -> dict:
         "agent_loop_detect",
         "readability",
         "url_dedup",
+        "pricing_summary",
+        "vocab_coverage",
+        "injection_scan",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

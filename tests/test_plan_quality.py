@@ -416,3 +416,26 @@ def test_pricing_fulfillment_jackknife_plans(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert ") HashAggregate" in plan, plan
+
+
+def test_injection_code_vocab_plans(spark):
+    """injection_scan is two stacked hash aggregates + a broadcast join
+    back (no Window); code_detect is a pure projection (no Exchange, no
+    Python); vocab_coverage is the two-level (source, tok) aggregate —
+    no count-distinct Expand anywhere."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    plan = _fmt_plan(E.q_injection_scan(spark, sf))
+    assert ") Window" not in plan and ") Expand" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+    plan = _fmt_plan(E.q_code_detect(spark, sf))
+    assert ") Exchange" not in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+    plan = _fmt_plan(E.q_vocab_coverage(spark, sf))
+    assert ") Expand" not in plan and ") Window" not in plan, plan
+    assert ") SortAggregate" not in plan, plan
+    assert plan.count(") HashAggregate") >= 4, plan
