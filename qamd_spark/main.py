@@ -303,9 +303,27 @@ def main(argv: list[str] | None = None) -> int:
                     help="list query names (oracle-checked ones marked)")
     qr.add_argument("--master", default=None)
 
+    au = sub.add_parser(
+        "audit",
+        help="one-shot corpus QA report: run the bounded audit panel "
+             "(datasheet, split leakage, KS drift, vocabulary coverage, "
+             "injection scan, jackknife influence, ...) and write one "
+             "JSON document",
+    )
+    au.add_argument("--sf-dir", required=True,
+                    help="directory holding the parquet tables")
+    au.add_argument("--output", required=True, help="audit JSON path")
+    au.add_argument(
+        "--queries", default=None,
+        help="comma-separated panel override (bounded-output queries only)",
+    )
+    au.add_argument("--master", default=None)
+
     args = p.parse_args(argv)
     if args.cmd == "query":
         return _run_query(args)
+    if args.cmd == "audit":
+        return _run_audit(args)
     if args.cmd == "init":
         sys.stdout.write(DEFAULT_YAML)
         return 0
@@ -451,6 +469,67 @@ def _run_query(args) -> int:
     finally:
         if not preexisting:
             spark.stop()
+
+
+# bounded-output audit queries: every entry's row count is capped by the
+# number of sources / languages / roles / split pairs — never by corpus
+# size — so the collected report stays small at any scale
+AUDIT_PANEL = [
+    "corpus_datasheet",
+    "split_leakage",
+    "ks_drift",
+    "vocab_coverage",
+    "injection_scan",
+    "jackknife_keep",
+    "tool_error_cascade",
+    "lang_source_chi2",
+    "mix_weights",
+]
+
+
+def _run_audit(args) -> int:
+    """Corpus QA report: one command, one JSON — the panel a data owner
+    reads before signing off a training mix (datasheet, leakage, drift,
+    vocabulary depth, injection exposure, per-source influence). Each
+    panel query is the SAME registry entry the driver gate verifies, so
+    the report numbers inherit the oracle-checked semantics."""
+    E = _load_query_registry()
+    qs = E.queries()
+    panel = (
+        [q.strip() for q in args.queries.split(",") if q.strip()]
+        if args.queries
+        else AUDIT_PANEL
+    )
+    unknown = [q for q in panel if q not in qs]
+    if unknown:
+        raise SystemExit(f"unknown audit queries: {unknown}")
+    preexisting = __import__("pyspark").sql.SparkSession.getActiveSession() is not None
+    spark = session.get_spark("qamd_spark.audit", master=args.master)
+    try:
+        report: dict = {"sf_dir": args.sf_dir, "panel": panel, "sections": {}}
+        for name in panel:
+            rows = qs[name](spark, args.sf_dir).collect()
+            report["sections"][name] = [
+                {k: _json_safe(v) for k, v in r.asDict().items()} for r in rows
+            ]
+        with open(args.output, "w") as f:
+            json.dump(report, f, indent=1, default=str)
+        print(json.dumps({
+            "status": "ok", "output": args.output,
+            "sections": {n: len(report["sections"][n]) for n in panel},
+        }))
+        return 0
+    finally:
+        if not preexisting:
+            spark.stop()
+
+
+def _json_safe(v):
+    import math as _math
+
+    if isinstance(v, float) and (_math.isnan(v) or _math.isinf(v)):
+        return None
+    return v
 
 
 def _run_stream(args) -> int:

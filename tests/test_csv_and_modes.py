@@ -401,3 +401,40 @@ def test_cli_query_runner(tmp_path, spark, capsys):
 
     with _pytest.raises(SystemExit):
         main.main(["query", "--name", "nope", "--sf-dir", "/tmp"])
+
+
+def test_cli_audit_report(tmp_path, spark, capsys):
+    """audit: the one-shot QA report runs the bounded panel, every
+    section equals the registry query's own result row-for-row, and the
+    JSON is valid (NaN/inf nulled)."""
+    import json as _json
+
+    import __spark_entry__ as E
+    from qamd_spark import main
+
+    out = str(tmp_path / "audit.json")
+    rc = main.main(["audit", "--sf-dir", "/root/testdata/sf0.001",
+                    "--output", out, "--master", "local[4]"])
+    assert rc == 0
+    rep = _json.load(open(out))
+    assert set(rep["sections"]) == set(main.AUDIT_PANEL)
+    # spot-check a section against the library call
+    want = {
+        (r["source"], r["n_tokens"], r["n_hapax"])
+        for r in E.queries()["vocab_coverage"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    got = {
+        (r["source"], r["n_tokens"], r["n_hapax"])
+        for r in rep["sections"]["vocab_coverage"]
+    }
+    assert got == want
+    assert rep["sections"]["corpus_datasheet"][0]["n_docs"] == 500
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main.main(["audit", "--sf-dir", "/tmp",
+                   "--output", str(tmp_path / "x.json"),
+                   "--queries", "not_a_query"])
