@@ -176,6 +176,25 @@ def label_pdf(pdf: pd.DataFrame, cfg: QamdConfig | None = None) -> pd.DataFrame:
         # threshold (strict <, keep on >=)
         _w, _b, thr = cfg.ensure_qc_model()
         add("quality_classifier", out["qc_score"] < float(thr))
+    if cfg.enabled("compression"):
+        # cr_ratio was produced by score_pdf with the SAME zlib kernel;
+        # the byte gate re-encodes with the same utf-8 definition as the
+        # scorer, so pipeline and oracle compare identical doubles
+        from qamd_spark.config import compression_params
+
+        lo, hi, mb = compression_params(s["compression"])
+        nbytes = pd.Series(
+            [len((t if isinstance(t, str) else "").encode("utf-8"))
+             for t in out["text"]],
+            index=out.index,
+        )
+        ratio = out["cr_ratio"]
+        add(
+            "compression",
+            (nbytes >= mb)
+            & (ratio.notna())
+            & ((ratio < lo) | (ratio > hi)),
+        )
 
     name_order = [n for n, _ in conds]
     mat = (

@@ -108,6 +108,10 @@ RULE_REGISTRY: tuple[RuleSpec, ...] = (
              "Turn trigram perplexity should not exceed the bound"),
     RuleSpec("quality_classifier", "quality", "drop",
              "Trained quality score should not fall below the threshold"),
+    RuleSpec("compression", "quality", "drop",
+             "Turn text zlib compressibility should stay within the "
+             "prose band (too low = repetitive boilerplate, too high = "
+             "random/binary payload)"),
 )
 
 RULE_BY_NAME = {r.name: r for r in RULE_REGISTRY}
@@ -167,7 +171,22 @@ DEFAULT_SETTINGS: dict[str, Any] = {
     # disabled by default — enabling adds a qc_score column and a drop
     # rule. min_score None ⇒ use the model's calibrated threshold.
     "quality_classifier": None,
+    # zlib-compressibility band (ops/text._compression_batch): disabled
+    # by default — enabling adds a cr_ratio column and a drop rule.
+    # Turns shorter than min_bytes always pass (zlib overhead dominates
+    # short strings and would flag every terse-but-fine turn).
+    "compression": None,
 }
+
+# resolved defaults for an enabled `compression: {}` (each key overridable)
+COMPRESSION_DEFAULTS = {"min_ratio": 0.25, "max_ratio": 1.10, "min_bytes": 64}
+
+
+def compression_params(settings_value: dict) -> tuple[float, float, int]:
+    """(min_ratio, max_ratio, min_bytes) with defaults applied — the ONE
+    resolution used by the pipeline flags, the scorer, and the oracle."""
+    v = {**COMPRESSION_DEFAULTS, **(settings_value or {})}
+    return float(v["min_ratio"]), float(v["max_ratio"]), int(v["min_bytes"])
 
 
 class ConfigError(ValueError):
@@ -314,6 +333,16 @@ class QamdConfig:
                     raise ConfigError(
                         "quality_classifier.min_score must be in (0, 1)"
                     )
+            if name == "compression":
+                if not isinstance(val, dict):
+                    raise ConfigError("compression: must be a dict")
+                lo, hi, mb = compression_params(val)
+                if not (0.0 < lo < hi):
+                    raise ConfigError(
+                        "compression: need 0 < min_ratio < max_ratio"
+                    )
+                if mb < 1:
+                    raise ConfigError("compression.min_bytes must be >= 1")
         for name, act in self.actions.items():
             if act not in ACTIONS:
                 raise ConfigError(f"{name}: invalid action {act!r}")

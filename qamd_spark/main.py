@@ -91,6 +91,11 @@ quality:
   # quality_classifier:
   #   setting: {min_score: null}
   #   desc: "Trained quality score should not fall below the threshold"
+  # zlib-compressibility band (disabled by default; turns under
+  # min_bytes always pass — zlib overhead dominates short strings)
+  # compression:
+  #   setting: {min_ratio: 0.25, max_ratio: 1.10, min_bytes: 64}
+  #   desc: "Turn text compressibility should stay within the prose band"
 engine:
   n_buckets: 64
 """

@@ -818,7 +818,9 @@ def _compression_batch(texts, level=COMPRESS_LEVEL):
 
     nb, nc = [], []
     for t in texts:
-        b = ("" if t is None else t).encode("utf-8")
+        # non-str covers both None and a pandas NaN smuggled into an
+        # object column — both mean "missing text"
+        b = (t if isinstance(t, str) else "").encode("utf-8")
         nb.append(len(b))
         nc.append(len(zlib.compress(b, level)))
     return nb, nc

@@ -274,6 +274,23 @@ def rule_conditions(cfg: QamdConfig) -> list[tuple[str, "F.Column"]]:
     if cfg.enabled("quality_classifier"):
         _w, _b, thr = cfg.ensure_qc_model()
         conds.append(("quality_classifier", F.col("qc_score") < F.lit(float(thr))))
+    if cfg.enabled("compression"):
+        from qamd_spark.config import compression_params
+
+        lo, hi, mb = compression_params(s["compression"])
+        # the min_bytes gate uses JVM octet_length (UTF-8 bytes, same
+        # definition as the scorer's encode); texts under the gate are
+        # false via three-valued AND even where cr_ratio is NULL
+        conds.append(
+            (
+                "compression",
+                (F.octet_length(F.coalesce(text, F.lit(""))) >= F.lit(mb))
+                & (
+                    (F.col("cr_ratio") < F.lit(lo))
+                    | (F.col("cr_ratio") > F.lit(hi))
+                ),
+            )
+        )
     return conds
 
 

@@ -54,6 +54,9 @@ def score_schema(input_schema: T.StructType, cfg=None) -> T.StructType:
     fields = list(input_schema.fields) + SCORE_FIELDS
     if cfg is not None and cfg.enabled("quality_classifier"):
         fields = fields + [T.StructField("qc_score", T.DoubleType(), False)]
+    if cfg is not None and cfg.enabled("compression"):
+        # nullable: empty turns have no meaningful compressibility
+        fields = fields + [T.StructField("cr_ratio", T.DoubleType(), True)]
     return T.StructType(fields)
 
 

@@ -221,4 +221,14 @@ def score_pdf(pdf: pd.DataFrame, cfg) -> pd.DataFrame:
 
         w, b, _thr = cfg.ensure_qc_model()
         out["qc_score"] = classifier.score_quality(text.tolist(), w, b)
+    if cfg.enabled("compression"):
+        # zlib compressibility — same C library in every executor and in
+        # the oracle process (one container), so the ratio is twin-exact;
+        # the ratio is one IEEE division of exact integer lengths
+        from qamd_spark.ops.text import _compression_batch
+
+        nb, nc = _compression_batch(text.tolist())
+        out["cr_ratio"] = [
+            (c / b) if b > 0 else None for b, c in zip(nb, nc)
+        ]
     return out

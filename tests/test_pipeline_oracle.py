@@ -543,3 +543,65 @@ def test_conv_neardup_rule_parity(spark):
     cfg_off = QamdConfig()
     sp_off = pipeline.label(df, cfg_off).toPandas()
     assert sp_off[sp_off["conv_id"].isin(["c01", "c02"])]["keep"].all()
+
+
+def test_pipeline_with_compression_rule_matches_oracle(spark, synth_path, synth_pdf):
+    """End-to-end: enabling the compression rule keeps exact Spark/oracle
+    parity — keep, rule_hits, and cr_ratio bit-equal — the rule fires on
+    the synthetic corpus's repetitive turns, and short turns (under
+    min_bytes) never fire regardless of ratio."""
+    import numpy as np
+
+    from oracle import oracle
+    from qamd_spark import pipeline
+    from qamd_spark.config import QamdConfig
+
+    cfg = QamdConfig()
+    cfg.settings["compression"] = {}
+    cfg.validate()
+    sp = (
+        pipeline.label(spark.read.parquet(synth_path), cfg)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    orc = (
+        oracle.label_pdf(synth_pdf, cfg)
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert "cr_ratio" in sp.columns and "cr_ratio" in orc.columns
+    assert len(sp) == len(orc)
+    a = sp["cr_ratio"].to_numpy(dtype=float)
+    b = orc["cr_ratio"].to_numpy(dtype=float)
+    assert np.array_equal(a, b, equal_nan=True)
+    assert (sp["keep"].to_numpy() == orc["keep"].to_numpy()).all()
+    assert ["|".join(h) for h in sp["rule_hits"]] == [
+        "|".join(h) for h in orc["rule_hits"]
+    ]
+    fired = sum("compression" in h for h in sp["rule_hits"])
+    assert fired > 0, "rule never fired on the synthetic corpus"
+    # short turns never fire even when highly compressible
+    short = sp[sp["text"].fillna("").str.encode("utf-8").str.len() < 64]
+    assert not any("compression" in h for h in short["rule_hits"])
+
+    # default config output shape is unchanged (no cr_ratio column)
+    sp_off = pipeline.label(spark.read.parquet(synth_path), QamdConfig())
+    assert "cr_ratio" not in sp_off.columns
+
+
+def test_compression_config_validation():
+    import pytest
+
+    from qamd_spark.config import ConfigError, QamdConfig
+
+    for bad in [
+        {"min_ratio": 0.9, "max_ratio": 0.5},
+        {"min_ratio": 0.0},
+        {"min_bytes": 0},
+        "yes",
+    ]:
+        cfg = QamdConfig()
+        cfg.settings["compression"] = bad
+        with pytest.raises(ConfigError):
+            cfg.validate()

@@ -426,3 +426,50 @@ def test_session_counts_finalize_and_match_batch(spark, tmp_path):
          for r in batch.collect()}
     assert s == b
     assert ("c1", "2024-01-01 03:00:00") in s  # the reopened conv = new session
+
+
+def test_stream_applies_compression_rule(spark, tmp_path):
+    """The compression rule is per-row, so it survives the cross-row
+    strip and fires identically in the streamed plan (repetitive long
+    turn drops; prose and short-repetitive turns keep)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    prose = (
+        "the river keeps finding new stones to argue with, and the miller "
+        "writes down each dispute in a ledger nobody audits"
+    )
+    rows = [
+        ("s0", 0, "user", prose),
+        ("s0", 1, "assistant", "ab" * 200),   # long + repetitive → drop
+        ("s0", 2, "assistant", "ab" * 10),    # repetitive but < min_bytes
+    ]
+    pdf = pd.DataFrame(
+        [
+            {"conv_id": c, "turn_idx": i, "role": r, "text": t,
+             "tool": None, "ts": dt.datetime(2026, 1, 1, 0, i)}
+            for c, i, r, t in rows
+        ]
+    )
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    for col in ("conv_id", "role", "text", "tool"):
+        pdf[col] = pdf[col].astype("string")
+    pdf.to_parquet(os.path.join(src, "a.parquet"))
+
+    cfg = QamdConfig()
+    cfg.settings["compression"] = {}
+    assert streaming.streaming_config(cfg).enabled("compression")
+    q = streaming.stream_label(spark, src, out, ckpt, cfg=cfg)
+    q.awaitTermination(120)
+    got = {
+        r["turn_idx"]: list(r["rule_hits"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert "compression" in got[1]
+    assert "compression" not in got[0] and "compression" not in got[2]
