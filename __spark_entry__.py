@@ -3861,6 +3861,23 @@ TOOL_NAMES = ["browser", "calculator", "python", "search", "sql"]
 SPLIT_LEAK_SALT = "leak-v1"
 
 
+def _tool_col():
+    """doc_id % 5 → tool name (ONE definition for every agent-trace
+    query; the SQL twins use _tool_case_sql from the same panel)."""
+    c = F.when(F.col("doc_id") % 5 == 0, F.lit(TOOL_NAMES[0]))
+    for i in range(1, len(TOOL_NAMES) - 1):
+        c = c.when(F.col("doc_id") % 5 == i, F.lit(TOOL_NAMES[i]))
+    return c.otherwise(F.lit(TOOL_NAMES[-1]))
+
+
+def _tool_case_sql() -> str:
+    """DuckDB CASE for the same doc_id % 5 → tool mapping."""
+    whens = " ".join(
+        f"WHEN {i} THEN '{t}'" for i, t in enumerate(TOOL_NAMES[:-1])
+    )
+    return f"CASE doc_id % 5 {whens} ELSE '{TOOL_NAMES[-1]}' END"
+
+
 def q_tool_usage(spark, sf_dir):
     """Agent-transcript tool-call analytics: per-tool call volume,
     conversation reach, failure rate, and mean result size — the usage
@@ -3876,13 +3893,7 @@ def q_tool_usage(spark, sf_dir):
     Expand and the second shuffle carries <= |tools|x|convs| rows);
     error_rate and mean_chars are single IEEE divisions of exact
     bigints."""
-    tool = (
-        F.when(F.col("doc_id") % 5 == 0, F.lit(TOOL_NAMES[0]))
-        .when(F.col("doc_id") % 5 == 1, F.lit(TOOL_NAMES[1]))
-        .when(F.col("doc_id") % 5 == 2, F.lit(TOOL_NAMES[2]))
-        .when(F.col("doc_id") % 5 == 3, F.lit(TOOL_NAMES[3]))
-        .otherwise(F.lit(TOOL_NAMES[4]))
-    )
+    tool = _tool_col()
     t = (
         _docs(spark, sf_dir)
         .filter(F.col("doc_id") % 3 == 2)
@@ -4196,13 +4207,7 @@ def q_agent_loop_detect(spark, sf_dir):
     windows order by the unique turn index, so run boundaries are
     deterministic. One exchange on conv; windows and the run aggregate
     are bounded per conversation."""
-    tool = (
-        F.when(F.col("doc_id") % 5 == 0, F.lit(TOOL_NAMES[0]))
-        .when(F.col("doc_id") % 5 == 1, F.lit(TOOL_NAMES[1]))
-        .when(F.col("doc_id") % 5 == 2, F.lit(TOOL_NAMES[2]))
-        .when(F.col("doc_id") % 5 == 3, F.lit(TOOL_NAMES[3]))
-        .otherwise(F.lit(TOOL_NAMES[4]))
-    )
+    tool = _tool_col()
     sig = F.when(F.col("doc_id") % 7 < 3, tool).otherwise(F.lit("retry:search"))
     d = (
         _docs(spark, sf_dir)
@@ -4254,6 +4259,14 @@ def q_compression_ratio(spark, sf_dir):
     batch-invariant."""
     from qamd_spark.ops.text import compression_profile
 
+    from qamd_spark.config import COMPRESSION_DEFAULTS
+
+    # short texts are dominated by zlib header overhead (empty input
+    # already costs 8 bytes), so both flags gate on the same min_bytes
+    # the pipeline rule uses — otherwise every terse-but-fine doc would
+    # read as "random/binary"
+    mb = int(COMPRESSION_DEFAULTS["min_bytes"])
+    long_enough = F.col("n_bytes") >= mb
     prof = compression_profile(_docs(spark, sf_dir).select("doc_id", _txt().alias("text")))
     return prof.select(
         "doc_id",
@@ -4261,8 +4274,12 @@ def q_compression_ratio(spark, sf_dir):
         "n_compressed",
         "ratio",
         # integer-side comparisons: 10*nc < 3*nb  <=>  ratio < 0.3
-        ((F.col("n_compressed") * 10) < (F.col("n_bytes") * 3)).alias("too_repetitive"),
-        ((F.col("n_compressed") * 100) > (F.col("n_bytes") * 95)).alias("near_random"),
+        (
+            long_enough & ((F.col("n_compressed") * 10) < (F.col("n_bytes") * 3))
+        ).alias("too_repetitive"),
+        (
+            long_enough & ((F.col("n_compressed") * 100) > (F.col("n_bytes") * 95))
+        ).alias("near_random"),
     )
 
 
@@ -4511,13 +4528,7 @@ def q_tool_error_cascade(spark, sf_dir):
     prev flag comes from one lag() over (conv, idx) on the tool-turn
     subset; all probabilities and the lift are single IEEE divisions of
     exact integer counts (lift = (a·d)/(b·c), products first)."""
-    tool = (
-        F.when(F.col("doc_id") % 5 == 0, F.lit(TOOL_NAMES[0]))
-        .when(F.col("doc_id") % 5 == 1, F.lit(TOOL_NAMES[1]))
-        .when(F.col("doc_id") % 5 == 2, F.lit(TOOL_NAMES[2]))
-        .when(F.col("doc_id") % 5 == 3, F.lit(TOOL_NAMES[3]))
-        .otherwise(F.lit(TOOL_NAMES[4]))
-    )
+    tool = _tool_col()
     d = (
         _docs(spark, sf_dir)
         .filter(F.col("doc_id") % 3 == 2)
@@ -6863,10 +6874,7 @@ def oracle_sql() -> dict[str, str]:
         "tool_usage": f"""
             WITH t AS (
               SELECT (doc_id % 97)::BIGINT AS conv,
-                     CASE doc_id % 5
-                       WHEN 0 THEN '{TOOL_NAMES[0]}' WHEN 1 THEN '{TOOL_NAMES[1]}'
-                       WHEN 2 THEN '{TOOL_NAMES[2]}' WHEN 3 THEN '{TOOL_NAMES[3]}'
-                       ELSE '{TOOL_NAMES[4]}' END AS tool,
+                     {_tool_case_sql()} AS tool,
                      length(coalesce(text,''))::BIGINT AS n_chars,
                      (length(coalesce(text,'')) % 11 = 0)::BIGINT AS err
               FROM documents WHERE doc_id % 3 = 2),
@@ -7029,10 +7037,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT (doc_id % 97)::BIGINT AS conv,
                      (doc_id // 97)::BIGINT AS idx,
                      CASE WHEN doc_id % 7 < 3 THEN
-                       CASE doc_id % 5
-                         WHEN 0 THEN '{TOOL_NAMES[0]}' WHEN 1 THEN '{TOOL_NAMES[1]}'
-                         WHEN 2 THEN '{TOOL_NAMES[2]}' WHEN 3 THEN '{TOOL_NAMES[3]}'
-                         ELSE '{TOOL_NAMES[4]}' END
+                       {_tool_case_sql()}
                      ELSE 'retry:search' END AS sig
               FROM documents WHERE doc_id % 3 = 2),
             g AS (
@@ -7126,10 +7131,7 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (
               SELECT (doc_id % 97)::BIGINT AS conv,
                      (doc_id // 97)::BIGINT AS idx,
-                     CASE doc_id % 5
-                       WHEN 0 THEN '{TOOL_NAMES[0]}' WHEN 1 THEN '{TOOL_NAMES[1]}'
-                       WHEN 2 THEN '{TOOL_NAMES[2]}' WHEN 3 THEN '{TOOL_NAMES[3]}'
-                       ELSE '{TOOL_NAMES[4]}' END AS tool,
+                     {_tool_case_sql()} AS tool,
                      (length(coalesce(text,'')) % 11 = 0)::BIGINT AS err
               FROM documents WHERE doc_id % 3 = 2),
             p AS (

@@ -336,6 +336,15 @@ class QamdConfig:
             if name == "compression":
                 if not isinstance(val, dict):
                     raise ConfigError("compression: must be a dict")
+                unknown = set(val) - set(COMPRESSION_DEFAULTS)
+                if unknown:
+                    # a typoed tunable must not silently revert to the
+                    # default — that drops documents the user configured
+                    # to keep, with no diagnostic
+                    raise ConfigError(
+                        f"compression: unknown keys {sorted(unknown)} "
+                        f"(allowed: {sorted(COMPRESSION_DEFAULTS)})"
+                    )
                 lo, hi, mb = compression_params(val)
                 if not (0.0 < lo < hi):
                     raise ConfigError(

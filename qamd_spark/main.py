@@ -455,7 +455,9 @@ def _run_query(args) -> int:
         )
     if not args.sf_dir:
         raise SystemExit("--sf-dir is required to run a query")
-    preexisting = __import__("pyspark").sql.SparkSession.getActiveSession() is not None
+    from pyspark.sql import SparkSession
+
+    preexisting = SparkSession.getActiveSession() is not None
     spark = session.get_spark("qamd_spark.query", master=args.master)
     try:
         df = qs[args.name](spark, args.sf_dir)
@@ -467,7 +469,9 @@ def _run_query(args) -> int:
         else:
             rows = df.limit(args.limit).collect()
             for r in rows:
-                print(json.dumps(r.asDict(), default=str))
+                print(json.dumps(
+                    _json_safe(r.asDict(recursive=True)), default=str
+                ))
             print(json.dumps({"status": "ok", "query": args.name,
                               "printed": len(rows)}))
         return 0
@@ -479,6 +483,8 @@ def _run_query(args) -> int:
 # bounded-output audit queries: every entry's row count is capped by the
 # number of sources / languages / roles / split pairs — never by corpus
 # size — so the collected report stays small at any scale
+AUDIT_MAX_ROWS = 10_000  # per-section collect cap (bounded-output contract)
+
 AUDIT_PANEL = [
     "corpus_datasheet",
     "split_leakage",
@@ -508,14 +514,26 @@ def _run_audit(args) -> int:
     unknown = [q for q in panel if q not in qs]
     if unknown:
         raise SystemExit(f"unknown audit queries: {unknown}")
-    preexisting = __import__("pyspark").sql.SparkSession.getActiveSession() is not None
+    from pyspark.sql import SparkSession
+
+    preexisting = SparkSession.getActiveSession() is not None
     spark = session.get_spark("qamd_spark.audit", master=args.master)
     try:
         report: dict = {"sf_dir": args.sf_dir, "panel": panel, "sections": {}}
         for name in panel:
-            rows = qs[name](spark, args.sf_dir).collect()
+            # the report is a driver-side collect by design — enforce the
+            # bounded-output contract instead of trusting the panel (a
+            # per-document query passed via --queries would otherwise
+            # pull the whole corpus into driver memory)
+            rows = qs[name](spark, args.sf_dir).limit(AUDIT_MAX_ROWS + 1).collect()
+            if len(rows) > AUDIT_MAX_ROWS:
+                raise SystemExit(
+                    f"audit query {name!r} returned more than "
+                    f"{AUDIT_MAX_ROWS} rows — not a bounded audit query; "
+                    "use `query --output` for per-document results"
+                )
             report["sections"][name] = [
-                {k: _json_safe(v) for k, v in r.asDict().items()} for r in rows
+                _json_safe(r.asDict(recursive=True)) for r in rows
             ]
         with open(args.output, "w") as f:
             json.dump(report, f, indent=1, default=str)
@@ -530,10 +548,17 @@ def _run_audit(args) -> int:
 
 
 def _json_safe(v):
+    """Recursively null NaN/Inf so the emitted document is strict JSON
+    (bare NaN inside an array/struct column would otherwise pass through
+    json.dump and break jq/JSON.parse consumers)."""
     import math as _math
 
     if isinstance(v, float) and (_math.isnan(v) or _math.isinf(v)):
         return None
+    if isinstance(v, dict):
+        return {k: _json_safe(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_json_safe(x) for x in v]
     return v
 
 

@@ -109,3 +109,14 @@ quality:
     with _pytest.raises(C.ConfigError):
         C.QamdConfig(settings={**C.DEFAULT_SETTINGS,
                                "quality_classifier": "yes"})
+
+
+def test_compression_rejects_unknown_keys():
+    import pytest
+
+    from qamd_spark.config import ConfigError, QamdConfig
+
+    cfg = QamdConfig()
+    cfg.settings["compression"] = {"max_ration": 2.0}  # typo
+    with pytest.raises(ConfigError, match="unknown keys"):
+        cfg.validate()
