@@ -4885,6 +4885,80 @@ def q_vocab_coverage(spark, sf_dir):
     )
 
 
+def q_tool_chains(spark, sf_dir):
+    """Frequent tool-call bigrams: which tool follows which inside a
+    conversation, with P(next | current) — the transition profile that
+    separates purposeful trajectories (search→python→sql) from thrashing
+    (browser→browser→browser) when selecting agent traces for SFT.
+    Transitions come from one lag window over the tool-turn subset
+    (single exchange on conv); the conditional probability is one
+    division of exact counts against the broadcast per-current totals."""
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 3 == 2)
+        .select(
+            (F.col("doc_id") % 97).cast("long").alias("conv"),
+            F.floor(F.col("doc_id") / 97).cast("long").alias("idx"),
+            _tool_col().alias("tool"),
+        )
+    )
+    w = Window.partitionBy("conv").orderBy("idx")
+    pairs = d.select(
+        F.lag("tool", 1).over(w).alias("prev_tool"), "tool"
+    ).where(F.col("prev_tool").isNotNull())
+    per = pairs.groupBy("prev_tool", "tool").agg(F.count(F.lit(1)).alias("n"))
+    tot = per.groupBy("prev_tool").agg(F.sum("n").alias("n_from"))
+    return per.join(F.broadcast(tot), "prev_tool").select(
+        "prev_tool",
+        "tool",
+        "n",
+        "n_from",
+        (F.col("n").cast("double") / F.col("n_from").cast("double")).alias(
+            "p_next"
+        ),
+        (F.col("prev_tool") == F.col("tool")).alias("self_loop"),
+    )
+
+
+YEAR_RX = r"\b(19[0-9][0-9]|20[0-2][0-9])\b"
+
+
+def q_year_mentions(spark, sf_dir):
+    """Corpus temporal-freshness audit: histogram of 4-digit year
+    mentions (1900–2029) per source — a corpus whose year mass sits a
+    decade back is stale crawl material, and a source with an anomalous
+    spike is often template boilerplate (copyright footers). Years are
+    stamped deterministically on both engines (the corpus has none);
+    counts are exact regexp matches, exploded then hash-aggregated;
+    share is one division against the broadcast per-source totals."""
+    stamp = F.when(
+        F.col("doc_id") % 6 == 2,
+        F.concat(
+            F.lit(" archived "),
+            (F.lit(1995) + (F.col("doc_id") % 30)).cast("string"),
+            F.lit(" edition, revised "),
+            (F.lit(2000) + (F.col("doc_id") % 25)).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    t = F.concat(_txt(), stamp)
+    years = F.regexp_extract_all(t, F.lit(YEAR_RX), F.lit(1))
+    d = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(years).alias("y"))
+        .select("source", F.col("y").cast("long").alias("year"))
+    )
+    per = d.groupBy("source", "year").agg(F.count(F.lit(1)).alias("n"))
+    tot = per.groupBy("source").agg(F.sum("n").alias("n_source"))
+    return per.join(F.broadcast(tot), "source").select(
+        "source",
+        "year",
+        "n",
+        (F.col("n").cast("double") / F.col("n_source").cast("double")).alias(
+            "share"
+        ),
+    )
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -5038,6 +5112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "injection_scan": q_injection_scan,
         "code_detect": q_code_detect,
         "vocab_coverage": q_vocab_coverage,
+        "tool_chains": q_tool_chains,
+        "year_mentions": q_year_mentions,
         "winnow": q_winnow,
         "winnow_containment": q_winnow_containment,
         "dedup_clusters": q_dedup_clusters,
@@ -7274,6 +7350,52 @@ def oracle_sql() -> dict[str, str]:
                      + (n_hapax * n_hapax)::DOUBLE / (2 * n_dis)::DOUBLE
                    END AS chao1
             FROM a
+        """,
+        "tool_chains": f"""
+            WITH t AS (
+              SELECT (doc_id % 97)::BIGINT AS conv,
+                     (doc_id // 97)::BIGINT AS idx,
+                     {_tool_case_sql()} AS tool
+              FROM documents WHERE doc_id % 3 = 2),
+            p AS (
+              SELECT lag(tool) OVER (PARTITION BY conv ORDER BY idx)
+                       AS prev_tool,
+                     tool
+              FROM t QUALIFY prev_tool IS NOT NULL),
+            per AS (
+              SELECT prev_tool, tool, count(*)::BIGINT AS n
+              FROM p GROUP BY prev_tool, tool),
+            tot AS (
+              SELECT prev_tool, sum(n)::BIGINT AS n_from
+              FROM per GROUP BY prev_tool)
+            SELECT per.prev_tool, per.tool, per.n, tot.n_from,
+                   per.n::DOUBLE / tot.n_from::DOUBLE AS p_next,
+                   per.prev_tool = per.tool AS self_loop
+            FROM per JOIN tot USING (prev_tool)
+        """,
+        "year_mentions": f"""
+            WITH s AS (
+              SELECT source,
+                     concat(coalesce(text,''),
+                       CASE WHEN doc_id % 6 = 2 THEN
+                         concat(' archived ',
+                                (1995 + doc_id % 30)::VARCHAR,
+                                ' edition, revised ',
+                                (2000 + doc_id % 25)::VARCHAR)
+                       ELSE '' END) AS t
+              FROM documents),
+            y AS (
+              SELECT source, u.y::BIGINT AS year
+              FROM s, unnest(regexp_extract_all(t, '{YEAR_RX}', 1)) AS u(y)),
+            per AS (
+              SELECT source, year, count(*)::BIGINT AS n
+              FROM y GROUP BY source, year),
+            tot AS (
+              SELECT source, sum(n)::BIGINT AS n_source
+              FROM per GROUP BY source)
+            SELECT per.source, per.year, per.n,
+                   per.n::DOUBLE / tot.n_source::DOUBLE AS share
+            FROM per JOIN tot USING (source)
         """,
     }
     return {k: v.strip() for k, v in sqls.items()}

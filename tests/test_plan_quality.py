@@ -439,3 +439,25 @@ def test_injection_code_vocab_plans(spark):
     assert ") Expand" not in plan and ") Window" not in plan, plan
     assert ") SortAggregate" not in plan, plan
     assert plan.count(") HashAggregate") >= 4, plan
+
+
+def test_tool_chains_and_year_mentions_plans(spark):
+    """tool_chains: one lag window (single conv exchange) + hash
+    aggregates + broadcast totals join; year_mentions: explode + two
+    stacked hash aggregates + broadcast totals — no SortAggregate, no
+    Python stage in either."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    plan = _fmt_plan(E.q_tool_chains(spark, sf))
+    # the totals join recomputes the lag branch (recompute-over-persist
+    # for a narrow JVM stage) — two Window nodes, same single shape
+    assert plan.count(") Window") <= 2, plan
+    assert ") SortAggregate" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+    plan = _fmt_plan(E.q_year_mentions(spark, sf))
+    assert ") Window" not in plan and ") SortAggregate" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
