@@ -260,6 +260,39 @@ def main() -> None:
             E.q_lang_source_chi2(spark, SF),
         ),
         (
+            "compression_ratio",
+            "One narrow Arrow map stage over (doc_id, text), zero "
+            "Exchange; both flags are integer-side comparisons gated on "
+            "min_bytes.",
+            E.q_compression_ratio(spark, SF),
+        ),
+        (
+            "url_dedup",
+            "Canonicalization is a pure projection; keep-first is one "
+            "partial+final hash aggregate on the canon key; domain "
+            "re-extracted post-agg (min(string) would SortAggregate).",
+            E.q_url_dedup(spark, SF),
+        ),
+        (
+            "injection_scan",
+            "Stamp + first-match marker are codegen projections; one "
+            "(role, marker) hash aggregate; totals joined back broadcast.",
+            E.q_injection_scan(spark, SF),
+        ),
+        (
+            "tool_error_cascade",
+            "One lag window (single exchange on conv) over the tool-turn "
+            "subset; per-tool hash aggregate; every probability and the "
+            "lift are single divisions of exact integer counts.",
+            E.q_tool_error_cascade(spark, SF),
+        ),
+        (
+            "pricing_summary",
+            "TPC-H Q1 shape: one partial+final hash aggregate onto a "
+            "<=9-group grid; all money math in exact rescaled bigints.",
+            E.q_pricing_summary(spark, SF),
+        ),
+        (
             "locators (report.locators, 130-partition input)",
             "Per-rule first-cap failing (conv_id, turn_idx): phase-1 "
             "partial top-k per (rule, scan partition), then a fan-in-64 "
