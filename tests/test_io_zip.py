@@ -200,3 +200,75 @@ def test_cli_export_roundtrip(tmp_path, spark):
          .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
          .orderBy("conv_id", "turn_idx").collect())
     assert len(a) == n and a == b
+
+
+def test_spark_submit_py_files_end_to_end(tmp_path):
+    """The north-rule launch mode, actually executed: build the zip, run
+    `spark-submit --py-files qamd_spark.zip driver.py` in a fresh process
+    (no repo on the PYTHONPATH — the zip must carry everything), label a
+    small synthetic corpus through the full CLI, and check keep/
+    scrubbed_text exactly against the pandas oracle."""
+    import os
+    import shutil
+
+    spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    if not os.path.exists(spark_submit):
+        import pytest
+
+        pytest.skip("spark-submit not on this machine")
+
+    out_zip = tmp_path / "qamd_spark.zip"
+    subprocess.run(
+        [sys.executable, "scripts/make_zip.py", str(out_zip)],
+        check=True, cwd="/root/repo",
+    )
+    src = str(tmp_path / "t.parquet")
+    outd = str(tmp_path / "out")
+    subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, '/root/repo'); "
+         f"from qamd_spark import synth; synth.write_parquet({src!r}, "
+         "n_convs=12, seed=11)"],
+        check=True,
+    )
+    driver = tmp_path / "driver.py"
+    driver.write_text(
+        "from qamd_spark import main\n"
+        f"raise SystemExit(main.main(['run', '--input', {src!r}, "
+        f"'--output', {outd!r}, '--no-checkpoint']))\n"
+    )
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    r = subprocess.run(
+        [spark_submit, "--master", "local[4]",
+         "--conf", "spark.ui.enabled=false",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--py-files", str(out_zip), str(driver)],
+        capture_output=True, text=True, cwd=str(tmp_path), timeout=420,
+        env=env,
+    )
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+
+    import duckdb
+
+    from oracle import oracle
+    from qamd_spark import synth
+    from qamd_spark.config import QamdConfig
+
+    con = duckdb.connect()
+    lab = con.sql(
+        "select conv_id, turn_idx, keep, scrubbed_text from "
+        f"read_parquet('{outd}/data/*/*.parquet') order by 1, 2"
+    ).df()
+    orc = (
+        oracle.label_pdf(synth.generate(n_convs=12, seed=11), QamdConfig())
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(lab) == len(orc) > 0
+    assert (lab["keep"].to_numpy() == orc["keep"].to_numpy()).all()
+    assert (
+        lab["scrubbed_text"].fillna("").to_numpy()
+        == orc["scrubbed_text"].fillna("").to_numpy()
+    ).all()
