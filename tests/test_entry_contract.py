@@ -75,3 +75,39 @@ def test_rows_only_queries_run(spark):
 def test_entry_runs(spark):
     df = E.entry(spark)
     assert df.count() > 0
+
+
+def test_lang_agreement_composes_from_langid_docs(spark):
+    """lang_agreement (rows-only) must equal the direct composition of
+    the langid prediction with the declared lang column — cell counts
+    sum to the corpus size and match a pandas groupby of the same join."""
+    import pandas as pd
+
+    got = (
+        E.queries()["lang_agreement"](spark, SF)
+        .toPandas()
+        .sort_values(["decl_lang", "pred_lang"])
+        .reset_index(drop=True)
+    )
+    pred = E.queries()["langid_docs"](spark, SF).toPandas()[["doc_id", "lang"]]
+    pred["doc_id"] = pred["doc_id"].astype("int64")  # langid_docs emits string ids
+    decl = spark.read.parquet(f"{SF}/documents.parquet").toPandas()[
+        ["doc_id", "lang"]
+    ]
+    want = (
+        pred.merge(decl, on="doc_id", suffixes=("_pred", "_decl"))
+        .groupby(["lang_decl", "lang_pred"])
+        .size()
+        .reset_index(name="n")
+        .sort_values(["lang_decl", "lang_pred"])
+        .reset_index(drop=True)
+    )
+    assert got["n"].sum() == len(decl)
+    assert len(got) == len(want)
+    assert (got["decl_lang"].to_numpy() == want["lang_decl"].to_numpy()).all()
+    assert (got["pred_lang"].to_numpy() == want["lang_pred"].to_numpy()).all()
+    assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
+    assert (
+        got["agree"].to_numpy()
+        == (got["decl_lang"] == got["pred_lang"]).to_numpy()
+    ).all()
