@@ -4959,6 +4959,39 @@ def q_year_mentions(spark, sf_dir):
     )
 
 
+def q_neardup_by_source(spark, sf_dir):
+    """Fuzzy cross-source duplication matrix: MinHash near-dup pairs
+    rolled up by (source of the duplicate, source of its keeper) — the
+    fuzzy complement of source_overlap's exact/prefix matrix (mirror
+    sites and rewraps duplicate ACROSS sources long before texts match
+    exactly; a heavy off-diagonal cell means two feeds are the same
+    crawl). Rows-only (MinHash is not SQL-expressible; the pair set
+    itself is pinned bit-exact by tests/test_hash_oracles.py, and a
+    composition pytest pins this rollup to pairs⨝sources). Two broadcast
+    joins of the small pair set against the ids→source projection, one
+    hash aggregate."""
+    from qamd_spark.ops import dedup as dd
+
+    docs = _docs(spark, sf_dir)
+    pairs = dd.minhash_duplicates(docs)
+    src = docs.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("dup_id"), F.col("source").alias("dup_source"))
+    b = src.select(F.col("doc_id").alias("keep_id"), F.col("source").alias("keep_source"))
+    return (
+        pairs.select(F.col("doc_id").alias("dup_id"), F.col("dup_of").alias("keep_id"))
+        .join(a, "dup_id")
+        .join(b, "keep_id")
+        .groupBy("dup_source", "keep_source")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "dup_source",
+            "keep_source",
+            "n_pairs",
+            (F.col("dup_source") == F.col("keep_source")).alias("same_source"),
+        )
+    )
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -5114,6 +5147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "tool_chains": q_tool_chains,
         "year_mentions": q_year_mentions,
+        "neardup_by_source": q_neardup_by_source,
         "winnow": q_winnow,
         "winnow_containment": q_winnow_containment,
         "dedup_clusters": q_dedup_clusters,

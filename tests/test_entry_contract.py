@@ -111,3 +111,22 @@ def test_lang_agreement_composes_from_langid_docs(spark):
         got["agree"].to_numpy()
         == (got["decl_lang"] == got["pred_lang"]).to_numpy()
     ).all()
+
+
+def test_neardup_by_source_composes_from_minhash_pairs(spark):
+    """neardup_by_source (rows-only) must equal the pandas composition of
+    the bit-exact-pinned minhash pair set with the doc→source map."""
+    from qamd_spark.ops import dedup as dd
+
+    got = {
+        (r["dup_source"], r["keep_source"]): r["n_pairs"]
+        for r in E.queries()["neardup_by_source"](spark, SF).collect()
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = dd.minhash_duplicates(docs).toPandas()
+    src = docs.select("doc_id", "source").toPandas().set_index("doc_id")["source"]
+    want = {}
+    for d, k in zip(pairs["doc_id"], pairs["dup_of"]):
+        key = (src[d], src[k])
+        want[key] = want.get(key, 0) + 1
+    assert got == want and sum(got.values()) == len(pairs)
