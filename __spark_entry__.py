@@ -4992,6 +4992,205 @@ def q_neardup_by_source(spark, sf_dir):
     )
 
 
+NEARDUP_BLK = 24  # block = first 24 chars (untouched by the stamped edit)
+NEARDUP_CAP = 240  # levenshtein cost cap: O(CAP^2) per candidate pair
+NEARDUP_MAXLEV = 8  # 4-char insertion + <=4 chars of truncation slack
+
+
+def q_prefix_neardup(spark, sf_dir):
+    """Edit-distance near-dup detection with prefix blocking: documents
+    sharing a 24-char prefix are candidates; each candidate is verified
+    against its block's min-id keeper by levenshtein over length-capped
+    text. The classic record-linkage recipe (blocking bounds candidate
+    generation; the quadratic distance only ever runs on capped strings
+    inside a block) — the edit-distance complement of the MinHash /
+    SimHash token families, catching small in-place edits those miss.
+    Near-duplicate variants are stamped deterministically on both
+    engines (a 4-char insertion at char 31, past the block prefix).
+    Scale: one hash aggregate for block minima, two equi-joins on the
+    block key / keeper id (no all-pairs bucket join — same min-per-bucket
+    resolution as minhash_duplicates, recall < 1 when a block holds
+    multiple distinct clusters, documented); levenshtein cost is capped
+    at NEARDUP_CAP^2 per pair. Prefix-skew (boilerplate prefixes) is the
+    known risk — at 100 TB add a per-block candidate cap or a longer
+    block key."""
+    docs = _docs(spark, sf_dir)
+    base = docs.select(F.col("doc_id").alias("rec_id"), _txt().alias("t"))
+    var = docs.filter(F.col("doc_id") % 10 == 7).select(
+        (F.col("doc_id") + F.lit(10000000)).cast("long").alias("rec_id"),
+        F.concat(
+            F.substring(_txt(), 1, 30),
+            F.lit(" zq "),
+            F.expr("substring(coalesce(text, ''), 31)"),
+        ).alias("t"),
+    )
+    recs = base.unionByName(var).select(
+        "rec_id", "t", F.substring("t", 1, NEARDUP_BLK).alias("blk")
+    )
+    mins = (
+        recs.groupBy("blk")
+        .agg(F.min("rec_id").alias("keep_id"), F.count(F.lit(1)).alias("n_blk"))
+        .filter(F.col("n_blk") >= 2)
+        .select("blk", "keep_id")
+    )
+    keep_t = recs.select(
+        F.col("rec_id").alias("keep_id"), F.col("t").alias("keep_t")
+    )
+    cand = (
+        recs.join(mins, "blk")
+        .filter(F.col("rec_id") != F.col("keep_id"))
+        .join(keep_t, "keep_id")
+    )
+    lev = F.levenshtein(
+        F.substring(F.col("t"), 1, NEARDUP_CAP),
+        F.substring(F.col("keep_t"), 1, NEARDUP_CAP),
+    ).cast("long")
+    return (
+        cand.select(
+            "blk", "keep_id", F.col("rec_id").alias("dup_id"), lev.alias("lev")
+        )
+        .filter(F.col("lev") <= NEARDUP_MAXLEV)
+    )
+
+
+def q_entity_resolution(spark, sf_dir):
+    """Entity resolution over the customer dimension: blocked pairwise
+    linkage with an edit-distance verifier — the structured-record
+    sibling of prefix_neardup (dirty CRM feeds duplicate entities with
+    single-char typos; linking them is a prerequisite for any per-entity
+    rollup). Dirty variants are stamped deterministically on both
+    engines (last name char -> 'X' for custkey%5==2). Blocking key =
+    (nation, name digits 10..17) so a last-char typo stays in its block;
+    within a block ALL ordered pairs are verified (bounded: the block
+    key fixes all but the last digit, so a block is <= ~20 records by
+    construction — this is blocking-bounds-the-quadratic, not an
+    all-pairs self-join). is_synth distinguishes planted links from the
+    natural lev-1 neighbors (adjacent custkeys), so precision of the
+    threshold is measurable from the output."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    clean = c.select(
+        (F.col("c_custkey") * 2).cast("long").alias("rec_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").cast("long").alias("nat"),
+    )
+    dirty = c.filter(F.col("c_custkey") % 5 == 2).select(
+        (F.col("c_custkey") * 2 + 1).cast("long").alias("rec_id"),
+        F.concat(
+            F.expr("substring(c_name, 1, length(c_name) - 1)"), F.lit("X")
+        ).alias("name"),
+        F.col("c_nationkey").cast("long").alias("nat"),
+    )
+    recs = clean.unionByName(dirty).select(
+        "rec_id", "name", "nat", F.substring("name", 10, 8).alias("blk")
+    )
+    a = recs.select(
+        F.col("rec_id").alias("rec_a"), F.col("name").alias("name_a"), "nat", "blk"
+    )
+    b = recs.select(
+        F.col("rec_id").alias("rec_b"), F.col("name").alias("name_b"), "nat", "blk"
+    )
+    pairs = a.join(b, ["nat", "blk"]).filter(F.col("rec_a") < F.col("rec_b"))
+    lev = F.levenshtein("name_a", "name_b").cast("long")
+    return (
+        pairs.select("nat", "blk", "rec_a", "rec_b", lev.alias("lev"))
+        .filter(F.col("lev") <= 1)
+        .withColumn(
+            "is_synth",
+            (F.col("rec_b") == F.col("rec_a") + 1) & (F.col("rec_a") % 2 == 0),
+        )
+    )
+
+
+def q_ngram_lm(spark, sf_dir):
+    """Count-based trigram language-model training from the corpus
+    itself: P(w3 | w1 w2) as exact-count ratios — the estimation step
+    behind the pipeline's hashed-trigram perplexity scorer (ngram.py
+    ships frozen tables; this op is how those tables are BUILT from a
+    corpus at scale, the KenLM `lmplz` counting pass as a DataFrame
+    job). Trigram extraction is one JVM higher-order-function transform
+    over the token array (no explode-then-self-join-by-position, which
+    would be two extra shuffles); counts are one partial+final hash
+    aggregate; the context denominator re-aggregates the trigram table
+    (sum of n3 over ctx == bigram-with-successor count, definitionally
+    consistent with the numerator) and joins back on ctx. p_cond is one
+    division of exact int64 counts on both engines."""
+    d = _docs(spark, sf_dir).select(
+        F.filter(F.split(_txt(), " "), lambda x: x != "").alias("tok")
+    )
+    tri = F.expr(
+        "transform(slice(tok, 1, greatest(size(tok) - 2, 0)),"
+        " (x, i) -> struct(concat_ws(' ', x, tok[i+1]) AS ctx,"
+        " tok[i+2] AS nxt))"
+    )
+    g = d.select(F.explode(tri).alias("g")).select("g.ctx", "g.nxt")
+    c3 = g.groupBy("ctx", "nxt").agg(F.count(F.lit(1)).alias("n3"))
+    c2 = c3.groupBy("ctx").agg(F.sum("n3").alias("n_ctx"))
+    return c3.join(c2, "ctx").select(
+        "ctx",
+        "nxt",
+        "n3",
+        "n_ctx",
+        (F.col("n3").cast("double") / F.col("n_ctx").cast("double")).alias(
+            "p_cond"
+        ),
+    )
+
+
+Q3_CUTOFF = "1998-06-01"
+
+
+def q_top_unshipped(spark, sf_dir):
+    """TPC-H Q3-shape shipping-priority top-k: revenue still in flight
+    per order for one market segment — the join-agg-global-top-k
+    capability row (Q1 = full-scan rollup, Q4 = semi-join; this adds the
+    deterministic global top-k, which Spark plans as
+    TakeOrderedAndProject: per-partition heaps + one driver merge of k
+    rows, NOT a single-partition window sort). Revenue uses the
+    pricing_summary exact-int idiom (half-up rescale first, int64 sums,
+    one final division); the top-10 order is total (rev desc, orderkey
+    asc) so ties cannot make the row set engine-dependent. Both date
+    filters reach the scans as pushed predicates; the customer segment
+    filter joins post-AQE (broadcast at test scale, shuffle at 100 TB —
+    no forced hint)."""
+    c = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderdate") < F.lit(Q3_CUTOFF).cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_shipdate") > F.lit(Q3_CUTOFF).cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    disc = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        c, F.col("o_custkey") == F.col("c_custkey")
+    )
+    a = (
+        j.select(
+            "l_orderkey",
+            "o_orderdate",
+            "o_orderpriority",
+            (cents * (F.lit(100) - disc)).alias("dp"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("dp").alias("rev_e4"))
+    )
+    top = a.orderBy(F.col("rev_e4").desc(), F.col("l_orderkey").asc()).limit(10)
+    return top.select(
+        "l_orderkey",
+        "o_orderdate",
+        "o_orderpriority",
+        (F.col("rev_e4").cast("double") / F.lit(10000.0)).alias("revenue"),
+    )
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -5148,6 +5347,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_chains": q_tool_chains,
         "year_mentions": q_year_mentions,
         "neardup_by_source": q_neardup_by_source,
+        "prefix_neardup": q_prefix_neardup,
+        "entity_resolution": q_entity_resolution,
+        "ngram_lm": q_ngram_lm,
+        "top_unshipped": q_top_unshipped,
         "winnow": q_winnow,
         "winnow_containment": q_winnow_containment,
         "dedup_clusters": q_dedup_clusters,
@@ -7430,6 +7633,102 @@ def oracle_sql() -> dict[str, str]:
             SELECT per.source, per.year, per.n,
                    per.n::DOUBLE / tot.n_source::DOUBLE AS share
             FROM per JOIN tot USING (source)
+        """,
+        "prefix_neardup": f"""
+            WITH recs AS (
+              SELECT doc_id::BIGINT AS rec_id, coalesce(text,'') AS t
+              FROM documents
+              UNION ALL
+              SELECT (doc_id + 10000000)::BIGINT,
+                     substr(coalesce(text,''), 1, 30) || ' zq ' ||
+                       substr(coalesce(text,''), 31)
+              FROM documents WHERE doc_id % 10 = 7),
+            k AS (
+              SELECT rec_id, t, substr(t, 1, {NEARDUP_BLK}) AS blk
+              FROM recs),
+            m AS (
+              SELECT blk, min(rec_id) AS keep_id
+              FROM k GROUP BY blk HAVING count(*) >= 2),
+            c AS (
+              SELECT k.blk, k.rec_id AS dup_id, k.t, m.keep_id
+              FROM k JOIN m USING (blk)
+              WHERE k.rec_id <> m.keep_id),
+            p AS (
+              SELECT c.blk, c.keep_id, c.dup_id,
+                     levenshtein(substr(c.t, 1, {NEARDUP_CAP}),
+                                 substr(k2.t, 1, {NEARDUP_CAP}))::BIGINT AS lev
+              FROM c JOIN k k2 ON k2.rec_id = c.keep_id)
+            SELECT blk, keep_id, dup_id, lev
+            FROM p WHERE lev <= {NEARDUP_MAXLEV}
+        """,
+        "entity_resolution": """
+            WITH recs AS (
+              SELECT (c_custkey * 2)::BIGINT AS rec_id, c_name AS name,
+                     c_nationkey::BIGINT AS nat
+              FROM customer
+              UNION ALL
+              SELECT (c_custkey * 2 + 1)::BIGINT,
+                     substr(c_name, 1, length(c_name) - 1) || 'X',
+                     c_nationkey::BIGINT
+              FROM customer WHERE c_custkey % 5 = 2),
+            k AS (
+              SELECT rec_id, name, nat, substr(name, 10, 8) AS blk
+              FROM recs)
+            SELECT a.nat, a.blk, a.rec_id AS rec_a, b.rec_id AS rec_b,
+                   levenshtein(a.name, b.name)::BIGINT AS lev,
+                   (b.rec_id = a.rec_id + 1 AND a.rec_id % 2 = 0) AS is_synth
+            FROM k a JOIN k b ON a.nat = b.nat AND a.blk = b.blk
+                              AND a.rec_id < b.rec_id
+            WHERE levenshtein(a.name, b.name) <= 1
+        """,
+        "ngram_lm": """
+            WITH d AS (
+              SELECT list_filter(string_split(coalesce(text,''), ' '),
+                                 x -> x <> '') AS tok
+              FROM documents),
+            g AS (
+              SELECT unnest(list_transform(
+                       generate_series(1, len(tok) - 2),
+                       i -> struct_pack(
+                              ctx := tok[i] || ' ' || tok[i+1],
+                              nxt := tok[i+2])),
+                     recursive := true)
+              FROM d),
+            c3 AS (
+              SELECT ctx, nxt, count(*)::BIGINT AS n3
+              FROM g GROUP BY ctx, nxt),
+            c2 AS (
+              SELECT ctx, sum(n3)::BIGINT AS n_ctx
+              FROM c3 GROUP BY ctx)
+            SELECT c3.ctx, c3.nxt, c3.n3, c2.n_ctx,
+                   c3.n3::DOUBLE / c2.n_ctx::DOUBLE AS p_cond
+            FROM c3 JOIN c2 USING (ctx)
+        """,
+        "top_unshipped": f"""
+            WITH c AS (
+              SELECT c_custkey FROM customer
+              WHERE c_mktsegment = 'BUILDING'),
+            o AS (
+              SELECT o_orderkey, o_custkey, o_orderdate, o_orderpriority
+              FROM orders
+              WHERE o_orderdate < TIMESTAMP '{Q3_CUTOFF}'),
+            l AS (
+              SELECT l_orderkey,
+                     CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+                       (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                       AS dp
+              FROM lineitem
+              WHERE l_shipdate > TIMESTAMP '{Q3_CUTOFF}'),
+            a AS (
+              SELECT l_orderkey, o_orderdate, o_orderpriority,
+                     sum(dp)::BIGINT AS rev_e4
+              FROM l
+              JOIN o ON o.o_orderkey = l.l_orderkey
+              JOIN c ON c.c_custkey = o.o_custkey
+              GROUP BY 1, 2, 3)
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   rev_e4::DOUBLE / 10000.0 AS revenue
+            FROM a ORDER BY rev_e4 DESC, l_orderkey LIMIT 10
         """,
     }
     return {k: v.strip() for k, v in sqls.items()}

@@ -241,6 +241,10 @@ def run_benchmarks() -> dict:
         "pricing_summary",
         "vocab_coverage",
         "injection_scan",
+        "prefix_neardup",
+        "entity_resolution",
+        "ngram_lm",
+        "top_unshipped",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

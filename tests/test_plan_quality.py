@@ -461,3 +461,35 @@ def test_tool_chains_and_year_mentions_plans(spark):
     assert ") Window" not in plan and ") SortAggregate" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+
+def test_linkage_lm_and_topk_plans(spark):
+    """prefix_neardup / entity_resolution: blocked linkage must stay
+    equi-join (hash or broadcast-hash, never a nested-loop over pairs)
+    with hash-aggregate block minima; ngram_lm: trigram extraction is one
+    JVM Generate (no Python, no position self-join), counts partial+final;
+    top_unshipped: the global top-k plans as TakeOrderedAndProject
+    (per-partition heaps + k-row driver merge, not a 1-partition window
+    sort) and both date filters reach the parquet scans."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("prefix_neardup", "entity_resolution"):
+        plan = _fmt_plan(E.queries()[name](spark, sf))
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan, name
+        assert "HashJoin" in plan, name
+        assert ") SortAggregate" not in plan, name
+        assert "MapInPandas" not in plan and "EvalPython" not in plan, name
+
+    plan = _fmt_plan(E.q_ngram_lm(spark, sf))
+    assert ") Generate" in plan, plan  # higher-order transform + explode
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+    assert plan.count("HashAggregate") >= 4 and "partial_" in plan, plan
+    assert ") Window" not in plan and ") SortAggregate" not in plan, plan
+
+    plan = _fmt_plan(E.q_top_unshipped(spark, sf))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert ") Window" not in plan and ") Sort\n" not in plan, plan
+    assert re.search(r"PushedFilters:.*LessThan\(o_orderdate", plan), plan
+    assert re.search(r"PushedFilters:.*GreaterThan\(l_shipdate", plan), plan
+    assert re.search(r"PushedFilters:.*EqualTo\(c_mktsegment,BUILDING", plan), plan
