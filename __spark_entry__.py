@@ -5136,6 +5136,57 @@ def q_ngram_lm(spark, sf_dir):
     )
 
 
+def q_lm_score(spark, sf_dir):
+    """The apply half of ngram_lm: score every document against a
+    trigram table trained on half the corpus (even doc_ids as the
+    reference slice — the in-domain-LM quality signal of CCNet/DSIR:
+    low trigram coverage or low mean conditional probability marks
+    out-of-domain or garbled text). Exactness: probabilities are
+    quantized to exact int64 (n3*1e6 div n_ctx — integer division, both
+    engines truncate identically on positives) at TRAIN time, so the
+    per-doc rollup is pure integer sums/counts and every float output is
+    one division. Scale: the doc-gram → LM-table join is a shuffle
+    equi-join on the gram key; hot grams (stopword contexts) are the
+    skew risk — AQE skew-join splits them, and the table side is
+    hash-aggregated (unique key) so multiplicity never amplifies."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.filter(F.split(_txt(), " "), lambda x: x != "").alias("tok")
+    )
+    tri = F.expr(
+        "transform(slice(tok, 1, greatest(size(tok) - 2, 0)),"
+        " (x, i) -> struct(concat_ws(' ', x, tok[i+1]) AS ctx,"
+        " tok[i+2] AS nxt))"
+    )
+    g = d.select("doc_id", F.explode(tri).alias("g")).select(
+        "doc_id", "g.ctx", "g.nxt"
+    )
+    ref = g.filter(F.col("doc_id") % 2 == 0)
+    c3 = ref.groupBy("ctx", "nxt").agg(F.count(F.lit(1)).alias("n3"))
+    c2 = c3.groupBy("ctx").agg(F.sum("n3").alias("n_ctx"))
+    t = (
+        c3.join(c2, "ctx")
+        .select("ctx", "nxt", F.expr("(n3 * 1000000) div n_ctx").alias("p_e6"))
+    )
+    j = g.join(t, ["ctx", "nxt"], "left")
+    per = j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tri"),
+        F.count("p_e6").alias("n_seen"),
+        F.coalesce(F.sum("p_e6"), F.lit(0)).cast("long").alias("sum_p_e6"),
+    )
+    return per.select(
+        "doc_id",
+        "n_tri",
+        "n_seen",
+        (F.col("n_seen").cast("double") / F.col("n_tri").cast("double")).alias(
+            "coverage"
+        ),
+        "sum_p_e6",
+        F.expr(
+            "CASE WHEN n_seen > 0 THEN sum_p_e6 div n_seen END"
+        ).cast("long").alias("mean_p_e6"),
+    )
+
+
 Q3_CUTOFF = "1998-06-01"
 
 
@@ -5189,6 +5240,47 @@ def q_top_unshipped(spark, sf_dir):
         "o_orderpriority",
         (F.col("rev_e4").cast("double") / F.lit(10000.0)).alias("revenue"),
     )
+
+
+def q_fk_integrity(spark, sf_dir):
+    """Referential-integrity audit across the star schema: orphan fact
+    rows whose foreign key misses the dimension — the data-quality
+    staple for ingest pipelines (a partial dimension load silently drops
+    every joined row downstream; this measures the blast radius BEFORE
+    the join). Partial loads are simulated deterministically on both
+    engines (customer minus custkey%11==5, orders minus orderkey%13==3).
+    Scale: each check is one LeftAnti shuffle equi-join (the dimension
+    side is broadcast at test scale, AQE decides at 100 TB) feeding a
+    partial+final count — no row ever leaves the executors; output is
+    one row per declared FK edge."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_custkey") % 11 != 5)
+        .select("c_custkey")
+    )
+    o_dim = o.filter(F.col("o_orderkey") % 13 != 3).select("o_orderkey")
+
+    def check(name, fact, dim, fk, pk):
+        orphans = fact.join(dim, fact[fk] == dim[pk], "left_anti")
+        n = fact.agg(F.count(F.lit(1)).alias("n_rows"))
+        m = orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+        return n.crossJoin(m).select(
+            F.lit(name).alias("fk_edge"),
+            "n_rows",
+            "n_orphans",
+            (
+                F.col("n_orphans").cast("double")
+                / F.col("n_rows").cast("double")
+            ).alias("orphan_frac"),
+        )
+
+    a = check("lineitem.l_orderkey->orders", li, o_dim, "l_orderkey", "o_orderkey")
+    b = check("orders.o_custkey->customer", o, cust, "o_custkey", "c_custkey")
+    return a.unionByName(b)
 
 
 # ------------------------------------------------------------- the contract
@@ -5350,7 +5442,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_neardup": q_prefix_neardup,
         "entity_resolution": q_entity_resolution,
         "ngram_lm": q_ngram_lm,
+        "lm_score": q_lm_score,
         "top_unshipped": q_top_unshipped,
+        "fk_integrity": q_fk_integrity,
         "winnow": q_winnow,
         "winnow_containment": q_winnow_containment,
         "dedup_clusters": q_dedup_clusters,
@@ -7704,6 +7798,44 @@ def oracle_sql() -> dict[str, str]:
                    c3.n3::DOUBLE / c2.n_ctx::DOUBLE AS p_cond
             FROM c3 JOIN c2 USING (ctx)
         """,
+        "lm_score": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split(coalesce(text,''), ' '),
+                                 x -> x <> '') AS tok
+              FROM documents),
+            g0 AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, len(tok) - 2),
+                       i -> struct_pack(
+                              ctx := tok[i] || ' ' || tok[i+1],
+                              nxt := tok[i+2])),
+                     recursive := true)
+              FROM d),
+            ref3 AS (
+              SELECT ctx, nxt, count(*)::BIGINT AS n3
+              FROM g0 WHERE doc_id % 2 = 0 GROUP BY ctx, nxt),
+            ref2 AS (
+              SELECT ctx, sum(n3)::BIGINT AS n_ctx
+              FROM ref3 GROUP BY ctx),
+            t AS (
+              SELECT ctx, nxt, (n3 * 1000000) // n_ctx AS p_e6
+              FROM ref3 JOIN ref2 USING (ctx)),
+            j AS (
+              SELECT g0.doc_id, t.p_e6
+              FROM g0 LEFT JOIN t ON t.ctx = g0.ctx AND t.nxt = g0.nxt),
+            per AS (
+              SELECT doc_id, count(*)::BIGINT AS n_tri,
+                     count(p_e6)::BIGINT AS n_seen,
+                     coalesce(sum(p_e6), 0)::BIGINT AS sum_p_e6
+              FROM j GROUP BY doc_id)
+            SELECT doc_id, n_tri, n_seen,
+                   n_seen::DOUBLE / n_tri::DOUBLE AS coverage, sum_p_e6,
+                   (CASE WHEN n_seen > 0
+                         THEN sum_p_e6 // n_seen END)::BIGINT AS mean_p_e6
+            FROM per
+        """,
         "top_unshipped": f"""
             WITH c AS (
               SELECT c_custkey FROM customer
@@ -7731,4 +7863,25 @@ def oracle_sql() -> dict[str, str]:
             FROM a ORDER BY rev_e4 DESC, l_orderkey LIMIT 10
         """,
     }
+    sqls["fk_integrity"] = """
+        WITH cust AS (
+          SELECT c_custkey FROM customer WHERE c_custkey % 11 <> 5),
+        odim AS (
+          SELECT o_orderkey FROM orders WHERE o_orderkey % 13 <> 3),
+        a AS (
+          SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+                 (SELECT count(*) FROM lineitem)::BIGINT AS n_rows,
+                 (SELECT count(*) FROM lineitem
+                  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM odim)
+                 )::BIGINT AS n_orphans),
+        b AS (
+          SELECT 'orders.o_custkey->customer' AS fk_edge,
+                 (SELECT count(*) FROM orders)::BIGINT AS n_rows,
+                 (SELECT count(*) FROM orders
+                  WHERE o_custkey NOT IN (SELECT c_custkey FROM cust)
+                 )::BIGINT AS n_orphans)
+        SELECT fk_edge, n_rows, n_orphans,
+               n_orphans::DOUBLE / n_rows::DOUBLE AS orphan_frac
+        FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+    """
     return {k: v.strip() for k, v in sqls.items()}

@@ -244,7 +244,9 @@ def run_benchmarks() -> dict:
         "prefix_neardup",
         "entity_resolution",
         "ngram_lm",
+        "lm_score",
         "top_unshipped",
+        "fk_integrity",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

@@ -493,3 +493,31 @@ def test_linkage_lm_and_topk_plans(spark):
     assert re.search(r"PushedFilters:.*LessThan\(o_orderdate", plan), plan
     assert re.search(r"PushedFilters:.*GreaterThan\(l_shipdate", plan), plan
     assert re.search(r"PushedFilters:.*EqualTo\(c_mktsegment,BUILDING", plan), plan
+
+
+def test_lm_score_plan_is_jvm_hash_agg_join(spark):
+    """lm_score: train + apply in one plan — gram extraction is JVM
+    Generate, table build and per-doc rollup are partial+final hash
+    aggregates, and the doc-gram → LM-table join is an equi-join (no
+    nested loop, no Python stage, no SortAggregate)."""
+    import __spark_entry__ as E
+
+    plan = _fmt_plan(E.q_lm_score(spark, "/root/testdata/sf0.001"))
+    assert ") Generate" in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+    assert plan.count("HashAggregate") >= 6 and "partial_" in plan, plan
+    assert ") SortAggregate" not in plan and ") Window" not in plan, plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_fk_integrity_plan_uses_anti_join(spark):
+    """fk_integrity: each check is a LeftAnti equi-join feeding a
+    partial+final count — no Python stage, no nested loop over keys
+    (the only CartesianProduct-free cross join is the two 1-row count
+    frames)."""
+    import __spark_entry__ as E
+
+    plan = _fmt_plan(E.q_fk_integrity(spark, "/root/testdata/sf0.001"))
+    assert "LeftAnti" in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+    assert plan.count("HashAggregate") >= 4 and "partial_" in plan, plan
