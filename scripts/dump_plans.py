@@ -304,6 +304,28 @@ def main() -> None:
             "scan partitions).",
             _locators_wide(spark, pipeline, QamdConfig),
         ),
+        (
+            "prefix_neardup",
+            "Blocked edit-distance linkage: hash-aggregate block minima, "
+            "two equi-joins (block key, keeper id), levenshtein verify "
+            "capped at 240^2 per candidate — no all-pairs bucket join.",
+            E.q_prefix_neardup(spark, SF),
+        ),
+        (
+            "lm_score",
+            "Train + apply in one plan: JVM Generate for gram extraction, "
+            "partial+final hash aggregates for the LM table, doc-gram -> "
+            "table shuffle equi-join (unique-key build side, AQE "
+            "skew-splittable), integer-exact per-doc rollup.",
+            E.q_lm_score(spark, SF),
+        ),
+        (
+            "top_unshipped",
+            "TPC-H Q3 shape: pushed date/segment filters, equi-joins, "
+            "partial+final revenue aggregate, TakeOrderedAndProject "
+            "global top-k (per-partition heaps + k-row driver merge).",
+            E.q_top_unshipped(spark, SF),
+        ),
     ]
     out = [
         "# PLANS.md — physical plans of the scale-critical paths",
