@@ -5283,6 +5283,54 @@ def q_fk_integrity(spark, sf_dir):
     return a.unionByName(b)
 
 
+def q_curriculum_buckets(spark, sf_dir):
+    """Curriculum staging: each document gets a difficulty stage (0 =
+    short / 1 = mid / 2 = long) from its OWN source's exact length
+    terciles — the data-ordering step of curriculum training (per-source
+    thresholds, not global ones, so a code-heavy source isn't all
+    stage-2). Thresholds use Spark's exact `percentile` / DuckDB's
+    quantile_cont, which share the lo + (hi-lo)*frac interpolation on
+    integer inputs (the percentile_profile precedent — bit-equal).
+    Scale: the per-source sort aggregate is bounded by the group grid,
+    and the ~20-row thresholds table broadcasts back; staging itself is
+    a codegen CASE. At 100 TB swap the exact percentile for
+    approx_percentile when ±0.1% threshold error is acceptable."""
+    d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    q = F.expr("percentile(n_chars, array(0.33D, 0.67D))")
+    th = d.groupBy("source").agg(q.alias("q")).select(
+        "source", F.col("q")[0].alias("p33"), F.col("q")[1].alias("p67")
+    )
+    j = d.join(F.broadcast(th), "source")
+    stage = (
+        F.when(F.col("n_chars").cast("double") <= F.col("p33"), F.lit(0))
+        .when(F.col("n_chars").cast("double") <= F.col("p67"), F.lit(1))
+        .otherwise(F.lit(2))
+        .cast("long")
+    )
+    return j.select("doc_id", "source", "n_chars", "p33", "p67", stage.alias("stage"))
+
+
+SHARD_TOKENS = 20000
+
+
+def q_shard_plan(spark, sf_dir):
+    """Training-shard assignment: the corpus, deterministically shuffled
+    by salted md5 of doc_id, is split into ~SHARD_TOKENS-char shards —
+    the shard-writing step of a training-data pipeline, with no RNG so
+    the shard map is reproducible across engines and cluster sizes.
+    The Spark side runs the range-chunked two-phase prefix sum
+    (ops/sampling.py shard_assign — no single global window over raw
+    rows); the DuckDB twin is the plain one-window formulation, so the
+    gate proves the two-phase plan computes the same exact cumulative
+    weights and shard ids."""
+    from qamd_spark.ops.sampling import shard_assign
+
+    d = _docs(spark, sf_dir)
+    return shard_assign(
+        d, id_col="doc_id", weight_col="n_chars", shard_weight=SHARD_TOKENS
+    )
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -5445,6 +5493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "top_unshipped": q_top_unshipped,
         "fk_integrity": q_fk_integrity,
+        "curriculum_buckets": q_curriculum_buckets,
+        "shard_plan": q_shard_plan,
         "winnow": q_winnow,
         "winnow_containment": q_winnow_containment,
         "dedup_clusters": q_dedup_clusters,
@@ -7863,6 +7913,34 @@ def oracle_sql() -> dict[str, str]:
             FROM a ORDER BY rev_e4 DESC, l_orderkey LIMIT 10
         """,
     }
+    sqls["curriculum_buckets"] = """
+        WITH th AS (
+          SELECT source,
+                 quantile_cont(n_chars, 0.33) AS p33,
+                 quantile_cont(n_chars, 0.67) AS p67
+          FROM documents GROUP BY source)
+        SELECT d.doc_id, d.source, d.n_chars, th.p33, th.p67,
+               (CASE WHEN d.n_chars::DOUBLE <= th.p33 THEN 0
+                     WHEN d.n_chars::DOUBLE <= th.p67 THEN 1
+                     ELSE 2 END)::BIGINT AS stage
+        FROM documents d JOIN th USING (source)
+    """
+    sqls["shard_plan"] = f"""
+        WITH d AS (
+          SELECT doc_id,
+                 coalesce(n_chars, 0)::BIGINT AS n_chars,
+                 md5(doc_id::VARCHAR || ':s') AS h
+          FROM documents),
+        c AS (
+          SELECT doc_id, n_chars,
+                 sum(n_chars) OVER (ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 )::BIGINT AS cum_weight
+          FROM d)
+        SELECT doc_id, n_chars, cum_weight,
+               ((cum_weight - n_chars) // {SHARD_TOKENS})::BIGINT AS shard_id
+        FROM c
+    """
     sqls["fk_integrity"] = """
         WITH cust AS (
           SELECT c_custkey FROM customer WHERE c_custkey % 11 <> 5),

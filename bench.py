@@ -247,6 +247,8 @@ def run_benchmarks() -> dict:
         "lm_score",
         "top_unshipped",
         "fk_integrity",
+        "curriculum_buckets",
+        "shard_plan",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

@@ -103,6 +103,62 @@ def token_budget_sample(
     )
 
 
+def shard_assign(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    shard_weight: int,
+    salt: str = "s",
+) -> DataFrame:
+    """Deterministic training-shard assignment: every row, ordered by a
+    salted md5 of its id (the corpus-shuffle step of shard writing — no
+    RNG, reproducible across engines and cluster sizes), is assigned to
+    shard ``(cum_before) div shard_weight`` where cum_before is the
+    exact cumulative weight of all rows ordered before it. Rows never
+    split; a shard may overflow by at most one row's weight (the
+    standard greedy shard-writer contract).
+
+    Output: (id_col, weight_col, cum_weight, shard_id).
+
+    Scale: same range-chunked two-phase prefix sum as
+    token_budget_sample, ungrouped — 256 md5-prefix chunks bound every
+    window task at ~N/256 rows; the 256-row offsets table broadcasts.
+    Weights are exact integers throughout; shard_id is exact integer
+    division (truncation — all values non-negative).
+    """
+    d = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.coalesce(F.col(weight_col).cast("long"), F.lit(0)).alias("_w"),
+        )
+        .withColumn(
+            "_h", F.md5(F.concat(F.col("_id").cast("string"), F.lit(":" + salt)))
+        )
+        .withColumn("_chunk", F.substring("_h", 1, 2))
+    )
+    chunk_sums = d.groupBy("_chunk").agg(F.sum("_w").alias("_wsum"))
+    woff = Window.orderBy("_chunk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = chunk_sums.select(
+        "_chunk",
+        F.coalesce(F.sum("_wsum").over(woff), F.lit(0)).alias("_off"),
+    )
+    wcum = (
+        Window.partitionBy("_chunk")
+        .orderBy("_h", "_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = d.join(F.broadcast(offs), "_chunk")
+    out = joined.withColumn("_cum", F.col("_off") + F.sum("_w").over(wcum))
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.col("_w").alias(weight_col),
+        F.col("_cum").alias("cum_weight"),
+        F.expr(f"(_cum - _w) div {int(shard_weight)}").alias("shard_id"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

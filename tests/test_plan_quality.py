@@ -521,3 +521,29 @@ def test_fk_integrity_plan_uses_anti_join(spark):
     assert "LeftAnti" in plan, plan
     assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
     assert plan.count("HashAggregate") >= 4 and "partial_" in plan, plan
+
+
+def test_curriculum_and_shard_plans(spark):
+    """curriculum_buckets: exact percentile = ObjectHashAggregate bounded
+    by the source grid, thresholds broadcast back, staging is a codegen
+    CASE — no Python; shard_plan: the two-phase prefix sum shows exactly
+    two Windows (the ungrouped offsets one runs over the <=256-row
+    aggregated chunk table, the other is chunk-partitioned over raw
+    rows), partial+final chunk sums, offsets broadcast — never a global
+    raw-row window."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    plan = _fmt_plan(E.q_curriculum_buckets(spark, sf))
+    assert "ObjectHashAggregate" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert ") Window" not in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+    plan = _fmt_plan(E.q_shard_plan(spark, sf))
+    assert plan.count(") Window") == 2, plan
+    assert "BroadcastHashJoin" in plan and "HashAggregate" in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+    # the raw-row window must be chunk-partitioned, not global
+    assert re.search(r"Window.*partitionBy.*_chunk|PartitionSpec.*_chunk|"
+                     r"windowspecdefinition\(_chunk", plan), plan
