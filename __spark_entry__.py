@@ -5331,6 +5331,33 @@ def q_shard_plan(spark, sf_dir):
     )
 
 
+def q_unigram_lm_train(spark, sf_dir):
+    """SentencePiece-style unigram-LM tokenizer training (Kudo 2018,
+    hard-EM variant; ops/unigram.py) — the second trainable tokenizer
+    family next to bpe_train: seed an over-complete substring
+    vocabulary from the word histogram, Viterbi-E-step over the
+    HISTOGRAM (never the corpus), integer M-step counts, prune to the
+    vocab budget. Rows-only (an EM-trained vocabulary has no SQL twin);
+    evidence = tests/test_bpe.py unigram section: bit-exact equality
+    with the pure-Python twin (shared viterbi/logp/prune helpers),
+    planted-pattern capture, determinism across partitionings, and the
+    encode round-trip. Scale: one corpus pass for the histogram; per
+    iteration one Arrow stage + one hash aggregate over the
+    vocabulary-sized histogram; only the <=seed_size piece table ever
+    reaches the driver (ivf_train's bounded-coordination contract)."""
+    from qamd_spark.ops import unigram as ug
+
+    pieces = ug.train_unigram(
+        _docs(spark, sf_dir),
+        vocab_size=150,
+        seed_size=600,
+        iters=2,
+    )
+    return ug.pieces_df(spark, pieces).select(
+        "piece", "cnt", F.round("logp", 9).alias("logp")
+    )
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -5495,6 +5522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_integrity": q_fk_integrity,
         "curriculum_buckets": q_curriculum_buckets,
         "shard_plan": q_shard_plan,
+        "unigram_lm_train": q_unigram_lm_train,
         "winnow": q_winnow,
         "winnow_containment": q_winnow_containment,
         "dedup_clusters": q_dedup_clusters,

@@ -249,6 +249,7 @@ def run_benchmarks() -> dict:
         "fk_integrity",
         "curriculum_buckets",
         "shard_plan",
+        "unigram_lm_train",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

@@ -127,3 +127,68 @@ def test_bpe_cli_train_and_encode(spark, tmp_path):
     for w in (r["text"] or "").lower().strip().split():
         want.extend(bpe.encode_word(w, ranks))
     assert list(r["bpe_tokens"]) == want
+
+
+# ---------------------------------------------------------------- unigram LM
+from qamd_spark.ops import unigram as ug  # noqa: E402
+
+
+def test_unigram_train_matches_python_twin_exactly(spark):
+    """The Spark-trained unigram vocabulary (counts AND log-probs) must
+    be bit-identical to the pure-Python twin over the same histogram —
+    the two paths share viterbi/logp/prune, so equality is exact."""
+    df = spark.read.parquet(DOCS)
+    got = ug.train_unigram(df, vocab_size=120, seed_size=400, iters=2)
+    want = ug.train_unigram_py(_wc_pdf(), vocab_size=120, seed_size=400, iters=2)
+    assert got == want
+    assert all(c > 0 for _, c, _ in got)
+    # output order is the documented (count desc, piece asc) total order
+    assert got == sorted(got, key=lambda r: (-r[1], r[0]))
+
+
+def test_unigram_train_partitioning_invariant(spark):
+    """Repartitioning the corpus must not change the trained pieces
+    (integer counts + deterministic tie-breaks everywhere)."""
+    df = spark.read.parquet(DOCS)
+    a = ug.train_unigram(df, vocab_size=100, seed_size=300, iters=2)
+    b = ug.train_unigram(
+        df.repartition(13), vocab_size=100, seed_size=300, iters=2
+    )
+    assert a == b
+
+
+def test_unigram_captures_planted_pattern(spark):
+    """A corpus dominated by one repeated multi-char pattern must learn
+    that pattern as a top piece (the point of the unigram LM: frequent
+    substrings beat characters)."""
+    rows = [("abcabcabc zz",)] * 50 + [("qq abcabc",)] * 10
+    df = spark.createDataFrame(rows, "text string")
+    pieces = ug.train_unigram(df, vocab_size=40, seed_size=200, iters=2)
+    vocab = {p for p, _, _ in pieces}
+    assert "abcabc" in vocab or "abc" in vocab
+    top = pieces[0][0]
+    assert len(top) > 1  # a multi-char piece wins, not a character
+
+
+def test_unigram_viterbi_properties():
+    """Viterbi: concatenation restores the word; unsegmentable words
+    pass through whole; longer-piece tie-break is deterministic."""
+    lp = ug._logp_from_counts({"ab": 4, "a": 2, "b": 2, "abab": 4})
+    assert "".join(ug.viterbi_segment("ababab", lp, 6)) == "ababab"
+    assert ug.viterbi_segment("xyz", lp, 6) == ["xyz"]  # unsegmentable
+    # 'abab' as one piece beats 'ab'+'ab' (P(abab) > P(ab)^2)
+    assert ug.viterbi_segment("abab", lp, 6) == ["abab"]
+
+
+def test_unigram_encode_dataframe(spark):
+    """unigram_encode: per-row tokens equal the Python-side Viterbi of
+    each word, concatenated in order."""
+    df = spark.read.parquet(DOCS)
+    pieces = ug.train_unigram(df, vocab_size=80, seed_size=300, iters=2)
+    enc = ug.unigram_encode(df.limit(5), pieces)
+    lp = {p: l for p, _, l in pieces}
+    for r in enc.collect():
+        want = []
+        for w in bpe._py_words(r["text"]):
+            want.extend(ug.viterbi_segment(w, lp, 6))
+        assert list(r["unigram_tokens"]) == want
