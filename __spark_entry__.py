@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -5358,6 +5359,42 @@ def q_unigram_lm_train(spark, sf_dir):
     )
 
 
+NFC_STAMP = " cafe\u0301 \u212b o\u0308"  # decomposed accents + Angstrom sign
+
+
+def q_unicode_nfc(spark, sf_dir):
+    """Unicode NFC normalization audit + repair: canonically-equivalent
+    byte sequences (decomposed accents, compatibility codepoints like
+    the Ångström sign) break exact dedup, grouping and scrubbing —
+    normalizing to NFC first is the standard ingest step. Damage is
+    stamped deterministically on both engines (the corpus is ASCII).
+    The Spark side is ONE Arrow-vectorized stage
+    (pandas .str.normalize('NFC') — Spark SQL has no NFC builtin); the
+    DuckDB twin uses nfc_normalize, so the gate proves both engines
+    implement the same Unicode canonical composition byte-for-byte.
+    Scale: narrow per-row stage, no shuffle; length columns count
+    codepoints identically on both engines."""
+    stamp = F.when(F.col("doc_id") % 7 == 1, F.lit(NFC_STAMP)).otherwise(
+        F.lit("")
+    )
+    t = F.concat(_txt(), stamp)
+
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.str.normalize("NFC")
+
+    d = _docs(spark, sf_dir).select("doc_id", t.alias("t")).withColumn(
+        "nfc_text", _nfc(F.col("t"))
+    )
+    return d.select(
+        "doc_id",
+        "nfc_text",
+        (F.col("nfc_text") != F.col("t")).alias("changed"),
+        F.length("t").cast("long").alias("n_before"),
+        F.length("nfc_text").cast("long").alias("n_after"),
+    )
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -5523,6 +5560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_buckets": q_curriculum_buckets,
         "shard_plan": q_shard_plan,
         "unigram_lm_train": q_unigram_lm_train,
+        "unicode_nfc": q_unicode_nfc,
         "winnow": q_winnow,
         "winnow_containment": q_winnow_containment,
         "dedup_clusters": q_dedup_clusters,
@@ -7941,6 +7979,22 @@ def oracle_sql() -> dict[str, str]:
             FROM a ORDER BY rev_e4 DESC, l_orderkey LIMIT 10
         """,
     }
+    sqls["unicode_nfc"] = """
+        WITH s AS (
+          SELECT doc_id,
+                 coalesce(text,'') ||
+                   CASE WHEN doc_id % 7 = 1
+                        THEN ' cafe' || chr(769) || ' ' || chr(8491) ||
+                             ' o' || chr(776)
+                        ELSE '' END AS t
+          FROM documents)
+        SELECT doc_id,
+               nfc_normalize(t) AS nfc_text,
+               (nfc_normalize(t) <> t) AS changed,
+               length(t)::BIGINT AS n_before,
+               length(nfc_normalize(t))::BIGINT AS n_after
+        FROM s
+    """
     sqls["curriculum_buckets"] = """
         WITH th AS (
           SELECT source,

@@ -250,6 +250,7 @@ def run_benchmarks() -> dict:
         "curriculum_buckets",
         "shard_plan",
         "unigram_lm_train",
+        "unicode_nfc",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

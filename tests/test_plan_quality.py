@@ -547,3 +547,14 @@ def test_curriculum_and_shard_plans(spark):
     # the raw-row window must be chunk-partitioned, not global
     assert re.search(r"Window.*partitionBy.*_chunk|PartitionSpec.*_chunk|"
                      r"windowspecdefinition\(_chunk", plan), plan
+
+
+def test_unicode_nfc_plan_single_arrow_stage_no_shuffle(spark):
+    """unicode_nfc: exactly one Arrow-vectorized Python stage (Spark SQL
+    has no NFC builtin) and zero Exchange — a narrow per-row repair."""
+    import __spark_entry__ as E
+
+    plan = _fmt_plan(E.q_unicode_nfc(spark, "/root/testdata/sf0.001"))
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1, plan
+    assert ") Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
