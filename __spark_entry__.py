@@ -5395,6 +5395,206 @@ def q_unicode_nfc(spark, sf_dir):
     )
 
 
+Q18_MIN_QTY = 180
+
+
+def q_big_spenders(spark, sf_dir):
+    """TPC-H Q18-shape large-volume-customer query: orders whose total
+    lineitem quantity exceeds a threshold, decorated with the customer
+    and ranked by order value — the HAVING-over-a-big-aggregate shape
+    that completes the relational set (Q1 rollup / Q3 top-k / Q4
+    semi-join / Q5 star join). Planned the scalable way: lineitem is
+    aggregated ONCE and the HAVING filter runs on the aggregate BEFORE
+    any join (the textbook Q18 IN-subquery rescans and re-aggregates
+    lineitem; this form is one scan, one partial+final hash aggregate,
+    then joins that touch only qualifying orders). Quantities are
+    integral doubles (verified) summed as int64 — exact. The top-100 is
+    a total order (o_totalprice desc, o_orderkey asc; orderkey unique)
+    planned as TakeOrderedAndProject, never a global sort. o_totalprice
+    is compared as the stored double on both engines (no arithmetic)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_MIN_QTY)
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    j = big.join(o, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        c, F.col("o_custkey") == F.col("c_custkey")
+    )
+    top = j.orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    ).limit(100)
+    return top.select(
+        "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+        "o_totalprice", "total_qty",
+    )
+
+
+def q_supplier_parts(spark, sf_dir):
+    """TPC-H Q16-shape supplier-count query: distinct suppliers able to
+    supply each (brand, type, size), excluding a flagged supplier set —
+    the count-distinct-with-NOT-IN shape. The flagged set (s_suppkey %
+    7 == 0, deterministic on both engines) is removed with a LeftAnti
+    equi-join; the distinct count is the two-level aggregate (distinct
+    tuple hash-agg, then a plain count) so the plan never grows a
+    count-distinct Expand and both levels get map-side partial
+    aggregation. Part join is broadcast at test scale, AQE-decided at
+    100 TB. Top-50 by (count desc, brand, type, size) is a total order
+    planned as TakeOrderedAndProject."""
+    flagged = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .filter(F.col("s_suppkey") % 7 == 0)
+        .select("s_suppkey")
+    )
+    pairs = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_partkey", "l_suppkey")
+        .join(flagged, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    )
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    d = (
+        pairs.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
+    cnt = d.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count(F.lit(1)).alias("supplier_cnt")
+    )
+    return cnt.orderBy(
+        F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+    ).limit(50)
+
+
+def q_key_skew(spark, sf_dir):
+    """Shuffle-skew advisor: for each candidate join/grouping key,
+    measure the key-cardinality facts that decide whether a shuffle on
+    that key survives 100 TB — row count, distinct keys, the hottest
+    key's row count, and the skew factor max_rows * n_keys / n_rows
+    (1.0 = perfectly uniform; >> 1 means one reducer gets the hot key
+    and AQE skew-split / salting is required). This is the measurement
+    the brief's skew story acts on: run it BEFORE choosing partition
+    keys. Each audit is one partial+final hash aggregate over the key
+    histogram; output is one row per audited key. The skew factor is a
+    single division of exact int64 products — IEEE-identical on both
+    engines."""
+    def audit(df, name, key):
+        per = df.groupBy(F.col(key).cast("string").alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        return per.agg(
+            F.lit(name).alias("key"),
+            F.sum("c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("c").alias("max_key_rows"),
+        ).select(
+            "key", "n_rows", "n_keys", "max_key_rows",
+            (
+                (F.col("max_key_rows") * F.col("n_keys")).cast("double")
+                / F.col("n_rows").cast("double")
+            ).alias("skew_factor"),
+        )
+
+    docs = _docs(spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    parts = [
+        audit(docs, "documents.source", "source"),
+        audit(docs, "documents.lang", "lang"),
+        audit(ev, "events.user_id", "user_id"),
+        audit(ev, "events.event_type", "event_type"),
+        audit(li, "lineitem.l_orderkey", "l_orderkey"),
+        audit(li, "lineitem.l_suppkey", "l_suppkey"),
+    ]
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+def q_join_cardinality(spark, sf_dir):
+    """Join-fanout audit: predict the EXACT output cardinality of a
+    join before paying for it — sum over join keys of cnt_left *
+    cnt_right, plus the hottest key's fanout product. At 100 TB this is
+    the difference between a join that fits and one that explodes (a
+    many-to-many key with 10^4 x 10^4 rows emits 10^8 rows for that key
+    alone); the audit costs two key histograms and an equi-join on the
+    (tiny) histogram tables, never touching the wide rows. All counts
+    and products are exact int64; output is one row per audited join
+    edge."""
+    def audit(name, l, lk, r, rk):
+        lh = l.groupBy(F.col(lk).alias("k")).agg(
+            F.count(F.lit(1)).alias("cl")
+        )
+        rh = r.groupBy(F.col(rk).alias("k")).agg(
+            F.count(F.lit(1)).alias("cr")
+        )
+        j = lh.join(rh, "k").select(
+            "k", (F.col("cl") * F.col("cr")).alias("fan")
+        )
+        return j.agg(
+            F.lit(name).alias("join_edge"),
+            F.count(F.lit(1)).alias("n_matching_keys"),
+            F.sum("fan").alias("out_rows"),
+            F.max("fan").alias("max_key_fanout"),
+        )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = audit("lineitem*orders@orderkey", li, "l_orderkey", o, "o_orderkey")
+    b = audit("orders*orders@custkey", o, "o_custkey", o, "o_custkey")
+    c = audit("events*events@user_id", ev, "user_id", ev, "user_id")
+    return a.unionByName(b).unionByName(c)
+
+
+PR_NODES = 97  # deterministic synthetic domain-graph size
+
+
+def _pr_edges(spark, sf_dir):
+    """Deterministic domain link graph from the documents table: each
+    doc's home domain (doc_id % 97) links to three derived domains.
+    Pure projection + explode; the pandas twin builds the identical
+    edge set (tests/test_graph.py)."""
+    src = F.col("doc_id") % PR_NODES
+    dsts = F.array(
+        *[
+            (src * 31 + 17 * j + F.col("doc_id") % 13) % PR_NODES
+            for j in (1, 2, 3)
+        ]
+    )
+    return _docs(spark, sf_dir).select(
+        src.alias("src"), F.explode(dsts).alias("dst")
+    )
+
+
+def q_pagerank(spark, sf_dir):
+    """PageRank over the deterministic domain link graph — the
+    link-authority quality prior of web-corpus curation (rank source
+    domains before trusting their pages), and the repo's iterative
+    graph-analytics capability row. All-integer fixed-point arithmetic
+    (ops/graph.py) makes the result independent of partitioning and
+    batch composition; evidence = tests/test_graph.py (bit-exact
+    pure-Python twin on this exact graph, hand-graph ordering,
+    partitioning invariance). Rows-only: an iterative fixpoint has no
+    single-statement SQL twin. Scale: per iteration one shuffle
+    equi-join on src + one partial+final hash aggregate on dst;
+    lineage truncated per round; only the node count reaches the
+    driver."""
+    from qamd_spark.ops.graph import pagerank
+
+    return pagerank(_pr_edges(spark, sf_dir), iters=10)
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -5561,6 +5761,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_plan": q_shard_plan,
         "unigram_lm_train": q_unigram_lm_train,
         "unicode_nfc": q_unicode_nfc,
+        "big_spenders": q_big_spenders,
+        "supplier_parts": q_supplier_parts,
+        "key_skew": q_key_skew,
+        "join_cardinality": q_join_cardinality,
+        "pagerank": q_pagerank,
         "winnow": q_winnow,
         "winnow_containment": q_winnow_containment,
         "dedup_clusters": q_dedup_clusters,
@@ -7994,6 +8199,82 @@ def oracle_sql() -> dict[str, str]:
                length(t)::BIGINT AS n_before,
                length(nfc_normalize(t))::BIGINT AS n_after
         FROM s
+    """
+    sqls["big_spenders"] = f"""
+        WITH big AS (
+          SELECT l_orderkey,
+                 sum(CAST(l_quantity AS BIGINT))::BIGINT AS total_qty
+          FROM lineitem GROUP BY 1
+          HAVING sum(CAST(l_quantity AS BIGINT)) > {Q18_MIN_QTY})
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               total_qty
+        FROM big
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """
+    sqls["supplier_parts"] = """
+        WITH ok AS (
+          SELECT l_partkey, l_suppkey FROM lineitem
+          WHERE l_suppkey NOT IN
+            (SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0)),
+        d AS (
+          SELECT DISTINCT p_brand, p_type, p_size, l_suppkey
+          FROM ok JOIN part ON p_partkey = l_partkey)
+        SELECT p_brand, p_type, p_size, count(*)::BIGINT AS supplier_cnt
+        FROM d GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 50
+    """
+    sqls["key_skew"] = """
+        WITH src AS (
+          SELECT 'documents.source' AS key, source::VARCHAR AS k
+          FROM documents
+          UNION ALL
+          SELECT 'documents.lang', lang::VARCHAR FROM documents
+          UNION ALL
+          SELECT 'events.user_id', user_id::VARCHAR FROM events
+          UNION ALL
+          SELECT 'events.event_type', event_type::VARCHAR FROM events
+          UNION ALL
+          SELECT 'lineitem.l_orderkey', l_orderkey::VARCHAR FROM lineitem
+          UNION ALL
+          SELECT 'lineitem.l_suppkey', l_suppkey::VARCHAR FROM lineitem),
+        per AS (
+          SELECT key, k, count(*)::BIGINT AS c FROM src GROUP BY 1, 2)
+        SELECT key, sum(c)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+               max(c)::BIGINT AS max_key_rows,
+               (max(c) * count(*))::DOUBLE / sum(c)::DOUBLE AS skew_factor
+        FROM per GROUP BY key
+    """
+    sqls["join_cardinality"] = """
+        WITH lo AS (
+          SELECT l_orderkey AS k, count(*)::BIGINT AS cl
+          FROM lineitem GROUP BY 1),
+        oo AS (
+          SELECT o_orderkey AS k, count(*)::BIGINT AS cr
+          FROM orders GROUP BY 1),
+        oc AS (
+          SELECT o_custkey AS k, count(*)::BIGINT AS c
+          FROM orders GROUP BY 1),
+        eu AS (
+          SELECT user_id AS k, count(*)::BIGINT AS c
+          FROM events GROUP BY 1),
+        a AS (
+          SELECT 'lineitem*orders@orderkey' AS join_edge,
+                 count(*)::BIGINT AS n_matching_keys,
+                 sum(cl * cr)::BIGINT AS out_rows,
+                 max(cl * cr)::BIGINT AS max_key_fanout
+          FROM lo JOIN oo USING (k)),
+        b AS (
+          SELECT 'orders*orders@custkey', count(*)::BIGINT,
+                 sum(c * c)::BIGINT, max(c * c)::BIGINT
+          FROM oc),
+        cc AS (
+          SELECT 'events*events@user_id', count(*)::BIGINT,
+                 sum(c * c)::BIGINT, max(c * c)::BIGINT
+          FROM eu)
+        SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL
+        SELECT * FROM cc
     """
     sqls["curriculum_buckets"] = """
         WITH th AS (

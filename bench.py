@@ -251,6 +251,11 @@ def run_benchmarks() -> dict:
         "shard_plan",
         "unigram_lm_train",
         "unicode_nfc",
+        "big_spenders",
+        "supplier_parts",
+        "key_skew",
+        "join_cardinality",
+        "pagerank",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

@@ -1,0 +1,147 @@
+"""Integer-exact PageRank over a directed edge table, as DataFrame jobs.
+
+Web-corpus curation ranks source domains by link authority (the
+Common-Crawl-style quality prior: a page from a well-linked domain is
+likelier to be prose than spam). PageRank is the canonical iterative
+graph algorithm, and this module expresses it the Spark-first way: the
+edge table is the only large state, each iteration is ONE shuffle
+equi-join (ranks -> edges on src) plus ONE partial+final hash aggregate
+(sum of contributions per dst), and lineage is truncated per round with
+``localCheckpoint`` (the dedup_clusters / bpe_train precedent). The only
+driver-side values are the node count and the iteration counter —
+bounded by construction.
+
+Exactness discipline: float PageRank is order-dependent (a parallel sum
+of double contributions depends on partitioning), so ranks are kept as
+int64 fixed-point at SCALE = 1e12. Per iteration:
+
+    share(v)   = rank(v) // out_deg(v)                (exact int div)
+    s(u)       = sum of share(v) over in-edges v->u   (exact int64 sum)
+    rank'(u)   = BASE + (DAMPING_NUM * s(u)) // 100
+    BASE       = ((100 - DAMPING_NUM) * SCALE) // (100 * n_nodes)
+
+Every operation is integer, so the result is independent of partition
+count, Arrow batch composition and engine — the pure-Python twin
+(``pagerank_py``) matches bit-for-bit. Floor division leaks a few units
+of mass per node per round, and dangling nodes (out_deg = 0) leak their
+whole rank rather than redistributing it — both deterministic, both
+documented; this is the rank ORDERING tool, not a probability
+distribution (sum(rank) < SCALE by design).
+
+Scale notes (100 TB): the rank table has one row per node and shuffles
+on node id; the edge table shuffles once per iteration on src. Skewed
+in-degree (every web graph) lands in the partial aggregate's map-side
+combine — the hot dst key receives pre-summed partials, never raw
+edges. Fixed iteration count (default 10) keeps the job DAG static; no
+convergence collect is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**12
+DAMPING_NUM = 85  # damping factor 0.85 as an exact percent
+
+
+def pagerank(edges: DataFrame, iters: int = 10) -> DataFrame:
+    """PageRank over ``edges(src, dst)`` (long ids, self-loops and
+    duplicate edges allowed — they are dropped/deduped here).
+
+    Returns one row per node: node, rank_e12 (int64 fixed-point),
+    rank (rank_e12 / 1e12 — one division, presentation only),
+    out_deg, in_deg.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()  # the one driver-side scalar
+    base = ((100 - DAMPING_NUM) * SCALE) // (100 * n)
+    out_deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    in_deg = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    ranks = nodes.select("node", F.lit(SCALE // n).alias("rank_e12"))
+    deg = nodes.join(out_deg, "node", "left").select(
+        "node", F.coalesce("out_deg", F.lit(0)).alias("out_deg")
+    ).persist()
+
+    for _ in range(iters):
+        shares = (
+            ranks.join(deg, "node")
+            .filter(F.col("out_deg") > 0)
+            .select(
+                F.col("node").alias("src"),
+                # integer `div`, NOT `/` (double division rounds-to-nearest
+                # and can cross an integer boundary before the cast)
+                F.expr("rank_e12 div out_deg").alias("share"),
+            )
+        )
+        s = (
+            e.join(shares, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("s"))
+        )
+        ranks = nodes.join(s, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"({DAMPING_NUM} * coalesce(s, 0L)) div 100"
+                )
+            ).cast("long").alias("rank_e12"),
+        ).localCheckpoint(eager=False)
+
+    out = (
+        ranks.join(deg, "node")
+        .join(in_deg, "node", "left")
+        .select(
+            "node",
+            "rank_e12",
+            (F.col("rank_e12").cast("double") / F.lit(float(SCALE))).alias(
+                "rank"
+            ),
+            "out_deg",
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        )
+    )
+    return out
+
+
+def pagerank_py(edges: list[tuple[int, int]], iters: int = 10) -> dict:
+    """Pure-Python integer twin of :func:`pagerank` — bit-exact by
+    construction (all-integer arithmetic is order-free)."""
+    es = sorted({(s, d) for s, d in edges if s != d})
+    nodes = sorted({s for s, _ in es} | {d for _, d in es})
+    n = len(nodes)
+    base = ((100 - DAMPING_NUM) * SCALE) // (100 * n)
+    out_deg: dict[int, int] = {}
+    for s, _ in es:
+        out_deg[s] = out_deg.get(s, 0) + 1
+    ranks = {v: SCALE // n for v in nodes}
+    for _ in range(iters):
+        agg: dict[int, int] = {}
+        for s, d in es:
+            if out_deg.get(s, 0) > 0:
+                agg[d] = agg.get(d, 0) + ranks[s] // out_deg[s]
+        ranks = {
+            v: base + (DAMPING_NUM * agg.get(v, 0)) // 100 for v in nodes
+        }
+    return ranks

@@ -1,0 +1,78 @@
+"""Integer-exact PageRank (qamd_spark/ops/graph.py).
+
+Evidence contract for the rows-only `pagerank` driver query: the Spark
+result equals the pure-Python integer twin bit-for-bit on the exact
+graph the query builds, known orderings hold on a hand graph, and the
+result is invariant to partitioning (all-integer arithmetic is
+order-free by construction — these tests pin that no float sneaks in).
+"""
+
+import pandas as pd
+import pytest
+
+from qamd_spark.ops.graph import SCALE, pagerank, pagerank_py
+
+SF = "/root/testdata/sf0.001"
+PR_NODES = 97
+
+
+def _twin_edges():
+    doc_id = pd.read_parquet(f"{SF}/documents.parquet")["doc_id"]
+    src = (doc_id % PR_NODES).to_numpy()
+    extra = (doc_id % 13).to_numpy()
+    edges = []
+    for j in (1, 2, 3):
+        dst = (src * 31 + 17 * j + extra) % PR_NODES
+        edges.extend(zip(src.tolist(), dst.tolist()))
+    return edges
+
+
+def test_pagerank_bit_exact_vs_python_twin(spark):
+    import __spark_entry__ as E
+
+    got = {
+        r["node"]: r["rank_e12"]
+        for r in E.q_pagerank(spark, SF).collect()
+    }
+    want = pagerank_py(_twin_edges(), iters=10)
+    assert got == want
+    # deterministic floor-loss mass contract: never above SCALE
+    assert sum(got.values()) <= SCALE
+    assert min(got.values()) > 0
+
+
+def test_pagerank_hand_graph_ordering(spark):
+    # triangle 0->1->2->0 plus an extra spoke 3->1: node 1 has the only
+    # double in-degree and must out-rank the rest at the fixpoint
+    edges = [(0, 1), (1, 2), (2, 0), (3, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r for r in pagerank(df, iters=10).collect()}
+    want = pagerank_py(edges, iters=10)
+    assert {k: v["rank_e12"] for k, v in got.items()} == want
+    assert got[1]["rank_e12"] == max(want.values())
+    assert got[1]["in_deg"] == 2 and got[1]["out_deg"] == 1
+    # the spoke has no in-edges: exactly the base teleport mass
+    base = ((100 - 85) * SCALE) // (100 * 4)
+    assert got[3]["rank_e12"] == base == min(want.values())
+    assert got[3]["out_deg"] == 1 and got[3]["in_deg"] == 0
+
+
+def test_pagerank_partitioning_invariance(spark):
+    import __spark_entry__ as E
+
+    e = E._pr_edges(spark, SF)
+    a = {
+        r["node"]: r["rank_e12"]
+        for r in pagerank(e.repartition(1), iters=4).collect()
+    }
+    b = {
+        r["node"]: r["rank_e12"]
+        for r in pagerank(e.repartition(13), iters=4).collect()
+    }
+    assert a == b
+
+
+def test_pagerank_rejects_zero_iters(spark):
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank(df, iters=0)

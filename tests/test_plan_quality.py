@@ -549,6 +549,40 @@ def test_curriculum_and_shard_plans(spark):
                      r"windowspecdefinition\(_chunk", plan), plan
 
 
+def test_relational_audit_plans(spark):
+    """big_spenders: HAVING runs on the aggregate BEFORE the joins (one
+    lineitem scan, no IN-subquery rescan), top-100 is TakeOrdered, never
+    a global Sort; supplier_parts: LeftAnti exclusion + the two-level
+    distinct count (two stacked hash aggregates, no count-distinct
+    Expand), top-50 TakeOrdered; key_skew / join_cardinality: pure
+    partial+final hash aggregates over key histograms — no Python stage,
+    no window, no nested loop anywhere."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    plan = _fmt_plan(E.q_big_spenders(spark, sf))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert ") Sort\n" not in plan and ") Window" not in plan, plan
+    # lineitem scanned once (no IN-subquery rescan): 3 scans total
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 3, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+    assert plan.count("HashAggregate") >= 2 and "partial_" in plan, plan
+
+    plan = _fmt_plan(E.q_supplier_parts(spark, sf))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert ") Expand" not in plan, plan
+    assert plan.count("HashAggregate") >= 4 and "partial_" in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+    for q in (E.q_key_skew, E.q_join_cardinality):
+        plan = _fmt_plan(q(spark, sf))
+        assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+        assert ") Window" not in plan and ") SortAggregate" not in plan, plan
+        assert "NestedLoop" not in plan, plan
+        assert plan.count("HashAggregate") >= 4 and "partial_" in plan, plan
+
+
 def test_unicode_nfc_plan_single_arrow_stage_no_shuffle(spark):
     """unicode_nfc: exactly one Arrow-vectorized Python stage (Spark SQL
     has no NFC builtin) and zero Exchange — a narrow per-row repair."""
