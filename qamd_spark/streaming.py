@@ -251,6 +251,76 @@ def stream_windowed_counts(
     return w.start()
 
 
+FLAG_SCHEMA = "conv_id string, flag_ts timestamp, flag string"
+
+
+def stream_flag_join(
+    spark: SparkSession,
+    turns_path: str,
+    flags_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    watermark: str = "2 minutes",
+    lookback_s: int = 60,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream-stream interval join: attach moderation flags to the turns
+    they cover — a flag raised at ``flag_ts`` applies to every turn of
+    that conversation whose ``ts`` lands in [flag_ts, flag_ts +
+    lookback_s). This is the live-enrichment shape (labels arriving on
+    one stream, content on another) that neither a static-broadcast join
+    nor a stateful aggregate expresses.
+
+    Structured-streaming mechanics: BOTH sides carry an event-time
+    watermark and the join predicate bounds their time distance, so
+    Spark can size the join state — each side buffers only rows newer
+    than the other side's watermark minus the interval, and evicts the
+    rest (an unconstrained stream-stream join would buffer both streams
+    forever). Inner join in append mode emits a match exactly once, when
+    both inputs have arrived; the sink checkpoint makes restarts
+    idempotent (already-committed files are never reprocessed — same
+    contract as ``stream_label``, tested). Batch parity: the identical
+    join predicate over the complete inputs equals the streamed output
+    (tests/test_streaming.py).
+
+    Scale: the join keys on conv_id, so state and shuffle partition on
+    the conversation — skew-safe for transcript data (a conversation is
+    bounded); watermark delay, not input size, bounds the state store.
+    """
+    from pyspark.sql import functions as F
+
+    turns = (
+        read_stream(spark, turns_path)
+        .filter(F.col("ts").isNotNull())
+        .withWatermark("ts", watermark)
+    )
+    flags = (
+        spark.readStream.schema(FLAG_SCHEMA)
+        .parquet(flags_path)
+        .withWatermark("flag_ts", watermark)
+        .withColumnRenamed("conv_id", "f_conv_id")
+    )
+    j = turns.join(
+        flags,
+        (F.col("conv_id") == F.col("f_conv_id"))
+        & (F.col("ts") >= F.col("flag_ts"))
+        & (
+            F.col("ts")
+            < F.col("flag_ts") + F.expr(f"INTERVAL {int(lookback_s)} SECONDS")
+        ),
+        "inner",
+    ).select("conv_id", "turn_idx", "ts", "flag", "flag_ts")
+    w = (
+        j.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def stream_session_counts(
     spark: SparkSession,
     input_path: str,

@@ -326,6 +326,44 @@ def main() -> None:
             "global top-k (per-partition heaps + k-row driver merge).",
             E.q_top_unshipped(spark, SF),
         ),
+        (
+            "big_spenders",
+            "TPC-H Q18 shape: HAVING evaluated on the lineitem aggregate "
+            "BEFORE any join (one lineitem scan — no IN-subquery rescan), "
+            "joins touch only qualifying orders, TakeOrderedAndProject "
+            "top-100.",
+            E.q_big_spenders(spark, SF),
+        ),
+        (
+            "supplier_parts",
+            "TPC-H Q16 shape: LeftAnti exclusion of flagged suppliers, "
+            "two-level distinct count (stacked hash aggregates, no "
+            "count-distinct Expand), TakeOrderedAndProject top-50.",
+            E.q_supplier_parts(spark, SF),
+        ),
+        (
+            "key_skew",
+            "Shuffle-skew advisor: one partial+final hash aggregate per "
+            "key histogram, second tiny aggregate for max/count — no "
+            "window, no Python, exact-int skew factor.",
+            E.q_key_skew(spark, SF),
+        ),
+        (
+            "join_cardinality",
+            "Join-fanout audit: two key-histogram aggregates + an "
+            "equi-join of the tiny histogram tables; exact int64 "
+            "products predict output cardinality without touching wide "
+            "rows.",
+            E.q_join_cardinality(spark, SF),
+        ),
+        (
+            "pagerank",
+            "Integer fixed-point PageRank (2 of 10 iterations shown by "
+            "lineage truncation): per round one shuffle equi-join on src "
+            "+ one partial+final hash aggregate on dst; localCheckpoint "
+            "flattens the plan so round N+1 starts from a leaf.",
+            E.q_pagerank(spark, SF),
+        ),
     ]
     out = [
         "# PLANS.md — physical plans of the scale-critical paths",

@@ -473,3 +473,88 @@ def test_stream_applies_compression_rule(spark, tmp_path):
     }
     assert "compression" in got[1]
     assert "compression" not in got[0] and "compression" not in got[2]
+
+
+def test_stream_flag_join_interval_and_restart(spark, tmp_path):
+    """Stream-stream interval join: a flag covers the turns of its
+    conversation within [flag_ts, flag_ts + 60s); the streamed matches
+    equal the identical batch join over the complete inputs, and a
+    checkpointed restart joins only the new files."""
+    import pandas as pd
+
+    turns_src = str(tmp_path / "turns")
+    flags_src = str(tmp_path / "flags")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(turns_src, exist_ok=True)
+    os.makedirs(flags_src, exist_ok=True)
+
+    def _turns(fname, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        for c in ("conv_id", "role", "text", "tool"):
+            pdf[c] = pdf[c].astype("string")
+        pdf.to_parquet(os.path.join(turns_src, fname))
+
+    def _flags(fname, rows):
+        pdf = pd.DataFrame(rows, columns=["conv_id", "flag_ts", "flag"])
+        pdf["flag_ts"] = pd.to_datetime(pdf["flag_ts"]).astype("datetime64[us]")
+        for c in ("conv_id", "flag"):
+            pdf[c] = pdf[c].astype("string")
+        pdf.to_parquet(os.path.join(flags_src, fname))
+
+    _turns("a.parquet", [
+        ("c1", 0, "user", "hi", None, "2024-01-01T00:00:00"),
+        ("c1", 1, "assistant", "hello", None, "2024-01-01T00:00:30"),
+        ("c1", 2, "user", "later", None, "2024-01-01T00:02:00"),
+        ("c2", 0, "user", "yo", None, "2024-01-01T00:00:10"),
+    ])
+    _flags("a.parquet", [
+        ("c1", "2024-01-01T00:00:00", "pii"),     # covers idx 0, 1 only
+        ("c2", "2024-01-01T00:05:00", "spam"),    # covers nothing
+    ])
+    q = streaming.stream_flag_join(spark, turns_src, flags_src, out, ckpt)
+    q.awaitTermination(120)
+    got1 = sorted(
+        (r["conv_id"], r["turn_idx"], r["flag"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got1 == [("c1", 0, "pii"), ("c1", 1, "pii")]
+
+    # restart with ONE new file per side: only the new pair joins, the
+    # already-emitted matches are not re-emitted (sink checkpoint)
+    _turns("b.parquet", [
+        ("c3", 0, "user", "new", None, "2024-01-01T00:10:00"),
+    ])
+    _flags("b.parquet", [
+        ("c3", "2024-01-01T00:09:30", "tox"),     # 00:10:00 in [09:30,10:30)
+    ])
+    q2 = streaming.stream_flag_join(spark, turns_src, flags_src, out, ckpt)
+    q2.awaitTermination(120)
+    streamed = sorted(
+        (r["conv_id"], r["turn_idx"], r["flag"], str(r["ts"]), str(r["flag_ts"]))
+        for r in spark.read.parquet(out).collect()
+    )
+    assert len(streamed) == 3
+
+    # batch parity: identical predicate over the complete inputs
+    t = spark.read.parquet(turns_src)
+    f = (
+        spark.read.schema(streaming.FLAG_SCHEMA).parquet(flags_src)
+        .withColumnRenamed("conv_id", "f_conv_id")
+    )
+    batch = t.join(
+        f,
+        (F.col("conv_id") == F.col("f_conv_id"))
+        & (F.col("ts") >= F.col("flag_ts"))
+        & (F.col("ts") < F.col("flag_ts") + F.expr("INTERVAL 60 SECONDS")),
+        "inner",
+    ).select("conv_id", "turn_idx", "ts", "flag", "flag_ts")
+    want = sorted(
+        (r["conv_id"], r["turn_idx"], r["flag"], str(r["ts"]), str(r["flag_ts"]))
+        for r in batch.collect()
+    )
+    assert streamed == want
