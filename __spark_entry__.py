@@ -5577,6 +5577,141 @@ def _pr_edges(spark, sf_dir):
     )
 
 
+def q_triangles(spark, sf_dir):
+    """Exact per-node triangle counts on the domain link graph — the
+    graph-pattern-counting capability row (triangle density separates
+    organic link neighborhoods from link farms). Spark enumerates with
+    the DEGREE-ORDERED orientation (compact-forward): every undirected
+    edge points from the lower (degree, id) endpoint to the higher, so
+    each triangle is generated exactly once from its lowest-ranked
+    corner and the wedge join fans out by out-degree — bounded by
+    O(sqrt(m)) per node on any graph instead of the hub's full degree
+    (the difference between feasible and quadratic on a power-law web
+    graph). The DuckDB twin uses the naive a<b<c three-way self-join —
+    the gate therefore PROVES the oriented enumeration equals the
+    straightforward formulation. All counting is exact integers; nodes
+    in no triangle are emitted with 0 so the output grid is stable."""
+    e0 = _pr_edges(spark, sf_dir)
+    und = (
+        e0.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    nodes = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("dg"))
+    )
+    # scalar rank encoding the (degree, id) total order
+    rk = deg.select("v", (F.col("dg") * 1000000 + F.col("v")).alias("rk"))
+    ed = (
+        und.join(rk.select(F.col("v").alias("a"), F.col("rk").alias("ra")), "a")
+        .join(rk.select(F.col("v").alias("b"), F.col("rk").alias("rb")), "b")
+    )
+    lo_first = F.col("ra") < F.col("rb")
+    o = ed.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        F.when(lo_first, F.col("rb")).otherwise(F.col("ra")).alias("rkw"),
+    ).persist()  # feeds the wedge join twice and the closure probe
+    e1 = o.select("u", F.col("w").alias("v1"), F.col("rkw").alias("rk1"))
+    e2 = o.select("u", F.col("w").alias("v2"), F.col("rkw").alias("rk2"))
+    wedges = e1.join(e2, "u").filter(F.col("rk1") < F.col("rk2"))
+    # orientation is by rank, so the closing edge is stored as (v1, v2)
+    closed = wedges.join(
+        o.select(F.col("u").alias("v1"), F.col("w").alias("v2")),
+        ["v1", "v2"],
+    )
+    corners = closed.select(
+        F.explode(F.array("u", "v1", "v2")).alias("node")
+    )
+    cnt = corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+    return nodes.join(cnt, "node", "left").select(
+        "node", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
+    )
+
+
+def q_components(spark, sf_dir):
+    """Connected components over the domain link graph — the generic-
+    graph exposure of the hash-to-min + pointer-jumping label
+    propagation that dedup_clusters runs on near-duplicate pairs
+    (ops/dedup.duplicate_clusters is edge-generic: O(log n) rounds of
+    partial-aggregated min joins, localCheckpoint per round, one
+    changed-count scalar to the driver per round). Rows-only (iterative
+    fixpoint); evidence = the exact union-find pandas twin
+    (oracle/oracle.py::clusters_pdf) compared on this exact graph in
+    tests/test_graph.py, plus the chained/random-topology tests in
+    tests/test_hash_oracles.py."""
+    from qamd_spark.ops.dedup import duplicate_clusters
+
+    e = _pr_edges(spark, sf_dir).select(
+        F.col("src").alias("doc_id"), F.col("dst").alias("dup_of")
+    )
+    return duplicate_clusters(e)
+
+
+RATE_TRAIL = 24  # trailing window (observed hours) for the anomaly base
+
+
+def q_rate_anomaly(spark, sf_dir):
+    """Event-rate anomaly detection: per (event_type, hour) count
+    compared to that type's trailing-24-observed-hours mean — the
+    ops-monitoring staple (ingest spike / outage detection) over the
+    events stream. The window is ROWS-based over OBSERVED hours (gap
+    hours are skipped, documented; identical semantics on both
+    engines). Scale: raw events reduce to the (type × hour) grid in one
+    partial+final hash aggregate FIRST; the lag window runs over that
+    tiny aggregated grid partitioned by event_type — never over raw
+    rows (the event_latency / ks_drift discipline). The anomaly flag is
+    the all-integer comparison cnt * n_trail > 3 * sum_trail; the ratio
+    is one division of exact int64 products."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hour")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-RATE_TRAIL, -1)
+    )
+    g = hourly.select(
+        "event_type",
+        "hour",
+        "cnt",
+        F.sum("cnt").over(w).alias("sum_trail"),
+        F.count(F.lit(1)).over(w).alias("n_trail"),
+    )
+    return g.select(
+        "event_type",
+        "hour",
+        "cnt",
+        F.coalesce("sum_trail", F.lit(0)).alias("sum_trail"),
+        F.coalesce("n_trail", F.lit(0)).alias("n_trail"),
+        F.when(
+            F.col("n_trail") > 0,
+            (F.col("cnt") * F.col("n_trail")).cast("double")
+            / F.col("sum_trail").cast("double"),
+        ).alias("rate_ratio"),
+        F.when(
+            F.col("n_trail") > 0,
+            F.col("cnt") * F.col("n_trail") > 3 * F.col("sum_trail"),
+        ).otherwise(F.lit(False)).alias("spike"),
+    )
+
+
 def q_pagerank(spark, sf_dir):
     """PageRank over the deterministic domain link graph — the
     link-authority quality prior of web-corpus curation (rank source
@@ -5766,6 +5901,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew": q_key_skew,
         "join_cardinality": q_join_cardinality,
         "pagerank": q_pagerank,
+        "triangles": q_triangles,
+        "components": q_components,
+        "rate_anomaly": q_rate_anomaly,
         "winnow": q_winnow,
         "winnow_containment": q_winnow_containment,
         "dedup_clusters": q_dedup_clusters,
@@ -8199,6 +8337,60 @@ def oracle_sql() -> dict[str, str]:
                length(t)::BIGINT AS n_before,
                length(nfc_normalize(t))::BIGINT AS n_after
         FROM s
+    """
+    sqls["triangles"] = f"""
+        WITH e0 AS (
+          SELECT doc_id % {PR_NODES} AS src,
+                 ((doc_id % {PR_NODES}) * 31 + 17 * 1 + doc_id % 13)
+                   % {PR_NODES} AS dst FROM documents
+          UNION ALL
+          SELECT doc_id % {PR_NODES},
+                 ((doc_id % {PR_NODES}) * 31 + 17 * 2 + doc_id % 13)
+                   % {PR_NODES} FROM documents
+          UNION ALL
+          SELECT doc_id % {PR_NODES},
+                 ((doc_id % {PR_NODES}) * 31 + 17 * 3 + doc_id % 13)
+                   % {PR_NODES} FROM documents),
+        und AS (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM e0 WHERE src <> dst),
+        tri AS (
+          SELECT e1.a AS u, e1.b AS v, e2.b AS w
+          FROM und e1
+          JOIN und e2 ON e2.a = e1.b
+          JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        nodes AS (
+          SELECT a AS node FROM und UNION SELECT b FROM und),
+        corners AS (
+          SELECT u AS node FROM tri
+          UNION ALL SELECT v FROM tri
+          UNION ALL SELECT w FROM tri),
+        cnt AS (
+          SELECT node, count(*)::BIGINT AS n_triangles
+          FROM corners GROUP BY 1)
+        SELECT node, coalesce(n_triangles, 0)::BIGINT AS n_triangles
+        FROM nodes LEFT JOIN cnt USING (node)
+    """
+    sqls["rate_anomaly"] = """
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS hour,
+                 count(*)::BIGINT AS cnt
+          FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        g AS (
+          SELECT event_type, hour, cnt,
+                 coalesce(sum(cnt) OVER w, 0)::BIGINT AS sum_trail,
+                 count(*) OVER w AS n_trail
+          FROM hourly
+          WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                       ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        SELECT event_type, hour, cnt, sum_trail, n_trail::BIGINT AS n_trail,
+               CASE WHEN n_trail > 0
+                    THEN (cnt * n_trail)::DOUBLE / sum_trail::DOUBLE
+               END AS rate_ratio,
+               CASE WHEN n_trail > 0
+                    THEN cnt * n_trail > 3 * sum_trail
+                    ELSE FALSE END AS spike
+        FROM g
     """
     sqls["big_spenders"] = f"""
         WITH big AS (

@@ -256,6 +256,9 @@ def run_benchmarks() -> dict:
         "key_skew",
         "join_cardinality",
         "pagerank",
+        "triangles",
+        "components",
+        "rate_anomaly",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

@@ -357,6 +357,14 @@ def main() -> None:
             E.q_join_cardinality(spark, SF),
         ),
         (
+            "triangles",
+            "Degree-ordered wedge enumeration: oriented edge table "
+            "cached once, wedge equi-join on the low-rank corner, "
+            "closure probe equi-join, partial+final corner counts — "
+            "no nested loop anywhere.",
+            E.q_triangles(spark, SF),
+        ),
+        (
             "pagerank",
             "Integer fixed-point PageRank (2 of 10 iterations shown by "
             "lineage truncation): per round one shuffle equi-join on src "

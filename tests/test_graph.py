@@ -76,3 +76,23 @@ def test_pagerank_rejects_zero_iters(spark):
     df = spark.createDataFrame([(0, 1)], "src long, dst long")
     with pytest.raises(ValueError):
         pagerank(df, iters=0)
+
+
+def test_components_matches_union_find_twin(spark):
+    """The `components` query (edge-generic duplicate_clusters over the
+    domain graph) equals the exact union-find pandas twin."""
+    import pandas as pd
+
+    import __spark_entry__ as E
+    from oracle.oracle import clusters_pdf
+
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in E.q_components(spark, SF).collect()
+    }
+    pairs = pd.DataFrame(_twin_edges(), columns=["doc_id", "dup_of"])
+    want = {
+        (r.doc_id, r.cluster_id)
+        for r in clusters_pdf(pairs).itertuples()
+    }
+    assert got == want

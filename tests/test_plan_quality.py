@@ -583,6 +583,37 @@ def test_relational_audit_plans(spark):
         assert plan.count("HashAggregate") >= 4 and "partial_" in plan, plan
 
 
+def test_rate_anomaly_window_over_aggregated_grid(spark):
+    """rate_anomaly: the lag window must run over the aggregated
+    (type × hour) grid — the plan shows the partial+final hash
+    aggregate BELOW the Window, and the window is partitioned (no
+    global single-partition sort), no Python stage."""
+    import __spark_entry__ as E
+
+    plan = _fmt_plan(E.q_rate_anomaly(spark, "/root/testdata/sf0.001"))
+    assert plan.count(") Window") == 1, plan
+    assert "HashAggregate" in plan and "partial_" in plan, plan
+    assert plan.index("HashAggregate") > plan.index("Window"), plan
+    assert "windowspecdefinition(event_type" in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+
+def test_triangles_plan_is_equi_join_only(spark):
+    """triangles: degree-ordered wedge enumeration must stay equi-join
+    (rank filter applied post-join on the bounded wedge set) — no
+    nested loop, no cartesian, no Python, no window; counting is
+    partial+final hash aggregates; the oriented edge table is cached
+    (InMemory) because it feeds three plan branches."""
+    import __spark_entry__ as E
+
+    plan = _fmt_plan(E.q_triangles(spark, "/root/testdata/sf0.001"))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+    assert ") Window" not in plan and ") SortAggregate" not in plan, plan
+    assert plan.count("HashAggregate") >= 4 and "partial_" in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+
+
 def test_unicode_nfc_plan_single_arrow_stage_no_shuffle(spark):
     """unicode_nfc: exactly one Arrow-vectorized Python stage (Spark SQL
     has no NFC builtin) and zero Exchange — a narrow per-row repair."""
