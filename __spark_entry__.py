@@ -5413,7 +5413,10 @@ def q_big_spenders(spark, sf_dir):
     planned as TakeOrderedAndProject, never a global sort. o_totalprice
     is compared as the stored double on both engines (no arithmetic)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey", F.col("l_quantity").cast("long").alias("qty")
+        "l_orderkey",
+        # half-up like the pricing idiom: Spark cast truncates but DuckDB
+        # CAST rounds — floor(x+0.5) is identical on both engines
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("qty"),
     )
     big = (
         li.groupBy("l_orderkey")
@@ -5548,12 +5551,25 @@ def q_join_cardinality(spark, sf_dir):
             F.max("fan").alias("max_key_fanout"),
         )
 
+    def audit_self(name, df, k):
+        # self-join fanout needs ONE histogram, squared — no second scan,
+        # no histogram-to-itself shuffle join
+        h = df.groupBy(F.col(k).alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        return h.agg(
+            F.lit(name).alias("join_edge"),
+            F.count(F.lit(1)).alias("n_matching_keys"),
+            F.sum(F.col("c") * F.col("c")).alias("out_rows"),
+            F.max(F.col("c") * F.col("c")).alias("max_key_fanout"),
+        )
+
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     a = audit("lineitem*orders@orderkey", li, "l_orderkey", o, "o_orderkey")
-    b = audit("orders*orders@custkey", o, "o_custkey", o, "o_custkey")
-    c = audit("events*events@user_id", ev, "user_id", ev, "user_id")
+    b = audit_self("orders*orders@custkey", o, "o_custkey")
+    c = audit_self("events*events@user_id", ev, "user_id")
     return a.unionByName(b).unionByName(c)
 
 
@@ -5599,11 +5615,7 @@ def q_triangles(spark, sf_dir):
             F.greatest("src", "dst").alias("b"),
         )
         .distinct()
-    )
-    nodes = (
-        und.select(F.col("a").alias("node"))
-        .unionByName(und.select(F.col("b").alias("node")))
-        .distinct()
+        .persist()  # feeds the degree aggregate and the orientation join
     )
     deg = (
         und.select(F.col("a").alias("v"))
@@ -5611,8 +5623,10 @@ def q_triangles(spark, sf_dir):
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("dg"))
     )
-    # scalar rank encoding the (degree, id) total order
-    rk = deg.select("v", (F.col("dg") * 1000000 + F.col("v")).alias("rk"))
+    # every endpoint of und has degree >= 1, so deg IS the node set
+    nodes = deg.select(F.col("v").alias("node"))
+    # struct rank: the (degree, id) total order with no encoding overflow
+    rk = deg.select("v", F.struct("dg", "v").alias("rk"))
     ed = (
         und.join(rk.select(F.col("v").alias("a"), F.col("rk").alias("ra")), "a")
         .join(rk.select(F.col("v").alias("b"), F.col("rk").alias("rb")), "b")
@@ -8371,7 +8385,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT node, coalesce(n_triangles, 0)::BIGINT AS n_triangles
         FROM nodes LEFT JOIN cnt USING (node)
     """
-    sqls["rate_anomaly"] = """
+    sqls["rate_anomaly"] = f"""
         WITH hourly AS (
           SELECT event_type, date_trunc('hour', ts) AS hour,
                  count(*)::BIGINT AS cnt
@@ -8382,7 +8396,8 @@ def oracle_sql() -> dict[str, str]:
                  count(*) OVER w AS n_trail
           FROM hourly
           WINDOW w AS (PARTITION BY event_type ORDER BY hour
-                       ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+                       ROWS BETWEEN {RATE_TRAIL} PRECEDING
+                            AND 1 PRECEDING))
         SELECT event_type, hour, cnt, sum_trail, n_trail::BIGINT AS n_trail,
                CASE WHEN n_trail > 0
                     THEN (cnt * n_trail)::DOUBLE / sum_trail::DOUBLE
@@ -8395,9 +8410,11 @@ def oracle_sql() -> dict[str, str]:
     sqls["big_spenders"] = f"""
         WITH big AS (
           SELECT l_orderkey,
-                 sum(CAST(l_quantity AS BIGINT))::BIGINT AS total_qty
+                 sum(CAST(floor(l_quantity + 0.5) AS BIGINT))::BIGINT
+                   AS total_qty
           FROM lineitem GROUP BY 1
-          HAVING sum(CAST(l_quantity AS BIGINT)) > {Q18_MIN_QTY})
+          HAVING sum(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                   > {Q18_MIN_QTY})
         SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
                total_qty
         FROM big
@@ -8407,9 +8424,12 @@ def oracle_sql() -> dict[str, str]:
     """
     sqls["supplier_parts"] = """
         WITH ok AS (
-          SELECT l_partkey, l_suppkey FROM lineitem
-          WHERE l_suppkey NOT IN
-            (SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0)),
+          -- NOT EXISTS, not NOT IN: a NULL l_suppkey must survive the
+          -- exclusion exactly like Spark's left_anti keeps it
+          SELECT l_partkey, l_suppkey FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                            WHERE s.s_suppkey % 7 = 0
+                              AND s.s_suppkey = l.l_suppkey)),
         d AS (
           SELECT DISTINCT p_brand, p_type, p_size, l_suppkey
           FROM ok JOIN part ON p_partkey = l_partkey)

@@ -45,13 +45,21 @@ SCALE = 10**12
 DAMPING_NUM = 85  # damping factor 0.85 as an exact percent
 
 
-def pagerank(edges: DataFrame, iters: int = 10) -> DataFrame:
+def pagerank(
+    edges: DataFrame, iters: int = 10, materialize: bool = True
+) -> DataFrame:
     """PageRank over ``edges(src, dst)`` (long ids, self-loops and
     duplicate edges allowed — they are dropped/deduped here).
 
     Returns one row per node: node, rank_e12 (int64 fixed-point),
     rank (rank_e12 / 1e12 — one division, presentation only),
     out_deg, in_deg.
+
+    ``materialize=True`` (default) eagerly localCheckpoints the result
+    and releases the cached edge/degree tables (the duplicate_clusters
+    convention — no storage leak across repeated calls); pass False to
+    get the lazy plan (plan inspection / composition) at the cost of
+    the caches staying pinned until the session drops them.
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
@@ -71,6 +79,8 @@ def pagerank(edges: DataFrame, iters: int = 10) -> DataFrame:
         .persist()
     )
     n = nodes.count()  # the one driver-side scalar
+    if n == 0:
+        raise ValueError("pagerank: empty edge set (no non-loop edges)")
     base = ((100 - DAMPING_NUM) * SCALE) // (100 * n)
     out_deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("out_deg")
@@ -122,6 +132,14 @@ def pagerank(edges: DataFrame, iters: int = 10) -> DataFrame:
             F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
         )
     )
+    if materialize:
+        # eager checkpoint materializes the result so the cached inputs
+        # can be released (the duplicate_clusters convention — no
+        # storage leak across repeated calls)
+        out = out.localCheckpoint()
+        e.unpersist()
+        nodes.unpersist()
+        deg.unpersist()
     return out
 
 

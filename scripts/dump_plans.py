@@ -54,6 +54,7 @@ def main() -> None:
     from qamd_spark import pipeline, session
     from qamd_spark.config import QamdConfig
     import __spark_entry__ as E
+    from qamd_spark.ops.graph import pagerank as graph_pagerank
 
     spark = session.get_spark("plan-dump", master="local[4]", shuffle_partitions=4)
     docs = spark.read.parquet(f"{SF}/documents.parquet")
@@ -369,8 +370,12 @@ def main() -> None:
             "Integer fixed-point PageRank (2 of 10 iterations shown by "
             "lineage truncation): per round one shuffle equi-join on src "
             "+ one partial+final hash aggregate on dst; localCheckpoint "
-            "flattens the plan so round N+1 starts from a leaf.",
-            E.q_pagerank(spark, SF),
+            "flattens the plan so round N+1 starts from a leaf. Dumped "
+            "with materialize=False (the query's default eagerly "
+            "checkpoints the result and releases the caches).",
+            graph_pagerank(
+                E._pr_edges(spark, SF), iters=10, materialize=False
+            ),
         ),
     ]
     out = [

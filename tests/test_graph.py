@@ -96,3 +96,9 @@ def test_components_matches_union_find_twin(spark):
         for r in clusters_pdf(pairs).itertuples()
     }
     assert got == want
+
+
+def test_pagerank_rejects_empty_edges(spark):
+    df = spark.createDataFrame([(5, 5)], "src long, dst long")  # loop only
+    with pytest.raises(ValueError, match="empty edge set"):
+        pagerank(df, iters=1)
