@@ -5573,6 +5573,95 @@ def q_join_cardinality(spark, sf_dir):
     return a.unionByName(b).unionByName(c)
 
 
+def q_table_stats(spark, sf_dir):
+    """ANALYZE-style column statistics — the optimizer-stats collection
+    pass (row count, null count, exact NDV, min/max, quartile
+    boundaries per column) that cost-based planning, partition sizing
+    and key_skew/join_cardinality decisions read at 100 TB. Exact NDV
+    is the two-level aggregate (distinct hash-agg then count — no
+    count-distinct Expand, and at true scale the documented swap is
+    approx_count_distinct's HLL, see sketch_profile); quartiles use
+    Spark's exact percentile / DuckDB's quantile_cont, which share the
+    lo + (hi-lo)*frac interpolation (the percentile_profile precedent).
+    One row per audited column; the 1-row stat frames combine with
+    crossJoins that never touch data."""
+    def stats(df, name, col):
+        d = df.select(F.col(col).cast("double").alias("x"))
+        q = F.expr("percentile(x, array(0.25D, 0.5D, 0.75D))")
+        base = d.agg(
+            F.lit(name).alias("column"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("x").isNull().cast("long")).alias("n_nulls"),
+            F.min("x").alias("min_v"),
+            F.max("x").alias("max_v"),
+            q.alias("q"),
+        )
+        ndv = (
+            d.filter(F.col("x").isNotNull())
+            .select("x")
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n_distinct"))
+        )
+        return base.crossJoin(ndv).select(
+            "column", "n_rows", "n_nulls", "n_distinct", "min_v", "max_v",
+            F.col("q")[0].alias("p25"),
+            F.col("q")[1].alias("p50"),
+            F.col("q")[2].alias("p75"),
+        )
+
+    docs = _docs(spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    parts = [
+        stats(docs, "documents.n_chars", "n_chars"),
+        stats(docs, "documents.doc_id", "doc_id"),
+        stats(ev, "events.value", "value"),
+        stats(ev, "events.user_id", "user_id"),
+        stats(li, "lineitem.l_quantity", "l_quantity"),
+        stats(li, "lineitem.l_extendedprice", "l_extendedprice"),
+    ]
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+ZORDER_BITS = 16
+
+
+def q_zorder_key(spark, sf_dir):
+    """Z-order (Morton) layout keys for multi-dimensional data
+    clustering — the storage-layout half of the 100 TB story: writing
+    events sorted by the bit-interleaved (user_id, hour) key co-locates
+    rows that are close in BOTH dimensions, so min/max file statistics
+    prune scans filtered on either one (the Delta/Iceberg OPTIMIZE
+    ZORDER recipe, computed here as a pure-JVM projection). Bit
+    extraction is integer div/mod arithmetic — identical semantics on
+    both engines by construction (no shift-builtin differences); the
+    file bucket is the top 10 bits of the z-key, i.e. the write-time
+    partition a sorted writer would target. Zero shuffle; at scale this
+    feeds repartitionByRange(zkey) + sortWithinPartitions before the
+    write."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = F.pmod(F.col("user_id"), F.lit(1 << ZORDER_BITS)).cast("long")
+    # epoch seconds div 3600: both positive, so integer div == floor
+    b = F.pmod(
+        F.expr("unix_timestamp(ts) div 3600"), F.lit(1 << ZORDER_BITS)
+    ).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(ZORDER_BITS):
+        bit_a = F.shiftright(a, i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(b, i).bitwiseAND(F.lit(1))
+        z = z + bit_a * F.lit(1 << (2 * i + 1)) + bit_b * F.lit(1 << (2 * i))
+    return ev.filter(F.col("ts").isNotNull()).select(
+        "event_id",
+        "user_id",
+        b.alias("hour_bucket"),
+        z.alias("zkey"),
+        F.shiftright(z, 2 * ZORDER_BITS - 10).alias("file_bucket"),
+    )
+
+
 PR_NODES = 97  # deterministic synthetic domain-graph size
 
 
@@ -5918,6 +6007,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "components": q_components,
         "rate_anomaly": q_rate_anomaly,
+        "table_stats": q_table_stats,
+        "zorder_key": q_zorder_key,
         "winnow": q_winnow,
         "winnow_containment": q_winnow_containment,
         "dedup_clusters": q_dedup_clusters,
@@ -8384,6 +8475,47 @@ def oracle_sql() -> dict[str, str]:
           FROM corners GROUP BY 1)
         SELECT node, coalesce(n_triangles, 0)::BIGINT AS n_triangles
         FROM nodes LEFT JOIN cnt USING (node)
+    """
+    def _stats_sql(name, table, col):
+        return f"""
+          SELECT '{name}' AS "column", count(*)::BIGINT AS n_rows,
+                 sum((x IS NULL)::INT)::BIGINT AS n_nulls,
+                 count(DISTINCT x)::BIGINT AS n_distinct,
+                 min(x) AS min_v, max(x) AS max_v,
+                 quantile_cont(x, 0.25) AS p25,
+                 quantile_cont(x, 0.5) AS p50,
+                 quantile_cont(x, 0.75) AS p75
+          FROM (SELECT {col}::DOUBLE AS x FROM {table})"""
+
+    sqls["table_stats"] = " UNION ALL ".join(
+        _stats_sql(n, t, c)
+        for n, t, c in [
+            ("documents.n_chars", "documents", "n_chars"),
+            ("documents.doc_id", "documents", "doc_id"),
+            ("events.value", "events", "value"),
+            ("events.user_id", "events", "user_id"),
+            ("lineitem.l_quantity", "lineitem", "l_quantity"),
+            ("lineitem.l_extendedprice", "lineitem", "l_extendedprice"),
+        ]
+    )
+    _z_terms = " + ".join(
+        f"((a >> {i}) & 1) * {1 << (2 * i + 1)}"
+        f" + ((b >> {i}) & 1) * {1 << (2 * i)}"
+        for i in range(ZORDER_BITS)
+    )
+    sqls["zorder_key"] = f"""
+        WITH e AS (
+          SELECT event_id, user_id,
+                 user_id % {1 << ZORDER_BITS} AS a,
+                 (CAST(floor(epoch(ts)) AS BIGINT) // 3600)
+                   % {1 << ZORDER_BITS} AS b
+          FROM events WHERE ts IS NOT NULL),
+        z AS (
+          SELECT event_id, user_id, b, ({_z_terms})::BIGINT AS zkey
+          FROM e)
+        SELECT event_id, user_id, b AS hour_bucket, zkey,
+               (zkey >> {2 * ZORDER_BITS - 10})::BIGINT AS file_bucket
+        FROM z
     """
     sqls["rate_anomaly"] = f"""
         WITH hourly AS (

@@ -259,6 +259,8 @@ def run_benchmarks() -> dict:
         "triangles",
         "components",
         "rate_anomaly",
+        "table_stats",
+        "zorder_key",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

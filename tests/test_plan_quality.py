@@ -598,6 +598,28 @@ def test_rate_anomaly_window_over_aggregated_grid(spark):
     assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
 
 
+def test_table_stats_and_zorder_plans(spark):
+    """table_stats: exact NDV is the two-level aggregate (no
+    count-distinct Expand), quartiles are ObjectHashAggregate, no
+    Python; zorder_key: a pure codegen projection — zero Exchange, no
+    aggregate, no Python (the 32-term bit interleave fuses)."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    plan = _fmt_plan(E.q_table_stats(spark, sf))
+    assert ") Expand" not in plan, plan
+    assert "ObjectHashAggregate" in plan, plan
+    assert plan.count("HashAggregate") >= 8 and "partial_" in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+    plan = _fmt_plan(E.q_zorder_key(spark, sf))
+    assert ") Exchange" not in plan, plan
+    assert "HashAggregate" not in plan and ") Window" not in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+    # '*' prefix = inside a WholeStageCodegen span in formatted plans
+    assert "* Project" in plan, plan
+
+
 def test_triangles_plan_is_equi_join_only(spark):
     """triangles: degree-ordered wedge enumeration must stay equi-join
     (rank filter applied post-join on the bounded wedge set) — no
