@@ -102,8 +102,10 @@ def input_fingerprint(spark, input_path: str) -> str:
 
     if input_path.startswith(qio.ICEBERG_PREFIX):
         return qio.table_fingerprint(spark, input_path)
-    path = input_path.removeprefix(qio.CSV_PREFIX).removeprefix(
-        qio.JSONL_PREFIX
+    path = (
+        input_path.removeprefix(qio.CSV_PREFIX)
+        .removeprefix(qio.JSONL_PREFIX)
+        .removeprefix(qio.ORC_PREFIX)
     )
     parts = []
     if os.path.isfile(path):

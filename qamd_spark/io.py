@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 ICEBERG_PREFIX = "iceberg:"
 CSV_PREFIX = "csv:"
 JSONL_PREFIX = "jsonl:"
+ORC_PREFIX = "orc:"
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -48,6 +49,8 @@ def read_table(spark: SparkSession, ref: str) -> DataFrame:
         return read_csv(spark, ref.removeprefix(CSV_PREFIX))
     if ref.startswith(JSONL_PREFIX) or ref.endswith((".jsonl", ".ndjson")):
         return read_jsonl(spark, ref.removeprefix(JSONL_PREFIX))
+    if ref.startswith(ORC_PREFIX) or ref.endswith(".orc"):
+        return read_orc(spark, ref.removeprefix(ORC_PREFIX))
     return spark.read.parquet(ref)
 
 
@@ -63,6 +66,26 @@ def read_csv(spark: SparkSession, path: str) -> DataFrame:
     from qamd_spark import schema as S
 
     raw = spark.read.options(header=True, nullValue="").csv(path)
+    cols = []
+    for f in S.TRANSCRIPT_SCHEMA.fields:
+        src = (
+            F.col(f.name) if f.name in raw.columns else F.lit(None).cast("string")
+        )
+        cols.append(src.cast(f.dataType).alias(f.name))
+    return raw.select(*cols)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC transcript source (`orc:` prefix / .orc files) — the other
+    columnar format Spark reads natively (predicate pushdown + column
+    pruning like parquet; common in Hive-lineage warehouses). The file's
+    own schema is coerced to TRANSCRIPT_SCHEMA exactly like the CSV
+    source: absent columns become NULL, present columns are cast — so a
+    warehouse export with extra columns or wider integer types labels
+    identically to the parquet path (pytest pins CLI label equality)."""
+    from qamd_spark import schema as S
+
+    raw = spark.read.orc(path)
     cols = []
     for f in S.TRANSCRIPT_SCHEMA.fields:
         src = (

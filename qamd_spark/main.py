@@ -261,7 +261,7 @@ def main(argv: list[str] | None = None) -> int:
     exp.add_argument("--input", required=True,
                      help="parquet / csv: / jsonl: table ref")
     exp.add_argument("--output", required=True)
-    exp.add_argument("--format", choices=("jsonl", "parquet"),
+    exp.add_argument("--format", choices=("jsonl", "parquet", "orc"),
                      default="jsonl")
     exp.add_argument("--master", default=None)
     exp.add_argument("--repartition", type=int, default=None,
@@ -878,6 +878,8 @@ def _run_export(args) -> int:
         n = df.count()
         if args.format == "jsonl":
             df.write.mode("overwrite").json(args.output)
+        elif args.format == "orc":
+            df.write.mode("overwrite").orc(args.output)
         else:
             df.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"status": "ok", "format": args.format,

@@ -2,6 +2,8 @@ import subprocess
 import sys
 import zipfile
 
+from pyspark.sql import functions as F
+
 from qamd_spark import io as qio
 from qamd_spark import report
 from qamd_spark.config import QamdConfig
@@ -272,3 +274,48 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
         lab["scrubbed_text"].fillna("").to_numpy()
         == orc["scrubbed_text"].fillna("").to_numpy()
     ).all()
+
+
+def test_cli_run_over_orc_and_export_orc(tmp_path, spark):
+    """ORC source: export writes ORC shards, the `orc:`-dispatched CLI
+    run labels them identically to the same data as parquet, and a
+    widened/extra-column warehouse export coerces to the imposed
+    schema."""
+    from qamd_spark import io as qio
+    from qamd_spark import main, synth
+
+    pq = str(tmp_path / "in.parquet")
+    synth.write_parquet(pq, n_convs=8, seed=21)
+
+    orc_dir = str(tmp_path / "orc")
+    rc = main.main(["export", "--input", pq, "--output", orc_dir,
+                    "--format", "orc", "--master", "local[4]"])
+    assert rc == 0
+
+    out = str(tmp_path / "out")
+    rc = main.main(["run", "--input", f"orc:{orc_dir}", "--output", out,
+                    "--master", "local[4]", "--no-checkpoint"])
+    assert rc == 0
+    out2 = str(tmp_path / "out2")
+    rc = main.main(["run", "--input", pq, "--output", out2,
+                    "--master", "local[4]", "--no-checkpoint"])
+    assert rc == 0
+    cols = ["conv_id", "turn_idx", "keep", "rule_hits", "scrubbed_text"]
+    a = (spark.read.parquet(out + "/data").select(*cols)
+         .orderBy("conv_id", "turn_idx").collect())
+    b = (spark.read.parquet(out2 + "/data").select(*cols)
+         .orderBy("conv_id", "turn_idx").collect())
+    assert a == b
+
+    # warehouse-shaped export: extra column + widened turn_idx coerce
+    wide = str(tmp_path / "wide_orc")
+    (spark.read.parquet(pq)
+     .withColumn("turn_idx", F.col("turn_idx").cast("long"))
+     .withColumn("warehouse_extra", F.lit("x"))
+     .write.orc(wide))
+    df = qio.read_table(spark, f"orc:{wide}")
+    from qamd_spark import schema as S
+    assert [(f.name, f.dataType) for f in df.schema.fields] == [
+        (f.name, f.dataType) for f in S.TRANSCRIPT_SCHEMA.fields
+    ]
+    assert df.count() == spark.read.parquet(pq).count()
