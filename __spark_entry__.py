@@ -5662,6 +5662,66 @@ def q_zorder_key(spark, sf_dir):
     )
 
 
+def q_ann_recall(spark, sf_dir):
+    """ANN index quality audit: recall@10 of the two approximate paths
+    (LSH buckets, IVF probes) against the exact brute-force top-10 on
+    the SAME query set — the measurement you run before trusting an
+    index at 100 TB (an index with silent recall collapse looks
+    healthy until a user searches). Composes the three existing ANN
+    queries; the exact side defines ground truth, hits are a LeftSemi
+    on (qid, neighbor), and recall is one division of exact counts.
+    Rows-only (the approximate paths have no SQL twins by design);
+    evidence = the per-method recall floors pinned in tests/test_ops.py
+    plus this audit's own floor in tests/test_entry_contract.py."""
+    truth = q_ann_cosine_topk(spark, sf_dir).select("qid", "neighbor")
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+
+    def against(name, df):
+        hits = df.select("qid", "neighbor").join(
+            truth, ["qid", "neighbor"], "left_semi"
+        )
+        h = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+        return h.crossJoin(n_truth).select(
+            F.lit(name).alias("method"),
+            F.lit(10).cast("long").alias("k"),
+            "n_truth",
+            "n_hits",
+            (
+                F.col("n_hits").cast("double")
+                / F.col("n_truth").cast("double")
+            ).alias("recall"),
+        )
+
+    a = against("lsh", q_ann_lsh_topk(spark, sf_dir))
+    b = against("ivf", q_ann_ivf_topk(spark, sf_dir))
+    return a.unionByName(b)
+
+
+def q_file_stats(spark, sf_dir):
+    """Small-files / compaction advisor: rows per physical input file
+    for each table — THE operational audit at 100 TB, where a table
+    fragmented into millions of tiny files spends more time in task
+    scheduling and footer reads than in scanning (the fix is compaction
+    / OPTIMIZE; zorder_key chooses the order, this measures the need).
+    Spark side: group by input_file_name() — one partial+final hash
+    aggregate, no extra metadata pass. Rows-only (the oracle views hide
+    file paths); evidence = exact pyarrow footer twin
+    (tests/test_graph.py)."""
+    parts = []
+    for t in ("documents", "events", "lineitem"):
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        per = df.groupBy(
+            F.regexp_extract(
+                F.input_file_name(), r"([^/]+\.parquet)", 1
+            ).alias("file")
+        ).agg(F.count(F.lit(1)).alias("n_rows"))
+        parts.append(per.select(F.lit(t).alias("table"), "file", "n_rows"))
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out
+
+
 PR_NODES = 97  # deterministic synthetic domain-graph size
 
 
@@ -6009,6 +6069,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_anomaly": q_rate_anomaly,
         "table_stats": q_table_stats,
         "zorder_key": q_zorder_key,
+        "ann_recall": q_ann_recall,
+        "file_stats": q_file_stats,
         "winnow": q_winnow,
         "winnow_containment": q_winnow_containment,
         "dedup_clusters": q_dedup_clusters,

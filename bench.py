@@ -261,6 +261,8 @@ def run_benchmarks() -> dict:
         "rate_anomaly",
         "table_stats",
         "zorder_key",
+        "ann_recall",
+        "file_stats",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())
