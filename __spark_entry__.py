@@ -13,8 +13,12 @@ transcript_pipeline, ccnet_buckets), deterministic-hash ops (minhash,
 simhash(+neardup), ngram_jaccard, winnow(+containment), dedup_clusters,
 dedup_canonical — exact twins in oracle/), ANN (ann_lsh_topk and
 embedding_neardup_lsh exact twins; ann_ivf_topk recall-pinned;
-prototypicality exact twin), iterative training (bpe_train — merge list
-bit-exact vs the pure-Python twin), and the import-gated binary
+prototypicality exact twin), iterative training (bpe_train /
+unigram_lm_train — bit-exact vs pure-Python twins), iterative graph
+fixpoints (pagerank — integer fixed-point, bit-exact Python twin;
+components — union-find twin), physical-layout audits whose oracles
+cannot see file paths or index internals (file_stats — pyarrow footer
+twin; ann_recall — recall floors), and the import-gated binary
 multimodal plumbing (media_features, frame_plan).
 
 Column-name and float-determinism discipline:
@@ -5662,6 +5666,75 @@ def q_zorder_key(spark, sf_dir):
     )
 
 
+def q_promo_parts(spark, sf_dir):
+    """TPC-H Q19-shape disjunctive-predicate join: revenue from
+    lineitems matching ANY of three (brand, size-range, qty-range)
+    clauses — the OR-of-ANDs shape that separates engines that can
+    factor a disjunction from ones that rescan per clause. The
+    p_partkey = l_partkey equi-key and the common qty upper bound are
+    conjunctive and evaluate BEFORE the join / at the scan (pushed
+    filter pinned); the residual OR runs once on joined rows. Revenue
+    is the exact-int cents idiom; the single output row makes the gate
+    compare the full aggregate."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_quantity") <= 30)  # common bound: pushed to scan
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    )
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    j = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    disc = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    return (
+        j.filter(clause)
+        .select((cents * (F.lit(100) - disc)).alias("dp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum("dp").cast("double") / F.lit(10000.0)).alias("revenue"),
+        )
+    )
+
+
+def q_order_count_histogram(spark, sf_dir):
+    """TPC-H Q13-shape count-distribution histogram: how many customers
+    placed exactly k orders, INCLUDING k = 0 — the left-outer +
+    two-stacked-aggregates pattern (per-customer count, then histogram
+    of counts) that a naive inner join silently corrupts by dropping
+    the zero bucket. Both aggregates are partial+final hash aggregates
+    over shrinking keys (customers, then distinct counts); the
+    histogram output is tiny regardless of input scale."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_custkey")
+    per = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").alias("n_orders"))  # count skips NULLs
+    )
+    return (
+        per.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
 def q_ann_recall(spark, sf_dir):
     """ANN index quality audit: recall@10 of the two approximate paths
     (LSH buckets, IVF probes) against the exact brute-force top-10 on
@@ -6071,6 +6144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "ann_recall": q_ann_recall,
         "file_stats": q_file_stats,
+        "promo_parts": q_promo_parts,
+        "order_count_histogram": q_order_count_histogram,
         "winnow": q_winnow,
         "winnow_containment": q_winnow_containment,
         "dedup_clusters": q_dedup_clusters,
@@ -8578,6 +8653,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_id, user_id, b AS hour_bucket, zkey,
                (zkey >> {2 * ZORDER_BITS - 10})::BIGINT AS file_bucket
         FROM z
+    """
+    sqls["promo_parts"] = """
+        SELECT count(*)::BIGINT AS n_items,
+               (sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                )::BIGINT::DOUBLE / 10000.0 AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_quantity <= 30 AND (
+          (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 1 AND 11)
+          OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+             AND l_quantity BETWEEN 10 AND 20)
+          OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+             AND l_quantity BETWEEN 20 AND 30))
+    """
+    sqls["order_count_histogram"] = """
+        WITH per AS (
+          SELECT c_custkey, count(o_custkey)::BIGINT AS n_orders
+          FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+          GROUP BY 1)
+        SELECT n_orders, count(*)::BIGINT AS n_customers
+        FROM per GROUP BY 1
     """
     sqls["rate_anomaly"] = f"""
         WITH hourly AS (

@@ -263,6 +263,8 @@ def run_benchmarks() -> dict:
         "zorder_key",
         "ann_recall",
         "file_stats",
+        "promo_parts",
+        "order_count_histogram",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

@@ -598,6 +598,26 @@ def test_rate_anomaly_window_over_aggregated_grid(spark):
     assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
 
 
+def test_promo_and_order_histogram_plans(spark):
+    """promo_parts: the common qty bound reaches the parquet scan as a
+    pushed filter, the disjunction runs once post-join (one join, no
+    per-clause rescan — 2 scans total); order_count_histogram: left
+    OUTER join (zero bucket preserved) + two stacked partial+final hash
+    aggregates."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    plan = _fmt_plan(E.q_promo_parts(spark, sf))
+    assert re.search(r"PushedFilters:.*LessThanOrEqual\(l_quantity", plan), plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+    plan = _fmt_plan(E.q_order_count_histogram(spark, sf))
+    assert "LeftOuter" in plan, plan
+    assert plan.count("HashAggregate") >= 4 and "partial_" in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+
 def test_table_stats_and_zorder_plans(spark):
     """table_stats: exact NDV is the two-level aggregate (no
     count-distinct Expand), quartiles are ObjectHashAggregate, no
