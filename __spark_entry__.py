@@ -5735,6 +5735,182 @@ def q_order_count_histogram(spark, sf_dir):
     )
 
 
+def q_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17-shape correlated-scalar query: revenue lost to orders
+    whose quantity is below 20% of the part's average order quantity —
+    the correlated scalar subquery (per-group avg compared against each
+    member row) that a naive engine re-executes per row. Planned
+    decorrelated: per-part (count, sum_qty) is aggregated ONCE and
+    joined back; the DuckDB twin keeps the textbook correlated form so
+    the gate proves the decorrelation exact. The avg comparison
+    qty < 0.2 * (sum/cnt) is restated all-integer as
+    5*qty*cnt < sum_qty (quantities are integral doubles) — no
+    division, no float threshold race. Revenue is the exact-cents sum
+    with ONE final division by 700.0 (cents and the Q17 /7.0 year
+    normalizer folded together)."""
+    p = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey",
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    lib = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    stats = lib.groupBy(F.col("l_partkey").alias("sk")).agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("qty").alias("sum_qty")
+    )
+    probe = lib.join(stats, F.col("l_partkey") == F.col("sk")).filter(
+        F.lit(5) * F.col("qty") * F.col("cnt") < F.col("sum_qty")
+    )
+    return probe.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        (F.sum("cents").cast("double") / F.lit(700.0)).alias("avg_yearly"),
+    )
+
+
+def q_late_suppliers(spark, sf_dir):
+    """TPC-H Q21-shape EXISTS + NOT-EXISTS query: suppliers who were
+    the ONLY supplier shipping late (> 90 days after the order date) in
+    a multi-supplier finalized order. The two correlated quantifiers
+    are decorrelated into per-(order, supplier) then per-order
+    aggregates — EXISTS(other supplier) becomes n_supp >= 2,
+    NOT EXISTS(other late supplier) becomes n_late_supp = 1 for a row
+    that is itself late; the DuckDB twin keeps the textbook
+    EXISTS/NOT EXISTS form so the gate proves the rewrite exact. Both
+    aggregate levels are partial+final hash aggregates (no
+    count-distinct Expand); the per-(order, supplier) table is
+    persisted because it feeds both the order rollup and the qualifying
+    probe. Top-20 by (numwait desc, s_suppkey) is a total order planned
+    as TakeOrderedAndProject."""
+    f = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    persupp = (
+        li.join(f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+        .persist()  # feeds the per-order rollup and the qualifying probe
+    )
+    perord = persupp.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("is_late").alias("n_late_supp"),
+    )
+    qual = persupp.filter(F.col("is_late") == 1).join(
+        perord.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)),
+        F.col("l_orderkey") == F.col("ok"),
+    )
+    counts = qual.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("numwait"))
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        counts.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
+        .limit(20)
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
+def q_important_parts(spark, sf_dir):
+    """TPC-H Q11-shape global-threshold HAVING: parts whose revenue
+    share exceeds 1.3x the uniform share — the HAVING-vs-global-scalar
+    shape where the threshold is itself an aggregate of the same table.
+    A relative threshold (vs Q11's fixed fraction) stays meaningful at
+    every scale factor; 1.3x sits between this corpus's p90 (~1.26)
+    and max (~1.75) relative share so the gate exercises both branches.
+    The per-part aggregate is computed declaratively and the 1-row
+    global (total, n_parts) crossJoins back broadcast-style (never a
+    shuffle); the share gate 10 * value_q * n_parts > 13 * total_q is
+    all-integer (at extreme scale where the product overflows, flip to
+    value_q > 13 * (total_q div (10 * n_parts)) — documented, not
+    needed at 10^12 cents * 10^5 parts). share is ONE division of the
+    two exact int64s."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    disc = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    per = li.select(
+        "l_partkey", (cents * (F.lit(100) - disc)).alias("dp")
+    ).groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum("dp").alias("value_q")
+    )
+    total = per.agg(
+        F.sum("value_q").alias("total_q"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        per.crossJoin(F.broadcast(total))
+        .filter(
+            F.lit(10) * F.col("value_q") * F.col("n_parts")
+            > F.lit(13) * F.col("total_q")
+        )
+        .select(
+            "partkey",
+            "value_q",
+            (
+                F.col("value_q").cast("double")
+                / F.col("total_q").cast("double")
+            ).alias("share"),
+        )
+    )
+
+
+def q_inactive_buyers(spark, sf_dir):
+    """TPC-H Q22-shape anti-join + scalar-subquery query: customers in
+    a nation band holding above-average positive balances but no
+    finalized ('F') order — the global-customer-base shape (who has
+    money parked but stopped transacting). The scalar average is the
+    usual integer restatement: cents * n_pos > sum_pos_cents (both
+    exact int64 aggregates of the SAME band, broadcast back as one
+    row); 'no F order' is a LeftAnti equi-join, never NOT IN (NULL-safe
+    by construction). The twin keeps the textbook correlated
+    NOT EXISTS + scalar AVG subquery. total_bal is ONE division of the
+    exact cents sum."""
+    c = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_nationkey") < 10)
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    stats = c.filter(F.col("cents") > 0).agg(
+        F.count(F.lit(1)).alias("n_pos"), F.sum("cents").alias("sum_pos")
+    )
+    cand = c.crossJoin(F.broadcast(stats)).filter(
+        F.col("cents") * F.col("n_pos") > F.col("sum_pos")
+    )
+    fo = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+    )
+    return (
+        cand.join(fo, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum("cents").cast("double") / F.lit(100.0)).alias("total_bal"),
+        )
+    )
+
+
 def q_ann_recall(spark, sf_dir):
     """ANN index quality audit: recall@10 of the two approximate paths
     (LSH buckets, IVF probes) against the exact brute-force top-10 on
@@ -6146,6 +6322,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "file_stats": q_file_stats,
         "promo_parts": q_promo_parts,
         "order_count_histogram": q_order_count_histogram,
+        "small_qty_revenue": q_small_qty_revenue,
+        "late_suppliers": q_late_suppliers,
+        "important_parts": q_important_parts,
+        "inactive_buyers": q_inactive_buyers,
         "winnow": q_winnow,
         "winnow_containment": q_winnow_containment,
         "dedup_clusters": q_dedup_clusters,
@@ -8675,6 +8855,74 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY 1)
         SELECT n_orders, count(*)::BIGINT AS n_customers
         FROM per GROUP BY 1
+    """
+    # Textbook CORRELATED form on purpose: the Spark side plans the
+    # decorrelated aggregate+join, the twin re-executes the scalar
+    # subquery per row — the gate proves the rewrite exact.
+    sqls["small_qty_revenue"] = """
+        SELECT count(*)::BIGINT AS n_items,
+               (sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                )::BIGINT::DOUBLE / 700.0 AS avg_yearly
+        FROM lineitem l JOIN part p ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND 5 * CAST(floor(l_quantity + 0.5) AS BIGINT)
+                * (SELECT count(*) FROM lineitem l2
+                   WHERE l2.l_partkey = l.l_partkey)
+              < (SELECT sum(CAST(floor(l2.l_quantity + 0.5) AS BIGINT))
+                 FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """
+    sqls["late_suppliers"] = """
+        WITH f AS (SELECT o_orderkey, o_orderdate FROM orders
+                   WHERE o_orderstatus = 'F'),
+        l1 AS (SELECT DISTINCT l_orderkey, l_suppkey
+               FROM lineitem l JOIN f ON o_orderkey = l_orderkey
+               WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        SELECT s_suppkey, s_name, count(*)::BIGINT AS numwait
+        FROM l1 JOIN supplier ON s_suppkey = l_suppkey
+        WHERE EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+                SELECT 1 FROM lineitem l3 JOIN f f3
+                  ON f3.o_orderkey = l3.l_orderkey
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.l_shipdate > f3.o_orderdate + INTERVAL 90 DAY)
+        GROUP BY 1, 2
+        ORDER BY numwait DESC, s_suppkey
+        LIMIT 20
+    """
+    sqls["important_parts"] = """
+        WITH per AS (
+          SELECT l_partkey AS partkey,
+                 sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                 )::BIGINT AS value_q
+          FROM lineitem GROUP BY 1)
+        SELECT partkey, value_q,
+               value_q::DOUBLE / total_q::DOUBLE AS share
+        FROM per, (SELECT sum(value_q)::BIGINT AS total_q,
+                          count(*)::BIGINT AS n_parts FROM per) t
+        WHERE 10 * value_q * n_parts > 13 * total_q
+    """
+    sqls["inactive_buyers"] = """
+        SELECT c_nationkey, count(*)::BIGINT AS n_customers,
+               sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+               )::BIGINT::DOUBLE / 100.0 AS total_bal
+        FROM customer c
+        WHERE c_nationkey < 10
+          AND CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+              * (SELECT count(*) FROM customer c2
+                 WHERE c2.c_nationkey < 10
+                   AND floor(c2.c_acctbal * 100 + 0.5) > 0)
+              > (SELECT sum(CAST(floor(c2.c_acctbal * 100 + 0.5) AS BIGINT))
+                 FROM customer c2
+                 WHERE c2.c_nationkey < 10
+                   AND floor(c2.c_acctbal * 100 + 0.5) > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F')
+        GROUP BY 1
     """
     sqls["rate_anomaly"] = f"""
         WITH hourly AS (

@@ -265,6 +265,10 @@ def run_benchmarks() -> dict:
         "file_stats",
         "promo_parts",
         "order_count_histogram",
+        "small_qty_revenue",
+        "late_suppliers",
+        "important_parts",
+        "inactive_buyers",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

@@ -618,6 +618,46 @@ def test_promo_and_order_histogram_plans(spark):
     assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
 
 
+def test_decorrelation_shape_plans(spark):
+    """The four decorrelated TPC-H shapes plan the way their docstrings
+    claim: small_qty_revenue (Q17) pushes the brand filter and stays
+    aggregate+join (no Window, no Expand); late_suppliers (Q21) reuses
+    the persisted per-(order, supplier) table (InMemoryTableScan), has
+    no count-distinct Expand, and plans its top-20 as
+    TakeOrderedAndProject; important_parts (Q11) reads lineitem twice
+    and broadcasts the 1-row global total (BroadcastNestedLoopJoin,
+    never a shuffle join); inactive_buyers (Q22) anti-joins (LeftAnti)
+    with the nation-band filter pushed to the scan. None touch
+    Python."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    plan = _fmt_plan(E.q_small_qty_revenue(spark, sf))
+    assert re.search(r"PushedFilters:.*EqualTo\(p_brand,Brand#1\)", plan), plan
+    assert "Window" not in plan and "Expand" not in plan, plan
+    assert "partial_" in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+    plan = _fmt_plan(E.q_late_suppliers(spark, sf))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Expand" not in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    assert re.search(r"PushedFilters:.*EqualTo\(o_orderstatus,F\)", plan), plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+    plan = _fmt_plan(E.q_important_parts(spark, sf))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+    plan = _fmt_plan(E.q_inactive_buyers(spark, sf))
+    assert "LeftAnti" in plan, plan
+    assert re.search(r"PushedFilters:.*LessThan\(c_nationkey,10\)", plan), plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+
 def test_table_stats_and_zorder_plans(spark):
     """table_stats: exact NDV is the two-level aggregate (no
     count-distinct Expand), quartiles are ObjectHashAggregate, no
