@@ -5911,6 +5911,147 @@ def q_inactive_buyers(spark, sf_dir):
     )
 
 
+def q_merge_upsert(spark, sf_dir):
+    """Warehouse MERGE INTO (upsert) applied as one declarative plan:
+    a CDC changeset of inserts / updates / deletes is merged into the
+    document snapshot via a single FULL OUTER equi-join on the key —
+    the Delta/Iceberg MERGE recipe expressed in plain DataFrame ops
+    (match -> update, match+D -> delete, unmatched changeset row ->
+    insert, unmatched snapshot row -> keep). The changeset here is
+    synthesized deterministically FROM the snapshot (doc_id % 10
+    routes rows to D/U/I) so both engines see identical CDC input; at
+    scale it arrives from a log stream instead and the plan is
+    unchanged. One shuffle on the merge key; output carries the action
+    label and the md5 of the post-merge text so the gate hashes the
+    merged CONTENT, not just the row set."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dels = d.filter(F.col("doc_id") % 10 == 3).select(
+        F.col("doc_id").alias("k"),
+        F.lit(None).cast("string").alias("new_text"),
+        F.lit("D").alias("op"),
+    )
+    upds = d.filter(F.col("doc_id") % 10 == 7).select(
+        F.col("doc_id").alias("k"),
+        F.upper(F.substring("text", 1, 50)).alias("new_text"),
+        F.lit("U").alias("op"),
+    )
+    ins = d.filter(F.col("doc_id") % 10 == 1).select(
+        (F.col("doc_id") + 10_000_000).alias("k"),
+        F.concat(
+            F.lit("new doc "), (F.col("doc_id") + 10_000_000).cast("string")
+        ).alias("new_text"),
+        F.lit("I").alias("op"),
+    )
+    ch = dels.unionByName(upds).unionByName(ins)
+    m = d.join(ch, F.col("doc_id") == F.col("k"), "full_outer")
+    merged = m.filter(F.col("op").isNull() | (F.col("op") != "D")).select(
+        F.coalesce(F.col("doc_id"), F.col("k")).alias("doc_id"),
+        F.when(F.col("op") == "U", F.lit("updated"))
+        .when(F.col("op") == "I", F.lit("inserted"))
+        .otherwise(F.lit("kept"))
+        .alias("action"),
+        F.md5(
+            F.when(F.col("op").isin("U", "I"), F.col("new_text")).otherwise(
+                F.col("text")
+            )
+        ).alias("text_md5"),
+    )
+    return merged
+
+
+def q_gap_fill(spark, sf_dir):
+    """Time-series gap filling with forward fill: densify each user's
+    daily activity onto a complete min..max day grid (sequence +
+    explode — no driver-side calendar), LEFT-join the observed daily
+    aggregates, and forward-fill the last observed value with
+    last(ignorenulls) over a per-user ordered window. The window runs
+    over the GRID (users x bounded calendar days), never the raw
+    events, so the sort is bounded per user regardless of event volume;
+    the daily aggregate uses max(value) (order-free — a float SUM here
+    would be partitioning-dependent) and an exact event count. The
+    DuckDB twin is generate_series + last_value IGNORE NULLS, proving
+    the fill exact."""
+    ev = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    obs = ev.groupBy(
+        "user_id", F.date_trunc("DAY", F.col("ts")).alias("day")
+    ).agg(
+        F.max("value").alias("day_max"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounds = obs.groupBy(F.col("user_id").alias("u")).agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx")
+    )
+    grid = bounds.select(
+        "u",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))
+        ).alias("gday"),
+    )
+    j = grid.join(
+        obs,
+        (F.col("u") == F.col("user_id")) & (F.col("gday") == F.col("day")),
+        "left",
+    )
+    w = (
+        Window.partitionBy("u")
+        .orderBy("gday")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        F.col("u").alias("user_id"),
+        F.col("gday").alias("day"),
+        F.col("day_max").isNotNull().alias("observed"),
+        F.last("day_max", ignorenulls=True).over(w).alias("filled"),
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+    )
+
+
+def q_hopping_counts(spark, sf_dir):
+    """Hopping (sliding) window aggregation in batch: event counts per
+    type over 1-hour windows sliding every 15 minutes — the overlap
+    structure streaming alerting reads (each event lands in exactly 4
+    windows). Spark's built-in F.window(slide) expands each row to its
+    member windows BEFORE the partial aggregate, so map-side combine
+    sees the per-(window, type) keys immediately — never a self-join
+    of time bins. The twin reconstructs the same 4 windows arithmetically
+    (epoch div 900 - k) so the engines must agree on window alignment,
+    not just counts."""
+    ev = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    agg = ev.groupBy(
+        F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return agg.select(
+        F.col("w.start").alias("w_start"), "event_type", "n_events"
+    )
+
+
+def q_cube_counts(spark, sf_dir):
+    """CUBE grouping sets over (source, lang): all four aggregation
+    granularities — per cell, per source, per lang, grand total — in
+    ONE pass (Spark expands the grouping sets before the partial
+    aggregate; a union of four jobs would rescan the corpus four
+    times). Complements rollup_sets (ROLLUP lacks the column-wise
+    subtotals). Subtotal keys surface as the 'ALL' sentinel with
+    grouping_id disambiguating genuine 'ALL' values, the rollup_sets
+    convention."""
+    agg = (
+        _docs(spark, sf_dir)
+        .cube("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+    return agg.select(
+        F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
+        F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+        "n_docs",
+        "sum_chars",
+        "gid",
+    )
+
+
 def q_ann_recall(spark, sf_dir):
     """ANN index quality audit: recall@10 of the two approximate paths
     (LSH buckets, IVF probes) against the exact brute-force top-10 on
@@ -6326,6 +6467,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_suppliers": q_late_suppliers,
         "important_parts": q_important_parts,
         "inactive_buyers": q_inactive_buyers,
+        "merge_upsert": q_merge_upsert,
+        "gap_fill": q_gap_fill,
+        "hopping_counts": q_hopping_counts,
+        "cube_counts": q_cube_counts,
         "winnow": q_winnow,
         "winnow_containment": q_winnow_containment,
         "dedup_clusters": q_dedup_clusters,
@@ -8923,6 +9068,66 @@ def oracle_sql() -> dict[str, str]:
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderstatus = 'F')
         GROUP BY 1
+    """
+    sqls["merge_upsert"] = """
+        WITH d AS (SELECT doc_id, text FROM documents),
+        ch AS (
+          SELECT doc_id AS k, NULL AS new_text, 'D' AS op
+          FROM d WHERE doc_id % 10 = 3
+          UNION ALL
+          SELECT doc_id, upper(substr(text, 1, 50)), 'U'
+          FROM d WHERE doc_id % 10 = 7
+          UNION ALL
+          SELECT doc_id + 10000000,
+                 'new doc ' || (doc_id + 10000000)::VARCHAR, 'I'
+          FROM d WHERE doc_id % 10 = 1)
+        SELECT coalesce(d.doc_id, ch.k)::BIGINT AS doc_id,
+               CASE WHEN op = 'U' THEN 'updated'
+                    WHEN op = 'I' THEN 'inserted'
+                    ELSE 'kept' END AS action,
+               md5(CASE WHEN op IN ('U', 'I') THEN new_text
+                        ELSE d.text END) AS text_md5
+        FROM d FULL OUTER JOIN ch ON d.doc_id = ch.k
+        WHERE op IS NULL OR op <> 'D'
+    """
+    sqls["gap_fill"] = """
+        WITH obs AS (
+          SELECT user_id, date_trunc('day', ts) AS day,
+                 max(value) AS day_max, count(*)::BIGINT AS n_events
+          FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        b AS (SELECT user_id, min(day) AS mn, max(day) AS mx
+              FROM obs GROUP BY 1),
+        grid AS (SELECT user_id,
+                        unnest(generate_series(mn, mx, INTERVAL 1 DAY))
+                          AS day
+                 FROM b)
+        SELECT g.user_id, g.day,
+               (o.day_max IS NOT NULL) AS observed,
+               last_value(o.day_max IGNORE NULLS) OVER (
+                 PARTITION BY g.user_id ORDER BY g.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled,
+               coalesce(o.n_events, 0)::BIGINT AS n_events
+        FROM grid g LEFT JOIN obs o
+          ON o.user_id = g.user_id AND o.day = g.day
+    """
+    sqls["hopping_counts"] = """
+        SELECT make_timestamp((bin - k) * 900 * 1000000) AS w_start,
+               event_type, count(*)::BIGINT AS n_events
+        FROM (SELECT event_type,
+                     epoch_us(ts) // 1000000 // 900 AS bin
+              FROM events WHERE ts IS NOT NULL) b,
+             (SELECT unnest([0, 1, 2, 3]) AS k) kk
+        GROUP BY 1, 2
+    """
+    sqls["cube_counts"] = """
+        SELECT coalesce(source, 'ALL') AS source,
+               coalesce(lang, 'ALL') AS lang,
+               count(*)::BIGINT AS n_docs,
+               sum(n_chars)::BIGINT AS sum_chars,
+               GROUPING(source, lang)::INT AS gid
+        FROM documents
+        GROUP BY CUBE (source, lang)
     """
     sqls["rate_anomaly"] = f"""
         WITH hourly AS (

@@ -269,6 +269,10 @@ def run_benchmarks() -> dict:
         "late_suppliers",
         "important_parts",
         "inactive_buyers",
+        "merge_upsert",
+        "gap_fill",
+        "hopping_counts",
+        "cube_counts",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

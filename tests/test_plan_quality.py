@@ -658,6 +658,32 @@ def test_decorrelation_shape_plans(spark):
     assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
 
 
+def test_warehouse_timeseries_plans(spark):
+    """merge_upsert: one FULL OUTER equi-join, no Python;
+    gap_fill: the forward-fill Window runs over the exploded grid
+    (Generate present) after a LEFT join, never over raw events;
+    hopping_counts / cube_counts: Spark expands rows to their
+    grouping-set / window memberships BEFORE the partial aggregate
+    (Expand + partial_, one scan each) — never a union of rescans."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    plan = _fmt_plan(E.q_merge_upsert(spark, sf))
+    assert "FullOuter" in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+    plan = _fmt_plan(E.q_gap_fill(spark, sf))
+    assert "Window" in plan and "Generate" in plan, plan
+    assert "LeftOuter" in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+    for q in (E.q_hopping_counts, E.q_cube_counts):
+        plan = _fmt_plan(q(spark, sf))
+        assert "Expand" in plan and "partial_" in plan, plan
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+        assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+
 def test_table_stats_and_zorder_plans(spark):
     """table_stats: exact NDV is the two-level aggregate (no
     count-distinct Expand), quartiles are ObjectHashAggregate, no
