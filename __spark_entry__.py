@@ -6052,6 +6052,34 @@ def q_cube_counts(spark, sf_dir):
     )
 
 
+def q_inverted_index(spark, sf_dir):
+    """Inverted-index (posting list) construction for mid-frequency
+    terms — the retrieval-side data structure a RAG corpus build
+    emits. Hot-key safe by construction: document frequencies are
+    counted FIRST (partial+final hash agg over (term, doc) pairs), the
+    df gate drops stopword-grade terms, and only then are posting
+    lists collected — collect_list never sees a hot key, so the
+    ObjectHashAggregate is bounded by the df ceiling (40) regardless
+    of corpus size. The distinct (term, doc) table is persisted
+    because it feeds both the df count and the postings probe.
+    Postings are sort_array'd — collect_list order is
+    partitioning-dependent and would poison the cross-engine hash."""
+    raw = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(F.split(F.lower(_txt()), r"\s+", -1)).alias("term"),
+    ).filter(F.col("term") != "")
+    toks = raw.distinct().persist()  # feeds df count + postings probe
+    dfs = (
+        toks.groupBy(F.col("term").alias("t"))
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df").between(3, 40))
+    )
+    kept = toks.join(dfs, F.col("term") == F.col("t")).drop("t")
+    return kept.groupBy("term", "df").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("postings")
+    )
+
+
 def q_ann_recall(spark, sf_dir):
     """ANN index quality audit: recall@10 of the two approximate paths
     (LSH buckets, IVF probes) against the exact brute-force top-10 on
@@ -6471,6 +6499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill": q_gap_fill,
         "hopping_counts": q_hopping_counts,
         "cube_counts": q_cube_counts,
+        "inverted_index": q_inverted_index,
         "winnow": q_winnow,
         "winnow_containment": q_winnow_containment,
         "dedup_clusters": q_dedup_clusters,
@@ -9118,6 +9147,20 @@ def oracle_sql() -> dict[str, str]:
                      epoch_us(ts) // 1000000 // 900 AS bin
               FROM events WHERE ts IS NOT NULL) b,
              (SELECT unnest([0, 1, 2, 3]) AS k) kk
+        GROUP BY 1, 2
+    """
+    sqls["inverted_index"] = r"""
+        WITH raw AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(coalesce(text, '')),
+                        '\s+')) AS term
+          FROM documents),
+        toks AS (SELECT DISTINCT doc_id, term FROM raw WHERE term <> ''),
+        dfs AS (SELECT term, count(*)::BIGINT AS df FROM toks
+                GROUP BY 1 HAVING count(*) BETWEEN 3 AND 40)
+        SELECT t.term, dfs.df,
+               list(t.doc_id ORDER BY t.doc_id) AS postings
+        FROM toks t JOIN dfs ON t.term = dfs.term
         GROUP BY 1, 2
     """
     sqls["cube_counts"] = """

@@ -273,6 +273,7 @@ def run_benchmarks() -> dict:
         "gap_fill",
         "hopping_counts",
         "cube_counts",
+        "inverted_index",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

@@ -684,6 +684,22 @@ def test_warehouse_timeseries_plans(spark):
         assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
 
 
+def test_inverted_index_plan_bounds_collect_list(spark):
+    """inverted_index: the df gate (partial+final HashAggregate) runs
+    BEFORE the posting-list collect_list, and the persisted distinct
+    (term, doc) table feeds both branches (InMemoryTableScan twice) —
+    so the ObjectHashAggregate only ever sees df<=40 groups and the
+    parquet scan happens once. No Python anywhere."""
+    import __spark_entry__ as E
+
+    plan = _fmt_plan(E.q_inverted_index(spark, "/root/testdata/sf0.001"))
+    assert "ObjectHashAggregate" in plan, plan
+    assert "partial_count" in plan, plan
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 1, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+
 def test_table_stats_and_zorder_plans(spark):
     """table_stats: exact NDV is the two-level aggregate (no
     count-distinct Expand), quartiles are ObjectHashAggregate, no
