@@ -6052,6 +6052,557 @@ def q_cube_counts(spark, sf_dir):
     )
 
 
+def _li_money():
+    """The shared exact-int money columns for the relational queries:
+    price cents, discount pct, quantity — all floor(x·scale + 0.5)
+    half-up (Spark cast truncates, DuckDB CAST rounds; explicit floor
+    makes both engines agree bit-for-bit)."""
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    disc = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+    return cents, disc, qty
+
+
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6-shape forecasting-revenue-change: one full-scan
+    filter + sum, the simplest relational shape and the purest
+    pushdown test — the date window reaches the parquet scan as a
+    pushed predicate, the discount/quantity gates are exact-int
+    comparisons on the rescaled columns (never float between), and the
+    whole query is one partial+final aggregate with no shuffle of rows.
+    revenue = Σ price_cents · disc_pct is an exact bigint divided ONCE."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cents, disc, qty = _li_money()
+    g = li.select(
+        cents.alias("cents"), disc.alias("disc"), qty.alias("qty")
+    ).filter(disc.between(5, 7) & (qty < 24))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        (
+            F.sum(F.col("cents") * F.col("disc")).cast("double")
+            / F.lit(10000.0)
+        ).alias("revenue"),
+    )
+
+
+def q_priority_shipping(spark, sf_dir):
+    """TPC-H Q12-shape shipping-mode priority split: per line status
+    (the corpus's shipmode stand-in — lineitem carries no shipmode
+    column), how many 1996-shipped lines belong to urgent/high-priority
+    orders vs the rest. The CASE counts fold into ONE partial+final
+    hash aggregate after a single orders⨝lineitem equi-join; the date
+    window is pushed to the lineitem scan. All-integer output."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.select(F.col("l_orderkey").alias("ok"), "l_linestatus")
+        .join(o.select(F.col("o_orderkey").alias("ok"), "o_orderpriority"),
+              "ok")
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q_promo_share(spark, sf_dir):
+    """TPC-H Q14-shape promotion-effect ratio: the share of one
+    month's revenue from promo-type parts. The ratio is (100 ·
+    promo_e4) / total_e4 — ONE division of two exact bigints, so both
+    engines compute the identical double. The part dimension joins as
+    a projected (partkey, is_promo) table; the month window is pushed
+    to the lineitem scan; everything folds into a single aggregate."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("pk"),
+        (F.col("p_type") == "PROMO").alias("is_promo"),
+    )
+    cents, disc, _ = _li_money()
+    j = li.select(
+        F.col("l_partkey").alias("pk"),
+        (cents * (F.lit(100) - disc)).alias("rev_e4"),
+    ).join(p, "pk")
+    a = j.agg(
+        F.sum(F.when(F.col("is_promo"), F.col("rev_e4")).otherwise(0)).alias(
+            "promo_e4"
+        ),
+        F.sum("rev_e4").alias("total_e4"),
+    )
+    return a.select(
+        (F.col("promo_e4").cast("double") / F.lit(10000.0)).alias(
+            "promo_revenue"
+        ),
+        (F.col("total_e4").cast("double") / F.lit(10000.0)).alias(
+            "total_revenue"
+        ),
+        (
+            (F.col("promo_e4") * 100).cast("double")
+            / F.col("total_e4").cast("double")
+        ).alias("promo_share"),
+    )
+
+
+def q_top_supplier(spark, sf_dir):
+    """TPC-H Q15-shape top supplier: the supplier(s) whose quarterly
+    revenue equals the global maximum — the view-then-scalar-max shape.
+    The per-supplier aggregate is computed once and persisted (it feeds
+    both the 1-row max and the equality probe); the max crossJoins back
+    broadcast-style (a broadcast cross join of one row, never a
+    shuffle), and the equality gate compares exact bigints so a 1-ulp
+    float tie can never drop or double the winner. Q15's 'no supplier
+    name' decoration joins after the gate touches only winner rows."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    cents, disc, _ = _li_money()
+    per = (
+        li.select(
+            F.col("l_suppkey").alias("suppkey"),
+            (cents * (F.lit(100) - disc)).alias("rev_e4"),
+        )
+        .groupBy("suppkey")
+        .agg(F.sum("rev_e4").alias("rev_e4"))
+        .persist()
+    )
+    mx = per.agg(F.max("rev_e4").alias("max_e4"))
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").alias("suppkey"), "s_name"
+    )
+    return (
+        per.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_e4") == F.col("max_e4"))
+        .join(s, "suppkey")
+        .select(
+            "suppkey",
+            "s_name",
+            (F.col("rev_e4").cast("double") / F.lit(10000.0)).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+def q_returned_revenue(spark, sf_dir):
+    """TPC-H Q10-shape returned-item report: top-20 customers by
+    revenue of returned lines in one quarter, decorated with nation.
+    The returnflag filter is pushed to the lineitem scan and the date
+    window to the orders scan; nation broadcasts; the global top-20
+    plans as TakeOrderedAndProject (per-partition heaps + a 20-row
+    driver merge, never a single-partition sort). The order is total
+    (rev_e4 desc, custkey asc) so ties cannot make the row set
+    engine-dependent; c_acctbal passes through untransformed."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_returnflag") == "R"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cents, disc, _ = _li_money()
+    j = (
+        li.select(
+            F.col("l_orderkey").alias("ok"),
+            (cents * (F.lit(100) - disc)).alias("rev_e4"),
+        )
+        .join(o.select(F.col("o_orderkey").alias("ok"), "o_custkey"), "ok")
+        .join(
+            c.select(
+                F.col("c_custkey").alias("o_custkey"),
+                "c_name",
+                "c_acctbal",
+                "c_nationkey",
+            ),
+            "o_custkey",
+        )
+        .join(
+            F.broadcast(
+                n.select(F.col("n_nationkey").alias("c_nationkey"), "n_name")
+            ),
+            "c_nationkey",
+        )
+    )
+    a = j.groupBy(
+        F.col("o_custkey").alias("custkey"), "c_name", "c_acctbal", "n_name"
+    ).agg(F.sum("rev_e4").alias("rev_e4"))
+    top = a.orderBy(F.col("rev_e4").desc(), F.col("custkey").asc()).limit(20)
+    return top.select(
+        "custkey",
+        "c_name",
+        "n_name",
+        "c_acctbal",
+        (F.col("rev_e4").cast("double") / F.lit(10000.0)).alias("revenue"),
+    )
+
+
+def q_volume_shipping(spark, sf_dir):
+    """TPC-H Q7-shape bilateral volume shipping: revenue between two
+    nations in both directions per ship year. Both nation dimensions
+    broadcast (the fact table shuffles only for the supplier/order
+    equi-joins, which AQE plans); the two-nation pair filter is applied
+    as soon as both nation names are bound so non-qualifying rows die
+    before the aggregate. Years as exact ints; revenue exact bigint
+    divided once."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cents, disc, _ = _li_money()
+    j = (
+        li.select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_suppkey").alias("sk"),
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+            (cents * (F.lit(100) - disc)).alias("rev_e4"),
+        )
+        .join(s.select(F.col("s_suppkey").alias("sk"), "s_nationkey"), "sk")
+        .join(
+            F.broadcast(
+                n.select(
+                    F.col("n_nationkey").alias("s_nationkey"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            "s_nationkey",
+        )
+        .join(o.select(F.col("o_orderkey").alias("ok"), "o_custkey"), "ok")
+        .join(
+            c.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey"),
+            "o_custkey",
+        )
+        .join(
+            F.broadcast(
+                n.select(
+                    F.col("n_nationkey").alias("c_nationkey"),
+                    F.col("n_name").alias("cust_nation"),
+                )
+            ),
+            "c_nationkey",
+        )
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", "ship_year")
+        .agg(F.sum("rev_e4").alias("rev_e4"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "ship_year",
+            (F.col("rev_e4").cast("double") / F.lit(10000.0)).alias("volume"),
+        )
+    )
+
+
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8-shape national market share: per order year, the share
+    of one part type's European-customer revenue supplied from
+    NATION_3. share = num_e4 / den_e4 is ONE division of exact bigints
+    computed in the SAME aggregate (a separate numerator job would
+    rescan). The part-type filter prunes the fact rows through the
+    projected (partkey) dimension before any wide join; region gates
+    the customer side through two broadcast dims."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select(F.col("p_partkey").alias("pk"))
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    cents, disc, _ = _li_money()
+    j = (
+        li.select(
+            F.col("l_partkey").alias("pk"),
+            F.col("l_suppkey").alias("sk"),
+            F.col("l_orderkey").alias("ok"),
+            (cents * (F.lit(100) - disc)).alias("rev_e4"),
+        )
+        .join(p, "pk")
+        .join(s.select(F.col("s_suppkey").alias("sk"), "s_nationkey"), "sk")
+        .join(
+            F.broadcast(
+                n.select(
+                    F.col("n_nationkey").alias("s_nationkey"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            "s_nationkey",
+        )
+        .join(
+            o.select(
+                F.col("o_orderkey").alias("ok"),
+                "o_custkey",
+                F.year("o_orderdate").cast("long").alias("o_year"),
+            ),
+            "ok",
+        )
+        .join(
+            c.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey"),
+            "o_custkey",
+        )
+        .join(
+            F.broadcast(
+                n.select(
+                    F.col("n_nationkey").alias("c_nationkey"),
+                    F.col("n_regionkey").alias("rk"),
+                )
+            ),
+            "c_nationkey",
+        )
+        .join(
+            F.broadcast(r.select(F.col("r_regionkey").alias("rk"))), "rk"
+        )
+    )
+    a = j.groupBy("o_year").agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_3", F.col("rev_e4"))
+            .otherwise(0)
+        ).alias("num_e4"),
+        F.sum("rev_e4").alias("den_e4"),
+    )
+    return a.select(
+        "o_year",
+        (F.col("num_e4").cast("double") / F.lit(10000.0)).alias(
+            "nation_volume"
+        ),
+        (F.col("den_e4").cast("double") / F.lit(10000.0)).alias(
+            "total_volume"
+        ),
+        (
+            F.col("num_e4").cast("double") / F.col("den_e4").cast("double")
+        ).alias("mkt_share"),
+    )
+
+
+def q_product_profit(spark, sf_dir):
+    """TPC-H Q9-shape product-type profit: per (supplier nation, order
+    year), Σ revenue − cost for parts whose name contains 'bolt'.
+    The corpus has no partsupp table, so cost is the documented
+    deterministic stand-in 80% of retail: qty · retail_cents · 80 —
+    the same e4 scale as revenue, so amount_e4 = rev_e4 − cost_e4 is an
+    exact bigint per line (possibly negative), summed exactly and
+    divided once. The name-filtered part dimension carries retail_cents
+    through the join; nation broadcasts."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_name").contains("bolt"))
+        .select(
+            F.col("p_partkey").alias("pk"),
+            F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("retail_c"),
+        )
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cents, disc, qty = _li_money()
+    j = (
+        li.select(
+            F.col("l_partkey").alias("pk"),
+            F.col("l_suppkey").alias("sk"),
+            F.col("l_orderkey").alias("ok"),
+            (cents * (F.lit(100) - disc)).alias("rev_e4"),
+            qty.alias("qty"),
+        )
+        .join(p, "pk")
+        .join(s.select(F.col("s_suppkey").alias("sk"), "s_nationkey"), "sk")
+        .join(
+            F.broadcast(
+                n.select(F.col("n_nationkey").alias("s_nationkey"), "n_name")
+            ),
+            "s_nationkey",
+        )
+        .join(
+            o.select(
+                F.col("o_orderkey").alias("ok"),
+                F.year("o_orderdate").cast("long").alias("o_year"),
+            ),
+            "ok",
+        )
+    )
+    amount = F.col("rev_e4") - F.col("qty") * F.col("retail_c") * F.lit(80)
+    return (
+        j.select("n_name", "o_year", amount.alias("amount_e4"))
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.sum("amount_e4").cast("double") / F.lit(10000.0)).alias(
+                "profit"
+            ),
+        )
+    )
+
+
+def q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2-shape minimum-cost supplier: for each size-3 part, the
+    European supplier(s) with the minimum account balance among those
+    that actually shipped it (the corpus has no partsupp, so the
+    supplies-relation is the distinct (partkey, suppkey) pairs observed
+    in lineitem and 'cost' is the documented acctbal stand-in). The
+    correlated min decorrelates to aggregate-once + equality join-back
+    on exact cents (never float min); Q2 returns ALL suppliers at the
+    minimum, so ties are part of the contract, not a hazard. Dimension
+    gates (region, size) prune before the per-part aggregate."""
+    pairs = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    p = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_size") == 3)
+        .select(F.col("p_partkey").alias("pk"), "p_name")
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").alias("sk"),
+        "s_name",
+        "s_nationkey",
+        F.floor(F.col("s_acctbal") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("acct_c"),
+    )
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    cand = (
+        pairs.join(p, "pk")
+        .join(s, "sk")
+        .join(
+            F.broadcast(
+                n.select(
+                    F.col("n_nationkey").alias("s_nationkey"),
+                    "n_name",
+                    F.col("n_regionkey").alias("rk"),
+                )
+            ),
+            "s_nationkey",
+        )
+        .join(F.broadcast(r.select(F.col("r_regionkey").alias("rk"))), "rk")
+        .persist()
+    )
+    mins = cand.groupBy(F.col("pk").alias("mpk")).agg(
+        F.min("acct_c").alias("min_c")
+    )
+    return (
+        cand.join(
+            mins,
+            (F.col("pk") == F.col("mpk")) & (F.col("acct_c") == F.col("min_c")),
+        )
+        .select(
+            F.col("pk").alias("partkey"),
+            "p_name",
+            F.col("sk").alias("suppkey"),
+            "s_name",
+            "n_name",
+            (F.col("acct_c").cast("double") / F.lit(100.0)).alias("acctbal"),
+        )
+    )
+
+
+def q_dominant_suppliers(spark, sf_dir):
+    """TPC-H Q20-shape excess-availability suppliers: Asian suppliers
+    whose shipped share of some small-prefix part exceeds 2× the
+    uniform share among that part's suppliers (the corpus's
+    partsupp-free restatement of Q20's availqty > 0.5·Σqty correlated
+    threshold; a RELATIVE gate like important_parts' 1.3× so the
+    qualifying set stays non-empty at every scale factor — a fixed
+    fraction dilutes as supplier count grows with SF). The nested
+    aggregate stacks: per-(part, supplier) quantity, then per-part
+    (total, n_suppliers) from the SAME aggregated table (never a
+    second corpus scan), all-integer gate sup_qty·n_sup > 2·tot_qty,
+    and the supplier dimension semi-joins against the qualifying set
+    (LeftSemi — the fact side never duplicates supplier rows)."""
+    p = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_name").startswith("small"))
+        .select(F.col("p_partkey").alias("pk"))
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    _, _, qty = _li_money()
+    per = (
+        li.select(
+            F.col("l_partkey").alias("pk"),
+            F.col("l_suppkey").alias("sk"),
+            qty.alias("qty"),
+        )
+        .join(p, "pk")
+        .groupBy("pk", "sk")
+        .agg(F.sum("qty").alias("sup_qty"))
+    )
+    tot = per.groupBy(F.col("pk").alias("tpk")).agg(
+        F.sum("sup_qty").alias("tot_qty"),
+        F.count(F.lit(1)).alias("n_sup"),
+    )
+    dominant = (
+        per.join(tot, F.col("pk") == F.col("tpk"))
+        .filter(F.col("sup_qty") * F.col("n_sup") > F.col("tot_qty") * 2)
+        .select("sk")
+        .distinct()
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    asian = (
+        s.join(
+            F.broadcast(
+                n.select(
+                    F.col("n_nationkey").alias("s_nationkey"),
+                    "n_name",
+                    F.col("n_regionkey").alias("rk"),
+                )
+            ),
+            "s_nationkey",
+        )
+        .join(
+            F.broadcast(
+                spark.read.parquet(f"{sf_dir}/region.parquet")
+                .filter(F.col("r_name") == "ASIA")
+                .select(F.col("r_regionkey").alias("rk"))
+            ),
+            "rk",
+        )
+    )
+    return asian.join(
+        dominant, asian["s_suppkey"] == dominant["sk"], "left_semi"
+    ).select(F.col("s_suppkey").alias("suppkey"), "s_name", "n_name")
+
+
 def q_inverted_index(spark, sf_dir):
     """Inverted-index (posting list) construction for mid-frequency
     terms — the retrieval-side data structure a RAG corpus build
@@ -6499,6 +7050,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill": q_gap_fill,
         "hopping_counts": q_hopping_counts,
         "cube_counts": q_cube_counts,
+        "forecast_revenue": q_forecast_revenue,
+        "priority_shipping": q_priority_shipping,
+        "promo_share": q_promo_share,
+        "top_supplier": q_top_supplier,
+        "returned_revenue": q_returned_revenue,
+        "volume_shipping": q_volume_shipping,
+        "market_share": q_market_share,
+        "product_profit": q_product_profit,
+        "min_cost_supplier": q_min_cost_supplier,
+        "dominant_suppliers": q_dominant_suppliers,
         "inverted_index": q_inverted_index,
         "winnow": q_winnow,
         "winnow_containment": q_winnow_containment,
@@ -9148,6 +9709,184 @@ def oracle_sql() -> dict[str, str]:
               FROM events WHERE ts IS NOT NULL) b,
              (SELECT unnest([0, 1, 2, 3]) AS k) kk
         GROUP BY 1, 2
+    """
+    sqls["forecast_revenue"] = """
+        WITH g AS (
+          SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+                 CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc,
+                 CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1997-01-01')
+        SELECT count(*)::BIGINT AS n_lines,
+               sum(cents * disc)::DOUBLE / 10000.0 AS revenue
+        FROM g WHERE disc BETWEEN 5 AND 7 AND qty < 24
+    """
+    sqls["priority_shipping"] = """
+        SELECT l.l_linestatus,
+               sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+               sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY 1
+    """
+    sqls["promo_share"] = """
+        WITH j AS (
+          SELECT CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))
+                   AS rev_e4,
+                 (p.p_type = 'PROMO') AS is_promo
+          FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+          WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+            AND l.l_shipdate <  TIMESTAMP '1996-04-01'),
+        a AS (
+          SELECT sum(CASE WHEN is_promo THEN rev_e4 ELSE 0 END)::BIGINT
+                   AS promo_e4,
+                 sum(rev_e4)::BIGINT AS total_e4
+          FROM j)
+        SELECT promo_e4::DOUBLE / 10000.0 AS promo_revenue,
+               total_e4::DOUBLE / 10000.0 AS total_revenue,
+               (promo_e4 * 100)::DOUBLE / total_e4::DOUBLE AS promo_share
+        FROM a
+    """
+    sqls["top_supplier"] = """
+        WITH per AS (
+          SELECT l_suppkey AS suppkey,
+                 sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                   AS BIGINT)))::BIGINT AS rev_e4
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1996-04-01'
+          GROUP BY 1)
+        SELECT per.suppkey, s.s_name,
+               per.rev_e4::DOUBLE / 10000.0 AS total_revenue
+        FROM per
+        JOIN supplier s ON s.s_suppkey = per.suppkey
+        WHERE per.rev_e4 = (SELECT max(rev_e4) FROM per)
+    """
+    sqls["returned_revenue"] = """
+        WITH a AS (
+          SELECT c.c_custkey AS custkey, c.c_name, c.c_acctbal, n.n_name,
+                 sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * (100 - CAST(floor(l.l_discount * 100 + 0.5)
+                                   AS BIGINT)))::BIGINT AS rev_e4
+          FROM lineitem l
+          JOIN orders o   ON o.o_orderkey  = l.l_orderkey
+          JOIN customer c ON c.c_custkey   = o.o_custkey
+          JOIN nation n   ON n.n_nationkey = c.c_nationkey
+          WHERE l.l_returnflag = 'R'
+            AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+          GROUP BY 1, 2, 3, 4)
+        SELECT custkey, c_name, n_name, c_acctbal,
+               rev_e4::DOUBLE / 10000.0 AS revenue
+        FROM a ORDER BY rev_e4 DESC, custkey ASC LIMIT 20
+    """
+    sqls["volume_shipping"] = """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               EXTRACT(year FROM l.l_shipdate)::BIGINT AS ship_year,
+               sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                   * (100 - CAST(floor(l.l_discount * 100 + 0.5)
+                                 AS BIGINT)))::DOUBLE / 10000.0 AS volume
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+        JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+        JOIN orders o   ON o.o_orderkey  = l.l_orderkey
+        JOIN customer c ON c.c_custkey   = o.o_custkey
+        JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY 1, 2, 3
+    """
+    sqls["market_share"] = """
+        WITH a AS (
+          SELECT EXTRACT(year FROM o.o_orderdate)::BIGINT AS o_year,
+                 sum(CASE WHEN n1.n_name = 'NATION_3'
+                     THEN CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                          * (100 - CAST(floor(l.l_discount * 100 + 0.5)
+                                        AS BIGINT))
+                     ELSE 0 END)::BIGINT AS num_e4,
+                 sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * (100 - CAST(floor(l.l_discount * 100 + 0.5)
+                                   AS BIGINT)))::BIGINT AS den_e4
+          FROM lineitem l
+          JOIN part p     ON p.p_partkey   = l.l_partkey
+          JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+          JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+          JOIN orders o   ON o.o_orderkey  = l.l_orderkey
+          JOIN customer c ON c.c_custkey   = o.o_custkey
+          JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+          JOIN region r   ON r.r_regionkey = n2.n_regionkey
+          WHERE p.p_type = 'ECONOMY' AND r.r_name = 'EUROPE'
+            AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+          GROUP BY 1)
+        SELECT o_year,
+               num_e4::DOUBLE / 10000.0 AS nation_volume,
+               den_e4::DOUBLE / 10000.0 AS total_volume,
+               num_e4::DOUBLE / den_e4::DOUBLE AS mkt_share
+        FROM a
+    """
+    sqls["product_profit"] = """
+        SELECT n.n_name AS nation,
+               EXTRACT(year FROM o.o_orderdate)::BIGINT AS o_year,
+               count(*)::BIGINT AS n_lines,
+               sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                   * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))
+                   - CAST(floor(l.l_quantity + 0.5) AS BIGINT)
+                     * CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT)
+                     * 80)::DOUBLE / 10000.0 AS profit
+        FROM lineitem l
+        JOIN part p     ON p.p_partkey   = l.l_partkey
+        JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN orders o   ON o.o_orderkey  = l.l_orderkey
+        WHERE p.p_name LIKE '%bolt%'
+        GROUP BY 1, 2
+    """
+    sqls["min_cost_supplier"] = """
+        WITH cand AS (
+          SELECT DISTINCT l.l_partkey AS partkey, p.p_name,
+                 l.l_suppkey AS suppkey, s.s_name, n.n_name,
+                 CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT) AS acct_c
+          FROM lineitem l
+          JOIN part p     ON p.p_partkey   = l.l_partkey
+          JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+          JOIN nation n   ON n.n_nationkey = s.s_nationkey
+          JOIN region r   ON r.r_regionkey = n.n_regionkey
+          WHERE p.p_size = 3 AND r.r_name = 'EUROPE')
+        SELECT partkey, p_name, suppkey, s_name, n_name,
+               acct_c::DOUBLE / 100.0 AS acctbal
+        FROM cand c
+        WHERE acct_c = (SELECT min(acct_c) FROM cand m
+                        WHERE m.partkey = c.partkey)
+    """
+    sqls["dominant_suppliers"] = """
+        WITH per AS (
+          SELECT l.l_partkey AS pk, l.l_suppkey AS sk,
+                 sum(CAST(floor(l.l_quantity + 0.5) AS BIGINT))::BIGINT
+                   AS sup_qty
+          FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+          WHERE p.p_name LIKE 'small%'
+          GROUP BY 1, 2),
+        tot AS (SELECT pk, sum(sup_qty)::BIGINT AS tot_qty,
+                       count(*)::BIGINT AS n_sup FROM per
+                GROUP BY 1),
+        dom AS (SELECT DISTINCT per.sk FROM per
+                JOIN tot ON tot.pk = per.pk
+                WHERE per.sup_qty * tot.n_sup > tot.tot_qty * 2)
+        SELECT s.s_suppkey AS suppkey, s.s_name, n.n_name
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND EXISTS (SELECT 1 FROM dom WHERE dom.sk = s.s_suppkey)
     """
     sqls["inverted_index"] = r"""
         WITH raw AS (

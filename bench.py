@@ -274,6 +274,13 @@ def run_benchmarks() -> dict:
         "hopping_counts",
         "cube_counts",
         "inverted_index",
+        "forecast_revenue",
+        "top_supplier",
+        "returned_revenue",
+        "market_share",
+        "product_profit",
+        "min_cost_supplier",
+        "dominant_suppliers",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

@@ -684,6 +684,67 @@ def test_warehouse_timeseries_plans(spark):
         assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
 
 
+def test_tpch_completion_plans(spark):
+    """The 10 round-3 TPC-H completion shapes keep the plans you'd
+    want at 100 TB: Q6 is scan+aggregate (no join, date pushed);
+    Q12/Q14 fold their CASE splits into one partial+final aggregate;
+    Q15/Q2 compute their correlated min/max once and probe back (the
+    1-row max via BroadcastNestedLoopJoin, the persisted candidate
+    table feeding both branches); Q10's top-20 is TakeOrdered, never a
+    global sort; Q20's supplier gate is LeftSemi. No Python anywhere."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+
+    plan = _fmt_plan(E.q_forecast_revenue(spark, sf))
+    assert ") BroadcastHashJoin" not in plan and "SortMergeJoin" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert re.search(r"PushedFilters:.*l_shipdate", plan), plan
+    assert "partial_" in plan, plan
+
+    for q in (E.q_priority_shipping, E.q_promo_share):
+        plan = _fmt_plan(q(spark, sf))
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
+        assert re.search(r"PushedFilters:.*l_shipdate", plan), plan
+        assert "partial_" in plan, plan
+        assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+    plan = _fmt_plan(E.q_top_supplier(spark, sf))
+    # the 1-row max comes back broadcast — Spark picks either the
+    # nested-loop or the hash flavor of the broadcast cross join
+    assert (
+        "BroadcastNestedLoopJoin" in plan
+        or "BroadcastHashJoin Cross" in plan
+    ), plan
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+    plan = _fmt_plan(E.q_returned_revenue(spark, sf))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert ") Sort" not in plan, plan
+    assert re.search(r"PushedFilters:.*EqualTo\(l_returnflag,R\)", plan), plan
+
+    plan = _fmt_plan(E.q_volume_shipping(spark, sf))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+    plan = _fmt_plan(E.q_market_share(spark, sf))
+    assert re.search(r"PushedFilters:.*EqualTo\(p_type,ECONOMY\)", plan), plan
+    assert "partial_" in plan, plan
+
+    plan = _fmt_plan(E.q_product_profit(spark, sf))
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+    assert "partial_" in plan, plan
+
+    plan = _fmt_plan(E.q_min_cost_supplier(spark, sf))
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "partial_min" in plan, plan
+
+    plan = _fmt_plan(E.q_dominant_suppliers(spark, sf))
+    assert "LeftSemi" in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+
 def test_inverted_index_plan_bounds_collect_list(spark):
     """inverted_index: the df gate (partial+final HashAggregate) runs
     BEFORE the posting-list collect_list, and the persisted distinct
