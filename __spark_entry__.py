@@ -6862,6 +6862,308 @@ def q_pagerank(spark, sf_dir):
     return pagerank(_pr_edges(spark, sf_dir), iters=10)
 
 
+BM25_QUERIES = [
+    (1, ["fast", "join"]),
+    (2, ["window", "sort", "spark"]),
+    (3, ["hash", "merge"]),
+    (4, ["slow", "scan", "filter"]),
+    (5, ["customer", "query"]),
+    (6, ["stream", "batch"]),
+]
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 retrieval scoring over the corpus for a fixed query set —
+    the consumer of the inverted-index build (inverted_index emits the
+    postings; this ranks). k1=1.2, b=0.75, expressed as exact int64
+    rationals so the per-term score is ONE IEEE division of two exact
+    integers (bit-identical cross-engine, the repo float rule):
+
+        tf_sat = tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+               = 44*tf*sumdl / (20*tf*sumdl + 6*sumdl + 18*dl*N)
+
+    with avgdl = sumdl/N multiplied through. The classic log idf is
+    replaced by the exact rational (N-df+1)/(df+1) (same monotone
+    direction; ln() is libm-dependent — the tfidf_topk precedent).
+    Per-doc totals are a term-ordered left fold (sort_array + aggregate
+    vs DuckDB list(ORDER BY)+list_reduce), so the cross-term double sum
+    is order-pinned. int64 bounds: 44*tf*sumdl*(N-df+1) ~ 5e16 at
+    sf0.1 — safe; at sf>=10 swap the rational to double scoring
+    (ranking tolerance) or decimal. Scale shape: tf table persisted
+    (feeds dl, df, probe); query set + df-of-query-terms broadcast; one
+    shuffle equi-join on doc_id for dl; top-10 per query via the
+    window-free two-phase grouped_topk (no hot-query task)."""
+    from qamd_spark.ops.text import grouped_topk
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(_txt()), r"\s+", -1)).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()  # feeds dl, df and the query probe
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sumdl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    q = spark.createDataFrame(
+        [(qid, t) for qid, ts in BM25_QUERIES for t in ts],
+        "qid INT, term STRING",
+    )
+    hits = (
+        tf.join(F.broadcast(q), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    num = (
+        F.lit(44).cast("long")
+        * F.col("tf")
+        * F.col("sumdl")
+        * (F.col("n_docs") - F.col("df") + F.lit(1))
+    )
+    den = (F.col("df") + F.lit(1)) * (
+        F.lit(20).cast("long") * F.col("tf") * F.col("sumdl")
+        + F.lit(6).cast("long") * F.col("sumdl")
+        + F.lit(18).cast("long") * F.col("dl") * F.col("n_docs")
+    )
+    per = hits.select(
+        "qid", "doc_id", "term",
+        (num.cast("double") / den.cast("double")).alias("s"),
+    )
+    doc = per.groupBy("qid", "doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("term"), F.col("s")))
+        ).alias("ts")
+    )
+    score = F.aggregate(
+        F.col("ts"), F.lit(0.0), lambda acc, x: acc + x["s"]
+    )
+    sc = doc.select("qid", "doc_id", score.alias("score"))
+    top = grouped_topk(sc, "qid", "score", "doc_id", 10)
+    return top.select(
+        "qid", "doc_id", F.round(F.col("score"), 9).alias("score"), "rank"
+    )
+
+
+VIEW_CUTOFF = "2024-01-16"
+
+
+def q_view_maintain(spark, sf_dir):
+    """Incremental materialized-view maintenance: a daily per-event_type
+    aggregate view 'materialized' over events before the cutoff, then a
+    CDC insert batch (events at/after the cutoff) merged in WITHOUT
+    rescanning the base — new = base FULL OUTER delta on the group key,
+    counters summed, min/max maintained (both are insert-maintainable
+    monoids; deletes would need a re-aggregate, documented out). The
+    DuckDB twin recomputes the view from the full table, so the gate
+    proves the textbook IVM equation incremental == recompute. Float
+    sums go through exact integer cents (value is 2-dp; time_rollup
+    idiom), so the merge is order-free and engine-exact. Scale: each
+    side is one partial+final hash aggregate (the delta side scans only
+    the new partition), merge is ONE equi-join on the tiny group key —
+    at 100 TB the base side is a stored table, not a scan."""
+    ev = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    day = F.date_trunc("day", F.col("ts"))  # timestamp: cross-engine-safe
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+
+    def view(df):
+        return df.groupBy(
+            F.col("event_type").alias("et"), day.alias("dy")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("c"),
+            F.min(cents).alias("mn"),
+            F.max(cents).alias("mx"),
+        )
+
+    base = view(ev.filter(F.col("ts") < F.lit(VIEW_CUTOFF).cast("timestamp")))
+    delta = view(
+        ev.filter(F.col("ts") >= F.lit(VIEW_CUTOFF).cast("timestamp"))
+    ).select(
+        F.col("et").alias("et2"), F.col("dy").alias("dy2"),
+        F.col("n").alias("n2"), F.col("c").alias("c2"),
+        F.col("mn").alias("mn2"), F.col("mx").alias("mx2"),
+    )
+    j = base.join(
+        delta,
+        (F.col("et") == F.col("et2")) & (F.col("dy") == F.col("dy2")),
+        "full_outer",
+    )
+
+    def merge_extreme(a, b, fn):
+        # engine-independent NULL handling: only fn() when both present
+        return (
+            F.when(F.col(a).isNull(), F.col(b))
+            .when(F.col(b).isNull(), F.col(a))
+            .otherwise(fn(F.col(a), F.col(b)))
+        )
+
+    zero = F.lit(0).cast("long")
+    return j.select(
+        F.coalesce("et", "et2").alias("event_type"),
+        F.coalesce("dy", "dy2").alias("day"),
+        (F.coalesce(F.col("n"), zero) + F.coalesce(F.col("n2"), zero)).alias(
+            "n_events"
+        ),
+        (
+            (
+                F.coalesce(F.col("c"), zero) + F.coalesce(F.col("c2"), zero)
+            ).cast("double")
+            / F.lit(100.0)
+        ).alias("sum_value"),
+        (merge_extreme("mn", "mn2", F.least).cast("double") / F.lit(100.0)).alias(
+            "min_value"
+        ),
+        (merge_extreme("mx", "mx2", F.greatest).cast("double") / F.lit(100.0)).alias(
+            "max_value"
+        ),
+    )
+
+
+BITEXT_K = 4  # neighborhood size for the margin denominators
+
+
+def q_bitext_mine(spark, sf_dir):
+    """Margin-based bitext mining (Artetxe & Schwenk 2019): for each
+    query vector on side A (even label, vec_id < 40 — the bounded query
+    slab), the best side-B match (odd label) by cosine, scored by the
+    ratio margin  2*cos(x,y) / (meanK_fwd(x) + meanK_bwd(y))  that
+    suppresses hubness — the standard mined-parallel-corpus filter.
+    Determinism: cosines are the ann_cosine_topk left-fold (bit-equal
+    to DuckDB list_dot_product); both top-K selections tie-break on id;
+    the K-neighborhood means fold in rank order (sort_array vs
+    list(ORDER BY rank)); margin is one division of bit-identical
+    doubles. Scale shape: both directions are grouped_topk (two-phase,
+    no hot-query window task); the A query slab and the <=40 matched
+    B vectors broadcast; at 100 TB the crossJoin side swaps for LSH/IVF
+    candidate buckets (ops/similarity.py) with the same margin algebra."""
+    from qamd_spark.ops.text import grouped_topk
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    a_all = emb.filter(F.col("label") % 2 == 0)
+    b_all = emb.filter(F.col("label") % 2 == 1).select(
+        F.col("vec_id").alias("bid"), F.col("e").alias("be")
+    )
+    qs = a_all.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+
+    def cos(x, y):
+        dot = F.aggregate(
+            F.zip_with(x, y, lambda p, r: p * r),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        nrm = lambda c: F.sqrt(  # noqa: E731
+            F.aggregate(
+                F.transform(c, lambda v: v * v),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+        return dot / (nrm(x) * nrm(y))
+
+    fwd = b_all.crossJoin(F.broadcast(qs)).select(
+        "qid", "bid", cos(F.col("be"), F.col("qe")).alias("cos")
+    )
+    topf = grouped_topk(fwd, "qid", "cos", "bid", BITEXT_K).persist()
+
+    def mean_fold(df, key):
+        lst = F.sort_array(
+            F.collect_list(F.struct(F.col("rank"), F.col("cos")))
+        )
+        total = F.aggregate(
+            lst, F.lit(0.0), lambda acc, x: acc + x["cos"]
+        )
+        return df.groupBy(key).agg(
+            (total / F.size(lst).cast("double")).alias(f"mean_{key}")
+        )
+
+    den_a = mean_fold(topf, "qid")
+    match = topf.filter(F.col("rank") == 1).select("qid", "bid", "cos")
+    cands = match.select("bid").distinct().join(
+        b_all, "bid"
+    )  # <= |qs| matched B vectors, with vectors re-attached
+    bwd = a_all.crossJoin(F.broadcast(cands)).select(
+        "bid", F.col("vec_id").alias("aid"),
+        cos(F.col("e"), F.col("be")).alias("cos"),
+    )
+    topb = grouped_topk(bwd, "bid", "cos", "aid", BITEXT_K)
+    den_b = mean_fold(topb, "bid")
+    out = (
+        match.join(den_a, "qid")
+        .join(den_b, "bid")
+        .select(
+            "qid",
+            F.col("bid").alias("match"),
+            F.round(F.col("cos"), 9).alias("cos"),
+            F.round(
+                F.lit(2.0) * F.col("cos")
+                / (F.col("mean_qid") + F.col("mean_bid")),
+                9,
+            ).alias("margin"),
+            (
+                F.lit(2.0) * F.col("cos")
+                / (F.col("mean_qid") + F.col("mean_bid"))
+                > F.lit(1.0)
+            ).alias("accepted"),
+        )
+    )
+    return out
+
+
+PRUNE_D1, PRUNE_D2 = "2024-01-10", "2024-01-19"
+PRUNE_U1, PRUNE_U2 = 30, 59
+UID_BUCKET_W = 15
+
+
+def q_pruning_audit(spark, sf_dir):
+    """Partition-pruning + zone-map skipping audit: events laid out as a
+    writer clustered on (day, user_id-bucket) would write them — one
+    'file' per (day partition, uid bucket of width 15) — with per-file
+    min/max statistics, then a conjunctive predicate (day range AND
+    user range) classified per file: pruned_partition (the partition
+    value itself is out of range — never listed), pruned_stats (listed,
+    but min/max uid disjoint from the range — footer-skipped), scan
+    (must be read). This is the audit that tells you whether the layout
+    zorder_key/file_stats propose actually skips for your workload —
+    the scan fraction IS the benefit. Classification is pure integer/
+    date arithmetic over one partial+final hash aggregate; the oracle
+    recomputes it relationally, so the gate proves the stats math."""
+    ev = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    day = F.date_trunc("day", F.col("ts"))  # timestamp: cross-engine-safe
+    # integer div (not / + cast: Spark / is double division; uid >= 0)
+    ub = F.expr(f"user_id div {UID_BUCKET_W}").cast("long")
+    per = ev.groupBy(day.alias("day"), ub.alias("uid_bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("user_id").alias("min_uid"),
+        F.max("user_id").alias("max_uid"),
+    )
+    in_days = F.col("day").between(
+        F.lit(PRUNE_D1).cast("timestamp"), F.lit(PRUNE_D2).cast("timestamp")
+    )
+    stats_hit = (F.col("max_uid") >= PRUNE_U1) & (
+        F.col("min_uid") <= PRUNE_U2
+    )
+    status = (
+        F.when(~in_days, F.lit("pruned_partition"))
+        .when(~stats_hit, F.lit("pruned_stats"))
+        .otherwise(F.lit("scan"))
+    )
+    return per.select(
+        "day", "uid_bucket", "n_rows", "min_uid", "max_uid",
+        status.alias("status"),
+    )
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -7061,6 +7363,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_cost_supplier": q_min_cost_supplier,
         "dominant_suppliers": q_dominant_suppliers,
         "inverted_index": q_inverted_index,
+        "bm25_search": q_bm25_search,
+        "view_maintain": q_view_maintain,
+        "bitext_mine": q_bitext_mine,
+        "pruning_audit": q_pruning_audit,
         "winnow": q_winnow,
         "winnow_containment": q_winnow_containment,
         "dedup_clusters": q_dedup_clusters,
@@ -10062,5 +10368,135 @@ def oracle_sql() -> dict[str, str]:
         SELECT fk_edge, n_rows, n_orphans,
                n_orphans::DOUBLE / n_rows::DOUBLE AS orphan_frac
         FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+    """
+    _bm25_vals = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in BM25_QUERIES for t in ts
+    )
+    sqls["bm25_search"] = f"""
+        WITH raw AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(coalesce(text, '')),
+                        '\\s+')) AS term
+          FROM documents),
+        tok AS (SELECT doc_id, term FROM raw WHERE term <> ''),
+        tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+               FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+        st AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sumdl
+               FROM dl),
+        dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        q(qid, term) AS (VALUES {_bm25_vals}),
+        per AS (
+          SELECT q.qid, tf.doc_id, tf.term,
+                 (44 * tf.tf * st.sumdl * (st.n_docs - dfq.df + 1))::DOUBLE
+                 / ((dfq.df + 1) * (20 * tf.tf * st.sumdl + 6 * st.sumdl
+                                    + 18 * dl.dl * st.n_docs))::DOUBLE AS s
+          FROM tf JOIN q ON q.term = tf.term
+          JOIN dl ON dl.doc_id = tf.doc_id
+          JOIN dfq ON dfq.term = tf.term
+          CROSS JOIN st),
+        doc AS (
+          SELECT qid, doc_id,
+                 list_reduce(list_prepend(0.0::DOUBLE,
+                                          list(s ORDER BY term)),
+                             (acc, x) -> acc + x)::DOUBLE AS score
+          FROM per GROUP BY 1, 2),
+        rk AS (
+          SELECT qid, doc_id, score,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY score DESC, doc_id) AS rank
+          FROM doc)
+        SELECT qid::INT AS qid, doc_id, round(score, 9) AS score,
+               rank::INT AS rank
+        FROM rk WHERE rank <= 10
+    """
+    # The twin RECOMPUTES the view from the full table on purpose: the
+    # Spark side maintains it incrementally (base FULL OUTER delta), so
+    # the gate proves the IVM equation incremental == recompute.
+    sqls["view_maintain"] = """
+        SELECT event_type, date_trunc('day', ts) AS day,
+               count(*)::BIGINT AS n_events,
+               sum(round(value * 100, 0)::BIGINT)::DOUBLE / 100.0
+                 AS sum_value,
+               min(round(value * 100, 0)::BIGINT)::DOUBLE / 100.0
+                 AS min_value,
+               max(round(value * 100, 0)::BIGINT)::DOUBLE / 100.0
+                 AS max_value
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY 1, 2
+    """
+    sqls["bitext_mine"] = f"""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
+                   FROM embeddings),
+        a_all AS (SELECT vec_id, e FROM e WHERE label % 2 = 0),
+        b_all AS (SELECT vec_id AS bid, e AS be FROM e WHERE label % 2 = 1),
+        qs AS (SELECT vec_id AS qid, e AS qe FROM a_all WHERE vec_id < 40),
+        fwd AS (
+          SELECT qid, bid,
+                 list_dot_product(be, qe)
+                   / (sqrt(list_dot_product(be, be))
+                      * sqrt(list_dot_product(qe, qe))) AS cos
+          FROM b_all, qs),
+        topf AS (
+          SELECT qid, bid, cos,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cos DESC, bid) AS rank
+          FROM fwd QUALIFY rank <= {BITEXT_K}),
+        den_a AS (
+          SELECT qid,
+                 list_reduce(list_prepend(0.0::DOUBLE,
+                                          list(cos ORDER BY rank)),
+                             (acc, x) -> acc + x)::DOUBLE
+                   / count(*)::DOUBLE AS mean_qid
+          FROM topf GROUP BY qid),
+        mtch AS (SELECT qid, bid, cos FROM topf WHERE rank = 1),
+        cands AS (
+          SELECT b_all.bid, b_all.be FROM b_all
+          WHERE b_all.bid IN (SELECT bid FROM mtch)),
+        bwd AS (
+          SELECT c.bid, a.vec_id AS aid,
+                 list_dot_product(a.e, c.be)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(c.be, c.be))) AS cos
+          FROM a_all a, cands c),
+        topb AS (
+          SELECT bid, aid, cos,
+                 row_number() OVER (PARTITION BY bid
+                                    ORDER BY cos DESC, aid) AS rank
+          FROM bwd QUALIFY rank <= {BITEXT_K}),
+        den_b AS (
+          SELECT bid,
+                 list_reduce(list_prepend(0.0::DOUBLE,
+                                          list(cos ORDER BY rank)),
+                             (acc, x) -> acc + x)::DOUBLE
+                   / count(*)::DOUBLE AS mean_bid
+          FROM topb GROUP BY bid)
+        SELECT m.qid, m.bid AS match,
+               round(m.cos, 9) AS cos,
+               round(2.0 * m.cos / (da.mean_qid + db.mean_bid), 9) AS margin,
+               (2.0 * m.cos / (da.mean_qid + db.mean_bid)) > 1.0 AS accepted
+        FROM mtch m
+        JOIN den_a da ON da.qid = m.qid
+        JOIN den_b db ON db.bid = m.bid
+    """
+    sqls["pruning_audit"] = f"""
+        WITH per AS (
+          SELECT date_trunc('day', ts) AS day,
+                 (user_id // {UID_BUCKET_W})::BIGINT AS uid_bucket,
+                 count(*)::BIGINT AS n_rows,
+                 min(user_id)::BIGINT AS min_uid,
+                 max(user_id)::BIGINT AS max_uid
+          FROM events WHERE ts IS NOT NULL
+          GROUP BY 1, 2)
+        SELECT day, uid_bucket, n_rows, min_uid, max_uid,
+               CASE
+                 WHEN NOT (day BETWEEN TIMESTAMP '{PRUNE_D1}'
+                                   AND TIMESTAMP '{PRUNE_D2}')
+                   THEN 'pruned_partition'
+                 WHEN NOT (max_uid >= {PRUNE_U1} AND min_uid <= {PRUNE_U2})
+                   THEN 'pruned_stats'
+                 ELSE 'scan'
+               END AS status
+        FROM per
     """
     return {k: v.strip() for k, v in sqls.items()}

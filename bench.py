@@ -281,6 +281,10 @@ def run_benchmarks() -> dict:
         "product_profit",
         "min_cost_supplier",
         "dominant_suppliers",
+        "bm25_search",
+        "view_maintain",
+        "bitext_mine",
+        "pruning_audit",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

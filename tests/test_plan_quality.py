@@ -808,3 +808,43 @@ def test_unicode_nfc_plan_single_arrow_stage_no_shuffle(spark):
     assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1, plan
     assert ") Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_round3_capability_plans(spark):
+    """The round-3 capability batch keeps 100 TB-shaped plans:
+    bm25_search reuses one persisted tf table for dl/df/probe and
+    broadcasts the query set; view_maintain merges base and delta
+    partial aggregates with ONE full-outer equi-join; bitext_mine's
+    two top-K directions are the two-phase grouped_topk (no hot-query
+    Window) with the bounded sides broadcast; pruning_audit is one
+    partial+final hash aggregate, no join. No Python stage anywhere."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+
+    plan = _fmt_plan(E.q_bm25_search(spark, sf))
+    assert plan.count("InMemoryTableScan") >= 3, plan  # tf feeds 3 branches
+    assert "BroadcastHashJoin" in plan, plan  # query set + df broadcast
+    assert "partial_" in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+    assert ") Window" not in plan, plan  # top-10 is grouped_topk
+
+    plan = _fmt_plan(E.q_view_maintain(spark, sf))
+    assert "FullOuter" in plan, plan  # the IVM merge join
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
+    assert re.search(r"PushedFilters:.*IsNotNull\(ts\)", plan), plan
+    assert "partial_" in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+    plan = _fmt_plan(E.q_bitext_mine(spark, sf))
+    assert "BroadcastNestedLoopJoin" in plan, plan  # bounded sides broadcast
+    assert "InMemoryTableScan" in plan, plan  # topf feeds match + den_a
+    assert ") Window" not in plan, plan  # both top-K are grouped_topk
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+    plan = _fmt_plan(E.q_pruning_audit(spark, sf))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert "partial_" in plan, plan
+    assert ") Sort" not in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
