@@ -374,3 +374,134 @@ def stream_session_counts(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_heavy_hitters(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    capacity: int = 64,
+    n_shards: int = 16,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming heavy hitters over the token stream: the SpaceSaving
+    algorithm (Metwally et al., ICDT 2005) as a custom stateful operator
+    in ``applyInPandasWithState`` — the bounded-memory "what are the hot
+    tokens right now" sketch the batch ``heavy_hitters_sketch`` query
+    answers offline.
+
+    Sharding: tokens hash into ``n_shards`` state groups (xxhash64 %
+    n_shards), each shard keeping its own ``capacity``-entry summary —
+    state is O(n_shards * capacity) TOTAL regardless of stream length or
+    vocabulary, and shards spread across executors at scale (a hot token
+    is one state entry, never a skewed partition). Per shard the
+    SpaceSaving guarantees hold: every stored count obeys
+    true <= count <= true + err, every token with true frequency
+    > n_shard/capacity is IN the summary, and err <= n_shard/capacity.
+    With ``capacity`` >= the shard's distinct tokens there are no
+    evictions and counts are EXACT (err = 0) — the test anchor.
+
+    Determinism: batch tokens merge in lexicographic order and eviction
+    ties break on (count, token), so a given arrival order yields one
+    summary; under evictions the content is arrival-order-dependent
+    (inherent to SpaceSaving — documented, like stream_dedup's
+    first-SEEN relaxation).
+
+    Append-mode contract: each micro-batch emits every updated shard's
+    FULL summary tagged with the shard's batch sequence number ``batch``;
+    the live summary is the rows with the max ``batch`` per shard
+    (consumers: ``QUALIFY row_number() OVER (PARTITION BY shard, token
+    ORDER BY batch DESC) = 1`` or a groupBy max) — the standard
+    append-only-sink encoding of evolving state.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = read_stream(spark, input_path)
+    toks = src.select(
+        F.explode(
+            F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+", -1)
+        ).alias("token")
+    ).filter(F.col("token") != "")
+    keyed = toks.withColumn(
+        "shard", F.pmod(F.xxhash64("token"), F.lit(n_shards)).cast("int")
+    ).groupBy("shard")
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        shard = int(key[0])
+        if state.exists:
+            tokens, counts, errs, n_seen, batch = state.get
+            summary = {
+                t: [c, e] for t, c, e in zip(tokens, counts, errs)
+            }
+        else:
+            summary, n_seen, batch = {}, 0, 0
+        frames = list(pdfs)
+        if frames:
+            vc = (
+                pd.concat(frames, ignore_index=True)["token"]
+                .value_counts()
+                .sort_index()  # lexicographic merge order: deterministic
+            )
+            for tok, c in vc.items():
+                c = int(c)
+                n_seen += c
+                if tok in summary:
+                    summary[tok][0] += c
+                elif len(summary) < capacity:
+                    summary[tok] = [c, 0]
+                else:
+                    # evict the min-count entry, ties on token: the
+                    # newcomer inherits min_count as its overcount bound
+                    evict = min(summary, key=lambda t: (summary[t][0], t))
+                    floor = summary.pop(evict)[0]
+                    summary[tok] = [floor + c, floor]
+        batch += 1
+        items = sorted(summary.items())
+        out = pd.DataFrame(
+            {
+                "shard": shard,
+                "token": [t for t, _ in items],
+                "count": [v[0] for _, v in items],
+                "err": [v[1] for _, v in items],
+                "n_shard": n_seen,
+                "batch": batch,
+            }
+        )
+        yield out
+        state.update(
+            (
+                [t for t, _ in items],
+                [v[0] for _, v in items],
+                [v[1] for _, v in items],
+                n_seen,
+                batch,
+            )
+        )
+
+    out = keyed.applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "shard int, token string, count long, err long, "
+            "n_shard long, batch long"
+        ),
+        stateStructType=(
+            "tokens array<string>, counts array<long>, errs array<long>, "
+            "n_seen long, batch long"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    w = (
+        out.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -558,3 +558,122 @@ def test_stream_flag_join_interval_and_restart(spark, tmp_path):
         for r in batch.collect()
     )
     assert streamed == want
+
+
+def _exact_token_counts(spark, src):
+    return {
+        (r["token"], r["c"])
+        for r in (
+            spark.read.parquet(src)
+            .select(
+                F.explode(
+                    F.split(
+                        F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                        r"\s+",
+                        -1,
+                    )
+                ).alias("token")
+            )
+            .filter(F.col("token") != "")
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+    }
+
+
+def _live_summary(spark, out):
+    """The append-sink contract: live summary = max-batch rows per shard."""
+    df = spark.read.parquet(out)
+    last = df.groupBy("shard").agg(F.max("batch").alias("batch"))
+    return df.join(last, ["shard", "batch"]).collect()
+
+
+def test_stream_heavy_hitters_exact_when_capacity_generous(spark, tmp_path):
+    """capacity >= distinct tokens per shard => no evictions: SpaceSaving
+    counts are EXACT (err=0) and the union over shards equals the batch
+    token histogram."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(src, "a.parquet", n_convs=12, seed=5)
+
+    q = streaming.stream_heavy_hitters(
+        spark, src, out, ckpt, capacity=10_000, n_shards=4
+    )
+    q.awaitTermination(120)
+
+    rows = _live_summary(spark, out)
+    assert all(r["err"] == 0 for r in rows)
+    got = {(r["token"], r["count"]) for r in rows}
+    assert got == _exact_token_counts(spark, src)
+
+
+def test_stream_heavy_hitters_spacesaving_bounds_under_eviction(
+    spark, tmp_path
+):
+    """Tight capacity: every stored count obeys true <= count <= true+err,
+    and every token more frequent than n_shard/capacity IS in its shard's
+    summary (the SpaceSaving guarantee)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(src, "a.parquet", n_convs=20, seed=7)
+
+    cap = 8
+    q = streaming.stream_heavy_hitters(
+        spark, src, out, ckpt, capacity=cap, n_shards=4
+    )
+    q.awaitTermination(120)
+
+    exact = dict(_exact_token_counts(spark, src))
+    rows = _live_summary(spark, out)
+    assert rows
+    n_shard = {r["shard"]: r["n_shard"] for r in rows}
+    stored = {(r["shard"], r["token"]) for r in rows}
+    for r in rows:
+        true = exact.get(r["token"], 0)
+        assert true <= r["count"] <= true + r["err"], r
+        assert r["err"] <= n_shard[r["shard"]] / cap, r
+    # completeness: frequent tokens cannot be missing from their shard
+    shard_of = {
+        r["token"]: r["shard"]
+        for r in spark.createDataFrame(
+            [(t,) for t in exact], "token string"
+        )
+        .select(
+            "token",
+            F.pmod(F.xxhash64("token"), F.lit(4)).cast("int").alias("shard"),
+        )
+        .collect()
+    }
+    for tok, true in exact.items():
+        sh = shard_of[tok]
+        if true > n_shard[sh] / cap:
+            assert (sh, tok) in stored, (tok, true, sh)
+
+
+def test_stream_heavy_hitters_state_merges_across_restart(spark, tmp_path):
+    """Restart with the same checkpoint: the second run's summary equals
+    one run over both files (no-eviction regime, so merging is exact) and
+    n_shard accumulates across batches."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(src, "a.parquet", n_convs=8, seed=11)
+
+    q = streaming.stream_heavy_hitters(
+        spark, src, out, ckpt, capacity=10_000, n_shards=4
+    )
+    q.awaitTermination(120)
+
+    _write_batch(src, "b.parquet", n_convs=6, seed=12)
+    q2 = streaming.stream_heavy_hitters(
+        spark, src, out, ckpt, capacity=10_000, n_shards=4
+    )
+    q2.awaitTermination(120)
+
+    rows = _live_summary(spark, out)
+    got = {(r["token"], r["count"]) for r in rows}
+    assert got == _exact_token_counts(spark, src)
+    assert all(r["err"] == 0 for r in rows)
