@@ -7164,6 +7164,190 @@ def q_pruning_audit(spark, sf_dir):
     )
 
 
+def q_window_suite(spark, sf_dir):
+    """The analytic window-function family demonstrated end-to-end on
+    one bounded surface: per-(user, day) daily spend (aggregated FIRST,
+    so every window below runs over the <=31-row user grid, never raw
+    events — the 100 TB rule for windows), then running total,
+    trailing-7-row moving average, dense_rank of days by spend, ntile
+    quartiles in day order, and the lag delta. Exactness: spend flows
+    as integer cents; the moving average is ONE division of an exact
+    window sum by 100*count; dense_rank ties are integer-exact; ntile
+    and lag order on the unique day. All window partitions are
+    per-user day grids — bounded, no hot task at any scale."""
+    ev = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    day = F.date_trunc("day", F.col("ts"))
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    grid = ev.groupBy(F.col("user_id"), day.alias("day")).agg(
+        F.sum(cents).alias("c"), F.count(F.lit(1)).alias("n_events")
+    )
+    wd = Window.partitionBy("user_id").orderBy("day")
+    wt = wd.rowsBetween(-6, 0)
+    wr = Window.partitionBy("user_id").orderBy(F.desc("c"))
+    return grid.select(
+        "user_id",
+        "day",
+        "n_events",
+        (F.col("c").cast("double") / F.lit(100.0)).alias("day_spend"),
+        (
+            F.sum("c").over(
+                wd.rowsBetween(Window.unboundedPreceding, 0)
+            ).cast("double")
+            / F.lit(100.0)
+        ).alias("running_total"),
+        (
+            F.sum("c").over(wt).cast("double")
+            / (F.lit(100).cast("long") * F.count(F.lit(1)).over(wt)).cast(
+                "double"
+            )
+        ).alias("move_avg_7"),
+        F.dense_rank().over(wr).cast("int").alias("spend_rank"),
+        F.ntile(4).over(wd).cast("int").alias("quartile"),
+        (
+            (F.col("c") - F.lag("c", 1).over(wd)).cast("double")
+            / F.lit(100.0)
+        ).alias("delta_prev"),
+    )
+
+
+CHANGEPOINT_STAT_MIN = 50.0
+
+
+def q_changepoint_cusum(spark, sf_dir):
+    """At-most-one-changepoint (AMOC) detection over the daily event
+    count series per event_type — the CUSUM-family split statistic via
+    exact prefix sums: for each candidate split day k of n,
+
+        stat_k = (pre_k*(n-k) - (tot-pre_k)*k)^2 / (k*(n-k))
+
+    (the squared between-segment contrast, the quantity CUSUM
+    maximizes). pre/tot/k/n are exact int64, so stat is ONE division of
+    exact integers — bit-identical cross-engine — and the argmax
+    (stat desc, day asc) picks the same split everywhere. The per-type
+    series is the bounded day grid (aggregated first), so the prefix-sum
+    window runs over <=31 rows per type, never raw events. Output: the
+    best split per type, the means before/after (one exact division
+    each), and a changed flag."""
+    ev = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    day = F.date_trunc("day", F.col("ts"))
+    grid = ev.groupBy(F.col("event_type"), day.alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    wd = Window.partitionBy("event_type").orderBy("day")
+    wall = Window.partitionBy("event_type")
+    pre = F.sum("x").over(wd.rowsBetween(Window.unboundedPreceding, 0))
+    k = F.row_number().over(wd).cast("long")
+    # whole-partition window aggregates instead of a groupBy + join-back:
+    # one scan, one shuffle, and the grid is never materialized twice
+    cur = grid.select(
+        "event_type",
+        "day",
+        pre.alias("pre"),
+        k.alias("k"),
+        F.sum("x").over(wall).alias("tot"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    ).filter(F.col("k") < F.col("n"))  # interior splits only
+    num = (
+        F.col("pre") * (F.col("n") - F.col("k"))
+        - (F.col("tot") - F.col("pre")) * F.col("k")
+    )
+    stat = (num * num).cast("double") / (
+        F.col("k") * (F.col("n") - F.col("k"))
+    ).cast("double")
+    scored = cur.select(
+        "event_type", "day", "pre", "k", "tot", "n", stat.alias("stat")
+    )
+    wbest = Window.partitionBy("event_type").orderBy(
+        F.desc("stat"), F.asc("day")
+    )
+    best = scored.withColumn("rn", F.row_number().over(wbest)).filter(
+        F.col("rn") == 1
+    )
+    return best.select(
+        "event_type",
+        F.col("day").alias("split_day"),
+        F.round(F.col("stat"), 9).alias("stat"),
+        (F.col("pre").cast("double") / F.col("k").cast("double")).alias(
+            "mean_before"
+        ),
+        (
+            (F.col("tot") - F.col("pre")).cast("double")
+            / (F.col("n") - F.col("k")).cast("double")
+        ).alias("mean_after"),
+        (F.col("stat") > F.lit(float(CHANGEPOINT_STAT_MIN))).alias("changed"),
+    )
+
+
+CONC_DUR_S = 300  # each event holds a resource for 5 minutes
+
+
+def q_concurrency_profile(spark, sf_dir):
+    """Peak concurrency per event_type by sweep line: every event is an
+    interval [ts, ts+300s); +1/-1 edges sorted by (t, delta, id) — ends
+    close BEFORE starts at the same instant (delta asc), the standard
+    convention — and the running edge sum is the live concurrency. The
+    running sum is the range-chunked TWO-PHASE prefix sum
+    (ops/sampling.token_budget_sample's shape): per-(type, hour-chunk)
+    partial sums roll into chunk offsets over the tiny chunk table, and
+    the raw-edge window partitions on (type, chunk) — bounded by an
+    hour of edges, never a whole type's history in one task (the
+    single-window form is the twin, so the gate proves the two-phase
+    decomposition exact). Peak selection is the window-free
+    grouped_topk (conc desc, earliest instant on ties)."""
+    from qamd_spark.ops.text import grouped_topk
+
+    ev = _events(spark, sf_dir).filter(F.col("ts").isNotNull()).select(
+        "event_id", "event_type", "ts"
+    )
+    edges = ev.select(
+        "event_type",
+        "event_id",
+        F.explode(
+            F.array(
+                F.struct(F.col("ts").alias("t"), F.lit(1).alias("d")),
+                F.struct(
+                    (
+                        F.col("ts")
+                        + F.expr(f"INTERVAL {CONC_DUR_S} SECONDS")
+                    ).alias("t"),
+                    F.lit(-1).alias("d"),
+                ),
+            )
+        ).alias("e"),
+    ).select(
+        "event_type", "event_id",
+        F.col("e.t").alias("t"), F.col("e.d").alias("d"),
+    )
+    d = edges.withColumn("_chunk", F.expr("unix_timestamp(t) div 3600"))
+    chunk_sums = d.groupBy("event_type", "_chunk").agg(
+        F.sum("d").alias("_s")
+    )
+    woff = (
+        Window.partitionBy("event_type")
+        .orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = chunk_sums.select(
+        "event_type", "_chunk",
+        F.coalesce(F.sum("_s").over(woff), F.lit(0)).alias("_off"),
+    )
+    wrun = (
+        Window.partitionBy("event_type", "_chunk")
+        .orderBy("t", "d", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = d.join(F.broadcast(offs), ["event_type", "_chunk"]).select(
+        "event_type", "t",
+        (F.col("_off") + F.sum("d").over(wrun)).alias("conc"),
+    )
+    top = grouped_topk(run, "event_type", "conc", "t", 1)
+    return top.select(
+        "event_type",
+        F.col("conc").cast("long").alias("peak"),
+        F.col("t").alias("peak_at"),
+    )
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -7367,6 +7551,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "view_maintain": q_view_maintain,
         "bitext_mine": q_bitext_mine,
         "pruning_audit": q_pruning_audit,
+        "window_suite": q_window_suite,
+        "changepoint_cusum": q_changepoint_cusum,
         "winnow": q_winnow,
         "winnow_containment": q_winnow_containment,
         "dedup_clusters": q_dedup_clusters,
@@ -10498,5 +10684,61 @@ def oracle_sql() -> dict[str, str]:
                  ELSE 'scan'
                END AS status
         FROM per
+    """
+    sqls["window_suite"] = """
+        WITH grid AS (
+          SELECT user_id, date_trunc('day', ts) AS day,
+                 sum(round(value * 100, 0)::BIGINT)::BIGINT AS c,
+                 count(*)::BIGINT AS n_events
+          FROM events WHERE ts IS NOT NULL GROUP BY 1, 2)
+        SELECT user_id, day, n_events,
+               c::DOUBLE / 100.0 AS day_spend,
+               (sum(c) OVER (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ))::DOUBLE / 100.0 AS running_total,
+               (sum(c) OVER w7)::DOUBLE
+                 / (100 * count(*) OVER w7)::DOUBLE AS move_avg_7,
+               dense_rank() OVER (PARTITION BY user_id
+                                  ORDER BY c DESC)::INT AS spend_rank,
+               ntile(4) OVER (PARTITION BY user_id
+                              ORDER BY day)::INT AS quartile,
+               (c - lag(c, 1) OVER (PARTITION BY user_id
+                                    ORDER BY day))::DOUBLE / 100.0
+                 AS delta_prev
+        FROM grid
+        WINDOW w7 AS (PARTITION BY user_id ORDER BY day
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """
+    sqls["changepoint_cusum"] = f"""
+        WITH grid AS (
+          SELECT event_type, date_trunc('day', ts) AS day,
+                 count(*)::BIGINT AS x
+          FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        cur AS (
+          SELECT event_type, day,
+                 sum(x) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 )::BIGINT AS pre,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY day)::BIGINT AS k,
+                 sum(x) OVER (PARTITION BY event_type)::BIGINT AS tot,
+                 count(*) OVER (PARTITION BY event_type)::BIGINT AS n
+          FROM grid),
+        scored AS (
+          SELECT event_type, day, pre, k, tot, n,
+                 ((pre * (n - k) - (tot - pre) * k)
+                  * (pre * (n - k) - (tot - pre) * k))::DOUBLE
+                   / (k * (n - k))::DOUBLE AS stat
+          FROM cur WHERE k < n),
+        best AS (
+          SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY stat DESC, day) AS rn
+          FROM scored)
+        SELECT event_type, day AS split_day,
+               round(stat, 9) AS stat,
+               pre::DOUBLE / k::DOUBLE AS mean_before,
+               (tot - pre)::DOUBLE / (n - k)::DOUBLE AS mean_after,
+               stat > {CHANGEPOINT_STAT_MIN} AS changed
+        FROM best WHERE rn = 1
     """
     return {k: v.strip() for k, v in sqls.items()}

@@ -285,6 +285,8 @@ def run_benchmarks() -> dict:
         "view_maintain",
         "bitext_mine",
         "pruning_audit",
+        "window_suite",
+        "changepoint_cusum",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

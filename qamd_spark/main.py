@@ -306,6 +306,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="rows to print without --output")
     qr.add_argument("--list", action="store_true",
                     help="list query names (oracle-checked ones marked)")
+    qr.add_argument("--explain", action="store_true",
+                    help="print the formatted physical plan instead of "
+                         "running the query (plan-first workflow: check "
+                         "pushdown/broadcast/shuffles before paying for "
+                         "the scan)")
     qr.add_argument("--master", default=None)
 
     au = sub.add_parser(
@@ -461,6 +466,13 @@ def _run_query(args) -> int:
     spark = session.get_spark("qamd_spark.query", master=args.master)
     try:
         df = qs[args.name](spark, args.sf_dir)
+        if args.explain:
+            print(df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+                df._jdf.queryExecution(), "formatted"
+            ))
+            print(json.dumps({"status": "ok", "query": args.name,
+                              "explained": True}))
+            return 0
         if args.output:
             df.write.mode("overwrite").parquet(args.output)
             n = spark.read.parquet(args.output).count()

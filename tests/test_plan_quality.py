@@ -848,3 +848,67 @@ def test_round3_capability_plans(spark):
     assert "partial_" in plan, plan
     assert ") Sort" not in plan, plan
     assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+
+def test_window_and_changepoint_plans(spark):
+    """window_suite / changepoint_cusum: every Window runs over the
+    pre-aggregated bounded day grid (one parquet scan feeding a
+    partial+final hash aggregate BEFORE any Window), never raw events;
+    no Python stage."""
+    import __spark_entry__ as E
+
+    for q in (E.q_window_suite, E.q_changepoint_cusum):
+        plan = _fmt_plan(q(spark, "/root/testdata/sf0.001"))
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+        assert "partial_" in plan, plan
+        assert ") Window" in plan, plan
+        # the aggregate appears BELOW the first Window in the tree
+        # (formatted plans list operators bottom-up by id: the scan is
+        # (1); assert the partial agg's id is smaller than the window's)
+        agg_id = int(re.search(r"\((\d+)\) HashAggregate", plan).group(1))
+        win_id = int(re.search(r"\((\d+)\) Window", plan).group(1))
+        assert agg_id < win_id, plan
+        assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+
+def test_dynamic_partition_pruning_engages(spark, tmp_path):
+    """Partition-pruned fact ⋈ filtered dim must trigger Dynamic
+    Partition Pruning: the fact scan's partition filters gain a
+    dynamicpruningexpression fed from the dim's broadcast — the runtime
+    half of the pruning_audit story (the audit predicts what a layout
+    skips; DPP is Spark actually skipping at run time)."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").filter(
+        F.col("ts").isNotNull()
+    )
+    fact_path = str(tmp_path / "fact_by_day")
+    ev.withColumn("day", F.to_date("ts")).write.partitionBy("day").parquet(
+        fact_path
+    )
+    dim_path = str(tmp_path / "day_dim")
+    (
+        ev.select(F.to_date("ts").alias("day"))
+        .distinct()
+        .withColumn("dom", F.dayofmonth("day").cast("int"))
+        .write.parquet(dim_path)
+    )
+    fact = spark.read.parquet(fact_path)
+    # NB: the dim predicate must be a comparison — PartitionPruning only
+    # fires behind a "likely selective" filter (a bare boolean column is
+    # not one)
+    dim = spark.read.parquet(dim_path).filter(F.col("dom") <= 3)
+    joined = fact.join(dim.hint("broadcast"), "day").groupBy(
+        "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    plan = _fmt_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the pruned result is correct
+    n_days = 3
+    expected = (
+        fact.filter(F.dayofmonth("day") <= n_days)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert sorted(map(tuple, joined.collect())) == sorted(
+        map(tuple, expected)
+    )
