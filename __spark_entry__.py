@@ -7318,7 +7318,9 @@ def q_concurrency_profile(spark, sf_dir):
         "event_type", "event_id",
         F.col("e.t").alias("t"), F.col("e.d").alias("d"),
     )
-    d = edges.withColumn("_chunk", F.expr("unix_timestamp(t) div 3600"))
+    d = edges.withColumn(
+        "_chunk", F.expr("unix_timestamp(t) div 3600")
+    ).persist()  # feeds the chunk-sum branch AND the running-sum probe
     chunk_sums = d.groupBy("event_type", "_chunk").agg(
         F.sum("d").alias("_s")
     )
@@ -7553,6 +7555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pruning_audit": q_pruning_audit,
         "window_suite": q_window_suite,
         "changepoint_cusum": q_changepoint_cusum,
+        "concurrency_profile": q_concurrency_profile,
         "winnow": q_winnow,
         "winnow_containment": q_winnow_containment,
         "dedup_clusters": q_dedup_clusters,
@@ -10740,5 +10743,28 @@ def oracle_sql() -> dict[str, str]:
                (tot - pre)::DOUBLE / (n - k)::DOUBLE AS mean_after,
                stat > {CHANGEPOINT_STAT_MIN} AS changed
         FROM best WHERE rn = 1
+    """
+    sqls["concurrency_profile"] = f"""
+        WITH ev AS (SELECT event_id, event_type, ts FROM events
+                    WHERE ts IS NOT NULL),
+        edges AS (
+          SELECT event_type, event_id, ts AS t, 1 AS d FROM ev
+          UNION ALL
+          SELECT event_type, event_id,
+                 ts + INTERVAL {CONC_DUR_S} SECOND, -1 FROM ev),
+        run AS (
+          SELECT event_type, t,
+                 sum(d) OVER (PARTITION BY event_type
+                              ORDER BY t, d, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW)::BIGINT AS conc
+          FROM edges),
+        ranked AS (
+          SELECT event_type, conc, t,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY conc DESC, t) AS rn
+          FROM run)
+        SELECT event_type, conc AS peak, t AS peak_at
+        FROM ranked WHERE rn = 1
     """
     return {k: v.strip() for k, v in sqls.items()}

@@ -287,6 +287,7 @@ def run_benchmarks() -> dict:
         "pruning_audit",
         "window_suite",
         "changepoint_cusum",
+        "concurrency_profile",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

@@ -396,6 +396,20 @@ def test_cli_query_runner(tmp_path, spark, capsys):
     }
     assert got == want
 
+    # --explain prints the formatted physical plan without running the
+    # query (the plan-first workflow: verify pushdown/broadcast before
+    # paying for a scan)
+    rc = main.main(["query", "--name", "pruning_audit",
+                    "--sf-dir", "/root/testdata/sf0.001",
+                    "--explain", "--master", "local[4]"])
+    assert rc == 0
+    out_text = capsys.readouterr().out
+    assert "== Physical Plan ==" in out_text
+    assert "PushedFilters" in out_text
+    status = _json.loads(out_text.splitlines()[-1])
+    assert status == {"status": "ok", "query": "pruning_audit",
+                      "explained": True}
+
     # unknown names fail loudly, not with a stack trace into Spark
     import pytest as _pytest
 

@@ -912,3 +912,20 @@ def test_dynamic_partition_pruning_engages(spark, tmp_path):
     assert sorted(map(tuple, joined.collect())) == sorted(
         map(tuple, expected)
     )
+
+
+def test_concurrency_profile_two_phase_prefix_sum_plan(spark):
+    """concurrency_profile: the running concurrency is the range-chunked
+    two-phase prefix sum — exactly two Windows (chunk offsets over the
+    tiny chunk table + within-chunk running sum), both partitioned at
+    chunk grain; peak selection is grouped_topk, so no row_number and
+    no whole-type-history window task; one parquet scan, no Python."""
+    import __spark_entry__ as E
+
+    plan = _fmt_plan(E.q_concurrency_profile(spark, "/root/testdata/sf0.001"))
+    # the edge table persists once and feeds both branches
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2, plan
+    assert "row_number" not in plan, plan
+    assert "partial_" in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
