@@ -7350,6 +7350,107 @@ def q_concurrency_profile(spark, sf_dir):
     )
 
 
+def q_scd2_build(spark, sf_dir):
+    """Slowly-Changing-Dimension Type 2 build: the event stream treated
+    as attribute-change records per user (state = event_type at ts)
+    becomes a versioned dimension — one row per change with
+    [valid_from, valid_to) validity (valid_to = next change's ts, the
+    2200-01-01 high-date sentinel while current — the SCD2 open-ended
+    convention, chosen inside pandas' datetime64[ns] range because
+    9999-12-31 overflows the Arrow->pandas ns path to NaT, and NaT
+    poisons ordered comparison), a monotonically increasing version,
+    and an is_current flag. The warehouse sibling of merge_upsert: upsert
+    overwrites, SCD2 preserves history. Total order inside a user is
+    (ts, event_id) — deterministic under timestamp ties. One scan, one
+    shuffle on user_id; window partitions are per-user change histories
+    (bounded by a user's activity, the natural grain — a hot user is
+    still one ordered pass, and the AQE skew story covers the join-side
+    uses downstream)."""
+    ev = _events(spark, sf_dir).filter(F.col("ts").isNotNull()).select(
+        "user_id", "event_id", "ts", F.col("event_type").alias("state")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lead_ts = F.lead("ts", 1).over(w)
+    hi = F.lit("2200-01-01").cast("timestamp")
+    return ev.select(
+        "user_id",
+        F.row_number().over(w).cast("int").alias("version"),
+        "state",
+        F.col("ts").alias("valid_from"),
+        F.coalesce(lead_ts, hi).alias("valid_to"),
+        lead_ts.isNull().alias("is_current"),
+    )
+
+
+TRIPLET_NQ = 30  # bounded query slab for contrastive mining
+
+
+def q_triplet_mine(spark, sf_dir):
+    """Contrastive training-triplet mining over the embedding table:
+    for each query vector (vec_id < 30), the hardest POSITIVE (top
+    cosine among same-label vectors, self excluded) and the hardest
+    NEGATIVE (top cosine among different-label vectors — the classic
+    'hard negative'), with margin = cos_pos - cos_neg and a valid flag
+    (margin > 0) — the (anchor, positive, negative) mining step of
+    embedding-model training data. Cosines are the left-fold idiom
+    (bit-equal to DuckDB list_dot_product); both top-1 selections are
+    window-free grouped_topk with id tie-breaks; margin is a difference
+    of bit-identical doubles. Scale: query slab broadcast; the scale
+    path replaces the crossJoin with LSH/IVF candidate buckets per side
+    (ops/similarity.py) and the same selection algebra."""
+    from qamd_spark.ops.text import grouped_topk
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    qs = emb.filter(F.col("vec_id") < TRIPLET_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("e").alias("qe"),
+    )
+    dot = F.aggregate(
+        F.zip_with("e", "qe", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (F.col("label") == F.col("qlabel")).alias("same"),
+            (dot / (nrm("e") * nrm("qe"))).alias("cos"),
+        )
+    )
+    top_pos = grouped_topk(
+        pairs.filter(F.col("same")), "qid", "cos", "vec_id", 1
+    ).select("qid", F.col("vec_id").alias("pos"), F.col("cos").alias("cp"))
+    top_neg = grouped_topk(
+        pairs.filter(~F.col("same")), "qid", "cos", "vec_id", 1
+    ).select(
+        F.col("qid").alias("qid2"),
+        F.col("vec_id").alias("neg"),
+        F.col("cos").alias("cn"),
+    )
+    j = top_pos.join(top_neg, F.col("qid") == F.col("qid2"), "inner")
+    return j.select(
+        "qid",
+        "pos",
+        "neg",
+        F.round(F.col("cp"), 9).alias("cos_pos"),
+        F.round(F.col("cn"), 9).alias("cos_neg"),
+        F.round(F.col("cp") - F.col("cn"), 9).alias("margin"),
+        (F.col("cp") > F.col("cn")).alias("valid"),
+    )
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -7556,6 +7657,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_suite": q_window_suite,
         "changepoint_cusum": q_changepoint_cusum,
         "concurrency_profile": q_concurrency_profile,
+        "scd2_build": q_scd2_build,
+        "triplet_mine": q_triplet_mine,
         "winnow": q_winnow,
         "winnow_containment": q_winnow_containment,
         "dedup_clusters": q_dedup_clusters,
@@ -10766,5 +10869,43 @@ def oracle_sql() -> dict[str, str]:
           FROM run)
         SELECT event_type, conc AS peak, t AS peak_at
         FROM ranked WHERE rn = 1
+    """
+    sqls["scd2_build"] = """
+        SELECT user_id,
+               row_number() OVER w::INT AS version,
+               event_type AS state,
+               ts AS valid_from,
+               coalesce(lead(ts, 1) OVER w,
+                        TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
+               (lead(ts, 1) OVER w IS NULL) AS is_current
+        FROM events WHERE ts IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+    sqls["triplet_mine"] = f"""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
+                   FROM embeddings),
+        qs AS (SELECT vec_id AS qid, label AS qlabel, e AS qe
+               FROM e WHERE vec_id < {TRIPLET_NQ}),
+        pairs AS (
+          SELECT qid, vec_id, (label = qlabel) AS same,
+                 list_dot_product(e.e, qs.qe)
+                   / (sqrt(list_dot_product(e.e, e.e))
+                      * sqrt(list_dot_product(qs.qe, qs.qe))) AS cos
+          FROM e, qs WHERE e.vec_id != qs.qid),
+        p AS (SELECT qid, vec_id, cos,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY cos DESC, vec_id) AS rn
+              FROM pairs WHERE same),
+        n AS (SELECT qid, vec_id, cos,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY cos DESC, vec_id) AS rn
+              FROM pairs WHERE NOT same)
+        SELECT p.qid, p.vec_id AS pos, n.vec_id AS neg,
+               round(p.cos, 9) AS cos_pos,
+               round(n.cos, 9) AS cos_neg,
+               round(p.cos - n.cos, 9) AS margin,
+               (p.cos > n.cos) AS valid
+        FROM p JOIN n ON n.qid = p.qid AND n.rn = 1
+        WHERE p.rn = 1
     """
     return {k: v.strip() for k, v in sqls.items()}

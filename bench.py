@@ -288,6 +288,8 @@ def run_benchmarks() -> dict:
         "window_suite",
         "changepoint_cusum",
         "concurrency_profile",
+        "scd2_build",
+        "triplet_mine",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

@@ -929,3 +929,23 @@ def test_concurrency_profile_two_phase_prefix_sum_plan(spark):
     assert "row_number" not in plan, plan
     assert "partial_" in plan, plan
     assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+
+def test_scd2_and_triplet_plans(spark):
+    """scd2_build: one scan, ONE Exchange (the user_id shuffle feeding
+    the ordered window), no Python. triplet_mine: the query slab is
+    broadcast and both top-1 selections are grouped_topk over the
+    crossJoin — no row_number Window, no Python."""
+    import __spark_entry__ as E
+
+    plan = _fmt_plan(E.q_scd2_build(spark, "/root/testdata/sf0.001"))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert ") Window" in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+    plan = _fmt_plan(E.q_triplet_mine(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" in plan, plan  # query slab broadcast
+    assert "row_number" not in plan, plan  # both top-1 are grouped_topk
+    assert "partial_" in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
