@@ -7451,6 +7451,56 @@ def q_triplet_mine(spark, sf_dir):
     )
 
 
+def q_trend_slope(spark, sf_dir):
+    """Per-event_type activity trend: ordinary-least-squares slope and
+    intercept of hourly event counts against the hour index — the
+    is-this-metric-growing primitive behind dashboard trend arrows and
+    alert baselines (the regression sibling of rate_anomaly's z-score
+    and changepoint_cusum's split test). All five OLS moments (n, Σx,
+    Σy, Σxy, Σx²) are exact int64 — x is the hour RELATIVE to each
+    type's first hour, which both centers the magnitudes (Σy·Σx² stays
+    ~1e15 at sf1, far from int64 edge; absolute epoch-hours would not)
+    and makes the intercept the value at the series start. slope and
+    intercept are each ONE division of exact integers (the textbook
+    closed forms with common denominator n·Σx²−(Σx)²) — bit-identical
+    cross-engine. One scan; the hourly grid is aggregated first and
+    every window/aggregate after it runs at grid grain."""
+    ev = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    hour = F.expr("unix_timestamp(ts) div 3600")
+    grid = ev.groupBy(F.col("event_type"), hour.alias("h")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    x = (F.col("h") - F.min("h").over(Window.partitionBy("event_type"))).alias(
+        "x"
+    )
+    g = grid.select("event_type", x, "y")
+    agg = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / den.cast("double")
+    )
+    intercept = (
+        (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast(
+            "double"
+        )
+        / den.cast("double")
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        F.round(slope, 9).alias("slope"),
+        F.round(intercept, 9).alias("intercept"),
+        (slope > F.lit(0.0)).alias("trending_up"),
+    )
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -7659,6 +7709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concurrency_profile": q_concurrency_profile,
         "scd2_build": q_scd2_build,
         "triplet_mine": q_triplet_mine,
+        "trend_slope": q_trend_slope,
         "winnow": q_winnow,
         "winnow_containment": q_winnow_containment,
         "dedup_clusters": q_dedup_clusters,
@@ -10907,5 +10958,29 @@ def oracle_sql() -> dict[str, str]:
                (p.cos > n.cos) AS valid
         FROM p JOIN n ON n.qid = p.qid AND n.rn = 1
         WHERE p.rn = 1
+    """
+    sqls["trend_slope"] = """
+        WITH grid AS (
+          SELECT event_type,
+                 (CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS h,
+                 count(*)::BIGINT AS y
+          FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        g AS (
+          SELECT event_type,
+                 h - min(h) OVER (PARTITION BY event_type) AS x, y
+          FROM grid),
+        a AS (
+          SELECT event_type, count(*)::BIGINT AS n,
+                 sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                 sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+          FROM g GROUP BY 1)
+        SELECT event_type, n AS n_hours,
+               round((n * sxy - sx * sy)::DOUBLE
+                     / (n * sxx - sx * sx)::DOUBLE, 9) AS slope,
+               round((sy * sxx - sx * sxy)::DOUBLE
+                     / (n * sxx - sx * sx)::DOUBLE, 9) AS intercept,
+               ((n * sxy - sx * sy)::DOUBLE
+                / (n * sxx - sx * sx)::DOUBLE) > 0.0 AS trending_up
+        FROM a
     """
     return {k: v.strip() for k, v in sqls.items()}

@@ -290,6 +290,7 @@ def run_benchmarks() -> dict:
         "concurrency_profile",
         "scd2_build",
         "triplet_mine",
+        "trend_slope",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

@@ -949,3 +949,17 @@ def test_scd2_and_triplet_plans(spark):
     assert "row_number" not in plan, plan  # both top-1 are grouped_topk
     assert "partial_" in plan, plan
     assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+
+def test_trend_slope_plan(spark):
+    """trend_slope: one scan; the hourly grid aggregates first and the
+    min-hour window + OLS moments run at grid grain; no Python."""
+    import __spark_entry__ as E
+
+    plan = _fmt_plan(E.q_trend_slope(spark, "/root/testdata/sf0.001"))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "partial_" in plan, plan
+    agg_id = int(re.search(r"\((\d+)\) HashAggregate", plan).group(1))
+    win_id = int(re.search(r"\((\d+)\) Window", plan).group(1))
+    assert agg_id < win_id, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
