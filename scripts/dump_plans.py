@@ -377,6 +377,36 @@ def main() -> None:
                 E._pr_edges(spark, SF), iters=10, materialize=False
             ),
         ),
+        (
+            "bm25_search",
+            "BM25 ranking: the persisted tf table feeds dl/df/probe "
+            "(InMemoryTableScan x3), query set + query-term df broadcast, "
+            "one shuffle equi-join on doc_id, term-ordered fold, "
+            "window-free grouped_topk top-10.",
+            E.q_bm25_search(spark, SF),
+        ),
+        (
+            "view_maintain",
+            "Incremental view maintenance: base and delta partial "
+            "aggregates merge through ONE full-outer equi-join on the "
+            "group key — the delta side scans only the new partition.",
+            E.q_view_maintain(spark, SF),
+        ),
+        (
+            "concurrency_profile",
+            "Sweep-line peak concurrency: the running edge sum is the "
+            "range-chunked two-phase prefix sum — both Windows at "
+            "(type, hour-chunk) grain, edges persisted once, peak via "
+            "grouped_topk (no row_number).",
+            E.q_concurrency_profile(spark, SF),
+        ),
+        (
+            "scd2_build",
+            "SCD Type 2: one scan, ONE Exchange — the user_id shuffle "
+            "feeds the ordered window that derives validity intervals, "
+            "versions and is_current in a single pass.",
+            E.q_scd2_build(spark, SF),
+        ),
     ]
     out = [
         "# PLANS.md — physical plans of the scale-critical paths",
