@@ -162,6 +162,56 @@ def _span_dedup_sql(source: str, select_clause: str) -> str:
     """
 
 
+def _substr_dedup_sql(w: int) -> str:
+    """DuckDB twin of ops/dedup.substr_dedup (sliding W-token windows,
+    ExactSubstr keep-first + coverage removal). The twin resolves
+    keep-first with the same two-step (min doc_id, then min start) and
+    tests token coverage with a correlated range EXISTS — a different
+    formulation from the Spark sorted-starts-array higher-order filter,
+    so the gate proves the array-side coverage logic exact."""
+    return f"""
+        WITH tk AS (
+          SELECT doc_id,
+                 list_filter(string_split(coalesce(text,''), ' '),
+                             x -> x <> '') AS l
+          FROM documents),
+        g AS (SELECT doc_id,
+                     unnest(range(0, greatest(len(l) - {w} + 1, 0))) AS pos,
+                     l
+              FROM tk),
+        ex AS (SELECT doc_id, pos,
+                      array_to_string(l[pos+1:pos+{w}], ' ') AS gram
+               FROM g),
+        stats AS (SELECT gram, count(*) AS n, min(doc_id) AS d0
+                  FROM ex GROUP BY gram),
+        fp AS (SELECT gram, min(pos) AS i0
+               FROM ex JOIN stats USING (gram)
+               WHERE n > 1 AND doc_id = d0 GROUP BY gram),
+        dropped AS (SELECT ex.doc_id, ex.pos
+                    FROM ex JOIN stats USING (gram) JOIN fp USING (gram)
+                    WHERE n > 1 AND NOT (ex.doc_id = d0 AND ex.pos = i0)),
+        toks AS (SELECT doc_id, unnest(l) AS tok,
+                        generate_subscripts(l, 1) - 1 AS idx
+                 FROM tk),
+        kept AS (SELECT t.doc_id, t.idx, t.tok FROM toks t
+                 WHERE NOT EXISTS (
+                   SELECT 1 FROM dropped d
+                   WHERE d.doc_id = t.doc_id
+                     AND t.idx BETWEEN d.pos AND d.pos + {w - 1})),
+        re AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text,
+                      count(*) AS n_kept
+               FROM kept GROUP BY doc_id),
+        dw AS (SELECT doc_id, count(*) AS n_dropped_windows
+               FROM dropped GROUP BY doc_id)
+        SELECT tk.doc_id,
+               coalesce(re.clean_text, '') AS clean_text,
+               len(tk.l)::INT AS n_tokens,
+               (len(tk.l) - coalesce(re.n_kept, 0))::INT AS n_removed,
+               coalesce(dw.n_dropped_windows, 0)::INT AS n_dropped_windows
+        FROM tk LEFT JOIN re USING (doc_id) LEFT JOIN dw USING (doc_id)
+    """
+
+
 def _pii_luhn_sql() -> str:
     """DuckDB twin of q_pii_luhn, generated from the SAME candidate
     regex (rules/pii.CARD_CANDIDATE_RX) and the same reversed-digit
@@ -715,6 +765,21 @@ def q_span_dedup(spark, sf_dir):
     from qamd_spark.ops.dedup import span_dedup
 
     return span_dedup(_docs(spark, sf_dir), span_tokens=5)
+
+
+def q_substr_dedup(spark, sf_dir):
+    """ExactSubstr-style duplicate-substring removal (Lee et al. 2021
+    §4.1, token-grain): SLIDING 5-token windows (all starts — the
+    unaligned complement of span_dedup's aligned chunks), keep-first by
+    (doc_id, start), a token removed when any dropped window covers it,
+    so shifted duplicates are caught and overlapping dropped windows
+    merge into maximal removed intervals. The DuckDB twin resolves
+    coverage with a correlated range EXISTS vs the Spark sorted-starts
+    higher-order filter — proving the array-side logic exact (see
+    ops/dedup.substr_dedup)."""
+    from qamd_spark.ops.dedup import substr_dedup
+
+    return substr_dedup(_docs(spark, sf_dir), window_tokens=5)
 
 
 def q_encoding_profile(spark, sf_dir):
@@ -7562,6 +7627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": q_token_budget_sample,
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "span_dedup": q_span_dedup,
+        "substr_dedup": q_substr_dedup,
         "encoding_profile": q_encoding_profile,
         "corpus_transform": q_corpus_transform,
         "dedup_canonical": q_dedup_canonical,
@@ -8725,6 +8791,7 @@ def oracle_sql() -> dict[str, str]:
             FROM src d LEFT JOIN re USING (doc_id)
             """,
         ),
+        "substr_dedup": _substr_dedup_sql(5),
         "corpus_transform": _span_dedup_sql(
             "SELECT doc_id, "
             + _mojibake_fixed_sql("coalesce(text, '')")

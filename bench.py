@@ -203,6 +203,7 @@ def run_benchmarks() -> dict:
         "quality_topk_lang",
         "gopher_repetition",
         "span_dedup",
+        "substr_dedup",
         "corpus_transform",
         "semantic_dedup",
         "tfidf_topk",

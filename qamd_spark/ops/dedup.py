@@ -1048,3 +1048,100 @@ def ngram_contamination(
             F.lit(False).alias("contaminated"),
         )
     )
+
+
+def substr_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 5,
+) -> DataFrame:
+    """ExactSubstr-style corpus-wide duplicate-substring removal (Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models
+    Better", §4.1 — the suffix-array ExactSubstr pass, re-expressed at
+    whitespace-token grain for Spark): every SLIDING window of
+    ``window_tokens`` tokens (all starts 0..n-W, not span_dedup's
+    aligned W-token chunks) that occurs more than once corpus-wide is
+    kept only at its first occurrence — ordered by (doc_id, start) —
+    and a token is removed when ANY dropped window covers it, so
+    shifted duplicates that the aligned pass misses are caught and
+    overlapping dropped windows merge into maximal removed intervals,
+    exactly ExactSubstr's behaviour on its duplicated spans.
+
+    Returns (doc_id, clean_text, n_tokens, n_removed,
+    n_dropped_windows) for EVERY input document: docs shorter than W
+    tokens emit no windows and keep all their text (ExactSubstr ignores
+    substrings below the length threshold); docs losing every token
+    keep an empty clean_text. Tokenisation drops empty tokens, so runs
+    of spaces collapse to one separator in the reassembled text.
+
+    Scale shape: windows are built per-row with array expressions and
+    exploded at window grain (~1 row per token — inherently W× the
+    aligned pass's shuffle; at 100 TB swap the shuffle key for
+    xxhash64(gram) to cut shuffle bytes ~8×, same caveat as
+    span_dedup). Keep-first is the fully hash-aggregable dup-only
+    discipline: one (count, min(doc_id)) pass per gram — map-side
+    combine collapses hot boilerplate before the shuffle — and the
+    positional tie-break (min start inside the keeper doc) is resolved
+    only for grams that actually duplicate. Removal never explodes at
+    token grain: each doc's dropped starts come back as ONE sorted
+    array and the coverage test is a JVM higher-order filter/exists
+    over the token array — O(tokens × dropped-starts) per doc, bounded
+    by document length. Aggregated sides are aliased (_c) so join
+    predicates reference distinct attributes.
+    """
+    if window_tokens < 1:
+        raise ValueError(f"window_tokens must be >= 1, got {window_tokens}")
+    W = int(window_tokens)
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda x: x != F.lit(""),
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+    n = F.size("_toks")
+    grams = F.when(
+        n >= F.lit(W),
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(W)),
+            lambda i: F.array_join(F.slice("_toks", i + 1, W), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = base.select(
+        "doc_id", F.posexplode(grams).alias("pos", "gram")
+    )
+    stats = ex.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("_n"), F.min("doc_id").alias("_d0")
+    )
+    dup = stats.where(F.col("_n") > 1).select(
+        F.col("gram").alias("_c"), "_d0"
+    )
+    first_pos = (
+        ex.join(dup, ex["gram"] == F.col("_c"))
+        .where(F.col("doc_id") == F.col("_d0"))
+        .groupBy("_c")
+        .agg(F.min("pos").alias("_i0"))
+    )
+    dropped = (
+        ex.join(dup.join(first_pos, "_c"), ex["gram"] == F.col("_c"))
+        .where(
+            (F.col("doc_id") != F.col("_d0"))
+            | (F.col("pos") != F.col("_i0"))
+        )
+        .select("doc_id", "pos")
+    )
+    starts = dropped.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("_starts")
+    )
+    j = base.join(starts, "doc_id", "left")
+    ss = F.coalesce(F.col("_starts"), F.array().cast("array<int>"))
+    covered = lambda i: F.exists(  # noqa: E731
+        ss, lambda s: (i >= s) & (i <= s + F.lit(W - 1))
+    )
+    clean = F.filter("_toks", lambda x, i: ~covered(i))
+    return j.select(
+        "doc_id",
+        F.array_join(clean, " ").alias("clean_text"),
+        F.size("_toks").cast("int").alias("n_tokens"),
+        (F.size("_toks") - F.size(clean)).cast("int").alias("n_removed"),
+        F.size(ss).cast("int").alias("n_dropped_windows"),
+    )

@@ -546,6 +546,44 @@ def test_span_dedup_collapses_space_runs_and_validates(spark):
         dedup.span_dedup(d, span_tokens=0)
 
 
+def test_substr_dedup_catches_shifted_duplicates(spark):
+    # The 5-token phrase is ALIGNED in doc 1 (start 0) but SHIFTED by two
+    # tokens in doc 2 — span_dedup's aligned chunks miss it; the sliding
+    # windows must remove exactly the phrase tokens from doc 2.
+    phrase = "the quick brown fox jumps"
+    rows = [
+        (1, phrase + " over it"),          # keeper (first occurrence)
+        (2, "u v " + phrase + " w"),       # shifted duplicate
+        (3, "and now something else five"),  # unique 5-token doc
+        (4, None),
+        (5, "too short"),                  # n < W -> no windows at all
+        (6, phrase + " x " + phrase),      # internal repeat, both lost
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    aligned = {
+        r["doc_id"]: r for r in dedup.span_dedup(d, span_tokens=5).collect()
+    }
+    assert aligned[2]["n_removed"] == 0  # the aligned pass misses it
+    out = {
+        r["doc_id"]: r
+        for r in dedup.substr_dedup(d, window_tokens=5).collect()
+    }
+    assert out[1]["clean_text"] == phrase + " over it"
+    assert out[1]["n_removed"] == 0 and out[1]["n_dropped_windows"] == 0
+    assert out[2]["clean_text"] == "u v w"
+    assert out[2]["n_removed"] == 5 and out[2]["n_dropped_windows"] == 1
+    assert out[3]["n_removed"] == 0 and out[3]["n_tokens"] == 5
+    assert out[4]["clean_text"] == "" and out[4]["n_tokens"] == 0
+    assert out[5]["clean_text"] == "too short"  # below W: kept verbatim
+    assert out[5]["n_dropped_windows"] == 0
+    # doc 6: both phrase occurrences (starts 0 and 6) duplicate doc 1's
+    # keeper; the separator token between the covered intervals survives
+    assert out[6]["clean_text"] == "x" and out[6]["n_removed"] == 10
+    assert out[6]["n_dropped_windows"] == 2
+    with pytest.raises(ValueError):
+        dedup.substr_dedup(d, window_tokens=0)
+
+
 def test_encoding_profile_repairs_planted_damage_and_matches_duckdb(spark):
     import duckdb
     import pandas as pd

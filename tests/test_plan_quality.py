@@ -94,6 +94,9 @@ def test_dedup_op_plans_are_partial_agg_and_bounded(spark):
         # (a min-over-struct formulation regresses to a SortAggregate over
         # every span — pinned to zero here)
         "span_dedup": (dd.span_dedup(docs), 0, 0),
+        # substr_dedup: same hash-only keep-first discipline at sliding-
+        # window grain; coverage removal is a JVM higher-order filter
+        "substr_dedup": (dd.substr_dedup(docs), 0, 0),
     }
     for name, (df, max_py, max_sort) in cases.items():
         plan = _fmt_plan(df)
