@@ -1932,6 +1932,76 @@ def q_conv_export(spark, sf_dir):
     )
 
 
+def q_spearman_signals(spark, sf_dir):
+    """Per-source Spearman rank correlation between two per-doc quality
+    signals (char length vs whitespace token count) — the rank-based
+    sibling of value_correlation's Pearson, robust to the signals'
+    heavy tails. Cross-engine exact: tied ranks use the average-rank
+    convention carried as 2*avg_rank (an integer: 2*cum - cnt + 1 on
+    the cumulative tie-block counts), and rho is invariant under that
+    linear scaling. Centering by (n+1) (the exact mean of 2*avg_rank)
+    makes the cross sums exact int64 (|c| < n, so sum(cx*cy) < n^3 —
+    safe to ~2e6 docs per source, the trend_slope bound discipline)
+    and rho = ONE IEEE division sxy / (sqrt(sxx)*sqrt(syy)) of exact
+    integers. Skew shape: ranks are NOT a whole-source row window —
+    each signal aggregates to its (source, value, cnt) grid first, the
+    prefix sum runs over that bounded grid, and rows join back on the
+    grid key (broadcast-able); the DuckDB twin ranks raw rows with
+    rank() + tie counts, proving the grid decomposition exact."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("x"),
+        F.size(
+            F.filter(
+                F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+                lambda t: t != F.lit(""),
+            )
+        ).cast("long").alias("y"),
+    )
+
+    def grid_rank(col):
+        g = d.groupBy("source", col).agg(F.count(F.lit(1)).alias("_cnt"))
+        w = Window.partitionBy("source").orderBy(col)
+        return g.select(
+            F.col("source").alias(f"_src{col}"),
+            F.col(col).alias(f"_{col}v"),
+            (2 * F.sum("_cnt").over(w) - F.col("_cnt") + 1).alias(f"_r2{col}"),
+        )
+
+    n_per = d.groupBy("source").agg(F.count(F.lit(1)).alias("_n"))
+    rx = grid_rank("x")
+    ry = grid_rank("y")
+    j = (
+        d.join(
+            rx,
+            (F.col("x") == F.col("_xv")) & (F.col("source") == F.col("_srcx")),
+        )
+        .join(
+            ry,
+            (F.col("y") == F.col("_yv")) & (F.col("source") == F.col("_srcy")),
+        )
+        .join(n_per, "source")
+    )
+    cx = F.col("_r2x") - (F.col("_n") + 1)
+    cy = F.col("_r2y") - (F.col("_n") + 1)
+    agg = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(cx * cy).alias("_sxy"),
+        F.sum(cx * cx).alias("_sxx"),
+        F.sum(cy * cy).alias("_syy"),
+    )
+    rho = F.when(
+        (F.col("_sxx") > 0) & (F.col("_syy") > 0),
+        F.col("_sxy").cast("double")
+        / (F.sqrt(F.col("_sxx").cast("double")) * F.sqrt(F.col("_syy").cast("double"))),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "source", F.col("n_docs").cast("long").alias("n_docs"),
+        rho.alias("spearman_rho"),
+    ).orderBy("source")
+
+
 def q_value_correlation(spark, sf_dir):
     """Pearson correlation of hour-of-day vs spend per event type —
     the statistics capability row, made cross-engine EXACT: built-in
@@ -6937,28 +7007,12 @@ BM25_QUERIES = [
 ]
 
 
-def q_bm25_search(spark, sf_dir):
-    """BM25 retrieval scoring over the corpus for a fixed query set —
-    the consumer of the inverted-index build (inverted_index emits the
-    postings; this ranks). k1=1.2, b=0.75, expressed as exact int64
-    rationals so the per-term score is ONE IEEE division of two exact
-    integers (bit-identical cross-engine, the repo float rule):
-
-        tf_sat = tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
-               = 44*tf*sumdl / (20*tf*sumdl + 6*sumdl + 18*dl*N)
-
-    with avgdl = sumdl/N multiplied through. The classic log idf is
-    replaced by the exact rational (N-df+1)/(df+1) (same monotone
-    direction; ln() is libm-dependent — the tfidf_topk precedent).
-    Per-doc totals are a term-ordered left fold (sort_array + aggregate
-    vs DuckDB list(ORDER BY)+list_reduce), so the cross-term double sum
-    is order-pinned. int64 bounds: 44*tf*sumdl*(N-df+1) ~ 5e16 at
-    sf0.1 — safe; at sf>=10 swap the rational to double scoring
-    (ranking tolerance) or decimal. Scale shape: tf table persisted
-    (feeds dl, df, probe); query set + df-of-query-terms broadcast; one
-    shuffle equi-join on doc_id for dl; top-10 per query via the
-    window-free two-phase grouped_topk (no hot-query task)."""
-    from qamd_spark.ops.text import grouped_topk
+def _bm25_scores(spark, sf_dir):
+    """Shared BM25 scorer: returns (qid, doc_id, score) for every doc
+    matching at least one term of BM25_QUERIES, score UNROUNDED (the
+    query wrappers round). Kept as one helper so bm25_search and
+    hybrid_search can never drift apart."""
+    from qamd_spark.ops.text import grouped_topk  # noqa: F401 (doc parity)
 
     d = _docs(spark, sf_dir)
     toks = d.select(
@@ -7008,11 +7062,104 @@ def q_bm25_search(spark, sf_dir):
     score = F.aggregate(
         F.col("ts"), F.lit(0.0), lambda acc, x: acc + x["s"]
     )
-    sc = doc.select("qid", "doc_id", score.alias("score"))
+    return doc.select("qid", "doc_id", score.alias("score"))
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 retrieval scoring over the corpus for a fixed query set —
+    the consumer of the inverted-index build (inverted_index emits the
+    postings; this ranks). k1=1.2, b=0.75, expressed as exact int64
+    rationals so the per-term score is ONE IEEE division of two exact
+    integers (bit-identical cross-engine, the repo float rule):
+
+        tf_sat = tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+               = 44*tf*sumdl / (20*tf*sumdl + 6*sumdl + 18*dl*N)
+
+    with avgdl = sumdl/N multiplied through. The classic log idf is
+    replaced by the exact rational (N-df+1)/(df+1) (same monotone
+    direction; ln() is libm-dependent — the tfidf_topk precedent).
+    Per-doc totals are a term-ordered left fold (sort_array + aggregate
+    vs DuckDB list(ORDER BY)+list_reduce), so the cross-term double sum
+    is order-pinned. int64 bounds: 44*tf*sumdl*(N-df+1) ~ 5e16 at
+    sf0.1 — safe; at sf>=10 swap the rational to double scoring
+    (ranking tolerance) or decimal. Scale shape: tf table persisted
+    (feeds dl, df, probe); query set + df-of-query-terms broadcast; one
+    shuffle equi-join on doc_id for dl; top-10 per query via the
+    window-free two-phase grouped_topk (no hot-query task)."""
+    from qamd_spark.ops.text import grouped_topk
+
+    sc = _bm25_scores(spark, sf_dir)
     top = grouped_topk(sc, "qid", "score", "doc_id", 10)
     return top.select(
         "qid", "doc_id", F.round(F.col("score"), 9).alias("score"), "rank"
     )
+
+
+def q_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke &
+    Buettcher 2009): the lexical BM25 top-30 (shared _bm25_scores
+    helper) fused with a semantic cosine top-30 (query embedding =
+    the embedding row whose vec_id equals the qid) by
+    rrf = 1/(60+lex_rank) + 1/(60+sem_rank), one-sided hits keep the
+    single term — each term is ONE IEEE division of small exact ints
+    and the sum is two fixed-order double adds, so cross-engine
+    bit-equality holds without any log/exp. Docs without an embedding
+    row (sf0.1 has 5000 docs but 2000 vectors) are simply absent from
+    the semantic list — RRF's standard one-sided behaviour. Both
+    candidate lists come from the window-free two-phase grouped_topk;
+    only the FUSED set (<= 60 rows per qid by construction) goes
+    through a row_number window, so the final sort is over bounded
+    per-query groups, never the corpus."""
+    from qamd_spark.ops.text import grouped_topk
+
+    lex = grouped_topk(
+        _bm25_scores(spark, sf_dir), "qid", "score", "doc_id", 30
+    ).select("qid", "doc_id", F.col("rank").cast("int").alias("lex_rank"))
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    qids = [qid for qid, _ in BM25_QUERIES]
+    q = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").cast("int").alias("qid"), F.col("e").alias("qe")
+    )
+    dot = F.aggregate(
+        F.zip_with("e", "qe", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    sims = emb.crossJoin(F.broadcast(q)).select(
+        "qid",
+        F.col("vec_id").alias("doc_id"),
+        (dot / (norm("e") * norm("qe"))).alias("sim"),
+    )
+    sem = grouped_topk(sims, "qid", "sim", "doc_id", 30).select(
+        "qid", "doc_id", F.col("rank").cast("int").alias("sem_rank")
+    )
+    fused = lex.join(sem, ["qid", "doc_id"], "full_outer")
+    term = lambda c: F.when(  # noqa: E731
+        F.col(c).isNotNull(), F.lit(1.0) / (F.lit(60) + F.col(c))
+    ).otherwise(F.lit(0.0))
+    scored = fused.select(
+        "qid", "doc_id", "lex_rank", "sem_rank",
+        (term("lex_rank") + term("sem_rank")).alias("rrf"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "qid", "doc_id", "lex_rank", "sem_rank",
+            F.round(F.col("rrf"), 9).alias("rrf_score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
 
 
 VIEW_CUTOFF = "2024-01-16"
@@ -7615,6 +7762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_lines": q_gopher_lines,
         "url_scan": q_url_scan,
         "value_correlation": q_value_correlation,
+        "spearman_signals": q_spearman_signals,
         "corpus_curate": q_corpus_curate,
         "oov_fraction": q_oov_fraction,
         "sentinel_text": q_sentinel_text,
@@ -7628,6 +7776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "span_dedup": q_span_dedup,
         "substr_dedup": q_substr_dedup,
+        "hybrid_search": q_hybrid_search,
         "encoding_profile": q_encoding_profile,
         "corpus_transform": q_corpus_transform,
         "dedup_canonical": q_dedup_canonical,
@@ -7932,6 +8081,34 @@ def oracle_sql() -> dict[str, str]:
                      AS dup_frac,
                    total_chars::DOUBLE / n_docs::DOUBLE AS mean_chars
             FROM a
+        """,
+        "spearman_signals": """
+            WITH d AS (
+              SELECT doc_id, source,
+                     length(coalesce(text,''))::BIGINT AS x,
+                     len(list_filter(string_split(coalesce(text,''), ' '),
+                                     t -> t <> ''))::BIGINT AS y
+              FROM documents),
+            r AS (
+              SELECT source, x, y,
+                     2*rank() OVER (PARTITION BY source ORDER BY x)
+                       + count(*) OVER (PARTITION BY source, x) - 1 AS r2x,
+                     2*rank() OVER (PARTITION BY source ORDER BY y)
+                       + count(*) OVER (PARTITION BY source, y) - 1 AS r2y,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM d),
+            a AS (
+              SELECT source, count(*)::BIGINT AS n_docs,
+                     sum((r2x-(n+1))*(r2y-(n+1)))::BIGINT AS sxy,
+                     sum((r2x-(n+1))*(r2x-(n+1)))::BIGINT AS sxx,
+                     sum((r2y-(n+1))*(r2y-(n+1)))::BIGINT AS syy
+              FROM r GROUP BY source)
+            SELECT source, n_docs,
+                   CASE WHEN sxx > 0 AND syy > 0
+                        THEN sxy::DOUBLE / (sqrt(sxx::DOUBLE)
+                                            * sqrt(syy::DOUBLE))
+                        ELSE 0.0 END AS spearman_rho
+            FROM a ORDER BY source
         """,
         "value_correlation": """
             WITH d AS (
@@ -10782,8 +10959,8 @@ def oracle_sql() -> dict[str, str]:
     _bm25_vals = ", ".join(
         f"({qid}, '{t}')" for qid, ts in BM25_QUERIES for t in ts
     )
-    sqls["bm25_search"] = f"""
-        WITH raw AS (
+    _bm25_core = f"""
+        raw AS (
           SELECT doc_id,
                  unnest(regexp_split_to_array(lower(coalesce(text, '')),
                         '\\s+')) AS term
@@ -10810,7 +10987,10 @@ def oracle_sql() -> dict[str, str]:
                  list_reduce(list_prepend(0.0::DOUBLE,
                                           list(s ORDER BY term)),
                              (acc, x) -> acc + x)::DOUBLE AS score
-          FROM per GROUP BY 1, 2),
+          FROM per GROUP BY 1, 2)
+    """
+    sqls["bm25_search"] = f"""
+        WITH {_bm25_core},
         rk AS (
           SELECT qid, doc_id, score,
                  row_number() OVER (PARTITION BY qid
@@ -10820,7 +11000,51 @@ def oracle_sql() -> dict[str, str]:
                rank::INT AS rank
         FROM rk WHERE rank <= 10
     """
-    # The twin RECOMPUTES the view from the full table on purpose: the
+    # hybrid_search twin: the SAME bm25 core CTEs + cosine side +
+    # reciprocal-rank fusion; one-sided hits keep their single term.
+    sqls["hybrid_search"] = f"""
+        WITH {_bm25_core},
+        lexr AS (
+          SELECT qid, doc_id,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY score DESC, doc_id)
+                   AS lex_rank
+          FROM doc),
+        lex AS (SELECT * FROM lexr WHERE lex_rank <= 30),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        qe AS (SELECT vec_id AS qid, e AS qe FROM e
+               WHERE vec_id IN ({", ".join(str(q) for q, _ in BM25_QUERIES)})),
+        sims AS (
+          SELECT qid, vec_id AS doc_id,
+                 list_dot_product(e.e, qe.qe)
+                   / (sqrt(list_dot_product(e.e, e.e))
+                      * sqrt(list_dot_product(qe.qe, qe.qe))) AS sim
+          FROM e, qe),
+        semr AS (
+          SELECT qid, doc_id,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY sim DESC, doc_id)
+                   AS sem_rank
+          FROM sims),
+        sem AS (SELECT * FROM semr WHERE sem_rank <= 30),
+        fused AS (
+          SELECT coalesce(l.qid, s.qid) AS qid,
+                 coalesce(l.doc_id, s.doc_id) AS doc_id,
+                 l.lex_rank, s.sem_rank,
+                 coalesce(1.0 / (60 + l.lex_rank), 0.0)
+                   + coalesce(1.0 / (60 + s.sem_rank), 0.0) AS rrf
+          FROM lex l FULL OUTER JOIN sem s
+            ON l.qid = s.qid AND l.doc_id = s.doc_id),
+        rk AS (
+          SELECT qid, doc_id, lex_rank, sem_rank, rrf,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY rrf DESC, doc_id) AS rank
+          FROM fused)
+        SELECT qid::INT AS qid, doc_id,
+               lex_rank::INT AS lex_rank, sem_rank::INT AS sem_rank,
+               round(rrf, 9) AS rrf_score, rank::INT AS rank
+        FROM rk WHERE rank <= 10
+    """    # The twin RECOMPUTES the view from the full table on purpose: the
     # Spark side maintains it incrementally (base FULL OUTER delta), so
     # the gate proves the IVM equation incremental == recompute.
     sqls["view_maintain"] = """

@@ -204,6 +204,8 @@ def run_benchmarks() -> dict:
         "gopher_repetition",
         "span_dedup",
         "substr_dedup",
+        "hybrid_search",
+        "spearman_signals",
         "corpus_transform",
         "semantic_dedup",
         "tfidf_topk",

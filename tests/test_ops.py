@@ -1246,3 +1246,29 @@ def test_compression_flags_planted_damage(spark):
     assert out[0]["ratio"] < 0.3
     assert out[1]["ratio"] > 0.5  # hex of hashes barely compresses
     assert 0.3 < out[2]["ratio"] < 0.9
+
+
+def test_spearman_signals_matches_pandas(spark):
+    """q_spearman_signals vs pandas' own Spearman (average-rank ties) —
+    an independent third implementation beyond the DuckDB twin."""
+    import __spark_entry__ as E
+    import pandas as pd
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["source"]: (r["n_docs"], r["spearman_rho"])
+        for r in E.q_spearman_signals(spark, sf).collect()
+    }
+    pdf = pd.read_parquet(f"{sf}/documents.parquet")
+    pdf["x"] = pdf["text"].fillna("").str.len()
+    pdf["y"] = pdf["text"].fillna("").str.split(" ").map(
+        lambda ts: sum(1 for t in ts if t != "")
+    )
+    for src, g in pdf.groupby("source"):
+        rx = g["x"].rank(method="average").to_numpy()
+        ry = g["y"].rank(method="average").to_numpy()
+        cx, cy = rx - rx.mean(), ry - ry.mean()
+        rho = (cx * cy).sum() / np.sqrt((cx * cx).sum() * (cy * cy).sum())
+        n, got_rho = got[src]
+        assert n == len(g)
+        assert abs(got_rho - rho) < 1e-12, (src, got_rho, rho)

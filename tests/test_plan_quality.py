@@ -966,3 +966,38 @@ def test_trend_slope_plan(spark):
     win_id = int(re.search(r"\((\d+)\) Window", plan).group(1))
     assert agg_id < win_id, plan
     assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+
+def test_hybrid_search_plan(spark):
+    """hybrid_search: both candidate lists are window-free grouped_topk
+    (the only Window is the final row_number over the FUSED set, whose
+    partitions are <= 60 rows per qid by construction); the semantic
+    side broadcasts the 6-row query slab; the RRF merge is the single
+    full-outer equi-join; no Python stage."""
+    import __spark_entry__ as E
+
+    plan = _fmt_plan(E.q_hybrid_search(spark, "/root/testdata/sf0.001"))
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    # ...and Spark pushes the rank<=10 into a Partial WindowGroupLimit
+    # (map-side top-k before the shuffle) — keep that engaged
+    assert re.search(r"WindowGroupLimit[\s\S]{0,200}?Partial", plan), plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # query slab broadcast
+    assert "FullOuter" in plan, plan  # the RRF merge
+    assert "partial_" in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+
+def test_spearman_signals_plan(spark):
+    """spearman_signals: ranks must come from prefix sums over the
+    aggregated (source, value) grids — every Window sits ABOVE a
+    HashAggregate (agg-below-window, the window_suite discipline), so
+    no whole-source raw-row window task exists; no Python stage."""
+    import __spark_entry__ as E
+
+    plan = _fmt_plan(E.q_spearman_signals(spark, "/root/testdata/sf0.001"))
+    win_ids = [int(m) for m in re.findall(r"\((\d+)\) Window\b", plan)]
+    agg_ids = [int(m) for m in re.findall(r"\((\d+)\) HashAggregate", plan)]
+    assert win_ids and agg_ids, plan
+    assert min(agg_ids) < min(win_ids), plan
+    assert "partial_" in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
