@@ -7713,6 +7713,153 @@ def q_trend_slope(spark, sf_dir):
     )
 
 
+WS_SALT = "qamd-ws1"  # weighted_sample hash salt (frozen: selection set)
+WS_K = 200  # weighted_sample top-k
+
+
+def q_tool_assoc(spark, sf_dir):
+    """Market-basket association rules over tool co-occurrence inside
+    agent conversations (Agrawal & Srikant, VLDB'94 semantics at pair
+    grain): for every ordered-by-name tool pair that appears in the
+    same conversation, support / confidence / lift. A curation pass
+    reads this to find tool pairings that predict each other (lift >> 1
+    means trajectories using tool_a almost always also exercise tool_b,
+    so dropping one tool's traces starves the other's contexts too).
+
+    Shape for 100 TB: the raw turn table is first reduced to DISTINCT
+    (conv, tool) by a partial+final hash aggregate, so the self-join
+    runs over at most |tools| rows per conversation (the panel is 5
+    tools -> <= 10 candidate pairs per conv, never all-pairs over
+    turns). Per-tool conversation counts and the 1-row total are
+    broadcast onto the pair aggregate. support, confidence, and lift
+    are each ONE IEEE division of exactly-representable bigints
+    (n_both*total and n_a*n_b stay far below 2^53), so DuckDB matches
+    bit-for-bit."""
+    t = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 3 == 2)
+        .select(
+            (F.col("doc_id") % 97).cast("long").alias("conv"),
+            _tool_col().alias("tool"),
+        )
+        .distinct()
+    )
+    tot = t.groupBy().agg(F.count_distinct("conv").alias("total"))
+    per = t.groupBy("tool").agg(F.count(F.lit(1)).alias("n"))
+    a = t.select(F.col("conv"), F.col("tool").alias("tool_a"))
+    b = t.select(F.col("conv").alias("_cb"), F.col("tool").alias("tool_b"))
+    pairs = (
+        a.join(
+            b,
+            (a["conv"] == b["_cb"]) & (F.col("tool_a") < F.col("tool_b")),
+        )
+        .groupBy("tool_a", "tool_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    pa = per.select(F.col("tool").alias("_ta"), F.col("n").alias("n_a"))
+    pb = per.select(F.col("tool").alias("_tb"), F.col("n").alias("n_b"))
+    j = (
+        pairs.join(F.broadcast(pa), F.col("tool_a") == F.col("_ta"))
+        .join(F.broadcast(pb), F.col("tool_b") == F.col("_tb"))
+        .crossJoin(F.broadcast(tot))
+    )
+    return j.select(
+        "tool_a",
+        "tool_b",
+        "n_both",
+        "n_a",
+        "n_b",
+        (F.col("n_both").cast("double") / F.col("total").cast("double")).alias(
+            "support"
+        ),
+        (F.col("n_both").cast("double") / F.col("n_a").cast("double")).alias(
+            "confidence"
+        ),
+        (
+            (F.col("n_both") * F.col("total")).cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double")
+        ).alias("lift"),
+    )
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling by PRIORITY SAMPLING (Duffield,
+    Lund & Thorup, JACM 2007): each document gets priority w/u where w
+    is its weight (char length, the proxy for token mass) and u a
+    deterministic uniform from a salted md5 — the top-k by priority is
+    a weight-biased sample that is reproducible across runs, engines,
+    and cluster sizes (no RNG), unlike df.sample(weights=...). u is the
+    first 13 hex digits of the md5 (52 bits) + 1, so both w and u are
+    exactly-representable integers and the priority is ONE IEEE
+    division — DuckDB produces the identical bit pattern, hence the
+    identical selected SET.
+
+    Shape for 100 TB: orderBy(...).limit(k) compiles to
+    TakeOrderedAndProject — every task keeps a local k-row heap and
+    only k rows per partition reach the driver-side merge; no global
+    sort, no single-partition exchange. Ties (probability ~2^-52) break
+    by doc_id in both engines."""
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(WS_SALT), _txt())), 1, 13),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    )
+    w = F.greatest(F.col("n_chars").cast("long"), F.lit(1))
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            w.alias("weight"),
+            (w.cast("double") / u.cast("double")).alias("priority"),
+        )
+        .orderBy(F.col("priority").desc(), F.col("doc_id").asc())
+        .limit(WS_K)
+    )
+
+
+def q_skyline_docs(spark, sf_dir):
+    """2-D skyline (pareto frontier) over documents: the docs for which
+    no other doc has (tokens >=, chars <=) with at least one strict —
+    the density frontier a curation pass keeps when it wants maximal
+    token mass at minimal byte cost (Borzsony/Kossmann/Stocker,
+    ICDE'01 semantics). Both metrics are exact integers, so dominance
+    is engine-exact.
+
+    Shape for 100 TB: the naive skyline is an O(N^2) NOT-EXISTS
+    self-join (the DuckDB oracle runs exactly that, at oracle scale).
+    The Spark plan instead aggregates to the (toks -> min(chars)) GRID
+    first — a partial+final hash aggregate whose cardinality is bounded
+    by the number of DISTINCT token counts, not by N — then runs the
+    suffix-min window over that tiny grid (the same agg-below-window
+    ordering spearman_signals pins), and broadcast-joins the frontier
+    back onto the docs. A doc (t, p) survives iff p == min_chars(t) and
+    p < suffix_min over all t' > t (strictly-greater token counts);
+    equal (t, p) twins both stay because neither strictly dominates."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split(_txt(), " ", -1)).cast("long").alias("toks"),
+        F.col("n_chars").cast("long").alias("chars"),
+    )
+    grid = d.groupBy("toks").agg(F.min("chars").alias("min_chars"))
+    # Window over the aggregated grid (|grid| = distinct token counts,
+    # bounded and tiny), never over raw rows — agg below window.
+    suffix = Window.orderBy(F.col("toks").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    front = grid.select(
+        F.col("toks").alias("_ft"),
+        F.col("min_chars").alias("_fc"),
+        F.min("min_chars").over(suffix).alias("_suf"),
+    ).filter(F.col("_suf").isNull() | (F.col("_fc") < F.col("_suf")))
+    return d.join(
+        F.broadcast(front),
+        (d["toks"] == F.col("_ft")) & (d["chars"] == F.col("_fc")),
+    ).select("doc_id", "toks", "chars")
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -7763,6 +7910,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_scan": q_url_scan,
         "value_correlation": q_value_correlation,
         "spearman_signals": q_spearman_signals,
+        "tool_assoc": q_tool_assoc,
+        "weighted_sample": q_weighted_sample,
+        "skyline_docs": q_skyline_docs,
         "corpus_curate": q_corpus_curate,
         "oov_fraction": q_oov_fraction,
         "sentinel_text": q_sentinel_text,
@@ -8081,6 +8231,54 @@ def oracle_sql() -> dict[str, str]:
                      AS dup_frac,
                    total_chars::DOUBLE / n_docs::DOUBLE AS mean_chars
             FROM a
+        """,
+        "tool_assoc": f"""
+            WITH t AS (
+              SELECT DISTINCT (doc_id % 97)::BIGINT AS conv,
+                     {_tool_case_sql()} AS tool
+              FROM documents WHERE doc_id % 3 = 2),
+            tot AS (SELECT count(DISTINCT conv)::BIGINT AS total FROM t),
+            per AS (SELECT tool, count(*)::BIGINT AS n FROM t GROUP BY tool),
+            pairs AS (
+              SELECT a.tool AS tool_a, b.tool AS tool_b,
+                     count(*)::BIGINT AS n_both
+              FROM t a JOIN t b
+                ON a.conv = b.conv AND a.tool < b.tool
+              GROUP BY 1, 2)
+            SELECT p.tool_a, p.tool_b, p.n_both,
+                   pa.n AS n_a, pb.n AS n_b,
+                   p.n_both::DOUBLE / tot.total::DOUBLE AS support,
+                   p.n_both::DOUBLE / pa.n::DOUBLE AS confidence,
+                   (p.n_both * tot.total)::DOUBLE
+                     / (pa.n * pb.n)::DOUBLE AS lift
+            FROM pairs p
+            JOIN per pa ON p.tool_a = pa.tool
+            JOIN per pb ON p.tool_b = pb.tool
+            CROSS JOIN tot
+        """,
+        "weighted_sample": f"""
+            SELECT doc_id,
+                   greatest(n_chars::BIGINT, 1) AS weight,
+                   greatest(n_chars::BIGINT, 1)::DOUBLE
+                     / ((concat('0x', substr(md5(concat('{WS_SALT}',
+                          coalesce(text,''))), 1, 13)))::BIGINT + 1)::DOUBLE
+                     AS priority
+            FROM documents
+            ORDER BY priority DESC, doc_id ASC
+            LIMIT {WS_K}
+        """,
+        "skyline_docs": """
+            WITH d AS (
+              SELECT doc_id,
+                     len(string_split(coalesce(text,''), ' '))::BIGINT
+                       AS toks,
+                     n_chars::BIGINT AS chars
+              FROM documents)
+            SELECT d.doc_id, d.toks, d.chars FROM d
+            WHERE NOT EXISTS (
+              SELECT 1 FROM d o
+              WHERE o.toks >= d.toks AND o.chars <= d.chars
+                AND (o.toks > d.toks OR o.chars < d.chars))
         """,
         "spearman_signals": """
             WITH d AS (

@@ -1001,3 +1001,62 @@ def test_spearman_signals_plan(spark):
     assert min(agg_ids) < min(win_ids), plan
     assert "partial_" in plan, plan
     assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    """weighted_sample: the top-k must compile to TakeOrderedAndProject
+    (per-task k-row heaps, k rows per partition to the driver merge) —
+    never a global Sort/Exchange — and the priority math stays JVM-side
+    over the pruned 3-column scan."""
+    import __spark_entry__ as E
+
+    plan = _fmt_plan(E.q_weighted_sample(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange" not in plan, plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "doc_id", "text", "n_chars"
+    }, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+
+def test_skyline_plan_is_grid_window_plus_broadcast(spark):
+    """skyline_docs: the O(N^2) NOT-EXISTS oracle must NOT be the Spark
+    plan — instead a partial+final hash aggregate builds the
+    (toks -> min chars) grid BELOW the single Window, and the frontier
+    broadcast-joins back onto the docs (no sort-merge join, no
+    nested-loop join)."""
+    import __spark_entry__ as E
+
+    plan = _fmt_plan(E.q_skyline_docs(spark, "/root/testdata/sf0.001"))
+    assert plan.count(") Window") == 1, plan
+    assert "partial_min" in plan, plan
+    win_ids = [int(m) for m in re.findall(r"\((\d+)\) Window\b", plan)]
+    agg_ids = [int(m) for m in re.findall(r"\((\d+)\) HashAggregate", plan)]
+    assert min(agg_ids) < min(win_ids), plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "NestedLoop" not in plan and "SortMergeJoin" not in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+
+def test_tool_assoc_plan_distinct_before_pair_join(spark):
+    """tool_assoc: the conv self-join must consume the DISTINCT
+    (conv, tool) aggregate, not raw turns — both join inputs sit above
+    hash aggregates — and the per-tool counts + 1-row total attach as
+    broadcasts; divisions stay JVM-side."""
+    import __spark_entry__ as E
+
+    plan = _fmt_plan(E.q_tool_assoc(spark, "/root/testdata/sf0.001"))
+    assert "partial_" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    join_ids = [
+        int(m)
+        for m in re.findall(
+            r"\((\d+)\) (?:Broadcast|Shuffled)HashJoin", plan
+        )
+    ]
+    agg_ids = [int(m) for m in re.findall(r"\((\d+)\) HashAggregate", plan)]
+    # in "formatted" explain, larger id = deeper in the tree; the
+    # deepest operator family here must be the distinct aggregates
+    assert max(agg_ids) > max(join_ids), plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
