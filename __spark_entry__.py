@@ -7860,6 +7860,19 @@ def q_skyline_docs(spark, sf_dir):
     ).select("doc_id", "toks", "chars")
 
 
+def q_setsim_join(spark, sf_dir):
+    """Exact set-similarity self-join over word-trigram shingle sets at
+    Jaccard >= 1/2 (SSJoin prefix filtering; ops/dedup.setsim_join) —
+    the zero-false-negative exact counterpart of minhash_dedup /
+    simhash_neardup. The DuckDB oracle runs the NAIVE all-pairs join, so
+    every gate run re-proves the prefix filter lossless end-to-end; the
+    accept test is pure int64 on both engines and jaccard is one IEEE
+    division of exact ints."""
+    from qamd_spark.ops.dedup import setsim_join
+
+    return setsim_join(_docs(spark, sf_dir), n=3, t_num=1, t_den=2)
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -7913,6 +7926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_assoc": q_tool_assoc,
         "weighted_sample": q_weighted_sample,
         "skyline_docs": q_skyline_docs,
+        "setsim_join": q_setsim_join,
         "corpus_curate": q_corpus_curate,
         "oov_fraction": q_oov_fraction,
         "sentinel_text": q_sentinel_text,
@@ -8266,6 +8280,29 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY priority DESC, doc_id ASC
             LIMIT {WS_K}
+        """,
+        "setsim_join": """
+            WITH d AS (
+              SELECT doc_id,
+                     string_split(lower(trim(coalesce(text,''))), ' ')
+                       AS w
+              FROM documents
+              WHERE trim(coalesce(text,'')) <> ''),
+            s AS (
+              SELECT doc_id,
+                     list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                    for i in range(1, len(w) - 1)])
+                       AS toks
+              FROM d WHERE len(w) >= 3),
+            p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     len(list_intersect(a.toks, b.toks))::BIGINT AS inter,
+                     len(a.toks)::BIGINT AS na, len(b.toks)::BIGINT AS nb
+              FROM s a JOIN s b ON a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b, inter, na, nb,
+                   inter::DOUBLE / (na + nb - inter)::DOUBLE AS jaccard
+            FROM p
+            WHERE inter * 3 >= (na + nb) * 1
         """,
         "skyline_docs": """
             WITH d AS (

@@ -294,6 +294,13 @@ def run_benchmarks() -> dict:
         "scd2_build",
         "triplet_mine",
         "trend_slope",
+        "spearman_signals",
+        "hybrid_search",
+        "substr_dedup",
+        "tool_assoc",
+        "weighted_sample",
+        "skyline_docs",
+        "setsim_join",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

@@ -1145,3 +1145,156 @@ def substr_dedup(
         (F.size("_toks") - F.size(clean)).cast("int").alias("n_removed"),
         F.size(ss).cast("int").alias("n_dropped_windows"),
     )
+
+
+def setsim_join(
+    df: DataFrame,
+    n: int = 3,
+    t_num: int = 1,
+    t_den: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT set-similarity self-join with prefix filtering (SSJoin,
+    Chaudhuri/Ganti/Kaushik ICDE'06; prefix ordering per Bayardo et al.
+    WWW'07, the algorithm family PPJoin refines): all document pairs
+    whose word-n-gram shingle sets have Jaccard >= t_num/t_den, with
+    ZERO false negatives — the exact counterpart of the probabilistic
+    minhash/simhash paths (reference parity: the same duplicate-value
+    intent as src/check/post.rs DuplicateValues, lifted to fuzzy text).
+
+    Exactness discipline: the threshold is carried as a rational. The
+    accept test is inter*(t_num+t_den) >= t_num*(na+nb) — pure int64
+    (J >= t  <=>  inter*den >= num*(na+nb-inter)) — and the emitted
+    jaccard is ONE IEEE division of exact ints, so a SQL engine running
+    the naive all-pairs join bit-matches (the DuckDB oracle does exactly
+    that, which also empirically re-proves the filter lossless on every
+    gate run).
+
+    Scale shape (the reason this isn't an all-pairs join): a doc pair
+    with J >= t must (a) have size ratio min/max >= t and (b) share a
+    token among each side's first |s| - ceil(t*|s|) + 1 tokens under a
+    GLOBAL rarest-first frequency order (prefix-filter lemma). So the
+    join explodes ONLY prefixes, ordered by broadcast-free document
+    frequencies from one hash aggregate; the PPJoin POSITIONAL filter
+    (Xiao et al. WWW'08 lemma 2) then drops any candidate whose best
+    possible overlap 1 + min(na-1-pa, nb-1-pb) — pa/pb the 0-based
+    prefix positions of the shared token in each side's global order —
+    falls below the required overlap ceil(t/(1+t)*(na+nb)); survivors
+    collapse through a distinct (partial+final agg) BEFORE the verify
+    joins; the exact intersection runs once per surviving candidate via
+    array_intersect on the two shingle arrays (bounded by candidates,
+    never N^2). Both ceilings are computed as (x + d - 1) div d — exact
+    integer ceiling, no float boundary risk anywhere in the filters.
+
+    The frequency ranking attaches via a JOIN back onto the exploded
+    shingles (never collect_list(doc) per token: a hot template shingle
+    appearing in millions of docs would make that list a single-row
+    bomb, while the join shuffles it across partitions). At bench scale
+    (sf0.1, one parquet block) AQE coalesces every stage to one task, so
+    wall time there is serial-execution floor, not plan cost."""
+    from pyspark.storagelevel import StorageLevel
+
+    from qamd_spark.ops.text import word_ngrams, words_array
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(
+            word_ngrams(words_array(F.col(text_col)), n)
+        ).alias("toks"),
+    ).filter(F.size("toks") > 0)
+    tok = toks.select("doc", F.explode("toks").alias("token"))
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("dfr"))
+    # The ranked relation feeds FOUR consumers (both self-join sides and
+    # both verify sides); without pinning it the diamond re-runs the
+    # scan+shingle+dfreq pipeline 12x (measured; neither static nor AQE
+    # exchange reuse collapses it). Same persist discipline as
+    # simhash_neardups above — ~corpus-sized, spills to disk.
+    ranked = (
+        tok.join(dfreq, "token")
+        .groupBy("doc")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dfr", "token"))).alias(
+                "rt"
+            ),
+            F.count(F.lit(1)).cast("long").alias("nt"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ceil_tn = F.floor(
+        (F.col("nt") * t_num + t_den - 1) / F.lit(t_den)
+    ).cast("long")
+    plen = (F.col("nt") - ceil_tn + 1).cast("int")
+    pref = ranked.select(
+        "doc",
+        "nt",
+        F.posexplode(
+            F.slice(F.col("rt").getField("token"), F.lit(1), plen)
+        ).alias("pos", "token"),
+    )
+    a = pref.select(
+        F.col("doc").alias("doc_a"),
+        F.col("nt").alias("na"),
+        F.col("pos").alias("pa"),
+        "token",
+    )
+    b = pref.select(
+        F.col("doc").alias("doc_b"),
+        F.col("nt").alias("nb"),
+        F.col("pos").alias("pb"),
+        F.col("token").alias("tok_b"),
+    )
+    # required overlap for J >= t: alpha = ceil(t/(1+t) * (na+nb))
+    alpha = F.floor(
+        ((F.col("na") + F.col("nb")) * t_num + t_num + t_den - 1)
+        / F.lit(t_num + t_den)
+    )
+    ubound = 1 + F.least(
+        F.col("na") - 1 - F.col("pa"), F.col("nb") - 1 - F.col("pb")
+    )
+    cand = (
+        a.join(b, (a["token"] == b["tok_b"]) & (a["doc_a"] < b["doc_b"]))
+        .filter(
+            F.least("na", "nb") * t_den >= F.greatest("na", "nb") * t_num
+        )
+        .filter(ubound >= alpha)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # verify arrays come off the SAME persisted relation (array_intersect
+    # is order-insensitive, so the frequency-sorted token arrays serve)
+    ta = ranked.select(
+        F.col("doc").alias("doc_a"),
+        F.col("rt").getField("token").alias("toks_a"),
+    )
+    tb = ranked.select(
+        F.col("doc").alias("doc_b"),
+        F.col("rt").getField("token").alias("toks_b"),
+    )
+    v = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("toks_a", "toks_b"))
+            .cast("long")
+            .alias("inter"),
+            F.size("toks_a").cast("long").alias("na"),
+            F.size("toks_b").cast("long").alias("nb"),
+        )
+    )
+    return v.filter(
+        F.col("inter") * (t_num + t_den)
+        >= (F.col("na") + F.col("nb")) * t_num
+    ).select(
+        "doc_a",
+        "doc_b",
+        "inter",
+        "na",
+        "nb",
+        (
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+        ).alias("jaccard"),
+    )

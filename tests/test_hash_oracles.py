@@ -707,3 +707,66 @@ def test_dsir_resample_rejects_string_ids(spark):
 
     with pytest.raises(ValueError, match="integer id"):
         smp.dsir_resample(df, k=1)
+
+
+def test_setsim_join_matches_bruteforce_all_pairs(spark, docs_df, docs_pdf):
+    """setsim_join's prefix filter must be LOSSLESS: the exact all-pairs
+    brute force over the same trigram shingle sets (pure Python, no
+    shared code) produces the identical pair set with identical integer
+    intersection sizes and bit-identical jaccard."""
+    got = _sorted(
+        dd.setsim_join(docs_df, n=3, t_num=1, t_den=2).toPandas(),
+        ["doc_a", "doc_b"],
+    )
+
+    def shingles(text):
+        w = (text or "").strip().lower()
+        if not w:
+            return frozenset()
+        ws = w.split(" ")
+        return frozenset(
+            " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+        )
+
+    sets = {
+        int(r.doc_id): shingles(r.text)
+        for r in docs_pdf.itertuples()
+        if shingles(r.text)
+    }
+    ids = sorted(sets)
+    rows = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            na, nb = len(sets[a]), len(sets[b])
+            if inter * 3 >= (na + nb) * 1:
+                rows.append((a, b, inter, na, nb, inter / (na + nb - inter)))
+    want = _sorted(
+        pd.DataFrame(
+            rows, columns=["doc_a", "doc_b", "inter", "na", "nb", "jaccard"]
+        ),
+        ["doc_a", "doc_b"],
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_setsim_join_planted_pair_and_threshold_edge(spark):
+    """A planted append-one-word near-dup (9 of 10 shingles shared,
+    J = 9/10) must surface with exact integer counts and bit-exact
+    jaccard; an unrelated doc and a doc under 3 words never appear."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    rows = [
+        (1, base),
+        (2, base + " extra"),          # high-overlap near-dup of 1
+        (3, "totally different words here nothing shared at all ok"),
+        (4, "tiny doc"),               # < 3 words: no shingles
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = dd.setsim_join(df, n=3, t_num=1, t_den=2).toPandas()
+    pairs = set(zip(got.doc_a, got.doc_b))
+    assert (1, 2) in pairs
+    assert all(4 not in p and 3 not in p for p in pairs)
+    r = got[(got.doc_a == 1) & (got.doc_b == 2)].iloc[0]
+    assert (r.inter, r.na, r.nb) == (9, 9, 10)
+    assert r.jaccard == 9 / 10

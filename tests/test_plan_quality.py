@@ -1060,3 +1060,27 @@ def test_tool_assoc_plan_distinct_before_pair_join(spark):
     # deepest operator family here must be the distinct aggregates
     assert max(agg_ids) > max(join_ids), plan
     assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+
+def test_setsim_join_plan_is_prefix_filtered(spark):
+    """setsim_join: the candidate join must consume EXPLODED PREFIXES
+    (slice of the frequency-ranked shingle array -> Generate nodes),
+    candidates must collapse through a distinct hash aggregate BEFORE
+    the verify joins, and everything stays JVM-side (no Python eval).
+    The all-pairs shape (a cartesian/nested-loop join) must not appear."""
+    import __spark_entry__ as E
+
+    plan = _fmt_plan(E.q_setsim_join(spark, "/root/testdata/sf0.001"))
+    assert "Generate" in plan and "explode" in plan, plan
+    assert "slice(" in plan, plan
+    assert "partial_" in plan, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+    # the keys of some HashAggregate are exactly the candidate pair ids
+    assert re.search(r"Keys \[2\]: \[doc_a#\d+L?, doc_b#\d+L?\]", plan), plan
+    # the ranked-shingle relation feeds 4 consumers and MUST be pinned —
+    # without the persist the scan+shingle+rank pipeline re-runs 12x.
+    # (every "Scan parquet" in this explain sits INSIDE the cached
+    # relation's printed build plan; live reads all go through the
+    # InMemoryTableScans, one per consumer branch)
+    assert plan.count("InMemoryTableScan") >= 4, plan
