@@ -7095,6 +7095,37 @@ def q_bm25_search(spark, sf_dir):
     )
 
 
+def _semantic_sims(spark, sf_dir):
+    """Shared semantic scorer: (qid, doc_id, sim) — cosine of every
+    embedding row against the query embeddings (vec_id == qid of
+    BM25_QUERIES), dot and norms as fixed-order left-folds. One helper
+    so hybrid_search and rank_rbo can never drift apart (the same
+    discipline as _bm25_scores)."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    qids = [qid for qid, _ in BM25_QUERIES]
+    q = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").cast("int").alias("qid"), F.col("e").alias("qe")
+    )
+    dot = F.aggregate(
+        F.zip_with("e", "qe", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    return emb.crossJoin(F.broadcast(q)).select(
+        "qid",
+        F.col("vec_id").alias("doc_id"),
+        (dot / (norm("e") * norm("qe"))).alias("sim"),
+    )
+
+
 def q_hybrid_search(spark, sf_dir):
     """Hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke &
     Buettcher 2009): the lexical BM25 top-30 (shared _bm25_scores
@@ -7115,29 +7146,7 @@ def q_hybrid_search(spark, sf_dir):
     lex = grouped_topk(
         _bm25_scores(spark, sf_dir), "qid", "score", "doc_id", 30
     ).select("qid", "doc_id", F.col("rank").cast("int").alias("lex_rank"))
-    emb = _emb(spark, sf_dir).select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
-    )
-    qids = [qid for qid, _ in BM25_QUERIES]
-    q = emb.filter(F.col("vec_id").isin(qids)).select(
-        F.col("vec_id").cast("int").alias("qid"), F.col("e").alias("qe")
-    )
-    dot = F.aggregate(
-        F.zip_with("e", "qe", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-        )
-    )
-    sims = emb.crossJoin(F.broadcast(q)).select(
-        "qid",
-        F.col("vec_id").alias("doc_id"),
-        (dot / (norm("e") * norm("qe"))).alias("sim"),
-    )
+    sims = _semantic_sims(spark, sf_dir)
     sem = grouped_topk(sims, "qid", "sim", "doc_id", 30).select(
         "qid", "doc_id", F.col("rank").cast("int").alias("sem_rank")
     )
@@ -7160,6 +7169,76 @@ def q_hybrid_search(spark, sf_dir):
         )
     )
 
+
+
+RBO_K = 10  # rank-biased overlap truncation depth
+RBO_P_NUM, RBO_P_DEN = 1, 2  # persistence p = 1/2 (dyadic => exact terms)
+
+
+def q_rank_rbo(spark, sf_dir):
+    """Rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010) between
+    the lexical BM25 top-10 and the semantic cosine top-10, per query —
+    the agreement metric behind hybrid retrieval: RBO ~ 1 means the two
+    retrievers see the same ranking (fusion adds nothing), RBO ~ 0
+    means they are complementary (fusion is load-bearing). Truncated
+    prefix form at depth K with persistence p = 1/2:
+    RBO@K = sum_{d=1..K} overlap_d / (d * 2^d), overlap_d the size of
+    the intersection of the two depth-d prefixes.
+
+    Bit-exactness discipline: with p = 1/2 every weight (1-p)*p^(d-1)
+    is the dyadic 2^-d, so each term is ONE IEEE division of the exact
+    int overlap_d by the PLAN-TIME constant d*2^d, and the sum is a
+    fixed left-associated chain d = 1..K — written identically in the
+    DuckDB twin, hence bit-equal with no log/exp/pow at runtime.
+
+    Shape for 100 TB: both top-10 lists come from the window-free
+    two-phase grouped_topk (skew-safe); the per-query ordered arrays
+    are <= K elements, so the RBO math runs on a |queries|-row relation
+    — the prefix intersections never touch the corpus."""
+    from qamd_spark.ops.text import grouped_topk
+
+    lex = grouped_topk(
+        _bm25_scores(spark, sf_dir), "qid", "score", "doc_id", RBO_K
+    )
+    sem = grouped_topk(
+        _semantic_sims(spark, sf_dir), "qid", "sim", "doc_id", RBO_K
+    )
+
+    def ordered(df, name):
+        return df.groupBy("qid").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("rank"), F.col("doc_id")))
+                ),
+                lambda s: s.getField("doc_id"),
+            ).alias(name)
+        )
+
+    j = ordered(lex, "la").join(ordered(sem, "lb"), "qid")
+    inter_at = lambda d: F.size(  # noqa: E731
+        F.array_intersect(
+            F.slice(F.col("la"), 1, d), F.slice(F.col("lb"), 1, d)
+        )
+    ).cast("long")
+    # explicit left-fold (not a bare + chain, which Catalyst may
+    # reassociate) — mirrors the DuckDB twin's list_reduce exactly
+    rbo = F.aggregate(
+        F.array(
+            *[
+                inter_at(d).cast("double") / F.lit(float(d * (1 << d)))
+                for d in range(1, RBO_K + 1)
+            ]
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return j.select(
+        "qid",
+        F.size("la").cast("long").alias("n_lex"),
+        F.size("lb").cast("long").alias("n_sem"),
+        inter_at(RBO_K).alias("overlap_topk"),
+        F.round(rbo, 9).alias("rbo"),
+    ).withColumn("qid", F.col("qid").cast("int"))
 
 
 VIEW_CUTOFF = "2024-01-16"
@@ -7927,6 +8006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "skyline_docs": q_skyline_docs,
         "setsim_join": q_setsim_join,
+        "rank_rbo": q_rank_rbo,
         "corpus_curate": q_corpus_curate,
         "oov_fraction": q_oov_fraction,
         "sentinel_text": q_sentinel_text,
@@ -11279,7 +11359,54 @@ def oracle_sql() -> dict[str, str]:
                lex_rank::INT AS lex_rank, sem_rank::INT AS sem_rank,
                round(rrf, 9) AS rrf_score, rank::INT AS rank
         FROM rk WHERE rank <= 10
-    """    # The twin RECOMPUTES the view from the full table on purpose: the
+    """
+    # rank_rbo twin: same bm25 + cosine cores; RBO@10 with p=1/2 — each
+    # term divides the exact prefix-overlap int by the PLAN-TIME dyadic
+    # constant d*2^d, folded left in the identical order as the Spark
+    # F.aggregate, so the double is bit-equal with no pow() call.
+    _rbo_terms = ", ".join(
+        f"len(list_intersect(la[1:{d}], lb[1:{d}]))::DOUBLE"
+        f" / {float(d * (1 << d))}"
+        for d in range(1, 11)
+    )
+    _rbo_sum = (
+        f"list_reduce(list_prepend(0.0::DOUBLE, [{_rbo_terms}]),"
+        " (acc, x) -> acc + x)"
+    )
+    sqls["rank_rbo"] = f"""
+        WITH {_bm25_core},
+        lexr AS (
+          SELECT qid, doc_id,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY score DESC, doc_id)
+                   AS lex_rank
+          FROM doc),
+        lexl AS (SELECT qid, list(doc_id ORDER BY lex_rank) AS la
+                 FROM lexr WHERE lex_rank <= 10 GROUP BY qid),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        qe AS (SELECT vec_id AS qid, e AS qe FROM e
+               WHERE vec_id IN ({", ".join(str(q) for q, _ in BM25_QUERIES)})),
+        sims AS (
+          SELECT qid, vec_id AS doc_id,
+                 list_dot_product(e.e, qe.qe)
+                   / (sqrt(list_dot_product(e.e, e.e))
+                      * sqrt(list_dot_product(qe.qe, qe.qe))) AS sim
+          FROM e, qe),
+        semr AS (
+          SELECT qid, doc_id,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY sim DESC, doc_id)
+                   AS sem_rank
+          FROM sims),
+        seml AS (SELECT qid, list(doc_id ORDER BY sem_rank) AS lb
+                 FROM semr WHERE sem_rank <= 10 GROUP BY qid)
+        SELECT qid::INT AS qid,
+               len(la)::BIGINT AS n_lex, len(lb)::BIGINT AS n_sem,
+               len(list_intersect(la, lb))::BIGINT AS overlap_topk,
+               round({_rbo_sum}, 9) AS rbo
+        FROM lexl JOIN seml USING (qid)
+    """
+    # The twin RECOMPUTES the view from the full table on purpose: the
     # Spark side maintains it incrementally (base FULL OUTER delta), so
     # the gate proves the IVM equation incremental == recompute.
     sqls["view_maintain"] = """

@@ -301,6 +301,7 @@ def run_benchmarks() -> dict:
         "weighted_sample",
         "skyline_docs",
         "setsim_join",
+        "rank_rbo",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

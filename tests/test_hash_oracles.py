@@ -770,3 +770,18 @@ def test_setsim_join_planted_pair_and_threshold_edge(spark):
     r = got[(got.doc_a == 1) & (got.doc_b == 2)].iloc[0]
     assert (r.inter, r.na, r.nb) == (9, 9, 10)
     assert r.jaccard == 9 / 10
+
+
+def test_rank_rbo_invariants_and_identity_bound(spark):
+    """RBO@10 with p=1/2 lies in [0, 1 - 2^-10]; the upper bound is hit
+    exactly iff the two rankings agree on all 10 prefixes; the top-k
+    overlap can never exceed either list."""
+    import __spark_entry__ as E
+
+    out = E.q_rank_rbo(spark, SF).toPandas()
+    assert len(out) > 0
+    ub = 1.0 - 2.0 ** -10
+    assert (out.rbo >= 0).all() and (out.rbo <= ub + 1e-12).all()
+    assert (out.overlap_topk <= out[["n_lex", "n_sem"]].min(axis=1)).all()
+    ident = out[out.rbo == ub]
+    assert (ident.overlap_topk == 10).all()

@@ -1084,3 +1084,15 @@ def test_setsim_join_plan_is_prefix_filtered(spark):
     # relation's printed build plan; live reads all go through the
     # InMemoryTableScans, one per consumer branch)
     assert plan.count("InMemoryTableScan") >= 4, plan
+
+
+def test_rank_rbo_plan_is_window_free(spark):
+    """rank_rbo: both top-10 lists must come from the window-free
+    two-phase grouped_topk (no Window node anywhere — the corpus never
+    sorts), the RBO fold stays JVM-side, and aggregates are partial."""
+    import __spark_entry__ as E
+
+    plan = _fmt_plan(E.q_rank_rbo(spark, "/root/testdata/sf0.001"))
+    assert ") Window" not in plan, plan
+    assert "partial_" in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
