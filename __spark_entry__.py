@@ -7952,6 +7952,28 @@ def q_setsim_join(spark, sf_dir):
     return setsim_join(_docs(spark, sf_dir), n=3, t_num=1, t_den=2)
 
 
+def q_typo_mine(spark, sf_dir):
+    """Spelling-variant mining: all vocabulary token pairs within
+    Levenshtein distance 2, via the FastSS/SymSpell deletion-
+    neighborhood equi-join (ops/dedup.edit_join) — the vocabulary
+    canonicalization pass run before tokenizer training (merges
+    `colour`/`color`-style variants). The DuckDB oracle runs the NAIVE
+    all-pairs join with levenshtein(), so every gate run re-proves the
+    deletion-neighborhood candidate filter lossless end-to-end. Every
+    column is a string or an exact int — hash-green by construction."""
+    from qamd_spark.ops.dedup import edit_join
+
+    toks = F.explode(F.split(F.lower(_txt()), r"\s+", -1)).alias("tok")
+    vocab = (
+        _docs(spark, sf_dir)
+        .select(toks)
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return edit_join(vocab, max_ed=2)
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -8006,6 +8028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "skyline_docs": q_skyline_docs,
         "setsim_join": q_setsim_join,
+        "typo_mine": q_typo_mine,
         "rank_rbo": q_rank_rbo,
         "corpus_curate": q_corpus_curate,
         "oov_fraction": q_oov_fraction,
@@ -8360,6 +8383,20 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY priority DESC, doc_id ASC
             LIMIT {WS_K}
+        """,
+        "typo_mine": r"""
+            WITH w AS (
+              SELECT unnest(regexp_split_to_array(lower(coalesce(text,'')),
+                                                  '\s+')) AS tok
+              FROM documents),
+            v AS (
+              SELECT tok, count(*)::BIGINT AS c
+              FROM w WHERE tok <> '' GROUP BY tok)
+            SELECT a.tok AS tok_a, b.tok AS tok_b,
+                   levenshtein(a.tok, b.tok)::BIGINT AS dist,
+                   a.c AS c_a, b.c AS c_b
+            FROM v a JOIN v b ON a.tok < b.tok
+            WHERE levenshtein(a.tok, b.tok) <= 2
         """,
         "setsim_join": """
             WITH d AS (

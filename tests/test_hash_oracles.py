@@ -785,3 +785,73 @@ def test_rank_rbo_invariants_and_identity_bound(spark):
     assert (out.overlap_topk <= out[["n_lex", "n_sem"]].min(axis=1)).all()
     ident = out[out.rbo == ub]
     assert (ident.overlap_topk == 10).all()
+
+
+def test_edit_join_matches_bruteforce_levenshtein(spark):
+    """edit_join's deletion-neighborhood candidate filter must be
+    LOSSLESS at max_ed=2: an adversarial vocabulary exercising
+    transpositions ("from"/"form" — the case a naive 'share a
+    1-deletion' intuition gets wrong), double substitutions, pure
+    inserts/deletes, short tokens (len <= k sharing the empty variant),
+    and far-apart controls must reproduce the exact brute-force
+    Levenshtein pair set with exact distances."""
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    toks = [
+        "from", "form", "forum",      # transposition + insert chains
+        "color", "colour", "colors",  # the canonical variant family
+        "a", "at", "ab", "xy",        # short tokens (empty variant hub)
+        "kitten", "sitten", "sittin", # double-substitution ladder
+        "spark", "sparkle",           # +2 insert boundary (dist == 2)
+        "zzzzzz", "qqqq",             # far-apart controls (never pair)
+    ]
+    vocab = spark.createDataFrame(
+        [(t, i + 1) for i, t in enumerate(toks)], ["tok", "c"]
+    )
+    got = _sorted(
+        dd.edit_join(vocab, max_ed=2).toPandas(),
+        ["tok_a", "tok_b"],
+    )
+    cnt = {t: i + 1 for i, t in enumerate(toks)}
+    rows = [
+        (a, b, lev(a, b), cnt[a], cnt[b])
+        for a in toks
+        for b in toks
+        if a < b and lev(a, b) <= 2
+    ]
+    want = _sorted(
+        pd.DataFrame(rows, columns=["tok_a", "tok_b", "dist", "c_a", "c_b"]),
+        ["tok_a", "tok_b"],
+    )
+    assert ("form", "from") in {(r.tok_a, r.tok_b) for r in want.itertuples()}
+    assert len(want) >= 8
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_edit_join_plan_is_equi_join_never_cartesian(spark):
+    """The deletion-neighborhood join must plan as shuffle/broadcast
+    equi-joins — a CartesianProduct or BroadcastNestedLoopJoin anywhere
+    means the lossless filter degenerated to all-pairs."""
+    vocab = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(F.explode(F.split(F.lower("text"), r"\s+", -1)).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    plan = dd.edit_join(vocab, max_ed=2)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
