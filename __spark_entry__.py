@@ -7974,6 +7974,74 @@ def q_typo_mine(spark, sf_dir):
     return edit_join(vocab, max_ed=2)
 
 
+def q_quantile_norm(spark, sf_dir):
+    """Rank-based quantile normalization of per-document length across
+    sources (the Bolstad et al. 2003 microarray recipe, lifted to
+    corpus curation): each doc's length is replaced by the POOLED
+    order statistic at the same within-source quantile, so per-source
+    scale drift (one crawler truncates, another pads) is removed before
+    any global length gate is applied. The same shape normalizes any
+    per-doc quality score before mixing.
+
+    Exactness: within-source rank r and source size ns are exact ints;
+    the pooled index is the integer ceiling floor((r*N + ns - 1)/ns)
+    (exact under 2^53 — r*N <= 25e6 at sf0.1); the pooled order
+    statistic comes from a VALUE-level cumulative table, so every
+    emitted column is an exact int and the DuckDB twin bit-matches.
+
+    Scale: no global row_number over N docs (that single-partition
+    window is the scale-killer this plan avoids). The pooled side
+    aggregates to DISTINCT length values first (partial+final hash agg),
+    runs the one-partition running-sum window over that value-cardinality-
+    bounded table only (the skyline_docs grid precedent), and broadcasts
+    it into a range join — each doc probes one tiny broadcast relation,
+    matching exactly one [lo, hi] stripe. Per-source windows shuffle on
+    source (bounded partitions)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("chars")
+    )
+    w = Window.partitionBy("source").orderBy("chars", "doc_id")
+    ranked = d.select(
+        "doc_id",
+        "source",
+        "chars",
+        F.row_number().over(w).cast("long").alias("r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .cast("long")
+        .alias("ns"),
+    )
+    total = d.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = ranked.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "source",
+        "chars",
+        F.floor(
+            (F.col("r") * F.col("n") + F.col("ns") - 1) / F.col("ns")
+        )
+        .cast("long")
+        .alias("idx"),
+    )
+    cum = (
+        d.groupBy(F.col("chars").alias("pv"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .select(
+            "pv",
+            "c",
+            F.sum("c")
+            .over(Window.orderBy("pv").rowsBetween(Window.unboundedPreceding, 0))
+            .alias("hi"),
+        )
+        .select("pv", (F.col("hi") - F.col("c") + 1).alias("lo"), "hi")
+    )
+    return ranked.join(
+        F.broadcast(cum),
+        (F.col("idx") >= F.col("lo")) & (F.col("idx") <= F.col("hi")),
+    ).select(
+        "doc_id", "source", "chars", "idx", F.col("pv").alias("norm_chars")
+    )
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -8029,6 +8097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline_docs": q_skyline_docs,
         "setsim_join": q_setsim_join,
         "typo_mine": q_typo_mine,
+        "quantile_norm": q_quantile_norm,
         "rank_rbo": q_rank_rbo,
         "corpus_curate": q_corpus_curate,
         "oov_fraction": q_oov_fraction,
@@ -8383,6 +8452,33 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY priority DESC, doc_id ASC
             LIMIT {WS_K}
+        """,
+        "quantile_norm": """
+            WITH d AS (
+              SELECT doc_id, source, n_chars::BIGINT AS chars
+              FROM documents),
+            r AS (
+              SELECT doc_id, source, chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY chars, doc_id)::BIGINT AS r,
+                     count(*) OVER (PARTITION BY source)::BIGINT AS ns,
+                     (SELECT count(*) FROM d)::BIGINT AS n
+              FROM d),
+            i AS (
+              SELECT doc_id, source, chars,
+                     floor((r*n + ns - 1)::DOUBLE / ns::DOUBLE)::BIGINT
+                       AS idx
+              FROM r),
+            p AS (
+              SELECT chars AS pv, count(*)::BIGINT AS c
+              FROM d GROUP BY chars),
+            cum AS (
+              SELECT pv,
+                     sum(c) OVER (ORDER BY pv) - c + 1 AS lo,
+                     sum(c) OVER (ORDER BY pv) AS hi
+              FROM p)
+            SELECT i.doc_id, i.source, i.chars, i.idx, cum.pv AS norm_chars
+            FROM i JOIN cum ON i.idx BETWEEN cum.lo AND cum.hi
         """,
         "typo_mine": r"""
             WITH w AS (

@@ -1096,3 +1096,46 @@ def test_rank_rbo_plan_is_window_free(spark):
     assert ") Window" not in plan, plan
     assert "partial_" in plan, plan
     assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+
+def test_quantile_norm_plan_no_global_row_number(spark):
+    """quantile_norm: the per-doc side must only window PARTITION BY
+    source (never a global row_number over all docs); the pooled
+    cumulative table is the one unpartitioned window, built ABOVE a
+    partial+final hash aggregate that collapses to distinct length
+    values first; the probe is a broadcast nested-loop against that
+    value-cardinality-bounded relation (each row matches exactly one
+    stripe), never a sort-merge or cartesian."""
+    import __spark_entry__ as E
+
+    plan = _fmt_plan(E.q_quantile_norm(spark, "/root/testdata/sf0.001"))
+    # rank + per-source count plan as two source-partitioned Windows
+    # over ONE exchange; the third is the value-level cumulative sum
+    assert plan.count(") Window") == 3, plan
+    # the doc-side window carries its source partitioning;
+    # the value-side window sits above the distinct-value aggregate
+    assert "partial_count" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+    # window-over-N guard: every row_number window must name a
+    # partition expression (the global-sort variant has none)
+    for spec in re.findall(r"row_number\(\)[^,\]]*", plan):
+        assert "windowspecdefinition(source" in spec or "source" in spec, plan
+
+
+def test_typo_mine_plan_is_equi_join_with_distinct_before_verify(spark):
+    """typo_mine: variant self-join is an equi-join; candidates collapse
+    through a distinct aggregate BEFORE the levenshtein verify; counts
+    attach by equi-joins. No cartesian/nested-loop anywhere."""
+    import __spark_entry__ as E
+
+    plan = _fmt_plan(E.q_typo_mine(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "levenshtein" in plan, plan
+    agg_ids = [int(m) for m in re.findall(r"\((\d+)\) HashAggregate", plan)]
+    lev_at = plan.find("levenshtein")
+    assert agg_ids and lev_at > -1, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
