@@ -2614,6 +2614,20 @@ def q_frame_plan(spark, sf_dir):
     return mm.frame_sample_plan(mm.synth_media(spark, n=50, seed=11))
 
 
+def q_wav_profile(spark, sf_dir):
+    """REAL audio decode through the driver contract: deterministic
+    16-bit PCM WAV payloads (stdlib `wave` ENCODER — genuine RIFF files)
+    → stdlib `wave` DECODE inside an Arrow-batched mapInPandas stage →
+    per-clip signal profile (rate/frames/duration/peak/RMS/zero
+    crossings), with planted corrupt/empty payloads exercising the
+    dead-letter NULL row. Rows-only by design (binary payloads can't
+    cross into a SQL oracle); evidence is the bit-exact pure-Python
+    struct.unpack twin (oracle.wav_features_pdf) + tone goldens."""
+    from qamd_spark.ops import multimodal as mm
+
+    return mm.wav_features(mm.synth_wav_media(spark, n=48, seed=11))
+
+
 def q_phash_neardup(spark, sf_dir):
     """Perceptual-hash near-duplicates over media payloads (aHash on
     the decoded feature histogram, banded Hamming join — ops/
@@ -8042,6 +8056,20 @@ def q_quantile_norm(spark, sf_dir):
     )
 
 
+def q_kcenter_coreset(spark, sf_dir):
+    """Greedy k-center coreset over the embeddings table (Gonzalez
+    2-approximation; ops/similarity.kcenter_select): the 8 mutually
+    farthest vectors plus the coverage-radius sequence — the diverse-
+    subset selection pass of embedding-space curation (the diversity
+    complement of prototypicality's redundancy pruning). Rows-only by
+    design (iterative arg-max is not SQL-expressible); evidence is the
+    bit-exact pure-Python twin test (oracle.kcenter_select_pdf) plus a
+    2-approximation property test."""
+    from qamd_spark.ops.similarity import kcenter_select
+
+    return kcenter_select(_emb(spark, sf_dir), k=8)
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -8098,6 +8126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setsim_join": q_setsim_join,
         "typo_mine": q_typo_mine,
         "quantile_norm": q_quantile_norm,
+        "kcenter_coreset": q_kcenter_coreset,
         "rank_rbo": q_rank_rbo,
         "corpus_curate": q_corpus_curate,
         "oov_fraction": q_oov_fraction,
@@ -8269,6 +8298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "phash_neardup": q_phash_neardup,
         "frame_plan": q_frame_plan,
+        "wav_profile": q_wav_profile,
     }
 
 

@@ -697,3 +697,90 @@ def pca_project_pdf(emb: pd.DataFrame, model) -> pd.DataFrame:
         out[f"pc{i + 1}"] = Y[:, i]
     out["recon_err"] = err
     return pd.DataFrame(out)
+
+
+def kcenter_select_pdf(
+    emb: pd.DataFrame, k: int = 8, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Exact twin of ops.similarity.kcenter_select: pure-Python
+    sequential left-fold squared-L2 (NOT numpy pairwise summation —
+    the fold order must match Spark's F.aggregate bit-for-bit),
+    min-over-centers, arg-max with (dist desc, id asc) tie-break."""
+    rows = sorted(
+        (int(i), [float(x) for x in v])
+        for i, v in zip(emb[id_col], emb[vec_col])
+    )
+
+    def d2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    centers = [rows[0]]
+    out = [(0, rows[0][0], None)]
+    for _ in range(1, k):
+        best_id, best_vec, best_md = None, None, -1.0
+        for rid, rvec in rows:
+            md = min(d2(rvec, cv) for _, cv in centers)
+            if md > best_md or (md == best_md and rid < best_id):
+                best_id, best_vec, best_md = rid, rvec, md
+        centers.append((best_id, best_vec))
+        out.append((len(centers) - 1, best_id, best_md))
+    return pd.DataFrame(out, columns=["sel_order", "vec_id", "radius_sq"])
+
+
+def wav_features_pdf(media: pd.DataFrame) -> pd.DataFrame:
+    """Exact twin of ops.multimodal.wav_features: the same stdlib wave
+    decode, but all sample math re-implemented as a pure-Python
+    struct.unpack loop with exact integer accumulation (no numpy), so
+    any vectorization bug in the Spark stage surfaces as a mismatch."""
+    import io
+    import math
+    import struct
+    import wave
+
+    out = []
+    for mid, payload in zip(media["media_id"], media["payload"]):
+        b = bytes(payload) if payload is not None else b""
+        try:
+            with wave.open(io.BytesIO(b)) as w:
+                if w.getsampwidth() != 2:
+                    raise ValueError("non-16-bit PCM")
+                sr = w.getframerate()
+                nch = w.getnchannels()
+                nf = w.getnframes()
+                raw = w.readframes(nf)
+            n = len(raw) // 2
+            samples = struct.unpack("<%dh" % n, raw[: 2 * n])
+            sumsq = 0
+            peak = 0
+            zc = 0
+            prev_neg = None
+            for s in samples:
+                sumsq += s * s
+                if abs(s) > peak:
+                    peak = abs(s)
+                neg = s < 0
+                if prev_neg is not None and neg != prev_neg:
+                    zc += 1
+                prev_neg = neg
+            out.append(
+                (
+                    mid, sr, nch, nf,
+                    1000 * nf // sr if sr else None,
+                    peak,
+                    math.sqrt(sumsq / n) if n else 0.0,
+                    zc,
+                )
+            )
+        except Exception:
+            out.append((mid, None, None, None, None, None, None, None))
+    return pd.DataFrame(
+        out,
+        columns=[
+            "media_id", "sample_rate", "n_channels", "n_frames",
+            "duration_ms", "peak", "rms", "zero_crossings",
+        ],
+    )

@@ -3,13 +3,17 @@
 Image/audio/video payloads are carried as `binary` columns with a typed
 metadata struct. Decode/feature-extraction run as Arrow-batched pandas
 stages over mapInPandas — the Spark-side plumbing (schema, batching,
-partition sizing) is real and tested. The codec step is import-gated:
-`decode_stub=True` produces a deterministic fake decode so the pipeline
-shape is exercised end-to-end without any media library;
-`decode_stub=False` uses PIL (images) / soundfile (audio) when those
-optional dependencies are installed, and raises NotImplementedError in
-codec-free containers like this sandbox (integration tests skip via
-importorskip).
+partition sizing) is real and tested. Codec status per modality:
+
+- audio (16-bit PCM WAV): REAL and always-on — `wav_features` decodes
+  RIFF/WAVE with the stdlib `wave` parser (no optional dependency, runs
+  in this container; bit-exact pure-Python twin + tone goldens).
+- images / other audio formats: import-gated — `decode_stub=True`
+  produces a deterministic fake decode so the pipeline shape is
+  exercised end-to-end without any media library; `decode_stub=False`
+  uses PIL (images) / soundfile (audio) when those optional
+  dependencies are installed, and raises NotImplementedError in
+  codec-free containers (integration tests skip via importorskip).
 
 Scale notes: binary payloads dominate row size, so feature stages select
 ONLY (id, payload) — column pruning keeps the text/metadata out of the
@@ -418,6 +422,138 @@ def synth_media(spark, n: int = 50, seed: int = 11) -> DataFrame:
                     "width": 64 if kind == "image" else None,
                     "height": 64 if kind == "image" else None,
                     "duration_ms": 3500 if kind != "image" else None,
+                },
+            )
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------- real WAV
+# A REAL codec path that executes in this container: RIFF/WAVE PCM via the
+# stdlib `wave` module (no optional dependency, no stub). This closes the
+# "codec stubbed" gap for audio — images stay PIL-gated above because the
+# stdlib has no image decoder.
+
+_WAV_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def wav_features(
+    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL audio decode + per-clip signal profile over 16-bit PCM WAV
+    payloads: (sample_rate, channels, frames, duration, peak amplitude,
+    RMS, zero crossings) — the corpus-level audio QA pass (silence /
+    clipping / mono-stereo audits) run before audio enters a training
+    mix. Decoding is the stdlib `wave` parser — an actual RIFF header +
+    PCM frame decode, executed (not stubbed, not import-gated) in this
+    container and covered by a bit-exact pure-Python twin
+    (oracle.wav_features_pdf) plus synthesized-tone goldens.
+
+    Exactness: samples are int16; peak = max |s| and zero_crossings =
+    #{i : sign(s_i) != sign(s_{i+1})} (negative vs non-negative, over
+    the interleaved stream) are exact int64; sum(s^2) is an exact int64
+    (< 2^63 for any clip under ~2.5e9 samples), so rms =
+    sqrt(sumsq/n) is one IEEE division + one sqrt — bit-stable across
+    engines. Undecodable / non-WAV payloads yield a NULL-rate row
+    (sample_rate NULL) rather than failing the batch — the dead-letter
+    convention of a 100 TB media sweep.
+
+    Scale: one Arrow-batched mapInPandas stage, column-pruned to
+    (id, payload); numpy does the per-clip sample math (no per-sample
+    Python). duration_ms = floor(1000 * frames / rate) — exact ints."""
+    import io as _io
+    import wave as _wave
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in _WAV_SCHEMA.fields}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                rows["media_id"].append(mid)
+                try:
+                    with _wave.open(_io.BytesIO(b)) as w:
+                        if w.getsampwidth() != 2:
+                            raise ValueError("non-16-bit PCM")
+                        sr = w.getframerate()
+                        nch = w.getnchannels()
+                        nf = w.getnframes()
+                        raw = w.readframes(nf)
+                    s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                    sumsq = int(np.add.reduce(s * s)) if s.size else 0
+                    neg = s < 0
+                    zc = int(np.add.reduce((neg[:-1] != neg[1:]).astype(np.int64))) if s.size > 1 else 0
+                    rows["sample_rate"].append(sr)
+                    rows["n_channels"].append(nch)
+                    rows["n_frames"].append(nf)
+                    rows["duration_ms"].append(1000 * nf // sr if sr else None)
+                    rows["peak"].append(int(np.abs(s).max()) if s.size else 0)
+                    rows["rms"].append(
+                        float(np.sqrt(sumsq / s.size)) if s.size else 0.0
+                    )
+                    rows["zero_crossings"].append(zc)
+                except Exception:
+                    for k in ("sample_rate", "n_channels", "n_frames",
+                              "duration_ms", "peak", "rms", "zero_crossings"):
+                        rows[k].append(None)
+            yield pd.DataFrame(rows)
+
+    return media.select(id_col, payload_col).mapInPandas(run, schema=_WAV_SCHEMA)
+
+
+def synth_wav_media(spark, n: int = 48, seed: int = 11) -> DataFrame:
+    """Deterministic REAL WAV payload table: 16-bit PCM mono tones
+    (sine / square alternating) at frequencies {220..660} Hz, 8 kHz
+    sample rate, 125–1000 ms — encoded with the stdlib `wave` writer,
+    so every payload is a genuine RIFF/WAVE file. One corrupt payload
+    and one empty payload are planted per 16 rows to exercise the
+    dead-letter path. No RNG: all parameters derive from the row index
+    and `seed` arithmetically."""
+    import io as _io
+    import wave as _wave
+
+    rows = []
+    for i in range(n):
+        if i % 16 == 13:
+            payload = b"RIFFnotawav" + bytes((seed + i) % 256 for _ in range(32))
+        elif i % 16 == 15:
+            payload = b""
+        else:
+            freq = 220 + 44 * ((i * 7 + seed) % 11)
+            dur_ms = (125, 250, 500, 1000)[i % 4]
+            sr = 8000
+            t = np.arange(sr * dur_ms // 1000, dtype=np.float64)
+            wave_f = np.sin(2 * np.pi * freq * t / sr)
+            if i % 2:
+                wave_f = np.sign(wave_f)
+            samples = np.round(wave_f * 12000).astype("<i2")
+            buf = _io.BytesIO()
+            with _wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(sr)
+                w.writeframes(samples.tobytes())
+            payload = buf.getvalue()
+        rows.append(
+            (
+                i,
+                payload,
+                {
+                    "media_type": "audio",
+                    "mime": "audio/wav",
+                    "width": None,
+                    "height": None,
+                    "duration_ms": None,
                 },
             )
         )

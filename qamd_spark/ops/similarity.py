@@ -605,3 +605,62 @@ def pca_project(
             yield pd.DataFrame(out)
 
     return emb.select(id_col, vec_col).mapInPandas(run, schema=schema)
+
+
+def kcenter_select(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985 2-approximation;
+    the facility-location seeding behind diverse-subset curation and
+    k-means++-style init): pick the min-id vector, then k-1 times pick
+    the vector FARTHEST (squared L2) from everything chosen so far.
+    Returns one row per selected center: (sel_order, vec_id, radius_sq)
+    where radius_sq is the coverage radius at selection time (the
+    non-increasing max-min distance sequence — row j's radius bounds the
+    clustering cost of ANY j-center solution to within 2x).
+
+    Determinism: distances are LEFT-FOLD double sums over the dim axis
+    (`F.aggregate`, sequential — bit-equal to the pure-Python twin
+    ``oracle.kcenter_select_pdf``); the arg-max breaks ties by min id
+    via TakeOrdered, so the selection is unique. No RNG anywhere.
+
+    Scale: each iteration is ONE distributed job — per-row min distance
+    to the <= k broadcast-literal centers (JVM codegen, no Python), then
+    a per-partition top-1 TakeOrdered (no global sort). Only k rows ever
+    reach the driver (the same bounded-collect contract as ivf_train's
+    centroids). Distances are recomputed from the center list each pass
+    (stateless O(k^2 N/p) folds) rather than checkpointing an
+    incremental mindist column — at k <= a few dozen the recompute is
+    cheaper than persisting a mutated corpus-sized relation across k
+    lineage steps."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    spark = emb.sparkSession
+    base = emb.select(
+        F.col(id_col).cast("long").alias("_id"),
+        _as_double(vec_col).alias("_v"),
+    )
+    first = base.orderBy("_id").limit(1).collect()[0]
+    centers = [(int(first["_id"]), list(first["_v"]))]
+    out = [(0, int(first["_id"]), None)]
+    for _ in range(1, k):
+        dists = []
+        for _, cv in centers:
+            lit_c = F.array(*[F.lit(float(x)) for x in cv])
+            diff2 = F.zip_with(F.col("_v"), lit_c, lambda x, y: (x - y) * (x - y))
+            dists.append(F.aggregate(diff2, F.lit(0.0), lambda a, x: a + x))
+        md = dists[0] if len(dists) == 1 else F.least(*dists)
+        row = (
+            base.select("_id", "_v", md.alias("_md"))
+            .orderBy(F.desc("_md"), F.asc("_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        centers.append((int(row["_id"]), list(row["_v"])))
+        out.append((len(centers) - 1, int(row["_id"]), float(row["_md"])))
+    return spark.createDataFrame(
+        out, "sel_order int, vec_id long, radius_sq double"
+    )

@@ -1272,3 +1272,101 @@ def test_spearman_signals_matches_pandas(spark):
         n, got_rho = got[src]
         assert n == len(g)
         assert abs(got_rho - rho) < 1e-12, (src, got_rho, rho)
+
+
+def test_kcenter_select_matches_python_twin_bit_exact(spark):
+    import pandas as pd
+
+    from oracle import oracle
+    from qamd_spark.ops.similarity import kcenter_select
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    got = kcenter_select(spark.read.parquet(path), k=8).toPandas()
+    want = oracle.kcenter_select_pdf(pd.read_parquet(path), k=8)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=0, rtol=0)
+    # coverage radius sequence is non-increasing (greedy invariant)
+    r = got["radius_sq"].dropna().to_numpy()
+    assert (r[:-1] >= r[1:]).all()
+    assert got["vec_id"].is_unique
+
+
+def test_kcenter_greedy_two_approximation_on_planted_clusters(spark):
+    """Four tight planted clusters, k=4: greedy must pick one center per
+    cluster (optimal radius = intra-cluster eps; any same-cluster double
+    pick would leave a cluster uncovered at distance >> 2*opt)."""
+    import numpy as np
+
+    from qamd_spark.ops.similarity import kcenter_select
+
+    rng = np.random.RandomState(11)
+    anchors = np.array(
+        [[10.0, 0, 0, 0], [0, 10.0, 0, 0], [0, 0, 10.0, 0], [0, 0, 0, 10.0]]
+    )
+    rows = []
+    for i in range(40):
+        c = i % 4
+        v = anchors[c] + rng.uniform(-0.05, 0.05, 4)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sel = kcenter_select(df, k=4).toPandas()
+    picked_clusters = sorted(int(v) % 4 for v in sel["vec_id"])
+    assert picked_clusters == [0, 1, 2, 3]
+    # after one center per cluster, coverage radius collapses to eps scale
+    assert sel["radius_sq"].dropna().iloc[-1] > 1.0  # 3rd pick still far
+
+
+def test_wav_features_match_python_twin_bit_exact(spark):
+    """The numpy sample math in the Spark stage must bit-match the pure
+    struct.unpack twin on genuine RIFF/WAVE payloads (including the
+    planted corrupt + empty dead-letter rows)."""
+    import pandas as pd
+
+    from oracle import oracle
+    from qamd_spark.ops import multimodal as mm
+
+    media = mm.synth_wav_media(spark, n=48, seed=11)
+    got = (
+        mm.wav_features(media)
+        .toPandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        oracle.wav_features_pdf(media.toPandas())
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=0, rtol=0)
+    # dead-letter convention: planted corrupt (13 mod 16) and empty
+    # (15 mod 16) payloads yield NULL-rate rows, never a job failure
+    bad = got[got["media_id"] % 16 == 13]
+    assert bad["sample_rate"].isna().all() and len(bad) == 3
+    assert got["sample_rate"].notna().sum() == 48 - 6
+
+
+def test_wav_decode_tone_goldens(spark):
+    """Real-decode goldens: a 1000 ms clip at 8 kHz must decode to
+    exactly 8000 mono frames; a square tone at frequency f crosses zero
+    2f-ish times per second; peak equals the encoded amplitude."""
+    from qamd_spark.ops import multimodal as mm
+
+    rows = {
+        int(r["media_id"]): r
+        for r in mm.wav_features(mm.synth_wav_media(spark, n=48, seed=11))
+        .collect()
+        if r["sample_rate"] is not None
+    }
+    for mid, r in rows.items():
+        assert r["sample_rate"] == 8000 and r["n_channels"] == 1
+        dur = (125, 250, 500, 1000)[mid % 4]
+        assert r["duration_ms"] == dur
+        assert r["n_frames"] == 8000 * dur // 1000
+        freq = 220 + 44 * ((mid * 7 + 11) % 11)
+        # zero crossings of a tone ~ 2 * freq * seconds (within one)
+        expect = 2 * freq * dur / 1000
+        assert abs(r["zero_crossings"] - expect) <= max(2, expect * 0.02)
+        if mid % 2:  # square wave: peak == amplitude, rms ~ amplitude
+            assert r["peak"] == 12000
+            assert r["rms"] > 11000
+        else:  # sine: rms ~ peak / sqrt(2)
+            assert 0.68 < r["rms"] / r["peak"] < 0.73
