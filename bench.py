@@ -302,6 +302,10 @@ def run_benchmarks() -> dict:
         "skyline_docs",
         "setsim_join",
         "rank_rbo",
+        "typo_mine",
+        "quantile_norm",
+        "kcenter_coreset",
+        "wav_profile",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())
