@@ -3772,6 +3772,71 @@ def q_quality_calibration(spark, sf_dir):
     )
 
 
+def _pava_antitonic(grid):
+    """Pool-adjacent-violators for a NON-INCREASING fit (Ayer et al.
+    1955; Robertson/Wright/Dykstra 1988 ch.1), entirely in exact
+    integers: ``grid`` is [(key, n, hits), ...] sorted by key ascending;
+    returns [(key, n, hits, pool_hits, pool_n), ...] where
+    pool_hits/pool_n is the isotonic (antitonic) rate of the pool the
+    point landed in. Rate comparisons are cross-multiplications of
+    int64 counts — no float enters the merge decisions, so the fit is
+    bit-independent of evaluation order."""
+    pools = []  # [key_lo_idx, hits, n]
+    members = []  # pool index per grid row
+    for i, (_k, n, h) in enumerate(grid):
+        pools.append([h, n, 1])
+        # merge while the left pool's rate is BELOW the right's
+        # (violates non-increasing): h_l/n_l < h_r/n_r
+        while len(pools) >= 2 and pools[-2][0] * pools[-1][1] < pools[-1][0] * pools[-2][1]:
+            h2, n2, c2 = pools.pop()
+            pools[-1][0] += h2
+            pools[-1][1] += n2
+            pools[-1][2] += c2
+    out = []
+    i = 0
+    for h, n, c in pools:
+        for _ in range(c):
+            k, gn, gh = grid[i]
+            out.append((k, gn, gh, h, n))
+            i += 1
+    return out
+
+
+def q_isotonic_calibrate(spark, sf_dir):
+    """Isotonic (antitonic) calibration of the heuristic quality score
+    against the exact-duplicate rate — quality_calibration's reliability
+    grid, PAVA-fitted so the calibrated dup-rate is monotone
+    non-increasing in the score (the shape a trustworthy quality gate
+    must have; pockets of non-monotonicity are pooled away instead of
+    being trusted). This is the classifier-calibration step
+    (Zadrozny & Elkan KDD'02) run before using score thresholds in a
+    curation recipe.
+
+    Rows-only by design: PAVA is an inherently sequential fold over the
+    ordered grid — not SQL-expressible. Evidence: the merge decisions
+    are pure int64 cross-multiplications (no float ordering anywhere),
+    a hand-computed golden + monotonicity/pool-mass-preservation
+    property tests pin the fit, and the input grid itself is the
+    oracle-GREEN quality_calibration query. Scale: the distributed work
+    is exactly quality_calibration's aggregates; only the score LATTICE
+    (a handful of distinct values by construction) reaches the driver."""
+    rows = sorted(
+        (float(r["quality"]), int(r["n_docs"]), int(r["n_dups"]))
+        for r in q_quality_calibration(spark, sf_dir)
+        .select("quality", "n_docs", "n_dups")
+        .collect()
+    )
+    fit = _pava_antitonic(rows)
+    return spark.createDataFrame(
+        [
+            (k, n, h, ph, pn, ph / pn)
+            for (k, n, h, ph, pn) in fit
+        ],
+        "quality double, n_docs long, n_dups long, "
+        "iso_num long, iso_den long, iso_rate double",
+    )
+
+
 K_ANON = 5
 
 
@@ -8056,6 +8121,118 @@ def q_quantile_norm(spark, sf_dir):
     )
 
 
+def q_header_footer_strip(spark, sf_dir):
+    """Positional boilerplate removal (the CCNet/WET header-footer pass
+    that complements content-level boilerplate_ngrams): a FIRST line
+    shared by >= 20% of a source's docs is a site header, a LAST line
+    shared by >= 20% is a footer — both are stripped and the cleaned
+    text re-assembled. The corpus is re-chunked into 7-word pseudo-lines
+    (line_dedup precedent); a per-source banner is prepended to even
+    doc_ids and a contact footer appended to doc_id % 5 == 0 (mirrored
+    in the twin) so stripping actually fires at gate scale.
+
+    Exactness: the 20% gate is the pure-int comparison freq*5 >= total;
+    everything emitted is a string or exact int — hash-green.
+
+    Scale: two (source, line) hash aggregates + one per-source total
+    (partial+final, hot header lines collapse map-side), then equi-joins
+    back onto docs; the strip itself is one codegen slice/array_join
+    projection. No windows, no self-join."""
+    from qamd_spark.ops.text import rechunk_lines
+
+    d = _docs(spark, sf_dir).select("doc_id", "source", _txt().alias("t"))
+    banner = F.concat(F.lit("promo header from "), F.col("source"))
+    footer = F.lit("contact the site admin desk")
+    multi = rechunk_lines(F.col("t"), LINE_WORDS_PER_LINE)
+    multi = F.when(
+        F.col("doc_id") % 2 == 0, F.concat(banner, F.lit("\n"), multi)
+    ).otherwise(multi)
+    multi = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(multi, F.lit("\n"), footer)
+    ).otherwise(multi)
+    lines = F.split(multi, "\\Q\n\\E", -1)
+    base = d.select(
+        "doc_id",
+        "source",
+        lines.alias("lines"),
+        F.element_at(lines, 1).alias("first"),
+        F.element_at(lines, -1).alias("last"),
+    )
+    st = base.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    hf = (
+        base.groupBy("source", "first")
+        .agg(F.count(F.lit(1)).alias("nh"))
+        .join(st, "source")
+        .filter(F.col("nh") * 5 >= F.col("n_src"))
+        .select(F.col("source").alias("src_h"), F.col("first").alias("hline"))
+    )
+    ff = (
+        base.groupBy("source", "last")
+        .agg(F.count(F.lit(1)).alias("nf"))
+        .join(st, "source")
+        .filter(F.col("nf") * 5 >= F.col("n_src"))
+        .select(F.col("source").alias("src_f"), F.col("last").alias("fline"))
+    )
+    j = (
+        base.join(
+            hf,
+            (F.col("source") == F.col("src_h"))
+            & (F.col("first") == F.col("hline")),
+            "left",
+        )
+        .join(
+            ff,
+            (F.col("source") == F.col("src_f"))
+            & (F.col("last") == F.col("fline")),
+            "left",
+        )
+    )
+    h = F.col("hline").isNotNull().cast("int")
+    f = F.col("fline").isNotNull().cast("int")
+    n = F.size("lines")
+    keep_len = F.greatest(F.lit(0), n - h - f)
+    cleaned = F.slice(F.col("lines"), F.lit(1) + h, keep_len)
+    return j.select(
+        "doc_id",
+        "source",
+        n.cast("long").alias("n_lines"),
+        (h == 1).alias("header_stripped"),
+        (f == 1).alias("footer_stripped"),
+        F.array_join(cleaned, "\n").alias("cleaned_text"),
+    )
+
+
+def q_l_diversity(spark, sf_dir):
+    """l-diversity audit (Machanavajjhala et al. ICDE'06 — the
+    refinement of k_anonymity's class-size gate): within each
+    quasi-identifier class (event_type, hour), count DISTINCT values of
+    the sensitive attribute (the `k` field inside props). A class where
+    every member shares one sensitive value leaks it even when the
+    class is k-large, so the release gate is l >= 3 distinct values.
+    One partial+final hash aggregate over the QI pair; exact
+    count_distinct by design (binary per-class release decision) —
+    approx_count_distinct is the declared 10^12-row swap. The JSON
+    extraction reuses json_props' proven cross-engine expression."""
+    hour = F.date_trunc("hour", F.col("ts"))
+    sens = F.get_json_object("props", "$.k").cast("long")
+    return (
+        _events(spark, sf_dir)
+        .select("event_type", hour.alias("hour"), sens.alias("s"))
+        .groupBy("event_type", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.count_distinct(F.col("s")).alias("l_distinct"),
+        )
+        .select(
+            "event_type",
+            "hour",
+            "class_size",
+            "l_distinct",
+            (F.col("l_distinct") < 3).alias("l_violation"),
+        )
+    )
+
+
 def q_kcenter_coreset(spark, sf_dir):
     """Greedy k-center coreset over the embeddings table (Gonzalez
     2-approximation; ops/similarity.kcenter_select): the 8 mutually
@@ -8127,6 +8304,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "typo_mine": q_typo_mine,
         "quantile_norm": q_quantile_norm,
         "kcenter_coreset": q_kcenter_coreset,
+        "l_diversity": q_l_diversity,
+        "header_footer_strip": q_header_footer_strip,
+        "isotonic_calibrate": q_isotonic_calibrate,
         "rank_rbo": q_rank_rbo,
         "corpus_curate": q_corpus_curate,
         "oov_fraction": q_oov_fraction,
@@ -8482,6 +8662,79 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY priority DESC, doc_id ASC
             LIMIT {WS_K}
+        """,
+        "header_footer_strip": f"""
+            WITH w AS (
+              SELECT doc_id, source,
+                     str_split(coalesce(text,''), ' ') AS words
+              FROM documents
+            ), r AS (
+              SELECT doc_id, source,
+                CASE WHEN len(words) > 0 THEN
+                  array_to_string(list_transform(
+                    range(1, cast(ceil(len(words) / {LINE_WORDS_PER_LINE}.0)
+                                  as int) + 1),
+                    i -> array_to_string(list_slice(words,
+                           (i-1)*{LINE_WORDS_PER_LINE} + 1,
+                           (i-1)*{LINE_WORDS_PER_LINE} + {LINE_WORDS_PER_LINE}),
+                         ' ')), chr(10))
+                ELSE '' END AS multi
+              FROM w
+            ), dec AS (
+              SELECT doc_id, source,
+                CASE WHEN doc_id % 5 = 0 THEN
+                  (CASE WHEN doc_id % 2 = 0
+                        THEN 'promo header from ' || source || chr(10) || multi
+                        ELSE multi END) || chr(10)
+                       || 'contact the site admin desk'
+                ELSE
+                  (CASE WHEN doc_id % 2 = 0
+                        THEN 'promo header from ' || source || chr(10) || multi
+                        ELSE multi END)
+                END AS multi
+              FROM r
+            ), base AS (
+              SELECT doc_id, source, str_split(multi, chr(10)) AS lines,
+                     str_split(multi, chr(10))[1] AS fst,
+                     str_split(multi, chr(10))[-1] AS lst
+              FROM dec
+            ), st AS (
+              SELECT source, count(*)::BIGINT AS n_src FROM base GROUP BY source
+            ), hf AS (
+              SELECT b.source, b.fst AS hline
+              FROM base b JOIN st USING (source)
+              GROUP BY b.source, b.fst, st.n_src
+              HAVING count(*) * 5 >= st.n_src
+            ), ff AS (
+              SELECT b.source, b.lst AS fline
+              FROM base b JOIN st USING (source)
+              GROUP BY b.source, b.lst, st.n_src
+              HAVING count(*) * 5 >= st.n_src
+            ), j AS (
+              SELECT b.doc_id, b.source, b.lines,
+                     CASE WHEN hf.hline IS NOT NULL THEN 1 ELSE 0 END AS h,
+                     CASE WHEN ff.fline IS NOT NULL THEN 1 ELSE 0 END AS f
+              FROM base b
+              LEFT JOIN hf ON b.source = hf.source AND b.fst = hf.hline
+              LEFT JOIN ff ON b.source = ff.source AND b.lst = ff.fline
+            )
+            SELECT doc_id, source, len(lines)::BIGINT AS n_lines,
+                   h = 1 AS header_stripped,
+                   f = 1 AS footer_stripped,
+                   array_to_string(
+                     list_slice(lines, 1 + h, len(lines) - f),
+                     chr(10)) AS cleaned_text
+            FROM j
+        """,
+        "l_diversity": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   count(*)::BIGINT AS class_size,
+                   count(DISTINCT (props ->> '$.k')::BIGINT)::BIGINT
+                     AS l_distinct,
+                   count(DISTINCT (props ->> '$.k')::BIGINT) < 3
+                     AS l_violation
+            FROM events
+            GROUP BY event_type, date_trunc('hour', ts)
         """,
         "quantile_norm": """
             WITH d AS (

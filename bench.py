@@ -306,6 +306,9 @@ def run_benchmarks() -> dict:
         "quantile_norm",
         "kcenter_coreset",
         "wav_profile",
+        "l_diversity",
+        "header_footer_strip",
+        "isotonic_calibrate",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

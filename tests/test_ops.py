@@ -1370,3 +1370,59 @@ def test_wav_decode_tone_goldens(spark):
             assert r["rms"] > 11000
         else:  # sine: rms ~ peak / sqrt(2)
             assert 0.68 < r["rms"] / r["peak"] < 0.73
+
+
+def test_pava_antitonic_golden_and_properties():
+    """Hand-computed golden: rates (1.0, .25, .5, 0) pool the middle
+    violator pair into 3/8; mass preservation and monotonicity hold."""
+    from __spark_entry__ import _pava_antitonic
+
+    grid = [(0.0, 4, 4), (1.0, 4, 1), (2.0, 4, 2), (3.0, 4, 0)]
+    fit = _pava_antitonic(grid)
+    assert [(r[3], r[4]) for r in fit] == [(4, 4), (3, 8), (3, 8), (0, 4)]
+    # monotone non-increasing via cross-multiplication
+    for (a, b) in zip(fit, fit[1:]):
+        assert a[3] * b[4] >= b[3] * a[4]
+    # pool mass preservation: each pool's totals equal its member sums
+    from itertools import groupby
+
+    for (num, den), members in groupby(fit, key=lambda r: (r[3], r[4])):
+        ms = list(members)
+        assert sum(m[1] for m in ms) == den and sum(m[2] for m in ms) == num
+    # fully-violating input collapses to one global pool
+    up = [(0.0, 2, 0), (1.0, 2, 1), (2.0, 2, 2)]
+    f2 = _pava_antitonic(up)
+    assert {(r[3], r[4]) for r in f2} == {(3, 6)}
+    # already-antitonic input is returned unchanged
+    ok = [(0.0, 2, 2), (1.0, 2, 1), (2.0, 2, 0)]
+    f3 = _pava_antitonic(ok)
+    assert [(r[3], r[4]) for r in f3] == [(2, 2), (1, 2), (0, 2)]
+
+
+def test_isotonic_calibrate_monotone_and_mass_preserving(spark):
+    import __spark_entry__ as E
+
+    rows = sorted(
+        E.q_isotonic_calibrate(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["quality"],
+    )
+    assert len(rows) >= 3  # decoration spreads the lattice
+    for a, b in zip(rows, rows[1:]):
+        assert a["iso_num"] * b["iso_den"] >= b["iso_num"] * a["iso_den"]
+    # total dup mass preserved by pooling: contiguous runs with the same
+    # (iso_num, iso_den) cover k >= 1 whole pools, so member sums must be
+    # exact multiples of the pool totals
+    assert sum(r["n_dups"] for r in rows) > 0
+    i = 0
+    while i < len(rows):
+        num, den = rows[i]["iso_num"], rows[i]["iso_den"]
+        j = i
+        sn = sh = 0
+        while j < len(rows) and (rows[j]["iso_num"], rows[j]["iso_den"]) == (num, den):
+            sn += rows[j]["n_docs"]
+            sh += rows[j]["n_dups"]
+            j += 1
+        assert sn % den == 0 and sh == (sn // den) * num
+        i = j
+    for r in rows:
+        assert r["iso_rate"] == r["iso_num"] / r["iso_den"]
