@@ -407,6 +407,32 @@ def main() -> None:
             "versions and is_current in a single pass.",
             E.q_scd2_build(spark, SF),
         ),
+        (
+            "typo_mine",
+            "FastSS deletion-neighborhood edit join: variant explode is "
+            "pure higher-order-function SQL (codegen), the self-join is "
+            "an EQUI-join on the variant string, candidates collapse "
+            "through a distinct agg BEFORE the levenshtein verify — no "
+            "cartesian/NLJ anywhere.",
+            E.q_typo_mine(spark, SF),
+        ),
+        (
+            "quantile_norm",
+            "Rank-based quantile normalization with NO global "
+            "row_number: per-source windows over one exchange; the "
+            "pooled side aggregates to distinct values before its "
+            "one-partition cumulative window; broadcast range probe "
+            "(one match per row) instead of a sort-merge range join.",
+            E.q_quantile_norm(spark, SF),
+        ),
+        (
+            "header_footer_strip",
+            "Positional boilerplate strip: two (source, line) hash "
+            "aggregates + per-source totals equi-joined back onto docs; "
+            "the strip is one codegen slice/array_join projection — no "
+            "windows, no self-join.",
+            E.q_header_footer_strip(spark, SF),
+        ),
     ]
     out = [
         "# PLANS.md — physical plans of the scale-critical paths",
