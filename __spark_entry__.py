@@ -3837,6 +3837,74 @@ def q_isotonic_calibrate(spark, sf_dir):
     )
 
 
+SWEEP_GRID = [i / 10 for i in range(1, 10)]  # 0.1 .. 0.9 exact doubles
+
+
+def q_threshold_sweep(spark, sf_dir):
+    """Operating-point selection for the quality gate: sweep the
+    keep-threshold t over a fixed grid and report the confusion matrix
+    + precision/recall/F1 of "quality >= t" as a predictor of
+    dup-freeness (occurrence count == 1) on the decorated corpus — the
+    audit that picks a curation threshold from data instead of folklore
+    (quality_calibration shows the reliability curve; this turns it
+    into an argmax-F1 decision table).
+
+    Exactness: the grid values are exact double literals (i/10 rounds
+    identically in Python and the SQL parser); tp/fp/fn/tn are exact
+    bigint conditional sums; precision/recall/F1 are each ONE IEEE
+    division (F1 = 2tp/(2tp+fp+fn) — a single ratio, not a composition
+    of rounded ratios).
+
+    Scale: the grid explode multiplies rows by |grid| = 9 BEFORE a
+    partial+final hash aggregate collapses them map-side — the explode
+    never shuffles; at a wider grid you'd swap to a broadcast grid join
+    with the same plan shape."""
+    from qamd_spark.ops import text as tx
+
+    t2 = (
+        F.when(F.col("doc_id") % 5 == 1, F.substring(_txt(), 1, 10))
+        .when(F.col("doc_id") % 5 == 2, F.upper(_txt()))
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(_txt(), F.repeat(F.lit("!"), F.length(_txt()))),
+        )
+        .otherwise(_txt())
+    )
+    d = _docs(spark, sf_dir).select("doc_id", t2.alias("text"))
+    occ = d.groupBy("text").agg(F.count(F.lit(1)).alias("occ")).select(
+        F.col("text").alias("_t"), "occ"
+    )
+    scored = d.join(occ, d["text"].eqNullSafe(F.col("_t")), "left").select(
+        tx.quality_score(F.col("text")).alias("q"),
+        (F.col("occ") == 1).alias("truth"),
+    )
+    g = scored.select(
+        "q",
+        "truth",
+        F.explode(F.array(*[F.lit(t) for t in SWEEP_GRID])).alias("t"),
+    )
+    pred = F.col("q") >= F.col("t")
+    agg = g.groupBy("t").agg(
+        F.sum((pred & F.col("truth")).cast("long")).alias("tp"),
+        F.sum((pred & ~F.col("truth")).cast("long")).alias("fp"),
+        F.sum((~pred & F.col("truth")).cast("long")).alias("fn"),
+        F.sum((~pred & ~F.col("truth")).cast("long")).alias("tn"),
+    )
+    return agg.select(
+        "t",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        (F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double")).alias("precision"),
+        (F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast("double")).alias("recall"),
+        (
+            (2 * F.col("tp")).cast("double")
+            / (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double")
+        ).alias("f1"),
+    )
+
+
 K_ANON = 5
 
 
@@ -8233,6 +8301,95 @@ def q_l_diversity(spark, sf_dir):
     )
 
 
+def q_ann_dim_audit(spark, sf_dir):
+    """Matryoshka truncation audit (Kusupati et al. NeurIPS'22): how
+    much of the exact cosine top-10 survives when embeddings are
+    truncated to their first 16 of 64 dims — the measurement behind
+    the store-fewer-dims cost decision (half the bytes ⇒ how much
+    retrieval agreement?). For each query (vec_id % 25 == 0), runs the
+    verified brute-force top-k at both dims and counts the overlap.
+
+    Rows-only by design (two ANN rankings are not SQL-expressible in
+    the harness); evidence: the ranking core is ann_cosine_topk's
+    oracle-GREEN left-fold kernel (ops/similarity.brute_force_topk),
+    and the overlap join-count is pinned by a pandas recount twin +
+    a full-vs-full control (overlap == k) pytest.
+
+    Scale: both rankings are broadcast-query crossJoin scans (documented
+    tiny-Q baseline; the LSH/IVF paths are the big-Q swap); the overlap
+    is an equi-join on (qid, neighbor) + one hash aggregate."""
+    from qamd_spark.ops.similarity import brute_force_topk
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    full = brute_force_topk(emb, qs, k=10)
+    emb16 = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    q16 = qs.select("qid", F.slice("qe", 1, 16).alias("qe"))
+    trunc = brute_force_topk(emb16, q16, k=10)
+    hits = full.select("qid", "neighbor").join(
+        trunc.select(F.col("qid").alias("_q"), F.col("neighbor").alias("_n")),
+        (F.col("qid") == F.col("_q")) & (F.col("neighbor") == F.col("_n")),
+    )
+    counts = hits.groupBy("qid").agg(F.count(F.lit(1)).alias("n_overlap"))
+    return (
+        qs.select("qid")
+        .join(counts, "qid", "left")
+        .select(
+            "qid",
+            F.lit(10).alias("k"),
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+            (
+                F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double") / F.lit(10.0)
+            ).alias("overlap_frac"),
+        )
+    )
+
+
+def q_dedup_recall_audit(spark, sf_dir):
+    """Pair-level precision/recall of the PROBABILISTIC dedup path
+    (minhash LSH keep-first edges) measured against the EXACT
+    set-similarity ground truth at the same word-5-gram grain
+    (setsim_join, J >= 1/2) — the audit that turns "minhash probably
+    catches most dups" into a number before a 100 TB run trusts it.
+    Star-edge caveat (r2 ADVICE, by design): minhash emits doc→min-
+    bucket-id edges, not all pairs, so pair-recall measured here is a
+    LOWER bound on cluster-level recall and precision counts an edge as
+    true only when that specific pair clears J >= 1/2.
+
+    Rows-only (the minhash side is hash-native); both inputs carry
+    their own exact twins (minhash_duplicates_pdf / the naive-oracle
+    setsim_join), and a pytest recomputes this audit from those twins.
+    Scale: two verified operators + one pair equi-join + three 1-row
+    aggregates crossJoined (broadcast of single rows)."""
+    from qamd_spark.ops.dedup import minhash_duplicates, setsim_join
+
+    docs = _docs(spark, sf_dir)
+    pred = minhash_duplicates(docs).select(
+        F.least("doc_id", "dup_of").alias("a"),
+        F.greatest("doc_id", "dup_of").alias("b"),
+    ).distinct()
+    truth = setsim_join(docs, n=5, t_num=1, t_den=2).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    hit = pred.join(truth, ["a", "b"])
+    np_ = pred.agg(F.count(F.lit(1)).alias("n_pred"))
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nh = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        np_.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_pred",
+            "n_truth",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_pred").cast("double")).alias("precision"),
+            (F.col("n_hit").cast("double") / F.col("n_truth").cast("double")).alias("recall"),
+        )
+    )
+
+
 def q_kcenter_coreset(spark, sf_dir):
     """Greedy k-center coreset over the embeddings table (Gonzalez
     2-approximation; ops/similarity.kcenter_select): the 8 mutually
@@ -8307,6 +8464,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity": q_l_diversity,
         "header_footer_strip": q_header_footer_strip,
         "isotonic_calibrate": q_isotonic_calibrate,
+        "threshold_sweep": q_threshold_sweep,
+        "ann_dim_audit": q_ann_dim_audit,
+        "dedup_recall_audit": q_dedup_recall_audit,
         "rank_rbo": q_rank_rbo,
         "corpus_curate": q_corpus_curate,
         "oov_fraction": q_oov_fraction,
@@ -10434,6 +10594,38 @@ def oracle_sql() -> dict[str, str]:
                    sum(_dup)::DOUBLE / count(*)::DOUBLE AS dup_rate,
                    sum(_len)::DOUBLE / count(*)::DOUBLE AS mean_len
             FROM j GROUP BY quality
+        """,
+        "threshold_sweep": f"""
+            WITH dec AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 1
+                            THEN substring(coalesce(text,''), 1, 10)
+                          WHEN doc_id % 5 = 2 THEN upper(coalesce(text,''))
+                          WHEN doc_id % 5 = 3
+                            THEN coalesce(text,'')
+                                 || repeat('!', length(coalesce(text,'')))
+                          ELSE coalesce(text,'') END AS text
+              FROM documents),
+            occ AS (SELECT text AS _t, count(*)::BIGINT AS occ
+                    FROM dec GROUP BY text),
+            s AS (SELECT {QUALITY_SQL} AS q,
+                         o.occ = 1 AS truth
+                  FROM dec d
+                  JOIN occ o ON d.text IS NOT DISTINCT FROM o._t),
+            g AS (SELECT q, truth, unnest([{", ".join(str(t) for t in SWEEP_GRID)}]) AS t
+                  FROM s),
+            a AS (
+              SELECT t,
+                     sum(CASE WHEN q >= t AND truth THEN 1 ELSE 0 END)::BIGINT AS tp,
+                     sum(CASE WHEN q >= t AND NOT truth THEN 1 ELSE 0 END)::BIGINT AS fp,
+                     sum(CASE WHEN q < t AND truth THEN 1 ELSE 0 END)::BIGINT AS fn,
+                     sum(CASE WHEN q < t AND NOT truth THEN 1 ELSE 0 END)::BIGINT AS tn
+              FROM g GROUP BY t)
+            SELECT t, tp, fp, fn, tn,
+                   tp::DOUBLE / (tp + fp)::DOUBLE AS precision,
+                   tp::DOUBLE / (tp + fn)::DOUBLE AS recall,
+                   (2*tp)::DOUBLE / (2*tp + fp + fn)::DOUBLE AS f1
+            FROM a
         """,
         "k_anonymity": """
             SELECT event_type, date_trunc('hour', ts) AS hour,

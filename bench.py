@@ -309,6 +309,9 @@ def run_benchmarks() -> dict:
         "l_diversity",
         "header_footer_strip",
         "isotonic_calibrate",
+        "threshold_sweep",
+        "ann_dim_audit",
+        "dedup_recall_audit",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

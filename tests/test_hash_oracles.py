@@ -855,3 +855,43 @@ def test_edit_join_plan_is_equi_join_never_cartesian(spark):
     plan = dd.edit_join(vocab, max_ed=2)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_recall_audit_matches_twin_recount(spark, docs_df, docs_pdf):
+    """The audit's three counts must equal a recount built from the two
+    exact twins: minhash_duplicates_pdf edges vs brute-force 5-gram
+    Jaccard >= 1/2 pairs."""
+    import __spark_entry__ as E
+
+    row = E.q_dedup_recall_audit(spark, SF).collect()[0]
+
+    pred_pdf = oracle.minhash_duplicates_pdf(docs_pdf)
+    pred = {
+        (min(int(a), int(b)), max(int(a), int(b)))
+        for a, b in zip(pred_pdf["doc_id"], pred_pdf["dup_of"])
+    }
+
+    def grams(text):
+        ws = (text or "").strip().lower().split(" ")
+        return frozenset(
+            " ".join(ws[i : i + 5]) for i in range(len(ws) - 4)
+        )
+
+    sets = {
+        int(r.doc_id): grams(r.text)
+        for r in docs_pdf.itertuples()
+        if grams(r.text)
+    }
+    ids = sorted(sets)
+    truth = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter * 3 >= (len(sets[a]) + len(sets[b])) * 1:
+                truth.add((a, b))
+    assert row["n_pred"] == len(pred)
+    assert row["n_truth"] == len(truth)
+    assert row["n_hit"] == len(pred & truth)
+    assert row["n_truth"] > 0  # sf0.001 contains injected near-dups
+    assert row["precision"] == row["n_hit"] / row["n_pred"]
+    assert row["recall"] == row["n_hit"] / row["n_truth"]

@@ -1426,3 +1426,37 @@ def test_isotonic_calibrate_monotone_and_mass_preserving(spark):
         i = j
     for r in rows:
         assert r["iso_rate"] == r["iso_num"] / r["iso_den"]
+
+
+def test_ann_dim_audit_overlap_counts_match_pandas_recount(spark):
+    """The overlap join-count must equal a pandas recount over the two
+    collected top-k frames; the full-vs-full control overlaps at k."""
+    import pandas as pd
+
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+    from qamd_spark.ops.similarity import brute_force_topk
+
+    sf = "/root/testdata/sf0.001"
+    got = E.q_ann_dim_audit(spark, sf).toPandas().sort_values("qid").reset_index(drop=True)
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    full = brute_force_topk(emb, qs, k=10).toPandas()
+    emb16 = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    q16 = qs.select("qid", F.slice("qe", 1, 16).alias("qe"))
+    trunc = brute_force_topk(emb16, q16, k=10).toPandas()
+    f = full.groupby("qid")["neighbor"].apply(set)
+    t = trunc.groupby("qid")["neighbor"].apply(set)
+    want = {int(q): len(f[q] & t[q]) for q in f.index}
+    assert {int(r.qid): int(r.n_overlap) for r in got.itertuples()} == want
+    assert got["n_overlap"].between(0, 10).all()
+    assert len(got) == qs.count()
+    # control: full vs full overlaps at exactly k for every query
+    self_hits = (
+        full.merge(full, on=["qid", "neighbor"]).groupby("qid").size()
+    )
+    assert (self_hits == 10).all()
+    # truncation must still carry signal on this corpus (not all-zero)
+    assert got["n_overlap"].sum() > 0
