@@ -4483,6 +4483,103 @@ def q_response_copy(spark, sf_dir):
     )
 
 
+def q_response_rouge(spark, sf_dir):
+    """ROUGE-1/ROUGE-2 extractiveness of SFT responses against their
+    prompt — the clipped-MULTISET complement of response_copy's
+    distinct-word containment: repeats count (a response that repeats
+    one prompt word fifty times scores high here and low there) and
+    the bigram channel catches verbatim phrase lifting that unigram
+    sets cannot (the standard summarization-grounding measure;
+    Lin 2004). rougeN = Σ_g min(count_prompt(g), count_resp(g)) /
+    n_resp_ngrams — clip and totals are exact bigints, each rougeN is
+    ONE IEEE division. Bigrams are space-joined adjacent token pairs
+    (tokens are \\s-split so the join is collision-free).
+
+    Scale: per-pair n-gram counts are partial+final hash aggregates on
+    (conv, turn_idx, gram); the clip join is keyed by the same triple —
+    bounded per pair, AQE-splittable on hot pairs; no window beyond the
+    sft_pairs lead()."""
+    d = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 97).cast("long").alias("conv"),
+        F.floor(F.col("doc_id") / 97).cast("long").alias("turn_idx"),
+        _txt().alias("t"),
+    )
+    w = Window.partitionBy("conv").orderBy("turn_idx")
+    pairs = (
+        d.select("conv", "turn_idx", "t", F.lead("t", 1).over(w).alias("resp"))
+        .where((F.col("turn_idx") % 2 == 0) & F.col("resp").isNotNull())
+    )
+
+    def toks(col):
+        return F.filter(F.split(F.lower(col), r"\s+", -1), lambda x: x != "")
+
+    def bigrams(arr):
+        n = F.size(arr)
+        return F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(arr, i), F.element_at(arr, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    base = pairs.select(
+        "conv",
+        "turn_idx",
+        toks(F.col("t")).alias("pa"),
+        toks(F.col("resp")).alias("ra"),
+    )
+    sized = base.select(
+        "conv",
+        "turn_idx",
+        "pa",
+        "ra",
+        bigrams(F.col("pa")).alias("pb"),
+        bigrams(F.col("ra")).alias("rb"),
+        F.size("ra").cast("long").alias("n1_resp"),
+        F.greatest(F.size("ra") - 1, F.lit(0)).cast("long").alias("n2_resp"),
+    )
+
+    def clip(col_p, col_r, name):
+        p = sized.select(
+            "conv", "turn_idx", F.explode(col_p).alias("g")
+        ).groupBy("conv", "turn_idx", "g").agg(F.count(F.lit(1)).alias("cp"))
+        r = sized.select(
+            "conv", "turn_idx", F.explode(col_r).alias("g")
+        ).groupBy("conv", "turn_idx", "g").agg(F.count(F.lit(1)).alias("cr"))
+        return (
+            p.join(r, ["conv", "turn_idx", "g"])
+            .groupBy("conv", "turn_idx")
+            .agg(F.sum(F.least("cp", "cr")).alias(name))
+        )
+
+    out = (
+        sized.select("conv", "turn_idx", "n1_resp", "n2_resp")
+        .join(clip(F.col("pa"), F.col("ra"), "clip1"), ["conv", "turn_idx"], "left")
+        .join(clip(F.col("pb"), F.col("rb"), "clip2"), ["conv", "turn_idx"], "left")
+        .fillna(0, ["clip1", "clip2"])
+    )
+
+    def ratio(num, den):
+        return F.when(
+            F.col(den) > 0,
+            F.col(num).cast("double") / F.col(den).cast("double"),
+        ).otherwise(0.0)
+
+    return out.select(
+        "conv",
+        "turn_idx",
+        "n1_resp",
+        "n2_resp",
+        F.col("clip1").cast("long").alias("clip1"),
+        F.col("clip2").cast("long").alias("clip2"),
+        ratio("clip1", "n1_resp").alias("rouge1"),
+        ratio("clip2", "n2_resp").alias("rouge2"),
+    )
+
+
 def q_agent_loop_detect(spark, sf_dir):
     """Stuck-agent loop detection: longest run of consecutive identical
     tool calls per conversation (an agent re-issuing the same call is a
@@ -5080,6 +5177,120 @@ def q_injection_scan(spark, sf_dir):
             "frac"
         ),
     )
+
+
+SPECIAL_TOKENS = [
+    "<|endoftext|>",
+    "<|im_start|>",
+    "<|im_end|>",
+    "<s>",
+    "</s>",
+    "[INST]",
+    "<<SYS>>",
+    "<unk>",
+    "<pad>",
+]
+
+
+def q_special_tokens(spark, sf_dir):
+    """Tokenizer special-token contamination audit: literal occurrences
+    of control markers (<|endoftext|>, chat-template tags, BOS/EOS,
+    sentinel ids) inside corpus TEXT — text that collides with the
+    tokenizer's control vocabulary either splits documents at training
+    time or teaches the model to emit stop tokens mid-answer, so the
+    count per marker is a pre-training go/no-go number. Every panel
+    token is materialized (zero rows hide nothing); occurrences are the
+    exact replace-length count (no regex — markers are metacharacter
+    soup), case-sensitive by design; deterministic stamps give the gate
+    corpus real positives, mirrored in the generated twin so the
+    engines cannot drift. doc_frac is ONE division of exact bigints.
+
+    Scale: one fused projection computes all per-token occurrence
+    counts in the same codegen stage, ONE single-row aggregate reduces
+    them (partial/final — no shuffle of rows, just the 1-row state),
+    and the per-token rows are an explode over that single row. Panel
+    width grows the projection, never the shuffle."""
+    k = len(SPECIAL_TOKENS)
+    stamp_tok = F.lit(SPECIAL_TOKENS[0])
+    for i in range(1, k):
+        stamp_tok = F.when(
+            F.col("doc_id") % k == i, F.lit(SPECIAL_TOKENS[i])
+        ).otherwise(stamp_tok)
+    t = F.concat(
+        _txt(),
+        F.when(F.col("doc_id") % 11 == 3, F.concat(F.lit(" "), stamp_tok))
+        .otherwise(F.lit("")),
+    )
+    cols, aggs = [], [F.count(F.lit(1)).alias("total")]
+    for i, tok in enumerate(SPECIAL_TOKENS):
+        diff = F.length(F.col("_t")) - F.length(
+            F.replace(F.col("_t"), F.lit(tok), F.lit(""))
+        )
+        cols.append((diff / F.lit(len(tok))).cast("long").alias(f"occ_{i}"))
+        aggs.append(F.sum(F.col(f"occ_{i}")).alias(f"o_{i}"))
+        aggs.append(
+            F.sum((F.col(f"occ_{i}") > 0).cast("long")).alias(f"d_{i}")
+        )
+    one = (
+        _docs(spark, sf_dir)
+        .select(t.alias("_t"), F.col("doc_id"))
+        .select(*cols)
+        .agg(*aggs)
+    )
+    rows = one.select(
+        "total",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(tok).alias("token"),
+                        F.col(f"o_{i}").alias("n_occ"),
+                        F.col(f"d_{i}").alias("n_docs"),
+                    )
+                    for i, tok in enumerate(SPECIAL_TOKENS)
+                ]
+            )
+        ).alias("s"),
+    )
+    return rows.select(
+        F.col("s.token").alias("token"),
+        F.col("s.n_occ").cast("long").alias("n_occ"),
+        F.col("s.n_docs").cast("long").alias("n_docs"),
+        (
+            F.col("s.n_docs").cast("double") / F.col("total").cast("double")
+        ).alias("doc_frac"),
+    )
+
+
+def _special_tokens_sql() -> str:
+    """Twin GENERATED from SPECIAL_TOKENS (the license_scan discipline:
+    one panel definition, two engines)."""
+    k = len(SPECIAL_TOKENS)
+    stamp = "CASE " + " ".join(
+        f"WHEN doc_id % {k} = {i} THEN '{tok}'"
+        for i, tok in enumerate(SPECIAL_TOKENS)
+    ) + " END"
+    aggs = ["count(*)::BIGINT AS total"]
+    for i, tok in enumerate(SPECIAL_TOKENS):
+        diff = f"(length(t) - length(replace(t, '{tok}', '')))"
+        aggs.append(f"sum({diff} // {len(tok)})::BIGINT AS o_{i}")
+        aggs.append(
+            f"sum(CASE WHEN {diff} > 0 THEN 1 ELSE 0 END)::BIGINT AS d_{i}"
+        )
+    arms = " UNION ALL ".join(
+        f"SELECT '{tok}' AS token, o_{i} AS n_occ, d_{i} AS n_docs, "
+        f"d_{i}::DOUBLE / total::DOUBLE AS doc_frac FROM agg"
+        for i, tok in enumerate(SPECIAL_TOKENS)
+    )
+    return f"""
+        WITH t AS (
+          SELECT coalesce(text, '')
+                 || CASE WHEN doc_id % 11 = 3 THEN ' ' || {stamp}
+                         ELSE '' END AS t
+          FROM documents),
+        agg AS (SELECT {", ".join(aggs)} FROM t)
+        {arms}
+    """
 
 
 CODE_LANGS = ["python", "sql", "javascript"]
@@ -8560,6 +8771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_integrity": q_turn_integrity,
         "preference_pairs": q_preference_pairs,
         "response_copy": q_response_copy,
+        "response_rouge": q_response_rouge,
+        "special_tokens": q_special_tokens,
         "agent_loop_detect": q_agent_loop_detect,
         "compression_ratio": q_compression_ratio,
         "license_scan": q_license_scan,
@@ -10871,6 +11084,69 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN nresp n USING (conv, turn_idx)
             LEFT JOIN nshared s USING (conv, turn_idx)
         """,
+        "response_rouge": r"""
+            WITH d AS (
+              SELECT (doc_id % 97)::BIGINT AS conv,
+                     (doc_id // 97)::BIGINT AS turn_idx,
+                     coalesce(text,'') AS t
+              FROM documents),
+            pairs AS (
+              SELECT conv, turn_idx, t,
+                     lead(t) OVER (PARTITION BY conv ORDER BY turn_idx) AS resp
+              FROM d
+              QUALIFY turn_idx % 2 = 0 AND resp IS NOT NULL),
+            base AS (
+              SELECT conv, turn_idx,
+                     list_filter(regexp_split_to_array(lower(t), '\s+'),
+                                 x -> x <> '') AS pa,
+                     list_filter(regexp_split_to_array(lower(resp), '\s+'),
+                                 x -> x <> '') AS ra
+              FROM pairs),
+            sized AS (
+              SELECT conv, turn_idx, pa, ra,
+                     CASE WHEN len(pa) >= 2
+                          THEN list_transform(range(1, len(pa)),
+                                              i -> pa[i] || ' ' || pa[i+1])
+                          ELSE [] END AS pb,
+                     CASE WHEN len(ra) >= 2
+                          THEN list_transform(range(1, len(ra)),
+                                              i -> ra[i] || ' ' || ra[i+1])
+                          ELSE [] END AS rb,
+                     len(ra)::BIGINT AS n1_resp,
+                     greatest(len(ra) - 1, 0)::BIGINT AS n2_resp
+              FROM base),
+            p1 AS (SELECT conv, turn_idx, g, count(*)::BIGINT AS cp
+                   FROM (SELECT conv, turn_idx, unnest(pa) AS g FROM sized)
+                   GROUP BY conv, turn_idx, g),
+            r1 AS (SELECT conv, turn_idx, g, count(*)::BIGINT AS cr
+                   FROM (SELECT conv, turn_idx, unnest(ra) AS g FROM sized)
+                   GROUP BY conv, turn_idx, g),
+            c1 AS (SELECT conv, turn_idx, sum(least(cp, cr))::BIGINT AS clip1
+                   FROM p1 JOIN r1 USING (conv, turn_idx, g)
+                   GROUP BY conv, turn_idx),
+            p2 AS (SELECT conv, turn_idx, g, count(*)::BIGINT AS cp
+                   FROM (SELECT conv, turn_idx, unnest(pb) AS g FROM sized)
+                   GROUP BY conv, turn_idx, g),
+            r2 AS (SELECT conv, turn_idx, g, count(*)::BIGINT AS cr
+                   FROM (SELECT conv, turn_idx, unnest(rb) AS g FROM sized)
+                   GROUP BY conv, turn_idx, g),
+            c2 AS (SELECT conv, turn_idx, sum(least(cp, cr))::BIGINT AS clip2
+                   FROM p2 JOIN r2 USING (conv, turn_idx, g)
+                   GROUP BY conv, turn_idx)
+            SELECT s.conv, s.turn_idx, s.n1_resp, s.n2_resp,
+                   coalesce(c1.clip1, 0)::BIGINT AS clip1,
+                   coalesce(c2.clip2, 0)::BIGINT AS clip2,
+                   CASE WHEN s.n1_resp > 0
+                        THEN coalesce(c1.clip1, 0)::DOUBLE / s.n1_resp::DOUBLE
+                        ELSE 0.0 END AS rouge1,
+                   CASE WHEN s.n2_resp > 0
+                        THEN coalesce(c2.clip2, 0)::DOUBLE / s.n2_resp::DOUBLE
+                        ELSE 0.0 END AS rouge2
+            FROM sized s
+            LEFT JOIN c1 USING (conv, turn_idx)
+            LEFT JOIN c2 USING (conv, turn_idx)
+        """,
+        "special_tokens": _special_tokens_sql(),
         "agent_loop_detect": f"""
             WITH t AS (
               SELECT (doc_id % 97)::BIGINT AS conv,

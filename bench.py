@@ -312,6 +312,8 @@ def run_benchmarks() -> dict:
         "threshold_sweep",
         "ann_dim_audit",
         "dedup_recall_audit",
+        "response_rouge",
+        "special_tokens",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

@@ -1139,3 +1139,27 @@ def test_typo_mine_plan_is_equi_join_with_distinct_before_verify(spark):
     lev_at = plan.find("levenshtein")
     assert agg_ids and lev_at > -1, plan
     assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+
+def test_response_rouge_and_special_tokens_plans(spark):
+    """response_rouge: every n-gram count is a partial+final hash
+    aggregate keyed by (conv, turn_idx, gram), clip joins are
+    equi-joins, no Python stage; special_tokens: ONE aggregate over a
+    fused projection (all panel counters in the same codegen stage) —
+    the explode runs over the single aggregated row, so the plan has
+    exactly one Exchange (the 1-row final-agg gather), no join, no
+    window."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    plan = _fmt_plan(E.q_response_rouge(spark, sf))
+    assert "CartesianProduct" not in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+    plan = _fmt_plan(E.q_special_tokens(spark, sf))
+    assert plan.count(") HashAggregate") == 2, plan  # partial + final
+    assert plan.count(") Exchange") == 1, plan  # the 1-row gather
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
