@@ -8558,6 +8558,58 @@ def q_ann_dim_audit(spark, sf_dir):
     )
 
 
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization retrieval audit (Jégou et al. TPAMI 2011):
+    recall@10 of PQ asymmetric-distance ranking (m=16 sub-codes over a
+    32-entry codebook — 16 five-bit codes stored per vector instead of
+    64 floats, the ~25x memory lever that makes billion-vector ANN fit
+    a cluster)
+    against the exact cosine top-10 on the same query set. Codebooks
+    are trained by the deterministic distributed Lloyd in
+    ops/similarity.pq_train (no RNG; int64-quantized centroid sums so
+    retraining is partitioning-invariant); ADC rank arithmetic is
+    order-free integer sums, so the measured recall is REPRODUCIBLE —
+    an audit number you can regress against, not a point sample.
+
+    Rows-only by design (codebook training + ADC ranking are not
+    SQL-expressible); evidence: bit-exact pure-numpy twins for train/
+    encode/ADC in tests/test_ops.py plus the pinned recall floor.
+
+    Scale: train jobs shuffle only m*k*dsub partial rows per batch; the
+    ranking scan reads the m-int code relation, the lookup join is a
+    broadcast of |Q|*m*32 rows, and top-k windows over bounded per-qid
+    sets."""
+    from qamd_spark.ops.similarity import (
+        brute_force_topk,
+        pq_adc_topk,
+        pq_train,
+    )
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    cb = pq_train(emb, m=16, k=32, n_iters=2)
+    approx = pq_adc_topk(emb, qs, cb, k=10)
+    truth = brute_force_topk(emb, qs, k=10)
+    hits = truth.select("qid", "neighbor").join(
+        approx.select("qid", "neighbor"), ["qid", "neighbor"], "left_semi"
+    )
+    counts = hits.groupBy("qid").agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        qs.select("qid")
+        .join(counts, "qid", "left")
+        .select(
+            "qid",
+            F.lit(10).cast("long").alias("k"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.lit(10.0)
+            ).alias("recall"),
+        )
+    )
+
+
 def q_dedup_recall_audit(spark, sf_dir):
     """Pair-level precision/recall of the PROBABILISTIC dedup path
     (minhash LSH keep-first edges) measured against the EXACT
@@ -8677,6 +8729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_calibrate": q_isotonic_calibrate,
         "threshold_sweep": q_threshold_sweep,
         "ann_dim_audit": q_ann_dim_audit,
+        "ann_pq": q_ann_pq,
         "dedup_recall_audit": q_dedup_recall_audit,
         "rank_rbo": q_rank_rbo,
         "corpus_curate": q_corpus_curate,

@@ -314,6 +314,7 @@ def run_benchmarks() -> dict:
         "dedup_recall_audit",
         "response_rouge",
         "special_tokens",
+        "ann_pq",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

@@ -664,3 +664,229 @@ def kcenter_select(
     return spark.createDataFrame(
         out, "sel_order int, vec_id long, radius_sq double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze & Schmid, TPAMI 2011): compress each
+# d-dim vector to m sub-codes (one byte-scale int per subspace) and rank by
+# asymmetric distance (ADC) against per-query lookup tables. THE memory lever
+# at 100 TB: the ranking scan reads m ints per vector instead of d floats
+# (here 4 ints vs 64 floats = 64x), and the lookup join is a broadcast of
+# |Q| * m * k tiny rows. Complements ivf_topk (candidate pruning) — real
+# systems stack them (IVF-PQ); here each is auditable on its own.
+
+PQ_TRAIN_SCALE = 1 << 30  # subvector values quantized to 2^-30 for exact sums
+PQ_ADC_SCALE = 1 << 20  # lookup-table entries as int64 micro-distances
+
+
+def _pq_normalize(V: np.ndarray) -> np.ndarray:
+    return V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+
+
+def _pq_assign_np(V: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """(n, m) int32 code matrix: per subspace, argmin squared-L2 to the
+    codebook (first-minimum tie rule = lowest code id). The SAME numpy
+    expression runs in the Arrow stages and the pure twins, so
+    assignments are bit-identical across engines."""
+    m, k, dsub = cb.shape
+    out = np.empty((len(V), m), dtype=np.int32)
+    for s in range(m):
+        Vs = V[:, s * dsub : (s + 1) * dsub]
+        diff = Vs[:, None, :] - cb[s][None, :, :]
+        out[:, s] = (diff * diff).sum(axis=2).argmin(axis=1).astype(np.int32)
+    return out
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic PQ codebook training: per-subspace L2 k-means over
+    unit-normalized vectors (normalized cosine ranking == L2 ranking), all
+    m subspaces trained in the SAME distributed jobs. Init = the k
+    smallest ids' subvectors (no RNG). Each Lloyd iteration is ONE Arrow
+    stage that assigns codes AND pre-aggregates per-(sub, code) subvector
+    sums map-side — per batch it emits at most m*k*dsub partial rows
+    (values quantized to int64 at 2^-30 so the shuffle-side sum is
+    order-free integer arithmetic: exact per batch because a 10k-row
+    Arrow batch keeps bincount's float64 weights below 2^53, exact across
+    batches because int64 carries ~9e5 such partials; at planetary row
+    counts you would drop to float partials, the documented ivf_train
+    tradeoff) — then one tiny groupBy over those partials; only the
+    (m, k, dsub) codebook crosses the driver between iterations.
+
+    Returns codebooks of shape (m, k, dsub). Requires d % m == 0."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    base = emb.select(
+        F.col(id_col).cast("long").alias("_nid"), _as_double(vec_col).alias("_e")
+    )
+    seeds = base.orderBy("_nid").limit(k).collect()
+    if len(seeds) < k:
+        raise ValueError(f"pq_train needs >= k={k} vectors")
+    S = _pq_normalize(
+        np.stack([np.asarray(r["_e"], dtype=np.float64) for r in seeds])
+    )
+    d = S.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    cb = np.stack([S[:, s * dsub : (s + 1) * dsub].copy() for s in range(m)])
+
+    schema = T.StructType(
+        [
+            T.StructField("sub", T.IntegerType()),
+            T.StructField("code", T.IntegerType()),
+            T.StructField("subpos", T.IntegerType()),
+            T.StructField("s", T.LongType()),
+            T.StructField("c", T.LongType()),
+        ]
+    )
+
+    for _ in range(n_iters):
+        cb_now = cb  # bind for the closure
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            mm, kk, dd = cb_now.shape
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = _pq_normalize(
+                    np.stack(
+                        [np.asarray(v, dtype=np.float64) for v in pdf["_e"]]
+                    )
+                )
+                codes = _pq_assign_np(V, cb_now)
+                Vq = np.rint(V * PQ_TRAIN_SCALE)  # float64, values < 2^31
+                rows = {"sub": [], "code": [], "subpos": [], "s": [], "c": []}
+                for s_i in range(mm):
+                    cnt = np.bincount(codes[:, s_i], minlength=kk)
+                    for j in range(dd):
+                        w = np.bincount(
+                            codes[:, s_i],
+                            weights=Vq[:, s_i * dd + j],
+                            minlength=kk,
+                        )
+                        rows["sub"].extend([s_i] * kk)
+                        rows["code"].extend(range(kk))
+                        rows["subpos"].extend([j] * kk)
+                        rows["s"].extend(w.astype(np.int64))
+                        rows["c"].extend(cnt.astype(np.int64))
+                yield pd.DataFrame(rows)
+
+        agg = (
+            base.select("_e")
+            .mapInPandas(partials, schema=schema)
+            .groupBy("sub", "code", "subpos")
+            .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+            .collect()
+        )
+        new = cb.copy()
+        for r in agg:
+            if r["c"] > 0:
+                new[r["sub"], r["code"], r["subpos"]] = (
+                    float(r["s"]) / float(r["c"])
+                ) / PQ_TRAIN_SCALE
+        cb = new
+    return cb
+
+
+def pq_encode(
+    emb: DataFrame,
+    cb: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — one column-pruned Arrow stage; the codes
+    relation is what a 100 TB deployment PERSISTS (m ints per vector)."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _pq_normalize(
+                np.stack([np.asarray(v, dtype=np.float64) for v in pdf.iloc[:, 1]])
+            )
+            codes = _pq_assign_np(V, cb)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf.iloc[:, 0].to_numpy(dtype=np.int64),
+                    "codes": list(codes),
+                }
+            )
+
+    return emb.select(
+        F.col(id_col).cast("long"), _as_double(vec_col)
+    ).mapInPandas(run, schema=schema)
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    cb: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qe",
+) -> DataFrame:
+    """Asymmetric-distance top-k: each query's exact squared-L2 to every
+    codebook centroid becomes a |Q| * m * n_codes lookup table (int64
+    micro-distances at 2^-20 — rank arithmetic is ORDER-FREE integer
+    sums, so the ranking is partitioning-invariant by construction),
+    broadcast-joined onto the posexploded code relation; per-(qid, id)
+    ADC distance is one integer sum of m terms, top-k is a bounded
+    window over qid. Returns (qid, neighbor, adc_dist, rank)."""
+    m, kk, dsub = cb.shape
+    qrows = queries.select(
+        F.col(qid_col).alias("qid"), _as_double(qvec_col).alias("_q")
+    ).collect()
+    lut = []
+    for r in qrows:
+        qv = _pq_normalize(
+            np.asarray(r["_q"], dtype=np.float64)[None, :]
+        )[0]
+        for s in range(m):
+            qs = qv[s * dsub : (s + 1) * dsub]
+            diff = cb[s] - qs[None, :]
+            t = np.rint((diff * diff).sum(axis=1) * PQ_ADC_SCALE).astype(
+                np.int64
+            )
+            lut.extend(
+                (int(r["qid"]), s, c, int(t[c])) for c in range(kk)
+            )
+    spark = emb.sparkSession
+    lut_df = spark.createDataFrame(lut, "qid long, sub int, code int, t long")
+    codes = pq_encode(emb, cb, id_col=id_col, vec_col=vec_col)
+    exploded = codes.select(
+        F.col("vec_id").alias("neighbor"),
+        F.posexplode("codes").alias("sub", "code"),
+    )
+    dist = (
+        exploded.join(F.broadcast(lut_df), ["sub", "code"])
+        .filter(F.col("neighbor") != F.col("qid"))
+        .groupBy("qid", "neighbor")
+        .agg(F.sum("t").alias("adc_dist"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc("neighbor"))
+    return dist.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

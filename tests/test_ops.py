@@ -1460,3 +1460,136 @@ def test_ann_dim_audit_overlap_counts_match_pandas_recount(spark):
     assert (self_hits == 10).all()
     # truncation must still carry signal on this corpus (not all-zero)
     assert got["n_overlap"].sum() > 0
+
+
+def _pq_twin_train(V_sorted, m, k, n_iters):
+    """Pure-numpy twin of ops/similarity.pq_train: same seeds, same
+    assignment expression, same int64-quantized centroid update (global
+    bincount == the distributed batch-partial sum at test scale because
+    all float64 intermediates stay below 2^53)."""
+    import numpy as np
+
+    from qamd_spark.ops.similarity import (
+        PQ_TRAIN_SCALE,
+        _pq_assign_np,
+        _pq_normalize,
+    )
+
+    Vn = _pq_normalize(V_sorted)
+    d = Vn.shape[1]
+    dsub = d // m
+    S = Vn[:k]
+    cb = np.stack([S[:, s * dsub : (s + 1) * dsub].copy() for s in range(m)])
+    for _ in range(n_iters):
+        codes = _pq_assign_np(Vn, cb)
+        Vq = np.rint(Vn * PQ_TRAIN_SCALE)
+        new = cb.copy()
+        for s in range(m):
+            cnt = np.bincount(codes[:, s], minlength=k)
+            for j in range(dsub):
+                w = np.bincount(
+                    codes[:, s], weights=Vq[:, s * dsub + j], minlength=k
+                )
+                mask = cnt > 0
+                new[s, mask, j] = (
+                    w[mask].astype(np.int64).astype(np.float64)
+                    / cnt[mask].astype(np.float64)
+                ) / PQ_TRAIN_SCALE
+        cb = new
+    return cb
+
+
+def test_pq_train_bit_equals_twin_and_partitioning_invariant(spark):
+    import numpy as np
+
+    from qamd_spark.ops.similarity import pq_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    V = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    twin = _pq_twin_train(V, m=8, k=16, n_iters=2)
+    got = pq_train(emb, m=8, k=16, n_iters=2)
+    assert np.array_equal(got, twin)
+    got7 = pq_train(emb.repartition(7), m=8, k=16, n_iters=2)
+    assert np.array_equal(got7, twin)
+
+
+def test_pq_encode_and_adc_match_numpy_recount(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from qamd_spark.ops.similarity import (
+        PQ_ADC_SCALE,
+        _pq_assign_np,
+        _pq_normalize,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = pq_train(emb, m=8, k=16, n_iters=2)
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    V = _pq_normalize(
+        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    )
+    codes = _pq_assign_np(V, cb)
+    got = {
+        int(r["vec_id"]): list(r["codes"]) for r in pq_encode(emb, cb).collect()
+    }
+    assert got == {int(i): list(map(int, c)) for i, c in zip(ids, codes)}
+
+    qs = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    adc = pq_adc_topk(emb, qs, cb, k=5).collect()
+    m, kk, dsub = cb.shape
+    # per-query integer lookup tables, exactly as pq_adc_topk builds them
+    lut = {}
+    for qi in [int(i) for i in ids if i % 25 == 0]:
+        qv = V[np.where(ids == qi)[0][0]]
+        t = np.empty((m, kk), dtype=np.int64)
+        for s in range(m):
+            diff = cb[s] - qv[s * dsub : (s + 1) * dsub][None, :]
+            t[s] = np.rint((diff * diff).sum(axis=1) * PQ_ADC_SCALE).astype(
+                np.int64
+            )
+        lut[qi] = t
+    want = {}
+    for qi, t in lut.items():
+        dists = [
+            (int(t[range(m), codes[j]].sum()), int(ids[j]))
+            for j in range(len(ids))
+            if int(ids[j]) != qi
+        ]
+        dists.sort()
+        want[qi] = dists[:5]
+    got_adc = {}
+    for r in adc:
+        got_adc.setdefault(int(r["qid"]), []).append(
+            (int(r["rank"]), int(r["adc_dist"]), int(r["neighbor"]))
+        )
+    for qi, lst in got_adc.items():
+        lst.sort()
+        assert [(d, n) for _, d, n in lst] == want[qi]
+    assert set(got_adc) == set(want)
+
+
+def test_ann_pq_recall_floor_and_reproducibility(spark):
+    import __spark_entry__ as E
+
+    a = {
+        int(r["qid"]): (int(r["n_hit"]), r["recall"])
+        for r in E.q_ann_pq(spark, "/root/testdata/sf0.001").collect()
+    }
+    b = {
+        int(r["qid"]): (int(r["n_hit"]), r["recall"])
+        for r in E.q_ann_pq(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert a == b  # order-free integer ADC => reproducible audit
+    mean_recall = sum(v[1] for v in a.values()) / len(a)
+    # near-uniform random 64-dim corpus is PQ's hard case; the audit's
+    # job is to MEASURE that. Floor pinned below the observed 0.51.
+    assert mean_recall >= 0.35
+    assert all(0 <= v[0] <= 10 for v in a.values())
