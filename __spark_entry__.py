@@ -8610,6 +8610,94 @@ def q_ann_pq(spark, sf_dir):
     )
 
 
+def q_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ stacked-index audit (FAISS IVFPQ shape; Jégou TPAMI'11
+    §V): recall@10 of the coarse-prune + code-rank composition against
+    the exact cosine top-10, per query, alongside cand_frac — the
+    fraction of the corpus each query actually scanned (the pruning
+    lever: at 100 TB the fine ranking touches ~n_probe/n_clusters of
+    the CODE relation, never the raw vectors). Read together, recall
+    and cand_frac are the two axes of the index tuning curve; the
+    plain-PQ audit (ann_pq, cand_frac = 1) isolates how much loss is
+    ranking vs pruning.
+
+    Rows-only by design; evidence: both layers' bit-exact twins
+    (ivf_train's deterministic retrain test, pq_* numpy twins), the
+    integer-ADC order-free ranking, and this audit's own reproducibility
+    + floor pytest.
+
+    Scale: see ops/similarity.ivfpq_topk — bounded driver collects
+    (query slab, probe list, LUT), broadcast joins, one window over the
+    pruned per-qid candidate set."""
+    from qamd_spark.ops.similarity import (
+        _assign_stage,
+        brute_force_topk,
+        ivf_train,
+        ivfpq_topk,
+        pq_train,
+    )
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    cent = ivf_train(emb, n_clusters=16, n_iters=2)
+    cb = pq_train(emb, m=16, k=32, n_iters=2)
+    approx = ivfpq_topk(emb, qs, cent, cb, k=10, n_probe=4)
+    truth = brute_force_topk(emb, qs, k=10)
+    hits = truth.select("qid", "neighbor").join(
+        approx.select("qid", "neighbor"), ["qid", "neighbor"], "left_semi"
+    )
+    counts = hits.groupBy("qid").agg(F.count(F.lit(1)).alias("n_hit"))
+    # pruning audit: candidates each query scanned = rows of its probed
+    # clusters (same coarse assignment the index uses), over corpus size
+    e_base = emb.select(
+        F.col("vec_id").alias("_nid"), F.col("embedding").alias("_e")
+    )
+    sizes = (
+        _assign_stage(e_base, cent, "_nid", "_e")
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("c_rows"))
+    )
+    qn = qs.select("qid")
+    import numpy as np
+
+    Cn = cent / np.maximum(
+        np.linalg.norm(cent, axis=1, keepdims=True), 1e-12
+    )
+    probes = []
+    for r in qs.select("qid", "qe").collect():
+        qv = np.asarray(r["qe"], dtype=np.float64)
+        qv = qv / max(np.linalg.norm(qv), 1e-12)
+        for c in np.argsort(-(Cn @ qv), kind="stable")[:4]:
+            probes.append((int(r["qid"]), int(c)))
+    probe_df = spark.createDataFrame(probes, "qid long, cluster int")
+    n_total = emb.count()
+    cand = (
+        probe_df.join(F.broadcast(sizes), "cluster")
+        .groupBy("qid")
+        .agg(F.sum("c_rows").alias("n_cand"))
+    )
+    return (
+        qn.join(counts, "qid", "left")
+        .join(cand, "qid", "left")
+        .select(
+            "qid",
+            F.lit(10).cast("long").alias("k"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.lit(10.0)
+            ).alias("recall"),
+            F.coalesce(F.col("n_cand"), F.lit(0)).cast("long").alias("n_cand"),
+            (
+                F.coalesce(F.col("n_cand"), F.lit(0)).cast("double")
+                / F.lit(float(n_total))
+            ).alias("cand_frac"),
+        )
+    )
+
+
 def q_dedup_recall_audit(spark, sf_dir):
     """Pair-level precision/recall of the PROBABILISTIC dedup path
     (minhash LSH keep-first edges) measured against the EXACT
@@ -8730,6 +8818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_sweep": q_threshold_sweep,
         "ann_dim_audit": q_ann_dim_audit,
         "ann_pq": q_ann_pq,
+        "ann_ivfpq": q_ann_ivfpq,
         "dedup_recall_audit": q_dedup_recall_audit,
         "rank_rbo": q_rank_rbo,
         "corpus_curate": q_corpus_curate,

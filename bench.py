@@ -315,6 +315,7 @@ def run_benchmarks() -> dict:
         "response_rouge",
         "special_tokens",
         "ann_pq",
+        "ann_ivfpq",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

@@ -1593,3 +1593,56 @@ def test_ann_pq_recall_floor_and_reproducibility(spark):
     # job is to MEASURE that. Floor pinned below the observed 0.51.
     assert mean_recall >= 0.35
     assert all(0 <= v[0] <= 10 for v in a.values())
+
+
+def test_ann_ivfpq_pruning_invariant_and_floor(spark):
+    """Every IVF-PQ-retrieved neighbor must live in one of its query's
+    probed clusters (the pruning layer can only REMOVE candidates);
+    the audit is reproducible (integer ADC) and its recall floor and
+    pruning ratio hold on the corpus."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from qamd_spark.ops.similarity import (
+        _assign_stage,
+        ivf_train,
+        ivfpq_topk,
+        pq_train,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    cent = ivf_train(emb, n_clusters=16, n_iters=2)
+    cb = pq_train(emb, m=16, k=32, n_iters=2)
+    got = ivfpq_topk(emb, qs, cent, cb, k=10, n_probe=4).collect()
+
+    e_base = emb.select(
+        F.col("vec_id").alias("_nid"), F.col("embedding").alias("_e")
+    )
+    cluster_of = {
+        int(r["_nid"]): int(r["cluster"])
+        for r in _assign_stage(e_base, cent, "_nid", "_e").collect()
+    }
+    Cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    probes = {}
+    for r in qs.collect():
+        qv = np.asarray(r["qe"], dtype=np.float64)
+        qv = qv / max(np.linalg.norm(qv), 1e-12)
+        probes[int(r["qid"])] = set(
+            int(c) for c in np.argsort(-(Cn @ qv), kind="stable")[:4]
+        )
+    for r in got:
+        assert cluster_of[int(r["neighbor"])] in probes[int(r["qid"])]
+
+    a = {(int(r["qid"]), int(r["n_hit"])) for r in E.q_ann_ivfpq(spark, sf).collect()}
+    b = {(int(r["qid"]), int(r["n_hit"])) for r in E.q_ann_ivfpq(spark, sf).collect()}
+    assert a == b
+    rows = E.q_ann_ivfpq(spark, sf).collect()
+    mean_recall = sum(r["recall"] for r in rows) / len(rows)
+    mean_cf = sum(r["cand_frac"] for r in rows) / len(rows)
+    assert mean_recall >= 0.25  # observed 0.365
+    assert mean_cf < 0.5  # pruning actually prunes (observed 0.252)
