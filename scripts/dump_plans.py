@@ -60,7 +60,10 @@ def main() -> None:
     docs = spark.read.parquet(f"{SF}/documents.parquet")
 
     from qamd_spark.ops import dedup as dd
+    from qamd_spark.ops import similarity as sim
     from qamd_spark.ops import text as tx
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
 
     sections = [
         (
@@ -432,6 +435,46 @@ def main() -> None:
             "the strip is one codegen slice/array_join projection — no "
             "windows, no self-join.",
             E.q_header_footer_strip(spark, SF),
+        ),
+        (
+            "threshold_sweep",
+            "Operating-point grid: the x9 explode collapses through a "
+            "partial+final hash aggregate map-side (the explode never "
+            "shuffles); P/R/F1 are single divisions of exact bigints.",
+            E.q_threshold_sweep(spark, SF),
+        ),
+        (
+            "response_rouge",
+            "Clipped-multiset ROUGE-1/2: per-pair n-gram counts are "
+            "partial+final hash aggregates keyed (conv, turn_idx, gram); "
+            "clip joins equi-keyed by the same triple — bounded per "
+            "pair, AQE-splittable; no Python stage.",
+            E.q_response_rouge(spark, SF),
+        ),
+        (
+            "special_tokens",
+            "ONE fused projection computes every panel counter in the "
+            "same codegen stage; ONE single-row aggregate (2 "
+            "HashAggregates, 1 Exchange); per-token rows are an explode "
+            "over the aggregated row — panel width grows codegen, "
+            "never shuffle.",
+            E.q_special_tokens(spark, SF),
+        ),
+        (
+            "ann_pq (ADC ranking stage)",
+            "PQ asymmetric-distance ranking: the scan reads the m-int "
+            "CODE relation (not raw vectors); the |Q|*m*32 lookup is a "
+            "broadcast hash join; per-(qid, neighbor) distance is an "
+            "order-free int64 sum; top-k windows over bounded per-qid "
+            "sets.",
+            sim.pq_adc_topk(
+                emb,
+                emb.filter("vec_id % 25 = 0").selectExpr(
+                    "vec_id as qid", "embedding as qe"
+                ),
+                sim.pq_train(emb, m=8, k=16, n_iters=1),
+                k=10,
+            ),
         ),
     ]
     out = [
