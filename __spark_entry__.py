@@ -3905,6 +3905,116 @@ def q_threshold_sweep(spark, sf_dir):
     )
 
 
+def _poisson1_cuts() -> list[int]:
+    """Cumulative Poisson(1) CDF on a 10^6 integer grid — the inverse-CDF
+    cutoffs for deterministic bootstrap weights. ONE definition feeds
+    both engines as integer literals, so no float ever crosses an
+    engine boundary."""
+    import math
+
+    c, cuts = 0.0, []
+    for kk in range(8):
+        c += math.exp(-1) / math.factorial(kk)
+        cuts.append(int(c * 1_000_000))
+    return cuts
+
+
+BOOT_CUTS = _poisson1_cuts()
+BOOT_B = 32
+
+
+def q_bootstrap_keep(spark, sf_dir):
+    """Poisson-bootstrap confidence band for the quality-gate keep rate
+    (the online-bootstrap trick: resampling-with-replacement over an
+    unbounded stream is per-row Poisson(1) weights — Oza & Russell
+    AISTATS'01; Chamandy et al., Google 2012 'Estimating Uncertainty
+    for Massive Data Streams'): every pipeline metric shipped without
+    an uncertainty is a coin flip at the corpus tail, and the classic
+    bootstrap's O(B·N) resample is impossible at 100 TB — this one is
+    ONE pass. Replicate b gives each doc weight w = PoissonInvCDF(u)
+    where u is a salted md5 of (b, doc_id) on a 10^6 integer grid —
+    no RNG, reproducible across engines, runs, and cluster sizes; the
+    weighted keep rate per replicate is ONE division of exact bigints.
+
+    Scale: the x32 replicate explode collapses map-side through a
+    partial+final hash aggregate (threshold_sweep's shape) — 32 rows
+    ever shuffle; the bootstrap costs one scan regardless of B."""
+    b = F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b")
+    q_keep = (
+        F.col("q") >= 0.5
+    )
+    from qamd_spark.ops import text as tx
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id"), tx.quality_score(_txt()).alias("q")
+    )
+    g = d.select("doc_id", q_keep.alias("keep"), b)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot:"),
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    w = F.lit(8)
+    for kk in reversed(range(8)):
+        w = F.when(u < BOOT_CUTS[kk], F.lit(kk)).otherwise(w)
+    wcol = w.cast("long")
+    agg = g.select("b", "keep", wcol.alias("w")).groupBy("b").agg(
+        F.sum("w").alias("sum_w"),
+        F.sum(F.when(F.col("keep"), F.col("w")).otherwise(F.lit(0))).alias(
+            "kept_w"
+        ),
+    )
+    return agg.select(
+        F.col("b").cast("long").alias("b"),
+        "sum_w",
+        "kept_w",
+        (
+            F.col("kept_w").cast("double") / F.col("sum_w").cast("double")
+        ).alias("rate"),
+    )
+
+
+def _bootstrap_keep_sql() -> str:
+    """Twin GENERATED from BOOT_CUTS (single panel definition)."""
+    chain = " ".join(
+        f"WHEN u < {c} THEN {kk}" for kk, c in enumerate(BOOT_CUTS)
+    )
+    return f"""
+        WITH d AS (
+          SELECT doc_id, {QUALITY_SQL} >= 0.5 AS keep FROM documents),
+        g AS (
+          SELECT doc_id, keep, unnest(range(0, {BOOT_B})) AS b FROM d),
+        u AS (
+          SELECT b, keep,
+                 (concat('0x', substr(md5(concat('boot:', b::VARCHAR,
+                                                 ':', doc_id::VARCHAR)),
+                                      1, 8)))::BIGINT % 1000000 AS u
+          FROM g),
+        w AS (
+          SELECT b, keep, CASE {chain} ELSE 8 END::BIGINT AS w FROM u)
+        SELECT b::BIGINT AS b,
+               sum(w)::BIGINT AS sum_w,
+               sum(CASE WHEN keep THEN w ELSE 0 END)::BIGINT AS kept_w,
+               sum(CASE WHEN keep THEN w ELSE 0 END)::DOUBLE
+                 / sum(w)::DOUBLE AS rate
+        FROM w GROUP BY b
+    """
+
+
 K_ANON = 5
 
 
@@ -8816,6 +8926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "header_footer_strip": q_header_footer_strip,
         "isotonic_calibrate": q_isotonic_calibrate,
         "threshold_sweep": q_threshold_sweep,
+        "bootstrap_keep": q_bootstrap_keep,
         "ann_dim_audit": q_ann_dim_audit,
         "ann_pq": q_ann_pq,
         "ann_ivfpq": q_ann_ivfpq,
@@ -11289,6 +11400,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN c2 USING (conv, turn_idx)
         """,
         "special_tokens": _special_tokens_sql(),
+        "bootstrap_keep": _bootstrap_keep_sql(),
         "agent_loop_detect": f"""
             WITH t AS (
               SELECT (doc_id % 97)::BIGINT AS conv,

@@ -316,6 +316,7 @@ def run_benchmarks() -> dict:
         "special_tokens",
         "ann_pq",
         "ann_ivfpq",
+        "bootstrap_keep",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

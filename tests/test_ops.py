@@ -1646,3 +1646,33 @@ def test_ann_ivfpq_pruning_invariant_and_floor(spark):
     mean_cf = sum(r["cand_frac"] for r in rows) / len(rows)
     assert mean_recall >= 0.25  # observed 0.365
     assert mean_cf < 0.5  # pruning actually prunes (observed 0.252)
+
+
+def test_bootstrap_keep_statistics(spark):
+    """Poisson(1) weights: each replicate's total weight is ~N (mean 1);
+    the bootstrap rates bracket the point keep rate; everything is
+    reproducible run-to-run (no RNG anywhere)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from qamd_spark.ops import text as tx
+
+    sf = "/root/testdata/sf0.001"
+    rows = E.q_bootstrap_keep(spark, sf).collect()
+    assert len(rows) == E.BOOT_B
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    n = docs.count()
+    point = (
+        docs.select(
+            (tx.quality_score(F.coalesce(F.col("text"), F.lit(""))) >= 0.5)
+            .cast("long")
+            .alias("k")
+        ).agg(F.sum("k")).collect()[0][0]
+        / n
+    )
+    for r in rows:
+        assert 0.8 * n <= r["sum_w"] <= 1.2 * n  # Poisson(1) total ~ N
+    rates = sorted(r["rate"] for r in rows)
+    assert rates[0] <= point <= rates[-1]  # band brackets the point est
+    again = {int(r["b"]): r["rate"] for r in E.q_bootstrap_keep(spark, sf).collect()}
+    assert again == {int(r["b"]): r["rate"] for r in rows}

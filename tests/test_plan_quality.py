@@ -1163,3 +1163,17 @@ def test_response_rouge_and_special_tokens_plans(spark):
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
     assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+
+def test_bootstrap_keep_plan_collapses_map_side(spark):
+    """The x32 replicate explode must collapse through a partial+final
+    hash aggregate (only 32 rows shuffle) with no join and no Python —
+    the one-pass online-bootstrap contract."""
+    import __spark_entry__ as E
+
+    plan = _fmt_plan(E.q_bootstrap_keep(spark, "/root/testdata/sf0.001"))
+    assert plan.count(") HashAggregate") == 2, plan
+    assert plan.count(") Exchange") == 1, plan
+    assert "Join" not in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+    assert ") Generate" in plan, plan  # the replicate explode
