@@ -1483,6 +1483,125 @@ def q_refusal_scan(spark, sf_dir):
     )
 
 
+def q_blocklist_phrases(spark, sf_dir):
+    """Token-boundary phrase-blocklist matching via a broadcast equi-join
+    (rules/blocklist.py) — the scale path past the contains-panel of
+    refusal_scan: tokenize once, emit positional n-grams for exactly the
+    phrase lengths in the panel, join the exploded grams against the
+    phrase dimension. Per-row cost is O(tokens x n_lengths) regardless
+    of panel size (a 10^6-phrase list is just a bigger dimension —
+    shuffle join instead of broadcast — where a contains chain or a
+    mega-regex alternation is O(P) per row and dies first). Matching is
+    exact on word boundaries: "buy now" does NOT hit "buy nowhere",
+    which every substring panel would. Every 13th doc is stamped with a
+    panel phrase chosen by doc_id so hits exist at all SFs. Output: one
+    row per hit doc — occurrence count, distinct phrases, lex-smallest
+    phrase (min over the int lex-rank, mapped back post-agg, so the
+    rollup stays a partial+final HashAggregate). Reference analogue:
+    StringValueStopword lexicon (src/check/post.rs:229-268) generalized
+    to multi-word phrases as a dimension join."""
+    from qamd_spark.rules import blocklist as bl
+
+    panel = sorted(bl.DEFAULT_BLOCKLIST_PHRASES)
+    k = len(panel)
+    stamp = F.element_at(
+        F.array(*[F.lit(p) for p in panel]), ((F.col("doc_id") % k) + 1).cast("int")
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            _txt(),
+            F.when(F.col("doc_id") % 13 == 5, F.concat(F.lit(" "), stamp)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    hits = bl.phrase_hits(spark, d, "text", panel)
+    agg = hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.count_distinct(F.col("rank")).alias("n_phrases"),
+        F.min("rank").alias("_r"),
+    )
+    panel_arr = F.array(*[F.lit(p) for p in panel])
+    # same explicit NULL guard as refusal_scan is unnecessary here (_r
+    # is never NULL on an inner-join result), but keep the cast exact
+    return agg.select(
+        "doc_id",
+        "n_hits",
+        "n_phrases",
+        F.element_at(panel_arr, (F.col("_r") + 1).cast("int")).alias("first_phrase"),
+    )
+
+
+def q_dangling_tools(spark, sf_dir):
+    """Tool-call/result pairing audit — the trajectory-integrity check
+    agent-SFT curation runs before trusting tool turns: a tool_call with
+    no tool_result immediately after it is a DANGLING call (the episode
+    was truncated or the executor died — training on it teaches calling
+    without observing), and a tool_result not immediately preceded by a
+    tool_call is ORPHANED (ingest lost the call — the observation is
+    unconditioned noise). Documents become a canonical agent loop
+    (conv = doc_id % 97, idx = doc_id div 97; idx % 4 cycles
+    user → tool_call → tool_result → assistant), deterministically
+    damaged on both engines: every 13th doc's tool_result turns into an
+    assistant turn (dangling the call before it), every 17th doc's
+    tool_call turns into a user turn (orphaning the result after it).
+    One lead+lag window over (conv, idx) — a single exchange on conv,
+    both frames share the one Window operator — then a partial+final
+    hash aggregate; all outputs exact ints/bools."""
+    idx = F.floor(F.col("doc_id") / 97).cast("long")
+    base = (
+        F.when(idx % 4 == 0, F.lit("user"))
+        .when(idx % 4 == 1, F.lit("tool_call"))
+        .when(idx % 4 == 2, F.lit("tool_result"))
+        .otherwise(F.lit("assistant"))
+    )
+    role = (
+        F.when((F.col("doc_id") % 13 == 0) & (base == "tool_result"), F.lit("assistant"))
+        .when((F.col("doc_id") % 17 == 0) & (base == "tool_call"), F.lit("user"))
+        .otherwise(base)
+    )
+    t = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 97).cast("long").alias("conv"),
+        idx.alias("idx"),
+        role.alias("role"),
+    )
+    w = Window.partitionBy("conv").orderBy("idx")
+    t = t.select(
+        "conv",
+        "role",
+        F.lead("role").over(w).alias("nxt"),
+        F.lag("role").over(w).alias("prv"),
+    )
+    is_call = (F.col("role") == "tool_call").cast("int")
+    is_res = (F.col("role") == "tool_result").cast("int")
+    dangling = (
+        (F.col("role") == "tool_call")
+        & (F.col("nxt").isNull() | (F.col("nxt") != "tool_result"))
+    ).cast("int")
+    orphaned = (
+        (F.col("role") == "tool_result")
+        & (F.col("prv").isNull() | (F.col("prv") != "tool_call"))
+    ).cast("int")
+    return (
+        t.groupBy("conv")
+        .agg(
+            F.sum(is_call).alias("n_calls"),
+            F.sum(is_res).alias("n_results"),
+            F.sum(dangling).alias("n_dangling"),
+            F.sum(orphaned).alias("n_orphaned"),
+        )
+        .select(
+            "conv",
+            "n_calls",
+            "n_results",
+            "n_dangling",
+            "n_orphaned",
+            ((F.col("n_dangling") + F.col("n_orphaned")) == 0).alias("clean"),
+        )
+    )
+
+
 def q_conv_shape(spark, sf_dir):
     """Conversation completeness / balance audit — the transcript-axis
     structural filter instruction-data curation applies before training:
@@ -8893,6 +9012,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "quality_topk_lang": q_quality_topk_lang,
         "refusal_scan": q_refusal_scan,
+        "blocklist_phrases": q_blocklist_phrases,
+        "dangling_tools": q_dangling_tools,
         "conv_shape": q_conv_shape,
         "conv_lang_consistency": q_conv_lang_consistency,
         "temperature_mix": q_temperature_mix,
@@ -9133,6 +9254,24 @@ def oracle_sql() -> dict[str, str]:
         )
         + " ELSE NULL END"
     )
+    from qamd_spark.rules.blocklist import DEFAULT_BLOCKLIST_PHRASES as _BLP
+
+    _bl_sorted = sorted(_BLP)
+    _bl_list = (
+        "["
+        + ", ".join("'{}'".format(p.replace("'", "''")) for p in _bl_sorted)
+        + "]"
+    )
+    _bl_gram_exprs = []
+    for _n in sorted({len(p.split()) for p in _bl_sorted}):
+        _join = " || ' ' || ".join(
+            f"tok[i+{_j}]" if _j else "tok[i]" for _j in range(_n)
+        )
+        _bl_gram_exprs.append(
+            f"list_transform(generate_series(1, len(tok) - {_n - 1}),"
+            f" i -> {_join})"
+        )
+    _bl_grams = "flatten([" + ", ".join(_bl_gram_exprs) + "])"
     sqls = {
         "refusal_scan": f"""
             WITH t AS (
@@ -9166,6 +9305,72 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN n_assistant > 0
                          THEN n_refusal::DOUBLE / n_assistant::DOUBLE
                          ELSE 0.0 END) > 0.25 AS conv_flag
+            FROM g
+        """,
+        "blocklist_phrases": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     coalesce(text,'') ||
+                       CASE WHEN doc_id % 13 = 5
+                            THEN ' ' || ({_bl_list})[
+                                   CAST(doc_id % {len(_bl_sorted)} AS INT) + 1]
+                            ELSE '' END AS text
+              FROM documents),
+            t AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '),
+                                 x -> x <> '') AS tok
+              FROM d),
+            g AS (
+              SELECT doc_id, unnest({_bl_grams}) AS gram FROM t),
+            j AS (
+              SELECT g.doc_id, g.gram
+              FROM g JOIN (SELECT unnest({_bl_list}) AS phrase) p
+                ON g.gram = p.phrase)
+            SELECT doc_id, count(*)::BIGINT AS n_hits,
+                   count(DISTINCT gram)::BIGINT AS n_phrases,
+                   min(gram) AS first_phrase
+            FROM j GROUP BY doc_id
+        """,
+        "dangling_tools": """
+            WITH t AS (
+              SELECT (doc_id % 97)::BIGINT AS conv,
+                     (doc_id // 97)::BIGINT AS idx,
+                     doc_id,
+                     CASE ((doc_id // 97) % 4)
+                          WHEN 0 THEN 'user'
+                          WHEN 1 THEN 'tool_call'
+                          WHEN 2 THEN 'tool_result'
+                          ELSE 'assistant' END AS base
+              FROM documents),
+            r AS (
+              SELECT conv, idx,
+                     CASE WHEN doc_id % 13 = 0 AND base = 'tool_result'
+                               THEN 'assistant'
+                          WHEN doc_id % 17 = 0 AND base = 'tool_call'
+                               THEN 'user'
+                          ELSE base END AS role
+              FROM t),
+            w AS (
+              SELECT conv, role,
+                     lead(role) OVER (PARTITION BY conv ORDER BY idx) AS nxt,
+                     lag(role)  OVER (PARTITION BY conv ORDER BY idx) AS prv
+              FROM r),
+            g AS (
+              SELECT conv,
+                     sum(CASE WHEN role = 'tool_call' THEN 1 ELSE 0 END)
+                       ::BIGINT AS n_calls,
+                     sum(CASE WHEN role = 'tool_result' THEN 1 ELSE 0 END)
+                       ::BIGINT AS n_results,
+                     sum(CASE WHEN role = 'tool_call'
+                                   AND (nxt IS NULL OR nxt <> 'tool_result')
+                              THEN 1 ELSE 0 END)::BIGINT AS n_dangling,
+                     sum(CASE WHEN role = 'tool_result'
+                                   AND (prv IS NULL OR prv <> 'tool_call')
+                              THEN 1 ELSE 0 END)::BIGINT AS n_orphaned
+              FROM w GROUP BY conv)
+            SELECT conv, n_calls, n_results, n_dangling, n_orphaned,
+                   (n_dangling + n_orphaned) = 0 AS clean
             FROM g
         """,
         "conv_shape": """

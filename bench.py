@@ -317,6 +317,8 @@ def run_benchmarks() -> dict:
         "ann_pq",
         "ann_ivfpq",
         "bootstrap_keep",
+        "blocklist_phrases",
+        "dangling_tools",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())
