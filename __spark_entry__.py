@@ -1602,6 +1602,235 @@ def q_dangling_tools(spark, sf_dir):
     )
 
 
+def q_t_closeness(spark, sf_dir):
+    """t-closeness audit (Li et al. ICDE'07) — the third rung of the
+    privacy-release ladder after k_anonymity (class size) and
+    l_diversity (distinct sensitive values): a class can be k-large and
+    l-diverse yet still leak if its sensitive-value DISTRIBUTION skews
+    far from the corpus-wide one. Distance is total variation
+    TV = 0.5 * sum_v |p_class(v) - p_global(v)|, computed EXACTLY in
+    scaled integers: with class-value counts c_v, class size n, global
+    counts g_v, total N,
+
+        2*n*N*TV = n*N + sum_{v in class} (|c_v*N - g_v*n| - g_v*n)
+
+    (absent values contribute g_v*n, which telescopes to n*N minus the
+    present-value correction) — so no per-class enumeration of the full
+    value domain, every addend is a bigint, and the one division
+    tv/(2nN) plus the integer comparison tv > nN (t > 0.5) are
+    engine-exact. Plan: two hash aggregates + a broadcast join of the
+    tiny (class size / global count / total) sides onto the class-value
+    counts, then one partial+final aggregate per class. Reference
+    analogue: SystemMissingOverThreshold's ratio-gate shape
+    (src/check/post.rs) lifted to distribution distance."""
+    ev = (
+        _events(spark, sf_dir)
+        .select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.get_json_object("props", "$.k").cast("long").alias("s"),
+        )
+        .filter(F.col("s").isNotNull())
+    )
+    cv = ev.groupBy("event_type", "day", "s").agg(F.count(F.lit(1)).alias("c"))
+    g = ev.groupBy("s").agg(F.count(F.lit(1)).alias("gc"))
+    tot = ev.agg(F.count(F.lit(1)).alias("totn"))
+    n_per = cv.groupBy("event_type", "day").agg(F.sum("c").alias("n"))
+    j = (
+        cv.join(F.broadcast(n_per), ["event_type", "day"])
+        .join(F.broadcast(g), "s")
+        .crossJoin(F.broadcast(tot))
+    )
+    term = F.abs(F.col("c") * F.col("totn") - F.col("gc") * F.col("n")) - F.col(
+        "gc"
+    ) * F.col("n")
+    agg = j.groupBy("event_type", "day").agg(
+        F.min("n").alias("class_size"),
+        F.min("totn").alias("_N"),
+        F.sum(term).alias("_t"),
+    )
+    tv = F.col("class_size") * F.col("_N") + F.col("_t")
+    return agg.select(
+        "event_type",
+        "day",
+        "class_size",
+        tv.alias("tv_scaled"),
+        (tv / (F.lit(2) * F.col("class_size") * F.col("_N"))).alias("t_distance"),
+        (tv > F.col("class_size") * F.col("_N")).alias("t_violation"),
+    )
+
+
+def q_fleiss_kappa(spark, sf_dir):
+    """Fleiss' kappa inter-rater agreement (Fleiss 1971) — the QA step
+    before trusting ANY labeling rule ensemble: three deterministic
+    "raters" (length-bucket rules with staggered thresholds, the
+    synthetic stand-in for three annotators or three classifier
+    versions) each grade every doc into 3 categories; kappa measures
+    agreement beyond chance per source. Everything reduces to two
+    integer aggregates — A = sum_i (sum_j n_ij^2 - n) and
+    B = sum_j (sum_i n_ij)^2 — and the closed form
+
+        kappa = (3*A*N - 2*B) / (2 * (9*N^2 - B))        (n = 3 raters)
+
+    is ONE division of exact bigints (NULL when the denominator is 0,
+    i.e. all ratings in one category), so the driver hash-gate holds
+    bit-exactly. Plan: one fused projection (per-row agreement pattern
+    is a CASE over the three ratings) + one partial+final hash
+    aggregate per source; no join, no window. int64 headroom: A <= 6N,
+    B <= 9N^2 -> 3AN <= 18N^2, safe to N ~ 7e8 docs per source; the
+    decimal(38) swap is the documented beyond-that path."""
+    d = _docs(spark, sf_dir).select(
+        "source", F.col("n_chars").cast("long").alias("nc")
+    )
+
+    def rate(r):
+        lo, hi = 200 + 30 * r, 380 + 30 * r
+        return (
+            F.when(F.col("nc") < lo, F.lit(0))
+            .when(F.col("nc") < hi, F.lit(1))
+            .otherwise(F.lit(2))
+        )
+
+    r0, r1, r2 = rate(0), rate(1), rate(2)
+    s_i = (
+        F.when((r0 == r1) & (r1 == r2), F.lit(9))
+        .when((r0 == r1) | (r1 == r2) | (r0 == r2), F.lit(5))
+        .otherwise(F.lit(3))
+    ).cast("long")
+    cats = [
+        ((r0 == j).cast("long") + (r1 == j).cast("long") + (r2 == j).cast("long"))
+        for j in (0, 1, 2)
+    ]
+    t = d.select(
+        "source",
+        s_i.alias("s"),
+        *[c.alias(f"c{j}") for j, c in enumerate(cats)],
+    )
+    agg = t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("s") - 3).alias("a_sum"),
+        *[F.sum(f"c{j}").alias(f"t{j}") for j in (0, 1, 2)],
+    )
+    b = (
+        F.col("t0") * F.col("t0")
+        + F.col("t1") * F.col("t1")
+        + F.col("t2") * F.col("t2")
+    )
+    n = F.col("n_docs")
+    den = F.lit(2) * (F.lit(9) * n * n - b)
+    kappa = F.when(
+        den != 0, (F.lit(3) * F.col("a_sum") * n - F.lit(2) * b) / den
+    )
+    return agg.select(
+        "source", "n_docs", "a_sum", b.alias("b_sum"), kappa.alias("kappa")
+    )
+
+
+def q_fd_mine(spark, sf_dir):
+    """Functional-dependency profiling (TANE-style candidate check,
+    Huhtala et al. 1999) — the schema-quality audit a data-quality tool
+    runs to learn which column implications actually hold: for each
+    candidate det -> dep pair, count determinant groups whose dependent
+    takes more than one value. The whole panel evaluates in ONE shuffle:
+    each row explodes into (fd, det, dep) string triples, then a
+    partial+final hash aggregate on (fd, det) feeds a second tiny
+    aggregate per fd. A violated FD here is a data signal (user_id does
+    not determine event_type), a held FD is a key candidate (event_id
+    -> user_id). violation_rate is the one exact long/long division.
+    Reference analogue: VariablesWithUniqueValues' uniqueness profiling
+    (src/check/cross.rs) generalized to implications between columns."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k")
+    pairs = F.array(
+        F.struct(
+            F.lit("event_id->user_id").alias("fd"),
+            F.col("event_id").cast("string").alias("det"),
+            F.col("user_id").cast("string").alias("dep"),
+        ),
+        F.struct(
+            F.lit("user_id->event_type").alias("fd"),
+            F.col("user_id").cast("string").alias("det"),
+            F.col("event_type").alias("dep"),
+        ),
+        F.struct(
+            F.lit("event_type->user_id").alias("fd"),
+            F.col("event_type").alias("det"),
+            F.col("user_id").cast("string").alias("dep"),
+        ),
+        F.struct(
+            F.lit("props_k->event_type").alias("fd"),
+            k.alias("det"),
+            F.col("event_type").alias("dep"),
+        ),
+    )
+    e = ev.select(F.explode(pairs).alias("p")).select("p.fd", "p.det", "p.dep")
+    gd = e.groupBy("fd", "det").agg(
+        F.count_distinct("dep").alias("nd"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        gd.groupBy("fd")
+        .agg(
+            F.sum("cnt").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum((F.col("nd") > 1).cast("long")).alias("n_violations"),
+            F.max("nd").alias("max_distinct"),
+        )
+        .select(
+            "fd",
+            "n_rows",
+            "n_groups",
+            "n_violations",
+            "max_distinct",
+            (F.col("n_violations") / F.col("n_groups")).alias("violation_rate"),
+            (F.col("n_violations") == 0).alias("fd_holds"),
+        )
+    )
+
+
+def q_cdc_dedup(spark, sf_dir):
+    """Per-source content-defined-chunking dedup profile (ops/cdc.py —
+    LBFS SOSP'01 / FastCDC ATC'16): chunk every doc at content-defined
+    boundaries, then measure how many stored bytes survive chunk-level
+    dedup. The insertion-robust complement of minhash/simhash document
+    near-dup: a one-byte edit shifts every fixed chunk but only ~1 CDC
+    chunk (pinned by test_cdc.test_insertion_robustness_vs_fixed_offset).
+
+    Rows-only by design (the gear rolling hash is not SQL-expressible
+    in the harness); evidence: the chunker is bit-exact against an
+    independent sequential pandas twin (oracle.cdc_chunks_pdf,
+    test_cdc.py), chunks provably tile each doc, and chunking is
+    batch-composition-independent. Plan: one narrow Arrow map stage ->
+    equi-join of (doc_id, chunk) rows back to the source dim -> two
+    partial+final hash aggregates; dedup never compares pairs."""
+    from qamd_spark.ops.cdc import cdc_chunk_rows
+
+    d = _docs(spark, sf_dir)
+    rows = cdc_chunk_rows(d)
+    src = d.select(F.col("doc_id").alias("_did"), "source")
+    per = (
+        rows.join(src, rows["doc_id"] == F.col("_did"))
+        .groupBy("source", "chunk_hash")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("chunk_len").alias("clen"))
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum(F.col("cnt") * F.col("clen")).alias("total_bytes"),
+            F.sum("cnt").alias("n_chunks"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum("clen").alias("distinct_bytes"),
+        )
+        .select(
+            "source",
+            "total_bytes",
+            "n_chunks",
+            "n_distinct",
+            "distinct_bytes",
+            (F.col("distinct_bytes") / F.col("total_bytes")).alias("dedup_ratio"),
+        )
+    )
+
+
 def q_conv_shape(spark, sf_dir):
     """Conversation completeness / balance audit — the transcript-axis
     structural filter instruction-data curation applies before training:
@@ -9014,6 +9243,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refusal_scan": q_refusal_scan,
         "blocklist_phrases": q_blocklist_phrases,
         "dangling_tools": q_dangling_tools,
+        "t_closeness": q_t_closeness,
+        "fleiss_kappa": q_fleiss_kappa,
+        "fd_mine": q_fd_mine,
+        "cdc_dedup": q_cdc_dedup,
         "conv_shape": q_conv_shape,
         "conv_lang_consistency": q_conv_lang_consistency,
         "temperature_mix": q_temperature_mix,
@@ -9372,6 +9605,105 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv, n_calls, n_results, n_dangling, n_orphaned,
                    (n_dangling + n_orphaned) = 0 AS clean
             FROM g
+        """,
+        "t_closeness": """
+            WITH e AS (
+              SELECT event_type, date_trunc('day', ts) AS day,
+                     (props ->> '$.k')::BIGINT AS s
+              FROM events
+              WHERE (props ->> '$.k') IS NOT NULL),
+            cv AS (
+              SELECT event_type, day, s, count(*)::BIGINT AS c
+              FROM e GROUP BY 1, 2, 3),
+            gg AS (
+              SELECT s, count(*)::BIGINT AS gc FROM e GROUP BY 1),
+            np AS (
+              SELECT event_type, day, sum(c)::BIGINT AS n
+              FROM cv GROUP BY 1, 2),
+            tot AS (SELECT count(*)::BIGINT AS totn FROM e),
+            j AS (
+              SELECT cv.event_type, cv.day, cv.c, gg.gc, np.n, tot.totn
+              FROM cv
+              JOIN np USING (event_type, day)
+              JOIN gg USING (s)
+              CROSS JOIN tot),
+            a AS (
+              SELECT event_type, day,
+                     min(n)::BIGINT AS class_size,
+                     min(totn)::BIGINT AS nn,
+                     sum(abs(c*totn - gc*n) - gc*n)::BIGINT AS tsum
+              FROM j GROUP BY 1, 2)
+            SELECT event_type, day, class_size,
+                   (class_size*nn + tsum)::BIGINT AS tv_scaled,
+                   (class_size*nn + tsum) / (2*class_size*nn) AS t_distance,
+                   (class_size*nn + tsum) > class_size*nn AS t_violation
+            FROM a
+        """,
+        "fleiss_kappa": """
+            WITH d AS (
+              SELECT source, n_chars::BIGINT AS nc FROM documents),
+            r AS (
+              SELECT source,
+                     CASE WHEN nc < 200 THEN 0 WHEN nc < 380 THEN 1
+                          ELSE 2 END AS r0,
+                     CASE WHEN nc < 230 THEN 0 WHEN nc < 410 THEN 1
+                          ELSE 2 END AS r1,
+                     CASE WHEN nc < 260 THEN 0 WHEN nc < 440 THEN 1
+                          ELSE 2 END AS r2
+              FROM d),
+            t AS (
+              SELECT source,
+                     CASE WHEN r0 = r1 AND r1 = r2 THEN 9
+                          WHEN r0 = r1 OR r1 = r2 OR r0 = r2 THEN 5
+                          ELSE 3 END::BIGINT AS s,
+                     ((r0 = 0)::INT + (r1 = 0)::INT + (r2 = 0)::INT)
+                       ::BIGINT AS c0,
+                     ((r0 = 1)::INT + (r1 = 1)::INT + (r2 = 1)::INT)
+                       ::BIGINT AS c1,
+                     ((r0 = 2)::INT + (r1 = 2)::INT + (r2 = 2)::INT)
+                       ::BIGINT AS c2
+              FROM r),
+            a AS (
+              SELECT source, count(*)::BIGINT AS n_docs,
+                     sum(s - 3)::BIGINT AS a_sum,
+                     sum(c0)::BIGINT AS t0, sum(c1)::BIGINT AS t1,
+                     sum(c2)::BIGINT AS t2
+              FROM t GROUP BY source)
+            SELECT source, n_docs, a_sum,
+                   (t0*t0 + t1*t1 + t2*t2)::BIGINT AS b_sum,
+                   CASE WHEN 2*(9*n_docs*n_docs - (t0*t0+t1*t1+t2*t2)) <> 0
+                        THEN (3*a_sum*n_docs - 2*(t0*t0+t1*t1+t2*t2))
+                             / (2*(9*n_docs*n_docs - (t0*t0+t1*t1+t2*t2)))
+                        ELSE NULL END AS kappa
+            FROM a
+        """,
+        "fd_mine": """
+            WITH p AS (
+              SELECT 'event_id->user_id' AS fd,
+                     CAST(event_id AS VARCHAR) AS det,
+                     CAST(user_id AS VARCHAR) AS dep FROM events
+              UNION ALL
+              SELECT 'user_id->event_type', CAST(user_id AS VARCHAR),
+                     event_type FROM events
+              UNION ALL
+              SELECT 'event_type->user_id', event_type,
+                     CAST(user_id AS VARCHAR) FROM events
+              UNION ALL
+              SELECT 'props_k->event_type', props ->> '$.k',
+                     event_type FROM events),
+            g AS (
+              SELECT fd, det, count(DISTINCT dep)::BIGINT AS nd,
+                     count(*)::BIGINT AS cnt
+              FROM p GROUP BY 1, 2)
+            SELECT fd, sum(cnt)::BIGINT AS n_rows,
+                   count(*)::BIGINT AS n_groups,
+                   sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_violations,
+                   max(nd)::BIGINT AS max_distinct,
+                   sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) / count(*)
+                     AS violation_rate,
+                   sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS fd_holds
+            FROM g GROUP BY fd
         """,
         "conv_shape": """
             WITH t AS (

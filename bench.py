@@ -319,6 +319,10 @@ def run_benchmarks() -> dict:
         "bootstrap_keep",
         "blocklist_phrases",
         "dangling_tools",
+        "t_closeness",
+        "fleiss_kappa",
+        "fd_mine",
+        "cdc_dedup",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

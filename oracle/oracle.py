@@ -784,3 +784,54 @@ def wav_features_pdf(media: pd.DataFrame) -> pd.DataFrame:
             "duration_ms", "peak", "rms", "zero_crossings",
         ],
     )
+
+
+def cdc_chunks_pdf(pdf, min_size: int = 16, max_size: int = 256,
+                   avg_bits: int = 6, id_col: str = "doc_id",
+                   text_col: str = "text") -> pd.DataFrame:
+    """Sequential per-byte twin of ops.cdc.cdc_chunk_rows: the textbook
+    gear recurrence h = (h << 1) + G[b] mod 2^64 run from h = 0 at each
+    document start (plain Python ints), with the same greedy
+    min/max/mask boundary rule — independent of the batched closed-form
+    shifted-add kernel it verifies."""
+    import hashlib as _hl
+
+    from qamd_spark.ops.cdc import _GEAR
+
+    gear = [int(x) for x in _GEAR]
+    m64 = (1 << 64) - 1
+    mask = (1 << avg_bits) - 1
+    rid, rpos, rhash, rlen = [], [], [], []
+    for doc_id, t in zip(pdf[id_col], pdf[text_col]):
+        b = t.encode("utf-8") if isinstance(t, str) else b""
+        n = len(b)
+        if n == 0:
+            continue
+        h = 0
+        cand = []
+        for i, byte in enumerate(b):
+            h = ((h << 1) + gear[byte]) & m64
+            if (h & mask) == 0:
+                cand.append(i)
+        start = 0
+        while start < n:
+            forced = min(start + max_size, n)
+            cut = forced
+            for c in cand:
+                if c + 1 - start >= min_size and c + 1 <= forced:
+                    cut = c + 1
+                    break
+                if c + 1 > forced:
+                    break
+            rid.append(doc_id)
+            rpos.append(start)
+            digest = _hl.md5(b[start:cut]).digest()[:8]
+            rhash.append(int.from_bytes(digest, "big", signed=True))
+            rlen.append(cut - start)
+            start = cut
+    return pd.DataFrame(
+        {"doc_id": np.asarray(rid, dtype=np.int64),
+         "pos": np.asarray(rpos, dtype=np.int64),
+         "chunk_hash": np.asarray(rhash, dtype=np.int64),
+         "chunk_len": np.asarray(rlen, dtype=np.int64)}
+    )

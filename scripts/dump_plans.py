@@ -461,6 +461,55 @@ def main() -> None:
             E.q_special_tokens(spark, SF),
         ),
         (
+            "blocklist_phrases",
+            "Token-boundary phrase matching: tokenize-once projection, "
+            "positional n-gram explode, BROADCAST hash join against the "
+            "phrase dimension (shuffle join at 10^6-phrase panels); "
+            "int lex-rank keeps the per-doc rollup a partial+final "
+            "HashAggregate (no SortAggregate over strings).",
+            E.q_blocklist_phrases(spark, SF),
+        ),
+        (
+            "dangling_tools",
+            "Tool-call pairing audit: lead+lag share ONE Window operator "
+            "(single exchange on conv), then a partial+final hash "
+            "aggregate; all outputs exact ints/bools.",
+            E.q_dangling_tools(spark, SF),
+        ),
+        (
+            "t_closeness",
+            "Distribution-distance privacy gate in scaled integers: "
+            "class-value hash agg, then BROADCAST joins of the tiny "
+            "class-size / global-count / 1-row-total sides (the "
+            "BroadcastNestedLoopJoin is the 1-row crossJoin), then one "
+            "partial+final agg per class. No window, no theta join.",
+            E.q_t_closeness(spark, SF),
+        ),
+        (
+            "fleiss_kappa",
+            "Inter-rater agreement: ONE fused CASE projection (all three "
+            "raters + agreement pattern in the same codegen stage) + ONE "
+            "partial+final hash aggregate per source — 2 HashAggregates, "
+            "1 Exchange, no join, no window; kappa is one bigint "
+            "division.",
+            E.q_fleiss_kappa(spark, SF),
+        ),
+        (
+            "fd_mine",
+            "Whole FD panel in one pass: per-row explode to (fd, det, "
+            "dep), partial+final hash agg on (fd, det) (count_distinct "
+            "Expand bounded by the 4-entry panel), tiny per-fd rollup.",
+            E.q_fd_mine(spark, SF),
+        ),
+        (
+            "cdc_dedup",
+            "Content-defined chunking: ONE narrow Arrow map stage "
+            "(vectorized closed-form gear hash), broadcast join back to "
+            "the source dim, two partial+final hash aggregates — chunk "
+            "dedup never compares pairs.",
+            E.q_cdc_dedup(spark, SF),
+        ),
+        (
             "ann_pq (ADC ranking stage)",
             "PQ asymmetric-distance ranking: the scan reads the m-int "
             "CODE relation (not raw vectors); the |Q|*m*32 lookup is a "

@@ -1,0 +1,126 @@
+"""Semantic pins for the agreement/privacy statistics queries:
+fleiss_kappa (perfect vs partial agreement) and t_closeness (uniform
+class vs collapsed class), each against hand-computed closed forms on
+planted fixtures — the behavioral layer on top of the DuckDB hash gate
+(which only proves Spark == SQL, not that the statistic is right)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+
+
+@pytest.fixture(scope="module")
+def docs_dir(spark, tmp_path_factory):
+    """documents table where sources pin distinct agreement regimes:
+    sagree -> all three raters always agree (two categories used, so
+    kappa is defined and must be exactly 1); smix -> half the docs sit
+    in the rater-threshold disagreement band [200, 260)."""
+    d = tmp_path_factory.mktemp("fk")
+    rows = []
+    for i in range(40):
+        # nc 100 -> (0,0,0); nc 500 -> (2,2,2): unanimous, two categories
+        rows.append((i, "x", "en", "sagree", 100 if i % 2 == 0 else 500))
+    for i in range(40):
+        # nc 215: r0 (>=200) says 1, r1/r2 (<230/<260) say 0 -> split 5
+        rows.append((100 + i, "x", "en", "smix", 215 if i % 2 == 0 else 100))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return str(d)
+
+
+def test_fleiss_kappa_perfect_agreement_is_one(spark, docs_dir):
+    r = {
+        row["source"]: row.asDict()
+        for row in entry.q_fleiss_kappa(spark, docs_dir).collect()
+    }
+    assert r["sagree"]["kappa"] == pytest.approx(1.0, abs=0.0)
+    # unanimous rows contribute s=9 -> a_sum = 6 * n_docs
+    assert r["sagree"]["a_sum"] == 6 * r["sagree"]["n_docs"]
+
+
+def test_fleiss_kappa_disagreement_below_one(spark, docs_dir):
+    r = {
+        row["source"]: row.asDict()
+        for row in entry.q_fleiss_kappa(spark, docs_dir).collect()
+    }
+    # hand closed-form: N=40; 20 docs (1,0,0) -> s=5, 20 docs (0,0,0) -> s=9
+    # A = 20*2 + 20*6 = 160; T = (100, 20, 0); B = 10000 + 400 = 10400
+    # kappa = (3*160*40 - 2*10400) / (2*(9*1600 - 10400)) = -1600/8000
+    assert r["smix"]["a_sum"] == 160 and r["smix"]["b_sum"] == 10400
+    assert r["smix"]["kappa"] == pytest.approx(-0.2, abs=0.0)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """events table, one day, two classes: event_type 'uniform' has the
+    same sensitive distribution as... itself+skewed pooled; 'skewed' is
+    collapsed onto one value — its distance must be larger and violate
+    t > 0.5 while the uniform class does not."""
+    d = tmp_path_factory.mktemp("tc")
+    ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(100):
+        rows.append((i, ts, 1, "uniform", 1.0, '{"k": %d}' % (i % 10)))
+    for i in range(100):
+        rows.append((100 + i, ts, 1, "skewed", 1.0, '{"k": 0}'))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    return str(d)
+
+
+def test_t_closeness_hand_computed(spark, events_dir):
+    r = {
+        row["event_type"]: row.asDict()
+        for row in entry.q_t_closeness(spark, events_dir).collect()
+    }
+    # global: k=0 has 110 of 200; k=1..9 have 10 each. n=100, N=200.
+    # uniform class: c_v=10 for v=0..9.
+    #   TV = 0.5*(|10/100-110/200| + 9*|10/100-10/200|) = 0.5*(0.45+9*0.05)
+    #      = 0.45 -> tv_scaled = 2*n*N*TV = 2*100*200*0.45 = 18000
+    u = r["uniform"]
+    assert u["class_size"] == 100 and u["tv_scaled"] == 18000
+    assert u["t_distance"] == pytest.approx(0.45, abs=0.0)
+    assert not u["t_violation"]
+    # skewed class: c_0=100. TV = 0.5*(|1-0.55| + 9*0.05) = 0.45 as well?
+    #   |100/100 - 110/200| = 0.45; absent v=1..9 contribute 9*0.05 = 0.45
+    #   TV = 0.5*0.9 = 0.45 -> same distance, by construction of the pool
+    s = r["skewed"]
+    assert s["tv_scaled"] == 18000 and not s["t_violation"]
+
+
+def test_t_closeness_violation_fires_on_extreme_skew(spark, tmp_path_factory):
+    # 10 classes: nine uniform over k=0..9, one collapsed on k=0 ->
+    # the collapsed class is far from the (mostly uniform) global pool
+    d = tmp_path_factory.mktemp("tc2")
+    ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    for cls in range(9):
+        for i in range(100):
+            rows.append((eid, ts, 1, f"u{cls}", 1.0, '{"k": %d}' % (i % 10)))
+            eid += 1
+    for i in range(100):
+        rows.append((eid, ts, 1, "skewed", 1.0, '{"k": 0}'))
+        eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    r = {
+        row["event_type"]: row.asDict()
+        for row in entry.q_t_closeness(spark, str(d)).collect()
+    }
+    # global: k=0 -> 190/1000; others 90/1000. skewed class (all k=0):
+    # TV = 0.5*(|1 - 0.19| + 9*0.09) = 0.81 > 0.5 -> violation
+    assert r["skewed"]["t_violation"]
+    assert r["skewed"]["t_distance"] == pytest.approx(0.81, abs=1e-12)
+    for cls in range(9):
+        assert not r[f"u{cls}"]["t_violation"]
