@@ -1602,6 +1602,238 @@ def q_dangling_tools(spark, sf_dir):
     )
 
 
+_WM_WORDS = [
+    "the", "of", "and", "to", "in", "for", "on", "with", "at", "by", "from",
+    "up", "about", "into", "over", "after", "data", "model", "train",
+    "sample", "filter", "check", "value", "token", "scale", "spark", "query",
+    "table", "row", "batch", "byte", "hash",
+]
+
+
+def _wm_green(prev: str, cur: str) -> bool:
+    """Green-list membership of a token bigram: first hex nibble of
+    md5('prev cur') < 8 — an exactly-1/2 pseudorandom partition both
+    engines can evaluate identically (md5 is bit-identical everywhere)."""
+    import hashlib
+
+    return hashlib.md5(f"{prev} {cur}".encode()).hexdigest()[0] in "01234567"
+
+
+def _wm_stamp(n: int = 80) -> str:
+    """Deterministic watermarked text: a greedy walk over a fixed word
+    list choosing only green successors, so every adjacent pair is
+    green (the planted positive for watermark_scan; built offline the
+    same way a watermarking sampler biases toward its green list)."""
+    toks = ["the"]
+    i = 0
+    while len(toks) < n:
+        rot = _WM_WORDS[i % len(_WM_WORDS):] + _WM_WORDS[: i % len(_WM_WORDS)]
+        for w in rot:
+            if _wm_green(toks[-1], w):
+                toks.append(w)
+                break
+        else:  # pragma: no cover - 32 candidates at p=1/2 never all fail
+            raise RuntimeError("watermark stamp dead end")
+        i += 1
+    return " ".join(toks)
+
+
+def q_watermark_scan(spark, sf_dir):
+    """LLM-watermark detection (Kirchenbauer et al. ICML'23): a
+    green-list watermark biases sampling toward tokens whose hash with
+    the previous token falls in a keyed half of hash space, so
+    watermarked text shows a green-bigram fraction far above 1/2 —
+    z = (2g − n)/sqrt(n) is the detector. The corpus-curation use is
+    filtering synthetic (model-generated) text out of training data.
+    Green test = first md5 nibble of 'prev cur' < 8 (exactly p = 1/2,
+    engine-identical md5); every 13th doc (% 13 == 9) gets an 80-token
+    all-green stamp appended (z ≈ 9 alone), built by the same greedy
+    green-successor walk a watermarking sampler performs. z is one
+    division + one IEEE-exact sqrt over exact ints, so the driver hash
+    gate holds. Plan: the ENTIRE detector is one fused codegen
+    projection (zip_with over adjacent tokens + md5 inside the lambda)
+    — zero shuffle, zero Python, no explode. Reference analogue:
+    StringValueOddCharacters' per-value scan generalized to a keyed
+    statistical test."""
+    stamp = _wm_stamp()
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            _txt(),
+            F.when(F.col("doc_id") % 13 == 9, F.lit(" " + stamp)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    n = F.size(toks)
+    npairs = F.greatest(n - 1, F.lit(0)).cast("long")
+    greens = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.substring(F.md5(F.concat(a, F.lit(" "), b)), 1, 1).isin(
+            *"01234567"
+        ),
+    )
+    ngreen = F.size(F.filter(greens, lambda x: x)).cast("long")
+    out = d.select("doc_id", npairs.alias("n_pairs"), ngreen.alias("n_green"))
+    z = F.when(
+        F.col("n_pairs") > 0,
+        (2 * F.col("n_green") - F.col("n_pairs")) / F.sqrt(F.col("n_pairs")),
+    )
+    return out.select(
+        "doc_id",
+        "n_pairs",
+        "n_green",
+        z.alias("z"),
+        ((F.col("n_pairs") >= 8) & (z > 4.0)).alias("watermark_flag"),
+    )
+
+
+def q_citation_check(spark, sf_dir):
+    """Hallucinated-citation audit for agent transcripts: an assistant
+    turn citing [k] is only grounded if at least k tool_results appear
+    EARLIER in the conversation — a citation past the seen-result count
+    is fabricated provenance (the RAG-trajectory filter applied before
+    training on cited answers). Documents become the canonical agent
+    loop (conv = doc_id % 97, idx = doc_id div 97, idx % 4 cycles
+    user → tool_call → tool_result → assistant), so the seen-result
+    count at an assistant turn is analytic (floor(idx/4) + 1) and the
+    whole audit is ONE filter + ONE partial+final hash aggregate — on
+    real transcripts the seen count is a running-sum window over
+    (conv, idx), dangling_tools' single-exchange shape. Citations are
+    planted per assistant turn: in-range ((doc_id %% 5) mod seen + 1)
+    normally, one-past-the-end for every 11th doc (the fabrication).
+    All outputs exact ints/bools."""
+    idx = F.floor(F.col("doc_id") / 97).cast("long")
+    conv = (F.col("doc_id") % 97).cast("long")
+    seen = (F.floor(idx / 4) + 1).cast("long")
+    cit = F.when(F.col("doc_id") % 11 == 0, seen + 1).otherwise(
+        (F.col("doc_id") % 5) % seen + 1
+    )
+    t = (
+        _docs(spark, sf_dir)
+        .filter(idx % 4 == 3)
+        .select(
+            conv.alias("conv"),
+            cit.alias("cit"),
+            seen.alias("seen"),
+        )
+    )
+    valid = (F.col("cit") <= F.col("seen")).cast("long")
+    return (
+        t.groupBy("conv")
+        .agg(
+            F.count(F.lit(1)).alias("n_citations"),
+            F.sum(valid).alias("n_valid"),
+        )
+        .select(
+            "conv",
+            "n_citations",
+            "n_valid",
+            (F.col("n_citations") - F.col("n_valid")).alias("n_hallucinated"),
+            (F.col("n_citations") == F.col("n_valid")).alias("grounded"),
+        )
+    )
+
+
+def q_tool_args_valid(spark, sf_dir):
+    """Malformed tool-call-arguments audit — the structured-output QA
+    gate agent-SFT curation runs before training on tool trajectories:
+    a tool_call whose arguments don't parse as JSON teaches the model
+    to emit broken calls (the executor would have rejected them, so the
+    trajectory is also causally suspect). Documents become the
+    canonical agent loop (conv = doc_id % 97, idx = doc_id div 97,
+    idx % 4 == 1 are tool_call turns) and each call carries
+    deterministic args '{"q": <doc_id>, "n": <doc_id % 7>}' — TRUNCATED
+    (closing brace dropped) for every 9th doc, the planted damage.
+    Validity is extraction-based so both engines agree without relying
+    on error semantics: Spark get_json_object returns NULL on malformed
+    input; the DuckDB twin gates the same extraction behind
+    json_valid() (its extractor raises instead). Output per conv:
+    calls, parse failures, failure-free flag — one fused projection +
+    one partial+final hash aggregate. Reference analogue:
+    ValueRegexPatterns' per-value format validation (src/check/post.rs)
+    upgraded from regex to a real parser."""
+    idx = F.floor(F.col("doc_id") / 97).cast("long")
+    conv = (F.col("doc_id") % 97).cast("long")
+    args = F.concat(
+        F.lit('{"q": '),
+        F.col("doc_id").cast("string"),
+        F.lit(', "n": '),
+        (F.col("doc_id") % 7).cast("string"),
+        F.when(F.col("doc_id") % 9 == 4, F.lit("")).otherwise(F.lit("}")),
+    )
+    t = (
+        _docs(spark, sf_dir)
+        .filter(idx % 4 == 1)
+        .select(conv.alias("conv"), args.alias("args"), "doc_id")
+    )
+    parsed = F.get_json_object(F.col("args"), "$.q")
+    ok = (
+        parsed.isNotNull() & (parsed == F.col("doc_id").cast("string"))
+    ).cast("long")
+    return (
+        t.groupBy("conv")
+        .agg(
+            F.count(F.lit(1)).alias("n_calls"),
+            F.sum(ok).alias("n_parsed"),
+        )
+        .select(
+            "conv",
+            "n_calls",
+            "n_parsed",
+            (F.col("n_calls") - F.col("n_parsed")).alias("n_malformed"),
+            (F.col("n_calls") == F.col("n_parsed")).alias("args_clean"),
+        )
+    )
+
+
+def q_bot_detect(spark, sf_dir):
+    """Bot / scripted-traffic detection on the events stream — the
+    curation filter that keeps machine-generated interaction data out
+    of behavioral corpora: human inter-arrival gaps are bursty
+    (CV ≈ 1 for Poisson-like arrivals), schedulers fire on a clock
+    (CV ≈ 0). Per user: squared coefficient of variation of the
+    inter-event gap in WHOLE SECONDS, cv² = (n·Σg² − S²)/S², one
+    division of exact bigints; the bot gate 100·(n·Σg² − S²) < S² is an
+    integer compare (cv < 0.1). Every 17th user's timestamps are
+    replaced by a fixed 30-second grid (the planted scheduler), exactly
+    mirrored in the twin. One lag window over (user, ts) — a single
+    exchange — then a partial+final hash aggregate. int64 headroom:
+    gaps ≤ 2.6e6 s (a month), Σg² ≤ 4.7e15 per 1k-event user — safe
+    past 10^5 events/user; per-epoch decimals are the documented swap."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # integer epoch seconds; the planted scheduler replaces them with a
+    # 30 s grid over the user's event RANK (same window, no 2nd
+    # exchange). Within a user every row takes the same branch, so any
+    # session-timezone offset in unix_timestamp cancels in the gaps.
+    epoch = F.when(
+        F.col("user_id") % 17 == 0,
+        F.lit(1704067200) + 30 * (F.row_number().over(w) - 1).cast("long"),
+    ).otherwise(F.unix_timestamp("ts"))
+    g = ev.select(
+        "user_id",
+        (epoch - F.lag(epoch).over(w)).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    agg = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap").alias("s1"),
+        F.sum(F.col("gap") * F.col("gap")).alias("s2"),
+    )
+    num = F.col("n_gaps") * F.col("s2") - F.col("s1") * F.col("s1")
+    return (
+        agg.filter((F.col("n_gaps") >= 5) & (F.col("s1") > 0))
+        .select(
+            "user_id",
+            "n_gaps",
+            (num / (F.col("s1") * F.col("s1"))).alias("cv2"),
+            (100 * num < F.col("s1") * F.col("s1")).alias("bot_flag"),
+        )
+    )
+
+
 def q_t_closeness(spark, sf_dir):
     """t-closeness audit (Li et al. ICDE'07) — the third rung of the
     privacy-release ladder after k_anonymity (class size) and
@@ -9243,6 +9475,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refusal_scan": q_refusal_scan,
         "blocklist_phrases": q_blocklist_phrases,
         "dangling_tools": q_dangling_tools,
+        "watermark_scan": q_watermark_scan,
+        "citation_check": q_citation_check,
+        "tool_args_valid": q_tool_args_valid,
+        "bot_detect": q_bot_detect,
         "t_closeness": q_t_closeness,
         "fleiss_kappa": q_fleiss_kappa,
         "fd_mine": q_fd_mine,
@@ -9605,6 +9841,108 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv, n_calls, n_results, n_dangling, n_orphaned,
                    (n_dangling + n_orphaned) = 0 AS clean
             FROM g
+        """,
+        "watermark_scan": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     coalesce(text,'') ||
+                       CASE WHEN doc_id % 13 = 9
+                            THEN ' {_wm_stamp()}' ELSE '' END AS text
+              FROM documents),
+            t AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '),
+                                 x -> x <> '') AS tok
+              FROM d),
+            g AS (
+              SELECT doc_id,
+                     greatest(len(tok) - 1, 0)::BIGINT AS n_pairs,
+                     len(list_filter(
+                           list_transform(
+                             generate_series(1, len(tok) - 1),
+                             i -> substr(md5(tok[i] || ' ' || tok[i+1]),
+                                         1, 1)),
+                           h -> h IN ('0','1','2','3','4','5','6','7')))
+                       ::BIGINT AS n_green
+              FROM t)
+            SELECT doc_id, n_pairs, n_green,
+                   CASE WHEN n_pairs > 0
+                        THEN (2*n_green - n_pairs) / sqrt(n_pairs)
+                        END AS z,
+                   (n_pairs >= 8 AND
+                    CASE WHEN n_pairs > 0
+                         THEN (2*n_green - n_pairs) / sqrt(n_pairs)
+                         END > 4.0) AS watermark_flag
+            FROM g
+        """,
+        "citation_check": """
+            WITH a AS (
+              SELECT (doc_id % 97)::BIGINT AS conv,
+                     ((doc_id // 97) // 4 + 1)::BIGINT AS seen,
+                     CASE WHEN doc_id % 11 = 0
+                          THEN ((doc_id // 97) // 4 + 1) + 1
+                          ELSE (doc_id % 5) % ((doc_id // 97) // 4 + 1) + 1
+                          END::BIGINT AS cit
+              FROM documents
+              WHERE (doc_id // 97) % 4 = 3)
+            SELECT conv,
+                   count(*)::BIGINT AS n_citations,
+                   sum(CASE WHEN cit <= seen THEN 1 ELSE 0 END)::BIGINT
+                     AS n_valid,
+                   (count(*) - sum(CASE WHEN cit <= seen THEN 1 ELSE 0 END))
+                     ::BIGINT AS n_hallucinated,
+                   count(*) = sum(CASE WHEN cit <= seen THEN 1 ELSE 0 END)
+                     AS grounded
+            FROM a GROUP BY conv
+        """,
+        "tool_args_valid": """
+            WITH c AS (
+              SELECT (doc_id % 97)::BIGINT AS conv, doc_id,
+                     '{"q": ' || CAST(doc_id AS VARCHAR) || ', "n": ' ||
+                       CAST(doc_id % 7 AS VARCHAR) ||
+                       CASE WHEN doc_id % 9 = 4 THEN '' ELSE '}' END AS args
+              FROM documents
+              WHERE (doc_id // 97) % 4 = 1),
+            v AS (
+              SELECT conv,
+                     CASE WHEN json_valid(args)
+                          THEN CASE WHEN args ->> '$.q'
+                                         = CAST(doc_id AS VARCHAR)
+                                    THEN 1 ELSE 0 END
+                          ELSE 0 END AS ok
+              FROM c)
+            SELECT conv, count(*)::BIGINT AS n_calls,
+                   sum(ok)::BIGINT AS n_parsed,
+                   (count(*) - sum(ok))::BIGINT AS n_malformed,
+                   count(*) = sum(ok) AS args_clean
+            FROM v GROUP BY conv
+        """,
+        "bot_detect": """
+            WITH e AS (
+              SELECT user_id, ts, event_id,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events),
+            x AS (
+              SELECT user_id, ts, event_id,
+                     (CASE WHEN user_id % 17 = 0
+                           THEN 1704067200 + 30 * (rn - 1)
+                           ELSE epoch_us(ts) // 1000000 END)::BIGINT AS ep
+              FROM e),
+            g AS (
+              SELECT user_id,
+                     ep - lag(ep) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS gap
+              FROM x),
+            a AS (
+              SELECT user_id, count(*)::BIGINT AS n_gaps,
+                     sum(gap)::BIGINT AS s1,
+                     sum(gap*gap)::BIGINT AS s2
+              FROM g WHERE gap IS NOT NULL GROUP BY user_id)
+            SELECT user_id, n_gaps,
+                   (n_gaps*s2 - s1*s1) / (s1*s1) AS cv2,
+                   100*(n_gaps*s2 - s1*s1) < s1*s1 AS bot_flag
+            FROM a WHERE n_gaps >= 5 AND s1 > 0
         """,
         "t_closeness": """
             WITH e AS (

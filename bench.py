@@ -319,6 +319,10 @@ def run_benchmarks() -> dict:
         "bootstrap_keep",
         "blocklist_phrases",
         "dangling_tools",
+        "watermark_scan",
+        "citation_check",
+        "tool_args_valid",
+        "bot_detect",
         "t_closeness",
         "fleiss_kappa",
         "fd_mine",

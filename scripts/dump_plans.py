@@ -477,6 +477,37 @@ def main() -> None:
             E.q_dangling_tools(spark, SF),
         ),
         (
+            "watermark_scan",
+            "Green-list watermark z-test: the whole detector (tokenize, "
+            "adjacent-pair md5, green count, z, flag) is ONE fused "
+            "codegen projection — zero Exchange, zero aggregate, no "
+            "Python stage, no explode.",
+            E.q_watermark_scan(spark, SF),
+        ),
+        (
+            "citation_check",
+            "Grounded-citation audit: one filter + one partial+final "
+            "hash aggregate (2 HashAggregates, 1 Exchange); the "
+            "seen-result count is analytic on the canonical loop, a "
+            "running-sum window on real transcripts.",
+            E.q_citation_check(spark, SF),
+        ),
+        (
+            "tool_args_valid",
+            "JSON-validity audit: args synthesis + parse check fuse "
+            "into one codegen projection; one partial+final hash "
+            "aggregate per conversation.",
+            E.q_tool_args_valid(spark, SF),
+        ),
+        (
+            "bot_detect",
+            "Inter-arrival regularity: row_number + lag share ONE "
+            "Window (single exchange on user_id); cv-squared and the "
+            "bot gate are exact-bigint arithmetic after a partial+final "
+            "hash aggregate.",
+            E.q_bot_detect(spark, SF),
+        ),
+        (
             "t_closeness",
             "Distribution-distance privacy gate in scaled integers: "
             "class-value hash agg, then BROADCAST joins of the tiny "

@@ -124,3 +124,45 @@ def test_t_closeness_violation_fires_on_extreme_skew(spark, tmp_path_factory):
     assert r["skewed"]["t_distance"] == pytest.approx(0.81, abs=1e-12)
     for cls in range(9):
         assert not r[f"u{cls}"]["t_violation"]
+
+
+def test_watermark_scan_separates_stamped_docs(spark):
+    """All stamped docs (doc_id % 13 == 9 carry the 80-token all-green
+    stamp) must flag; natural text stays near z=0 with at most a
+    z>4 tail false positive or two (deterministic, not flaky)."""
+    out = entry.q_watermark_scan(spark, "/root/testdata/sf0.001").toPandas()
+    stamped = out[out.doc_id % 13 == 9]
+    rest = out[out.doc_id % 13 != 9]
+    assert len(stamped) > 0 and stamped["watermark_flag"].all()
+    assert stamped["z"].min() > 4.0
+    assert rest["watermark_flag"].sum() <= max(1, len(rest) // 100)
+    assert abs(rest["z"].mean()) < 1.0  # unbiased on natural text
+
+
+def test_watermark_stamp_is_all_green_pairs():
+    toks = entry._wm_stamp().split(" ")
+    assert len(toks) == 80
+    assert all(entry._wm_green(a, b) for a, b in zip(toks, toks[1:]))
+
+
+def test_citation_check_flags_planted_fabrications(spark):
+    out = {
+        r["conv"]: r.asDict()
+        for r in entry.q_citation_check(spark, "/root/testdata/sf0.001").collect()
+    }
+    # assistant turns: idx % 4 == 3 -> doc_id = 97*idx + conv; fabrication
+    # where doc_id % 11 == 0. Recompute the expected hallucination sets.
+    bad = {}
+    n_cit = {}
+    for doc_id in range(500):
+        idx, conv = divmod(doc_id, 97)
+        if idx % 4 != 3:
+            continue
+        n_cit[conv] = n_cit.get(conv, 0) + 1
+        if doc_id % 11 == 0:
+            bad[conv] = bad.get(conv, 0) + 1
+    assert bad, "fixture must plant fabrications"
+    for conv, r in out.items():
+        assert r["n_citations"] == n_cit[conv]
+        assert r["n_hallucinated"] == bad.get(conv, 0)
+        assert r["grounded"] == (conv not in bad)
