@@ -1834,6 +1834,279 @@ def q_bot_detect(spark, sf_dir):
     )
 
 
+def q_conv_fork_detect(spark, sf_dir):
+    """Regenerated-branch (fork) detection for chat transcripts — the
+    conversation-level dedup chat-UI exports need: when a user hits
+    "regenerate", the platform stores a NEW conversation sharing the
+    first k turns verbatim, so a corpus of exports trains k copies of
+    every shared prefix. Conversations are grouped by the md5 of their
+    first-3-turn texts (order-free: the three turns are pivoted out via
+    max(when) on the unique turn_idx, then concatenated with a
+    separator — no collect_list ordering assumption); groups with
+    >1 conv are fork families, the min conv_id is the canonical keeper.
+    Forks are planted deterministically: convs divisible by 5 have
+    their first 3 turn texts replaced by one of three shared templates
+    (conv % 3), so ~6-7 convs share each template. Plan: two partial+
+    final aggregates, one exchange each (conv pivot, then prefix-hash
+    family) — dedup_exact's shape lifted from rows to conversations;
+    no window, no join. The conv pivot is a partial+final
+    SortAggregate (max over a string buffer is not hash-mutable in
+    Spark) — still map-side partial, one shuffle on conv. Reference
+    analogue: DuplicateValues (src/check/value.rs) applied to a
+    derived conversation key."""
+    idx = F.floor(F.col("doc_id") / 97).cast("long")
+    conv = (F.col("doc_id") % 97).cast("long")
+    templ = F.concat(
+        F.lit("fork-template-"),
+        (conv % 3).cast("string"),
+        F.lit("-turn-"),
+        idx.cast("string"),
+    )
+    t = _docs(spark, sf_dir).select(
+        conv.alias("conv"),
+        idx.alias("turn_idx"),
+        F.when((conv % 5 == 0) & (idx < 3), templ).otherwise(_txt()).alias("text"),
+    )
+    pref = (
+        t.filter(F.col("turn_idx") < 3)
+        .groupBy("conv")
+        .agg(
+            F.max(F.when(F.col("turn_idx") == 0, F.col("text"))).alias("t0"),
+            F.max(F.when(F.col("turn_idx") == 1, F.col("text"))).alias("t1"),
+            F.max(F.when(F.col("turn_idx") == 2, F.col("text"))).alias("t2"),
+        )
+        .select(
+            "conv",
+            F.md5(
+                F.concat_ws(
+                    "␟",
+                    F.coalesce(F.col("t0"), F.lit("")),
+                    F.coalesce(F.col("t1"), F.lit("")),
+                    F.coalesce(F.col("t2"), F.lit("")),
+                )
+            ).alias("prefix_hash"),
+        )
+    )
+    fam = pref.groupBy("prefix_hash").agg(
+        F.count(F.lit(1)).alias("n_convs"),
+        F.min("conv").alias("canonical_conv"),
+    )
+    return fam.select(
+        "prefix_hash",
+        "n_convs",
+        "canonical_conv",
+        (F.col("n_convs") > 1).alias("is_fork"),
+        (F.col("n_convs") - 1).alias("n_redundant"),
+    )
+
+
+def q_homoglyph_scan(spark, sf_dir):
+    """Word-level mixed-script confusable (homoglyph) detection — the
+    adversarial-text filter script_profile's doc-level histogram can't
+    express: 'pаypаl' with Cyrillic а U+0430 passes a doc-level script
+    mix check (one doc may legitimately hold two languages) but a
+    SINGLE WORD mixing Latin and Cyrillic/Greek letters is the IDN-
+    homograph spoof signature (Unicode TR#39 confusable_detection),
+    used to smuggle blocklisted terms past string filters. Per doc:
+    word count, mixed-script word count, spoof flag. Spoofs planted on
+    every 19th doc (' pаypаl sеcurе' — Cyrillic а/е inside Latin
+    words), mirrored in the twin. Engine note: Java spells the script
+    classes \\p{IsLatin}/\\p{IsCyrillic}/\\p{IsGreek}, RE2 \\p{Latin}
+    etc. — same code points (script_profile's established equivalence).
+    Plan: one fused codegen projection — split + two higher-order
+    filters, no explode, no shuffle, no Python. Reference analogue:
+    StringValueOddCharacters (src/check/value.rs) upgraded from a char
+    class to a per-word cross-script predicate."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            _txt(),
+            F.when(
+                F.col("doc_id") % 19 == 3,
+                F.lit(" pаypаl sеcurе"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    mixed = F.filter(
+        words,
+        lambda w: w.rlike("\\p{IsLatin}")
+        & w.rlike("[\\p{IsCyrillic}\\p{IsGreek}]"),
+    )
+    return d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.size(mixed).cast("long").alias("n_mixed_words"),
+        (F.size(mixed) > 0).alias("homoglyph_flag"),
+    )
+
+
+def q_kendall_tau(spark, sf_dir):
+    """Per-source Kendall tau-b rank correlation between two per-doc
+    quality signals (char length vs whitespace token count) — the
+    concordance-based sibling of spearman_signals, preferred when the
+    signals are coarsely bucketed (quality tiers, star ratings) because
+    tau-b's tie correction is exact on heavy ties. Naive tau is
+    O(n²) pairs per source; this decomposes it onto the bounded 2-D
+    HISTOGRAM: signals are bucketed to a 16×16 grid, the grid
+    aggregates once (one exchange), and concordant/discordant pair
+    counts come from a grid self-join on (source, xb1 < xb2) — at most
+    256 cells ⇒ ≤32k cell pairs per source, independent of row count
+    (the within-cell and same-xb pairs are ties by construction and
+    enter only the tie terms). All pair counts are exact bigints
+    (products of cell counts); tau_b = (C − D) /
+    (sqrt(n0 − tx) * sqrt(n0 − ty)) is one IEEE division of exact ints
+    (spearman_signals' determinism discipline). int64 headroom: C ≤
+    n² / 2 ⇒ safe to ~3e9 rows per source. Plan: one hash aggregate to
+    the grid, which is PERSISTED because four branches consume it
+    (pairs self-join, n / tie marginals) — without the persist each
+    branch would rescan the raw docs (the multi-consumer-intermediate
+    pattern from the simhash/minhash ops); everything after the
+    persist runs on a ≤256·n_sources-row table."""
+    d = _docs(spark, sf_dir).select(
+        "source",
+        F.length(_txt()).cast("long").alias("x"),
+        F.size(F.filter(F.split(_txt(), " "), lambda t: t != ""))
+        .cast("long")
+        .alias("y"),
+    )
+    grid = (
+        d.select(
+            "source",
+            F.least(F.floor(F.col("x") / 64), F.lit(15)).cast("long").alias("xb"),
+            F.least(F.floor(F.col("y") / 16), F.lit(15)).cast("long").alias("yb"),
+        )
+        .groupBy("source", "xb", "yb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    g1 = grid.select(
+        F.col("source").alias("s"),
+        F.col("xb").alias("x1"),
+        F.col("yb").alias("y1"),
+        F.col("c").alias("c1"),
+    )
+    g2 = grid.select(
+        F.col("source").alias("s2"),
+        F.col("xb").alias("x2"),
+        F.col("yb").alias("y2"),
+        F.col("c").alias("c2"),
+    )
+    pairs = g1.join(
+        g2, (F.col("s") == F.col("s2")) & (F.col("x1") < F.col("x2"))
+    ).groupBy("s").agg(
+        F.sum(
+            F.when(F.col("y1") < F.col("y2"), F.col("c1") * F.col("c2")).otherwise(
+                F.lit(0)
+            )
+        ).alias("concordant"),
+        F.sum(
+            F.when(F.col("y1") > F.col("y2"), F.col("c1") * F.col("c2")).otherwise(
+                F.lit(0)
+            )
+        ).alias("discordant"),
+    )
+    marg = grid.groupBy("source").agg(F.sum("c").alias("n"))
+    tx = (
+        grid.groupBy("source", "xb")
+        .agg(F.sum("c").alias("cx"))
+        .groupBy("source")
+        .agg(F.sum(F.col("cx") * (F.col("cx") - 1)).alias("tx2"))
+    )
+    ty = (
+        grid.groupBy("source", "yb")
+        .agg(F.sum("c").alias("cy"))
+        .groupBy("source")
+        .agg(F.sum(F.col("cy") * (F.col("cy") - 1)).alias("ty2"))
+    )
+    j = (
+        marg.join(tx, "source")
+        .join(ty, "source")
+        .join(pairs, marg["source"] == pairs["s"], "left")
+        .drop("s")
+    )
+    # all pair counts carried DOUBLED (n(n-1), Σc(c-1)) so every value
+    # stays an exact bigint; the /2 inside sqrt is a float-exact
+    # exponent decrement, and the output tie columns use integer `div`.
+    n02 = F.col("n") * (F.col("n") - 1)
+    c_ = F.coalesce(F.col("concordant"), F.lit(0))
+    d_ = F.coalesce(F.col("discordant"), F.lit(0))
+    denom = F.sqrt((n02 - F.col("tx2")).cast("double") / 2) * F.sqrt(
+        (n02 - F.col("ty2")).cast("double") / 2
+    )
+    return j.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        c_.alias("concordant"),
+        d_.alias("discordant"),
+        F.expr("tx2 div 2").alias("ties_x"),
+        F.expr("ty2 div 2").alias("ties_y"),
+        F.when(
+            (n02 > F.col("tx2")) & (n02 > F.col("ty2")),
+            (c_ - d_) / denom,
+        ).alias("tau_b"),
+    )
+
+
+def q_km_survival(spark, sf_dir):
+    """Kaplan-Meier survival estimate of user lifetime over the events
+    stream — the survival-analysis rung of the retention family
+    (cohort_retention gives period-over-period grids; KM gives the
+    censoring-correct lifetime curve a growth analysis needs when the
+    observation window truncates newer users). Per user: lifetime =
+    whole days between first and last event; users whose last event
+    falls within 7 days of the corpus horizon (global max ts) are
+    CENSORED (still alive), the rest are churn events. Classic KM at
+    each distinct lifetime t: n_risk = users with lifetime >= t,
+    n_events = churns at exactly t, S(t) = prod_{t_i <= t}
+    (1 - d_i/n_i). Determinism: every count is exact; each factor is
+    one IEEE division; S(t) is a LEFT-FOLD ordered product over the
+    bounded per-duration table (F.aggregate over a window-collected
+    factor list in Spark, list_reduce over an ordered list in DuckDB —
+    same fold order, bit-identical; no exp(sum(ln)) drift). Plan: one
+    hash agg per user (single exchange on user_id), then all KM math on
+    the <=N_distinct_durations aggregated table (a scalar-bounded
+    single-partition window, the locators-cap shape — fine because the
+    table is tiny by construction, not by data luck)."""
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    # persisted: both the horizon branch and the lifetime branch
+    # consume it — without the persist the horizon max would rescan
+    # raw events (the multi-consumer-intermediate pattern).
+    per = ev.groupBy("user_id").agg(
+        F.min(F.unix_timestamp("ts")).alias("first_s"),
+        F.max(F.unix_timestamp("ts")).alias("last_s"),
+    ).persist()
+    horizon = per.agg(F.max("last_s").alias("h"))
+    u = per.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        F.floor((F.col("last_s") - F.col("first_s")) / 86400).cast("long").alias("life_d"),
+        (F.col("last_s") >= F.col("h") - 7 * 86400).alias("censored"),
+    )
+    byd = u.groupBy("life_d").agg(
+        F.sum((~F.col("censored")).cast("long")).alias("n_events"),
+        F.sum(F.col("censored").cast("long")).alias("n_censored"),
+        F.count(F.lit(1)).alias("n_at"),
+    )
+    w = Window.orderBy("life_d").rowsBetween(Window.unboundedPreceding, 0)
+    wfut = Window.orderBy("life_d").rowsBetween(0, Window.unboundedFollowing)
+    risk = F.sum("n_at").over(wfut).alias("n_risk")
+    k = byd.select("life_d", "n_events", "n_censored", risk)
+    factor = F.lit(1.0) - F.col("n_events").cast("double") / F.col("n_risk").cast(
+        "double"
+    )
+    factors = F.collect_list(factor.cast("double")).over(w)
+    surv = F.aggregate(
+        factors, F.lit(1.0), lambda acc, x: acc * x
+    )
+    return k.select(
+        "life_d",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        surv.alias("survival"),
+    )
+
+
 def q_t_closeness(spark, sf_dir):
     """t-closeness audit (Li et al. ICDE'07) — the third rung of the
     privacy-release ladder after k_anonymity (class size) and
@@ -9479,6 +9752,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "citation_check": q_citation_check,
         "tool_args_valid": q_tool_args_valid,
         "bot_detect": q_bot_detect,
+        "conv_fork_detect": q_conv_fork_detect,
+        "homoglyph_scan": q_homoglyph_scan,
+        "kendall_tau": q_kendall_tau,
+        "km_survival": q_km_survival,
         "t_closeness": q_t_closeness,
         "fleiss_kappa": q_fleiss_kappa,
         "fd_mine": q_fd_mine,
@@ -9943,6 +10220,145 @@ def oracle_sql() -> dict[str, str]:
                    (n_gaps*s2 - s1*s1) / (s1*s1) AS cv2,
                    100*(n_gaps*s2 - s1*s1) < s1*s1 AS bot_flag
             FROM a WHERE n_gaps >= 5 AND s1 > 0
+        """,
+        "conv_fork_detect": """
+            WITH t AS (
+              SELECT (doc_id % 97)::BIGINT AS conv,
+                     (doc_id // 97)::BIGINT AS turn_idx,
+                     CASE WHEN (doc_id % 97) % 5 = 0 AND (doc_id // 97) < 3
+                          THEN 'fork-template-' ||
+                               CAST((doc_id % 97) % 3 AS VARCHAR) ||
+                               '-turn-' || CAST(doc_id // 97 AS VARCHAR)
+                          ELSE coalesce(text, '') END AS text
+              FROM documents),
+            p AS (
+              SELECT conv,
+                     md5(concat_ws('␟',
+                       coalesce(max(CASE WHEN turn_idx = 0 THEN text END), ''),
+                       coalesce(max(CASE WHEN turn_idx = 1 THEN text END), ''),
+                       coalesce(max(CASE WHEN turn_idx = 2 THEN text END), '')
+                     )) AS prefix_hash
+              FROM t WHERE turn_idx < 3 GROUP BY conv)
+            SELECT prefix_hash,
+                   count(*)::BIGINT AS n_convs,
+                   min(conv)::BIGINT AS canonical_conv,
+                   count(*) > 1 AS is_fork,
+                   (count(*) - 1)::BIGINT AS n_redundant
+            FROM p GROUP BY prefix_hash
+        """,
+        "homoglyph_scan": """
+            WITH d AS (
+              SELECT doc_id,
+                     coalesce(text, '') ||
+                       CASE WHEN doc_id % 19 = 3
+                            THEN ' pаypаl sеcurе'
+                            ELSE '' END AS text
+              FROM documents),
+            w AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '')
+                       AS words
+              FROM d)
+            SELECT doc_id,
+                   len(words)::BIGINT AS n_words,
+                   len(list_filter(words,
+                       w -> regexp_matches(w, '\\p{Latin}') AND
+                            regexp_matches(w, '[\\p{Cyrillic}\\p{Greek}]')))
+                     ::BIGINT AS n_mixed_words,
+                   len(list_filter(words,
+                       w -> regexp_matches(w, '\\p{Latin}') AND
+                            regexp_matches(w, '[\\p{Cyrillic}\\p{Greek}]')))
+                     > 0 AS homoglyph_flag
+            FROM w
+        """,
+        "kendall_tau": """
+            WITH d AS (
+              SELECT source,
+                     length(coalesce(text, ''))::BIGINT AS x,
+                     len(list_filter(string_split(coalesce(text, ''), ' '),
+                                     t -> t <> ''))::BIGINT AS y
+              FROM documents),
+            grid AS (
+              SELECT source,
+                     least(x // 64, 15)::BIGINT AS xb,
+                     least(y // 16, 15)::BIGINT AS yb,
+                     count(*)::BIGINT AS c
+              FROM d GROUP BY source, xb, yb),
+            pairs AS (
+              SELECT g1.source AS s,
+                     sum(CASE WHEN g1.yb < g2.yb THEN g1.c * g2.c
+                              ELSE 0 END)::BIGINT AS concordant,
+                     sum(CASE WHEN g1.yb > g2.yb THEN g1.c * g2.c
+                              ELSE 0 END)::BIGINT AS discordant
+              FROM grid g1 JOIN grid g2
+                ON g1.source = g2.source AND g1.xb < g2.xb
+              GROUP BY g1.source),
+            marg AS (
+              SELECT source, sum(c)::BIGINT AS n FROM grid GROUP BY source),
+            txs AS (
+              SELECT source, sum(cx * (cx - 1))::BIGINT AS tx2
+              FROM (SELECT source, xb, sum(c)::BIGINT AS cx
+                    FROM grid GROUP BY source, xb) GROUP BY source),
+            tys AS (
+              SELECT source, sum(cy * (cy - 1))::BIGINT AS ty2
+              FROM (SELECT source, yb, sum(c)::BIGINT AS cy
+                    FROM grid GROUP BY source, yb) GROUP BY source)
+            SELECT m.source,
+                   m.n AS n_docs,
+                   coalesce(p.concordant, 0)::BIGINT AS concordant,
+                   coalesce(p.discordant, 0)::BIGINT AS discordant,
+                   (t1.tx2 // 2)::BIGINT AS ties_x,
+                   (t2.ty2 // 2)::BIGINT AS ties_y,
+                   CASE WHEN m.n * (m.n - 1) > t1.tx2
+                         AND m.n * (m.n - 1) > t2.ty2
+                        THEN (coalesce(p.concordant, 0)
+                              - coalesce(p.discordant, 0))
+                             / (sqrt((m.n * (m.n - 1) - t1.tx2)::DOUBLE / 2)
+                                * sqrt((m.n * (m.n - 1) - t2.ty2)::DOUBLE / 2))
+                        END AS tau_b
+            FROM marg m
+            JOIN txs t1 ON m.source = t1.source
+            JOIN tys t2 ON m.source = t2.source
+            LEFT JOIN pairs p ON m.source = p.s
+        """,
+        "km_survival": """
+            WITH per AS (
+              SELECT user_id,
+                     min(epoch_us(ts) // 1000000)::BIGINT AS first_s,
+                     max(epoch_us(ts) // 1000000)::BIGINT AS last_s
+              FROM events GROUP BY user_id),
+            u AS (
+              SELECT user_id,
+                     ((last_s - first_s) // 86400)::BIGINT AS life_d,
+                     last_s >= (SELECT max(last_s) FROM per) - 7 * 86400
+                       AS censored
+              FROM per),
+            byd AS (
+              SELECT life_d,
+                     sum(CASE WHEN censored THEN 0 ELSE 1 END)::BIGINT
+                       AS n_events,
+                     sum(CASE WHEN censored THEN 1 ELSE 0 END)::BIGINT
+                       AS n_censored,
+                     count(*)::BIGINT AS n_at
+              FROM u GROUP BY life_d),
+            k AS (
+              SELECT life_d, n_events, n_censored,
+                     sum(n_at) OVER (ORDER BY life_d
+                                     ROWS BETWEEN CURRENT ROW
+                                     AND UNBOUNDED FOLLOWING)::BIGINT
+                       AS n_risk
+              FROM byd),
+            f AS (
+              SELECT life_d, n_risk, n_events, n_censored,
+                     list((1.0::DOUBLE - n_events::DOUBLE / n_risk::DOUBLE))
+                       OVER (ORDER BY life_d
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS factors
+              FROM k)
+            SELECT life_d, n_risk, n_events, n_censored,
+                   list_reduce(list_prepend(1.0::DOUBLE, factors),
+                               (a, b) -> a * b) AS survival
+            FROM f
         """,
         "t_closeness": """
             WITH e AS (

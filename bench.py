@@ -323,6 +323,10 @@ def run_benchmarks() -> dict:
         "citation_check",
         "tool_args_valid",
         "bot_detect",
+        "conv_fork_detect",
+        "homoglyph_scan",
+        "kendall_tau",
+        "km_survival",
         "t_closeness",
         "fleiss_kappa",
         "fd_mine",

@@ -508,6 +508,37 @@ def main() -> None:
             E.q_bot_detect(spark, SF),
         ),
         (
+            "conv_fork_detect",
+            "Regenerated-branch detection: two partial+final hash "
+            "aggregates (conv prefix pivot via max(when), then "
+            "prefix-hash family) — dedup_exact's shape lifted from "
+            "rows to conversations; no window, no join.",
+            E.q_conv_fork_detect(spark, SF),
+        ),
+        (
+            "homoglyph_scan",
+            "Mixed-script confusable scan: ONE fused codegen "
+            "projection (split + two higher-order rlike filters) — "
+            "zero Exchange, no explode, no Python stage.",
+            E.q_homoglyph_scan(spark, SF),
+        ),
+        (
+            "kendall_tau",
+            "Histogram-decomposed tau-b: one hash aggregate to the "
+            "16x16 grid, then all pair math on the bounded aggregated "
+            "table (broadcast-able self-join + marginal aggs); raw "
+            "rows are touched exactly once.",
+            E.q_kendall_tau(spark, SF),
+        ),
+        (
+            "km_survival",
+            "Kaplan-Meier: one hash agg per user (single exchange), "
+            "then the KM fold on the <=n_durations aggregated table "
+            "(scalar-bounded single-partition window, the locators-cap "
+            "shape); survival is an exact left-fold product.",
+            E.q_km_survival(spark, SF),
+        ),
+        (
             "t_closeness",
             "Distribution-distance privacy gate in scaled integers: "
             "class-value hash agg, then BROADCAST joins of the tiny "

@@ -166,3 +166,108 @@ def test_citation_check_flags_planted_fabrications(spark):
         assert r["n_citations"] == n_cit[conv]
         assert r["n_hallucinated"] == bad.get(conv, 0)
         assert r["grounded"] == (conv not in bad)
+
+
+def test_conv_fork_detect_planted_families(spark):
+    out = entry.q_conv_fork_detect(spark, "/root/testdata/sf0.001").toPandas()
+    forks = out[out.is_fork].sort_values("canonical_conv")
+    # convs % 5 == 0 share first-3-turn templates keyed by conv % 3:
+    # group 0 = multiples of 15 (7 convs), group 1 = {10,25,..,85} (6),
+    # group 2 = {5,20,..,95} (7); every other conv is a singleton.
+    assert len(forks) == 3
+    assert list(forks["canonical_conv"]) == [0, 5, 10]
+    assert sorted(forks["n_convs"]) == [6, 7, 7]
+    assert forks["n_redundant"].sum() == 17
+    assert (out[~out.is_fork]["n_convs"] == 1).all()
+    assert len(out) == 3 + (97 - 20)
+
+
+def test_homoglyph_scan_planted_spoofs(spark):
+    out = entry.q_homoglyph_scan(spark, "/root/testdata/sf0.001").toPandas()
+    spoofed = out[out.doc_id % 19 == 3]
+    clean = out[out.doc_id % 19 != 3]
+    # ' pаypаl sеcurе' plants exactly two Latin+Cyrillic words
+    assert len(spoofed) > 0 and spoofed["homoglyph_flag"].all()
+    assert (spoofed["n_mixed_words"] == 2).all()
+    # the natural corpus is pure-Latin: zero false positives
+    assert (clean["n_mixed_words"] == 0).all()
+    assert not clean["homoglyph_flag"].any()
+
+
+def test_kendall_tau_matches_bruteforce_pairs(spark):
+    """The grid decomposition must equal the O(n^2) definition of
+    tau-b computed over the SAME bucketed signals (the histogram is
+    the statistic's domain here, not an approximation of raw tau)."""
+    import duckdb
+    import math
+
+    out = {
+        r["source"]: r.asDict()
+        for r in entry.q_kendall_tau(spark, "/root/testdata/sf0.001").collect()
+    }
+    df = duckdb.sql(
+        "select source, length(coalesce(text,'')) as x,"
+        " len(list_filter(string_split(coalesce(text,''),' '), t -> t <> ''))"
+        " as y from read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).df()
+    df["xb"] = (df.x // 64).clip(upper=15)
+    df["yb"] = (df.y // 16).clip(upper=15)
+    for src, g in df.groupby("source"):
+        xs, ys = list(g.xb), list(g.yb)
+        n = len(xs)
+        C = D = tx = ty = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                dx, dy = xs[i] - xs[j], ys[i] - ys[j]
+                if dx == 0:
+                    tx += 1
+                if dy == 0:
+                    ty += 1
+                if dx * dy > 0:
+                    C += 1
+                elif dx * dy < 0:
+                    D += 1
+        r = out[src]
+        assert (r["concordant"], r["discordant"]) == (C, D)
+        assert (r["ties_x"], r["ties_y"]) == (tx, ty)
+        n0 = n * (n - 1) // 2
+        expect = (C - D) / (math.sqrt(n0 - tx) * math.sqrt(n0 - ty))
+        assert r["tau_b"] == pytest.approx(expect, rel=1e-12)
+
+
+@pytest.fixture(scope="module")
+def km_events_dir(spark, tmp_path_factory):
+    """Three users with hand-set lifetimes against a day-12 horizon:
+    u1 lives 10d (last day 10 -> censored), u2 lives 4d (last day 4,
+    more than 7d before horizon -> observed churn), u3 lives 4d
+    (days 8..12 -> censored; also sets the horizon)."""
+    d = tmp_path_factory.mktemp("km")
+    day = lambda k: datetime.datetime(2024, 1, 1) + datetime.timedelta(days=k)
+    rows = [
+        (1, day(0), 1, "e", 1.0, "{}"),
+        (2, day(10), 1, "e", 1.0, "{}"),
+        (3, day(0), 2, "e", 1.0, "{}"),
+        (4, day(4), 2, "e", 1.0, "{}"),
+        (5, day(8), 3, "e", 1.0, "{}"),
+        (6, day(12), 3, "e", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    return str(d)
+
+
+def test_km_survival_hand_computed(spark, km_events_dir):
+    r = {
+        row["life_d"]: row.asDict()
+        for row in entry.q_km_survival(spark, km_events_dir).collect()
+    }
+    # life 4: at-risk {u1,u2,u3}, one churn (u2), one censored (u3)
+    assert r[4]["n_risk"] == 3 and r[4]["n_events"] == 1
+    assert r[4]["n_censored"] == 1
+    assert r[4]["survival"] == pytest.approx(1 - 1 / 3, abs=0.0)
+    # life 10: at-risk {u1} only, censored -> survival carries forward
+    assert r[10]["n_risk"] == 1 and r[10]["n_events"] == 0
+    assert r[10]["survival"] == pytest.approx(1 - 1 / 3, abs=0.0)
