@@ -2107,6 +2107,273 @@ def q_km_survival(spark, sf_dir):
     )
 
 
+_TOX_PANEL = ["damn", "hell", "idiot", "stupid"]
+
+
+def q_toxicity_escalation(spark, sf_dir):
+    """Within-conversation toxicity-escalation trend — the transcript
+    filter that catches conversations which START clean but GO toxic
+    (a whole-conversation toxicity fraction misses them; per-turn
+    scrubbing keeps the early turns but trains completion into the
+    escalation). Per turn: toxic = contains-any over a small marker
+    panel; per conversation: the least-squares slope of the 0/1 toxic
+    signal over turn_idx with an EXACT integer numerator/denominator —
+    slope = (nΣ(i·f) − ΣiΣf)/(nΣi² − (Σi)²), one IEEE division; the
+    escalating flag is the integer compare numerator > 0 on a 2+-turn
+    conversation. Escalation planted on convs % 7 == 2 (turns with
+    idx ≥ 3 get a toxic marker appended — positive slope) and a
+    de-escalating control on convs % 7 == 5 (markers only on idx < 2 —
+    negative slope, must NOT flag). Plan: one fused projection (panel
+    contains + conv/idx arithmetic) + one partial+final hash aggregate;
+    no window, no join. int64 headroom: Σi² < n·L² — safe past 10^6
+    turns/conversation. Reference analogue: StringValueStopword
+    (src/check/value.rs) lifted from a per-value hit to a
+    within-conversation trend statistic."""
+    idx = F.floor(F.col("doc_id") / 97).cast("long")
+    conv = (F.col("doc_id") % 97).cast("long")
+    text = F.concat(
+        _txt(),
+        F.when((conv % 7 == 2) & (idx >= 3), F.lit(" damn")).otherwise(F.lit("")),
+        F.when((conv % 7 == 5) & (idx < 2), F.lit(" idiot")).otherwise(F.lit("")),
+    )
+    tox = F.lit(False)
+    for w in _TOX_PANEL:
+        tox = tox | F.contains(F.lower(text), F.lit(w))
+    t = _docs(spark, sf_dir).select(
+        conv.alias("conv"),
+        idx.alias("i"),
+        tox.cast("long").alias("f"),
+    )
+    a = t.groupBy("conv").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("i").alias("si"),
+        F.sum("f").alias("sf"),
+        F.sum(F.col("i") * F.col("f")).alias("sif"),
+        F.sum(F.col("i") * F.col("i")).alias("sii"),
+    )
+    num = F.col("n") * F.col("sif") - F.col("si") * F.col("sf")
+    den = F.col("n") * F.col("sii") - F.col("si") * F.col("si")
+    return a.select(
+        "conv",
+        F.col("n").alias("n_turns"),
+        F.col("sf").alias("n_toxic"),
+        F.when(den > 0, num / den).alias("tox_slope"),
+        ((F.col("n") >= 2) & (den > 0) & (num > 0)).alias("escalating"),
+    )
+
+
+def q_wilson_winrate(spark, sf_dir):
+    """Pairwise-preference model ranking with uncertainty — the
+    aggregation step after preference_pairs mines (chosen, rejected)
+    data: rank the models by win rate, but order on the WILSON score
+    lower bound (the small-sample-correct interval), not the raw rate —
+    a 3-0 model must not outrank a 95-5 one. Sequential Elo is
+    order-dependent (a fold over match order — unparallelizable and
+    nondeterministic under shuffle); the Wilson bound is a pure
+    aggregate, the scale-correct choice. Matches are synthesized
+    deterministically (a = doc_id % 4, b = (doc_id div 4) % 4, a ≠ b;
+    winner from the first md5 nibble of doc_id with a bias favoring the
+    lower model id, mirrored in the twin). Each match EXPLODES to its
+    two (model, win) rows — one scan, no self-union double-read. Wins
+    and games are exact ints; the Wilson bound is a fixed float
+    expression over one exact division (identical operation tree in
+    both engines ⇒ bit-equal). Plan: projection + explode(2) + one
+    partial+final hash aggregate."""
+    a = (F.col("doc_id") % 4).cast("long")
+    b = (F.floor(F.col("doc_id") / 4) % 4).cast("long")
+    nib = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
+    ).cast("long")
+    win_a = nib < 8 + (b - a)
+    m = (
+        _docs(spark, sf_dir)
+        .filter(a != b)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(a.alias("model"), win_a.cast("long").alias("win")),
+                    F.struct(b.alias("model"), (~win_a).cast("long").alias("win")),
+                )
+            ).alias("r")
+        )
+        .select("r.model", "r.win")
+    )
+    g = m.groupBy("model").agg(
+        F.count(F.lit(1)).alias("n_games"),
+        F.sum("win").alias("n_wins"),
+    )
+    n = F.col("n_games").cast("double")
+    p = F.col("n_wins").cast("double") / n
+    z2 = F.lit(1.96 * 1.96)
+    lower = (
+        p
+        + z2 / (2 * n)
+        - F.lit(1.96) * F.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+    ) / (1 + z2 / n)
+    return g.select(
+        "model",
+        "n_games",
+        "n_wins",
+        p.alias("win_rate"),
+        lower.alias("wilson_lower"),
+    )
+
+
+def q_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U drift test, each source vs the rest of the
+    corpus, over the per-doc char-length signal — the rank-based
+    two-sample location test that complements ks_drift's ECDF-distance:
+    U is exactly computable from histograms (no per-row ranking), so a
+    source whose documents are systematically longer/shorter than the
+    corpus flags with a tie-corrected z-score. Decomposition: per
+    (source, value) counts aggregate ONCE (persisted — the global
+    histogram, per-source cumulatives, and tie term all read it);
+    2U_s = Σ_v f_s(v)·(2·rest_below(v) + rest_at(v)) is an exact bigint
+    (carried doubled to avoid the half-tie fraction), rest counts come
+    from the global-minus-source histograms, cumulatives from windows
+    over the BOUNDED distinct-value table (single-partition global
+    window is the locators-cap shape — bounded by construction).
+    z = (2U − n_s·n_rest) / (2·sqrt(var)) with the standard tie
+    correction var = n_s·n_rest/12·((N+1) − ΣT/(N(N−1))), ΣT = Σc³−c —
+    a fixed float expression over exact ints. int64 headroom: c³
+    overflows past ~2e6 docs on ONE exact length value — at that scale
+    bucket the signal first (kendall_tau's grid). Plan: one hash
+    aggregate to the histogram, two bounded windows, one broadcast-able
+    join, one final agg per source."""
+    hist = (
+        _docs(spark, sf_dir)
+        .select("source", F.length(_txt()).cast("long").alias("v"))
+        .groupBy("source", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    glob = hist.groupBy("v").agg(F.sum("c").alias("cv"))
+    wg = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    glob = glob.select(
+        "v", "cv", F.coalesce(F.sum("cv").over(wg), F.lit(0)).alias("below")
+    )
+    ws = Window.partitionBy("source").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    per = hist.select(
+        "source",
+        "v",
+        "c",
+        F.coalesce(F.sum("c").over(ws), F.lit(0)).alias("s_below"),
+    )
+    j = per.join(glob, "v")
+    u2 = j.groupBy("source").agg(
+        F.sum(
+            F.col("c")
+            * (
+                2 * (F.col("below") - F.col("s_below"))
+                + (F.col("cv") - F.col("c"))
+            )
+        ).alias("u2"),
+        F.sum("c").alias("n_s"),
+    )
+    totals = glob.agg(
+        F.sum("cv").alias("n_total"),
+        F.sum(F.col("cv") * F.col("cv") * F.col("cv") - F.col("cv")).alias(
+            "tie_term"
+        ),
+    )
+    r = u2.crossJoin(F.broadcast(totals))
+    n_rest = F.col("n_total") - F.col("n_s")
+    na, nb, nn = (
+        F.col("n_s").cast("double"),
+        n_rest.cast("double"),
+        F.col("n_total").cast("double"),
+    )
+    var = na * nb / 12 * (
+        (nn + 1) - F.col("tie_term").cast("double") / (nn * (nn - 1))
+    )
+    z = (F.col("u2") - F.col("n_s") * n_rest).cast("double") / (
+        2 * F.sqrt(var)
+    )
+    return r.select(
+        "source",
+        "n_s",
+        F.col("u2").alias("u_doubled"),
+        F.when(var > 0, z).alias("z"),
+        F.when(var > 0, F.abs(z) > 3.0).otherwise(F.lit(False)).alias(
+            "length_drift"
+        ),
+    )
+
+
+def _dp_noise_table(epsilon: float = 0.5, bins: int = 256) -> list[int]:
+    """256-bin inverse-CDF quantization of the DISCRETE Laplace
+    (two-sided geometric) distribution with parameter exp(-epsilon) —
+    integer noise values, computed once on the driver with exact
+    Python floats and embedded as literals in BOTH engines, so the
+    released counts are integers and the cross-engine gate is exact
+    (no ln() in either engine's hot path)."""
+    import math
+
+    p = math.exp(-epsilon)
+    # P(K = k) ∝ p^|k|: P(K = 0) = (1-p)/(1+p), P(|K| = k) = 2·that·p^k.
+    norm = (1 - p) / (1 + p)
+    out = []
+    for j in range(bins):
+        u = (j + 0.5) / bins
+        w = 2 * u - 1  # signed uniform in (-1, 1)
+        # smallest k with P(|K| <= k) >= |w|, walked outward from 0
+        cdf, k = norm, 0
+        while cdf < abs(w) and k < 64:
+            k += 1
+            cdf += 2 * norm * p**k
+        out.append(k if w >= 0 else -k)
+    return out
+
+
+def _sql_dp_table() -> str:
+    """The same noise table as a DuckDB list literal (1-based index)."""
+    return "[" + ", ".join(str(v) for v in _dp_noise_table()) + "]"
+
+
+def q_dp_release(spark, sf_dir):
+    """Differentially-private count release over event types — the
+    noise-addition step of the privacy-release ladder after
+    k_anonymity / l_diversity / t_closeness (those audit; this
+    RELEASES): each per-type count gets discrete-Laplace noise
+    (Ghosh-Roughgarden-Sundararajan's geometric mechanism — the
+    integer-valued, utility-optimal Laplace analogue) calibrated to
+    sensitivity 1 / epsilon 0.5. The noise is drawn via a 256-bin
+    inverse-CDF table computed ONCE on the driver and indexed by the
+    md5 of the released cell key — INTEGER noise end to end, so the
+    engines agree exactly and no ln() nondeterminism exists. CAVEAT
+    (documented, honest): hash-seeded noise is DETERMINISTIC, which
+    demonstrates the mechanism's plumbing and calibration but is NOT
+    differentially private — production swaps the md5 index for fresh
+    randomness per release (rand() — one-line change); the table, the
+    clamping, and the release shape are the real, tested parts. Plan:
+    one partial+final hash aggregate + a literal-array lookup on the
+    aggregated rows (256 int literals — far below the LSH plan-size
+    lesson's threshold)."""
+    tab = _dp_noise_table()
+    g = _events(spark, sf_dir).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    idx = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("event_type"), F.lit("|dp-v1"))), 1, 2),
+            16,
+            10,
+        ).cast("long")
+        % 256
+    )
+    noise = F.element_at(F.array(*[F.lit(v) for v in tab]), (idx + 1).cast("int"))
+    return g.select(
+        "event_type",
+        "true_count",
+        noise.cast("long").alias("noise"),
+        F.greatest(F.col("true_count") + noise, F.lit(0)).cast("long").alias(
+            "released_count"
+        ),
+    )
+
+
 def q_t_closeness(spark, sf_dir):
     """t-closeness audit (Li et al. ICDE'07) — the third rung of the
     privacy-release ladder after k_anonymity (class size) and
@@ -9756,6 +10023,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "homoglyph_scan": q_homoglyph_scan,
         "kendall_tau": q_kendall_tau,
         "km_survival": q_km_survival,
+        "toxicity_escalation": q_toxicity_escalation,
+        "wilson_winrate": q_wilson_winrate,
+        "mann_whitney": q_mann_whitney,
+        "dp_release": q_dp_release,
         "t_closeness": q_t_closeness,
         "fleiss_kappa": q_fleiss_kappa,
         "fd_mine": q_fd_mine,
@@ -10359,6 +10630,149 @@ def oracle_sql() -> dict[str, str]:
                    list_reduce(list_prepend(1.0::DOUBLE, factors),
                                (a, b) -> a * b) AS survival
             FROM f
+        """,
+        "toxicity_escalation": """
+            WITH t AS (
+              SELECT (doc_id % 97)::BIGINT AS conv,
+                     (doc_id // 97)::BIGINT AS i,
+                     lower(coalesce(text, '') ||
+                       CASE WHEN (doc_id % 97) % 7 = 2 AND doc_id // 97 >= 3
+                            THEN ' damn' ELSE '' END ||
+                       CASE WHEN (doc_id % 97) % 7 = 5 AND doc_id // 97 < 2
+                            THEN ' idiot' ELSE '' END) AS txt
+              FROM documents),
+            f AS (
+              SELECT conv, i,
+                     CASE WHEN contains(txt, 'damn') OR contains(txt, 'hell')
+                           OR contains(txt, 'idiot')
+                           OR contains(txt, 'stupid')
+                          THEN 1 ELSE 0 END::BIGINT AS f
+              FROM t),
+            a AS (
+              SELECT conv, count(*)::BIGINT AS n,
+                     sum(i)::BIGINT AS si, sum(f)::BIGINT AS sf,
+                     sum(i * f)::BIGINT AS sif, sum(i * i)::BIGINT AS sii
+              FROM f GROUP BY conv)
+            SELECT conv, n AS n_turns, sf AS n_toxic,
+                   CASE WHEN n * sii - si * si > 0
+                        THEN (n * sif - si * sf) / (n * sii - si * si)
+                        END AS tox_slope,
+                   (n >= 2 AND n * sii - si * si > 0
+                    AND n * sif - si * sf > 0) AS escalating
+            FROM a
+        """,
+        "wilson_winrate": """
+            WITH m AS (
+              SELECT (doc_id % 4)::BIGINT AS a,
+                     ((doc_id // 4) % 4)::BIGINT AS b,
+                     (strpos('0123456789abcdef',
+                             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+                       ::BIGINT AS nib
+              FROM documents
+              WHERE (doc_id % 4) <> ((doc_id // 4) % 4)),
+            r AS (
+              SELECT a AS model,
+                     CASE WHEN nib < 8 + (b - a) THEN 1 ELSE 0 END::BIGINT
+                       AS win
+              FROM m
+              UNION ALL
+              SELECT b AS model,
+                     CASE WHEN nib < 8 + (b - a) THEN 0 ELSE 1 END::BIGINT
+                       AS win
+              FROM m),
+            g AS (
+              SELECT model, count(*)::BIGINT AS n_games,
+                     sum(win)::BIGINT AS n_wins
+              FROM r GROUP BY model)
+            SELECT model, n_games, n_wins,
+                   n_wins::DOUBLE / n_games::DOUBLE AS win_rate,
+                   (n_wins::DOUBLE / n_games::DOUBLE
+                    + (1.96 * 1.96) / (2 * n_games::DOUBLE)
+                    - 1.96 * sqrt(
+                        n_wins::DOUBLE / n_games::DOUBLE
+                        * (1 - n_wins::DOUBLE / n_games::DOUBLE)
+                        / n_games::DOUBLE
+                        + (1.96 * 1.96)
+                          / (4 * n_games::DOUBLE * n_games::DOUBLE)))
+                   / (1 + (1.96 * 1.96) / n_games::DOUBLE) AS wilson_lower
+            FROM g
+        """,
+        "mann_whitney": """
+            WITH hist AS (
+              SELECT source,
+                     length(coalesce(text, ''))::BIGINT AS v,
+                     count(*)::BIGINT AS c
+              FROM documents GROUP BY source, v),
+            gl AS (
+              SELECT v, cv,
+                     coalesce(sum(cv) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::BIGINT AS below
+              FROM (SELECT v, sum(c)::BIGINT AS cv FROM hist GROUP BY v)),
+            per AS (
+              SELECT source, v, c,
+                     coalesce(sum(c) OVER (PARTITION BY source ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::BIGINT AS s_below
+              FROM hist),
+            u AS (
+              SELECT p.source,
+                     sum(p.c * (2 * (g.below - p.s_below)
+                                + (g.cv - p.c)))::BIGINT AS u2,
+                     sum(p.c)::BIGINT AS n_s
+              FROM per p JOIN gl g ON p.v = g.v
+              GROUP BY p.source),
+            tot AS (
+              SELECT sum(cv)::BIGINT AS n_total,
+                     sum(cv * cv * cv - cv)::BIGINT AS tie_term
+              FROM gl)
+            SELECT u.source, u.n_s,
+                   u.u2 AS u_doubled,
+                   CASE WHEN n_s::DOUBLE * (n_total - n_s)::DOUBLE / 12
+                             * ((n_total::DOUBLE + 1)
+                                - tie_term::DOUBLE
+                                  / (n_total::DOUBLE
+                                     * (n_total::DOUBLE - 1))) > 0
+                        THEN (u2 - n_s * (n_total - n_s))::DOUBLE
+                             / (2 * sqrt(
+                                 n_s::DOUBLE * (n_total - n_s)::DOUBLE / 12
+                                 * ((n_total::DOUBLE + 1)
+                                    - tie_term::DOUBLE
+                                      / (n_total::DOUBLE
+                                         * (n_total::DOUBLE - 1)))))
+                        END AS z,
+                   CASE WHEN n_s::DOUBLE * (n_total - n_s)::DOUBLE / 12
+                             * ((n_total::DOUBLE + 1)
+                                - tie_term::DOUBLE
+                                  / (n_total::DOUBLE
+                                     * (n_total::DOUBLE - 1))) > 0
+                        THEN abs((u2 - n_s * (n_total - n_s))::DOUBLE
+                             / (2 * sqrt(
+                                 n_s::DOUBLE * (n_total - n_s)::DOUBLE / 12
+                                 * ((n_total::DOUBLE + 1)
+                                    - tie_term::DOUBLE
+                                      / (n_total::DOUBLE
+                                         * (n_total::DOUBLE - 1)))))) > 3.0
+                        ELSE FALSE END AS length_drift
+            FROM u CROSS JOIN tot
+        """,
+        "dp_release": f"""
+            WITH g AS (
+              SELECT event_type, count(*)::BIGINT AS true_count
+              FROM events GROUP BY event_type),
+            n AS (
+              SELECT event_type, true_count,
+                     ({_sql_dp_table()})[
+                       ((strpos('0123456789abcdef',
+                                substr(md5(event_type || '|dp-v1'), 1, 1)) - 1)
+                          * 16
+                        + (strpos('0123456789abcdef',
+                                  substr(md5(event_type || '|dp-v1'), 2, 1))
+                           - 1)) % 256 + 1]::BIGINT AS noise
+              FROM g)
+            SELECT event_type, true_count, noise,
+                   greatest(true_count + noise, 0)::BIGINT AS released_count
+            FROM n
         """,
         "t_closeness": """
             WITH e AS (

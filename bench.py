@@ -327,6 +327,10 @@ def run_benchmarks() -> dict:
         "homoglyph_scan",
         "kendall_tau",
         "km_survival",
+        "toxicity_escalation",
+        "wilson_winrate",
+        "mann_whitney",
+        "dp_release",
         "t_closeness",
         "fleiss_kappa",
         "fd_mine",

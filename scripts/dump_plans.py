@@ -539,6 +539,35 @@ def main() -> None:
             E.q_km_survival(spark, SF),
         ),
         (
+            "toxicity_escalation",
+            "Within-conversation trend: panel contains + slope sums "
+            "fuse into one projection; one partial+final hash "
+            "aggregate; slope is one division of exact bigints.",
+            E.q_toxicity_escalation(spark, SF),
+        ),
+        (
+            "wilson_winrate",
+            "Preference ranking: each match explodes to its two "
+            "(model, win) rows — one scan — then a partial+final hash "
+            "aggregate; the Wilson bound is post-aggregate float math.",
+            E.q_wilson_winrate(spark, SF),
+        ),
+        (
+            "mann_whitney",
+            "Histogram-decomposed rank test: one hash aggregate to the "
+            "(source, value) histogram (persisted, three consumers), "
+            "bounded windows over distinct values, broadcast join; "
+            "raw rows touched once.",
+            E.q_mann_whitney(spark, SF),
+        ),
+        (
+            "dp_release",
+            "Geometric-mechanism release: one partial+final hash "
+            "aggregate; the 256-entry noise-table lookup runs on "
+            "aggregated rows only.",
+            E.q_dp_release(spark, SF),
+        ),
+        (
             "t_closeness",
             "Distribution-distance privacy gate in scaled integers: "
             "class-value hash agg, then BROADCAST joins of the tiny "

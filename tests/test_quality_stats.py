@@ -271,3 +271,110 @@ def test_km_survival_hand_computed(spark, km_events_dir):
     # life 10: at-risk {u1} only, censored -> survival carries forward
     assert r[10]["n_risk"] == 1 and r[10]["n_events"] == 0
     assert r[10]["survival"] == pytest.approx(1 - 1 / 3, abs=0.0)
+
+
+def test_toxicity_escalation_planted_trends(spark):
+    out = {
+        r["conv"]: r.asDict()
+        for r in entry.q_toxicity_escalation(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    for conv, r in out.items():
+        if conv % 7 == 2:
+            # markers on idx >= 3 only -> positive slope, must flag
+            assert r["escalating"] and r["tox_slope"] > 0
+        elif conv % 7 == 5:
+            # markers on idx < 2 only -> negative slope, must NOT flag
+            assert not r["escalating"] and r["tox_slope"] < 0
+        else:
+            # natural corpus is panel-clean
+            assert r["n_toxic"] == 0 and not r["escalating"]
+
+
+def test_wilson_winrate_matches_bruteforce(spark):
+    import hashlib
+
+    out = {
+        r["model"]: r.asDict()
+        for r in entry.q_wilson_winrate(spark, "/root/testdata/sf0.001").collect()
+    }
+    games = {m: 0 for m in range(4)}
+    wins = {m: 0 for m in range(4)}
+    for doc_id in range(500):
+        a, b = doc_id % 4, (doc_id // 4) % 4
+        if a == b:
+            continue
+        nib = int(hashlib.md5(str(doc_id).encode()).hexdigest()[0], 16)
+        wa = nib < 8 + (b - a)
+        games[a] += 1
+        games[b] += 1
+        wins[a] += int(wa)
+        wins[b] += int(not wa)
+    for m in range(4):
+        assert out[m]["n_games"] == games[m]
+        assert out[m]["n_wins"] == wins[m]
+        # the Wilson bound is strictly below the point estimate
+        assert out[m]["wilson_lower"] < out[m]["win_rate"]
+    # the hash bias favors lower model ids: model 0 beats model 3
+    assert out[0]["wilson_lower"] > out[3]["wilson_lower"]
+
+
+@pytest.fixture(scope="module")
+def mw_docs_dir(spark, tmp_path_factory):
+    """Three sources: 'short' (length 5), 'long' (length 40), 'mid'
+    (length 20, also ties with itself) — 'long' must drift positive,
+    'short' negative."""
+    d = tmp_path_factory.mktemp("mw")
+    rows = []
+    i = 0
+    for _ in range(30):
+        rows.append((i, "a" * 5, "en", "short", 5)); i += 1
+    for _ in range(30):
+        rows.append((i, "b" * 40, "en", "long", 40)); i += 1
+    for _ in range(40):
+        rows.append((i, "c" * 20, "en", "mid", 20)); i += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return str(d)
+
+
+def test_mann_whitney_matches_bruteforce(spark, mw_docs_dir):
+    out = {
+        r["source"]: r.asDict()
+        for r in entry.q_mann_whitney(spark, mw_docs_dir).collect()
+    }
+    lens = {"short": [5] * 30, "long": [40] * 30, "mid": [20] * 40}
+    for src in lens:
+        xs = lens[src]
+        ys = [v for s, vs in lens.items() if s != src for v in vs]
+        u2 = sum(2 for x in xs for y in ys if x > y) + sum(
+            1 for x in xs for y in ys if x == y
+        )
+        assert out[src]["u_doubled"] == u2
+        assert out[src]["n_s"] == len(xs)
+    assert out["long"]["z"] > 3 and out["long"]["length_drift"]
+    assert out["short"]["z"] < -3 and out["short"]["length_drift"]
+
+
+def test_dp_noise_table_is_calibrated():
+    tab = entry._dp_noise_table()
+    assert len(tab) == 256
+    # antisymmetric by construction -> exactly zero-mean quantization
+    assert all(tab[255 - j] == -tab[j] for j in range(256))
+    assert sum(tab) == 0
+    # discrete Laplace at eps=0.5: sd ~ 2.9, table max well bounded
+    assert 5 <= max(tab) <= 20
+
+
+def test_dp_release_is_deterministic_and_clamped(spark):
+    a = entry.q_dp_release(spark, "/root/testdata/sf0.001").toPandas()
+    b = entry.q_dp_release(spark, "/root/testdata/sf0.001").toPandas()
+    a = a.sort_values("event_type").reset_index(drop=True)
+    b = b.sort_values("event_type").reset_index(drop=True)
+    assert a.equals(b)
+    tab = set(entry._dp_noise_table())
+    assert set(a["noise"]).issubset(tab)
+    assert (a["released_count"] >= 0).all()
+    assert (a["released_count"] == (a["true_count"] + a["noise"]).clip(lower=0)).all()
