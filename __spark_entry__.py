@@ -2374,6 +2374,175 @@ def q_dp_release(spark, sf_dir):
     )
 
 
+_BH_D = 1 << 30  # common p-value denominator (2^30)
+_BH_BUCKETS = 4096
+
+
+def q_bh_fdr(spark, sf_dir):
+    """Benjamini-Hochberg FDR control over per-doc p-values — the
+    multiple-testing correction every corpus-scale detector
+    (watermark_scan, contamination, mann_whitney) needs before acting
+    on its flags: at 10^9 docs a per-doc α=0.05 test yields 5·10^7
+    false flags; BH bounds the FALSE DISCOVERY RATE instead. P-values
+    are exact rationals over the common denominator 2^30 (md5-derived
+    uniforms: null docs k6·64 with k6 ∈ [0,2^24); every 17th doc is a
+    planted signal with p = k3/2^30, k3 ∈ [0,4096) — ~64× smaller),
+    so the step-up condition p_(k) ≤ αk/m is the INTEGER
+    cross-multiplication 100·m·p_int ≤ 5·k·D — zero float anywhere.
+    Scale shape: the textbook formulation ranks ALL p-values (a global
+    sort + single-partition window — a scale-killer); this is the
+    TWO-PHASE decomposition (token_budget_sample's shape): distinct
+    p-values aggregate once, coarse 4096-bucket counts give cumulative
+    offsets via a BOUNDED window, ranks within a bucket come from a
+    window PARTITIONED BY BUCKET, and the tie-correct max-rank per
+    value is offset + in-bucket cumulative. The DuckDB twin is the
+    plain single-window rank, proving the decomposition exact.
+    int64 headroom: 100·m·p_int < 2^63 to m ≈ 8.5·10^10 docs.
+    Cutoff (one MAX) broadcasts back to flag rows."""
+    k6 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast(
+        "long"
+    )
+    k3 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 3), 16, 10).cast(
+        "long"
+    )
+    is_sig = F.col("doc_id") % 17 == 5
+    p_int = F.when(is_sig, k3).otherwise(k6 * 64)
+    d = _docs(spark, sf_dir).select(
+        "doc_id", p_int.alias("p_scaled"), is_sig.alias("is_signal")
+    ).persist()
+    m = d.count()  # exact row count; a scalar, not a collect of rows
+    vals = d.groupBy("p_scaled").agg(F.count(F.lit(1)).alias("c"))
+    bucket = (F.col("p_scaled") / (_BH_D // _BH_BUCKETS)).cast("long")
+    vals = vals.select("p_scaled", "c", bucket.alias("b"))
+    bc = vals.groupBy("b").agg(F.sum("c").alias("cb"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    bc = bc.select("b", F.coalesce(F.sum("cb").over(wb), F.lit(0)).alias("below"))
+    wv = Window.partitionBy("b").orderBy("p_scaled").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = (
+        vals.join(bc, "b")
+        .select(
+            "p_scaled",
+            (F.col("below") + F.sum("c").over(wv)).alias("k_max"),
+        )
+    )
+    ok = ranked.filter(
+        100 * F.lit(m) * F.col("p_scaled") <= 5 * F.col("k_max") * F.lit(_BH_D)
+    )
+    cutoff = ok.agg(F.max("p_scaled").alias("cut"))
+    return d.crossJoin(F.broadcast(cutoff)).select(
+        "doc_id",
+        "p_scaled",
+        "is_signal",
+        F.coalesce(F.col("p_scaled") <= F.col("cut"), F.lit(False)).alias(
+            "rejected"
+        ),
+    )
+
+
+def q_mcnemar(spark, sf_dir):
+    """McNemar paired test between two versions of a quality gate on
+    the SAME documents — the filter-A/B statistic rule_ablation's
+    marginal counts can't give: when v2 replaces v1, only the
+    DISCORDANT docs matter (b = v1-drops-v2-keeps, c = the reverse),
+    and chi² = (b−c)²/(b+c) says whether the versions differ beyond
+    noise (a paired design; the unpaired chi² on the two drop rates
+    wastes the pairing and underpowers). Gates compared: v1 = char
+    length below the corpus median; v2 = mean word length above 5.6
+    chars (10·len > 56·words — an integer cross-multiplication, no
+    division). Per source: n, b, c, exact-int chi² numerator/
+    denominator in one IEEE division, and a significance flag as the
+    integer compare 1000·(b−c)² > 3841·(b+c) (χ²₁ at α=0.05 = 3.841).
+    Plan: one fused projection + one partial+final hash aggregate —
+    no join, no window."""
+    t = _txt()
+    words = F.size(F.filter(F.split(t, " "), lambda x: x != "")).cast("long")
+    v1 = F.length(t) < 311
+    v2 = 10 * F.length(t).cast("long") > 56 * words
+    d = _docs(spark, sf_dir).select(
+        "source",
+        (v1 & ~v2).cast("long").alias("b"),
+        (~v1 & v2).cast("long").alias("c"),
+    )
+    a = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("b").alias("b"),
+        F.sum("c").alias("c"),
+    )
+    diff = F.col("b") - F.col("c")
+    tot = F.col("b") + F.col("c")
+    return a.select(
+        "source",
+        "n_docs",
+        "b",
+        "c",
+        F.when(tot > 0, (diff * diff) / tot).alias("chi2"),
+        ((tot > 0) & (1000 * diff * diff > 3841 * tot)).alias("versions_differ"),
+    )
+
+
+def q_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend over daily event counts per event type —
+    the median-of-pairwise-slopes estimator that trend_slope's OLS is
+    not: one corrupted day (an outage, a bot burst) drags the OLS line
+    but moves the pairwise-slope MEDIAN not at all (29.5% breakdown
+    point). Pair enumeration is a self-join on the AGGREGATED daily
+    grid (≤ n_days² pairs per type — bounded by the calendar, not the
+    data); each slope is one exact-int difference ratio; the median is
+    the LOWER median selected by row_number over the total order
+    (slope, d1, d2) — deterministic under ties, identical in the twin
+    (no averaging of middle elements: avoids a second float op).
+    Plan: one hash aggregate to the grid (persisted — both the pair
+    join's sides read it), a per-type bounded self-join, one ranked
+    window partitioned by type."""
+    ev = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    day = F.expr("unix_timestamp(ts) div 86400")
+    grid = (
+        ev.groupBy(F.col("event_type"), day.alias("d"))
+        .agg(F.count(F.lit(1)).alias("y"))
+        .persist()
+    )
+    g1 = grid.select(
+        F.col("event_type").alias("et"),
+        F.col("d").alias("d1"),
+        F.col("y").alias("y1"),
+    )
+    g2 = grid.select(
+        F.col("event_type").alias("et2"),
+        F.col("d").alias("d2"),
+        F.col("y").alias("y2"),
+    )
+    pairs = g1.join(
+        g2, (F.col("et") == F.col("et2")) & (F.col("d1") < F.col("d2"))
+    ).select(
+        "et",
+        "d1",
+        "d2",
+        ((F.col("y2") - F.col("y1")) / (F.col("d2") - F.col("d1"))).alias(
+            "slope"
+        ),
+    )
+    wr = Window.partitionBy("et").orderBy("slope", "d1", "d2")
+    cnt = Window.partitionBy("et")
+    ranked = pairs.select(
+        "et",
+        "slope",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(cnt).alias("n_pairs"),
+    )
+    med = ranked.filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+    days = grid.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    return days.join(
+        med.select(
+            F.col("et").alias("event_type"),
+            F.col("n_pairs"),
+            F.col("slope").alias("ts_slope"),
+        ),
+        "event_type",
+    )
+
+
 def q_t_closeness(spark, sf_dir):
     """t-closeness audit (Li et al. ICDE'07) — the third rung of the
     privacy-release ladder after k_anonymity (class size) and
@@ -10027,6 +10196,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wilson_winrate": q_wilson_winrate,
         "mann_whitney": q_mann_whitney,
         "dp_release": q_dp_release,
+        "bh_fdr": q_bh_fdr,
+        "mcnemar": q_mcnemar,
+        "theil_sen": q_theil_sen,
         "t_closeness": q_t_closeness,
         "fleiss_kappa": q_fleiss_kappa,
         "fd_mine": q_fd_mine,
@@ -10773,6 +10945,93 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, true_count, noise,
                    greatest(true_count + noise, 0)::BIGINT AS released_count
             FROM n
+        """,
+        "bh_fdr": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 17 = 5
+                          THEN (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),1,1))-1)*256
+                             + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),2,1))-1)*16
+                             + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),3,1))-1)
+                          ELSE ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),1,1))-1)*1048576
+                             + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),2,1))-1)*65536
+                             + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),3,1))-1)*4096
+                             + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),4,1))-1)*256
+                             + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),5,1))-1)*16
+                             + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),6,1))-1)) * 64
+                          END::BIGINT AS p_scaled,
+                     doc_id % 17 = 5 AS is_signal
+              FROM documents),
+            v AS (
+              SELECT p_scaled,
+                     count(*) OVER (ORDER BY p_scaled)::BIGINT AS k_max
+              FROM (SELECT DISTINCT p_scaled FROM d) pv
+              -- default RANGE frame: ties-inclusive cumulative = max
+              -- rank of the tie block (the step-up-correct rank); the
+              -- Spark side proves its two-phase bucketed ranks equal
+              -- this plain single-window formulation
+            ),
+            cut AS (
+              SELECT max(p_scaled) AS cutv
+              FROM v, (SELECT count(*)::BIGINT AS m FROM d) mm
+              WHERE 100 * m * p_scaled <= 5 * k_max * 1073741824)
+            SELECT doc_id, p_scaled, is_signal,
+                   coalesce(p_scaled <= (SELECT cutv FROM cut), FALSE)
+                     AS rejected
+            FROM d
+        """,
+        "mcnemar": """
+            WITH d AS (
+              SELECT source,
+                     length(coalesce(text, ''))::BIGINT AS l,
+                     len(list_filter(string_split(coalesce(text, ''), ' '),
+                                     x -> x <> ''))::BIGINT AS w
+              FROM documents),
+            f AS (
+              SELECT source,
+                     CASE WHEN l < 311 AND NOT (10 * l > 56 * w)
+                          THEN 1 ELSE 0 END::BIGINT AS b,
+                     CASE WHEN l >= 311 AND 10 * l > 56 * w
+                          THEN 1 ELSE 0 END::BIGINT AS c
+              FROM d),
+            a AS (
+              SELECT source, count(*)::BIGINT AS n_docs,
+                     sum(b)::BIGINT AS b, sum(c)::BIGINT AS c
+              FROM f GROUP BY source)
+            SELECT source, n_docs, b, c,
+                   CASE WHEN b + c > 0
+                        THEN ((b - c) * (b - c)) / (b + c) END AS chi2,
+                   (b + c > 0 AND
+                    1000 * (b - c) * (b - c) > 3841 * (b + c))
+                     AS versions_differ
+            FROM a
+        """,
+        "theil_sen": """
+            WITH grid AS (
+              SELECT event_type,
+                     (epoch_us(ts) // 1000000 // 86400)::BIGINT AS d,
+                     count(*)::BIGINT AS y
+              FROM events WHERE ts IS NOT NULL
+              GROUP BY event_type, d),
+            pairs AS (
+              SELECT g1.event_type AS et, g1.d AS d1, g2.d AS d2,
+                     (g2.y - g1.y) / (g2.d - g1.d) AS slope
+              FROM grid g1 JOIN grid g2
+                ON g1.event_type = g2.event_type AND g1.d < g2.d),
+            ranked AS (
+              SELECT et, slope,
+                     row_number() OVER (PARTITION BY et
+                                        ORDER BY slope, d1, d2) AS rn,
+                     count(*) OVER (PARTITION BY et)::BIGINT AS n_pairs
+              FROM pairs),
+            med AS (
+              SELECT et, n_pairs, slope AS ts_slope
+              FROM ranked WHERE rn = (n_pairs + 1) // 2),
+            days AS (
+              SELECT event_type, count(*)::BIGINT AS n_days
+              FROM grid GROUP BY event_type)
+            SELECT d.event_type, d.n_days, m.n_pairs, m.ts_slope
+            FROM days d JOIN med m ON d.event_type = m.et
         """,
         "t_closeness": """
             WITH e AS (

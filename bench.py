@@ -331,6 +331,9 @@ def run_benchmarks() -> dict:
         "wilson_winrate",
         "mann_whitney",
         "dp_release",
+        "bh_fdr",
+        "mcnemar",
+        "theil_sen",
         "t_closeness",
         "fleiss_kappa",
         "fd_mine",

@@ -568,6 +568,27 @@ def main() -> None:
             E.q_dp_release(spark, SF),
         ),
         (
+            "bh_fdr",
+            "Two-phase BH step-up: distinct-p agg, bounded coarse-"
+            "bucket offsets, in-bucket ranks PARTITIONED BY BUCKET "
+            "(no global single-partition window), one MAX broadcast "
+            "back to rows; all-integer comparisons.",
+            E.q_bh_fdr(spark, SF),
+        ),
+        (
+            "mcnemar",
+            "Paired gate A/B: both versions evaluate in one fused "
+            "projection; one partial+final hash aggregate per source.",
+            E.q_mcnemar(spark, SF),
+        ),
+        (
+            "theil_sen",
+            "Median-of-pairwise-slopes: daily grid aggregates once "
+            "(persisted, both self-join sides), bounded pair join, "
+            "ranked window per type.",
+            E.q_theil_sen(spark, SF),
+        ),
+        (
             "t_closeness",
             "Distribution-distance privacy gate in scaled integers: "
             "class-value hash agg, then BROADCAST joins of the tiny "

@@ -378,3 +378,88 @@ def test_dp_release_is_deterministic_and_clamped(spark):
     assert set(a["noise"]).issubset(tab)
     assert (a["released_count"] >= 0).all()
     assert (a["released_count"] == (a["true_count"] + a["noise"]).clip(lower=0)).all()
+
+
+def test_bh_fdr_matches_bruteforce_stepup(spark):
+    import hashlib
+
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in entry.q_bh_fdr(spark, "/root/testdata/sf0.001").collect()
+    }
+    ps = {}
+    for doc_id in range(500):
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        if doc_id % 17 == 5:
+            ps[doc_id] = int(h[:3], 16)
+        else:
+            ps[doc_id] = int(h[:6], 16) * 64
+    # textbook BH step-up on the raw integer p-values
+    m = len(ps)
+    ordered = sorted(ps.values())
+    cut = None
+    for k, p in enumerate(ordered, start=1):
+        if 100 * m * p <= 5 * k * (1 << 30):
+            cut = p
+    rejected = {d for d, p in ps.items() if cut is not None and p <= cut}
+    assert rejected, "fixture must produce rejections"
+    for d, r in out.items():
+        assert r["p_scaled"] == ps[d]
+        assert r["rejected"] == (d in rejected)
+    # planted signals dominate the discoveries (FDR is controlled)
+    sig = {d for d in rejected if d % 17 == 5}
+    assert len(sig) / len(rejected) >= 0.75
+
+
+def test_mcnemar_matches_bruteforce(spark):
+    import duckdb
+
+    out = {
+        r["source"]: r.asDict()
+        for r in entry.q_mcnemar(spark, "/root/testdata/sf0.001").collect()
+    }
+    df = duckdb.sql(
+        "select source, length(coalesce(text,'')) as l,"
+        " len(list_filter(string_split(coalesce(text,''),' '), x -> x <> ''))"
+        " as w from read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).df()
+    df["v1"] = df.l < 311
+    df["v2"] = 10 * df.l > 56 * df.w
+    for src, g in df.groupby("source"):
+        b = int((g.v1 & ~g.v2).sum())
+        c = int((~g.v1 & g.v2).sum())
+        r = out[src]
+        assert (r["b"], r["c"]) == (b, c)
+        if b + c > 0:
+            assert r["chi2"] == pytest.approx((b - c) ** 2 / (b + c), rel=1e-12)
+            assert r["versions_differ"] == (1000 * (b - c) ** 2 > 3841 * (b + c))
+
+
+@pytest.fixture(scope="module")
+def ts_events_dir(spark, tmp_path_factory):
+    """One event type, 10 days, daily count 10 + 2*day — except day 5
+    spikes to 300 (an outage/bot burst). OLS is dragged by the spike;
+    the Theil-Sen median slope must stay exactly 2.0."""
+    d = tmp_path_factory.mktemp("ts")
+    rows = []
+    eid = 0
+    for day in range(10):
+        n = 300 if day == 5 else 10 + 2 * day
+        ts = datetime.datetime(2024, 3, 1) + datetime.timedelta(days=day)
+        for _ in range(n):
+            rows.append((eid, ts, eid % 7, "burst", 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    return str(d)
+
+
+def test_theil_sen_robust_to_outlier_day(spark, ts_events_dir):
+    r = entry.q_theil_sen(spark, ts_events_dir).collect()[0]
+    assert r["n_days"] == 10 and r["n_pairs"] == 45
+    # clean pairwise slopes are exactly 2; only the 9 pairs touching
+    # day 5 deviate — the median is untouched by the spike
+    assert r["ts_slope"] == pytest.approx(2.0, abs=0.0)
