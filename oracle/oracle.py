@@ -165,6 +165,10 @@ def label_pdf(pdf: pd.DataFrame, cfg: QamdConfig | None = None) -> pd.DataFrame:
             (out["role"] == "assistant").fillna(False)
             & refusal_hit_pdf(out["text"], resolve_panel(s["refusal"])),
         )
+    if cfg.enabled("homoglyph"):
+        from qamd_spark.rules.homoglyph import homoglyph_hit_pdf
+
+        add("homoglyph", homoglyph_hit_pdf(out["text"]))
     if cfg.enabled("langid"):
         add("langid", ~out["lang"].isin(s["langid"]["allowed"]))
     if cfg.enabled("perplexity"):

@@ -102,6 +102,9 @@ RULE_REGISTRY: tuple[RuleSpec, ...] = (
     RuleSpec("refusal", "quality", "flag",
              "Assistant turn text should not contain canned refusal / "
              "disclaimer template phrases"),
+    RuleSpec("homoglyph", "disclosure_risk", "flag",
+             "Turn text should not contain words mixing Latin with "
+             "Cyrillic/Greek letters (confusable spoofing)"),
     RuleSpec("langid", "quality", "drop",
              "Turn language should be in the allowed set"),
     RuleSpec("perplexity", "quality", "drop",
@@ -165,6 +168,10 @@ DEFAULT_SETTINGS: dict[str, Any] = {
     # assistant-turn refusal/template phrase panel (rules/refusal.py):
     # off by default; True => DEFAULT_REFUSAL_PHRASES, or a phrase list.
     "refusal": None,
+    # mixed-script confusable words (rules/homoglyph.py): off by
+    # default; True enables the flag rule (explicit Latin/Cyrillic/
+    # Greek ranges — identical in Spark, DuckDB, and pandas re).
+    "homoglyph": None,
     "langid": {"allowed": ["en"], "min_margin": 0.15},
     "perplexity": {"max": 30000.0},
     # fastText-style trained quality model (qamd_spark/classifier.py):
@@ -325,6 +332,8 @@ class QamdConfig:
                         "refusal: must be True (default panel) or a "
                         "non-empty phrase list"
                     )
+            if name == "homoglyph" and val is not True:
+                raise ConfigError("homoglyph: must be True when present")
             if name == "quality_classifier":
                 if not isinstance(val, dict):
                     raise ConfigError("quality_classifier: must be a dict")

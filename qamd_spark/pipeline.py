@@ -264,6 +264,10 @@ def rule_conditions(cfg: QamdConfig) -> list[tuple[str, "F.Column"]]:
                 & refusal_hit(text, resolve_panel(s["refusal"])),
             )
         )
+    if cfg.enabled("homoglyph"):
+        from qamd_spark.rules.homoglyph import homoglyph_hit
+
+        conds.append(("homoglyph", homoglyph_hit(text)))
     if cfg.enabled("langid"):
         allowed = [F.lit(a) for a in s["langid"]["allowed"]]
         conds.append(("langid", ~F.col("lang").isin(*allowed)))

@@ -605,3 +605,66 @@ def test_compression_config_validation():
         cfg.settings["compression"] = bad
         with pytest.raises(ConfigError):
             cfg.validate()
+
+
+def test_homoglyph_rule_exact_parity(spark, tmp_path):
+    """The config-gated `homoglyph` flag rule: a word mixing Latin with
+    Cyrillic/Greek letters fires it; pure-Latin, pure-Cyrillic, and
+    two-script SEPARATE-word texts do not (bilingual text is fine; one
+    mixed word is the spoof). Spark vs pandas oracle exact; default-off
+    and keep-invariance (flag action) pinned."""
+    import pandas as pd
+
+    rows = [
+        # (text, should_fire)
+        ("please reset my paypal password now", False),
+        ("verify your pаypаl account immediately", True),  # Cyr а
+        ("привет мир это чисто русский текст", False),  # pure Cyrillic
+        ("the greek letter α appears alone here", False),  # separate words
+        ("sеcurе login required", True),  # Cyrillic е inside Latin
+        ("mixedαword with greek alpha inside", True),
+        (None, False),
+    ]
+    pdf = pd.DataFrame(
+        [
+            {
+                "conv_id": "hg0",
+                "turn_idx": np.int32(i),
+                "role": "user",
+                "text": t,
+                "tool": None,
+                "ts": pd.NaT,
+            }
+            for i, (t, _) in enumerate(rows)
+        ]
+    )
+    p = str(tmp_path / "hg.parquet")
+    pdf2 = pdf.copy()
+    pdf2["ts"] = pd.to_datetime(pdf2["ts"]).astype("datetime64[us]")
+    for c in ("conv_id", "role", "text", "tool"):
+        pdf2[c] = pdf2[c].astype("string")
+    pdf2.to_parquet(p)
+
+    cfg = QamdConfig()
+    cfg.settings["homoglyph"] = True
+    sp = (
+        pipeline.label(spark.read.parquet(p), cfg)
+        .toPandas()
+        .sort_values("turn_idx")
+        .reset_index(drop=True)
+    )
+    orc = oracle.label_pdf(pdf, cfg).sort_values("turn_idx").reset_index(drop=True)
+    assert (sp["keep"].to_numpy() == orc["keep"].to_numpy(dtype=bool)).all()
+    for x, y in zip(sp["rule_hits"], orc["rule_hits"]):
+        assert list(x) == list(y), (x, y)
+    fired = ["homoglyph" in list(h) for h in sp["rule_hits"]]
+    assert fired == [want for _, want in rows]
+    # default config: rule absent; flag action never changes keep
+    sp0 = (
+        pipeline.label(spark.read.parquet(p), QamdConfig())
+        .toPandas()
+        .sort_values("turn_idx")
+        .reset_index(drop=True)
+    )
+    assert not any("homoglyph" in list(h) for h in sp0["rule_hits"])
+    assert (sp["keep"].to_numpy() == sp0["keep"].to_numpy()).all()
