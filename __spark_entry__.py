@@ -2543,6 +2543,187 @@ def q_theil_sen(spark, sf_dir):
     )
 
 
+def q_mann_kendall(spark, sf_dir):
+    """Mann-Kendall trend significance test over daily event counts —
+    the nonparametric significance companion to theil_sen's slope (the
+    classic pairing in environmental/ops time series: MK says WHETHER
+    a monotone trend exists, Theil-Sen says how steep): S = Σ sign
+    pairs over the bounded daily grid (exact int), tie-corrected
+    variance 18·Var = n(n−1)(2n+5) − Σt(t−1)(2t+5) (exact int from the
+    per-value tie histogram), continuity-corrected
+    z = (S∓1)/sqrt(var18/18). OLS t-tests assume normal residuals a
+    count series violates; MK needs only exchangeability under H0.
+    All heavy terms exact bigints; z is a fixed float expression. Plan:
+    one hash aggregate to the grid (persisted — the pair join's sides
+    and the tie histogram read it), a per-type bounded self-join, two
+    tiny aggs — the theil_sen shape plus the tie branch."""
+    ev = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    day = F.expr("unix_timestamp(ts) div 86400")
+    grid = (
+        ev.groupBy(F.col("event_type"), day.alias("d"))
+        .agg(F.count(F.lit(1)).alias("y"))
+        .persist()
+    )
+    g1 = grid.select(
+        F.col("event_type").alias("et"), F.col("d").alias("d1"), F.col("y").alias("y1")
+    )
+    g2 = grid.select(
+        F.col("event_type").alias("et2"), F.col("d").alias("d2"), F.col("y").alias("y2")
+    )
+    s = (
+        g1.join(g2, (F.col("et") == F.col("et2")) & (F.col("d1") < F.col("d2")))
+        .groupBy("et")
+        .agg(F.sum(F.signum(F.col("y2") - F.col("y1")).cast("long")).alias("s"))
+    )
+    ties = (
+        grid.groupBy(F.col("event_type").alias("et"), "y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("et")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)).alias(
+                "tie18"
+            )
+        )
+    )
+    nd = grid.groupBy(F.col("event_type").alias("et")).agg(
+        F.count(F.lit(1)).alias("n_days")
+    )
+    j = nd.join(s, "et").join(ties, "et")
+    n = F.col("n_days")
+    var18 = n * (n - 1) * (2 * n + 5) - F.col("tie18")
+    sd = F.sqrt(var18.cast("double") / 18)
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / sd)
+        .when(F.col("s") < 0, (F.col("s") + 1) / sd)
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        F.col("et").alias("event_type"),
+        "n_days",
+        "s",
+        F.col("tie18").alias("tie_term18"),
+        F.when(var18 > 0, z).alias("z"),
+        F.coalesce(
+            F.when(var18 > 0, F.abs(z) > 1.96), F.lit(False)
+        ).alias("trending"),
+    )
+
+
+def q_krippendorff_alpha(spark, sf_dir):
+    """Krippendorff's alpha inter-rater agreement per source — the
+    missingness-correct generalization fleiss_kappa cannot express:
+    kappa requires every unit fully rated, but real labeling ensembles
+    abstain (low-confidence gates, rate limits), and dropping
+    partially-rated units biases the estimate. Binary nominal scale,
+    three deterministic threshold raters on n_chars (the fleiss_kappa
+    rater family); rater 2 ABSTAINS on every 5th doc (planted
+    missingness ⇒ m_u ∈ {2,3}). Coincidence form with the rational
+    1/(m_u−1) cleared by carrying Do DOUBLED (m_u−1 divides 2):
+    S2 = Σ_u [2/(m_u−1)]·n_u0·n_u1 exact int, and
+    alpha = (2·n0·n1 − (n−1)·S2) / (2·n0·n1) — ONE division of exact
+    bigints (undefined when one category never appears). int64
+    headroom: n0·n1 ≤ n² — safe to ~2e9 pairable values per source.
+    Plan: one fused projection (votes + per-unit tallies) + one
+    partial+final hash aggregate; no join, no window."""
+    nc = F.col("n_chars").cast("long")
+    r0 = (nc >= 200).cast("long")
+    r1 = (nc >= 230).cast("long")
+    r2 = (nc >= 260).cast("long")
+    present2 = F.col("doc_id") % 5 != 0
+    m = F.lit(2) + present2.cast("long")
+    n1 = r0 + r1 + F.when(present2, r2).otherwise(F.lit(0))
+    n0 = m - n1
+    # 2/(m-1): m=3 -> 1, m=2 -> 2
+    du = F.when(m == 3, n0 * n1).otherwise(2 * n0 * n1)
+    d = _docs(spark, sf_dir).select(
+        "source", m.alias("m"), n0.alias("u0"), n1.alias("u1"), du.alias("du")
+    )
+    a = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum("m").alias("n_vals"),
+        F.sum("u0").alias("n0"),
+        F.sum("u1").alias("n1"),
+        F.sum("du").alias("s2"),
+    )
+    denom = 2 * F.col("n0") * F.col("n1")
+    num = denom - (F.col("n_vals") - 1) * F.col("s2")
+    return a.select(
+        "source",
+        "n_units",
+        "n_vals",
+        "s2",
+        F.when(denom > 0, num / denom).alias("alpha"),
+    )
+
+
+def q_shapley_rules(spark, sf_dir):
+    """Exact Shapley attribution of the drop decision across the four
+    ablation rules — the complete version of rule_ablation's n_unique:
+    n_unique credits only sole-firing rules (a doc dropped by two rules
+    is attributed to neither), while the Shapley value of the OR game
+    splits every dropped doc EQUALLY among the rules that fire on it
+    (provable: for v(S) = [any rule in S fires], the marginal
+    contribution of r is nonzero only when r completes the empty
+    coalition, and symmetry among the k firing rules forces the 1/k
+    split — the closed form makes the 2^n coalition enumeration
+    unnecessary). phi_r·12 = Σ_docs 12/k over docs where r fires
+    (k = #firing rules divides 12) — exact ints; phi is one division
+    and SUMS TO the total dropped count (efficiency axiom, asserted in
+    the pytest; n_unique misses every shared doc). Plan: one fused
+    projection + ONE single-row aggregate + stack — rule_ablation's
+    exact shape."""
+    t = _txt()
+    toks = F.split(t, " ", -1)
+    arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    f_short = F.size(toks) < 50
+    f_chars = F.length(t) < 280
+    f_nostop = F.size(F.array_intersect(F.split(F.lower(t), " ", -1), arr)) == 0
+    norm = F.lower(F.regexp_replace(t, PUNCT_CLASS, ""))
+    f_allstop = (F.size(F.array_except(F.split(norm, " ", -1), arr)) == 0) & (
+        norm != F.lit("")
+    )
+    flags = [
+        ("short_doc", f_short),
+        ("short_chars", f_chars),
+        ("no_stopwords", f_nostop),
+        ("all_stopwords", f_allstop),
+    ]
+    k = sum(c.cast("long") for _, c in flags)
+    d = _docs(spark, sf_dir).select(
+        k.alias("k"), *[c.alias(f"f_{i}") for i, (_, c) in enumerate(flags)]
+    )
+    aggs = [
+        F.sum(F.when(F.col("k") > 0, F.lit(1)).otherwise(F.lit(0))).alias(
+            "n_dropped"
+        )
+    ]
+    for i, (name, _) in enumerate(flags):
+        aggs.append(
+            F.sum(F.col(f"f_{i}").cast("long")).alias(f"n_{i}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(F.col(f"f_{i}"), F.expr("12 div k")).otherwise(F.lit(0))
+            ).alias(f"p_{i}")
+        )
+    row = d.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', n_{i}, p_{i}" for i, (name, _) in enumerate(flags)
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(flags)}, {stack_args}) AS (rule, n_fires, phi12)"
+        ),
+        "n_dropped",
+    ).select(
+        "rule",
+        "n_fires",
+        "phi12",
+        (F.col("phi12") / 12).alias("phi"),
+        "n_dropped",
+    )
+
+
 def q_t_closeness(spark, sf_dir):
     """t-closeness audit (Li et al. ICDE'07) — the third rung of the
     privacy-release ladder after k_anonymity (class size) and
@@ -10199,6 +10380,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bh_fdr": q_bh_fdr,
         "mcnemar": q_mcnemar,
         "theil_sen": q_theil_sen,
+        "mann_kendall": q_mann_kendall,
+        "krippendorff_alpha": q_krippendorff_alpha,
+        "shapley_rules": q_shapley_rules,
         "t_closeness": q_t_closeness,
         "fleiss_kappa": q_fleiss_kappa,
         "fd_mine": q_fd_mine,
@@ -11032,6 +11216,131 @@ def oracle_sql() -> dict[str, str]:
               FROM grid GROUP BY event_type)
             SELECT d.event_type, d.n_days, m.n_pairs, m.ts_slope
             FROM days d JOIN med m ON d.event_type = m.et
+        """,
+        "mann_kendall": """
+            WITH grid AS (
+              SELECT event_type,
+                     (epoch_us(ts) // 1000000 // 86400)::BIGINT AS d,
+                     count(*)::BIGINT AS y
+              FROM events WHERE ts IS NOT NULL
+              GROUP BY event_type, d),
+            sp AS (
+              SELECT g1.event_type AS et,
+                     sum(CASE WHEN g2.y > g1.y THEN 1
+                              WHEN g2.y < g1.y THEN -1 ELSE 0 END)::BIGINT
+                       AS s
+              FROM grid g1 JOIN grid g2
+                ON g1.event_type = g2.event_type AND g1.d < g2.d
+              GROUP BY g1.event_type),
+            ties AS (
+              SELECT et, sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie18
+              FROM (SELECT event_type AS et, y, count(*)::BIGINT AS t
+                    FROM grid GROUP BY event_type, y)
+              GROUP BY et),
+            nd AS (
+              SELECT event_type AS et, count(*)::BIGINT AS n_days
+              FROM grid GROUP BY event_type)
+            SELECT nd.et AS event_type, nd.n_days, sp.s,
+                   t.tie18 AS tie_term18,
+                   CASE WHEN nd.n_days * (nd.n_days - 1)
+                             * (2 * nd.n_days + 5) - t.tie18 > 0
+                        THEN CASE
+                          WHEN sp.s > 0 THEN (sp.s - 1)
+                            / sqrt((nd.n_days * (nd.n_days - 1)
+                                    * (2 * nd.n_days + 5)
+                                    - t.tie18)::DOUBLE / 18)
+                          WHEN sp.s < 0 THEN (sp.s + 1)
+                            / sqrt((nd.n_days * (nd.n_days - 1)
+                                    * (2 * nd.n_days + 5)
+                                    - t.tie18)::DOUBLE / 18)
+                          ELSE 0.0 END
+                        END AS z,
+                   coalesce(CASE WHEN nd.n_days * (nd.n_days - 1)
+                                      * (2 * nd.n_days + 5) - t.tie18 > 0
+                                 THEN abs(CASE
+                                   WHEN sp.s > 0 THEN (sp.s - 1)
+                                     / sqrt((nd.n_days * (nd.n_days - 1)
+                                             * (2 * nd.n_days + 5)
+                                             - t.tie18)::DOUBLE / 18)
+                                   WHEN sp.s < 0 THEN (sp.s + 1)
+                                     / sqrt((nd.n_days * (nd.n_days - 1)
+                                             * (2 * nd.n_days + 5)
+                                             - t.tie18)::DOUBLE / 18)
+                                   ELSE 0.0 END) > 1.96
+                                 END, FALSE) AS trending
+            FROM nd JOIN sp ON nd.et = sp.et JOIN ties t ON nd.et = t.et
+        """,
+        "krippendorff_alpha": """
+            WITH v AS (
+              SELECT source,
+                     CASE WHEN doc_id % 5 <> 0 THEN 3 ELSE 2 END::BIGINT
+                       AS m,
+                     (CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END
+                      + CASE WHEN n_chars >= 230 THEN 1 ELSE 0 END
+                      + CASE WHEN doc_id % 5 <> 0 AND n_chars >= 260
+                             THEN 1 ELSE 0 END)::BIGINT AS u1
+              FROM documents),
+            u AS (
+              SELECT source, m, u1, (m - u1)::BIGINT AS u0,
+                     CASE WHEN m = 3 THEN (m - u1) * u1
+                          ELSE 2 * (m - u1) * u1 END::BIGINT AS du
+              FROM v),
+            a AS (
+              SELECT source, count(*)::BIGINT AS n_units,
+                     sum(m)::BIGINT AS n_vals,
+                     sum(u0)::BIGINT AS n0, sum(u1)::BIGINT AS n1,
+                     sum(du)::BIGINT AS s2
+              FROM u GROUP BY source)
+            SELECT source, n_units, n_vals, s2,
+                   CASE WHEN 2 * n0 * n1 > 0
+                        THEN (2 * n0 * n1 - (n_vals - 1) * s2)
+                             / (2 * n0 * n1) END AS alpha
+            FROM a
+        """,
+        "shapley_rules": """
+            WITH b AS (
+              SELECT
+                len(str_split(t, ' ')) < 50 AS f0,
+                length(t) < 280 AS f1,
+                len(list_intersect(str_split(lower(t), ' '),
+                    ['the', 'a', 'and', 'of', 'to', 'in', 'is', 'it'])) = 0
+                  AS f2,
+                (len(list_filter(str_split(norm, ' '),
+                     x -> NOT list_contains(
+                       ['the', 'a', 'and', 'of', 'to', 'in', 'is', 'it'],
+                       x))) = 0
+                 AND norm <> '') AS f3
+              FROM (SELECT coalesce(text,'') AS t,
+                           lower(regexp_replace(coalesce(text,''),
+                                 '[!-/:-@\\[-`{-~]', '', 'g')) AS norm
+                    FROM documents)),
+            k AS (
+              SELECT f0, f1, f2, f3,
+                     (CASE WHEN f0 THEN 1 ELSE 0 END
+                      + CASE WHEN f1 THEN 1 ELSE 0 END
+                      + CASE WHEN f2 THEN 1 ELSE 0 END
+                      + CASE WHEN f3 THEN 1 ELSE 0 END)::BIGINT AS k
+              FROM b),
+            a AS (
+              SELECT
+                sum(CASE WHEN k > 0 THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+                sum(CASE WHEN f0 THEN 1 ELSE 0 END)::BIGINT AS n_0,
+                sum(CASE WHEN f0 THEN 12 // k ELSE 0 END)::BIGINT AS p_0,
+                sum(CASE WHEN f1 THEN 1 ELSE 0 END)::BIGINT AS n_1,
+                sum(CASE WHEN f1 THEN 12 // k ELSE 0 END)::BIGINT AS p_1,
+                sum(CASE WHEN f2 THEN 1 ELSE 0 END)::BIGINT AS n_2,
+                sum(CASE WHEN f2 THEN 12 // k ELSE 0 END)::BIGINT AS p_2,
+                sum(CASE WHEN f3 THEN 1 ELSE 0 END)::BIGINT AS n_3,
+                sum(CASE WHEN f3 THEN 12 // k ELSE 0 END)::BIGINT AS p_3
+              FROM k)
+            SELECT 'short_doc' AS rule, n_0 AS n_fires, p_0 AS phi12,
+                   p_0 / 12 AS phi, n_dropped FROM a
+            UNION ALL
+            SELECT 'short_chars', n_1, p_1, p_1 / 12, n_dropped FROM a
+            UNION ALL
+            SELECT 'no_stopwords', n_2, p_2, p_2 / 12, n_dropped FROM a
+            UNION ALL
+            SELECT 'all_stopwords', n_3, p_3, p_3 / 12, n_dropped FROM a
         """,
         "t_closeness": """
             WITH e AS (

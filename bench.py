@@ -334,6 +334,9 @@ def run_benchmarks() -> dict:
         "bh_fdr",
         "mcnemar",
         "theil_sen",
+        "mann_kendall",
+        "krippendorff_alpha",
+        "shapley_rules",
         "t_closeness",
         "fleiss_kappa",
         "fd_mine",

@@ -589,6 +589,27 @@ def main() -> None:
             E.q_theil_sen(spark, SF),
         ),
         (
+            "mann_kendall",
+            "Nonparametric trend test: persisted daily grid feeds the "
+            "sign-pair join, tie histogram, and day counts; all heavy "
+            "terms exact bigints.",
+            E.q_mann_kendall(spark, SF),
+        ),
+        (
+            "krippendorff_alpha",
+            "Missingness-correct agreement: votes + per-unit tallies "
+            "fuse into one projection; one partial+final hash "
+            "aggregate per source; alpha one exact-int division.",
+            E.q_krippendorff_alpha(spark, SF),
+        ),
+        (
+            "shapley_rules",
+            "OR-game Shapley attribution: one fused projection + one "
+            "single-row aggregate + stack (rule_ablation's shape); "
+            "phi*12 stays integer via 12 div k.",
+            E.q_shapley_rules(spark, SF),
+        ),
+        (
             "t_closeness",
             "Distribution-distance privacy gate in scaled integers: "
             "class-value hash agg, then BROADCAST joins of the tiny "

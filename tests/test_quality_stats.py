@@ -463,3 +463,74 @@ def test_theil_sen_robust_to_outlier_day(spark, ts_events_dir):
     # clean pairwise slopes are exactly 2; only the 9 pairs touching
     # day 5 deviate — the median is untouched by the spike
     assert r["ts_slope"] == pytest.approx(2.0, abs=0.0)
+
+
+def test_mann_kendall_agrees_with_theil_sen_fixture(spark, ts_events_dir):
+    """On the ts fixture (monotone daily growth + one spike day) the
+    trend must be detected; S and the tie term are recomputed brute
+    force."""
+    r = entry.q_mann_kendall(spark, ts_events_dir).collect()[0]
+    ys = [300 if d == 5 else 10 + 2 * d for d in range(10)]
+    s = sum(
+        (1 if ys[j] > ys[i] else -1 if ys[j] < ys[i] else 0)
+        for i in range(10)
+        for j in range(i + 1, 10)
+    )
+    assert r["s"] == s and r["n_days"] == 10
+    assert r["tie_term18"] == 0  # all daily counts distinct
+    import math
+
+    var18 = 10 * 9 * 25
+    assert r["z"] == pytest.approx((s - 1) / math.sqrt(var18 / 18), rel=1e-12)
+    assert r["trending"]
+
+
+def test_krippendorff_alpha_bounds_and_bruteforce(spark):
+    import duckdb
+
+    out = {
+        r["source"]: r.asDict()
+        for r in entry.q_krippendorff_alpha(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    df = duckdb.sql(
+        "select doc_id, source, n_chars from"
+        " read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).df()
+    for src, g in df.groupby("source"):
+        s2 = n0 = n1 = nv = 0
+        for _, row in g.iterrows():
+            votes = [int(row.n_chars >= 200), int(row.n_chars >= 230)]
+            if row.doc_id % 5 != 0:
+                votes.append(int(row.n_chars >= 260))
+            m, u1 = len(votes), sum(votes)
+            u0 = m - u1
+            s2 += (2 // (m - 1)) * u0 * u1
+            n0 += u0
+            n1 += u1
+            nv += m
+        r = out[src]
+        assert (r["n_vals"], r["s2"]) == (nv, s2)
+        if n0 * n1 > 0:
+            expect = (2 * n0 * n1 - (nv - 1) * s2) / (2 * n0 * n1)
+            assert r["alpha"] == pytest.approx(expect, rel=1e-12)
+            assert r["alpha"] <= 1.0
+
+
+def test_shapley_rules_efficiency_axiom(spark):
+    """The Shapley values must sum EXACTLY to the dropped-doc count
+    (efficiency) — the property rule_ablation's n_unique lacks — and
+    each rule's phi must sit between its unique count and its fire
+    count."""
+    rows = entry.q_shapley_rules(spark, "/root/testdata/sf0.001").collect()
+    abl = {
+        r["rule"]: r.asDict()
+        for r in entry.q_rule_ablation(spark, "/root/testdata/sf0.001").collect()
+    }
+    n_dropped = rows[0]["n_dropped"]
+    assert sum(r["phi12"] for r in rows) == 12 * n_dropped
+    for r in rows:
+        a = abl[r["rule"]]
+        assert a["n_unique"] <= r["phi"] <= r["n_fires"]
+        assert r["phi12"] % 1 == 0
