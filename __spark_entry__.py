@@ -2724,6 +2724,213 @@ def q_shapley_rules(spark, sf_dir):
     )
 
 
+def q_user_retry_detect(spark, sf_dir):
+    """User-retry (frustration) detection — the conversation-quality
+    signal a per-turn filter cannot see: a user repeating or lightly
+    rephrasing their previous request means the assistant turn between
+    them FAILED, and training on the failed exchange teaches the
+    failure. Consecutive USER turns (idx and idx+4 in the canonical
+    4-cycle) are compared by distinct word-BIGRAM-set Jaccard —
+    unigram sets saturate on any small shared vocabulary (two long
+    texts over a 30-word vocab have near-identical distinct-token
+    sets; their bigram sets sample a 900-point space and overlap ~7%),
+    the order-sensitivity that makes shingling the standard dedup
+    unit. A pair with J ≥ 1/2 — the integer cross-multiplication
+    3·|∩| ≥ |A| + |B| (J = i/(a+b−i) ≥ 1/2 ⟺ 3i ≥ a+b), zero float —
+    is a retry. Planted: convs % 9 == 4 get near-identical probe texts
+    on user turns idx 0 and 4 (differing by one trailing token — 5 of
+    6 bigrams shared, J = 5/6). Plan: one lag window over (conv, idx)
+    restricted to user turns (single exchange on conv —
+    dangling_tools' shape), bigram + set algebra in codegen (zip_with
+    over adjacent slices, array_distinct/array_intersect — no
+    explode), one partial+final hash aggregate. Reference analogue:
+    DuplicateValues' within-group repeat detection (src/check/
+    value.rs) lifted to adjacent-turn near-repeats."""
+    idx = F.floor(F.col("doc_id") / 97).cast("long")
+    conv = (F.col("doc_id") % 97).cast("long")
+    probe = F.concat(F.lit("retry probe request for conversation "), conv)
+    text = (
+        F.when((conv % 9 == 4) & (idx == 0), probe)
+        .when((conv % 9 == 4) & (idx == 4), F.concat(probe, F.lit(" please")))
+        .otherwise(_txt())
+    )
+    toks = F.filter(F.split(F.lower(text), " "), lambda x: x != "")
+    n = F.size(toks)
+    grams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    u = (
+        _docs(spark, sf_dir)
+        .filter(idx % 4 == 0)
+        .select(
+            conv.alias("conv"),
+            idx.alias("i"),
+            F.array_distinct(grams).alias("tok"),
+        )
+    )
+    w = Window.partitionBy("conv").orderBy("i")
+    prev = F.lag("tok").over(w)
+    pairs = u.select(
+        "conv",
+        prev.isNotNull().cast("long").alias("is_pair"),
+        F.when(
+            prev.isNotNull(),
+            (
+                3 * F.size(F.array_intersect(F.col("tok"), prev))
+                >= F.size(F.col("tok")) + F.size(prev)
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_retry"),
+    )
+    a = pairs.groupBy("conv").agg(
+        F.sum("is_pair").alias("n_user_pairs"),
+        F.sum("is_retry").alias("n_retries"),
+    )
+    return a.select(
+        "conv",
+        "n_user_pairs",
+        "n_retries",
+        (F.col("n_retries") > 0).alias("retry_flag"),
+    )
+
+
+_EMAIL_RX = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+
+def q_pii_echo(spark, sf_dir):
+    """PII-echo audit — the scrubber-completeness check a per-turn
+    scrub cannot make: when a user shares an email and the ASSISTANT
+    repeats it back, scrubbing only turns that match the PII regex
+    still leaves the assistant's echo semantically linked to the
+    conversation (and an assistant that echoes PII is itself a
+    behavior to filter before training). Per conversation: the FIRST
+    user-shared email (min_by turn idx — deterministic) joined against
+    assistant turns; an assistant text containing that literal is an
+    echo. Planted: convs % 8 == 1 share 'user<conv>@example.com' in
+    user turn 0; HALF of those (convs % 16 == 1) have the assistant
+    echo it at idx 3. The email regex is the pii_detect pattern with
+    established Java↔RE2 extraction parity. Plan: filter + min_by hash
+    agg for the per-conv email (one exchange), broadcast-able join to
+    assistant turns, one final agg — no window over raw turns."""
+    idx = F.floor(F.col("doc_id") / 97).cast("long")
+    conv = (F.col("doc_id") % 97).cast("long")
+    email_lit = F.concat(F.lit("user"), conv, F.lit("@example.com"))
+    text = F.concat(
+        _txt(),
+        F.when(
+            (conv % 8 == 1) & (idx == 0),
+            F.concat(F.lit(" contact me at "), email_lit),
+        ).otherwise(F.lit("")),
+        F.when(
+            (conv % 16 == 1) & (idx == 3),
+            F.concat(F.lit(" sure, emailing "), email_lit),
+        ).otherwise(F.lit("")),
+    )
+    t = _docs(spark, sf_dir).select(
+        conv.alias("conv"), idx.alias("i"), text.alias("text")
+    )
+    shared = (
+        t.filter(F.col("i") % 4 == 0)
+        .select(
+            "conv", "i", F.regexp_extract(F.col("text"), _EMAIL_RX, 0).alias("em")
+        )
+        .filter(F.col("em") != "")
+        .groupBy("conv")
+        .agg(F.min_by("em", "i").alias("email"))
+    )
+    asst = t.filter(F.col("i") % 4 == 3).select(
+        F.col("conv").alias("c2"), F.col("text").alias("atext")
+    )
+    j = shared.join(asst, F.col("conv") == F.col("c2"))
+    a = j.groupBy("conv").agg(
+        F.count(F.lit(1)).alias("n_assistant_turns"),
+        F.sum(
+            F.contains(F.col("atext"), F.col("email")).cast("long")
+        ).alias("n_echoes"),
+    )
+    return a.select(
+        "conv",
+        "n_assistant_turns",
+        "n_echoes",
+        (F.col("n_echoes") > 0).alias("pii_echoed"),
+    )
+
+
+def q_emd_drift(spark, sf_dir):
+    """Earth-mover (Wasserstein-1) drift per source vs the rest of the
+    corpus over doc length — the AREA between the two ECDFs, completing
+    the drift-distance family: ks_drift measures the worst POINT gap
+    (insensitive to how long distributions diverge), t_closeness' TV
+    ignores the metric structure of the support (off-by-one-bucket
+    costs as much as off-by-a-mile), W1 integrates gap × distance and
+    is the standard two-sample distance for distribution shift.
+    Discrete closed form on the shared support: W1 = Σ_i |F_s(v_i) −
+    F_rest(v_i)| · (v_{i+1} − v_i) — with the common denominator
+    n_s·n_rest the numerator Σ|cumS·nR − cumR·nS|·gap is an EXACT
+    bigint and W1 is one division. Scale shape: the (source, value)
+    histogram aggregates once (persisted, mann_whitney's machinery);
+    the per-source ECDF lives on the source×support grid built by
+    broadcasting the distinct-source dimension over the bounded
+    support table — missing cells are true zeros, so cumulatives are
+    window sums over that bounded grid, never over raw rows. int64
+    headroom: |cum·n| ≤ N² — safe to ~3e9 docs; gaps bounded by the
+    value range."""
+    hist = (
+        _docs(spark, sf_dir)
+        .select("source", F.length(_txt()).cast("long").alias("v"))
+        .groupBy("source", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    gl = hist.groupBy("v").agg(F.sum("c").alias("cv"))
+    srcs = hist.groupBy("source").agg(F.sum("c").alias("n_s"))
+    tot = hist.agg(F.sum("c").alias("n_total"))
+    grid = (
+        gl.crossJoin(F.broadcast(srcs))
+        .join(hist, ["source", "v"], "left")
+        .select(
+            "source",
+            "v",
+            "cv",
+            "n_s",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wl = Window.partitionBy("source").orderBy("v")
+    stepped = (
+        grid.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_s",
+            (F.col("n_total") - F.col("n_s")).alias("n_r"),
+            F.sum("c").over(w).alias("cum_s"),
+            (F.sum("cv").over(w) - F.sum("c").over(w)).alias("cum_r"),
+            (F.lead("v").over(wl) - F.col("v")).alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    a = stepped.groupBy("source", "n_s", "n_r").agg(
+        F.sum(
+            F.abs(
+                F.col("cum_s") * F.col("n_r") - F.col("cum_r") * F.col("n_s")
+            )
+            * F.col("gap")
+        ).alias("num")
+    )
+    return a.select(
+        "source",
+        "n_s",
+        F.col("num").alias("w1_numer"),
+        (F.col("num") / (F.col("n_s") * F.col("n_r"))).alias("w1"),
+    )
+
+
 def q_t_closeness(spark, sf_dir):
     """t-closeness audit (Li et al. ICDE'07) — the third rung of the
     privacy-release ladder after k_anonymity (class size) and
@@ -10383,6 +10590,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_kendall": q_mann_kendall,
         "krippendorff_alpha": q_krippendorff_alpha,
         "shapley_rules": q_shapley_rules,
+        "user_retry_detect": q_user_retry_detect,
+        "pii_echo": q_pii_echo,
+        "emd_drift": q_emd_drift,
         "t_closeness": q_t_closeness,
         "fleiss_kappa": q_fleiss_kappa,
         "fd_mine": q_fd_mine,
@@ -11341,6 +11551,116 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'no_stopwords', n_2, p_2, p_2 / 12, n_dropped FROM a
             UNION ALL
             SELECT 'all_stopwords', n_3, p_3, p_3 / 12, n_dropped FROM a
+        """,
+        "user_retry_detect": """
+            WITH t AS (
+              SELECT (doc_id % 97)::BIGINT AS conv,
+                     (doc_id // 97)::BIGINT AS i,
+                     CASE WHEN (doc_id % 97) % 9 = 4 AND doc_id // 97 = 0
+                          THEN 'retry probe request for conversation '
+                               || CAST(doc_id % 97 AS VARCHAR)
+                          WHEN (doc_id % 97) % 9 = 4 AND doc_id // 97 = 4
+                          THEN 'retry probe request for conversation '
+                               || CAST(doc_id % 97 AS VARCHAR) || ' please'
+                          ELSE coalesce(text, '') END AS text
+              FROM documents WHERE (doc_id // 97) % 4 = 0),
+            u AS (
+              SELECT conv, i,
+                     list_distinct(list_transform(
+                       generate_series(1, len(w) - 1),
+                       j -> w[j] || ' ' || w[j + 1])) AS tok
+              FROM (SELECT conv, i,
+                           list_filter(string_split(lower(text), ' '),
+                                       x -> x <> '') AS w
+                    FROM t)),
+            p AS (
+              SELECT conv, tok,
+                     lag(tok) OVER (PARTITION BY conv ORDER BY i) AS prev
+              FROM u),
+            f AS (
+              SELECT conv,
+                     CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END::BIGINT
+                       AS is_pair,
+                     CASE WHEN prev IS NOT NULL
+                           AND 3 * len(list_intersect(tok, prev))
+                               >= len(tok) + len(prev)
+                          THEN 1 ELSE 0 END::BIGINT AS is_retry
+              FROM p)
+            SELECT conv, sum(is_pair)::BIGINT AS n_user_pairs,
+                   sum(is_retry)::BIGINT AS n_retries,
+                   sum(is_retry) > 0 AS retry_flag
+            FROM f GROUP BY conv
+        """,
+        "pii_echo": """
+            WITH t AS (
+              SELECT (doc_id % 97)::BIGINT AS conv,
+                     (doc_id // 97)::BIGINT AS i,
+                     coalesce(text, '')
+                     || CASE WHEN (doc_id % 97) % 8 = 1
+                              AND doc_id // 97 = 0
+                             THEN ' contact me at user'
+                                  || CAST(doc_id % 97 AS VARCHAR)
+                                  || '@example.com' ELSE '' END
+                     || CASE WHEN (doc_id % 97) % 16 = 1
+                              AND doc_id // 97 = 3
+                             THEN ' sure, emailing user'
+                                  || CAST(doc_id % 97 AS VARCHAR)
+                                  || '@example.com' ELSE '' END AS text
+              FROM documents),
+            sh AS (
+              SELECT conv, arg_min(em, i) AS email
+              FROM (SELECT conv, i,
+                           regexp_extract(text,
+                             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                             0) AS em
+                    FROM t WHERE i % 4 = 0)
+              WHERE em <> '' GROUP BY conv),
+            ast AS (SELECT conv, text FROM t WHERE i % 4 = 3)
+            SELECT sh.conv,
+                   count(*)::BIGINT AS n_assistant_turns,
+                   sum(CASE WHEN contains(ast.text, sh.email)
+                            THEN 1 ELSE 0 END)::BIGINT AS n_echoes,
+                   sum(CASE WHEN contains(ast.text, sh.email)
+                            THEN 1 ELSE 0 END) > 0 AS pii_echoed
+            FROM sh JOIN ast ON sh.conv = ast.conv
+            GROUP BY sh.conv
+        """,
+        "emd_drift": """
+            WITH hist AS (
+              SELECT source, length(coalesce(text, ''))::BIGINT AS v,
+                     count(*)::BIGINT AS c
+              FROM documents GROUP BY source, v),
+            gl AS (SELECT v, sum(c)::BIGINT AS cv FROM hist GROUP BY v),
+            srcs AS (
+              SELECT source, sum(c)::BIGINT AS n_s FROM hist GROUP BY source),
+            grid AS (
+              SELECT s.source, g.v, g.cv, s.n_s,
+                     coalesce(h.c, 0)::BIGINT AS c
+              FROM gl g CROSS JOIN srcs s
+              LEFT JOIN hist h ON h.source = s.source AND h.v = g.v),
+            stepped AS (
+              SELECT source, n_s,
+                     (SELECT sum(c) FROM hist)::BIGINT - n_s AS n_r,
+                     sum(c) OVER (PARTITION BY source ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       ::BIGINT AS cum_s,
+                     (sum(cv) OVER (PARTITION BY source ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - sum(c) OVER (PARTITION BY source ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                       ::BIGINT AS cum_r,
+                     lead(v) OVER (PARTITION BY source ORDER BY v) - v
+                       AS gap
+              FROM grid),
+            a AS (
+              SELECT source, n_s, n_r,
+                     sum(abs(cum_s * n_r - cum_r * n_s) * gap)::BIGINT
+                       AS num
+              FROM stepped WHERE gap IS NOT NULL
+              GROUP BY source, n_s, n_r)
+            SELECT source, n_s, num AS w1_numer,
+                   num / (n_s * n_r) AS w1
+            FROM a
         """,
         "t_closeness": """
             WITH e AS (

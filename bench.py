@@ -337,6 +337,9 @@ def run_benchmarks() -> dict:
         "mann_kendall",
         "krippendorff_alpha",
         "shapley_rules",
+        "user_retry_detect",
+        "pii_echo",
+        "emd_drift",
         "t_closeness",
         "fleiss_kappa",
         "fd_mine",

@@ -610,6 +610,27 @@ def main() -> None:
             E.q_shapley_rules(spark, SF),
         ),
         (
+            "user_retry_detect",
+            "Adjacent-user-turn near-repeat: bigram shingles + set "
+            "algebra fused in codegen (zip_with, no explode); one lag "
+            "window on conv, one partial+final hash aggregate.",
+            E.q_user_retry_detect(spark, SF),
+        ),
+        (
+            "pii_echo",
+            "Scrubber-completeness echo audit: per-conv email via "
+            "min_by hash agg, broadcast-able join to assistant turns, "
+            "final agg; no raw-row window.",
+            E.q_pii_echo(spark, SF),
+        ),
+        (
+            "emd_drift",
+            "ECDF-area drift: persisted histogram; source x support "
+            "grid via broadcast of the tiny source dim; windows over "
+            "the bounded grid; exact-bigint numerator.",
+            E.q_emd_drift(spark, SF),
+        ),
+        (
             "t_closeness",
             "Distribution-distance privacy gate in scaled integers: "
             "class-value hash agg, then BROADCAST joins of the tiny "

@@ -534,3 +534,62 @@ def test_shapley_rules_efficiency_axiom(spark):
         a = abl[r["rule"]]
         assert a["n_unique"] <= r["phi"] <= r["n_fires"]
         assert r["phi12"] % 1 == 0
+
+
+def test_user_retry_detect_planted_repeats(spark):
+    out = {
+        r["conv"]: r.asDict()
+        for r in entry.q_user_retry_detect(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    planted = [c for c in out if c % 9 == 4]
+    assert planted
+    for conv, r in out.items():
+        if conv % 9 == 4:
+            # probe texts at user turns 0 and 4 differ by one token
+            assert r["retry_flag"] and r["n_retries"] >= 1
+        else:
+            # natural adjacent user turns never reach Jaccard 1/2
+            assert not r["retry_flag"]
+
+
+def test_pii_echo_planted_echoes(spark):
+    out = {
+        r["conv"]: r.asDict()
+        for r in entry.q_pii_echo(spark, "/root/testdata/sf0.001").collect()
+    }
+    # only sharing convs (conv % 8 == 1) appear; echo on conv % 16 == 1
+    assert set(out) == {c for c in range(97) if c % 8 == 1}
+    for conv, r in out.items():
+        if conv % 16 == 1:
+            assert r["pii_echoed"] and r["n_echoes"] >= 1
+        else:
+            assert not r["pii_echoed"] and r["n_echoes"] == 0
+
+
+def test_emd_drift_matches_bruteforce(spark, mw_docs_dir):
+    """On the three-source fixture the ECDF-area integral is computed
+    brute force over the shared support and must match exactly."""
+    out = {
+        r["source"]: r.asDict()
+        for r in entry.q_emd_drift(spark, mw_docs_dir).collect()
+    }
+    lens = {"short": [5] * 30, "long": [40] * 30, "mid": [20] * 40}
+    support = sorted({v for vs in lens.values() for v in vs})
+    for src in lens:
+        xs = sorted(lens[src])
+        ys = sorted(v for s, vs in lens.items() if s != src for v in vs)
+        na, nb = len(xs), len(ys)
+        num = 0
+        for i in range(len(support) - 1):
+            v, gap = support[i], support[i + 1] - support[i]
+            ca = sum(1 for x in xs if x <= v)
+            cb = sum(1 for y in ys if y <= v)
+            num += abs(ca * nb - cb * na) * gap
+        r = out[src]
+        assert r["w1_numer"] == num
+        assert r["w1"] == pytest.approx(num / (na * nb), rel=1e-12)
+    # 'mid' sits between the two extremes -> smallest drift
+    assert out["mid"]["w1"] < out["short"]["w1"]
+    assert out["mid"]["w1"] < out["long"]["w1"]
