@@ -2931,6 +2931,169 @@ def q_emd_drift(spark, sf_dir):
     )
 
 
+def q_weekday_profile(spark, sf_dir):
+    """Exposure-correct day-of-week seasonality per event type — the
+    load-shape audit behind alert baselines and capacity planning,
+    done WITHOUT the classic observation-window bias: over a 30-day
+    window some weekdays occur 5 times and others 4, so comparing raw
+    weekday counts against a flat n/7 expectation manufactures fake
+    seasonality; the expectation must be n·d_wd/D (d_wd = how many
+    times that weekday was observed, D = total observed days).
+    Per (event_type, weekday): observed count, exposure days, rate/day
+    and expected/day (each ONE exact division), and a deviation flag
+    as the integer cross-multiplication 5·|O·D − n·d_wd| > n·d_wd
+    (±20% of expected) — zero float in the decision. Weekday from the
+    epoch day ((day + 4) % 7: 1970-01-01 was a Thursday — no timezone
+    or locale dependence, identical arithmetic in both engines). Plan:
+    one hash aggregate to the (type, day) grid (persisted — the
+    weekday rollup and the per-type totals both read it), then all
+    math on the bounded grid."""
+    ev = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    day = F.expr("unix_timestamp(ts) div 86400")
+    grid = (
+        ev.groupBy(F.col("event_type"), day.alias("d"))
+        .agg(F.count(F.lit(1)).alias("y"))
+        .persist()
+    )
+    wd = ((F.col("d") + 4) % 7).alias("weekday")
+    per = grid.groupBy("event_type", wd).agg(
+        F.sum("y").alias("o"),
+        F.count(F.lit(1)).alias("d_wd"),
+    )
+    tot = grid.groupBy("event_type").agg(
+        F.sum("y").alias("n"),
+        F.count(F.lit(1)).alias("d_total"),
+    )
+    j = per.join(tot, "event_type")
+    dev = F.abs(F.col("o") * F.col("d_total") - F.col("n") * F.col("d_wd"))
+    return j.select(
+        "event_type",
+        "weekday",
+        F.col("o").alias("n_events"),
+        "d_wd",
+        (F.col("o") / F.col("d_wd")).alias("rate_per_day"),
+        (F.col("n") / F.col("d_total")).alias("expected_per_day"),
+        (5 * dev > F.col("n") * F.col("d_wd")).alias("seasonal_dev"),
+    )
+
+
+def q_autocorr_lag1(spark, sf_dir):
+    """Lag-1 autocorrelation of daily event counts per type — the
+    serial-dependence statistic the trend family (trend_slope OLS,
+    theil_sen median, mann_kendall sign test) cannot give: a series
+    can be trend-free yet strongly autocorrelated (multi-day incident
+    decay, load echo), and r1 near zero is the i.i.d. sanity check
+    alert thresholds silently assume. Exactness: the textbook
+    r1 = Σ(y_t−ȳ)(y_{t+1}−ȳ)/Σ(y_t−ȳ)² is cleared of the rational
+    mean by scaling BOTH sides by n² — numerator·n² = n²·Σy_t·y_{t+1}
+    − n·S·(2S − y_first − y_last) + (n−1)·S², denominator·n² =
+    n·(n·Σy² − S²) — every term an exact bigint (first/last via
+    min_by/max_by on the unique day), r1 ONE division. int64
+    headroom: n²·Σy·y' ~ n³·ymax² — safe past 3 years of days at
+    10^6 events/day; decimal(38) is the swap. Plan: one hash
+    aggregate to the daily grid (persisted), one lag window per type
+    over the bounded grid, one final agg."""
+    ev = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    day = F.expr("unix_timestamp(ts) div 86400")
+    grid = (
+        ev.groupBy(F.col("event_type"), day.alias("d"))
+        .agg(F.count(F.lit(1)).alias("y"))
+        .persist()
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = grid.select(
+        "event_type",
+        "d",
+        "y",
+        (F.col("y") * F.lag("y").over(w)).alias("yy"),
+    )
+    a = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("s2"),
+        F.sum("yy").alias("syy"),
+        F.min_by("y", "d").alias("y_first"),
+        F.max_by("y", "d").alias("y_last"),
+    )
+    n = F.col("n_days")
+    num = (
+        n * n * F.col("syy")
+        - n * F.col("s") * (2 * F.col("s") - F.col("y_first") - F.col("y_last"))
+        + (n - 1) * F.col("s") * F.col("s")
+    )
+    den = n * (n * F.col("s2") - F.col("s") * F.col("s"))
+    return a.select(
+        "event_type",
+        "n_days",
+        F.when((n >= 3) & (den > 0), num / den).alias("r1"),
+    )
+
+
+def q_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test on the keep/drop sequence per source —
+    the corruption-clustering detector: a gate can drop the right
+    FRACTION of docs yet drop them in long runs (a corrupted ingest
+    batch, a time-localized crawler failure), and run-clustered drops
+    mean the kept corpus has a systematic hole; under H0 (exchangeable
+    order) the number of runs R has the classic closed-form moments.
+    Drop signal = char length below the corpus median (the mcnemar v1
+    gate); sequence ordered by doc_id (ingest order). R = 1 + Σ[x_t ≠
+    x_{t−1}] via one lag window; E[R] = 1 + 2·n1·n0/n and
+    18·Var-free form Var = 2n1n0(2n1n0−n)/(n²(n−1)) evaluate as ONE
+    fixed float expression over exact bigints; z = (R−E)/sqrt(Var),
+    clustered flag when z < −1.96 (too FEW runs = clustering; too many
+    = alternation, also flagged two-sided via |z|). int64 headroom:
+    (2n1n0)² < 2^63 ⇒ safe to ~1.5e9 docs per source. Plan: one lag
+    window per source (single exchange) + one partial+final hash
+    aggregate."""
+    d = _docs(spark, sf_dir).select(
+        "source",
+        "doc_id",
+        (F.length(_txt()) < 311).cast("long").alias("x"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    t = d.select(
+        "source",
+        "x",
+        F.when(
+            F.lag("x").over(w).isNotNull()
+            & (F.col("x") != F.lag("x").over(w)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("switch"),
+    )
+    a = t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("n1"),
+        (F.sum("switch") + 1).alias("r"),
+    )
+    n0 = F.col("n") - F.col("n1")
+    p2 = 2 * F.col("n1") * n0
+    e = 1 + p2.cast("double") / F.col("n").cast("double")
+    var = (
+        p2.cast("double")
+        * (p2 - F.col("n")).cast("double")
+        / (
+            F.col("n").cast("double")
+            * F.col("n").cast("double")
+            * (F.col("n") - 1).cast("double")
+        )
+    )
+    z = (F.col("r").cast("double") - e) / F.sqrt(var)
+    defined = (F.col("n") >= 2) & (F.col("n1") > 0) & (n0 > 0) & (p2 > F.col("n"))
+    return a.select(
+        "source",
+        "n",
+        F.col("n1").alias("n_drops"),
+        F.col("r").alias("n_runs"),
+        F.when(defined, z).alias("z"),
+        F.coalesce(F.when(defined, F.abs(z) > 1.96), F.lit(False)).alias(
+            "order_suspect"
+        ),
+    )
+
+
 def q_t_closeness(spark, sf_dir):
     """t-closeness audit (Li et al. ICDE'07) — the third rung of the
     privacy-release ladder after k_anonymity (class size) and
@@ -10593,6 +10756,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_retry_detect": q_user_retry_detect,
         "pii_echo": q_pii_echo,
         "emd_drift": q_emd_drift,
+        "weekday_profile": q_weekday_profile,
+        "autocorr_lag1": q_autocorr_lag1,
+        "runs_test": q_runs_test,
         "t_closeness": q_t_closeness,
         "fleiss_kappa": q_fleiss_kappa,
         "fd_mine": q_fd_mine,
@@ -11660,6 +11826,100 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY source, n_s, n_r)
             SELECT source, n_s, num AS w1_numer,
                    num / (n_s * n_r) AS w1
+            FROM a
+        """,
+        "weekday_profile": """
+            WITH grid AS (
+              SELECT event_type,
+                     (epoch_us(ts) // 1000000 // 86400)::BIGINT AS d,
+                     count(*)::BIGINT AS y
+              FROM events WHERE ts IS NOT NULL
+              GROUP BY event_type, d),
+            per AS (
+              SELECT event_type, ((d + 4) % 7)::BIGINT AS weekday,
+                     sum(y)::BIGINT AS o, count(*)::BIGINT AS d_wd
+              FROM grid GROUP BY event_type, weekday),
+            tot AS (
+              SELECT event_type, sum(y)::BIGINT AS n,
+                     count(*)::BIGINT AS d_total
+              FROM grid GROUP BY event_type)
+            SELECT p.event_type, p.weekday, p.o AS n_events, p.d_wd,
+                   p.o / p.d_wd AS rate_per_day,
+                   t.n / t.d_total AS expected_per_day,
+                   5 * abs(p.o * t.d_total - t.n * p.d_wd)
+                     > t.n * p.d_wd AS seasonal_dev
+            FROM per p JOIN tot t ON p.event_type = t.event_type
+        """,
+        "autocorr_lag1": """
+            WITH grid AS (
+              SELECT event_type,
+                     (epoch_us(ts) // 1000000 // 86400)::BIGINT AS d,
+                     count(*)::BIGINT AS y
+              FROM events WHERE ts IS NOT NULL
+              GROUP BY event_type, d),
+            lagged AS (
+              SELECT event_type, d, y,
+                     y * lag(y) OVER (PARTITION BY event_type ORDER BY d)
+                       AS yy
+              FROM grid),
+            a AS (
+              SELECT event_type, count(*)::BIGINT AS n_days,
+                     sum(y)::BIGINT AS s,
+                     sum(y * y)::BIGINT AS s2,
+                     sum(yy)::BIGINT AS syy,
+                     arg_min(y, d)::BIGINT AS y_first,
+                     arg_max(y, d)::BIGINT AS y_last
+              FROM lagged GROUP BY event_type)
+            SELECT event_type, n_days,
+                   CASE WHEN n_days >= 3
+                         AND n_days * (n_days * s2 - s * s) > 0
+                        THEN (n_days * n_days * syy
+                              - n_days * s * (2 * s - y_first - y_last)
+                              + (n_days - 1) * s * s)
+                             / (n_days * (n_days * s2 - s * s))
+                        END AS r1
+            FROM a
+        """,
+        "runs_test": """
+            WITH d AS (
+              SELECT source, doc_id,
+                     CASE WHEN length(coalesce(text, '')) < 311
+                          THEN 1 ELSE 0 END::BIGINT AS x
+              FROM documents),
+            t AS (
+              SELECT source, x,
+                     CASE WHEN lag(x) OVER (PARTITION BY source
+                                            ORDER BY doc_id) IS NOT NULL
+                           AND x <> lag(x) OVER (PARTITION BY source
+                                                 ORDER BY doc_id)
+                          THEN 1 ELSE 0 END::BIGINT AS switch
+              FROM d),
+            a AS (
+              SELECT source, count(*)::BIGINT AS n,
+                     sum(x)::BIGINT AS n1,
+                     (sum(switch) + 1)::BIGINT AS r
+              FROM t GROUP BY source)
+            SELECT source, n, n1 AS n_drops, r AS n_runs,
+                   CASE WHEN n >= 2 AND n1 > 0 AND n - n1 > 0
+                         AND 2 * n1 * (n - n1) > n
+                        THEN (r::DOUBLE
+                              - (1 + (2 * n1 * (n - n1))::DOUBLE
+                                     / n::DOUBLE))
+                             / sqrt((2 * n1 * (n - n1))::DOUBLE
+                                    * (2 * n1 * (n - n1) - n)::DOUBLE
+                                    / (n::DOUBLE * n::DOUBLE
+                                       * (n - 1)::DOUBLE))
+                        END AS z,
+                   coalesce(CASE WHEN n >= 2 AND n1 > 0 AND n - n1 > 0
+                                  AND 2 * n1 * (n - n1) > n
+                                 THEN abs((r::DOUBLE
+                                      - (1 + (2 * n1 * (n - n1))::DOUBLE
+                                             / n::DOUBLE))
+                                      / sqrt((2 * n1 * (n - n1))::DOUBLE
+                                        * (2 * n1 * (n - n1) - n)::DOUBLE
+                                        / (n::DOUBLE * n::DOUBLE
+                                           * (n - 1)::DOUBLE))) > 1.96
+                                 END, FALSE) AS order_suspect
             FROM a
         """,
         "t_closeness": """

@@ -340,6 +340,9 @@ def run_benchmarks() -> dict:
         "user_retry_detect",
         "pii_echo",
         "emd_drift",
+        "weekday_profile",
+        "autocorr_lag1",
+        "runs_test",
         "t_closeness",
         "fleiss_kappa",
         "fd_mine",

@@ -631,6 +631,25 @@ def main() -> None:
             E.q_emd_drift(spark, SF),
         ),
         (
+            "weekday_profile",
+            "Exposure-correct seasonality: persisted (type, day) grid "
+            "feeds weekday rollup + totals; integer deviation gate.",
+            E.q_weekday_profile(spark, SF),
+        ),
+        (
+            "autocorr_lag1",
+            "Serial dependence: persisted daily grid, one lag window "
+            "per type, final agg; all sums exact bigints.",
+            E.q_autocorr_lag1(spark, SF),
+        ),
+        (
+            "runs_test",
+            "Order-structure audit: one lag window per source (single "
+            "exchange) + partial+final hash aggregate; closed-form "
+            "moments over exact ints.",
+            E.q_runs_test(spark, SF),
+        ),
+        (
             "t_closeness",
             "Distribution-distance privacy gate in scaled integers: "
             "class-value hash agg, then BROADCAST joins of the tiny "

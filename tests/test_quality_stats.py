@@ -593,3 +593,74 @@ def test_emd_drift_matches_bruteforce(spark, mw_docs_dir):
     # 'mid' sits between the two extremes -> smallest drift
     assert out["mid"]["w1"] < out["short"]["w1"]
     assert out["mid"]["w1"] < out["long"]["w1"]
+
+
+def test_weekday_profile_exposure_correct(spark, ts_events_dir):
+    """On the 10-day fixture starting Fri 2024-03-01 every weekday is
+    observed once or twice; expectations must use per-weekday exposure,
+    not n/7."""
+    rows = entry.q_weekday_profile(spark, ts_events_dir).collect()
+    by_wd = {r["weekday"]: r.asDict() for r in rows}
+    assert len(rows) == 7
+    # exposure: days 0..9 from Fri -> Fri/Sat/Sun appear twice (d_wd=2)
+    total_exposure = sum(r["d_wd"] for r in rows)
+    assert total_exposure == 10
+    assert sorted(r["d_wd"] for r in rows) == [1, 1, 1, 1, 2, 2, 2]
+    for r in rows:
+        assert r["rate_per_day"] == pytest.approx(
+            r["n_events"] / r["d_wd"], rel=1e-12
+        )
+    # the day-5 spike (300 events on one exposure day) must flag
+    spike = [r for r in rows if r["n_events"] >= 300]
+    assert spike and all(r["seasonal_dev"] for r in spike)
+
+
+def test_autocorr_lag1_matches_bruteforce(spark, ts_events_dir):
+    r = entry.q_autocorr_lag1(spark, ts_events_dir).collect()[0]
+    ys = [300 if d == 5 else 10 + 2 * d for d in range(10)]
+    ybar = sum(ys) / len(ys)
+    num = sum((ys[t] - ybar) * (ys[t + 1] - ybar) for t in range(9))
+    den = sum((y - ybar) ** 2 for y in ys)
+    assert r["n_days"] == 10
+    assert r["r1"] == pytest.approx(num / den, rel=1e-12)
+    # one isolated spike -> negative serial correlation
+    assert r["r1"] < 0
+
+
+@pytest.fixture(scope="module")
+def runs_docs_dir(spark, tmp_path_factory):
+    """Two sources with identical drop FRACTION (half) but opposite
+    order structure: 'clustered' = 50 drops then 50 keeps (2 runs),
+    'alternating' = drop/keep interleaved (100 runs). Both must flag
+    — too few runs and too many runs are both non-exchangeable."""
+    d = tmp_path_factory.mktemp("runs")
+    rows = []
+    i = 0
+    for j in range(100):
+        text = "x" * (100 if j < 50 else 500)  # drop = len < 311
+        rows.append((i, text, "en", "clustered", len(text))); i += 1
+    for j in range(100):
+        text = "x" * (100 if j % 2 == 0 else 500)
+        rows.append((i, text, "en", "alternating", len(text))); i += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return str(d)
+
+
+def test_runs_test_detects_both_directions(spark, runs_docs_dir):
+    import math
+
+    out = {
+        r["source"]: r.asDict()
+        for r in entry.q_runs_test(spark, runs_docs_dir).collect()
+    }
+    cl, al = out["clustered"], out["alternating"]
+    assert cl["n_drops"] == 50 and al["n_drops"] == 50
+    assert cl["n_runs"] == 2 and al["n_runs"] == 100
+    # hand-computed moments: n=100, n1=n0=50 -> E[R]=51, Var=2450*49/9900... 
+    e = 1 + 2 * 50 * 50 / 100
+    var = (2 * 50 * 50) * (2 * 50 * 50 - 100) / (100 * 100 * 99)
+    assert cl["z"] == pytest.approx((2 - e) / math.sqrt(var), rel=1e-12)
+    assert cl["z"] < -1.96 and cl["order_suspect"]
+    assert al["z"] > 1.96 and al["order_suspect"]
