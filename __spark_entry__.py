@@ -2931,6 +2931,106 @@ def q_emd_drift(spark, sf_dir):
     )
 
 
+def q_markdown_audit(spark, sf_dir):
+    """Markdown structural QA per doc — the format-validation gate
+    SFT/code corpora run before training on rendered text: an UNCLOSED
+    code fence (odd number of ``` markers) silently swallows the rest
+    of the document into a code block, truncated exports do it
+    constantly, and a model trained on them learns to open fences it
+    never closes. Counts: fence markers (split-count — exact, no
+    regex), headings ((?m)^#{1,6} — multiline anchors behave
+    identically in Java regex and RE2), inline links
+    ([text](url) — bracket classes, engine-neutral). Planted: every
+    7th doc gets a well-formed markdown block appended; every 21st doc
+    gets an UNCLOSED fence (these overlap: doc % 21 == 0 has both
+    decorations = 3 fences, still odd ⇒ flagged). Plan: ONE fused
+    codegen projection — splits + regexp_extract_all sizes, zero
+    shuffle, zero Python, no explode. Reference analogue:
+    StringValueOddCharacters' per-value structural scan
+    (src/check/value.rs) upgraded to block-structure parity."""
+    md_block = " \n# Title\n```\ncode here\n```\n[link](http://example.com)"
+    broken = " \n```\nbroken fence"
+    text = F.concat(
+        _txt(),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(md_block)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 21 == 0, F.lit(broken)).otherwise(F.lit("")),
+    )
+    d = _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+    fences = F.size(F.split(F.col("text"), "```", -1)) - 1
+    headings = F.size(F.regexp_extract_all(F.col("text"), F.lit("(?m)^#{1,6} "), 0))
+    links = F.size(
+        F.regexp_extract_all(
+            F.col("text"), F.lit("\\[[^\\]]*\\]\\([^)]*\\)"), 0
+        )
+    )
+    return d.select(
+        "doc_id",
+        fences.cast("long").alias("n_fences"),
+        (fences % 2 == 1).alias("fence_unclosed"),
+        headings.cast("long").alias("n_headings"),
+        links.cast("long").alias("n_links"),
+        (fences % 2 == 1).alias("md_broken"),
+    )
+
+
+def q_number_grounding(spark, sf_dir):
+    """Hallucinated-number audit for agent transcripts — the numeric
+    complement of citation_check: an assistant quoting a number that
+    appears in NO tool result of its conversation fabricated it (the
+    most common silent hallucination in RAG/tool trajectories —
+    prices, counts, dates subtly off). Tool-result turns (idx%4==2)
+    carry 'result values A and B' (A = doc_id mod 100, B = 7·doc_id
+    mod 100); the same cycle's assistant turn quotes its tool turn's A
+    (doc_id−97) — grounded — except every 13th doc quotes 777, which
+    no tool emits (all tool values < 100). The audit's honest shape:
+    per-conv DISTINCT tool-number pool via explode + collect_set
+    (bounded by the conv's tool output), assistant numbers via
+    regexp_extract_all, ungrounded = array_except against the
+    broadcast-able pool join. Output exact ints/bools. Plan: one
+    explode+hash-agg for the pool (single exchange on conv), one
+    equi-join, one final agg; the number-extraction regex (\\d+) is
+    engine-neutral."""
+    idx = F.floor(F.col("doc_id") / 97).cast("long")
+    conv = (F.col("doc_id") % 97).cast("long")
+    tool_text = F.concat(
+        F.lit("result values "),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(" and "),
+        ((F.col("doc_id") * 7) % 100).cast("string"),
+    )
+    asst_num = F.when(F.col("doc_id") % 13 == 2, F.lit("777")).otherwise(
+        ((F.col("doc_id") - 97) % 100).cast("string")
+    )
+    asst_text = F.concat(F.lit("the result is "), asst_num)
+    docs = _docs(spark, sf_dir).select("doc_id", conv.alias("conv"), idx.alias("i"))
+    pool = (
+        docs.filter(F.col("i") % 4 == 2)
+        .select("conv", F.explode(F.regexp_extract_all(tool_text, F.lit("\\d+"), 0)).alias("num"))
+        .groupBy("conv")
+        .agg(F.collect_set("num").alias("pool"))
+    )
+    asst = docs.filter(F.col("i") % 4 == 3).select(
+        "conv",
+        F.regexp_extract_all(asst_text, F.lit("\\d+"), 0).alias("nums"),
+    )
+    j = asst.join(pool, "conv", "left")
+    safe_pool = F.coalesce(F.col("pool"), F.expr("cast(array() as array<string>)"))
+    # filter keeps multiset semantics (array_except would dedup nums)
+    ungrounded = F.size(
+        F.filter(F.col("nums"), lambda x: ~F.array_contains(safe_pool, x))
+    )
+    a = j.groupBy("conv").agg(
+        F.sum(F.size(F.col("nums")).cast("long")).alias("n_numbers"),
+        F.sum(ungrounded.cast("long")).alias("n_ungrounded"),
+    )
+    return a.select(
+        "conv",
+        "n_numbers",
+        "n_ungrounded",
+        (F.col("n_ungrounded") == 0).alias("grounded"),
+    )
+
+
 def q_weekday_profile(spark, sf_dir):
     """Exposure-correct day-of-week seasonality per event type — the
     load-shape audit behind alert baselines and capacity planning,
@@ -10759,6 +10859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekday_profile": q_weekday_profile,
         "autocorr_lag1": q_autocorr_lag1,
         "runs_test": q_runs_test,
+        "markdown_audit": q_markdown_audit,
+        "number_grounding": q_number_grounding,
         "t_closeness": q_t_closeness,
         "fleiss_kappa": q_fleiss_kappa,
         "fd_mine": q_fd_mine,
@@ -11921,6 +12023,68 @@ def oracle_sql() -> dict[str, str]:
                                            * (n - 1)::DOUBLE))) > 1.96
                                  END, FALSE) AS order_suspect
             FROM a
+        """,
+        "markdown_audit": """
+            WITH d AS (
+              SELECT doc_id,
+                     coalesce(text, '')
+                     || CASE WHEN doc_id % 7 = 0
+                             THEN ' ' || chr(10) || '# Title' || chr(10)
+                                  || '```' || chr(10) || 'code here'
+                                  || chr(10) || '```' || chr(10)
+                                  || '[link](http://example.com)'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 21 = 0
+                             THEN ' ' || chr(10) || '```' || chr(10)
+                                  || 'broken fence'
+                             ELSE '' END AS text
+              FROM documents)
+            SELECT doc_id,
+                   (len(string_split(text, '```')) - 1)::BIGINT
+                     AS n_fences,
+                   (len(string_split(text, '```')) - 1) % 2 = 1
+                     AS fence_unclosed,
+                   len(regexp_extract_all(text, '(?m)^#{1,6} '))::BIGINT
+                     AS n_headings,
+                   len(regexp_extract_all(text,
+                       '\\[[^\\]]*\\]\\([^)]*\\)'))::BIGINT AS n_links,
+                   (len(string_split(text, '```')) - 1) % 2 = 1
+                     AS md_broken
+            FROM d
+        """,
+        "number_grounding": """
+            WITH docs AS (
+              SELECT doc_id, (doc_id % 97)::BIGINT AS conv,
+                     (doc_id // 97)::BIGINT AS i
+              FROM documents),
+            pool AS (
+              SELECT conv,
+                     list_distinct(flatten(list(
+                       regexp_extract_all(
+                         'result values ' || CAST(doc_id % 100 AS VARCHAR)
+                         || ' and '
+                         || CAST((doc_id * 7) % 100 AS VARCHAR),
+                         '\\d+')))) AS pool
+              FROM docs WHERE i % 4 = 2 GROUP BY conv),
+            ast AS (
+              SELECT conv,
+                     regexp_extract_all(
+                       'the result is '
+                       || CASE WHEN doc_id % 13 = 2 THEN '777'
+                               ELSE CAST((doc_id - 97) % 100 AS VARCHAR)
+                               END,
+                       '\\d+') AS nums
+              FROM docs WHERE i % 4 = 3),
+            j AS (
+              SELECT a.conv, len(a.nums)::BIGINT AS nn,
+                     len(list_filter(a.nums,
+                         x -> NOT list_contains(coalesce(p.pool, []), x)))
+                       ::BIGINT AS nu
+              FROM ast a LEFT JOIN pool p ON a.conv = p.conv)
+            SELECT conv, sum(nn)::BIGINT AS n_numbers,
+                   sum(nu)::BIGINT AS n_ungrounded,
+                   sum(nu) = 0 AS grounded
+            FROM j GROUP BY conv
         """,
         "t_closeness": """
             WITH e AS (

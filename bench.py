@@ -343,6 +343,8 @@ def run_benchmarks() -> dict:
         "weekday_profile",
         "autocorr_lag1",
         "runs_test",
+        "markdown_audit",
+        "number_grounding",
         "t_closeness",
         "fleiss_kappa",
         "fd_mine",

@@ -650,6 +650,19 @@ def main() -> None:
             E.q_runs_test(spark, SF),
         ),
         (
+            "markdown_audit",
+            "Structural QA: split counts + regexp_extract_all sizes "
+            "in one fused projection — zero Exchange, no Python.",
+            E.q_markdown_audit(spark, SF),
+        ),
+        (
+            "number_grounding",
+            "Numeric grounding: explode + hash agg tool-number pool "
+            "(one exchange on conv), equi-join, final agg; multiset-"
+            "exact filter, no array_except dedup.",
+            E.q_number_grounding(spark, SF),
+        ),
+        (
             "t_closeness",
             "Distribution-distance privacy gate in scaled integers: "
             "class-value hash agg, then BROADCAST joins of the tiny "

@@ -664,3 +664,45 @@ def test_runs_test_detects_both_directions(spark, runs_docs_dir):
     assert cl["z"] == pytest.approx((2 - e) / math.sqrt(var), rel=1e-12)
     assert cl["z"] < -1.96 and cl["order_suspect"]
     assert al["z"] > 1.96 and al["order_suspect"]
+
+
+def test_markdown_audit_planted_structures(spark):
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in entry.q_markdown_audit(spark, "/root/testdata/sf0.001").collect()
+    }
+    for doc_id, r in out.items():
+        if doc_id % 21 == 0:
+            # well-formed block (2 fences) + broken (1) = 3, odd
+            assert r["n_fences"] == 3 and r["md_broken"]
+        elif doc_id % 7 == 0:
+            assert r["n_fences"] == 2 and not r["md_broken"]
+            assert r["n_headings"] == 1 and r["n_links"] == 1
+        else:
+            assert r["n_fences"] == 0 and not r["md_broken"]
+            assert r["n_headings"] == 0 and r["n_links"] == 0
+
+
+def test_number_grounding_planted_fabrications(spark):
+    out = {
+        r["conv"]: r.asDict()
+        for r in entry.q_number_grounding(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    # recompute: assistant doc_ids are 97*i + conv with i % 4 == 3;
+    # fabricated where doc_id % 13 == 2 (777 never appears in any pool)
+    bad = {}
+    n_tot = {}
+    for doc_id in range(500):
+        i, conv = divmod(doc_id, 97)
+        if i % 4 != 3:
+            continue
+        n_tot[conv] = n_tot.get(conv, 0) + 1
+        if doc_id % 13 == 2:
+            bad[conv] = bad.get(conv, 0) + 1
+    assert bad, "fixture must plant fabrications"
+    for conv, r in out.items():
+        assert r["n_numbers"] == n_tot[conv]
+        assert r["n_ungrounded"] == bad.get(conv, 0)
+        assert r["grounded"] == (conv not in bad)
