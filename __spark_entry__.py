@@ -2931,6 +2931,41 @@ def q_emd_drift(spark, sf_dir):
     )
 
 
+def q_embedding_align(spark, sf_dir):
+    """Embedding-version migration via orthogonal Procrustes
+    (ops/similarity.procrustes_train/apply — Schönemann 1966): when a
+    corpus is re-embedded with a new model, every index, centroid
+    table, and cached neighbor list built on the old space dies unless
+    the spaces are aligned; the best orthogonal map has the closed
+    form R = U·Vᵀ from the SVD of V_oldᵀ·V_new. The 'new' version here
+    is a SIGNED PERMUTATION of the old (v_new[j] = ±v_old[p(j)],
+    p(j) = (13j+5) mod 64 — orthogonal and float-EXACT: ±1 products
+    introduce zero rounding), built JVM-side with transform/element_at,
+    so recovery is fully checkable: align_err must collapse to SVD
+    precision while pre_err stays O(||v||). Training is the pca_train
+    bounded-coordination shape (one d×d partial per Arrow batch,
+    fsum-combined, driver SVD on 64×64); apply is one narrow Arrow
+    stage, no shuffle. Rows-only by declared design (driver-side SVD
+    + float pipeline — not SQL-expressible); exactness evidence in
+    tests/test_ops.py (rotation recovery to 1e-8, orthogonality,
+    residual separation)."""
+    from qamd_spark.ops.similarity import procrustes_apply, procrustes_train
+
+    emb = _emb(spark, sf_dir)
+    v_new = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda jj: F.element_at(F.col("embedding"), ((13 * jj + 5) % 64 + 1).cast("int")).cast("double")
+        * F.when(jj % 3 == 0, F.lit(-1.0)).otherwise(F.lit(1.0)),
+    )
+    pairs = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v_old"),
+        v_new.alias("v_new"),
+    ).persist()
+    rot = procrustes_train(pairs)
+    return procrustes_apply(pairs, rot)
+
+
 def q_markdown_audit(spark, sf_dir):
     """Markdown structural QA per doc — the format-validation gate
     SFT/code corpora run before training on rendered text: an UNCLOSED
@@ -10861,6 +10896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "runs_test": q_runs_test,
         "markdown_audit": q_markdown_audit,
         "number_grounding": q_number_grounding,
+        "embedding_align": q_embedding_align,
         "t_closeness": q_t_closeness,
         "fleiss_kappa": q_fleiss_kappa,
         "fd_mine": q_fd_mine,

@@ -345,6 +345,7 @@ def run_benchmarks() -> dict:
         "runs_test",
         "markdown_audit",
         "number_grounding",
+        "embedding_align",
         "t_closeness",
         "fleiss_kappa",
         "fd_mine",

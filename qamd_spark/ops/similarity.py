@@ -964,3 +964,113 @@ def ivfpq_topk(
     return dist.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def procrustes_train(
+    pairs: DataFrame,
+    id_col: str = "vec_id",
+    old_col: str = "v_old",
+    new_col: str = "v_new",
+) -> np.ndarray:
+    """Orthogonal Procrustes alignment trainer — the embedding-version
+    migration primitive: when a corpus is re-embedded with a new model
+    (or a fine-tuned checkpoint), indexes, centroids, and cached
+    neighbors built on the old space die unless the spaces are aligned;
+    the best orthogonal map R = argmin_R ||V_new − V_old·R||_F has the
+    closed form R = U·Vᵀ from the SVD of M = V_oldᵀ·V_new (Schönemann
+    1966). Distributed exactly like ``pca_train``'s moment pass: each
+    Arrow batch emits ONE partial row (min_id, flattened d×d batch
+    cross-covariance), partials are fsum-combined in sorted-by-min-id
+    order on the driver, and the d×d SVD runs driver-side (d = the
+    embedding width, never the corpus size — the ivf_train bounded-
+    coordination shape). Sign-fixing is unnecessary: R is unique when
+    M's singular values are positive (generic embeddings), and the
+    composition U·Vᵀ is deterministic for a deterministic M."""
+    import math
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("min_id", T.LongType()),
+            T.StructField("m", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf.iloc[:, 1]])
+            B = np.stack([np.asarray(v, dtype=np.float64) for v in pdf.iloc[:, 2]])
+            yield pd.DataFrame(
+                {
+                    "min_id": [int(pdf.iloc[:, 0].min())],
+                    "m": [(A.T @ B).ravel().tolist()],
+                }
+            )
+
+    rows = (
+        pairs.select(id_col, old_col, new_col)
+        .mapInPandas(partials, schema=schema)
+        .collect()
+    )
+    rows.sort(key=lambda r: r["min_id"])
+    dd = len(rows[0]["m"])
+    d = int(round(dd**0.5))
+    m = np.array([math.fsum(r["m"][i] for r in rows) for i in range(dd)]).reshape(
+        d, d
+    )
+    u, _sv, vt = np.linalg.svd(m)
+    return u @ vt
+
+
+def procrustes_apply(
+    pairs: DataFrame,
+    rot: np.ndarray,
+    id_col: str = "vec_id",
+    old_col: str = "v_old",
+    new_col: str = "v_new",
+) -> DataFrame:
+    """Apply a trained rotation and score the per-vector residuals:
+    pre_err = ||v_new − v_old|| (what naive index reuse would suffer),
+    align_err = ||v_new − v_old·R|| (what remains after alignment —
+    near zero when the new space really is a rigid motion of the old,
+    large exactly where the re-embedding changed semantics, making the
+    residual a per-item drift detector). One narrow Arrow stage, no
+    shuffle — only the d×d rotation rides the closure; reductions use
+    np.add.reduce over fixed axes (the pca_project determinism
+    discipline)."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    R = np.asarray(rot, dtype=np.float64)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("pre_err", T.DoubleType()),
+            T.StructField("align_err", T.DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf.iloc[:, 1]])
+            B = np.stack([np.asarray(v, dtype=np.float64) for v in pdf.iloc[:, 2]])
+            pre = B - A
+            post = B - np.add.reduce(A[:, :, None] * R[None, :, :], axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf.iloc[:, 0].to_numpy(dtype=np.int64),
+                    "pre_err": np.sqrt(np.add.reduce(pre * pre, axis=1)),
+                    "align_err": np.sqrt(np.add.reduce(post * post, axis=1)),
+                }
+            )
+
+    return pairs.select(id_col, old_col, new_col).mapInPandas(run, schema=schema)

@@ -1676,3 +1676,45 @@ def test_bootstrap_keep_statistics(spark):
     assert rates[0] <= point <= rates[-1]  # band brackets the point est
     again = {int(r["b"]): r["rate"] for r in E.q_bootstrap_keep(spark, sf).collect()}
     assert again == {int(r["b"]): r["rate"] for r in rows}
+
+
+def test_procrustes_recovers_signed_permutation(spark):
+    """The trainer must recover the exact signed-permutation rotation
+    used to synthesize the 'new' embedding space, the residual must
+    collapse to SVD precision, and R must be orthogonal."""
+    import __spark_entry__ as entry
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pairs = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "v_old"
+        ),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: F.element_at(
+                F.col("embedding"), ((13 * j + 5) % 64 + 1).cast("int")
+            ).cast("double")
+            * F.when(j % 3 == 0, F.lit(-1.0)).otherwise(F.lit(1.0)),
+        ).alias("v_new"),
+    )
+    rot = similarity.procrustes_train(pairs)
+    # ground truth: v_new[j] = s_j * v_old[p(j)]  =>  R[p(j), j] = s_j
+    R_true = np.zeros((64, 64))
+    for j in range(64):
+        R_true[(13 * j + 5) % 64, j] = -1.0 if j % 3 == 0 else 1.0
+    assert np.abs(rot - R_true).max() < 1e-8
+    assert np.abs(rot.T @ rot - np.eye(64)).max() < 1e-10
+    out = similarity.procrustes_apply(pairs, rot).toPandas()
+    assert len(out) == 500
+    assert out["align_err"].max() < 1e-9
+    assert out["pre_err"].mean() > 1.0  # naive reuse would be wrong
+
+
+def test_embedding_align_query_contract(spark):
+    import __spark_entry__ as entry
+
+    out = entry.q_embedding_align(spark, "/root/testdata/sf0.001").toPandas()
+    assert list(out.columns) == ["vec_id", "pre_err", "align_err"]
+    assert len(out) == 500
+    assert (out["align_err"] < 1e-9).all()
