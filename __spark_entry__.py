@@ -2931,6 +2931,107 @@ def q_emd_drift(spark, sf_dir):
     )
 
 
+def q_conformal_gate(spark, sf_dir):
+    """Split-conformal anomaly gate over doc length — the
+    distribution-FREE version of the fixed length_bounds rule: instead
+    of a hand-picked minimum, the threshold is the k-th smallest
+    calibration length with k = ⌊α·(n_cal+1)⌋ (the +1 is the conformal
+    finite-sample correction), giving the exchangeability guarantee
+    P(false flag) ≤ α with NO distributional assumption — the
+    principled way to set every threshold this engine's rule registry
+    exposes. Split: md5(doc_id) first nibble < 8 ⇒ calibration
+    (deterministic, engine-identical); k in exact ints
+    (k = 5·(n+1) div 100, α = 0.05). Scale shape: the k-th order
+    statistic is NOT a global sort — the calibration histogram
+    aggregates once, coarse 64-wide value buckets give cumulative
+    offsets via a bounded window, in-bucket ranks run partitioned BY
+    BUCKET, and qhat = min value whose ties-inclusive cumulative
+    reaches k (bh_fdr's two-phase shape). The DuckDB twin is the plain
+    single-window order statistic, proving the decomposition exact.
+    Output: every TEST doc with the broadcast threshold and its flag."""
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    is_cal = nib.isin(*"01234567")
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length(_txt()).cast("long").alias("v"),
+        is_cal.alias("cal"),
+    ).persist()
+    hist = d.filter("cal").groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    n_cal = d.filter("cal").count()
+    k = (5 * (n_cal + 1)) // 100
+    b = (F.col("v") / 64).cast("long")
+    hist = hist.select("v", "c", b.alias("b"))
+    bc = hist.groupBy("b").agg(F.sum("c").alias("cb"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    bc = bc.select("b", F.coalesce(F.sum("cb").over(wb), F.lit(0)).alias("below"))
+    wv = Window.partitionBy("b").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = hist.join(bc, "b").select(
+        "v", (F.col("below") + F.sum("c").over(wv)).alias("cum")
+    )
+    qhat = ranked.filter(F.col("cum") >= F.lit(k)).agg(
+        F.min("v").alias("qhat")
+    )
+    return (
+        d.filter(~F.col("cal"))
+        .crossJoin(F.broadcast(qhat))
+        .select(
+            "doc_id",
+            F.col("v").alias("n_chars_txt"),
+            "qhat",
+            F.lit(int(n_cal)).alias("n_cal"),
+            (F.col("v") < F.col("qhat")).alias("anomalous"),
+        )
+    )
+
+
+def q_dedup_survivorship(spark, sf_dir):
+    """Cross-source dedup survivorship flow — the bias audit keep-first
+    exact dedup needs: min-id keep-first silently privileges whichever
+    source was ingested EARLY (its copies become the keepers, late
+    sources take the deletions), skewing the kept corpus's source mix
+    without any per-source rule firing. Duplicate pairs are planted
+    across sources (docs with doc_id % 31 ∈ {5, 7} share
+    'dup template <doc_id div 31>' — the two ids land in different
+    sources by the id→source striping). Output: the (loser_source →
+    keeper_source) flow matrix with loss counts — a flow
+    concentrated INTO one source is the bias signature. Plan shape is
+    dedup_exact's skew-safe agg+join with the r2-VERDICT aliasing fix
+    applied (aggregated side aliased, join on distinct attributes —
+    no trivially-true-predicate fragility): dup groups resolve by one
+    hash aggregate (count + min-id keeper), losers re-join on the text
+    key, keeper source joins on the keeper id; no window, no
+    all-pairs."""
+    tmpl = F.concat(
+        F.lit("dup template "), F.floor(F.col("doc_id") / 31).cast("string")
+    )
+    t = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.when(F.col("doc_id") % 31 == 5, tmpl)
+        .when(F.col("doc_id") % 31 == 7, tmpl)
+        .otherwise(_txt())
+        .alias("text"),
+    ).persist()
+    groups = (
+        t.groupBy("text")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("cnt") > 1)
+        .select(F.col("text").alias("_t"), "keeper")
+    )
+    losers = t.join(groups, t["text"].eqNullSafe(F.col("_t"))).filter(
+        F.col("doc_id") != F.col("keeper")
+    )
+    keepers = t.select(
+        F.col("doc_id").alias("keeper"), F.col("source").alias("keeper_source")
+    )
+    flow = losers.join(keepers, "keeper").groupBy(
+        F.col("source").alias("loser_source"), "keeper_source"
+    ).agg(F.count(F.lit(1)).alias("n_lost"))
+    return flow
+
+
 def q_embedding_align(spark, sf_dir):
     """Embedding-version migration via orthogonal Procrustes
     (ops/similarity.procrustes_train/apply — Schönemann 1966): when a
@@ -10897,6 +10998,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markdown_audit": q_markdown_audit,
         "number_grounding": q_number_grounding,
         "embedding_align": q_embedding_align,
+        "conformal_gate": q_conformal_gate,
+        "dedup_survivorship": q_dedup_survivorship,
         "t_closeness": q_t_closeness,
         "fleiss_kappa": q_fleiss_kappa,
         "fd_mine": q_fd_mine,
@@ -12121,6 +12224,49 @@ def oracle_sql() -> dict[str, str]:
                    sum(nu)::BIGINT AS n_ungrounded,
                    sum(nu) = 0 AS grounded
             FROM j GROUP BY conv
+        """,
+        "conformal_gate": """
+            WITH d AS (
+              SELECT doc_id,
+                     length(coalesce(text, ''))::BIGINT AS v,
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7') AS cal
+              FROM documents),
+            cal AS (SELECT v FROM d WHERE cal),
+            q AS (
+              SELECT min(v) AS qhat
+              FROM (SELECT v,
+                           count(*) OVER (ORDER BY v) AS cum
+                    FROM cal)
+              WHERE cum >= (5 * ((SELECT count(*) FROM cal) + 1)) // 100)
+            SELECT doc_id, v AS n_chars_txt,
+                   (SELECT qhat FROM q) AS qhat,
+                   (SELECT count(*) FROM cal)::BIGINT AS n_cal,
+                   v < (SELECT qhat FROM q) AS anomalous
+            FROM d WHERE NOT cal
+        """,
+        "dedup_survivorship": """
+            WITH t AS (
+              SELECT doc_id, source,
+                     CASE WHEN doc_id % 31 IN (5, 7)
+                          THEN 'dup template '
+                               || CAST(doc_id // 31 AS VARCHAR)
+                          ELSE coalesce(text, '') END AS text
+              FROM documents),
+            g AS (
+              SELECT text AS _t, count(*) AS cnt,
+                     min(doc_id) AS keeper
+              FROM t GROUP BY text HAVING count(*) > 1),
+            losers AS (
+              SELECT t.doc_id, t.source, g.keeper
+              FROM t JOIN g ON t.text = g._t
+              WHERE t.doc_id <> g.keeper),
+            k AS (
+              SELECT doc_id AS keeper, source AS keeper_source FROM t)
+            SELECT l.source AS loser_source, k.keeper_source,
+                   count(*)::BIGINT AS n_lost
+            FROM losers l JOIN k ON l.keeper = k.keeper
+            GROUP BY l.source, k.keeper_source
         """,
         "t_closeness": """
             WITH e AS (

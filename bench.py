@@ -346,6 +346,8 @@ def run_benchmarks() -> dict:
         "markdown_audit",
         "number_grounding",
         "embedding_align",
+        "conformal_gate",
+        "dedup_survivorship",
         "t_closeness",
         "fleiss_kappa",
         "fd_mine",

@@ -663,6 +663,21 @@ def main() -> None:
             E.q_number_grounding(spark, SF),
         ),
         (
+            "conformal_gate",
+            "Order statistic without a global sort: calibration "
+            "histogram, bounded coarse-bucket offsets, in-bucket "
+            "ranks partitioned by bucket, one MIN broadcast to test "
+            "rows.",
+            E.q_conformal_gate(spark, SF),
+        ),
+        (
+            "dedup_survivorship",
+            "Survivorship flow: dedup_exact's skew-safe agg+join "
+            "(aliased aggregated side), keeper-source join, one "
+            "final hash aggregate.",
+            E.q_dedup_survivorship(spark, SF),
+        ),
+        (
             "t_closeness",
             "Distribution-distance privacy gate in scaled integers: "
             "class-value hash agg, then BROADCAST joins of the tiny "

@@ -706,3 +706,48 @@ def test_number_grounding_planted_fabrications(spark):
         assert r["n_numbers"] == n_tot[conv]
         assert r["n_ungrounded"] == bad.get(conv, 0)
         assert r["grounded"] == (conv not in bad)
+
+
+def test_conformal_gate_exact_order_statistic(spark):
+    import hashlib
+
+    out = entry.q_conformal_gate(spark, "/root/testdata/sf0.001").toPandas()
+    import duckdb
+
+    df = duckdb.sql(
+        "select doc_id, length(coalesce(text,'')) as v from"
+        " read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).df()
+    df["cal"] = [
+        hashlib.md5(str(d).encode()).hexdigest()[0] in "01234567"
+        for d in df.doc_id
+    ]
+    cal = sorted(df[df.cal].v)
+    k = (5 * (len(cal) + 1)) // 100
+    qhat = cal[k - 1]
+    assert (out["qhat"] == qhat).all()
+    assert (out["n_cal"] == len(cal)).all()
+    assert len(out) == int((~df.cal).sum())
+    # conformal coverage: false-flag rate on the test split <= ~alpha
+    rate = out["anomalous"].mean()
+    assert rate <= 0.10 and (out["anomalous"] == (out["n_chars_txt"] < qhat)).all()
+
+
+def test_dedup_survivorship_planted_flow(spark):
+    import duckdb
+
+    rows = entry.q_dedup_survivorship(spark, "/root/testdata/sf0.001").collect()
+    src = duckdb.sql(
+        "select doc_id, source from"
+        " read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).df().set_index("doc_id")["source"].to_dict()
+    expect = {}
+    for q in range(500 // 31 + 1):
+        a, b = 31 * q + 5, 31 * q + 7
+        if a < 500 and b < 500:
+            # min-id keeper: a keeps, b loses
+            key = (src[b], src[a])
+            expect[key] = expect.get(key, 0) + 1
+    got = {(r["loser_source"], r["keeper_source"]): r["n_lost"] for r in rows}
+    assert got == expect
+    assert sum(got.values()) == len(expect) or sum(got.values()) >= len(expect)
