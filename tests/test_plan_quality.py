@@ -1177,3 +1177,60 @@ def test_bootstrap_keep_plan_collapses_map_side(spark):
     assert "Join" not in plan, plan
     assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
     assert ") Generate" in plan, plan  # the replicate explode
+
+
+def test_fused_scan_ops_have_no_exchange(spark):
+    """watermark_scan / homoglyph_scan / markdown_audit claim to be ONE
+    fused codegen projection — zero shuffles, zero Python, no explode."""
+    import __spark_entry__ as entry
+
+    for q in (
+        entry.q_watermark_scan,
+        entry.q_homoglyph_scan,
+        entry.q_markdown_audit,
+    ):
+        plan = _fmt_plan(q(spark, "/root/testdata/sf0.001"))
+        assert "Exchange" not in plan, (q.__name__, plan[:2000])
+        assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+        assert "Generate" not in plan  # no explode
+
+
+def test_single_agg_audits_have_one_exchange(spark):
+    """citation_check / tool_args_valid / toxicity_escalation / mcnemar /
+    krippendorff_alpha: one fused projection + one partial+final hash
+    aggregate = exactly one Exchange, two HashAggregate prints per agg."""
+    import __spark_entry__ as entry
+
+    for q in (
+        entry.q_citation_check,
+        entry.q_tool_args_valid,
+        entry.q_toxicity_escalation,
+        entry.q_mcnemar,
+        entry.q_krippendorff_alpha,
+    ):
+        plan = _fmt_plan(q(spark, "/root/testdata/sf0.001"))
+        import re as _re
+
+        n_exchange = len(_re.findall(r"\(\d+\) Exchange", plan))
+        assert n_exchange == 1, (q.__name__, n_exchange)
+        assert "SortAggregate" not in plan, q.__name__
+        assert "MapInPandas" not in plan, q.__name__
+
+
+def test_bh_fdr_and_conformal_have_no_unpartitioned_raw_window(spark):
+    """The two-phase order-statistic ops must never sort ALL raw rows in
+    one partition: every Window's partitioning is either the bounded
+    coarse-bucket table or partitioned BY bucket. We assert the plan's
+    windows never consume the parquet scan directly (an aggregate sits
+    between scan and any window)."""
+    import __spark_entry__ as entry
+
+    for q in (entry.q_bh_fdr, entry.q_conformal_gate):
+        df = q(spark, "/root/testdata/sf0.001")
+        plan = _fmt_plan(df)
+        # windows exist, but each consumes aggregated input: the plan
+        # lists HashAggregate before any Window in the operator tree
+        tree = plan.split("\n\n")[0]
+        first_window = tree.find("Window")
+        assert first_window > 0, q.__name__
+        assert "HashAggregate" in tree[:first_window], (q.__name__, tree)
