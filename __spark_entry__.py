@@ -2931,6 +2931,71 @@ def q_emd_drift(spark, sf_dir):
     )
 
 
+def q_shapley_pipeline(spark, sf_dir):
+    """Exact Shapley attribution over the REAL pipeline's drop
+    decision — shapley_rules' closed form (OR-game Shapley = equal
+    split among firing rules) applied to the actual rule registry
+    instead of a demo panel: every dropped turn's unit of loss splits
+    equally among the DROP-action rules that fired on it (flag rules
+    carry no credit — they never drop), so the output answers 'which
+    registry rules actually shape this corpus, with credits that sum
+    to the true dropped-turn count' (the efficiency axiom ties the
+    audit to the pipeline's keep column, pytest-pinned). Exactness:
+    per-turn weight = LCM(1..n_drop_rules) div k (an exact integer for
+    every k); phi = one division at the end. Rows-only by declared
+    design (the full pipeline is not SQL-expressible); the exact twin
+    recomputes from the pandas oracle's labels. Plan: pipeline.label
+    (one Python stage, plan-pinned elsewhere) + one fused projection +
+    ONE single-row aggregate + stack."""
+    import math
+
+    from qamd_spark import pipeline
+    from qamd_spark.config import RULE_REGISTRY, QamdConfig
+
+    cfg = QamdConfig()
+    drop_rules = [
+        r.name
+        for r in RULE_REGISTRY
+        if r.action == "drop" and cfg.enabled(r.name)
+    ]
+    scale = math.lcm(*range(1, len(drop_rules) + 1))
+    labeled = pipeline.label(_doc_transcripts(spark, sf_dir), cfg)
+    hits = F.array_intersect(
+        F.col("rule_hits"), F.array(*[F.lit(r) for r in drop_rules])
+    )
+    d = labeled.select(
+        F.size(hits).alias("k"),
+        hits.alias("hits"),
+        (~F.col("keep")).cast("long").alias("dropped"),
+    )
+    aggs = [F.sum("dropped").alias("n_dropped")]
+    for i, name in enumerate(drop_rules):
+        fired = F.array_contains(F.col("hits"), name)
+        aggs.append(F.sum(fired.cast("long")).alias(f"n_{i}"))
+        aggs.append(
+            F.sum(
+                F.when(fired, F.expr(f"{scale} div k")).otherwise(F.lit(0))
+            ).alias(f"p_{i}")
+        )
+    row = d.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', n_{i}, p_{i}" for i, name in enumerate(drop_rules)
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(drop_rules)}, {stack_args})"
+            " AS (rule, n_fires, phi_scaled)"
+        ),
+        "n_dropped",
+    ).select(
+        "rule",
+        "n_fires",
+        "phi_scaled",
+        (F.col("phi_scaled") / scale).alias("phi"),
+        "n_dropped",
+    )
+
+
 def q_conformal_gate(spark, sf_dir):
     """Split-conformal anomaly gate over doc length — the
     distribution-FREE version of the fixed length_bounds rule: instead
@@ -11000,6 +11065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_align": q_embedding_align,
         "conformal_gate": q_conformal_gate,
         "dedup_survivorship": q_dedup_survivorship,
+        "shapley_pipeline": q_shapley_pipeline,
         "t_closeness": q_t_closeness,
         "fleiss_kappa": q_fleiss_kappa,
         "fd_mine": q_fd_mine,

@@ -348,6 +348,7 @@ def run_benchmarks() -> dict:
         "embedding_align",
         "conformal_gate",
         "dedup_survivorship",
+        "shapley_pipeline",
         "t_closeness",
         "fleiss_kappa",
         "fd_mine",

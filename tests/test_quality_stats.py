@@ -751,3 +751,46 @@ def test_dedup_survivorship_planted_flow(spark):
     got = {(r["loser_source"], r["keeper_source"]): r["n_lost"] for r in rows}
     assert got == expect
     assert sum(got.values()) == len(expect) or sum(got.values()) >= len(expect)
+
+
+def test_shapley_pipeline_matches_oracle_and_efficiency(spark):
+    """The registry-level Shapley attribution must (a) recompute exactly
+    from the pandas oracle's labels and (b) satisfy the efficiency
+    axiom against the pipeline's real dropped-turn count."""
+    import math
+
+    import duckdb
+
+    from oracle import oracle
+    from qamd_spark.config import RULE_REGISTRY, QamdConfig
+
+    rows = entry.q_shapley_pipeline(spark, "/root/testdata/sf0.001").collect()
+    cfg = QamdConfig()
+    drop_rules = [
+        r.name
+        for r in RULE_REGISTRY
+        if r.action == "drop" and cfg.enabled(r.name)
+    ]
+    scale = math.lcm(*range(1, len(drop_rules) + 1))
+    pdf = duckdb.sql(
+        "select cast(doc_id as varchar) as conv_id, 0 as turn_idx,"
+        " 'user' as role, text, cast(null as varchar) as tool,"
+        " cast(null as timestamp) as ts"
+        " from read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).df()
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    orc = oracle.label_pdf(pdf, cfg)
+    n_dropped = int((~orc["keep"]).sum())
+    exp = {r: [0, 0] for r in drop_rules}
+    for hits in orc["rule_hits"]:
+        fired = [h for h in hits if h in drop_rules]
+        for h in fired:
+            exp[h][0] += 1
+            exp[h][1] += scale // len(fired)
+    got = {r["rule"]: r.asDict() for r in rows}
+    assert set(got) == set(drop_rules)
+    for rule in drop_rules:
+        assert got[rule]["n_fires"] == exp[rule][0], rule
+        assert got[rule]["phi_scaled"] == exp[rule][1], rule
+        assert got[rule]["n_dropped"] == n_dropped
+    assert sum(v[1] for v in exp.values()) == scale * n_dropped
