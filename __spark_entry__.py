@@ -9455,6 +9455,23 @@ def _pr_edges(spark, sf_dir):
     )
 
 
+def q_kcore(spark, sf_dir):
+    """k-core membership (k=3) on the domain link graph
+    (ops/graph.kcore) — the neighborhood-density quality prior that
+    survives what raw degree cannot: a link-farm hub has high degree
+    but throwaway neighbors, so it falls out of the core the moment
+    they peel; completes the graph family (components = reachability,
+    pagerank = authority, triangles = local clustering, k-core =
+    global density). Rows-only (iterative fixpoint); evidence = the
+    exact pure-Python peel twin on this exact graph plus hand-graph
+    cases in tests/test_graph.py. Per round: one hash aggregate + two
+    semi-joins, localCheckpoint lineage truncation, scalar-only driver
+    traffic (duplicate_clusters' discipline)."""
+    from qamd_spark.ops.graph import kcore
+
+    return kcore(_pr_edges(spark, sf_dir), k=3)
+
+
 def q_triangles(spark, sf_dir):
     """Exact per-node triangle counts on the domain link graph — the
     graph-pattern-counting capability row (triangle density separates
@@ -11066,6 +11083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal_gate": q_conformal_gate,
         "dedup_survivorship": q_dedup_survivorship,
         "shapley_pipeline": q_shapley_pipeline,
+        "kcore": q_kcore,
         "t_closeness": q_t_closeness,
         "fleiss_kappa": q_fleiss_kappa,
         "fd_mine": q_fd_mine,

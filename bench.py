@@ -349,6 +349,7 @@ def run_benchmarks() -> dict:
         "conformal_gate",
         "dedup_survivorship",
         "shapley_pipeline",
+        "kcore",
         "t_closeness",
         "fleiss_kappa",
         "fd_mine",

@@ -163,3 +163,71 @@ def pagerank_py(edges: list[tuple[int, int]], iters: int = 10) -> dict:
             v: base + (DAMPING_NUM * agg.get(v, 0)) // 100 for v in nodes
         }
     return ranks
+
+
+def kcore(edges: DataFrame, k: int = 3, max_iters: int = 100) -> DataFrame:
+    """k-core filter by iterative peeling — the graph-quality prior
+    that survives what degree alone cannot: a link-farm hub has high
+    degree but its neighbors are throwaway pages, so it falls out of
+    the k-core the moment they are peeled; membership requires the
+    whole NEIGHBORHOOD to be k-dense (the standard web-graph spam /
+    core-community filter alongside pagerank's authority score).
+    Semantics: nodes of the undirected SIMPLE graph (self-loops
+    dropped, multi-edges collapsed) that survive repeated removal of
+    all nodes with degree < k; returns (node, core_degree) — the
+    degree within the final core.
+
+    Scale shape: each round is one partial+final hash aggregate
+    (degrees) + two semi-join filters of the edge list against the
+    surviving-node set; lineage is truncated per round with
+    localCheckpoint (the duplicate_clusters discipline) and ONLY the
+    surviving-node count (a scalar) reaches the driver. Rounds are
+    bounded by the peel depth (≤ max degeneracy ordering passes),
+    typically a handful on power-law graphs."""
+    e = edges.select(
+        F.col("src").cast("long").alias("a"), F.col("dst").cast("long").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    und = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    alive = und.localCheckpoint()
+    prev = -1
+    deg = None
+    for _ in range(max_iters):
+        deg = alive.groupBy("a").agg(F.count(F.lit(1)).alias("core_degree"))
+        keep = deg.filter(F.col("core_degree") >= k).select("a").localCheckpoint()
+        n = keep.count()
+        if n == prev:
+            break
+        prev = n
+        alive = (
+            alive.join(keep, "a")
+            .join(keep.select(F.col("a").alias("b")), "b")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    return deg.filter(F.col("core_degree") >= k).select(
+        F.col("a").alias("node"), "core_degree"
+    )
+
+
+def kcore_py(edges: list, k: int = 3) -> dict:
+    """Pure-Python twin of ``kcore`` (exact: same simple-graph
+    semantics, order-independent fixpoint)."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+                changed = True
+    return {n: len(ns) for n, ns in adj.items()}

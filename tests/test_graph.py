@@ -142,3 +142,35 @@ def test_ann_recall_floor(spark):
         assert r["n_hits"] == round(r["recall"] * r["n_truth"])
     assert rows["ivf"]["recall"] >= 0.5
     assert rows["lsh"]["recall"] >= 0.3
+
+
+def test_kcore_matches_python_peel_twin(spark):
+    import __spark_entry__ as E
+    from qamd_spark.ops.graph import kcore_py
+
+    got = {
+        r["node"]: r["core_degree"] for r in E.q_kcore(spark, SF).collect()
+    }
+    want = kcore_py(_twin_edges(), k=3)
+    assert got == want
+    assert got, "domain graph must have a non-empty 3-core"
+    assert all(d >= 3 for d in got.values())
+
+
+def test_kcore_hand_graph(spark):
+    """Triangle+tail: the K4 clique survives k=3, the pendant chain and
+    the high-degree star hub (degree 4, all leaf neighbors) peel away."""
+    from qamd_spark.ops.graph import kcore
+
+    edges = (
+        # K4 on 1-4
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+        # pendant chain off node 4
+        + [(4, 5), (5, 6)]
+        # star hub 10 with 4 leaves: degree 4 but no dense neighborhood
+        + [(10, 11), (10, 12), (10, 13), (10, 14)]
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["core_degree"] for r in kcore(df, k=3).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert all(v == 3 for v in out.values())
