@@ -2996,6 +2996,109 @@ def q_shapley_pipeline(spark, sf_dir):
     )
 
 
+def q_rule_phi(spark, sf_dir):
+    """Pairwise phi-coefficient matrix between the four ablation-rule
+    flags — the redundancy QUANTIFIER the ablation family's counts
+    only hint at: rule_ablation says WHICH rules have zero unique
+    fires, shapley_rules says how credit splits, phi says how
+    CORRELATED each pair is (phi = ±1 ⇒ one rule is the other /
+    its complement and can be retired; phi ≈ 0 ⇒ independent
+    coverage). phi = (n11·n00 − n10·n01)/(sqrt(r1·r0)·sqrt(c1·c0))
+    with every count an exact bigint from ONE single-row aggregate;
+    the sqrt split (sqrt(r1·r0)·sqrt(c1·c0), never sqrt of the
+    4-way product) both matches the twin exactly and keeps the
+    intermediate ≤ n² — int64-safe to ~3e9 docs. Plan: one fused
+    projection + ONE single-row aggregate, then an explode over the 6
+    unordered pairs (6 literals on one row — no second scan)."""
+    t = _txt()
+    toks = F.split(t, " ", -1)
+    arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    norm = F.lower(F.regexp_replace(t, PUNCT_CLASS, ""))
+    flags = [
+        ("short_doc", F.size(toks) < 50),
+        ("short_chars", F.length(t) < 280),
+        (
+            "no_stopwords",
+            F.size(F.array_intersect(F.split(F.lower(t), " ", -1), arr)) == 0,
+        ),
+        (
+            "all_stopwords",
+            (F.size(F.array_except(F.split(norm, " ", -1), arr)) == 0)
+            & (norm != F.lit("")),
+        ),
+    ]
+    pairs = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(4):
+        aggs.append(F.sum(F.col(f"f{i}")).alias(f"m{i}"))
+    for i, j in pairs:
+        aggs.append(F.sum(F.col(f"f{i}") * F.col(f"f{j}")).alias(f"b{i}{j}"))
+    row = _docs(spark, sf_dir).select(
+        *[c.cast("long").alias(f"f{i}") for i, (_, c) in enumerate(flags)]
+    ).agg(*aggs)
+    outs = []
+    for i, j in pairs:
+        n = F.col("n")
+        a1, b1 = F.col(f"m{i}"), F.col(f"m{j}")
+        n11 = F.col(f"b{i}{j}")
+        n10 = a1 - n11
+        n01 = b1 - n11
+        n00 = n - a1 - b1 + n11
+        denom = F.sqrt((a1 * (n - a1)).cast("double")) * F.sqrt(
+            (b1 * (n - b1)).cast("double")
+        )
+        outs.append(
+            F.struct(
+                F.lit(flags[i][0]).alias("rule_a"),
+                F.lit(flags[j][0]).alias("rule_b"),
+                n11.alias("n_both"),
+                F.when(
+                    (a1 > 0) & (a1 < n) & (b1 > 0) & (b1 < n),
+                    (n11 * n00 - n10 * n01) / denom,
+                ).alias("phi"),
+            )
+        )
+    return row.select(F.explode(F.array(*outs)).alias("p")).select(
+        "p.rule_a", "p.rule_b", "p.n_both", "p.phi"
+    )
+
+
+_LEET_FROM = "013457@$"
+_LEET_TO = "oieast" + "as"
+
+
+def q_leet_scan(spark, sf_dir):
+    """Leet-speak obfuscation-normalized panel scan — the second
+    adversarial-evasion audit beside homoglyph_scan: '5tup1d' passes
+    every plain blocklist but normalizes to a panel hit under the
+    classic digit/symbol substitutions (0→o 1→i 3→e 4→a 5→s 7→t
+    @→a $→s), a single translate() call with IDENTICAL semantics in
+    Spark and DuckDB. A doc whose NORMALIZED text hits the panel while
+    its raw text does not is an evasion attempt — stronger signal than
+    a raw hit (accidental profanity isn't disguised). Planted: every
+    23rd doc gets ' 5tup1d' appended; the corpus is panel-clean
+    otherwise (verified at build time), so evasion_detected isolates
+    the plants. Plan: ONE fused codegen projection (translate +
+    contains panel twice) — zero shuffle, zero Python."""
+    text = F.concat(
+        _txt(),
+        F.when(F.col("doc_id") % 23 == 11, F.lit(" 5tup1d")).otherwise(F.lit("")),
+    )
+    low = F.lower(text)
+    norm = F.translate(low, _LEET_FROM, _LEET_TO)
+    raw_hit = F.lit(False)
+    norm_hit = F.lit(False)
+    for w in _TOX_PANEL:
+        raw_hit = raw_hit | F.contains(low, F.lit(w))
+        norm_hit = norm_hit | F.contains(norm, F.lit(w))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        raw_hit.alias("raw_hit"),
+        norm_hit.alias("norm_hit"),
+        (norm_hit & ~raw_hit).alias("evasion_detected"),
+    )
+
+
 def q_conformal_gate(spark, sf_dir):
     """Split-conformal anomaly gate over doc length — the
     distribution-FREE version of the fixed length_bounds rule: instead
@@ -11084,6 +11187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivorship": q_dedup_survivorship,
         "shapley_pipeline": q_shapley_pipeline,
         "kcore": q_kcore,
+        "rule_phi": q_rule_phi,
+        "leet_scan": q_leet_scan,
         "t_closeness": q_t_closeness,
         "fleiss_kappa": q_fleiss_kappa,
         "fd_mine": q_fd_mine,
@@ -12351,6 +12456,78 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_lost
             FROM losers l JOIN k ON l.keeper = k.keeper
             GROUP BY l.source, k.keeper_source
+        """,
+        "rule_phi": """
+            WITH b AS (
+              SELECT
+                (len(str_split(t, ' ')) < 50)::BIGINT AS f0,
+                (length(t) < 280)::BIGINT AS f1,
+                (len(list_intersect(str_split(lower(t), ' '),
+                    ['the', 'a', 'and', 'of', 'to', 'in', 'is', 'it'])) = 0)
+                  ::BIGINT AS f2,
+                (len(list_filter(str_split(norm, ' '),
+                     x -> NOT list_contains(
+                       ['the', 'a', 'and', 'of', 'to', 'in', 'is', 'it'],
+                       x))) = 0
+                 AND norm <> '')::BIGINT AS f3
+              FROM (SELECT coalesce(text,'') AS t,
+                           lower(regexp_replace(coalesce(text,''),
+                                 '[!-/:-@\\[-`{-~]', '', 'g')) AS norm
+                    FROM documents)),
+            a AS (
+              SELECT count(*)::BIGINT AS n,
+                     sum(f0)::BIGINT AS m0, sum(f1)::BIGINT AS m1,
+                     sum(f2)::BIGINT AS m2, sum(f3)::BIGINT AS m3,
+                     sum(f0*f1)::BIGINT AS b01, sum(f0*f2)::BIGINT AS b02,
+                     sum(f0*f3)::BIGINT AS b03, sum(f1*f2)::BIGINT AS b12,
+                     sum(f1*f3)::BIGINT AS b13, sum(f2*f3)::BIGINT AS b23
+              FROM b),
+            p AS (
+              SELECT 'short_doc' AS rule_a, 'short_chars' AS rule_b,
+                     m0 AS r1, m1 AS c1, b01 AS n11, n FROM a
+              UNION ALL SELECT 'short_doc', 'no_stopwords',
+                     m0, m2, b02, n FROM a
+              UNION ALL SELECT 'short_doc', 'all_stopwords',
+                     m0, m3, b03, n FROM a
+              UNION ALL SELECT 'short_chars', 'no_stopwords',
+                     m1, m2, b12, n FROM a
+              UNION ALL SELECT 'short_chars', 'all_stopwords',
+                     m1, m3, b13, n FROM a
+              UNION ALL SELECT 'no_stopwords', 'all_stopwords',
+                     m2, m3, b23, n FROM a)
+            SELECT rule_a, rule_b, n11 AS n_both,
+                   CASE WHEN r1 > 0 AND r1 < n AND c1 > 0 AND c1 < n
+                        THEN (n11 * (n - r1 - c1 + n11)
+                              - (r1 - n11) * (c1 - n11))
+                             / (sqrt((r1 * (n - r1))::DOUBLE)
+                                * sqrt((c1 * (n - c1))::DOUBLE))
+                        END AS phi
+            FROM p
+        """,
+        "leet_scan": """
+            WITH d AS (
+              SELECT doc_id,
+                     lower(coalesce(text, '') ||
+                       CASE WHEN doc_id % 23 = 11
+                            THEN ' 5tup1d' ELSE '' END) AS low
+              FROM documents),
+            n AS (
+              SELECT doc_id, low,
+                     translate(low, '013457@$', 'oieastas') AS norm
+              FROM d)
+            SELECT doc_id,
+                   (contains(low, 'damn') OR contains(low, 'hell')
+                    OR contains(low, 'idiot') OR contains(low, 'stupid'))
+                     AS raw_hit,
+                   (contains(norm, 'damn') OR contains(norm, 'hell')
+                    OR contains(norm, 'idiot') OR contains(norm, 'stupid'))
+                     AS norm_hit,
+                   ((contains(norm, 'damn') OR contains(norm, 'hell')
+                     OR contains(norm, 'idiot') OR contains(norm, 'stupid'))
+                    AND NOT (contains(low, 'damn') OR contains(low, 'hell')
+                     OR contains(low, 'idiot') OR contains(low, 'stupid')))
+                     AS evasion_detected
+            FROM n
         """,
         "t_closeness": """
             WITH e AS (

@@ -350,6 +350,8 @@ def run_benchmarks() -> dict:
         "dedup_survivorship",
         "shapley_pipeline",
         "kcore",
+        "rule_phi",
+        "leet_scan",
         "t_closeness",
         "fleiss_kappa",
         "fd_mine",

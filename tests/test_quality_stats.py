@@ -794,3 +794,59 @@ def test_shapley_pipeline_matches_oracle_and_efficiency(spark):
         assert got[rule]["phi_scaled"] == exp[rule][1], rule
         assert got[rule]["n_dropped"] == n_dropped
     assert sum(v[1] for v in exp.values()) == scale * n_dropped
+
+
+def test_rule_phi_matches_bruteforce(spark):
+    import math
+
+    import duckdb
+
+    rows = entry.q_rule_phi(spark, "/root/testdata/sf0.001").collect()
+    df = duckdb.sql(
+        "select coalesce(text,'') as t,"
+        " lower(regexp_replace(coalesce(text,''),"
+        " '[!-/:-@\\[-`{-~]', '', 'g')) as norm"
+        " from read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).df()
+    stop = {"the", "a", "and", "of", "to", "in", "is", "it"}
+    f = {
+        "short_doc": df.t.str.split(" ").map(len) < 50,
+        "short_chars": df.t.str.len() < 280,
+        "no_stopwords": df.t.str.lower().str.split(" ").map(
+            lambda w: len(set(w) & stop) == 0
+        ),
+        "all_stopwords": df.norm.str.split(" ").map(
+            lambda w: all(x in stop for x in w if x != "")
+        )
+        & (df.norm != ""),
+    }
+    n = len(df)
+    for r in rows:
+        a, b = f[r["rule_a"]].astype(int), f[r["rule_b"]].astype(int)
+        n11 = int((a & b).sum())
+        r1, c1 = int(a.sum()), int(b.sum())
+        assert r["n_both"] == n11
+        if 0 < r1 < n and 0 < c1 < n:
+            num = n11 * (n - r1 - c1 + n11) - (r1 - n11) * (c1 - n11)
+            den = math.sqrt(r1 * (n - r1)) * math.sqrt(c1 * (n - c1))
+            assert r["phi"] == pytest.approx(num / den, rel=1e-12)
+            assert -1.0 <= r["phi"] <= 1.0
+        else:
+            # degenerate marginal (a rule never/always fires): phi
+            # undefined, the query must return NULL, not a division
+            assert r["phi"] is None
+
+
+def test_leet_scan_isolates_planted_evasions(spark):
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in entry.q_leet_scan(spark, "/root/testdata/sf0.001").collect()
+    }
+    for doc_id, r in out.items():
+        if doc_id % 23 == 11:
+            # '5tup1d' invisible raw, 'stupid' after normalization
+            assert not r["raw_hit"] and r["norm_hit"]
+            assert r["evasion_detected"]
+        else:
+            assert not r["raw_hit"] and not r["norm_hit"]
+            assert not r["evasion_detected"]
