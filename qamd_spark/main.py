@@ -501,12 +501,18 @@ AUDIT_PANEL = [
     "corpus_datasheet",
     "split_leakage",
     "ks_drift",
+    "emd_drift",
+    "mann_whitney",
     "vocab_coverage",
     "injection_scan",
     "jackknife_keep",
     "tool_error_cascade",
     "lang_source_chi2",
     "mix_weights",
+    "rule_phi",
+    "shapley_rules",
+    "runs_test",
+    "dedup_survivorship",
 ]
 
 
