@@ -2996,6 +2996,64 @@ def q_shapley_pipeline(spark, sf_dir):
     )
 
 
+def q_conv_quality_card(spark, sf_dir):
+    """Per-conversation trajectory-quality CARD — the composition the
+    individual transcript audits exist for: one row per conversation
+    joining the seven per-conv verdicts (tool pairing, citation
+    grounding, args validity, number grounding, user retries,
+    toxicity trend, PII echo) plus the single train_ready gate an SFT
+    curation job filters on. Every component is itself oracle-checked;
+    the card's DuckDB twin is COMPOSED from those components' own
+    oracle SQL strings (CTE reuse — one source of truth, no drift
+    between the card and its parts). pii_echo emits only
+    email-sharing convs, so it left-joins with a FALSE default
+    (documented: no shared email ⇒ nothing to echo). Plan: seven
+    bounded per-conv aggregates joined on the 97-key conv dimension —
+    every join side is post-aggregate (broadcast-able); no raw-row
+    join anywhere."""
+    dt = q_dangling_tools(spark, sf_dir).select(
+        "conv", F.col("clean").alias("tools_paired")
+    )
+    cc = q_citation_check(spark, sf_dir).select(
+        "conv", F.col("grounded").alias("citations_grounded")
+    )
+    ta = q_tool_args_valid(spark, sf_dir).select("conv", "args_clean")
+    ng = q_number_grounding(spark, sf_dir).select(
+        "conv", F.col("grounded").alias("numbers_grounded")
+    )
+    ur = q_user_retry_detect(spark, sf_dir).select("conv", "retry_flag")
+    te = q_toxicity_escalation(spark, sf_dir).select("conv", "escalating")
+    pe = q_pii_echo(spark, sf_dir).select("conv", "pii_echoed")
+    card = (
+        dt.join(cc, "conv")
+        .join(ta, "conv")
+        .join(ng, "conv")
+        .join(ur, "conv")
+        .join(te, "conv")
+        .join(pe, "conv", "left")
+    )
+    echoed = F.coalesce(F.col("pii_echoed"), F.lit(False))
+    return card.select(
+        "conv",
+        "tools_paired",
+        "citations_grounded",
+        "args_clean",
+        "numbers_grounded",
+        "retry_flag",
+        "escalating",
+        echoed.alias("pii_echoed"),
+        (
+            F.col("tools_paired")
+            & F.col("citations_grounded")
+            & F.col("args_clean")
+            & F.col("numbers_grounded")
+            & ~F.col("retry_flag")
+            & ~F.col("escalating")
+            & ~echoed
+        ).alias("train_ready"),
+    )
+
+
 def q_rule_phi(spark, sf_dir):
     """Pairwise phi-coefficient matrix between the four ablation-rule
     flags — the redundancy QUANTIFIER the ablation family's counts
@@ -11189,6 +11247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "rule_phi": q_rule_phi,
         "leet_scan": q_leet_scan,
+        "conv_quality_card": q_conv_quality_card,
         "t_closeness": q_t_closeness,
         "fleiss_kappa": q_fleiss_kappa,
         "fd_mine": q_fd_mine,
@@ -16233,5 +16292,36 @@ def oracle_sql() -> dict[str, str]:
                ((n * sxy - sx * sy)::DOUBLE
                 / (n * sxx - sx * sx)::DOUBLE) > 0.0 AS trending_up
         FROM a
+    """
+    # conv_quality_card's twin is COMPOSED from its components' own
+    # oracle SQL (one source of truth — the card cannot drift from its
+    # parts); pii_echo left-joins with a FALSE default.
+    sqls["conv_quality_card"] = f"""
+        WITH dt AS ({sqls["dangling_tools"]}),
+        cc AS ({sqls["citation_check"]}),
+        ta AS ({sqls["tool_args_valid"]}),
+        ng AS ({sqls["number_grounding"]}),
+        ur AS ({sqls["user_retry_detect"]}),
+        te AS ({sqls["toxicity_escalation"]}),
+        pe AS ({sqls["pii_echo"]})
+        SELECT dt.conv,
+               dt.clean AS tools_paired,
+               cc.grounded AS citations_grounded,
+               ta.args_clean,
+               ng.grounded AS numbers_grounded,
+               ur.retry_flag,
+               te.escalating,
+               coalesce(pe.pii_echoed, FALSE) AS pii_echoed,
+               (dt.clean AND cc.grounded AND ta.args_clean
+                AND ng.grounded AND NOT ur.retry_flag
+                AND NOT te.escalating
+                AND NOT coalesce(pe.pii_echoed, FALSE)) AS train_ready
+        FROM dt
+        JOIN cc ON dt.conv = cc.conv
+        JOIN ta ON dt.conv = ta.conv
+        JOIN ng ON dt.conv = ng.conv
+        JOIN ur ON dt.conv = ur.conv
+        JOIN te ON dt.conv = te.conv
+        LEFT JOIN pe ON dt.conv = pe.conv
     """
     return {k: v.strip() for k, v in sqls.items()}

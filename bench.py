@@ -352,6 +352,7 @@ def run_benchmarks() -> dict:
         "kcore",
         "rule_phi",
         "leet_scan",
+        "conv_quality_card",
         "t_closeness",
         "fleiss_kappa",
         "fd_mine",

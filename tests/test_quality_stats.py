@@ -850,3 +850,56 @@ def test_leet_scan_isolates_planted_evasions(spark):
         else:
             assert not r["raw_hit"] and not r["norm_hit"]
             assert not r["evasion_detected"]
+
+
+def test_conv_quality_card_composes_components(spark):
+    """Each card flag must equal the corresponding component query's
+    verdict and train_ready must be exactly the AND of the seven."""
+    sf = "/root/testdata/sf0.001"
+    card = {
+        r["conv"]: r.asDict()
+        for r in entry.q_conv_quality_card(spark, sf).collect()
+    }
+    comp = {
+        "tools_paired": {
+            r["conv"]: r["clean"]
+            for r in entry.q_dangling_tools(spark, sf).collect()
+        },
+        "citations_grounded": {
+            r["conv"]: r["grounded"]
+            for r in entry.q_citation_check(spark, sf).collect()
+        },
+        "numbers_grounded": {
+            r["conv"]: r["grounded"]
+            for r in entry.q_number_grounding(spark, sf).collect()
+        },
+        "retry_flag": {
+            r["conv"]: r["retry_flag"]
+            for r in entry.q_user_retry_detect(spark, sf).collect()
+        },
+        "pii_echoed": {
+            r["conv"]: r["pii_echoed"]
+            for r in entry.q_pii_echo(spark, sf).collect()
+        },
+    }
+    assert len(card) == 97
+    dirty = clean = 0
+    for conv, r in card.items():
+        assert r["tools_paired"] == comp["tools_paired"][conv]
+        assert r["citations_grounded"] == comp["citations_grounded"][conv]
+        assert r["numbers_grounded"] == comp["numbers_grounded"][conv]
+        assert r["retry_flag"] == comp["retry_flag"][conv]
+        assert r["pii_echoed"] == comp["pii_echoed"].get(conv, False)
+        want = (
+            r["tools_paired"]
+            and r["citations_grounded"]
+            and r["args_clean"]
+            and r["numbers_grounded"]
+            and not r["retry_flag"]
+            and not r["escalating"]
+            and not r["pii_echoed"]
+        )
+        assert r["train_ready"] == want
+        clean += int(want)
+        dirty += int(not want)
+    assert clean and dirty  # the planted damage separates both classes
