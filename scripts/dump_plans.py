@@ -678,6 +678,26 @@ def main() -> None:
             E.q_dedup_survivorship(spark, SF),
         ),
         (
+            "rule_phi",
+            "Redundancy matrix: one fused projection + ONE single-row "
+            "aggregate; the 6 pair rows explode from literals on that "
+            "row — no second scan.",
+            E.q_rule_phi(spark, SF),
+        ),
+        (
+            "leet_scan",
+            "Evasion scan: translate + two contains panels fused into "
+            "one codegen projection — zero Exchange, zero Python.",
+            E.q_leet_scan(spark, SF),
+        ),
+        (
+            "conv_quality_card",
+            "Trajectory card: seven bounded per-conv aggregates "
+            "joined on the conv dimension — every join side "
+            "post-aggregate (AQE broadcasts them); no raw-row join.",
+            E.q_conv_quality_card(spark, SF),
+        ),
+        (
             "t_closeness",
             "Distribution-distance privacy gate in scaled integers: "
             "class-value hash agg, then BROADCAST joins of the tiny "
