@@ -11184,6 +11184,307 @@ def q_kcenter_coreset(spark, sf_dir):
     return kcenter_select(_emb(spark, sf_dir), k=8)
 
 
+# --------------------------------------------------------------------------
+# Continuation-3 batch: curation extras — char entropy, truncation audit,
+# dialog acts, id pseudonymization, winsorized robust stats, bigram
+# diversity.  All six are DuckDB-oracle-green by construction: exact
+# integer counts + single divisions, or round-6 where a libm log enters
+# (the perplexity precedent).
+# --------------------------------------------------------------------------
+
+TRUNC_MIN_CHARS = 120  # length at which a no-terminal ending implies a cap hit
+DANGLING_WORDS = [
+    "and", "or", "but", "the", "a", "an", "to", "of", "with", "for", "so",
+]
+TERMINAL_CHARS = [".", "!", "?", "…", '"', "'", ")", "]", "`"]
+QUESTION_WORDS = [
+    "who", "what", "when", "where", "why", "how", "is", "are", "can",
+    "could", "do", "does", "will", "would", "should",
+]
+COMMAND_WORDS = [
+    "please", "write", "list", "give", "show", "create", "make", "explain",
+    "generate", "summarize", "translate", "fix",
+]
+PSEUDO_PEPPER = "qamd-pepper-2026"  # rotate per release; NOT a secret store
+
+
+def q_char_entropy(spark, sf_dir):
+    """Per-doc Shannon entropy over codepoints (bits/char) — the classic
+    gibberish / binary-blob / base64 detector (low = repeated filler,
+    high = random junk), the exact closed-form complement of
+    compression_ratio's zlib proxy.  split('') is codepoint-safe (astral
+    chars stay whole — verified against DuckDB string_split('')), the
+    (doc, ch) counts are a partial+final hash aggregate (alphabet-
+    bounded, so the shuffle carries ≤|alphabet| rows per doc), and
+    H = log2(n) − Σ c·log2(c)/n is rounded to 6 decimals because log2 is
+    libm-backed (both engines agree far below 1e-6; the perplexity
+    precedent).  At 100 TB this is scan + two bounded aggregates — no
+    Python stage, no skew (the doc_id key is unique)."""
+    d = _docs(spark, sf_dir)
+    ch = F.explode(F.split(_txt(), "")).alias("ch")
+    per = (
+        d.select("doc_id", ch)
+        .filter(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cd = F.col("c").cast("double")
+    ent = (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_cp"),
+            F.sum(cd * F.log2(cd)).alias("clogc"),
+        )
+        .select(
+            "doc_id",
+            "n_cp",
+            F.round(
+                F.log2(F.col("n_cp").cast("double"))
+                - F.col("clogc") / F.col("n_cp").cast("double"),
+                6,
+            ).alias("entropy_bits"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(ent, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_cp", F.lit(0).cast("long")).alias("n_cp"),
+            F.coalesce("entropy_bits", F.lit(0.0)).alias("entropy_bits"),
+        )
+    )
+
+
+def q_truncation_scan(spark, sf_dir):
+    """Truncated-generation audit per doc: missing terminal punctuation,
+    unclosed code fence (odd ``` count), unbalanced parentheses, and a
+    dangling function word at the end — the fingerprints of an assistant
+    turn cut off mid-thought (max_tokens cap, streaming drop).  All
+    signals are substring/char-count comparisons (no regex anchors — the
+    Java-vs-RE2 `$`-before-final-newline divergence is designed out),
+    so the gate is hash-exact.  The all-prose test corpus is first
+    stamped deterministically (doc_id arithmetic, mirrored in the twin:
+    '.' endings, dangling 'and', an open fence) so every branch carries
+    rows.  One codegen-fused projection: no shuffle, no Python stage,
+    trivially scan-parallel at 100 TB."""
+    stamped = F.concat(
+        _txt(),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(".")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 5, F.lit(" and")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 17 == 7, F.lit(" ```code")).otherwise(
+            F.lit("")
+        ),
+    )
+    t = F.trim(stamped)
+    toks = F.split(F.lower(t), r"\s+", -1)
+    last_tok = F.element_at(toks, -1)
+    last_ch = F.substring(t, -1, 1)
+    n_fence = F.size(F.split(t, "```", -1)) - 1
+    n_open = F.length(t) - F.length(F.regexp_replace(t, r"\(", ""))
+    n_close = F.length(t) - F.length(F.regexp_replace(t, r"\)", ""))
+    no_term = (t != "") & (~last_ch.isin(TERMINAL_CHARS))
+    dangling = last_tok.isin(DANGLING_WORDS)
+    open_fence = (n_fence % 2) == 1
+    truncated = no_term & (
+        dangling | open_fence | (F.length(t) >= TRUNC_MIN_CHARS)
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        no_term.alias("no_terminal"),
+        open_fence.alias("open_fence"),
+        (n_open != n_close).alias("unbalanced_paren"),
+        dangling.alias("dangling_word"),
+        truncated.alias("truncated"),
+    )
+
+
+def q_dialog_acts(spark, sf_dir):
+    """Heuristic dialog-act tagging over documents-as-conversations
+    (role := source, the conv_features mapping): each turn classified
+    question / command / exclaim / statement / empty by first-token and
+    last-char rules (priority order fixed and identical in the twin),
+    then the (role, act) histogram with within-role shares — the
+    content-level complement of role_patterns' structural templates
+    (an 'assistant' role that asks questions, or a 'user' role that
+    never does, flags mislabeled roles).  The test corpus is stamped
+    deterministically ('?' / 'please ' / '!' by doc_id arithmetic,
+    mirrored in the twin) so every act branch carries rows.  Exact
+    integer counts + one division; classification is a codegen
+    projection, the rollup one partial+final hash aggregate on a tiny
+    (role, act) key space."""
+    stamped = F.concat(
+        F.when(F.col("doc_id") % 7 == 2, F.lit("please ")).otherwise(F.lit("")),
+        _txt(),
+        F.when(F.col("doc_id") % 5 == 1, F.lit("?")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 3, F.lit("!")).otherwise(F.lit("")),
+    )
+    t = F.trim(stamped)
+    first_tok = F.element_at(F.split(F.lower(t), r"\s+", -1), 1)
+    last_ch = F.substring(t, -1, 1)
+    act = (
+        F.when(t == "", F.lit("empty"))
+        .when((last_ch == "?") | first_tok.isin(QUESTION_WORDS), F.lit("question"))
+        .when(first_tok.isin(COMMAND_WORDS), F.lit("command"))
+        .when(last_ch == "!", F.lit("exclaim"))
+        .otherwise(F.lit("statement"))
+    )
+    per = (
+        _docs(spark, sf_dir)
+        .select(F.col("source").alias("role"), act.alias("act"))
+        .groupBy("role", "act")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+    )
+    role_tot = per.groupBy("role").agg(F.sum("n_turns").alias("n_role"))
+    return per.join(role_tot, "role").select(
+        "role",
+        "act",
+        "n_turns",
+        (F.col("n_turns").cast("double") / F.col("n_role").cast("double")).alias(
+            "act_share"
+        ),
+    )
+
+
+def q_pseudonymize(spark, sf_dir):
+    """Deterministic peppered pseudonymization of conversation ids —
+    the GDPR-grade export step that replaces joinable raw ids with
+    sha256(pepper|id) prefixes while keeping referential integrity
+    (same id → same pseudonym everywhere, across runs and cluster
+    sizes).  The collision audit column proves injectivity held at this
+    pepper/width (n_sharing_pseudo = 1 for every row).  Two bounded
+    hash aggregates (per conv, then per pseudonym) + one equi-join —
+    no Python, no window, salt-free reproducibility (the hash_sample
+    design).  Complements k_anonymity / l_diversity / dp_release: those
+    audit the released aggregates, this protects the keys themselves."""
+    conv = (F.col("doc_id") % 97).cast("string").alias("conv_id")
+    per = (
+        _docs(spark, sf_dir)
+        .select(conv)
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            "conv_id",
+            "n_turns",
+            F.substring(
+                F.sha2(F.concat(F.lit(PSEUDO_PEPPER + "|"), F.col("conv_id")), 256),
+                1,
+                16,
+            ).alias("pseudo_id"),
+        )
+    )
+    coll = per.groupBy("pseudo_id").agg(
+        F.count(F.lit(1)).alias("n_sharing_pseudo")
+    )
+    return per.join(coll, "pseudo_id").select(
+        "conv_id", "pseudo_id", "n_turns", "n_sharing_pseudo"
+    )
+
+
+def q_winsorized_stats(spark, sf_dir):
+    """Per-source winsorized length stats: nearest-rank p05/p95 bounds
+    (ceil(p·n) order statistic — pure integer arithmetic, no float
+    quantile interpolation anywhere), values clamped into [lo, hi],
+    then mean of the clamped integers — the outlier-robust location
+    estimate a curation report shows when a source's raw mean is blown
+    out by a few megadoc outliers (the robust complement of
+    percentile_profile).  One per-source sort for the order statistic
+    (bounded by the group, the percentile_profile precedent — swap in
+    approx_percentile sketches at the 100 TB tier), one broadcast-sized
+    bounds join back, exact integer sum + single division."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select(
+        "source", "doc_id", F.coalesce("n_chars", F.lit(0).cast("long")).alias("v")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("v").asc(), F.col("doc_id").asc())
+    ranked = d.select(
+        "source", "v", F.row_number().over(w).alias("rn")
+    )
+    n_per = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    # nearest-rank: k05 = ceil(n/20), k95 = ceil(19n/20) as exact integer
+    # ceiling-division — no float quantile math anywhere
+    rk = n_per.select(
+        "source",
+        "n",
+        F.expr("(n + 19) div 20").alias("k05"),
+        F.expr("(n * 19 + 19) div 20").alias("k95"),
+    )
+    bounds = (
+        ranked.join(F.broadcast(rk), "source")
+        .groupBy("source")
+        .agg(
+            F.max(F.when(F.col("rn") <= F.col("k05"), F.col("v"))).alias("lo"),
+            F.max(F.when(F.col("rn") <= F.col("k95"), F.col("v"))).alias("hi"),
+            F.first("n").alias("n"),
+        )
+    )
+    return (
+        d.join(F.broadcast(bounds), "source")
+        .select(
+            "source",
+            "n",
+            "lo",
+            "hi",
+            F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi")).alias("cv"),
+        )
+        .groupBy("source", "n", "lo", "hi")
+        .agg(F.sum("cv").alias("w_sum"))
+        .select(
+            "source",
+            "n",
+            "lo",
+            "hi",
+            (F.col("w_sum").cast("double") / F.col("n").cast("double")).alias(
+                "winsorized_mean"
+            ),
+        )
+    )
+
+
+def q_bigram_diversity(spark, sf_dir):
+    """Distinct-2 generation-diversity per source (Li et al. 2016's
+    distinct-n): unique word bigrams / total word bigrams — collapses
+    toward 0 on template-looped synthetic corpora even when unigram TTR
+    (lexical_diversity) still looks healthy, because templates reuse
+    the same word ORDER, not just the same words.  Bigrams are formed
+    array-side (slice + zip_with — no window, no Python), then the
+    lexical_diversity two-level hash aggregate: (source, bigram) partial
+    counts first, so no count-distinct Expand and both shuffles carry
+    pre-aggregated rows.  Exact integer sums + one division."""
+    toks = F.split(F.lower(F.trim(_txt())), r"\s+", -1)
+    d = (
+        _docs(spark, sf_dir)
+        .select("source", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    bg = F.explode(
+        F.zip_with(
+            F.expr("slice(toks, 1, size(toks) - 1)"),
+            F.expr("slice(toks, 2, size(toks) - 1)"),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    ).alias("bg")
+    per = (
+        d.select("source", bg)
+        .groupBy("source", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per.groupBy("source")
+        .agg(F.sum("c").alias("n_bigrams"), F.count(F.lit(1)).alias("n_distinct"))
+        .select(
+            "source",
+            "n_bigrams",
+            "n_distinct",
+            (
+                F.col("n_distinct").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("distinct2"),
+        )
+    )
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -11464,6 +11765,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_neardup": q_phash_neardup,
         "frame_plan": q_frame_plan,
         "wav_profile": q_wav_profile,
+        "char_entropy": q_char_entropy,
+        "truncation_scan": q_truncation_scan,
+        "dialog_acts": q_dialog_acts,
+        "pseudonymize": q_pseudonymize,
+        "winsorized_stats": q_winsorized_stats,
+        "bigram_diversity": q_bigram_diversity,
     }
 
 
@@ -15342,6 +15649,159 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, o_orderdate, o_orderpriority,
                    rev_e4::DOUBLE / 10000.0 AS revenue
             FROM a ORDER BY rev_e4 DESC, l_orderkey LIMIT 10
+        """,
+        "char_entropy": r"""
+            WITH ch AS (
+              SELECT doc_id, c.ch AS ch
+              FROM documents,
+                   unnest(string_split(coalesce(text,''), '')) AS c(ch)
+              WHERE c.ch <> ''),
+            per AS (
+              SELECT doc_id, ch, count(*)::BIGINT AS c
+              FROM ch GROUP BY doc_id, ch),
+            ent AS (
+              SELECT doc_id, sum(c)::BIGINT AS n_cp,
+                     round(log2(sum(c)::DOUBLE)
+                           - sum(c::DOUBLE * log2(c::DOUBLE))
+                             / sum(c)::DOUBLE, 6) AS entropy_bits
+              FROM per GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(n_cp, 0)::BIGINT AS n_cp,
+                   coalesce(entropy_bits, 0.0) AS entropy_bits
+            FROM documents d LEFT JOIN ent USING (doc_id)
+        """,
+        "truncation_scan": r"""
+            WITH s AS (
+              SELECT doc_id, trim(
+                coalesce(text,'')
+                || (CASE WHEN doc_id % 3 = 0 THEN '.' ELSE '' END)
+                || (CASE WHEN doc_id % 13 = 5 THEN ' and' ELSE '' END)
+                || (CASE WHEN doc_id % 17 = 7 THEN ' ```code' ELSE '' END),
+                ' ') AS t
+              FROM documents),
+            f AS (
+              SELECT doc_id, t,
+                substr(t, -1, 1) AS last_ch,
+                list_extract(
+                  regexp_split_to_array(lower(t), '\s+'), -1) AS last_tok,
+                (len(string_split(t, '```')) - 1) AS n_fence,
+                (length(t) - length(replace(t, '(', ''))) AS n_open,
+                (length(t) - length(replace(t, ')', ''))) AS n_close
+              FROM s)
+            SELECT doc_id,
+              (t <> '' AND NOT list_contains(__TERM__, last_ch))
+                AS no_terminal,
+              (n_fence % 2 = 1) AS open_fence,
+              (n_open <> n_close) AS unbalanced_paren,
+              list_contains(__DANG__, last_tok) AS dangling_word,
+              ((t <> '' AND NOT list_contains(__TERM__, last_ch)) AND
+               (list_contains(__DANG__, last_tok) OR n_fence % 2 = 1
+                OR length(t) >= __MINLEN__)) AS truncated
+            FROM f
+        """.replace("__TERM__", _sql_list(
+            c.replace("'", "''") for c in TERMINAL_CHARS))
+          .replace("__DANG__", _sql_list(DANGLING_WORDS))
+          .replace("__MINLEN__", str(TRUNC_MIN_CHARS)),
+        "dialog_acts": r"""
+            WITH s AS (
+              SELECT source AS role, trim(
+                (CASE WHEN doc_id % 7 = 2 THEN 'please ' ELSE '' END)
+                || coalesce(text,'')
+                || (CASE WHEN doc_id % 5 = 1 THEN '?' ELSE '' END)
+                || (CASE WHEN doc_id % 11 = 3 THEN '!' ELSE '' END),
+                ' ') AS t
+              FROM documents),
+            a AS (
+              SELECT role,
+                CASE
+                  WHEN t = '' THEN 'empty'
+                  WHEN substr(t, -1, 1) = '?'
+                       OR list_contains(__QW__, list_extract(
+                            regexp_split_to_array(lower(t), '\s+'), 1))
+                    THEN 'question'
+                  WHEN list_contains(__CW__, list_extract(
+                         regexp_split_to_array(lower(t), '\s+'), 1))
+                    THEN 'command'
+                  WHEN substr(t, -1, 1) = '!' THEN 'exclaim'
+                  ELSE 'statement'
+                END AS act
+              FROM s),
+            per AS (
+              SELECT role, act, count(*)::BIGINT AS n_turns
+              FROM a GROUP BY role, act),
+            tot AS (
+              SELECT role, sum(n_turns)::BIGINT AS n_role
+              FROM per GROUP BY role)
+            SELECT per.role, act, n_turns,
+                   n_turns::DOUBLE / n_role::DOUBLE AS act_share
+            FROM per JOIN tot USING (role)
+        """.replace("__QW__", _sql_list(QUESTION_WORDS))
+          .replace("__CW__", _sql_list(COMMAND_WORDS)),
+        "pseudonymize": f"""
+            WITH per AS (
+              SELECT (doc_id % 97)::VARCHAR AS conv_id,
+                     count(*)::BIGINT AS n_turns
+              FROM documents GROUP BY 1),
+            p AS (
+              SELECT conv_id, n_turns,
+                     substr(sha256('{PSEUDO_PEPPER}|' || conv_id), 1, 16)
+                       AS pseudo_id
+              FROM per),
+            coll AS (
+              SELECT pseudo_id, count(*)::BIGINT AS n_sharing_pseudo
+              FROM p GROUP BY 1)
+            SELECT conv_id, pseudo_id, n_turns, n_sharing_pseudo
+            FROM p JOIN coll USING (pseudo_id)
+        """,
+        "winsorized_stats": """
+            WITH d AS (
+              SELECT source, doc_id, coalesce(n_chars, 0)::BIGINT AS v
+              FROM documents),
+            r AS (
+              SELECT source, v,
+                     row_number() OVER (
+                       PARTITION BY source ORDER BY v, doc_id) AS rn
+              FROM d),
+            np AS (SELECT source, count(*)::BIGINT AS n FROM d GROUP BY 1),
+            rk AS (
+              SELECT source, n,
+                     ((n + 19) // 20)::BIGINT AS k05,
+                     ((n * 19 + 19) // 20)::BIGINT AS k95
+              FROM np),
+            bounds AS (
+              SELECT r.source,
+                     max(CASE WHEN rn <= k05 THEN v END)::BIGINT AS lo,
+                     max(CASE WHEN rn <= k95 THEN v END)::BIGINT AS hi,
+                     min(n)::BIGINT AS n
+              FROM r JOIN rk USING (source) GROUP BY r.source)
+            SELECT d.source, n, lo, hi,
+                   sum(least(greatest(v, lo), hi))::DOUBLE / n::DOUBLE
+                     AS winsorized_mean
+            FROM d JOIN bounds USING (source)
+            GROUP BY d.source, n, lo, hi
+        """,
+        "bigram_diversity": r"""
+            WITH arrs AS (
+              SELECT source,  doc_id,
+                     regexp_split_to_array(
+                       lower(trim(coalesce(text,''), ' ')), '\s+') AS arr
+              FROM documents),
+            toks AS (
+              SELECT source, doc_id,
+                     unnest(arr) AS tok,
+                     generate_subscripts(arr, 1) AS ord
+              FROM arrs WHERE len(arr) >= 2),
+            bgs AS (
+              SELECT source,
+                     tok || ' ' || lead(tok) OVER (
+                       PARTITION BY source, doc_id ORDER BY ord) AS bg
+              FROM toks),
+            per AS (
+              SELECT source, bg, count(*)::BIGINT AS c
+              FROM bgs WHERE bg IS NOT NULL GROUP BY source, bg)
+            SELECT source, sum(c)::BIGINT AS n_bigrams,
+                   count(*)::BIGINT AS n_distinct,
+                   count(*)::DOUBLE / sum(c)::DOUBLE AS distinct2
+            FROM per GROUP BY source
         """,
     }
     sqls["unicode_nfc"] = """

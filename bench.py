@@ -357,6 +357,12 @@ def run_benchmarks() -> dict:
         "fleiss_kappa",
         "fd_mine",
         "cdc_dedup",
+        "char_entropy",
+        "truncation_scan",
+        "dialog_acts",
+        "pseudonymize",
+        "winsorized_stats",
+        "bigram_diversity",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

@@ -1,0 +1,155 @@
+"""Semantic tests for the continuation-3 curation batch: char entropy,
+truncation audit, dialog acts, pseudonymization, winsorized stats, and
+bigram diversity.  The cross-engine exactness gate lives in
+test_entry_contract.py (auto-parameterized over oracle_sql()); these pin
+the SEMANTICS on crafted inputs where the expected values are hand-
+computable."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+
+
+def _write_docs(spark, path, rows):
+    """rows: list of (doc_id, text, source).  Schema matches the driver's
+    documents table so the q_* functions run unchanged."""
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t) if t is not None else 0) for i, t, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def crafted(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("curx"))
+    _write_docs(
+        spark,
+        d,
+        [
+            # doc_id chosen to dodge every stamp residue used by
+            # truncation_scan (%3==0, %13==5, %17==7) and dialog_acts
+            # (%7==2, %5==1, %11==3) unless a stamp is the point.
+            (4, "aaaa", "s0"),          # zero entropy
+            (7, "abab", "s0"),          # 1 bit/char entropy
+            (13, "abcd", "s0"),         # 2 bits/char entropy
+            (22, "", "s0"),             # empty -> 0 entropy, n_cp 0
+            (49, "stopped mid sentence with", "s1"),   # no terminal char
+            (94, "a clean full sentence.", "s1"),      # terminal '.'
+            (56, "see the code ```python", "s1"),      # open fence
+            (64, "mismatched ( parens here.", "s1"),   # unbalanced
+        ],
+    )
+    return d
+
+
+def test_char_entropy_known_values(spark, crafted):
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in entry.q_char_entropy(spark, crafted).collect()
+    }
+    assert got[4]["entropy_bits"] == 0.0 and got[4]["n_cp"] == 4
+    assert got[7]["entropy_bits"] == 1.0
+    assert got[13]["entropy_bits"] == 2.0
+    assert got[22]["entropy_bits"] == 0.0 and got[22]["n_cp"] == 0
+    # entropy is bounded by log2(alphabet) for every doc
+    for r in got.values():
+        if r["n_cp"]:
+            assert 0.0 <= r["entropy_bits"] <= math.log2(max(r["n_cp"], 2))
+
+
+def test_truncation_scan_branches(spark, crafted):
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in entry.q_truncation_scan(spark, crafted).collect()
+    }
+    # 49: ends in a word, long enough? no (25 chars) — but dangling 'with'
+    assert got[49]["no_terminal"] and got[49]["dangling_word"]
+    assert got[49]["truncated"]
+    # 94: clean terminal punctuation
+    assert not got[94]["no_terminal"] and not got[94]["truncated"]
+    # 56: one ``` -> open fence (and no terminal char)
+    assert got[56]["open_fence"] and got[56]["truncated"]
+    # 64: '(' without ')' but ends '.' -> unbalanced yet not truncated
+    assert got[64]["unbalanced_paren"] and not got[64]["truncated"]
+
+
+def test_dialog_acts_classification(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("acts"))
+    # doc_ids dodge the stamp residues (%7==2, %5==1, %11==3)
+    _write_docs(
+        spark,
+        d,
+        [
+            (0, "what is the capital of france", "user"),
+            (5, "ends with a question mark?", "user"),
+            (10, "please list the options", "user"),
+            (20, "that is amazing!", "assistant"),
+            (15, "a plain statement of fact.", "assistant"),
+            (40, "", "assistant"),
+        ],
+    )
+    got = {
+        (r["role"], r["act"]): r["n_turns"]
+        for r in entry.q_dialog_acts(spark, d).collect()
+    }
+    assert got[("user", "question")] == 2
+    assert got[("user", "command")] == 1
+    assert got[("assistant", "exclaim")] == 1
+    assert got[("assistant", "statement")] == 1
+    assert got[("assistant", "empty")] == 1
+
+
+def test_pseudonymize_deterministic_and_injective(spark, crafted):
+    a = {r["conv_id"]: r.asDict() for r in entry.q_pseudonymize(spark, crafted).collect()}
+    b = {r["conv_id"]: r.asDict() for r in entry.q_pseudonymize(spark, crafted).collect()}
+    assert a == b  # same pepper + id -> same pseudonym, across runs
+    for r in a.values():
+        assert r["n_sharing_pseudo"] == 1
+        assert len(r["pseudo_id"]) == 16
+        int(r["pseudo_id"], 16)  # hex prefix of sha256
+
+
+def test_winsorized_mean_ignores_outlier(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("wins"))
+    # 19 docs of length ~100 and one 10^6 outlier: nearest-rank p95 of
+    # n=20 is the 19th order statistic, so the outlier is clamped to the
+    # largest normal length and the winsorized mean stays ~100.
+    rows = [(i, "x" * (95 + i % 10), "s") for i in range(19)]
+    rows.append((19, "y" * 1_000_000, "s"))
+    _write_docs(spark, d, rows)
+    [r] = entry.q_winsorized_stats(spark, d).collect()
+    assert r["n"] == 20
+    assert r["lo"] == 95          # k05 = ceil(20/20) = 1 -> min value
+    assert r["hi"] == 104         # k95 = ceil(19*20/20) = 19 -> 19th stat
+    assert r["winsorized_mean"] < 110  # raw mean would be ~50_000
+
+
+def test_bigram_diversity_counts(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("bgd"))
+    _write_docs(
+        spark,
+        d,
+        [
+            (0, "a b a b", "s0"),   # bigrams: ab, ba, ab -> 3 total 2 distinct
+            (1, "c c c", "s0"),     # cc, cc -> 2 total 1 distinct
+            (2, "one", "s0"),       # single token -> filtered out
+            (3, "", "s0"),          # empty -> filtered out
+        ],
+    )
+    [r] = entry.q_bigram_diversity(spark, d).collect()
+    assert r["n_bigrams"] == 5 and r["n_distinct"] == 3
+    assert r["distinct2"] == 3 / 5
+
+
+def test_truncation_scan_plan_is_shuffle_free(spark):
+    plan = (
+        entry.q_truncation_scan(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # pure projection: scan-parallel
+    assert "Python" not in plan    # codegen only, no UDF stage
