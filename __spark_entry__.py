@@ -11485,6 +11485,193 @@ def q_bigram_diversity(spark, sf_dir):
     )
 
 
+LEV_MAX_DIST = 5        # max edit distance for a near-dup verdict
+LEV_MIN_LEN = 20        # skip shorties (empty/near-empty texts pair up
+                        # quadratically and carry no dedup signal)
+LEV_BIN_WIDTH = 8       # length-band width; > LEV_MAX_DIST so candidates
+                        # never span more than adjacent bins
+BIDI_PUSH_OVERRIDE = [0x202A, 0x202B, 0x202D, 0x202E]  # LRE RLE LRO RLO
+BIDI_POP_OVERRIDE = 0x202C                              # PDF
+BIDI_PUSH_ISOLATE = [0x2066, 0x2067, 0x2068]            # LRI RLI FSI
+BIDI_POP_ISOLATE = 0x2069                               # PDI
+SHUFFLEQ_SHARDS = 16
+SHUFFLEQ_MULT = 2654435761  # Knuth multiplicative hash constant
+
+
+def q_levenshtein_neardup(spark, sf_dir):
+    """Edit-distance-verified near-duplicate pairs: length-banded
+    candidate generation (build at its own bin, probe emits {bin,
+    bin+1} with the asymmetric keep rule — each pair exactly once, no
+    dropDuplicates exchange), then native levenshtein ≤ 5 as the
+    verdict — the character-level complement of ngram_jaccard's
+    token-level verify (catches single-char edits that leave every
+    shingle intact).  Texts are ASCII-projected first ([^\\x20-\\x7E]
+    stripped) because DuckDB's levenshtein is byte-based while Spark's
+    is codepoint-based — the projection makes both count the same
+    units, by design not by luck.  Mutated copies (append / head-drop /
+    first-char substitution, doc_id arithmetic mirrored in the twin)
+    plant true positives at known distances.  |len diff| ≤ 5 < bin
+    width 8 proves adjacent bins suffice (no missed pairs); per-bin
+    candidate sets are bounded by the length histogram, the join is a
+    shuffle equi-join on bin (AQE-splittable), and levenshtein runs
+    only on candidates."""
+    t = F.regexp_replace(_txt(), r"[^\x20-\x7E]", "")
+    base = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), t.alias("t")
+    )
+    mut = base.filter(F.col("id") % 3 == 0).select(
+        (F.col("id") + 100000).alias("id"),
+        F.when(F.col("id") % 4 == 0, F.concat(F.col("t"), F.lit(" xx")))
+        .when(F.col("id") % 4 == 1, F.substring(F.col("t"), 3, 1 << 30))
+        .when(
+            F.col("id") % 4 == 2,
+            F.concat(F.lit("Z"), F.substring(F.col("t"), 2, 1 << 30)),
+        )
+        .otherwise(F.col("t"))
+        .alias("t"),
+    )
+    pool = (
+        base.unionByName(mut)
+        .withColumn("ln", F.length("t"))
+        .filter(F.col("ln") >= LEV_MIN_LEN)
+        .withColumn("bin", F.expr(f"ln div {LEV_BIN_WIDTH}"))
+    )
+    build = pool.select(
+        F.col("id").alias("b_id"), F.col("t").alias("b_t"),
+        F.col("ln").alias("b_ln"), F.col("bin").alias("b_bin"),
+    )
+    probe = pool.select(
+        "id", "t", "ln", "bin",
+        F.explode(F.array(F.col("bin"), F.col("bin") + 1)).alias("p_bin"),
+    )
+    cand = probe.join(build, F.col("p_bin") == F.col("b_bin")).filter(
+        (
+            ((F.col("bin") == F.col("b_bin")) & (F.col("id") < F.col("b_id")))
+            | (F.col("bin") < F.col("b_bin"))
+        )
+        & (F.abs(F.col("ln") - F.col("b_ln")) <= LEV_MAX_DIST)
+    )
+    return (
+        cand.withColumn("lev", F.levenshtein("t", "b_t"))
+        .filter(F.col("lev") <= LEV_MAX_DIST)
+        .select(
+            F.least("id", "b_id").alias("a"),
+            F.greatest("id", "b_id").alias("b"),
+            "lev",
+        )
+    )
+
+
+def q_bidi_scan(spark, sf_dir):
+    """Trojan-Source audit (Boucher & Anderson 2021): Unicode bidi
+    control characters in text — override pushes (LRE/RLE/LRO/RLO) vs
+    PDF pops and isolate pushes (LRI/RLI/FSI) vs PDI pops, with the
+    attack signature being MORE pushes than pops (an unterminated
+    override reorders everything after it — the code-injection-
+    invisible-to-review vector; a wild corpus should have ~zero).
+    Counts are replace-length diffs per literal char (the special_tokens
+    idiom — no regex over exotic codepoints), chars spelled chr(cp) on
+    both engines so no source-encoding ambiguity.  The ASCII test
+    corpus is stamped deterministically with unterminated / balanced /
+    isolate cases.  One codegen projection, shuffle-free."""
+    d = _docs(spark, sf_dir)
+    t = F.concat(
+        _txt(),
+        F.when(
+            F.col("doc_id") % 23 == 1,
+            F.concat(F.lit(chr(0x202E)), F.lit("evil")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 29 == 2,
+            F.concat(F.lit(chr(0x202A)), F.lit("ok"), F.lit(chr(0x202C))),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 31 == 3,
+            F.concat(F.lit(chr(0x2066)), F.lit("iso")),
+        ).otherwise(F.lit("")),
+    )
+
+    def n_of(cp: int):
+        c = chr(cp)
+        return F.length(t) - F.length(F.replace(t, F.lit(c), F.lit("")))
+
+    push_o = sum(n_of(cp) for cp in BIDI_PUSH_OVERRIDE[1:]) + n_of(
+        BIDI_PUSH_OVERRIDE[0]
+    )
+    pop_o = n_of(BIDI_POP_OVERRIDE)
+    push_i = sum(n_of(cp) for cp in BIDI_PUSH_ISOLATE[1:]) + n_of(
+        BIDI_PUSH_ISOLATE[0]
+    )
+    pop_i = n_of(BIDI_POP_ISOLATE)
+    return d.select(
+        "doc_id",
+        push_o.alias("n_override_push"),
+        pop_o.alias("n_override_pop"),
+        push_i.alias("n_isolate_push"),
+        pop_i.alias("n_isolate_pop"),
+        (push_o + pop_o + push_i + pop_i).alias("n_bidi"),
+        ((push_o > pop_o) | (push_i > pop_i)).alias("unterminated"),
+    )
+
+
+def q_shuffle_quality(spark, sf_dir):
+    """Writer-shard mix audit: assign every doc its output shard under a
+    deterministic multiplicative hash (Knuth 2654435761 — exact BIGINT
+    arithmetic, reproducible across engines and cluster sizes, the
+    salt-free hash_sample stance), then per shard a chi-squared statistic
+    of its source distribution against the corpus distribution —
+    training-order quality control (a shard dominated by one source
+    feeds the model correlated batches; a well-mixed writer should show
+    chi2 near the df = n_sources − 1 expectation).  Zero cells are
+    materialized (shards × sources frame, left-joined counts) so the
+    statistic is the real chi2, not the nonzero-cell fragment.  Each
+    cell's term is exact-integer operands with ONE division, scaled to
+    e6 and floor(+0.5)-rounded to BIGINT before summing — the
+    vocab_coverage integer-sum idiom, so the cross-engine hash compare
+    never sees an order-dependent float sum.  (Integer products bound:
+    fine through ~10^9 rows; at the 10^12 tier compute terms in double.)
+    Three bounded hash aggregates + one broadcast-sized frame join."""
+    d = _docs(spark, sf_dir).select(
+        "source",
+        F.pmod(
+            (F.col("doc_id") * F.lit(SHUFFLEQ_MULT)) % F.lit(4294967296),
+            F.lit(SHUFFLEQ_SHARDS),
+        ).alias("shard"),
+    )
+    o = d.groupBy("shard", "source").agg(F.count(F.lit(1)).alias("o"))
+    per_shard = d.groupBy("shard").agg(F.count(F.lit(1)).alias("n_b"))
+    per_src = d.groupBy("source").agg(F.count(F.lit(1)).alias("c_s"))
+    tot = d.agg(F.count(F.lit(1)).alias("n_tot"))
+    frame = per_shard.crossJoin(F.broadcast(per_src)).crossJoin(
+        F.broadcast(tot)
+    )
+    cells = frame.join(o, ["shard", "source"], "left").select(
+        "shard",
+        "n_b",
+        F.coalesce("o", F.lit(0).cast("long")).alias("o"),
+        "c_s",
+        "n_tot",
+    )
+    num = (F.col("o") * F.col("n_tot") - F.col("n_b") * F.col("c_s"))
+    term = (num * num).cast("double") / (
+        F.col("n_b") * F.col("c_s") * F.col("n_tot")
+    ).cast("double")
+    return (
+        cells.select(
+            "shard",
+            "n_b",
+            F.floor(term * F.lit(1000000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("term_e6"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.first("n_b").alias("n_rows"),
+            F.sum("term_e6").alias("chi2_e6"),
+        )
+    )
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -11771,6 +11958,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pseudonymize": q_pseudonymize,
         "winsorized_stats": q_winsorized_stats,
         "bigram_diversity": q_bigram_diversity,
+        "levenshtein_neardup": q_levenshtein_neardup,
+        "bidi_scan": q_bidi_scan,
+        "shuffle_quality": q_shuffle_quality,
     }
 
 
@@ -15802,6 +15992,101 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_distinct,
                    count(*)::DOUBLE / sum(c)::DOUBLE AS distinct2
             FROM per GROUP BY source
+        """,
+        "levenshtein_neardup": r"""
+            WITH base AS (
+              SELECT doc_id AS id,
+                     regexp_replace(coalesce(text,''),
+                                    '[^\x20-\x7E]', '', 'g') AS t
+              FROM documents),
+            mut AS (
+              SELECT id + 100000 AS id,
+                     CASE WHEN id % 4 = 0 THEN t || ' xx'
+                          WHEN id % 4 = 1 THEN substr(t, 3)
+                          WHEN id % 4 = 2 THEN 'Z' || substr(t, 2)
+                          ELSE t END AS t
+              FROM base WHERE id % 3 = 0),
+            pool AS (
+              SELECT id, t, length(t) AS ln,
+                     length(t) // __BW__ AS bin
+              FROM (SELECT * FROM base UNION ALL SELECT * FROM mut)
+              WHERE length(t) >= __MINLEN__),
+            probe AS (
+              SELECT id, t, ln, bin, u.p_bin
+              FROM pool, unnest([bin, bin + 1]) AS u(p_bin)),
+            cand AS (
+              SELECT p.id, p.t, p.ln, p.bin,
+                     b.id AS b_id, b.t AS b_t, b.ln AS b_ln, b.bin AS b_bin
+              FROM probe p JOIN pool b ON p.p_bin = b.bin
+              WHERE ((p.bin = b.bin AND p.id < b.id) OR p.bin < b.bin)
+                AND abs(p.ln - b.ln) <= __MAXD__)
+            SELECT least(id, b_id) AS a, greatest(id, b_id) AS b,
+                   levenshtein(t, b_t)::INT AS lev
+            FROM cand WHERE levenshtein(t, b_t) <= __MAXD__
+        """.replace("__BW__", str(LEV_BIN_WIDTH))
+          .replace("__MINLEN__", str(LEV_MIN_LEN))
+          .replace("__MAXD__", str(LEV_MAX_DIST)),
+        "bidi_scan": """
+            WITH s AS (
+              SELECT doc_id,
+                coalesce(text,'')
+                || (CASE WHEN doc_id % 23 = 1
+                         THEN chr(8238) || 'evil' ELSE '' END)
+                || (CASE WHEN doc_id % 29 = 2
+                         THEN chr(8234) || 'ok' || chr(8236) ELSE '' END)
+                || (CASE WHEN doc_id % 31 = 3
+                         THEN chr(8294) || 'iso' ELSE '' END) AS t
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                (__PUSHO__)::BIGINT AS n_override_push,
+                (length(t) - length(replace(t, chr(8236), '')))::BIGINT
+                  AS n_override_pop,
+                (__PUSHI__)::BIGINT AS n_isolate_push,
+                (length(t) - length(replace(t, chr(8297), '')))::BIGINT
+                  AS n_isolate_pop
+              FROM s)
+            SELECT doc_id, n_override_push, n_override_pop,
+                   n_isolate_push, n_isolate_pop,
+                   (n_override_push + n_override_pop + n_isolate_push
+                    + n_isolate_pop)::BIGINT AS n_bidi,
+                   (n_override_push > n_override_pop
+                    OR n_isolate_push > n_isolate_pop) AS unterminated
+            FROM c
+        """.replace("__PUSHO__", " + ".join(
+            f"(length(t) - length(replace(t, chr({cp}), '')))"
+            for cp in BIDI_PUSH_OVERRIDE))
+          .replace("__PUSHI__", " + ".join(
+            f"(length(t) - length(replace(t, chr({cp}), '')))"
+            for cp in BIDI_PUSH_ISOLATE)),
+        "shuffle_quality": f"""
+            WITH d AS (
+              SELECT source,
+                     ((doc_id * {SHUFFLEQ_MULT}) % 4294967296)
+                       % {SHUFFLEQ_SHARDS} AS shard
+              FROM documents),
+            o AS (SELECT shard, source, count(*)::BIGINT AS o
+                  FROM d GROUP BY shard, source),
+            nb AS (SELECT shard, count(*)::BIGINT AS n_b
+                   FROM d GROUP BY shard),
+            cs AS (SELECT source, count(*)::BIGINT AS c_s
+                   FROM d GROUP BY source),
+            tot AS (SELECT count(*)::BIGINT AS n_tot FROM d),
+            cells AS (
+              SELECT nb.shard, nb.n_b, cs.source, cs.c_s, tot.n_tot,
+                     coalesce(o.o, 0)::BIGINT AS o
+              FROM nb CROSS JOIN cs CROSS JOIN tot
+              LEFT JOIN o ON o.shard = nb.shard AND o.source = cs.source),
+            terms AS (
+              SELECT shard, n_b,
+                floor(((o * n_tot - n_b * c_s) * (o * n_tot - n_b * c_s))
+                        ::DOUBLE
+                      / (n_b * c_s * n_tot)::DOUBLE
+                      * 1000000.0 + 0.5)::BIGINT AS term_e6
+              FROM cells)
+            SELECT shard, min(n_b)::BIGINT AS n_rows,
+                   sum(term_e6)::BIGINT AS chi2_e6
+            FROM terms GROUP BY shard
         """,
     }
     sqls["unicode_nfc"] = """

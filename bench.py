@@ -363,6 +363,9 @@ def run_benchmarks() -> dict:
         "pseudonymize",
         "winsorized_stats",
         "bigram_diversity",
+        "levenshtein_neardup",
+        "bidi_scan",
+        "shuffle_quality",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

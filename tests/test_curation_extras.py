@@ -153,3 +153,61 @@ def test_truncation_scan_plan_is_shuffle_free(spark):
     )
     assert "Exchange" not in plan  # pure projection: scan-parallel
     assert "Python" not in plan    # codegen only, no UDF stage
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_levenshtein_neardup_planted_mutants(spark):
+    pairs = {
+        (r["a"], r["b"]): r["lev"]
+        for r in entry.q_levenshtein_neardup(spark, SF).collect()
+    }
+    assert pairs  # the planted mutants guarantee hits
+    # every planted (id, id+100000) pair that survives the length filter
+    # must be found at the branch's known distance bound
+    bound = {0: 3, 1: 2, 2: 1, 3: 0}  # append ' xx' / drop 2 / sub 1 / exact
+    found_planted = 0
+    for (a, b), lev in pairs.items():
+        if b == a + 100000 and a % 3 == 0:
+            assert lev <= bound[a % 4], (a, lev)
+            found_planted += 1
+    assert found_planted > 20
+    assert all(lev <= 5 for lev in pairs.values())
+
+
+def test_bidi_scan_stamped_branches(spark):
+    got = {
+        r["doc_id"]: r.asDict() for r in entry.q_bidi_scan(spark, SF).collect()
+    }
+    # doc 24 (%23==1): RLO + 'evil', never popped -> unterminated
+    assert got[24]["n_override_push"] == 1 and got[24]["n_override_pop"] == 0
+    assert got[24]["unterminated"]
+    # doc 60 (%29==2, no other stamp): balanced LRE..PDF -> clean
+    assert got[60]["n_override_push"] == 1 and got[60]["n_override_pop"] == 1
+    assert not got[60]["unterminated"]
+    # doc 65 (%31==3, no other stamp): LRI never popped -> unterminated
+    assert got[65]["n_isolate_push"] == 1 and got[65]["n_isolate_pop"] == 0
+    assert got[65]["unterminated"]
+    # an unstamped ASCII doc carries zero bidi controls
+    assert got[5]["n_bidi"] == 0 and not got[5]["unterminated"]
+
+
+def test_shuffle_quality_partition_and_bounds(spark):
+    rows = entry.q_shuffle_quality(spark, SF).collect()
+    assert len(rows) == 16
+    assert sum(r["n_rows"] for r in rows) == 500
+    for r in rows:
+        assert r["chi2_e6"] >= 0
+        assert r["n_rows"] > 0
+
+
+def test_bidi_scan_plan_is_shuffle_free(spark):
+    plan = (
+        entry.q_bidi_scan(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan
