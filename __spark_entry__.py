@@ -11672,6 +11672,152 @@ def q_shuffle_quality(spark, sf_dir):
     )
 
 
+ROUGEL_MAX_TOKS = 256   # per-side token cap bounds the O(n·m) LCS DP
+SEMLEAK_TAU = 0.999     # cosine floor for a semantic-leak verdict
+SEMLEAK_PLANT = 100000  # planted-leak id offset
+SEMLEAK_CTRL = 200000   # non-leak control id offset
+
+
+def q_response_rouge_l(spark, sf_dir):
+    """ROUGE-L response extractiveness: LCS-based recall/precision/F1 of
+    each assistant turn against its prompt (Lin 2004's sequence channel
+    — catches in-ORDER lifting that the ROUGE-1/2 multiset channels
+    miss and is immune to the reordering that inflates them).  Pairing
+    is the response_rouge lead() idiom; tokens are capped at 256/side so
+    the per-pair DP cost is bounded by design.  The LCS kernel
+    (ops/text.lcs_len_np) is a vectorized row DP inside ONE Arrow
+    mapInPandas stage — property-tested equal to the classic 2-D DP
+    twin (oracle.lcs_len_py).  Rows-only: LCS is not SQL-expressible;
+    evidence is the kernel twin + crafted goldens."""
+    from pyspark.sql import types as T
+
+    from qamd_spark.ops.text import lcs_len_np
+
+    d = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 97).cast("long").alias("conv"),
+        F.floor(F.col("doc_id") / 97).cast("long").alias("turn_idx"),
+        _txt().alias("t"),
+    )
+    w = Window.partitionBy("conv").orderBy("turn_idx")
+    toks = lambda c: F.slice(  # noqa: E731
+        F.filter(F.split(F.lower(c), r"\s+", -1), lambda x: x != ""),
+        1,
+        ROUGEL_MAX_TOKS,
+    )
+    pairs = (
+        d.select("conv", "turn_idx", "t", F.lead("t", 1).over(w).alias("resp"))
+        .where((F.col("turn_idx") % 2 == 0) & F.col("resp").isNotNull())
+        .select("conv", "turn_idx", toks(F.col("t")).alias("pa"),
+                toks(F.col("resp")).alias("pb"))
+    )
+    schema = T.StructType(
+        [
+            T.StructField("conv", T.LongType()),
+            T.StructField("turn_idx", T.LongType()),
+            T.StructField("n_prompt", T.IntegerType()),
+            T.StructField("n_resp", T.IntegerType()),
+            T.StructField("lcs", T.IntegerType()),
+            T.StructField("rouge_l_f1", T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("conv", "turn_idx", "n_prompt", "n_resp", "lcs",
+                    "rouge_l_f1")}
+            for conv, ti, pa, pb in zip(
+                pdf["conv"], pdf["turn_idx"], pdf["pa"], pdf["pb"]
+            ):
+                a = list(pa) if pa is not None else []
+                b = list(pb) if pb is not None else []
+                l = lcs_len_np(a, b)
+                out["conv"].append(conv)
+                out["turn_idx"].append(ti)
+                out["n_prompt"].append(len(a))
+                out["n_resp"].append(len(b))
+                out["lcs"].append(l)
+                out["rouge_l_f1"].append(
+                    (2.0 * l) / (len(a) + len(b)) if (a and b) else 0.0
+                )
+            yield pd.DataFrame(out)
+
+    return pairs.mapInPandas(run, schema=schema)
+
+
+def q_split_leakage_semantic(spark, sf_dir):
+    """Embedding-space cross-split contamination (ops/similarity.
+    cross_set_leakage): the semantic complement of split_leakage's
+    lexical keys — a paraphrased or re-embedded eval item leaks with
+    zero shared text but cosine ≈ 1.  Probe set = planted exact copies
+    of train vectors (vec_id%19==0, +100000 — true leaks the detector
+    MUST find: identical vectors share every LSH table's signature, so
+    exact-dup recall is 1 by construction) plus reversed-vector controls
+    (vec_id%19==7, +200000 — cosine far below τ, must NOT match).
+    Direct (tbl, sig) bucket join, exact-cosine verify at τ=0.999,
+    best-match per probe.  Rows-only: LSH bucketing is not
+    SQL-expressible; evidence is the planted-recall/control pytest."""
+    from qamd_spark.ops import similarity as sim
+
+    emb = _emb(spark, sf_dir)
+    planted = emb.filter(F.col("vec_id") % 19 == 0).select(
+        (F.col("vec_id") + SEMLEAK_PLANT).alias("vec_id"), "embedding"
+    )
+    controls = emb.filter(F.col("vec_id") % 19 == 7).select(
+        (F.col("vec_id") + SEMLEAK_CTRL).alias("vec_id"),
+        F.reverse("embedding").alias("embedding"),
+    )
+    probe = planted.unionByName(controls)
+    out = sim.cross_set_leakage(
+        emb, probe, threshold=SEMLEAK_TAU, bits=4, n_tables=16, dim=64
+    )
+    return out.select("probe_id", "train_id", F.round("sim", 9).alias("sim"))
+
+
+def q_json_keys_profile(spark, sf_dir):
+    """Semi-structured schema audit over the events props column: key
+    presence counts and rates after deterministic enrichment (extra
+    keys stamped by event_id arithmetic, mirrored in the twin, so the
+    profile sees a heterogeneous document set — the schema-inference /
+    drift check run before trusting spark.read.json's sampled schema).
+    json_object_keys is JVM-side; one explode + one partial+final hash
+    aggregate on a tiny key space + broadcast total join."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k")
+    stamped = F.concat(
+        F.lit('{"k": '),
+        F.coalesce(k, F.lit("null")),
+        F.when(F.col("event_id") % 3 == 0, F.lit(', "tag": "a"')).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("event_id") % 5 == 1, F.lit(', "arr": [1, 2]')).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            F.col("event_id") % 7 == 2, F.lit(', "nested": {"x": 1}')
+        ).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    keys = ev.select(
+        F.explode(F.json_object_keys(stamped)).alias("key")
+    )
+    tot = ev.agg(F.count(F.lit(1)).alias("n_tot"))
+    return (
+        keys.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_present"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "n_present",
+            (
+                F.col("n_present").cast("double") / F.col("n_tot").cast("double")
+            ).alias("presence_rate"),
+        )
+    )
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -11961,6 +12107,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "levenshtein_neardup": q_levenshtein_neardup,
         "bidi_scan": q_bidi_scan,
         "shuffle_quality": q_shuffle_quality,
+        "response_rouge_l": q_response_rouge_l,
+        "split_leakage_semantic": q_split_leakage_semantic,
+        "json_keys_profile": q_json_keys_profile,
     }
 
 
@@ -16087,6 +16236,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT shard, min(n_b)::BIGINT AS n_rows,
                    sum(term_e6)::BIGINT AS chi2_e6
             FROM terms GROUP BY shard
+        """,
+        "json_keys_profile": """
+            WITH s AS (
+              SELECT event_id,
+                '{"k": ' || coalesce(json_extract_string(props, '$.k'),
+                                     'null')
+                || (CASE WHEN event_id % 3 = 0
+                         THEN ', "tag": "a"' ELSE '' END)
+                || (CASE WHEN event_id % 5 = 1
+                         THEN ', "arr": [1, 2]' ELSE '' END)
+                || (CASE WHEN event_id % 7 = 2
+                         THEN ', "nested": {"x": 1}' ELSE '' END)
+                || '}' AS j
+              FROM events),
+            k AS (SELECT u.key FROM s, unnest(json_keys(j)) AS u(key)),
+            tot AS (SELECT count(*)::BIGINT AS n_tot FROM s)
+            SELECT key, count(*)::BIGINT AS n_present,
+                   count(*)::DOUBLE / n_tot::DOUBLE AS presence_rate
+            FROM k, tot GROUP BY key, n_tot
         """,
     }
     sqls["unicode_nfc"] = """

@@ -366,6 +366,9 @@ def run_benchmarks() -> dict:
         "levenshtein_neardup",
         "bidi_scan",
         "shuffle_quality",
+        "response_rouge_l",
+        "split_leakage_semantic",
+        "json_keys_profile",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

@@ -839,3 +839,23 @@ def cdc_chunks_pdf(pdf, min_size: int = 16, max_size: int = 256,
          "chunk_hash": np.asarray(rhash, dtype=np.int64),
          "chunk_len": np.asarray(rlen, dtype=np.int64)}
     )
+
+
+def lcs_len_py(a_toks, b_toks) -> int:
+    """Classic 2-D LCS DP — the independent twin of ops.text.lcs_len_np
+    (pure Python, no numpy tricks; quadratic memory is fine at twin
+    scale)."""
+    n, m = len(a_toks), len(b_toks)
+    if n == 0 or m == 0:
+        return 0
+    prev = [0] * (m + 1)
+    for i in range(1, n + 1):
+        cur = [0] * (m + 1)
+        ai = a_toks[i - 1]
+        for j in range(1, m + 1):
+            if ai == b_toks[j - 1]:
+                cur[j] = prev[j - 1] + 1
+            else:
+                cur[j] = max(prev[j], cur[j - 1])
+        prev = cur
+    return prev[m]

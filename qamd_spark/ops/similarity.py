@@ -1074,3 +1074,52 @@ def procrustes_apply(
             )
 
     return pairs.select(id_col, old_col, new_col).mapInPandas(run, schema=schema)
+
+
+def cross_set_leakage(
+    train: DataFrame,
+    probe: DataFrame,
+    threshold: float = 0.999,
+    bits: int = 4,
+    n_tables: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic cross-set contamination: for each probe vector (an eval
+    candidate), its best train-side match with exact cosine >= threshold,
+    candidates from a direct (tbl, sig) bucket equi-join of both sides'
+    LSH signatures under SHARED hyperplanes.
+
+    Unlike lsh_neardup_pairs' min-per-bucket resolution, the probe side
+    joins every train member of its buckets — recall for EXACT
+    duplicates is 1 by construction (identical vectors share every
+    table's signature), which is the guarantee a leak detector needs.
+    Bucket sizes bound the candidate fan-out (AQE splits hot buckets);
+    verification is the exact JVM-fold cosine, ties broken to the
+    smallest train id.  At 100 TB the probe side is the small relation
+    (an eval release), so the join broadcasts it naturally.
+    """
+    planes = _all_hyperplanes(dim, bits, n_tables)
+    tb = train.select(F.col(id_col).alias("_tid"), _as_double(vec_col).alias("_te"))
+    pv = probe.select(F.col(id_col).alias("_pid"), _as_double(vec_col).alias("_pe"))
+    tsig = lsh_signatures(tb, planes, "_tid", "_te", "_tid")
+    psig = lsh_signatures(pv, planes, "_pid", "_pe", "_pid")
+    cand = (
+        psig.join(tsig, ["tbl", "sig"])
+        .select("_pid", "_tid")
+        .dropDuplicates(["_pid", "_tid"])
+    )
+    cand = cand.join(pv, "_pid").join(tb, "_tid")
+    sim = _dot("_pe", "_te") / (_norm("_pe") * _norm("_te"))
+    verified = cand.select("_pid", "_tid", sim.alias("sim")).filter(
+        F.col("sim") >= F.lit(float(threshold))
+    )
+    best = verified.groupBy("_pid").agg(
+        F.max(F.struct(F.col("sim"), (-F.col("_tid")).alias("_nt"))).alias("_m")
+    )
+    return best.select(
+        F.col("_pid").alias("probe_id"),
+        (-F.col("_m._nt")).alias("train_id"),
+        F.col("_m.sim").alias("sim"),
+    )

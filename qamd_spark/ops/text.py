@@ -879,3 +879,37 @@ def compression_profile_pdf(pdf, id_col="doc_id", text_col="text",
     )
     out["ratio"] = [(c / b) if b > 0 else None for b, c in zip(nb, nc)]
     return out
+
+
+# ----------------------------------------------------------- ROUGE-L kernel
+def lcs_len_np(a_toks, b_toks) -> int:
+    """Length of the longest common subsequence of two token lists.
+
+    Vectorized row DP: tokens are factorized to int ids, then per
+    a-token one numpy pass over b — cand[j] = max(old[j], old[j-1] +
+    eq[j]) followed by a running max (new[j] = max(cand[j], new[j-1]),
+    base 0, so np.maximum.accumulate IS the recurrence, exactly).
+    O(|a|·|b|) work, O(|b|) memory, no Python inner loop.  Exactness vs
+    the classic 2-D DP is property-tested (oracle.lcs_len_py)."""
+    import numpy as np
+
+    if not a_toks or not b_toks:
+        return 0
+    vocab: dict = {}
+    A = np.fromiter(
+        (vocab.setdefault(t, len(vocab)) for t in a_toks),
+        dtype=np.int64,
+        count=len(a_toks),
+    )
+    B = np.fromiter(
+        (vocab.setdefault(t, len(vocab)) for t in b_toks),
+        dtype=np.int64,
+        count=len(b_toks),
+    )
+    dp = np.zeros(len(B) + 1, dtype=np.int32)
+    for x in A:
+        eq = (B == x).astype(np.int32)
+        cand = np.maximum(dp[1:], dp[:-1] + eq)
+        np.maximum.accumulate(cand, out=cand)
+        dp[1:] = cand
+    return int(dp[-1])

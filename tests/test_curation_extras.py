@@ -211,3 +211,66 @@ def test_bidi_scan_plan_is_shuffle_free(spark):
     )
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_lcs_kernel_matches_classic_dp():
+    import random
+
+    from oracle.oracle import lcs_len_py
+    from qamd_spark.ops.text import lcs_len_np
+
+    rng = random.Random(7)
+    for _ in range(300):
+        a = [rng.choice("abcdef") for _ in range(rng.randint(0, 40))]
+        b = [rng.choice("abcdef") for _ in range(rng.randint(0, 40))]
+        assert lcs_len_np(a, b) == lcs_len_py(a, b), (a, b)
+    # goldens
+    assert lcs_len_np([], ["a"]) == 0
+    assert lcs_len_np(list("abcbdab"), list("bdcaba")) == 4  # CLRS example
+    assert lcs_len_np(["x"] * 5, ["x"] * 3) == 3
+
+
+def test_response_rouge_l_crafted_pair(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("rougel"))
+    # doc_id 0 -> (conv 0, turn 0) prompt; doc_id 97 -> (conv 0, turn 1)
+    _write_docs(
+        spark,
+        d,
+        [
+            (0, "the quick brown fox", "user"),
+            (97, "the brown fox jumps", "assistant"),
+        ],
+    )
+    [r] = entry.q_response_rouge_l(spark, d).collect()
+    assert (r["conv"], r["turn_idx"]) == (0, 0)
+    assert r["n_prompt"] == 4 and r["n_resp"] == 4
+    assert r["lcs"] == 3  # the, brown, fox (in order)
+    assert r["rouge_l_f1"] == 2 * 3 / 8
+
+
+def test_response_rouge_l_bounds(spark):
+    for r in entry.q_response_rouge_l(spark, SF).collect():
+        assert 0 <= r["lcs"] <= min(r["n_prompt"], r["n_resp"])
+        assert 0.0 <= r["rouge_l_f1"] <= 1.0
+
+
+def test_split_leakage_semantic_planted_recall_and_controls(spark):
+    rows = entry.q_split_leakage_semantic(spark, SF).collect()
+    found = {r["probe_id"]: r for r in rows}
+    import duckdb
+
+    ids = [
+        v
+        for (v,) in duckdb.sql(
+            f"SELECT vec_id FROM '{SF}/embeddings.parquet'"
+        ).fetchall()
+    ]
+    planted = {v + 100000 for v in ids if v % 19 == 0}
+    controls = {v + 200000 for v in ids if v % 19 == 7}
+    # every planted exact copy is found (LSH exact-dup recall = 1) ...
+    assert set(found) == planted
+    # ... no reversed control sneaks past the cosine floor
+    assert not (set(found) & controls)
+    for pid, r in found.items():
+        assert r["sim"] >= 0.999
+        assert r["train_id"] in ids
