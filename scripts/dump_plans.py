@@ -746,6 +746,52 @@ def main() -> None:
                 k=10,
             ),
         ),
+        (
+            "char_entropy",
+            "Codepoint explode feeding TWO stacked partial+final hash "
+            "aggregates — the (doc, ch) key is alphabet-bounded per doc "
+            "so the first shuffle carries pre-aggregated rows; the "
+            "left join back to the doc list is by unique doc_id (no "
+            "skew).",
+            E.q_char_entropy(spark, SF),
+        ),
+        (
+            "levenshtein_neardup",
+            "Length-banded candidate join: probe explodes {bin, bin+1} "
+            "and the asymmetric keep rule emits each pair exactly once "
+            "(no dropDuplicates exchange); levenshtein runs only on "
+            "candidates that already passed the |Δlen| gate.",
+            E.q_levenshtein_neardup(spark, SF),
+        ),
+        (
+            "shuffle_quality",
+            "Three bounded hash aggregates off one scan + a broadcast "
+            "shards×sources frame join; chi2 terms are e6-scaled "
+            "BIGINTs so the final per-shard sum is order-free exact.",
+            E.q_shuffle_quality(spark, SF),
+        ),
+        (
+            "winsorized_stats",
+            "Per-source rank window (bounded by the group, the "
+            "percentile_profile precedent), broadcast bounds join back, "
+            "exact integer clamp-sum + one division.",
+            E.q_winsorized_stats(spark, SF),
+        ),
+        (
+            "response_rouge_l",
+            "lead()-paired turns (one Exchange on conv), then ONE Arrow "
+            "MapInPandas carrying the capped LCS DP — no second "
+            "shuffle, no driver loop.",
+            E.q_response_rouge_l(spark, SF),
+        ),
+        (
+            "split_leakage_semantic",
+            "Two signature MapInPandas stages under shared hyperplanes, "
+            "direct (tbl, sig) equi-join (probe side small → broadcast "
+            "at scale), exact-cosine verify, best-match partial+final "
+            "aggregate.",
+            E.q_split_leakage_semantic(spark, SF),
+        ),
     ]
     out = [
         "# PLANS.md — physical plans of the scale-critical paths",
