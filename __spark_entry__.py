@@ -11286,8 +11286,11 @@ def q_truncation_scan(spark, sf_dir):
     no_term = (t != "") & (~last_ch.isin(TERMINAL_CHARS))
     dangling = last_tok.isin(DANGLING_WORDS)
     open_fence = (n_fence % 2) == 1
-    truncated = no_term & (
-        dangling | open_fence | (F.length(t) >= TRUNC_MIN_CHARS)
+    # an unclosed fence is truncation evidence on its own: a cut at
+    # "...: ```" ends in a backtick (a TERMINAL_CHAR), so gating the
+    # fence signal behind no_term would blind it exactly there
+    truncated = open_fence | (
+        no_term & (dangling | (F.length(t) >= TRUNC_MIN_CHARS))
     )
     return _docs(spark, sf_dir).select(
         "doc_id",
@@ -11486,6 +11489,13 @@ def q_bigram_diversity(spark, sf_dir):
 
 
 LEV_MAX_DIST = 5        # max edit distance for a near-dup verdict
+
+
+def _nchar(col: str, ch: str):
+    """Occurrences of a literal char — a levenshtein lower-bound gate."""
+    return F.length(F.col(col)) - F.length(
+        F.replace(F.col(col), F.lit(ch), F.lit(""))
+    )
 LEV_MIN_LEN = 20        # skip shorties (empty/near-empty texts pair up
                         # quadratically and carry no dedup signal)
 LEV_BIN_WIDTH = 8       # length-band width; > LEV_MAX_DIST so candidates
@@ -11513,8 +11523,11 @@ def q_levenshtein_neardup(spark, sf_dir):
     plant true positives at known distances.  |len diff| ≤ 5 < bin
     width 8 proves adjacent bins suffice (no missed pairs); per-bin
     candidate sets are bounded by the length histogram, the join is a
-    shuffle equi-join on bin (AQE-splittable), and levenshtein runs
-    only on candidates."""
+    shuffle equi-join on bin (AQE-splittable).  Candidates then pass
+    counting-filter gates (levenshtein >= any per-char count diff —
+    space and 'e' counts here) before a THRESHOLD-capped banded DP
+    (O(len·k) vs O(len²)); both prunes are exact, so recall is
+    unchanged and the uncapped DuckDB twin stays value-identical."""
     t = F.regexp_replace(_txt(), r"[^\x20-\x7E]", "")
     base = _docs(spark, sf_dir).select(
         F.col("doc_id").alias("id"), t.alias("t")
@@ -11544,16 +11557,31 @@ def q_levenshtein_neardup(spark, sf_dir):
         "id", "t", "ln", "bin",
         F.explode(F.array(F.col("bin"), F.col("bin") + 1)).alias("p_bin"),
     )
+    # counting-filter gates: levenshtein >= |count_c(a) - count_c(b)| for
+    # ANY char c, so cheap per-char count diffs prune the same-band
+    # word-salad pairs BEFORE the DP (without them the sf0.1 bench spent
+    # 399 s verifying ~10^6 candidates that could never pass)
     cand = probe.join(build, F.col("p_bin") == F.col("b_bin")).filter(
         (
             ((F.col("bin") == F.col("b_bin")) & (F.col("id") < F.col("b_id")))
             | (F.col("bin") < F.col("b_bin"))
         )
         & (F.abs(F.col("ln") - F.col("b_ln")) <= LEV_MAX_DIST)
+        & (
+            F.abs(_nchar("t", " ") - _nchar("b_t", " ")) <= LEV_MAX_DIST
+        )
+        & (
+            F.abs(_nchar("t", "e") - _nchar("b_t", "e")) <= LEV_MAX_DIST
+        )
     )
+    # banded DP: threshold-capped levenshtein is O(len·k), returns -1
+    # above the cap — values <= cap are the plain distance, so the
+    # DuckDB twin's uncapped levenshtein filter is value-identical
     return (
-        cand.withColumn("lev", F.levenshtein("t", "b_t"))
-        .filter(F.col("lev") <= LEV_MAX_DIST)
+        cand.withColumn(
+            "lev", F.levenshtein("t", "b_t", LEV_MAX_DIST)
+        )
+        .filter((F.col("lev") >= 0) & (F.col("lev") <= LEV_MAX_DIST))
         .select(
             F.least("id", "b_id").alias("a"),
             F.greatest("id", "b_id").alias("b"),
@@ -11595,13 +11623,9 @@ def q_bidi_scan(spark, sf_dir):
         c = chr(cp)
         return F.length(t) - F.length(F.replace(t, F.lit(c), F.lit("")))
 
-    push_o = sum(n_of(cp) for cp in BIDI_PUSH_OVERRIDE[1:]) + n_of(
-        BIDI_PUSH_OVERRIDE[0]
-    )
+    push_o = sum(n_of(cp) for cp in BIDI_PUSH_OVERRIDE)
     pop_o = n_of(BIDI_POP_OVERRIDE)
-    push_i = sum(n_of(cp) for cp in BIDI_PUSH_ISOLATE[1:]) + n_of(
-        BIDI_PUSH_ISOLATE[0]
-    )
+    push_i = sum(n_of(cp) for cp in BIDI_PUSH_ISOLATE)
     pop_i = n_of(BIDI_POP_ISOLATE)
     return d.select(
         "doc_id",
@@ -11625,17 +11649,21 @@ def q_shuffle_quality(spark, sf_dir):
     chi2 near the df = n_sources − 1 expectation).  Zero cells are
     materialized (shards × sources frame, left-joined counts) so the
     statistic is the real chi2, not the nonzero-cell fragment.  Each
-    cell's term is exact-integer operands with ONE division, scaled to
-    e6 and floor(+0.5)-rounded to BIGINT before summing — the
-    vocab_coverage integer-sum idiom, so the cross-engine hash compare
-    never sees an order-dependent float sum.  (Integer products bound:
-    fine through ~10^9 rows; at the 10^12 tier compute terms in double.)
-    Three bounded hash aggregates + one broadcast-sized frame join."""
+    cell's numerator is an exact BIGINT difference cast to double before
+    squaring (an int64 square would wrap on exactly the badly-mixed
+    shards the audit detects), ONE division, then e6-scaled
+    floor(+0.5)-rounded to BIGINT before summing — the vocab_coverage
+    integer-sum idiom, so the cross-engine hash compare never sees an
+    order-dependent float sum.  Three bounded hash aggregates + one
+    broadcast-sized frame join."""
+    # shard from the HIGH bits of the 32-bit multiplicative hash —
+    # (x*K) % 2^32 % 16 would be the identity on doc_id % 16 (K is odd,
+    # K % 16 == 1): low bits of a multiplicative hash don't mix
     d = _docs(spark, sf_dir).select(
         "source",
-        F.pmod(
-            (F.col("doc_id") * F.lit(SHUFFLEQ_MULT)) % F.lit(4294967296),
-            F.lit(SHUFFLEQ_SHARDS),
+        F.expr(
+            f"((doc_id * {SHUFFLEQ_MULT}) % 4294967296) div "
+            f"{4294967296 // SHUFFLEQ_SHARDS}"
         ).alias("shard"),
     )
     o = d.groupBy("shard", "source").agg(F.count(F.lit(1)).alias("o"))
@@ -11652,10 +11680,17 @@ def q_shuffle_quality(spark, sf_dir):
         "c_s",
         "n_tot",
     )
-    num = (F.col("o") * F.col("n_tot") - F.col("n_b") * F.col("c_s"))
-    term = (num * num).cast("double") / (
-        F.col("n_b") * F.col("c_s") * F.col("n_tot")
+    # num is an exact BIGINT; square in DOUBLE (num*num would wrap int64
+    # around ~2e5 skewed rows — exactly the condition being detected)
+    num = (
+        F.col("o") * F.col("n_tot") - F.col("n_b") * F.col("c_s")
     ).cast("double")
+    den = (
+        F.col("n_b").cast("double")
+        * F.col("c_s").cast("double")
+        * F.col("n_tot").cast("double")
+    )
+    term = (num * num) / den
     return (
         cells.select(
             "shard",
@@ -11785,10 +11820,22 @@ def q_json_keys_profile(spark, sf_dir):
     json_object_keys is JVM-side; one explode + one partial+final hash
     aggregate on a tiny key space + broadcast total join."""
     ev = _events(spark, sf_dir)
+    # re-emit k as a QUOTED, escaped JSON string: get_json_object returns
+    # raw unquoted values, so splicing them back verbatim would produce
+    # malformed JSON the moment k is non-numeric (Spark would silently
+    # drop the row, DuckDB would raise — a gate-blind divergence)
     k = F.get_json_object("props", "$.k")
+    esc = F.replace(
+        F.replace(k, F.lit("\\"), F.lit("\\\\")),
+        F.lit('"'),
+        F.lit('\\"'),
+    )
+    kpart = F.when(k.isNull(), F.lit('"k": null')).otherwise(
+        F.concat(F.lit('"k": "'), esc, F.lit('"'))
+    )
     stamped = F.concat(
-        F.lit('{"k": '),
-        F.coalesce(k, F.lit("null")),
+        F.lit("{"),
+        kpart,
         F.when(F.col("event_id") % 3 == 0, F.lit(', "tag": "a"')).otherwise(
             F.lit("")
         ),
@@ -16032,9 +16079,10 @@ def oracle_sql() -> dict[str, str]:
               (n_fence % 2 = 1) AS open_fence,
               (n_open <> n_close) AS unbalanced_paren,
               list_contains(__DANG__, last_tok) AS dangling_word,
-              ((t <> '' AND NOT list_contains(__TERM__, last_ch)) AND
-               (list_contains(__DANG__, last_tok) OR n_fence % 2 = 1
-                OR length(t) >= __MINLEN__)) AS truncated
+              (n_fence % 2 = 1 OR
+               ((t <> '' AND NOT list_contains(__TERM__, last_ch)) AND
+                (list_contains(__DANG__, last_tok)
+                 OR length(t) >= __MINLEN__))) AS truncated
             FROM f
         """.replace("__TERM__", _sql_list(
             c.replace("'", "''") for c in TERMINAL_CHARS))
@@ -16168,7 +16216,13 @@ def oracle_sql() -> dict[str, str]:
                      b.id AS b_id, b.t AS b_t, b.ln AS b_ln, b.bin AS b_bin
               FROM probe p JOIN pool b ON p.p_bin = b.bin
               WHERE ((p.bin = b.bin AND p.id < b.id) OR p.bin < b.bin)
-                AND abs(p.ln - b.ln) <= __MAXD__)
+                AND abs(p.ln - b.ln) <= __MAXD__
+                AND abs((length(p.t) - length(replace(p.t, ' ', '')))
+                      - (length(b.t) - length(replace(b.t, ' ', ''))))
+                    <= __MAXD__
+                AND abs((length(p.t) - length(replace(p.t, 'e', '')))
+                      - (length(b.t) - length(replace(b.t, 'e', ''))))
+                    <= __MAXD__)
             SELECT least(id, b_id) AS a, greatest(id, b_id) AS b,
                    levenshtein(t, b_t)::INT AS lev
             FROM cand WHERE levenshtein(t, b_t) <= __MAXD__
@@ -16212,7 +16266,7 @@ def oracle_sql() -> dict[str, str]:
             WITH d AS (
               SELECT source,
                      ((doc_id * {SHUFFLEQ_MULT}) % 4294967296)
-                       % {SHUFFLEQ_SHARDS} AS shard
+                       // {4294967296 // SHUFFLEQ_SHARDS} AS shard
               FROM documents),
             o AS (SELECT shard, source, count(*)::BIGINT AS o
                   FROM d GROUP BY shard, source),
@@ -16228,9 +16282,9 @@ def oracle_sql() -> dict[str, str]:
               LEFT JOIN o ON o.shard = nb.shard AND o.source = cs.source),
             terms AS (
               SELECT shard, n_b,
-                floor(((o * n_tot - n_b * c_s) * (o * n_tot - n_b * c_s))
-                        ::DOUBLE
-                      / (n_b * c_s * n_tot)::DOUBLE
+                floor(((o * n_tot - n_b * c_s)::DOUBLE
+                       * (o * n_tot - n_b * c_s)::DOUBLE)
+                      / (n_b::DOUBLE * c_s::DOUBLE * n_tot::DOUBLE)
                       * 1000000.0 + 0.5)::BIGINT AS term_e6
               FROM cells)
             SELECT shard, min(n_b)::BIGINT AS n_rows,
@@ -16240,8 +16294,14 @@ def oracle_sql() -> dict[str, str]:
         "json_keys_profile": """
             WITH s AS (
               SELECT event_id,
-                '{"k": ' || coalesce(json_extract_string(props, '$.k'),
-                                     'null')
+                '{' || (CASE WHEN json_extract_string(props, '$.k')
+                               IS NULL
+                        THEN '"k": null'
+                        ELSE '"k": "' ||
+                          replace(replace(
+                            json_extract_string(props, '$.k'),
+                            '\\', '\\\\'), '"', '\\"')
+                          || '"' END)
                 || (CASE WHEN event_id % 3 = 0
                          THEN ', "tag": "a"' ELSE '' END)
                 || (CASE WHEN event_id % 5 = 1

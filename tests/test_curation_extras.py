@@ -39,6 +39,7 @@ def crafted(spark, tmp_path_factory):
             (49, "stopped mid sentence with", "s1"),   # no terminal char
             (94, "a clean full sentence.", "s1"),      # terminal '.'
             (56, "see the code ```python", "s1"),      # open fence
+            (59, "here is the fix: ```", "s1"),        # cut AT the fence
             (64, "mismatched ( parens here.", "s1"),   # unbalanced
         ],
     )
@@ -72,6 +73,10 @@ def test_truncation_scan_branches(spark, crafted):
     assert not got[94]["no_terminal"] and not got[94]["truncated"]
     # 56: one ``` -> open fence (and no terminal char)
     assert got[56]["open_fence"] and got[56]["truncated"]
+    # 59: generation cut right AT the fence — last char '`' is terminal,
+    # but the unclosed fence alone must flag truncation
+    assert got[59]["open_fence"] and not got[59]["no_terminal"]
+    assert got[59]["truncated"]
     # 64: '(' without ')' but ends '.' -> unbalanced yet not truncated
     assert got[64]["unbalanced_paren"] and not got[64]["truncated"]
 
