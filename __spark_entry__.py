@@ -11865,6 +11865,177 @@ def q_json_keys_profile(spark, sf_dir):
     )
 
 
+KNN_PURITY_K = 10       # neighbors per query for the label-purity audit
+KNN_PURITY_MOD = 25     # query sample: vec_id % 25 == 0
+
+
+def q_source_vocab_overlap(spark, sf_dir):
+    """Pairwise source-vocabulary Jaccard matrix — the domain-similarity
+    input to mixture design (two sources with near-identical vocabularies
+    are one domain for weighting purposes; mix_weights treats them as
+    independent and over-allocates).  Distinct (source, token) first, so
+    the token-keyed self-join is bounded by sources² per token (never
+    docs²) — stopwords cost 190 pairs, not a blowup; pairs with zero
+    shared tokens are absent by construction (document, don't densify:
+    at 100 TB the dense matrix is sources², the sparse result smaller).
+    Exact integer intersection/union + one division."""
+    toks = F.explode(
+        F.split(F.lower(F.trim(_txt())), r"\s+", -1)
+    ).alias("tok")
+    v = (
+        _docs(spark, sf_dir)
+        .select("source", toks)
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    sizes = v.groupBy("source").agg(F.count(F.lit(1)).alias("n_vocab"))
+    va = v.select(F.col("source").alias("source_a"), "tok")
+    vb = v.select(F.col("source").alias("source_b"), F.col("tok").alias("tok_b"))
+    inter = (
+        va.join(vb, (F.col("tok") == F.col("tok_b"))
+                & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"),
+                                     F.col("n_vocab").alias("n_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_b"),
+                                     F.col("n_vocab").alias("n_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def q_knn_label_purity(spark, sf_dir):
+    """Embedding-space label consistency: for sampled query vectors, the
+    fraction of their exact-cosine top-k neighbors sharing the query's
+    label — the supervised probe of embedding quality (a good space
+    puts same-label points together; purity near the label prior means
+    the embedding carries no signal).  The ann_cosine_topk machinery
+    (broadcast query crossJoin, fold-exact cosine, (sim desc, id) rank)
+    with labels joined in; purity is an exact integer count over k with
+    ONE division, so the gate never compares raw similarities."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    q = emb.filter(F.col("vec_id") % KNN_PURITY_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("q_label"),
+        F.col("e").alias("qe"),
+    )
+    pairs = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("qid"))
+    dot = F.aggregate(
+        F.zip_with("e", "qe", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    sim = dot / (norm("e") * norm("qe"))
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    top = (
+        pairs.select("qid", "q_label", "vec_id", "label", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_PURITY_K)
+    )
+    return top.groupBy("qid", "q_label").agg(
+        F.sum(
+            F.when(F.col("label") == F.col("q_label"), 1).otherwise(0)
+        ).alias("n_match"),
+        (
+            F.sum(
+                F.when(F.col("label") == F.col("q_label"), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("purity"),
+    )
+
+
+def q_ngram_entropy(spark, sf_dir):
+    """Per-source conditional word entropy H(w2|w1) = H(bigram) −
+    H(first word), both over the SAME bigram population — the
+    information-theoretic redundancy meter: template-looped corpora
+    have low conditional entropy (the next word is predictable) even
+    when distinct-2 counts (bigram_diversity) still look plausible.
+    One bigram count table feeds both terms (the first-word counts are
+    a rollup of it); log2 terms rounded to 6 (the char_entropy / libm
+    precedent), all counts exact integers."""
+    toks = F.split(F.lower(F.trim(_txt())), r"\s+", -1)
+    d = (
+        _docs(spark, sf_dir)
+        .select("source", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    bg = d.select(
+        "source",
+        F.explode(
+            F.zip_with(
+                F.expr("slice(toks, 1, size(toks) - 1)"),
+                F.expr("slice(toks, 2, size(toks) - 1)"),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("source", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    c2 = bg.groupBy("source", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    cd = F.col("c").cast("double")
+    h2 = c2.groupBy("source").agg(
+        F.sum("c").alias("n_bg"),
+        F.sum(cd * F.log2(cd)).alias("clogc2"),
+    )
+    c1 = c2.groupBy("source", "w1").agg(F.sum("c").alias("c1"))
+    c1d = F.col("c1").cast("double")
+    h1 = c1.groupBy("source").agg(F.sum(c1d * F.log2(c1d)).alias("clogc1"))
+    n = F.col("n_bg").cast("double")
+    return (
+        h2.join(h1, "source")
+        .select(
+            "source",
+            "n_bg",
+            F.round(F.log2(n) - F.col("clogc2") / n, 6).alias("h_bigram"),
+            F.round(F.log2(n) - F.col("clogc1") / n, 6).alias("h_first"),
+            F.round(
+                (F.log2(n) - F.col("clogc2") / n)
+                - (F.log2(n) - F.col("clogc1") / n),
+                6,
+            ).alias("cond_entropy"),
+        )
+    )
+
+
+def q_lpa_communities(spark, sf_dir):
+    """Label-propagation communities on the domain link graph
+    (ops/graph.lpa_communities) — the denser-than-connectivity grouping
+    next to q_components: one accidental cross-link merges two near-dup
+    families in components but not here.  Rows-only (iterative
+    fixpoint); evidence is the bit-exact synchronous pure-Python twin
+    (graph.lpa_py) on this exact graph plus hand-graph cases in
+    tests/test_graph.py."""
+    from qamd_spark.ops.graph import lpa_communities
+
+    return lpa_communities(_pr_edges(spark, sf_dir))
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -12157,6 +12328,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "response_rouge_l": q_response_rouge_l,
         "split_leakage_semantic": q_split_leakage_semantic,
         "json_keys_profile": q_json_keys_profile,
+        "source_vocab_overlap": q_source_vocab_overlap,
+        "knn_label_purity": q_knn_label_purity,
+        "ngram_entropy": q_ngram_entropy,
+        "lpa_communities": q_lpa_communities,
     }
 
 
@@ -16315,6 +16490,98 @@ def oracle_sql() -> dict[str, str]:
             SELECT key, count(*)::BIGINT AS n_present,
                    count(*)::DOUBLE / n_tot::DOUBLE AS presence_rate
             FROM k, tot GROUP BY key, n_tot
+        """,
+        "source_vocab_overlap": r"""
+            WITH v AS (
+              SELECT DISTINCT source, t.tok AS tok
+              FROM documents,
+                   unnest(regexp_split_to_array(
+                     lower(trim(coalesce(text,''), ' ')), '\s+')) AS t(tok)
+              WHERE t.tok <> ''),
+            sizes AS (
+              SELECT source, count(*)::BIGINT AS n_vocab
+              FROM v GROUP BY source),
+            inter AS (
+              SELECT a.source AS source_a, b.source AS source_b,
+                     count(*)::BIGINT AS n_common
+              FROM v a JOIN v b
+                ON a.tok = b.tok AND a.source < b.source
+              GROUP BY 1, 2)
+            SELECT source_a, source_b,
+                   sa.n_vocab AS n_a, sb.n_vocab AS n_b, n_common,
+                   n_common::DOUBLE
+                     / (sa.n_vocab + sb.n_vocab - n_common)::DOUBLE
+                     AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.source = source_a
+            JOIN sizes sb ON sb.source = source_b
+        """,
+        "knn_label_purity": f"""
+            WITH e AS (
+              SELECT vec_id, label, embedding::DOUBLE[] AS e
+              FROM embeddings),
+            q AS (
+              SELECT vec_id AS qid, label AS q_label, e AS qe
+              FROM e WHERE vec_id % {KNN_PURITY_MOD} = 0),
+            sims AS (
+              SELECT qid, q_label, vec_id, label,
+                     list_dot_product(e.e, q.qe)
+                       / (sqrt(list_dot_product(e.e, e.e))
+                          * sqrt(list_dot_product(q.qe, q.qe))) AS sim
+              FROM e, q WHERE e.vec_id != q.qid),
+            ranked AS (
+              SELECT qid, q_label, label,
+                     row_number() OVER (
+                       PARTITION BY qid ORDER BY sim DESC, vec_id ASC
+                     ) AS rank
+              FROM sims)
+            SELECT qid, q_label,
+                   sum(CASE WHEN label = q_label THEN 1 ELSE 0 END)::BIGINT
+                     AS n_match,
+                   sum(CASE WHEN label = q_label THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*)::DOUBLE AS purity
+            FROM ranked WHERE rank <= {KNN_PURITY_K}
+            GROUP BY qid, q_label
+        """,
+        "ngram_entropy": r"""
+            WITH arrs AS (
+              SELECT source, doc_id,
+                     regexp_split_to_array(
+                       lower(trim(coalesce(text,''), ' ')), '\s+') AS arr
+              FROM documents),
+            toks AS (
+              SELECT source, doc_id,
+                     unnest(arr) AS tok,
+                     generate_subscripts(arr, 1) AS ord
+              FROM arrs WHERE len(arr) >= 2),
+            bg AS (
+              SELECT source, tok AS w1,
+                     lead(tok) OVER (
+                       PARTITION BY source, doc_id ORDER BY ord) AS w2
+              FROM toks),
+            c2 AS (
+              SELECT source, w1, w2, count(*)::BIGINT AS c
+              FROM bg WHERE w2 IS NOT NULL GROUP BY source, w1, w2),
+            h2 AS (
+              SELECT source, sum(c)::BIGINT AS n_bg,
+                     sum(c::DOUBLE * log2(c::DOUBLE)) AS clogc2
+              FROM c2 GROUP BY source),
+            c1 AS (
+              SELECT source, w1, sum(c)::BIGINT AS c1
+              FROM c2 GROUP BY source, w1),
+            h1 AS (
+              SELECT source,
+                     sum(c1::DOUBLE * log2(c1::DOUBLE)) AS clogc1
+              FROM c1 GROUP BY source)
+            SELECT h2.source, n_bg,
+                   round(log2(n_bg::DOUBLE) - clogc2 / n_bg::DOUBLE, 6)
+                     AS h_bigram,
+                   round(log2(n_bg::DOUBLE) - clogc1 / n_bg::DOUBLE, 6)
+                     AS h_first,
+                   round((log2(n_bg::DOUBLE) - clogc2 / n_bg::DOUBLE)
+                         - (log2(n_bg::DOUBLE) - clogc1 / n_bg::DOUBLE), 6)
+                     AS cond_entropy
+            FROM h2 JOIN h1 USING (source)
         """,
     }
     sqls["unicode_nfc"] = """

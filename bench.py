@@ -369,6 +369,10 @@ def run_benchmarks() -> dict:
         "response_rouge_l",
         "split_leakage_semantic",
         "json_keys_profile",
+        "source_vocab_overlap",
+        "knn_label_purity",
+        "ngram_entropy",
+        "lpa_communities",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

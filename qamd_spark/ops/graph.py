@@ -231,3 +231,74 @@ def kcore_py(edges: list, k: int = 3) -> dict:
                 del adj[n]
                 changed = True
     return {n: len(ns) for n, ns in adj.items()}
+
+
+LPA_ITERS = 8
+
+
+def lpa_communities(edges: DataFrame, n_iters: int = LPA_ITERS) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan et al. 2007)
+    over an undirected edge table — the denser-than-connectivity
+    grouping: components joins anything touching, LPA splits a component
+    into its internally-well-connected template families (near-dup
+    clusters bridged by one accidental pair stay separate).
+
+    Deterministic by construction: labels start as node ids; each round
+    every node adopts the most frequent label among its neighbors, ties
+    broken to the SMALLEST label (max(struct(count, -label)) — exact
+    integers, so the result is partition- and engine-independent and the
+    pure-Python twin (lpa_py) matches bit-for-bit). Synchronous updates
+    can oscillate on bipartite structures, so the round count is FIXED
+    (no convergence collect): the audit wants a reproducible grouping,
+    not a fixpoint proof.
+
+    Per round: one shuffle equi-join (labels -> edges on dst) + two
+    partial+final hash aggregates; ``localCheckpoint`` truncates lineage
+    per round (the pagerank discipline). State is one row per node.
+    """
+    e = edges.selectExpr("src", "dst").where("src != dst")
+    und = (
+        e.union(e.selectExpr("dst as src", "src as dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = und.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(n_iters):
+        nbr = und.join(
+            labels.select(F.col("node").alias("dst"), "label"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        counts = nbr.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            counts.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.nl")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("label").alias("community"))
+
+
+def lpa_py(edges: list, n_iters: int = LPA_ITERS) -> dict:
+    """Pure-Python twin of lpa_communities: same init, same synchronous
+    rounds, same most-frequent-then-smallest tie-break."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    labels = {n: n for n in adj}
+    for _ in range(n_iters):
+        new = {}
+        for n, nbrs in adj.items():
+            cnt = Counter(labels[v] for v in nbrs)
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        labels = new
+    return labels

@@ -279,3 +279,54 @@ def test_split_leakage_semantic_planted_recall_and_controls(spark):
     for pid, r in found.items():
         assert r["sim"] >= 0.999
         assert r["train_id"] in ids
+
+
+def test_source_vocab_overlap_crafted(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("svo"))
+    _write_docs(
+        spark,
+        d,
+        [
+            (0, "alpha beta gamma", "s0"),
+            (1, "beta gamma delta", "s1"),
+            (2, "omega", "s2"),
+        ],
+    )
+    rows = {
+        (r["source_a"], r["source_b"]): r
+        for r in entry.q_source_vocab_overlap(spark, d).collect()
+    }
+    r = rows[("s0", "s1")]
+    assert (r["n_a"], r["n_b"], r["n_common"]) == (3, 3, 2)
+    assert r["jaccard"] == 2 / 4
+    # zero-overlap pairs are absent by construction
+    assert ("s0", "s2") not in rows and ("s1", "s2") not in rows
+
+
+def test_knn_label_purity_bounds_and_separable_case(spark, tmp_path_factory):
+    # clustered embeddings: label == spatial cluster -> purity 1.0
+    import pandas as pd
+
+    d = str(tmp_path_factory.mktemp("knn"))
+    rows = []
+    for i in range(100):
+        lab = i % 2
+        base = [10.0 * lab] * 4 + [0.0] * 60
+        base[4 + (i % 8)] = 1.0 + 0.01 * i  # distinct, same-cluster
+        rows.append((i, base, lab))
+    pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]).to_parquet(
+        f"{d}/embeddings.parquet"
+    )
+    got = entry.q_knn_label_purity(spark, d).collect()
+    assert len(got) == 4  # vec_id % 25 == 0 -> 0, 25, 50, 75
+    for r in got:
+        assert r["n_match"] == 10 and r["purity"] == 1.0
+
+
+def test_ngram_entropy_relations(spark):
+    for r in entry.q_ngram_entropy(spark, SF).collect():
+        # conditioning can only reduce entropy; both terms bounded by
+        # log2 of the population
+        assert r["cond_entropy"] >= -1e-6
+        assert r["h_first"] <= r["h_bigram"] + 1e-6
+        assert r["h_bigram"] <= math.log2(r["n_bg"]) + 1e-6

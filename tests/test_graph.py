@@ -174,3 +174,37 @@ def test_kcore_hand_graph(spark):
     out = {r["node"]: r["core_degree"] for r in kcore(df, k=3).collect()}
     assert set(out) == {1, 2, 3, 4}
     assert all(v == 3 for v in out.values())
+
+
+# ---------------------------------------------------------------- LPA
+def test_lpa_bit_exact_vs_python_twin(spark):
+    import __spark_entry__ as E
+    from qamd_spark.ops.graph import lpa_py
+
+    got = {
+        r["node"]: r["community"]
+        for r in E.q_lpa_communities(spark, SF).collect()
+    }
+    want = lpa_py(_twin_edges())
+    assert got == want
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    """Two 4-cliques joined by one bridge edge: components would merge
+    them; LPA keeps two communities (each clique converges to its min
+    id — the bridge's single vote never outweighs 3 clique votes)."""
+    from qamd_spark.ops.graph import lpa_communities, lpa_py
+
+    edges = []
+    for base in (0, 10):
+        for i in range(4):
+            for j in range(i + 1, 4):
+                edges.append((base + i, base + j))
+    edges.append((3, 10))  # the bridge
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["community"] for r in lpa_communities(df).collect()}
+    assert got == lpa_py(edges)
+    left = {got[n] for n in (0, 1, 2)}
+    right = {got[n] for n in (11, 12, 13)}
+    assert left == {0} and right == {10}
+    assert len({got[n] for n in got}) >= 2
