@@ -12036,6 +12036,49 @@ def q_lpa_communities(spark, sf_dir):
     return lpa_communities(_pr_edges(spark, sf_dir))
 
 
+def q_keep_by_position(spark, sf_dir):
+    """Positional bias audit of the quality gate: keep rate by turn
+    index (documents-as-conversations, turn_idx = doc_id div 97) under
+    the SQL-expressible length keep predicate (the conv_verdicts
+    convention) — a gate that systematically drops openers or closers
+    skews every multi-turn conversation it touches, and the effect is
+    invisible in the global keep rate.  One partial+final hash
+    aggregate on a handful of positions; exact integer counts + one
+    division."""
+    n = F.length(_txt())
+    keep = (n >= LEN_MIN) & (n <= LEN_MAX)
+    d = _docs(spark, sf_dir).select(
+        F.floor(F.col("doc_id") / 97).cast("long").alias("turn_idx"),
+        keep.alias("keep"),
+    )
+    return d.groupBy("turn_idx").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        (
+            F.sum(F.col("keep").cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("keep_rate"),
+    )
+
+
+def q_degree_profile(spark, sf_dir):
+    """Degree histogram of the undirected domain link graph — the
+    zeroth-order graph shape panel read next to pagerank/kcore (a
+    link-farm corpus shows a blown-out right tail; a crawl-frontier
+    artifact shows a degree-1 spike).  Dedup to undirected edges first
+    (least/greatest + distinct), one endpoint union, two stacked
+    partial+final hash aggregates — degree keys are graph-bounded."""
+    e = _pr_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    und = e.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    ends = und.select(F.col("a").alias("node")).unionAll(
+        und.select(F.col("b").alias("node"))
+    )
+    deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -12332,6 +12375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_label_purity": q_knn_label_purity,
         "ngram_entropy": q_ngram_entropy,
         "lpa_communities": q_lpa_communities,
+        "keep_by_position": q_keep_by_position,
+        "degree_profile": q_degree_profile,
     }
 
 
@@ -16582,6 +16627,42 @@ def oracle_sql() -> dict[str, str]:
                          - (log2(n_bg::DOUBLE) - clogc1 / n_bg::DOUBLE), 6)
                      AS cond_entropy
             FROM h2 JOIN h1 USING (source)
+        """,
+        "keep_by_position": f"""
+            WITH d AS (
+              SELECT doc_id // 97 AS turn_idx,
+                     (length(coalesce(text,'')) >= {LEN_MIN}
+                      AND length(coalesce(text,'')) <= {LEN_MAX}) AS keep
+              FROM documents)
+            SELECT turn_idx, count(*)::BIGINT AS n_turns,
+                   sum(keep::INT)::BIGINT AS n_keep,
+                   sum(keep::INT)::DOUBLE / count(*)::DOUBLE AS keep_rate
+            FROM d GROUP BY turn_idx
+        """,
+        "degree_profile": f"""
+            WITH e0 AS (
+              SELECT doc_id % {PR_NODES} AS src,
+                     ((doc_id % {PR_NODES}) * 31 + 17 * 1 + doc_id % 13)
+                       % {PR_NODES} AS dst FROM documents
+              UNION ALL
+              SELECT doc_id % {PR_NODES},
+                     ((doc_id % {PR_NODES}) * 31 + 17 * 2 + doc_id % 13)
+                       % {PR_NODES} FROM documents
+              UNION ALL
+              SELECT doc_id % {PR_NODES},
+                     ((doc_id % {PR_NODES}) * 31 + 17 * 3 + doc_id % 13)
+                       % {PR_NODES} FROM documents),
+            und AS (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM e0 WHERE src <> dst),
+            ends AS (
+              SELECT a AS node FROM und
+              UNION ALL SELECT b FROM und),
+            deg AS (
+              SELECT node, count(*)::BIGINT AS degree
+              FROM ends GROUP BY node)
+            SELECT degree, count(*)::BIGINT AS n_nodes
+            FROM deg GROUP BY degree
         """,
     }
     sqls["unicode_nfc"] = """

@@ -373,6 +373,8 @@ def run_benchmarks() -> dict:
         "knn_label_purity",
         "ngram_entropy",
         "lpa_communities",
+        "keep_by_position",
+        "degree_profile",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())
