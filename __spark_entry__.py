@@ -12079,6 +12079,84 @@ def q_degree_profile(spark, sf_dir):
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
 
 
+SECRET_TOK_MIN_LEN = 20     # shorter tokens can't carry enough entropy
+SECRET_ENTROPY_BITS = 3.5   # bits/char floor for a candidate secret —
+                            # hex keys CEILING at 4.0 (16 symbols) and a
+                            # 32-char md5 lands ~3.6-3.9, while 20+-char
+                            # natural-language tokens sit near ~3.2
+
+
+def q_entropy_secrets(spark, sf_dir):
+    """Entropy-based secret detection: long key-shaped tokens (>= 20
+    chars of [A-Za-z0-9+/=_-]) whose per-token character entropy clears
+    4.0 bits/char — the patternless complement of secrets_scan's regex
+    panel (a rotated key format the panel has never seen still looks
+    like noise).  Planted evidence on both engines: an md5-hex token
+    (high entropy, must flag) and a 24-char 'a' run (long but ~0 bits,
+    must NOT).  Distinct (doc, token) first — entropy is scale-invariant
+    so instance counts wouldn't change it, but the dedup bounds the char
+    explode by the vocabulary, not the token stream.  Per-token entropy
+    is the char_entropy closed form (round-6 libm precedent); per-doc
+    rollup is exact counts + an exact max of rounded values."""
+    d = _docs(spark, sf_dir)
+    stamped = F.concat(
+        _txt(),
+        F.when(
+            F.col("doc_id") % 13 == 4,
+            F.concat(F.lit(" "), F.md5(F.col("doc_id").cast("string"))),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 17 == 9, F.lit(" " + "a" * 24)).otherwise(
+            F.lit("")
+        ),
+    )
+    toks = (
+        d.select("doc_id", F.explode(F.split(stamped, r"\s+", -1)).alias("tok"))
+        .filter(
+            (F.length("tok") >= SECRET_TOK_MIN_LEN)
+            & F.col("tok").rlike(r"^[A-Za-z0-9+/=_-]+$")
+        )
+        .distinct()
+    )
+    ch = toks.select(
+        "doc_id", "tok", F.explode(F.split("tok", "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    per = ch.groupBy("doc_id", "tok", "ch").agg(F.count(F.lit(1)).alias("c"))
+    cd = F.col("c").cast("double")
+    ent = (
+        per.groupBy("doc_id", "tok")
+        .agg(F.sum("c").alias("n"), F.sum(cd * F.log2(cd)).alias("clogc"))
+        .select(
+            "doc_id",
+            F.round(
+                F.log2(F.col("n").cast("double"))
+                - F.col("clogc") / F.col("n").cast("double"),
+                6,
+            ).alias("h"),
+        )
+    )
+    roll = ent.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_long_tokens"),
+        F.sum(
+            F.when(F.col("h") >= SECRET_ENTROPY_BITS, 1).otherwise(0)
+        ).alias("n_high_entropy"),
+        F.max("h").alias("max_entropy"),
+    )
+    return (
+        d.select("doc_id")
+        .join(roll, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_long_tokens", F.lit(0).cast("long")).alias(
+                "n_long_tokens"
+            ),
+            F.coalesce("n_high_entropy", F.lit(0).cast("long")).alias(
+                "n_high_entropy"
+            ),
+            F.coalesce("max_entropy", F.lit(0.0)).alias("max_entropy"),
+        )
+    )
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -12377,6 +12455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_communities": q_lpa_communities,
         "keep_by_position": q_keep_by_position,
         "degree_profile": q_degree_profile,
+        "entropy_secrets": q_entropy_secrets,
     }
 
 
@@ -16664,6 +16743,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT degree, count(*)::BIGINT AS n_nodes
             FROM deg GROUP BY degree
         """,
+        "entropy_secrets": (r"""
+            WITH s AS (
+              SELECT doc_id,
+                coalesce(text,'')
+                || (CASE WHEN doc_id % 13 = 4
+                         THEN ' ' || md5(doc_id::VARCHAR) ELSE '' END)
+                || (CASE WHEN doc_id % 17 = 9
+                         THEN ' ' || repeat('a', 24) ELSE '' END) AS t
+              FROM documents),
+            toks AS (
+              SELECT DISTINCT doc_id, u.tok
+              FROM s, unnest(regexp_split_to_array(t, '\s+')) AS u(tok)
+              WHERE length(u.tok) >= __MINLEN__
+                AND regexp_full_match(u.tok, '[A-Za-z0-9+/=_-]+')),
+            ch AS (
+              SELECT doc_id, tok, c.ch
+              FROM toks, unnest(string_split(tok, '')) AS c(ch)
+              WHERE c.ch <> ''),
+            per AS (
+              SELECT doc_id, tok, ch, count(*)::BIGINT AS c
+              FROM ch GROUP BY doc_id, tok, ch),
+            ent AS (
+              SELECT doc_id,
+                     round(log2(sum(c)::DOUBLE)
+                           - sum(c::DOUBLE * log2(c::DOUBLE))
+                             / sum(c)::DOUBLE, 6) AS h
+              FROM per GROUP BY doc_id, tok),
+            roll AS (
+              SELECT doc_id, count(*)::BIGINT AS n_long_tokens,
+                     sum(CASE WHEN h >= __HMIN__ THEN 1 ELSE 0 END)::BIGINT
+                       AS n_high_entropy,
+                     max(h) AS max_entropy
+              FROM ent GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(n_long_tokens, 0)::BIGINT AS n_long_tokens,
+                   coalesce(n_high_entropy, 0)::BIGINT AS n_high_entropy,
+                   coalesce(max_entropy, 0.0) AS max_entropy
+            FROM documents d LEFT JOIN roll USING (doc_id)
+        """).replace("__MINLEN__", str(SECRET_TOK_MIN_LEN))
+           .replace("__HMIN__", str(SECRET_ENTROPY_BITS)),
     }
     sqls["unicode_nfc"] = """
         WITH s AS (

@@ -375,6 +375,7 @@ def run_benchmarks() -> dict:
         "lpa_communities",
         "keep_by_position",
         "degree_profile",
+        "entropy_secrets",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

@@ -330,3 +330,18 @@ def test_ngram_entropy_relations(spark):
         assert r["cond_entropy"] >= -1e-6
         assert r["h_first"] <= r["h_bigram"] + 1e-6
         assert r["h_bigram"] <= math.log2(r["n_bg"]) + 1e-6
+
+
+def test_entropy_secrets_planted(spark):
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in entry.q_entropy_secrets(spark, SF).collect()
+    }
+    # doc 4 (%13==4): md5-hex stamp -> one long token, high entropy
+    assert got[4]["n_long_tokens"] >= 1 and got[4]["n_high_entropy"] >= 1
+    assert got[4]["max_entropy"] >= 3.0  # 32 hex chars over 16 symbols
+    # doc 9 (%17==9, %13!=4): 24*'a' -> long token but zero entropy
+    assert got[9]["n_long_tokens"] >= 1 and got[9]["n_high_entropy"] == 0
+    assert got[9]["max_entropy"] == 0.0
+    # an unstamped doc of prose words carries no key-shaped tokens
+    assert got[1]["n_long_tokens"] == 0 and got[1]["max_entropy"] == 0.0
