@@ -792,6 +792,35 @@ def main() -> None:
             "aggregate.",
             E.q_split_leakage_semantic(spark, SF),
         ),
+        (
+            "source_vocab_overlap",
+            "Distinct (source, token) FIRST, so the token-keyed "
+            "self-join is bounded by sources² per token — never docs²; "
+            "broadcast size joins close it out.",
+            E.q_source_vocab_overlap(spark, SF),
+        ),
+        (
+            "ngram_entropy",
+            "One bigram count table (explode + partial+final hash agg) "
+            "feeds both entropy terms — the first-word counts are a "
+            "rollup of it, not a second scan.",
+            E.q_ngram_entropy(spark, SF),
+        ),
+        (
+            "entropy_secrets",
+            "Distinct (doc, token) bounds the char explode by the "
+            "key-shaped vocabulary; stacked hash aggregates, left join "
+            "back on unique doc_id.",
+            E.q_entropy_secrets(spark, SF),
+        ),
+        (
+            "lpa_communities (per-round shape)",
+            "Per round: ONE shuffle equi-join (labels→edges) + two "
+            "partial+final hash aggregates; localCheckpoint truncates "
+            "lineage so the plan below stays this size at any round "
+            "count.",
+            E.q_lpa_communities(spark, SF),
+        ),
     ]
     out = [
         "# PLANS.md — physical plans of the scale-critical paths",
