@@ -371,6 +371,33 @@ def _txt():
     return F.coalesce(F.col("text"), F.lit(""))
 
 
+def _fold_dot(a: str, b: str):
+    """Fixed-order left-fold dot product — THE bit-exactness contract
+    with DuckDB's list_dot_product (every cosine in this file must go
+    through these helpers; a drift in fold semantics would silently
+    desync only the operators that hand-rolled their own copy)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _fold_norm(c: str):
+    """sqrt of the left-fold sum of squares (same contract as above)."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def _fold_cosine(a: str = "e", b: str = "qe"):
+    return _fold_dot(a, b) / (_fold_norm(a) * _fold_norm(b))
+
+
 def _sql_list(values) -> str:
     return "[" + ", ".join(f"'{w}'" for w in values) + "]"
 
@@ -576,13 +603,7 @@ def q_ann_cosine_topk(spark, sf_dir):
         F.col("vec_id").alias("qid"), F.col("e").alias("qe")
     )
     pairs = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("qid"))
-    dot = F.aggregate(
-        F.zip_with("e", "qe", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-    )
-    sim = dot / (norm("e") * norm("qe"))
+    sim = _fold_cosine()
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
         pairs.select("qid", "vec_id", sim.alias("sim"))
@@ -9896,20 +9917,10 @@ def _semantic_sims(spark, sf_dir):
     q = emb.filter(F.col("vec_id").isin(qids)).select(
         F.col("vec_id").cast("int").alias("qid"), F.col("e").alias("qe")
     )
-    dot = F.aggregate(
-        F.zip_with("e", "qe", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-        )
-    )
     return emb.crossJoin(F.broadcast(q)).select(
         "qid",
         F.col("vec_id").alias("doc_id"),
-        (dot / (norm("e") * norm("qe"))).alias("sim"),
+        _fold_cosine().alias("sim"),
     )
 
 
@@ -10487,16 +10498,6 @@ def q_triplet_mine(spark, sf_dir):
         F.col("label").alias("qlabel"),
         F.col("e").alias("qe"),
     )
-    dot = F.aggregate(
-        F.zip_with("e", "qe", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    nrm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-        )
-    )
     pairs = (
         emb.crossJoin(F.broadcast(qs))
         .filter(F.col("vec_id") != F.col("qid"))
@@ -10504,7 +10505,7 @@ def q_triplet_mine(spark, sf_dir):
             "qid",
             "vec_id",
             (F.col("label") == F.col("qlabel")).alias("same"),
-            (dot / (nrm("e") * nrm("qe"))).alias("cos"),
+            _fold_cosine().alias("cos"),
         )
     )
     top_pos = grouped_topk(
@@ -11866,7 +11867,9 @@ def q_json_keys_profile(spark, sf_dir):
 
 
 KNN_PURITY_K = 10       # neighbors per query for the label-purity audit
-KNN_PURITY_MOD = 25     # query sample: vec_id % 25 == 0
+KNN_PURITY_MOD = 25     # query sample: vec_id % 25 == 0 ...
+KNN_PURITY_MAXID = 500  # ... AND vec_id < 500: bounded query count at
+                        # ANY corpus size (broadcast stays constant)
 
 
 def q_source_vocab_overlap(spark, sf_dir):
@@ -11928,31 +11931,28 @@ def q_knn_label_purity(spark, sf_dir):
     label — the supervised probe of embedding quality (a good space
     puts same-label points together; purity near the label prior means
     the embedding carries no signal).  The ann_cosine_topk machinery
-    (broadcast query crossJoin, fold-exact cosine, (sim desc, id) rank)
-    with labels joined in; purity is an exact integer count over k with
-    ONE division, so the gate never compares raw similarities."""
+    (broadcast query crossJoin, the shared _fold_cosine kernel,
+    (sim desc, id) rank) with labels joined in; purity is an exact
+    integer count over k with ONE division, so the gate never compares
+    raw similarities.  The query set is BOUNDED by construction
+    (vec_id % 25 == 0 AND vec_id < 500 → ≤ 20 queries at any corpus
+    size — a %-only sample would broadcast N/25 vectors and build
+    N²/25 pairs at the 100 TB tier)."""
     emb = _emb(spark, sf_dir).select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
-    q = emb.filter(F.col("vec_id") % KNN_PURITY_MOD == 0).select(
+    q = emb.filter(
+        (F.col("vec_id") % KNN_PURITY_MOD == 0)
+        & (F.col("vec_id") < KNN_PURITY_MAXID)
+    ).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("q_label"),
         F.col("e").alias("qe"),
     )
     pairs = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("qid"))
-    dot = F.aggregate(
-        F.zip_with("e", "qe", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-        )
-    )
-    sim = dot / (norm("e") * norm("qe"))
+    sim = _fold_cosine()
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     top = (
         pairs.select("qid", "q_label", "vec_id", "label", sim.alias("sim"))
@@ -12089,7 +12089,8 @@ SECRET_ENTROPY_BITS = 3.5   # bits/char floor for a candidate secret —
 def q_entropy_secrets(spark, sf_dir):
     """Entropy-based secret detection: long key-shaped tokens (>= 20
     chars of [A-Za-z0-9+/=_-]) whose per-token character entropy clears
-    4.0 bits/char — the patternless complement of secrets_scan's regex
+    SECRET_ENTROPY_BITS (3.5) — the patternless complement of
+    secrets_scan's regex
     panel (a rotated key format the panel has never seen still looks
     like noise).  Planted evidence on both engines: an md5-hex token
     (high entropy, must flag) and a 24-char 'a' run (long but ~0 bits,
@@ -16646,7 +16647,8 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings),
             q AS (
               SELECT vec_id AS qid, label AS q_label, e AS qe
-              FROM e WHERE vec_id % {KNN_PURITY_MOD} = 0),
+              FROM e WHERE vec_id % {KNN_PURITY_MOD} = 0
+                AND vec_id < {KNN_PURITY_MAXID}),
             sims AS (
               SELECT qid, q_label, vec_id, label,
                      list_dot_product(e.e, q.qe)
