@@ -12158,6 +12158,104 @@ def q_entropy_secrets(spark, sf_dir):
     )
 
 
+def q_chunk_anomaly(spark, sf_dir):
+    """In-document anomaly localization: score every sliding-window
+    chunk (the chunk_text geometry) against the half-corpus trigram LM
+    (the lm_score table — trained on WHOLE even-doc_id documents), then
+    per doc the worst / best chunk mean probability and their spread —
+    injected spam or garbled spans inside an otherwise-healthy long doc
+    are invisible to lm_score's whole-doc mean but crater one chunk.
+    Every statistic is the e6-quantized integer idiom (LM probabilities
+    are int64 at train time, rollups are integer sums/mins/maxes), so
+    the gate is exact with no float sums.  Worst-chunk identity is
+    two-phase (min mean, then min chunk_idx at that mean) — no
+    arg_min tie ambiguity cross-engine.  Scale: chunk explode is a
+    projection+generator; the gram→LM join is the lm_score shuffle
+    equi-join (AQE-splittable hot grams); everything after is bounded
+    hash aggregates."""
+    C, S = CHUNK_SIZE, CHUNK_STRIDE
+    t = _txt()
+    n = F.length(t)
+    n_chunks = F.when(n <= C, F.lit(1)).otherwise(
+        F.lit(1) + F.expr(f"(length(coalesce(text,'')) - {C} + {S} - 1) div {S}")
+    )
+    d = _docs(spark, sf_dir).select("doc_id", t.alias("t"), n_chunks.alias("nc"))
+    chunks = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("chunk_idx"),
+        "t",
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.expr(f"substring(t, chunk_idx * {S} + 1, {C})").alias("ct"),
+    )
+    tok_d = F.filter(F.split(F.col("t"), " ", -1), lambda x: x != "")
+    tri = (
+        "transform(slice(tok, 1, greatest(size(tok) - 2, 0)),"
+        " (x, i) -> struct(concat_ws(' ', x, tok[i+1]) AS ctx,"
+        " tok[i+2] AS nxt))"
+    )
+    # LM table: identical to lm_score's (whole even docs)
+    ref_g = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", _txt().alias("t"))
+        .select("doc_id", tok_d.alias("tok"))
+        .select("doc_id", F.explode(F.expr(tri)).alias("g"))
+        .select("g.ctx", "g.nxt")
+    )
+    c3 = ref_g.groupBy("ctx", "nxt").agg(F.count(F.lit(1)).alias("n3"))
+    c2 = c3.groupBy("ctx").agg(F.sum("n3").alias("n_ctx"))
+    lm = c3.join(c2, "ctx").select(
+        "ctx", "nxt", F.expr("(n3 * 1000000) div n_ctx").alias("p_e6")
+    )
+    tok_c = F.filter(F.split(F.col("ct"), " ", -1), lambda x: x != "")
+    cg = (
+        chunks.select("doc_id", "chunk_idx", tok_c.alias("tok"))
+        .select("doc_id", "chunk_idx", F.explode(F.expr(tri)).alias("g"))
+        .select("doc_id", "chunk_idx", "g.ctx", "g.nxt")
+    )
+    scored = (
+        cg.join(lm, ["ctx", "nxt"], "left")
+        .groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_tri"),
+            F.count("p_e6").alias("n_seen"),
+            F.coalesce(F.sum("p_e6"), F.lit(0)).cast("long").alias("sum_p"),
+        )
+        .filter(F.col("n_seen") > 0)
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.expr("sum_p div n_seen").cast("long").alias("mean_p_e6"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks_scored"),
+        F.min("mean_p_e6").alias("worst_mean_p_e6"),
+        F.max("mean_p_e6").alias("best_mean_p_e6"),
+    )
+    worst = (
+        scored.join(
+            agg.select(
+                "doc_id", F.col("worst_mean_p_e6").alias("_wm")
+            ),
+            "doc_id",
+        )
+        .filter(F.col("mean_p_e6") == F.col("_wm"))
+        .groupBy("doc_id")
+        .agg(F.min("chunk_idx").alias("worst_chunk_idx"))
+    )
+    return agg.join(worst, "doc_id").select(
+        "doc_id",
+        "n_chunks_scored",
+        F.col("worst_chunk_idx").cast("long").alias("worst_chunk_idx"),
+        "worst_mean_p_e6",
+        "best_mean_p_e6",
+        (F.col("best_mean_p_e6") - F.col("worst_mean_p_e6")).alias("spread_e6"),
+    )
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -12457,6 +12555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keep_by_position": q_keep_by_position,
         "degree_profile": q_degree_profile,
         "entropy_secrets": q_entropy_secrets,
+        "chunk_anomaly": q_chunk_anomaly,
     }
 
 
@@ -16785,6 +16884,87 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN roll USING (doc_id)
         """).replace("__MINLEN__", str(SECRET_TOK_MIN_LEN))
            .replace("__HMIN__", str(SECRET_ENTROPY_BITS)),
+        "chunk_anomaly": f"""
+            WITH d AS (
+              SELECT doc_id, coalesce(text,'') AS t,
+                     len(coalesce(text,'')) AS n
+              FROM documents),
+            c AS (
+              SELECT doc_id, t,
+                     CASE WHEN n <= {CHUNK_SIZE} THEN 1
+                          ELSE 1 + (n - {CHUNK_SIZE} + {CHUNK_STRIDE - 1})
+                               // {CHUNK_STRIDE} END AS nch
+              FROM d),
+            chunks AS (
+              SELECT doc_id,
+                     unnest(generate_series(0, nch - 1))::INT AS chunk_idx,
+                     t
+              FROM c),
+            ck AS (
+              SELECT doc_id, chunk_idx,
+                     substr(t, chunk_idx * {CHUNK_STRIDE} + 1,
+                            {CHUNK_SIZE}) AS ct
+              FROM chunks),
+            dt AS (
+              SELECT doc_id,
+                     list_filter(string_split(t, ' '), x -> x <> '') AS tok
+              FROM d WHERE doc_id % 2 = 0),
+            g0 AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, len(tok) - 2),
+                       i -> struct_pack(
+                              ctx := tok[i] || ' ' || tok[i+1],
+                              nxt := tok[i+2])),
+                     recursive := true)
+              FROM dt),
+            ref3 AS (
+              SELECT ctx, nxt, count(*)::BIGINT AS n3
+              FROM g0 GROUP BY ctx, nxt),
+            ref2 AS (
+              SELECT ctx, sum(n3)::BIGINT AS n_ctx
+              FROM ref3 GROUP BY ctx),
+            lm AS (
+              SELECT ctx, nxt, (n3 * 1000000) // n_ctx AS p_e6
+              FROM ref3 JOIN ref2 USING (ctx)),
+            ctk AS (
+              SELECT doc_id, chunk_idx,
+                     list_filter(string_split(ct, ' '), x -> x <> '') AS tok
+              FROM ck),
+            cg AS (
+              SELECT doc_id, chunk_idx,
+                     unnest(list_transform(
+                       generate_series(1, len(tok) - 2),
+                       i -> struct_pack(
+                              ctx := tok[i] || ' ' || tok[i+1],
+                              nxt := tok[i+2])),
+                     recursive := true)
+              FROM ctk),
+            j AS (
+              SELECT cg.doc_id, cg.chunk_idx, lm.p_e6
+              FROM cg LEFT JOIN lm
+                ON lm.ctx = cg.ctx AND lm.nxt = cg.nxt),
+            scored AS (
+              SELECT doc_id, chunk_idx,
+                     (sum(p_e6) // count(p_e6))::BIGINT AS mean_p_e6
+              FROM j GROUP BY doc_id, chunk_idx
+              HAVING count(p_e6) > 0),
+            agg AS (
+              SELECT doc_id, count(*)::BIGINT AS n_chunks_scored,
+                     min(mean_p_e6)::BIGINT AS worst_mean_p_e6,
+                     max(mean_p_e6)::BIGINT AS best_mean_p_e6
+              FROM scored GROUP BY doc_id),
+            worst AS (
+              SELECT s.doc_id, min(s.chunk_idx)::BIGINT AS worst_chunk_idx
+              FROM scored s JOIN agg a
+                ON a.doc_id = s.doc_id
+               AND s.mean_p_e6 = a.worst_mean_p_e6
+              GROUP BY s.doc_id)
+            SELECT agg.doc_id, n_chunks_scored, worst_chunk_idx,
+                   worst_mean_p_e6, best_mean_p_e6,
+                   (best_mean_p_e6 - worst_mean_p_e6)::BIGINT AS spread_e6
+            FROM agg JOIN worst USING (doc_id)
+        """,
     }
     sqls["unicode_nfc"] = """
         WITH s AS (

@@ -376,6 +376,7 @@ def run_benchmarks() -> dict:
         "keep_by_position",
         "degree_profile",
         "entropy_secrets",
+        "chunk_anomaly",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

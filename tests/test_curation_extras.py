@@ -345,3 +345,14 @@ def test_entropy_secrets_planted(spark):
     assert got[9]["max_entropy"] == 0.0
     # an unstamped doc of prose words carries no key-shaped tokens
     assert got[1]["n_long_tokens"] == 0 and got[1]["max_entropy"] == 0.0
+
+
+def test_chunk_anomaly_invariants(spark):
+    rows = entry.q_chunk_anomaly(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["worst_mean_p_e6"] <= r["best_mean_p_e6"]
+        assert r["spread_e6"] == r["best_mean_p_e6"] - r["worst_mean_p_e6"]
+        assert r["n_chunks_scored"] >= 1
+        assert r["worst_chunk_idx"] >= 0
+        assert 0 <= r["worst_mean_p_e6"] <= 1_000_000
