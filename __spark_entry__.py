@@ -12256,6 +12256,27 @@ def q_chunk_anomaly(spark, sf_dir):
     )
 
 
+def q_ann_multiprobe_topk(spark, sf_dir):
+    """Multi-probe LSH top-k (ops/similarity.lsh_multiprobe_topk, Lv et
+    al. 2007): the same signatures as ann_lsh_topk, but each query also
+    probes every distance-1 bit-flip bucket — recall recovered at query
+    time instead of by multiplying the table count (whose cost is L×
+    the corpus signature relation).  Rows-only: recall < 1 by
+    construction; evidence is the candidate-superset + recall-ordering
+    test vs lsh_topk and the brute-force baseline in tests/test_ops.py."""
+    from qamd_spark.ops import similarity as sim
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    out = sim.lsh_multiprobe_topk(emb, q, k=10, dim=64)
+    return out.select(
+        "qid", "neighbor", F.round("sim", 9).alias("sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -12556,6 +12577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_profile": q_degree_profile,
         "entropy_secrets": q_entropy_secrets,
         "chunk_anomaly": q_chunk_anomaly,
+        "ann_multiprobe_topk": q_ann_multiprobe_topk,
     }
 
 

@@ -377,6 +377,7 @@ def run_benchmarks() -> dict:
         "degree_profile",
         "entropy_secrets",
         "chunk_anomaly",
+        "ann_multiprobe_topk",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

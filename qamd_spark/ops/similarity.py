@@ -1123,3 +1123,55 @@ def cross_set_leakage(
         (-F.col("_m._nt")).alias("train_id"),
         F.col("_m.sim").alias("sim"),
     )
+
+
+def lsh_multiprobe_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bits: int = 4,
+    n_tables: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qe",
+) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al., VLDB 2007): each query probes
+    its exact bucket PLUS every distance-1 bit-flip bucket in every
+    table — (1 + bits) probes per table instead of one, recovering the
+    neighbors that land one hyperplane to the side WITHOUT growing the
+    table count (the memory cost of raising n_tables is L× the
+    signature relation; probing is free at query time).
+
+    Candidate recall is a strict superset of lsh_topk's at the same
+    (bits, n_tables): the probe set contains the exact bucket
+    (pinned in tests/test_ops.py).  The probe explode happens on the
+    QUERY side only — the corpus signature relation is untouched, so
+    the join stays |corpus sigs| × broadcast(|Q|·L·(1+bits)) — and
+    candidates still dedupe before the single exact rescore."""
+    e_base = emb.select(F.col(id_col).alias("_nid"), _as_double(vec_col).alias("_e"))
+    q_base = queries.select(
+        F.col(qid_col).alias("qid"), _as_double(qvec_col).alias("_q")
+    )
+    planes = _all_hyperplanes(dim, bits, n_tables)
+    e = lsh_signatures(e_base, planes, "_nid", "_e", "_nid")
+    q = lsh_signatures(q_base, planes, "qid", "_q", "qid")
+    flips = F.array(*([F.lit(0)] + [F.lit(1 << i) for i in range(bits)]))
+    qprobe = q.select(
+        "qid", "tbl", F.explode(flips).alias("_f"), "sig"
+    ).select("qid", "tbl", F.col("sig").bitwiseXOR(F.col("_f")).alias("sig"))
+    cand = (
+        e.join(F.broadcast(qprobe), ["tbl", "sig"])
+        .filter(F.col("_nid") != F.col("qid"))
+        .select("qid", "_nid")
+        .dropDuplicates(["qid", "_nid"])
+    )
+    cand = cand.join(e_base, "_nid").join(F.broadcast(q_base), "qid")
+    sim = _dot("_e", "_q") / (_norm("_e") * _norm("_q"))
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("neighbor"))
+    return (
+        cand.select("qid", F.col("_nid").alias("neighbor"), sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

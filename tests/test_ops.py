@@ -1718,3 +1718,31 @@ def test_embedding_align_query_contract(spark):
     assert list(out.columns) == ["vec_id", "pre_err", "align_err"]
     assert len(out) == 500
     assert (out["align_err"] < 1e-9).all()
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Multi-probe's candidate set is a superset of single-probe's (the
+    flip set contains flip 0 = the exact bucket), so its recall vs the
+    brute-force truth can never be lower at the same (bits, n_tables)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    exact = similarity.brute_force_topk(emb, q, k=5).toPandas()
+    single = similarity.lsh_topk(emb, q, k=5, bits=4, n_tables=16, dim=64).toPandas()
+    multi = similarity.lsh_multiprobe_topk(
+        emb, q, k=5, bits=4, n_tables=16, dim=64
+    ).toPandas()
+
+    def recall(approx):
+        hits = 0
+        for qid in exact["qid"].unique():
+            e = set(exact[exact["qid"] == qid]["neighbor"])
+            a = set(approx[approx["qid"] == qid]["neighbor"])
+            hits += len(e & a)
+        return hits / len(exact)
+
+    r1, rm = recall(single), recall(multi)
+    assert rm >= r1, (rm, r1)
+    assert rm >= 0.5  # 5 probes/table on the near-orthogonal corpus
+    assert (multi["rank"] <= 5).all()
