@@ -814,6 +814,21 @@ def main() -> None:
             E.q_entropy_secrets(spark, SF),
         ),
         (
+            "chunk_anomaly",
+            "Chunk explode is projection+generator; the gram→LM join is "
+            "the lm_score shuffle equi-join (AQE splits hot grams); the "
+            "worst-chunk identity is a second bounded aggregate, not a "
+            "window over the corpus.",
+            E.q_chunk_anomaly(spark, SF),
+        ),
+        (
+            "ann_multiprobe_topk",
+            "Probe explode on the broadcast QUERY side only — the corpus "
+            "signature MapInPandas stage is identical to ann_lsh_topk; "
+            "candidates dedupe before one exact rescore.",
+            E.q_ann_multiprobe_topk(spark, SF),
+        ),
+        (
             "lpa_communities (per-round shape)",
             "Per round: ONE shuffle equi-join (labels→edges) + two "
             "partial+final hash aggregates; localCheckpoint truncates "
