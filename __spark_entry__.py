@@ -12277,6 +12277,57 @@ def q_ann_multiprobe_topk(spark, sf_dir):
     )
 
 
+def q_dedup_transitivity(spark, sf_dir):
+    """Transitivity audit of the near-dup relation: wedges a~b~c where
+    a~c does NOT hold, over the levenshtein_neardup pair set — edit
+    distance is not transitive (two ≤5 hops can be 10 apart), so
+    keep-first clustering over these pairs glues CHAINS of
+    progressively-different documents; a low closure rate is the
+    quantified warning before trusting cluster-level dedup at a given
+    threshold.  Wedge endpoints are deduped before the closure check
+    (distinct (x, z)), closure is one left-semi-style join back to the
+    pair set, and the output is a single summary row of exact counts +
+    one division.  Scale: pairs are the bounded near-dup output, the
+    wedge join is an equi-join on the shared middle (AQE splits hub
+    documents)."""
+    p = q_levenshtein_neardup(spark, sf_dir).select("a", "b")
+    e = p.unionByName(
+        p.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    w = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .filter(F.col("e1.a") < F.col("e2.b"))
+        .select(F.col("e1.a").alias("x"), F.col("e2.b").alias("z"))
+        .distinct()
+    )
+    closed = w.join(
+        p.select(F.col("a").alias("x"), F.col("b").alias("z")),
+        ["x", "z"],
+        "left_semi",
+    )
+    n_pairs = p.agg(F.count(F.lit(1)).alias("n_pairs"))
+    n_w = w.agg(F.count(F.lit(1)).alias("n_wedge_pairs"))
+    n_c = closed.agg(F.count(F.lit(1)).alias("n_closed"))
+    return (
+        n_pairs.crossJoin(F.broadcast(n_w))
+        .crossJoin(F.broadcast(n_c))
+        .select(
+            "n_pairs",
+            "n_wedge_pairs",
+            "n_closed",
+            (F.col("n_wedge_pairs") - F.col("n_closed")).alias("n_open"),
+            F.when(
+                F.col("n_wedge_pairs") > 0,
+                F.col("n_closed").cast("double")
+                / F.col("n_wedge_pairs").cast("double"),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("closure_rate"),
+        )
+    )
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -12578,6 +12629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_secrets": q_entropy_secrets,
         "chunk_anomaly": q_chunk_anomaly,
         "ann_multiprobe_topk": q_ann_multiprobe_topk,
+        "dedup_transitivity": q_dedup_transitivity,
     }
 
 
@@ -16988,6 +17040,29 @@ def oracle_sql() -> dict[str, str]:
             FROM agg JOIN worst USING (doc_id)
         """,
     }
+    sqls["dedup_transitivity"] = f"""
+        WITH p AS ({sqls["levenshtein_neardup"]}),
+        e AS (
+          SELECT a, b FROM p
+          UNION ALL
+          SELECT b AS a, a AS b FROM p),
+        w AS (
+          SELECT DISTINCT e1.a AS x, e2.b AS z
+          FROM e e1 JOIN e e2 ON e1.b = e2.a
+          WHERE e1.a < e2.b),
+        closed AS (
+          SELECT w.x, w.z FROM w
+          WHERE EXISTS (SELECT 1 FROM p WHERE p.a = w.x AND p.b = w.z)),
+        np AS (SELECT count(*)::BIGINT AS n_pairs FROM p),
+        nw AS (SELECT count(*)::BIGINT AS n_wedge_pairs FROM w),
+        ncl AS (SELECT count(*)::BIGINT AS n_closed FROM closed)
+        SELECT n_pairs, n_wedge_pairs, n_closed,
+               (n_wedge_pairs - n_closed)::BIGINT AS n_open,
+               CASE WHEN n_wedge_pairs > 0
+                    THEN n_closed::DOUBLE / n_wedge_pairs::DOUBLE
+                    ELSE 1.0 END AS closure_rate
+        FROM np, nw, ncl
+    """
     sqls["unicode_nfc"] = """
         WITH s AS (
           SELECT doc_id,

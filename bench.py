@@ -378,6 +378,7 @@ def run_benchmarks() -> dict:
         "entropy_secrets",
         "chunk_anomaly",
         "ann_multiprobe_topk",
+        "dedup_transitivity",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

@@ -356,3 +356,12 @@ def test_chunk_anomaly_invariants(spark):
         assert r["n_chunks_scored"] >= 1
         assert r["worst_chunk_idx"] >= 0
         assert 0 <= r["worst_mean_p_e6"] <= 1_000_000
+
+
+def test_dedup_transitivity_consistency(spark):
+    [r] = entry.q_dedup_transitivity(spark, SF).collect()
+    assert r["n_open"] == r["n_wedge_pairs"] - r["n_closed"]
+    assert 0 <= r["n_closed"] <= r["n_wedge_pairs"]
+    assert 0.0 <= r["closure_rate"] <= 1.0
+    # the exact-dup planted pairs (a%4==3 mutants) guarantee wedges exist
+    assert r["n_pairs"] > 0
