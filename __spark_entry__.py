@@ -12328,6 +12328,52 @@ def q_dedup_transitivity(spark, sf_dir):
     )
 
 
+def q_degree_assortativity(spark, sf_dir):
+    """Degree assortativity of the undirected link graph (Newman 2002):
+    Pearson correlation of endpoint degrees over all edge-endpoint
+    samples (each undirected edge contributes both orientations, so r is
+    symmetric by construction) — negative r is the social/web signature
+    (hubs link to leaves), positive r flags mirror-farm clusters that
+    degree_profile's histogram alone cannot separate.  All five sums are
+    exact BIGINTs; r is computed as an exact-int numerator over the
+    product of two sqrt'd exact-int variances — the identical
+    association order in the twin, so the single float is bit-equal.
+    Two hash aggregates + one degree join; one summary row out."""
+    e = _pr_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    und = e.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    ends = und.select(F.col("a").alias("node")).unionAll(
+        und.select(F.col("b").alias("node"))
+    )
+    deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    # both orientations: (deg_a, deg_b) and (deg_b, deg_a)
+    pair = (
+        und.join(deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
+    )
+    samples = pair.select(
+        F.col("da").alias("x"), F.col("db").alias("y")
+    ).unionAll(pair.select(F.col("db").alias("x"), F.col("da").alias("y")))
+    s = samples.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        F.col("n").alias("n_samples"),
+        F.when(
+            (vx > 0) & (vy > 0), num / (F.sqrt(vx) * F.sqrt(vy))
+        ).otherwise(F.lit(0.0)).alias("assortativity"),
+    )
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -12630,6 +12676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_anomaly": q_chunk_anomaly,
         "ann_multiprobe_topk": q_ann_multiprobe_topk,
         "dedup_transitivity": q_dedup_transitivity,
+        "degree_assortativity": q_degree_assortativity,
     }
 
 
@@ -17040,6 +17087,50 @@ def oracle_sql() -> dict[str, str]:
             FROM agg JOIN worst USING (doc_id)
         """,
     }
+    sqls["degree_assortativity"] = f"""
+        WITH e0 AS (
+          SELECT doc_id % {PR_NODES} AS src,
+                 ((doc_id % {PR_NODES}) * 31 + 17 * 1 + doc_id % 13)
+                   % {PR_NODES} AS dst FROM documents
+          UNION ALL
+          SELECT doc_id % {PR_NODES},
+                 ((doc_id % {PR_NODES}) * 31 + 17 * 2 + doc_id % 13)
+                   % {PR_NODES} FROM documents
+          UNION ALL
+          SELECT doc_id % {PR_NODES},
+                 ((doc_id % {PR_NODES}) * 31 + 17 * 3 + doc_id % 13)
+                   % {PR_NODES} FROM documents),
+        und AS (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM e0 WHERE src <> dst),
+        ends AS (
+          SELECT a AS node FROM und UNION ALL SELECT b FROM und),
+        deg AS (
+          SELECT node, count(*)::BIGINT AS d FROM ends GROUP BY node),
+        pair AS (
+          SELECT da.d AS da, db.d AS db
+          FROM und
+          JOIN deg da ON da.node = und.a
+          JOIN deg db ON db.node = und.b),
+        samples AS (
+          SELECT da AS x, db AS y FROM pair
+          UNION ALL SELECT db AS x, da AS y FROM pair),
+        s AS (
+          SELECT count(*)::BIGINT AS n,
+                 sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                 sum(x * y)::BIGINT AS sxy,
+                 sum(x * x)::BIGINT AS sxx,
+                 sum(y * y)::BIGINT AS syy
+          FROM samples)
+        SELECT n AS n_samples,
+               CASE WHEN (n * sxx - sx * sx) > 0
+                     AND (n * syy - sy * sy) > 0
+                    THEN (n * sxy - sx * sy)::DOUBLE
+                         / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                            * sqrt((n * syy - sy * sy)::DOUBLE))
+                    ELSE 0.0 END AS assortativity
+        FROM s
+    """
     sqls["dedup_transitivity"] = f"""
         WITH p AS ({sqls["levenshtein_neardup"]}),
         e AS (

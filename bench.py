@@ -379,6 +379,7 @@ def run_benchmarks() -> dict:
         "chunk_anomaly",
         "ann_multiprobe_topk",
         "dedup_transitivity",
+        "degree_assortativity",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

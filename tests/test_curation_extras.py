@@ -365,3 +365,10 @@ def test_dedup_transitivity_consistency(spark):
     assert 0.0 <= r["closure_rate"] <= 1.0
     # the exact-dup planted pairs (a%4==3 mutants) guarantee wedges exist
     assert r["n_pairs"] > 0
+
+
+def test_degree_assortativity_bounds_and_symmetry(spark):
+    [r] = entry.q_degree_assortativity(spark, SF).collect()
+    assert -1.0 <= r["assortativity"] <= 1.0
+    # both orientations of every undirected edge are sampled
+    assert r["n_samples"] % 2 == 0 and r["n_samples"] > 0
