@@ -12374,6 +12374,50 @@ def q_degree_assortativity(spark, sf_dir):
     )
 
 
+def q_length_gini(spark, sf_dir):
+    """Per-source Gini coefficient of document length — the inequality
+    panel next to winsorized_stats' robust location and
+    percentile_profile's quantiles: a source where 1% of megadocs carry
+    90% of the characters (high Gini) needs length-capped sampling
+    before it dominates a token budget, even when its mean looks tame.
+    Rank formula G = (2·Σ i·x(i) − (n+1)·Σx) / (n·Σx) over the
+    per-source sort (ranks tie-broken by doc_id, which cancels in the
+    formula — equal values contribute identically under any tie order):
+    every sum is an exact BIGINT, ONE final division.  Per-group rank
+    window bounded by the group (the winsorized_stats precedent; at the
+    100 TB tier swap in a binned approximation)."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select(
+        "source", "doc_id", F.coalesce("n_chars", F.lit(0).cast("long")).alias("v")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("v").asc(), F.col("doc_id").asc())
+    r = d.select("source", "v", F.row_number().over(w).alias("i"))
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sum_v"),
+            F.sum(F.col("i") * F.col("v")).alias("sum_iv"),
+        )
+        .select(
+            "source",
+            "n",
+            "sum_v",
+            F.when(
+                F.col("sum_v") > 0,
+                (
+                    F.lit(2) * F.col("sum_iv")
+                    - (F.col("n") + 1) * F.col("sum_v")
+                ).cast("double")
+                / (F.col("n") * F.col("sum_v")).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("gini"),
+        )
+    )
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -12677,6 +12721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_multiprobe_topk": q_ann_multiprobe_topk,
         "dedup_transitivity": q_dedup_transitivity,
         "degree_assortativity": q_degree_assortativity,
+        "length_gini": q_length_gini,
     }
 
 
@@ -17087,6 +17132,27 @@ def oracle_sql() -> dict[str, str]:
             FROM agg JOIN worst USING (doc_id)
         """,
     }
+    sqls["length_gini"] = """
+        WITH d AS (
+          SELECT source, doc_id, coalesce(n_chars, 0)::BIGINT AS v
+          FROM documents),
+        r AS (
+          SELECT source, v,
+                 row_number() OVER (
+                   PARTITION BY source ORDER BY v, doc_id) AS i
+          FROM d),
+        s AS (
+          SELECT source, count(*)::BIGINT AS n,
+                 sum(v)::BIGINT AS sum_v,
+                 sum(i * v)::BIGINT AS sum_iv
+          FROM r GROUP BY source)
+        SELECT source, n, sum_v,
+               CASE WHEN sum_v > 0
+                    THEN (2 * sum_iv - (n + 1) * sum_v)::DOUBLE
+                         / (n * sum_v)::DOUBLE
+                    ELSE 0.0 END AS gini
+        FROM s
+    """
     sqls["degree_assortativity"] = f"""
         WITH e0 AS (
           SELECT doc_id % {PR_NODES} AS src,

@@ -380,6 +380,7 @@ def run_benchmarks() -> dict:
         "ann_multiprobe_topk",
         "dedup_transitivity",
         "degree_assortativity",
+        "length_gini",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

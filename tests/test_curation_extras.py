@@ -372,3 +372,17 @@ def test_degree_assortativity_bounds_and_symmetry(spark):
     assert -1.0 <= r["assortativity"] <= 1.0
     # both orientations of every undirected edge are sampled
     assert r["n_samples"] % 2 == 0 and r["n_samples"] > 0
+
+
+def test_length_gini_known_cases(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("gini"))
+    rows = [(i, "x" * 100, "equal") for i in range(10)]          # Gini 0
+    rows += [(100, "", "onehas"), (101, "", "onehas"),
+             (102, "y" * 400, "onehas"), (103, "", "onehas")]    # 1 of 4
+    _write_docs(spark, d, rows)
+    got = {r["source"]: r for r in entry.q_length_gini(spark, d).collect()}
+    assert got["equal"]["gini"] == 0.0
+    # one holder of everything among n=4: G = (n-1)/n = 0.75
+    assert got["onehas"]["gini"] == 0.75
+    for r in got.values():
+        assert 0.0 <= r["gini"] <= 1.0
