@@ -12418,6 +12418,39 @@ def q_length_gini(spark, sf_dir):
     )
 
 
+def q_source_share_gini(spark, sf_dir):
+    """Corpus-level mixture imbalance: the Gini coefficient ACROSS
+    sources of their total character mass (one row) — the single number
+    a mixture report leads with before the per-source mix_weights table
+    (0 = perfectly balanced domains, →1 = one domain is the corpus).
+    Same exact-int rank formula as length_gini, over the per-source
+    rollup (a handful of rows, so the rank window is trivial); the
+    rollup itself is one partial+final hash aggregate over the scan."""
+    from pyspark.sql import Window
+
+    per = (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.sum(F.coalesce("n_chars", F.lit(0).cast("long"))).alias("v"))
+    )
+    w = Window.orderBy(F.col("v").asc(), F.col("source").asc())
+    r = per.select("source", "v", F.row_number().over(w).alias("i"))
+    return r.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("v").alias("total_chars"),
+        F.when(
+            F.sum("v") > 0,
+            (
+                F.lit(2) * F.sum(F.col("i") * F.col("v"))
+                - (F.count(F.lit(1)) + 1) * F.sum("v")
+            ).cast("double")
+            / (F.count(F.lit(1)) * F.sum("v")).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("gini"),
+    )
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -12722,6 +12755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_transitivity": q_dedup_transitivity,
         "degree_assortativity": q_degree_assortativity,
         "length_gini": q_length_gini,
+        "source_share_gini": q_source_share_gini,
     }
 
 
@@ -17132,6 +17166,27 @@ def oracle_sql() -> dict[str, str]:
             FROM agg JOIN worst USING (doc_id)
         """,
     }
+    sqls["source_share_gini"] = """
+        WITH per AS (
+          SELECT source, sum(coalesce(n_chars, 0))::BIGINT AS v
+          FROM documents GROUP BY source),
+        r AS (
+          SELECT source, v,
+                 row_number() OVER (ORDER BY v, source) AS i
+          FROM per),
+        s AS (
+          SELECT count(*)::BIGINT AS n_sources,
+                 sum(v)::BIGINT AS total_chars,
+                 sum(i * v)::BIGINT AS sum_iv
+          FROM r)
+        SELECT n_sources, total_chars,
+               CASE WHEN total_chars > 0
+                    THEN (2 * sum_iv - (n_sources + 1) * total_chars)
+                           ::DOUBLE
+                         / (n_sources * total_chars)::DOUBLE
+                    ELSE 0.0 END AS gini
+        FROM s
+    """
     sqls["length_gini"] = """
         WITH d AS (
           SELECT source, doc_id, coalesce(n_chars, 0)::BIGINT AS v

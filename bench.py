@@ -381,6 +381,7 @@ def run_benchmarks() -> dict:
         "dedup_transitivity",
         "degree_assortativity",
         "length_gini",
+        "source_share_gini",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())
