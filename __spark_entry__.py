@@ -3279,25 +3279,48 @@ def q_dedup_survivorship(spark, sf_dir):
     return flow
 
 
+def _procrustes_closed_R():
+    """Column-major closed-form rotation for the signed-permutation
+    synthetic re-embedding: v_new[j] = s_j * v_old[p(j)] with
+    p(j) = (13j+5) mod 64 and s_j = -1 iff j % 3 == 0, so the exact
+    minimizer of ||V_new - V_old R||_F is R[p(j)][j] = s_j. Returned
+    as Rcols[j][k] = R[k][j] (one column of R per outer entry — the
+    layout both the Spark apply fold and the DuckDB oracle consume).
+    Entries are exactly 0.0 / ±1.0, so the apply-side dot products stay
+    float-EXACT on both engines."""
+    cols = []
+    for j in range(64):
+        s = -1.0 if j % 3 == 0 else 1.0
+        p = (13 * j + 5) % 64
+        cols.append([s if k == p else 0.0 for k in range(64)])
+    return cols
+
+
 def q_embedding_align(spark, sf_dir):
     """Embedding-version migration via orthogonal Procrustes
-    (ops/similarity.procrustes_train/apply — Schönemann 1966): when a
-    corpus is re-embedded with a new model, every index, centroid
-    table, and cached neighbor list built on the old space dies unless
-    the spaces are aligned; the best orthogonal map has the closed
-    form R = U·Vᵀ from the SVD of V_oldᵀ·V_new. The 'new' version here
-    is a SIGNED PERMUTATION of the old (v_new[j] = ±v_old[p(j)],
-    p(j) = (13j+5) mod 64 — orthogonal and float-EXACT: ±1 products
-    introduce zero rounding), built JVM-side with transform/element_at,
-    so recovery is fully checkable: align_err must collapse to SVD
-    precision while pre_err stays O(||v||). Training is the pca_train
-    bounded-coordination shape (one d×d partial per Arrow batch,
-    fsum-combined, driver SVD on 64×64); apply is one narrow Arrow
-    stage, no shuffle. Rows-only by declared design (driver-side SVD
-    + float pipeline — not SQL-expressible); exactness evidence in
-    tests/test_ops.py (rotation recovery to 1e-8, orthogonality,
-    residual separation)."""
-    from qamd_spark.ops.similarity import procrustes_apply, procrustes_train
+    (ops/similarity.procrustes_train — Schönemann 1966): when a corpus
+    is re-embedded with a new model, every index, centroid table, and
+    cached neighbor list built on the old space dies unless the spaces
+    are aligned; the best orthogonal map has the closed form R = U·Vᵀ
+    from the SVD of V_oldᵀ·V_new. The 'new' version here is a SIGNED
+    PERMUTATION of the old (v_new[j] = ±v_old[p(j)], p(j) = (13j+5)
+    mod 64 — orthogonal and float-EXACT: ±1 products introduce zero
+    rounding), built JVM-side with transform/element_at. Training is
+    the pca_train bounded-coordination shape (one d×d partial per
+    Arrow batch, fsum-combined, driver SVD on 64×64). The trained R is
+    then rounded to 6 dp — which collapses to the EXACT closed-form
+    signed permutation iff recovery succeeded (recovery error is
+    ~1e-8, pinned by tests/test_ops.py; a training drift would leave a
+    non-closed-form literal and the oracle hash goes red) — and the
+    apply runs JVM-side with that literal R via the ann_cosine_topk
+    left-fold discipline, making the whole query DuckDB-oracled.
+    Apply-side planted drift (vec_id % 17 == 0 gets +0.25 on
+    component 0, AFTER training) exercises align_err as a per-item
+    semantic-drift detector: aligned rows read exactly 0, drifted rows
+    read the residual of the perturbation. Scale path: training
+    traffic is one d×d partial per batch; the apply is one narrow
+    codegen projection, no shuffle."""
+    from qamd_spark.ops.similarity import procrustes_train
 
     emb = _emb(spark, sf_dir)
     v_new = F.transform(
@@ -3311,7 +3334,42 @@ def q_embedding_align(spark, sf_dir):
         v_new.alias("v_new"),
     ).persist()
     rot = procrustes_train(pairs)
-    return procrustes_apply(pairs, rot)
+    # 6-dp round: recovery error is ~1e-8 << 0.5e-6, so this is the
+    # exact signed permutation when training is healthy. "+ 0.0"
+    # normalizes -0.0 so zero entries match the oracle's literal.
+    Rcols_py = [[float(round(float(rot[k][j]), 6)) + 0.0 for k in range(64)] for j in range(64)]
+    Rcols = F.array(*[F.array(*[F.lit(v) for v in col]) for col in Rcols_py])
+    drift = F.when(F.col("vec_id") % 17 == 0, F.lit(0.25)).otherwise(F.lit(0.0))
+    v_new_d = F.transform(
+        F.col("v_new"), lambda x, i: F.when(i == 0, x + drift).otherwise(x)
+    )
+    aligned = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: F.aggregate(
+            F.zip_with(F.col("v_old"), F.get(Rcols, j), lambda x, r: x * r),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+    def _l2(diff):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(diff, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    staged = pairs.select("vec_id", "v_old", v_new_d.alias("v_new_d"))
+    pre = _l2(F.zip_with(F.col("v_new_d"), F.col("v_old"), lambda a, b: a - b))
+    post = _l2(F.zip_with(F.col("v_new_d"), aligned, lambda a, b: a - b))
+    return staged.select(
+        "vec_id",
+        F.round(pre, 9).alias("pre_err"),
+        F.round(post, 9).alias("align_err"),
+        (F.col("vec_id") % 17 == 0).alias("drifted"),
+    )
 
 
 def q_markdown_audit(spark, sf_dir):
@@ -12761,6 +12819,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     stop = _sql_stop_list()
+    _rcols_sql = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(v) for v in col) + "]"
+            for col in _procrustes_closed_R()
+        )
+        + "]"
+    )
     odd_contains = " OR ".join(
         "contains(coalesce(text,''), '{}')".format(c.replace("'", "''"))
         for c in ODD_ALL
@@ -15661,6 +15727,42 @@ def oracle_sql() -> dict[str, str]:
               FROM sims)
             SELECT qid, neighbor, round(sim, 9) AS sim, rank::INT AS rank
             FROM ranked WHERE rank <= 10
+        """,
+        # Apply-side Procrustes twin: the synthetic re-embedding is a
+        # signed permutation, so the true rotation is closed-form
+        # (exactly 0/±1 entries — float-exact dot products). The Spark
+        # side trains R distributed and rounds to 6 dp, which equals
+        # this literal iff recovery succeeded; a training drift turns
+        # this row red. Folds mirror ann_cosine_topk's proven
+        # left-fold ≡ list_dot_product discipline.
+        "embedding_align": f"""
+            WITH r AS (SELECT {_rcols_sql} AS rc),
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS v_old FROM embeddings),
+            p AS (
+              SELECT vec_id, v_old,
+                     list_transform(generate_series(0,63), j ->
+                       (CASE WHEN j % 3 = 0 THEN -1.0 ELSE 1.0 END)
+                         * v_old[(13*j+5) % 64 + 1]
+                       + (CASE WHEN j = 0 AND vec_id % 17 = 0
+                               THEN 0.25 ELSE 0.0 END)) AS v_new_d
+              FROM e),
+            a AS (
+              SELECT vec_id, v_old, v_new_d,
+                     list_transform(generate_series(0,63), j ->
+                       list_dot_product(v_old, rc[j+1])) AS aligned
+              FROM p CROSS JOIN r),
+            d AS (
+              SELECT vec_id,
+                     list_transform(generate_series(0,63), j ->
+                       v_new_d[j+1] - v_old[j+1]) AS pd,
+                     list_transform(generate_series(0,63), j ->
+                       v_new_d[j+1] - aligned[j+1]) AS ad
+              FROM a)
+            SELECT vec_id,
+                   round(sqrt(list_dot_product(pd, pd)), 9) AS pre_err,
+                   round(sqrt(list_dot_product(ad, ad)), 9) AS align_err,
+                   (vec_id % 17 = 0) AS drifted
+            FROM d
         """,
 "ks_drift": f"""
             WITH d AS (SELECT source, length(coalesce(text,'')) AS len

@@ -1715,9 +1715,46 @@ def test_embedding_align_query_contract(spark):
     import __spark_entry__ as entry
 
     out = entry.q_embedding_align(spark, "/root/testdata/sf0.001").toPandas()
-    assert list(out.columns) == ["vec_id", "pre_err", "align_err"]
+    assert list(out.columns) == ["vec_id", "pre_err", "align_err", "drifted"]
     assert len(out) == 500
-    assert (out["align_err"] < 1e-9).all()
+    clean = out[~out["drifted"]]
+    drifted = out[out["drifted"]]
+    # aligned clean rows collapse exactly: the trained R rounds to the
+    # closed-form signed permutation, making every product float-exact
+    assert (clean["align_err"] == 0.0).all()
+    # planted apply-side drift (+0.25 on component 0) survives
+    # alignment and is detected per-row; pre_err stays O(||v||)
+    assert len(drifted) == 500 // 17 + 1
+    assert (drifted["align_err"] > 0.2).all()
+    assert (drifted["align_err"] < 0.3).all()
+    assert out["pre_err"].mean() > 1.0
+
+
+def test_embedding_align_trained_R_rounds_to_closed_form(spark):
+    """The oracle's validity hinges on round(trained_R, 6) equalling
+    the closed-form signed permutation — pin that collapse directly."""
+    import __spark_entry__ as entry
+    from qamd_spark.ops.similarity import procrustes_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    v_new = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda jj: F.element_at(
+            F.col("embedding"), ((13 * jj + 5) % 64 + 1).cast("int")
+        ).cast("double")
+        * F.when(jj % 3 == 0, F.lit(-1.0)).otherwise(F.lit(1.0)),
+    )
+    pairs = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v_old"),
+        v_new.alias("v_new"),
+    )
+    rot = procrustes_train(pairs)
+    got = [
+        [float(round(float(rot[k][j]), 6)) + 0.0 for k in range(64)]
+        for j in range(64)
+    ]
+    assert got == entry._procrustes_closed_R()
 
 
 def test_multiprobe_recall_dominates_single_probe(spark):
