@@ -70,10 +70,12 @@ def _training_set() -> tuple[list[str], np.ndarray]:
     """Deterministic labeled corpus: prose positives, junk negatives."""
     pos: list[str] = []
     for lang in sorted(corpora.LANG_CORPORA):
-        words = corpora.LANG_CORPORA[lang].split()
-        # overlapping 30-word windows, stride 15
+        # script-aware: char tokens for unsegmented CJK, words elsewhere
+        words = corpora.corpus_tokens(lang)
+        sep = "" if lang in corpora.UNSEGMENTED_LANGS else " "
+        # overlapping 30-token windows, stride 15
         for s in range(0, max(len(words) - 30, 1), 15):
-            pos.append(" ".join(words[s : s + 30]))
+            pos.append(sep.join(words[s : s + 30]))
     rng = np.random.RandomState(0)
     neg: list[str] = []
     junk_tokens = ["spam", "buy", "click", "free", "win", "now", "deal", "xxx"]

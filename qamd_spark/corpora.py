@@ -210,11 +210,104 @@ karena musim dingin sangat keras bagi baja. sebagian besar jawaban menjadi
 sederhana setelah pertanyaannya diajukan dengan baik.
 """
 
+ZH = """
+清晨的城市慢慢醒来，街道上飘着新鲜面包和咖啡的香气。孩子们沿着老石板路走向学校，
+一边谈论下午要玩的游戏。街角的图书馆保存着一小批一百年前的地图和信件。下雨的时候
+街道很快就空了，人们聚在屋檐下等待，一边看着天空。一杯热茶和一本长长的书让缓慢的
+夜晚显得短一些。火车七点从车站出发，九点之前刚好到达城里。我们仔细测量了结果，并
+把每一个数字都记在账本里。委员会星期二开会，审查预算并计划下一个季度。历史教人耐
+心，花园把这件事教了两遍。请记得关上大门，免得羊群跑到路上去。工程师又检查了一遍
+桥梁，因为冬天对钢铁来说太严酷了。大多数答案其实很简单，只要问题问得清楚。市场在
+周末最热闹，摊位上摆满了蔬菜水果和手工做的小点心。老人们坐在广场边下棋，偶尔抬头
+看一眼路过的行人。傍晚的风从河面吹来，带着水草和泥土的气息。
+"""
+
+JA = """
+朝はやく町がゆっくりと目をさまし、通りには焼きたてのパンとコーヒーの香りがただよう。
+子どもたちは古い石畳の道を歩いて学校へ向かい、午後の遊びについて話している。角の図書
+館には百年前の地図や手紙の小さな収蔵がある。雨が降ると通りはすぐに人気がなくなり、
+人々はひさしの下に集まって空を見ながら待つ。温かいお茶と長い本があれば、ゆっくりした
+夜も短く感じられる。汽車は七時に駅を出て、九時少し前に町へ着く。わたしたちは結果を丁
+寧に測り、すべての数字を帳面に書きとめた。委員会は火曜日に集まり、予算を見直して次の
+四半期の計画を立てる。歴史は忍耐を教え、庭はそれを二度教える。羊が道に出ないように、
+門を閉めるのを忘れないでください。冬が鋼にとって厳しかったので、技師は橋をもう一度点
+検した。問いがきちんと立てられれば、答えの多くは単純だった。週末の市場はにぎやかで、
+屋台には野菜や果物や手作りの菓子が並ぶ。夕方の風は川面から吹いてきて、水草と土の匂い
+を運んでくる。
+"""
+
+KO = """
+이른 아침 도시가 천천히 깨어나고 거리에는 갓 구운 빵과 커피 냄새가 흐른다. 아이들은
+오래된 돌길을 따라 학교로 걸어가며 오후에 할 놀이 이야기를 나눈다. 모퉁이 도서관에는
+백 년 전의 지도와 편지가 조금 보관되어 있다. 비가 오면 거리는 금세 비고 사람들은
+처마 밑에 모여 하늘을 바라보며 기다린다. 따뜻한 차 한 잔과 긴 책 한 권이 느린 저녁을
+짧게 만들어 준다. 기차는 일곱 시에 역을 떠나 아홉 시 조금 전에 도시에 도착한다. 우리는
+결과를 꼼꼼히 재고 모든 숫자를 장부에 적었다. 위원회는 화요일에 모여 예산을 검토하고
+다음 분기를 계획한다. 역사는 인내를 가르치고 정원은 그것을 두 번 가르친다. 양들이
+길로 나가지 않도록 문을 꼭 닫아 주세요. 겨울이 강철에 혹독했기 때문에 기술자는 다리를
+다시 점검했다. 질문이 잘 정리되면 대부분의 답은 단순했다. 주말 시장은 가장 붐비고
+좌판에는 채소와 과일과 손으로 만든 과자가 가득하다. 저녁 바람은 강에서 불어와 물풀과
+흙의 냄새를 실어 온다.
+"""
+
+RU = """
+ранним утром город медленно просыпается и улицы пахнут свежим хлебом и
+кофе. дети идут в школу по старой каменной дороге и говорят об играх,
+которые будут играть после обеда. библиотека на углу хранит небольшое
+собрание карт и писем столетней давности. когда приходит дождь, улицы
+быстро пустеют и люди ждут под навесами, глядя на небо. чашка чая и
+длинная книга делают медленные вечера короче. поезд отходит от станции в
+семь и прибывает в город незадолго до девяти. мы тщательно измерили
+результаты и записали каждое число в тетрадь. комитет соберётся во вторник,
+чтобы рассмотреть бюджет и спланировать следующий квартал. история учит
+терпению, а сад учит ему дважды. пожалуйста, не забудьте закрыть ворота,
+чтобы овцы не вышли на дорогу. инженер ещё раз проверил мост, потому что
+зима была тяжёлой для стали. большинство ответов оказались простыми, когда
+вопрос был хорошо поставлен. в выходные рынок самый шумный, прилавки полны
+овощей, фруктов и домашней выпечки. вечерний ветер дует с реки и приносит
+запах травы и земли.
+"""
+
+AR = """
+في الصباح الباكر تستيقظ المدينة ببطء وتفوح من الشوارع رائحة الخبز الطازج
+والقهوة. يمشي الأطفال إلى المدرسة على الطريق الحجري القديم ويتحدثون عن
+الألعاب التي سيلعبونها بعد الظهر. تحتفظ المكتبة في الزاوية بمجموعة صغيرة من
+الخرائط والرسائل من قبل مئة عام. عندما يأتي المطر تفرغ الشوارع بسرعة ويجتمع
+الناس تحت المظلات ينتظرون وهم ينظرون إلى السماء. كوب من الشاي وكتاب طويل
+يجعلان الأمسيات البطيئة أقصر. يغادر القطار المحطة في السابعة ويصل إلى
+المدينة قبل التاسعة بقليل. قسنا النتائج بعناية وكتبنا كل رقم في الدفتر.
+تجتمع اللجنة يوم الثلاثاء لمراجعة الميزانية وتخطيط الربع القادم. يعلم
+التاريخ الصبر ويعلمه البستان مرتين. من فضلكم تذكروا إغلاق البوابة حتى لا
+تخرج الخراف إلى الطريق. فحص المهندس الجسر مرة أخرى لأن الشتاء كان قاسيا على
+الفولاذ. كانت معظم الإجابات بسيطة متى طرح السؤال بشكل جيد. السوق في نهاية
+الأسبوع أكثر ازدحاما والأكشاك مليئة بالخضار والفواكه والحلوى المصنوعة
+يدويا. تهب ريح المساء من النهر وتحمل رائحة العشب والتراب.
+"""
+
 LANG_CORPORA = {
     "en": EN, "fr": FR, "de": DE, "es": ES,
     "it": IT, "pt": PT, "nl": NL, "sv": SV,
     "pl": PL, "fi": FI, "tr": TR, "id": ID,
+    "zh": ZH, "ja": JA, "ko": KO, "ru": RU, "ar": AR,
 }
+
+# Scripts written without word-separating whitespace: `\s+` tokenization
+# is meaningless there, so every consumer that windows or tokenizes a
+# corpus goes through corpus_tokens() (char-level for these, split()
+# elsewhere). The langid/perplexity model itself needs no tokenizer —
+# it is byte-trigram based, and UTF-8 multi-byte sequences give CJK
+# scripts naturally disjoint trigram support.
+UNSEGMENTED_LANGS = frozenset({"zh", "ja"})
+
+
+def corpus_tokens(lang: str) -> list:
+    """Script-aware token list for a frozen corpus: whitespace words for
+    segmented scripts, individual non-space characters for unsegmented
+    CJK (zh/ja) — no `\\s+` dependence on scripts that never use it."""
+    text = LANG_CORPORA[lang]
+    if lang in UNSEGMENTED_LANGS:
+        return [ch for ch in text if not ch.isspace()]
+    return text.split()
 
 # English stopword lexicon (broadcast side input; analogue of the
 # reference's test/stopwords.txt mechanism, reference

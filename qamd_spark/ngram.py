@@ -25,7 +25,7 @@ from qamd_spark import corpora
 TABLE_BITS = 15
 TABLE = 1 << TABLE_BITS
 LANGS = ("en", "fr", "de", "es", "it", "pt", "nl", "sv",
-         "pl", "fi", "tr", "id")
+         "pl", "fi", "tr", "id", "zh", "ja", "ko", "ru", "ar")
 # fixed order; argmax tie-break = first
 UND = "und"
 PPL_EMPTY = 1.0e9  # sentinel perplexity for texts with no trigrams

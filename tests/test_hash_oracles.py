@@ -615,8 +615,17 @@ def test_dsir_prefers_target_like_prose(spark):
 
     prose = " ".join(corpora.LANG_CORPORA["en"].split()[:40])
     junk = "@#$% 0101 ^^&& ~~ || 9876543210 <<>> {}{}[] %%$$ ##@@ !!??"
+    # raw corpus DOMINATED by junk (DSIR's actual use case: pick the
+    # prose out of a junky crawl). With raw ~ the size of the frozen
+    # multilingual target, the smoothed log((Ttot+DIM)/(Rtot+DIM))
+    # normalizer vanishes and selection depends on the gram ratios, not
+    # corpus-size bookkeeping — the 17-language target (zh/ja/ko/ru/ar
+    # added in r4) dilutes English's target share, which correctly made
+    # "1 prose doc vs 1 junk line" a coin flip in the old 5-doc fixture.
+    big_junk = " ".join([junk] * 100)
     df = spark.createDataFrame(
-        [(0, prose), (1, junk), (2, ""), (3, "abc"), (4, None)],
+        [(0, prose), (1, junk), (2, ""), (3, "abc"), (4, None)]
+        + [(10 + i, big_junk) for i in range(4)],
         "doc_id long, text string",
     )
     out = {

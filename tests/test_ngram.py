@@ -80,6 +80,31 @@ HELD_OUT = {
         "hari sabtu kami bersepeda ke pantai kalau cuacanya tetap cerah",
         "toko tutup lebih awal jadi sebaiknya datang sebelum malam",
     ],
+    "zh": [
+        "她把钥匙忘在办公室里，只好傍晚再回去取一趟",
+        "要是周末天气晴朗，我们就骑车去海边玩一整天",
+        "商店关门很早，最好在天黑之前赶过去买东西",
+    ],
+    "ja": [
+        "かぎを会社に忘れてしまったので、夕方また取りに戻った",
+        "天気がよければ土曜日に自転車で海まで出かけるつもりだ",
+        "店が早く閉まるから、暗くなる前に行ったほうがいい",
+    ],
+    "ko": [
+        "열쇠를 사무실에 두고 와서 저녁에 다시 가지러 가야 했다",
+        "날씨가 좋으면 토요일에 자전거를 타고 바다에 갈 것이다",
+        "가게가 일찍 닫으니까 어두워지기 전에 가는 게 좋다",
+    ],
+    "ru": [
+        "она забыла ключи в офисе и вечером пришлось за ними вернуться",
+        "если погода будет хорошей мы поедем в субботу на озеро",
+        "магазин закрывается рано поэтому лучше прийти до вечера",
+    ],
+    "ar": [
+        "نسيت المفاتيح في المكتب واضطرت إلى العودة من أجلها في المساء",
+        "إذا بقي الطقس جميلا سنذهب يوم السبت إلى الشاطئ بالدراجات",
+        "يغلق المتجر مبكرا لذلك من الأفضل الحضور قبل المساء",
+    ],
 }
 
 
