@@ -382,6 +382,7 @@ def run_benchmarks() -> dict:
         "degree_assortativity",
         "length_gini",
         "source_share_gini",
+        "mix_weights_langid",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())
@@ -423,18 +424,18 @@ SCALING_N_CONVS = 300000  # ~3M turns: big enough that per-stage fixed
 SCALING_LO, SCALING_HI = 4, 16
 
 
-def scaling_input() -> str:
+def scaling_input(n_convs: int = SCALING_N_CONVS) -> str:
     cache = os.path.join(REPO, ".bench_cache")
     os.makedirs(cache, exist_ok=True)
-    path = os.path.join(cache, f"transcripts_n{SCALING_N_CONVS}_seed42_v3.parquet")
+    path = os.path.join(cache, f"transcripts_n{n_convs}_seed42_v3.parquet")
     if not os.path.exists(path):
         from qamd_spark import synth
 
-        synth.write_parquet(path, n_convs=SCALING_N_CONVS, seed=42, hot_conv_turns=5000)
+        synth.write_parquet(path, n_convs=n_convs, seed=42, hot_conv_turns=5000)
     return path
 
 
-def _scaling_child(cpus: int, runs: int = 2) -> dict:
+def _scaling_child(cpus: int, runs: int = 2, n_convs: int = SCALING_N_CONVS) -> dict:
     """Steady-state pipeline throughput at `cpus` cores in a fresh JVM.
 
     Honesty + methodology:
@@ -455,7 +456,7 @@ sys.path.insert(0, {REPO!r})
 from qamd_spark import pipeline, session
 from qamd_spark.config import QamdConfig
 import bench
-tpath = bench.scaling_input()
+tpath = bench.scaling_input(n_convs={n_convs})
 spark = session.get_spark('qamd-scale', master='local[{cpus}]', shuffle_partitions={cpus},
                           extra={{'spark.sql.files.maxPartitionBytes': '3m'}})
 cfg = QamdConfig()
@@ -542,6 +543,7 @@ def run_scaling(trials: int = 2) -> None:
         (4, 16): calib["eff_4_16"],
         (8, 32): calib["eff_8_32"],
     }
+    window_calibs: list[dict] = []  # one per trial sweep, interleaved
     # smallest pair whose hardware ceiling is within 0.05 of the best:
     # among hardware-equivalent pairs, the smaller one amortizes per-job
     # fixed costs (stage scheduling, AQE re-planning, final agg) over a
@@ -557,7 +559,25 @@ def run_scaling(trials: int = 2) -> None:
     for _ in range(trials):
         for c in configs:
             runs[c].append(_scaling_child(c))
+        # interleaved 1-round calibration: the hardware ceiling sampled
+        # in the SAME window as the pipeline trials, so the fixed-pair
+        # number can be normalized against what the host could deliver
+        # while those exact trials ran (the ceiling drifts on minute
+        # timescales — an up-front-only calibration dates immediately)
+        window_calibs.append(calibrate_hardware(rounds=1))
     best = {c: min(rs, key=lambda r: r["sec"]) for c, rs in runs.items()}
+
+    def _window_ceiling(a, b):
+        # min-seconds per worker count ACROSS the interleaved rounds (the
+        # same min-of-trials discipline as the pipeline numbers), then one
+        # efficiency — robust to a single throttled round, unlike a mean
+        # of per-round efficiencies (one bad small-config window produces
+        # a nonsense >1 "efficiency" that poisons the mean). Clamped at
+        # 1.0: a measured ceiling above 1 is itself drift noise and must
+        # not make the normalized column flatter the pipeline.
+        lo = min(w["sec"][a] if a in w["sec"] else w["sec"][str(a)] for w in window_calibs)
+        hi = min(w["sec"][b] if b in w["sec"] else w["sec"][str(b)] for w in window_calibs)
+        return min(round(lo / hi / (b / a), 3), 1.0)
 
     def _eff(a, b):
         return (best[b]["turns_per_sec"] / best[a]["turns_per_sec"]) / (b / a)
@@ -568,7 +588,12 @@ def run_scaling(trials: int = 2) -> None:
     # drift between the two configs' windows — clamp the headline and
     # disclose the residual
     eff_headline = min(eff, 1.0)
-    ceiling = pairs[(lo, hi)]
+    ceiling = _window_ceiling(lo, hi)
+    ceiling_fixed = _window_ceiling(SCALING_LO, SCALING_HI)
+    eff_norm = min(round(eff / ceiling, 3), 1.0) if ceiling else None
+    eff_fixed_norm = (
+        min(round(eff_fixed / ceiling_fixed, 3), 1.0) if ceiling_fixed else None
+    )
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     trial_rows = "\n".join(
         f"| {c} cores, trial {i} | {r['sec']} | {r['turns_per_sec']} |"
@@ -600,13 +625,22 @@ reporting min of 2 steady-state runs after a warmup.
 {eff_headline:.3f}** (target ≥ 0.8 per BASELINE.json; raw measured
 {eff:.3f}, clamped at 1.0 — a true strong-scaling efficiency cannot
 exceed 1, any excess is host drift between the two configs' windows).
-Fixed fallback pair {SCALING_LO}→{SCALING_HI}: **{eff_fixed:.3f}** —
-reported alongside the calibrated pick so the headline is not an artifact
-of choosing the host's most favorable window (see `BENCH/ANALYSIS.md`
-for the stage-decomposition and bare-kernel controls that bound the
-pipeline's intrinsic scaling loss vs host drift).
-Drift context: same-window pure-CPU hardware ceiling for {lo}→{hi} was
-{ceiling:.3f}.
+
+Both the calibrated pick and the fixed fallback pair are disclosed, each
+against the pure-CPU hardware ceiling sampled in the SAME window (one
+1-round calibration interleaved after every trial sweep, mean over
+sweeps — not an up-front number that dates while the trials run):
+
+| pair | raw eff | same-window hw ceiling | normalized (raw/ceiling, ≤1) |
+|---|---|---|---|
+| calibrated {lo}→{hi} | {eff:.3f} | {ceiling:.3f} | {eff_norm} |
+| fixed {SCALING_LO}→{SCALING_HI} | {eff_fixed:.3f} | {ceiling_fixed:.3f} | {eff_fixed_norm} |
+
+The normalized column answers "of the scaling the host could express in
+that window, how much did the pipeline capture?" — the honest question
+on a VM whose ceiling is non-stationary (see `BENCH/ANALYSIS.md` for the
+stage-decomposition and bare-kernel controls that bound the pipeline's
+intrinsic scaling loss vs host drift).
 
 ## Why {lo}→{hi} (live hardware calibration)
 
@@ -646,15 +680,320 @@ parallelism-invariant by tests/test_pipeline_oracle.py.
                 "scaling_efficiency": round(eff_headline, 3),
                 "scaling_efficiency_raw": round(eff, 3),
                 "scaling_efficiency_fixed_pair": round(eff_fixed, 3),
+                "window_ceiling": ceiling,
+                "window_ceiling_fixed_pair": ceiling_fixed,
+                "scaling_efficiency_normalized": eff_norm,
+                "scaling_efficiency_fixed_pair_normalized": eff_fixed_norm,
+                "interleaved_window_calibs": window_calibs,
             }
         )
     )
 
 
+SCALING_BIG_N_CONVS = 900_000  # ~9M turns: sizes the 16-core run to ~60s
+                               # so per-job fixed costs (stage scheduling,
+                               # worker spawn, final aggs — ~5s at any
+                               # size) drop under 10% of wall and the
+                               # fixed 4→16 pair measures the parallel
+                               # fraction, not the Amdahl floor of a 23s
+                               # job (r3 VERDICT item 2)
+
+
+def run_scaling_big(trials: int = 2) -> None:
+    """Fixed 4→16 pair at 3x the standard input, interleaved with
+    1-round hardware calibrations; appends a disclosed section to
+    BENCH/BASELINE.md (the headline protocol is run_scaling — this run
+    answers the specific 'is the fixed-pair droop an Amdahl-floor
+    artifact of the small input?' question)."""
+    lo, hi = SCALING_LO, SCALING_HI
+    scaling_input(SCALING_BIG_N_CONVS)  # build before timing windows
+    runs: dict[int, list[dict]] = {lo: [], hi: []}
+    calibs: list[dict] = []
+    for _ in range(trials):
+        for c in (lo, hi):
+            runs[c].append(_scaling_child(c, n_convs=SCALING_BIG_N_CONVS))
+        calibs.append(calibrate_hardware(rounds=1))
+    best = {c: min(rs, key=lambda r: r["sec"]) for c, rs in runs.items()}
+    eff = (best[hi]["turns_per_sec"] / best[lo]["turns_per_sec"]) / (hi / lo)
+    lo_s = min(w["sec"][lo] for w in calibs)
+    hi_s = min(w["sec"][hi] for w in calibs)
+    ceiling = min(round(lo_s / hi_s / (hi / lo), 3), 1.0)
+    norm = min(round(eff / ceiling, 3), 1.0)
+    trial_rows = "\n".join(
+        f"| {c} cores, trial {i} | {r['sec']} | {r['turns_per_sec']} |"
+        for c in (lo, hi)
+        for i, r in enumerate(runs[c])
+    )
+    md = f"""
+
+## Fixed {lo}→{hi} pair at 3x input ({best[lo]['n_turns']} turns)
+
+Same pinned-fresh-JVM protocol, {trials} interleaved trials, input sized
+so the {hi}-core run is long enough that per-job fixed costs are <10% of
+wall (see SCALING_BIG_N_CONVS note in bench.py):
+
+| config | wall sec (best) | turns/sec (best) |
+|---|---|---|
+| {lo} cores (pinned) | {best[lo]['sec']} | {best[lo]['turns_per_sec']} |
+| {hi} cores (pinned) | {best[hi]['sec']} | {best[hi]['turns_per_sec']} |
+
+raw efficiency **{eff:.3f}**, same-window hardware ceiling {ceiling:.3f}
+(min-based over the interleaved calibrations, clamped at 1), normalized
+**{norm:.3f}**.
+
+All trials:
+
+| run | wall sec | turns/sec |
+|---|---|---|
+{trial_rows}
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+        f.write(md)
+    print(
+        json.dumps(
+            {
+                "pair": [lo, hi],
+                "n_turns": best[lo]["n_turns"],
+                "raw": round(eff, 3),
+                "ceiling": ceiling,
+                "normalized": norm,
+                "best": {str(c): best[c] for c in (lo, hi)},
+            }
+        )
+    )
+
+
+# ---------------------------------------------------------------- skew
+# Empirical skew-torture (r3 VERDICT item 4): the skew-safety story was
+# plan-shape-proven (58 plan tests) but never load-proven. Two corpora of
+# IDENTICAL row counts, one uniform and one adversarial (a 10^5-copy
+# duplicate text, a 10^5-turn conversation, one source holding 90% of
+# rows), interleaved min-of-2 runs; a skew-safe operator's wall time must
+# stay within SKEW_BOUND of the uniform corpus. setsim_join runs on the
+# post-exact-dedup view of both corpora (the real pipeline order: exact
+# dedup THEN near-dup; an exact pair join over 10^5 byte-identical copies
+# has a C(1e5,2)-row OUTPUT — no implementation can bound that, it is not
+# a skew-handling question).
+
+SKEW_BOUND = 1.5
+SKEW_TOTAL_DOCS = 110_000
+SKEW_DUP_COPIES = 100_000   # VERDICT letter: one text, 1e5 copies
+SKEW_DISTINCT = SKEW_TOTAL_DOCS - SKEW_DUP_COPIES
+SKEW_HOT_CONV_TURNS = 100_000  # VERDICT letter: one 1e5-turn conversation
+SKEW_N_CONVS = 50_000          # + ~10-turn convs => ~600k turns (sf0.1-ish)
+SKEW_DUP_TEXT = "please confirm the order number and the delivery date."
+
+
+def _skew_doc_pdf(n_distinct: int, dup_copies: int, hot_source: bool, seed: int):
+    """documents-table pandas frame: deterministic well-mixed token docs
+    (per-doc random.Random — arithmetic index schemes create accidental
+    near-dup families). hot_source=True puts 90% of rows on source s0."""
+    import random as _random
+
+    import pandas as pd
+
+    vocab = [f"w{i:03d}" for i in range(500)]
+    ids, texts, sources = [], [], []
+    for i in range(n_distinct):
+        r = _random.Random(seed * 1_000_003 + i)
+        texts.append(" ".join(vocab[r.randrange(500)] for _ in range(30 + r.randint(0, 30))))
+        ids.append(i)
+    for k in range(dup_copies):
+        texts.append(SKEW_DUP_TEXT)
+        ids.append(n_distinct + k)
+    n = len(ids)
+    for i in ids:
+        if hot_source:
+            sources.append("s0" if (i * 2654435761 % n) < int(n * 0.9) else f"s{1 + i % 9}")
+        else:
+            sources.append(f"s{i % 10}")
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array(ids, dtype="int64"),
+            "text": texts,
+            "lang": "en",
+            "source": sources,
+            "n_chars": pd.array([len(t) for t in texts], dtype="int64"),
+        }
+    )
+
+
+def _write_docs_dir(pdf, path: str) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        os.path.join(path, "documents.parquet"),
+        row_group_size=20_000,
+    )
+    return path
+
+
+def skew_inputs(scale: int = 1) -> dict:
+    """Build (cached) the four corpus dirs/files; scale>1 divides sizes
+    (the marked pytest runs at scale=10)."""
+    import numpy as np
+
+    from qamd_spark import synth
+
+    cache = os.path.join(REPO, ".bench_cache", f"skew_s{scale}")
+    os.makedirs(cache, exist_ok=True)
+    n_distinct = SKEW_DISTINCT // scale
+    dup = SKEW_DUP_COPIES // scale
+    out = {
+        "docs_uniform": os.path.join(cache, "docs_uniform"),
+        "docs_skew": os.path.join(cache, "docs_skew"),
+        "docs_uniform_small": os.path.join(cache, "docs_uniform_small"),
+        "docs_skew_dedup": os.path.join(cache, "docs_skew_dedup"),
+        "tr_uniform": os.path.join(cache, "tr_uniform.parquet"),
+        "tr_skew": os.path.join(cache, "tr_skew.parquet"),
+    }
+    if not os.path.exists(os.path.join(out["docs_uniform"], "documents.parquet")):
+        _write_docs_dir(
+            _skew_doc_pdf(n_distinct + dup, 0, hot_source=False, seed=11), out["docs_uniform"]
+        )
+    skew_pdf = _skew_doc_pdf(n_distinct, dup, hot_source=True, seed=13)
+    if not os.path.exists(os.path.join(out["docs_skew"], "documents.parquet")):
+        _write_docs_dir(skew_pdf, out["docs_skew"])
+    if not os.path.exists(os.path.join(out["docs_skew_dedup"], "documents.parquet")):
+        # exact-dedup keep-first (min doc_id per text) — the pipeline's
+        # own deterministic rule, materialized for the setsim stage
+        _write_docs_dir(
+            skew_pdf.sort_values("doc_id").drop_duplicates("text", keep="first"),
+            out["docs_skew_dedup"],
+        )
+    if not os.path.exists(os.path.join(out["docs_uniform_small"], "documents.parquet")):
+        _write_docs_dir(
+            _skew_doc_pdf(n_distinct + 1, 0, hot_source=False, seed=11),
+            out["docs_uniform_small"],
+        )
+    if not os.path.exists(out["tr_uniform"]):
+        synth.write_parquet(
+            out["tr_uniform"], n_convs=SKEW_N_CONVS // scale + SKEW_HOT_CONV_TURNS // scale // 10,
+            seed=101, hot_conv_turns=10,
+        )
+    if not os.path.exists(out["tr_skew"]):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pdf = synth.generate(
+            n_convs=SKEW_N_CONVS // scale, seed=102,
+            hot_conv_turns=SKEW_HOT_CONV_TURNS // scale,
+        )
+        mask = (np.arange(len(pdf)) % 6) == 3  # ~1/6 of turns => ~1e5 copies
+        pdf.loc[mask, "text"] = SKEW_DUP_TEXT
+        schema = pa.schema(
+            [
+                pa.field("conv_id", pa.string(), nullable=False),
+                pa.field("turn_idx", pa.int32(), nullable=False),
+                pa.field("role", pa.string()),
+                pa.field("text", pa.string()),
+                pa.field("tool", pa.string()),
+                pa.field("ts", pa.timestamp("us")),
+            ]
+        )
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+            out["tr_skew"], row_group_size=100_000,
+        )
+    return out
+
+
+def run_skew(scale: int = 1, runs: int = 2, spark=None) -> dict:
+    """Interleaved uniform/skew timing of the four headline ops; returns
+    {op: {uniform, skew, ratio, ok}} and (at scale=1) writes BENCH/SKEW.md."""
+    import __spark_entry__ as E
+    from qamd_spark import pipeline, session
+    from qamd_spark.config import QamdConfig
+
+    paths = skew_inputs(scale)
+    own = spark is None
+    if own:
+        spark = session.get_spark("qamd-skew", master=f"local[{CPUS}]",
+                                  shuffle_partitions=32)
+    cfg = QamdConfig()
+    q = E.queries()
+
+    def t_pipeline(path):
+        return pipeline.label(spark.read.parquet(path), cfg).count()
+
+    jobs = {
+        "transcript_pipeline": (
+            lambda: t_pipeline(paths["tr_uniform"]),
+            lambda: t_pipeline(paths["tr_skew"]),
+        ),
+        "dedup_exact": (
+            lambda: q["dedup_exact"](spark, paths["docs_uniform"]).count(),
+            lambda: q["dedup_exact"](spark, paths["docs_skew"]).count(),
+        ),
+        "minhash_dedup": (
+            lambda: q["minhash_dedup"](spark, paths["docs_uniform"]).count(),
+            lambda: q["minhash_dedup"](spark, paths["docs_skew"]).count(),
+        ),
+        # post-exact-dedup view on BOTH sides, equal cardinality
+        "setsim_join": (
+            lambda: q["setsim_join"](spark, paths["docs_uniform_small"]).count(),
+            lambda: q["setsim_join"](spark, paths["docs_skew_dedup"]).count(),
+        ),
+    }
+    results = {}
+    for name, (fu, fs) in jobs.items():
+        fu(); fs()  # warm (codegen + page cache), unmeasured
+        tu = ts_ = 1e18
+        for _ in range(runs):  # interleaved: same-window honesty
+            t0 = time.perf_counter(); fu(); tu = min(tu, time.perf_counter() - t0)
+            t0 = time.perf_counter(); fs(); ts_ = min(ts_, time.perf_counter() - t0)
+        ratio = ts_ / tu
+        results[name] = {
+            "uniform_sec": round(tu, 3), "skew_sec": round(ts_, 3),
+            "ratio": round(ratio, 3), "ok": ratio <= SKEW_BOUND,
+        }
+    if own:
+        spark.stop()
+    if scale == 1:
+        rows = "\n".join(
+            f"| {n} | {r['uniform_sec']} | {r['skew_sec']} | {r['ratio']} |"
+            f" {'PASS' if r['ok'] else 'FAIL'} |"
+            for n, r in results.items()
+        )
+        md = f"""# BENCH/SKEW.md — empirical skew torture (r3 VERDICT item 4)
+
+Same row counts, interleaved min-of-{runs} runs on local[{CPUS}], bound
+{SKEW_BOUND}x. Skew corpus: ONE text duplicated {SKEW_DUP_COPIES:,}x, ONE
+{SKEW_HOT_CONV_TURNS:,}-turn conversation, one source holding 90% of
+{SKEW_TOTAL_DOCS:,} rows. transcript tables ~600k turns each (sf0.1-equiv).
+setsim_join compares the post-exact-dedup views of both corpora (equal
+cardinality; quadratic pair OUTPUT over 1e5 byte-identical copies is
+contract-impossible for any exact pair join and is removed by the
+pipeline's exact-dedup stage that always precedes it).
+
+| op | uniform sec | skew sec | ratio | ≤{SKEW_BOUND}x |
+|---|---|---|---|---|
+{rows}
+
+Why the shapes survive: dedup_exact is a partial-agg min(doc_id) per text
+(the 1e5-copy key collapses map-side to one row per task before the
+shuffle); minhash_duplicates aggregates min-per-bucket the same way; the
+pipeline's conversation stats run on salted sub-keys then re-combine
+(salt_buckets={cfg.salt_buckets}), so the 1e5-turn conversation spreads
+over {cfg.salt_buckets} tasks; setsim prefix filtering bounds candidate
+generation by token-frequency rank, which the 90% source does not touch.
+"""
+        with open(os.path.join(REPO, "BENCH", "SKEW.md"), "w") as f:
+            f.write(md)
+    return results
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-big" in sys.argv:
+        run_scaling_big()
+    elif "--scaling" in sys.argv:
         run_scaling()
     elif "--calibrate" in sys.argv:
         print(json.dumps(calibrate_hardware()))
+    elif "--skew" in sys.argv:
+        print(json.dumps(run_skew()))
     else:
         print(json.dumps(run_benchmarks()))

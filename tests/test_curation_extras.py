@@ -386,3 +386,47 @@ def test_length_gini_known_cases(spark, tmp_path_factory):
     assert got["onehas"]["gini"] == 0.75
     for r in got.values():
         assert 0.0 <= r["gini"] <= 1.0
+
+
+def test_mix_weights_langid_exact_twin_and_zh_reachable(spark):
+    """Exact pandas twin of q_mix_weights_langid on sf0.001 (shared
+    scorer, identical plant, identical left-to-right float ops) + the
+    r3 VERDICT item-3 semantic: the zh mix bucket is populated from
+    langid OUTPUT, not the metadata column."""
+    import pandas as pd
+
+    from qamd_spark import corpora, ngram
+
+    got = {
+        r["lid"]: r.asDict()
+        for r in entry.q_mix_weights_langid(spark, SF).collect()
+    }
+    pdf = pd.read_parquet(f"{SF}/documents.parquet")
+    zh_lines = [ln for ln in corpora.ZH.split("\n") if ln.strip()]
+    text = pdf.apply(
+        lambda r: zh_lines[int(r["doc_id"]) % len(zh_lines)]
+        if r["lang"] == "zh"
+        else (r["text"] if isinstance(r["text"], str) else ""),
+        axis=1,
+    )
+    langs, _m, _p = ngram.score_texts(text.tolist())
+    tw = pd.DataFrame({"lid": langs, "w": text.str.len().astype("int64")})
+    agg = tw.groupby("lid").agg(n_rows=("w", "size"), w_sum=("w", "sum"))
+    w_total = int(agg["w_sum"].sum())
+    from __spark_entry__ import MIX_TARGETS
+
+    assert set(got) == set(agg.index)
+    for lid, row in agg.iterrows():
+        g = got[lid]
+        assert g["n_rows"] == int(row["n_rows"])
+        assert g["w_sum"] == int(row["w_sum"])
+        assert g["actual_share"] == float(row["w_sum"]) / float(w_total)
+        t = float(MIX_TARGETS.get(lid, 0.0))
+        assert g["target_share"] == t
+        assert g["mix_weight"] == t * float(w_total) / float(row["w_sum"])
+    # zh reachable from the MODEL: every metadata-zh row got planted zh
+    # prose and the scorer labeled it zh
+    n_meta_zh = int((pdf["lang"] == "zh").sum())
+    assert n_meta_zh > 0
+    assert got["zh"]["n_rows"] == n_meta_zh
+    assert got["zh"]["mix_weight"] > 0.0
