@@ -200,6 +200,37 @@ class ConfigError(ValueError):
     pass
 
 
+def _resolve_word_source(name: str, val):
+    """Accept an inline word list OR a ``{file: path}`` /
+    ``{files: [paths]}`` spec — the reference's dictionary-from-file
+    mechanism (src/check/dictionary.rs:46-56 stitches newline-split
+    dictionary files listed in the YAML; default.yaml dictionary
+    settings). Files are read ONCE at config build and the resolved
+    words land in ``settings`` / ``stopwords``, so
+    checkpoint.config_fingerprint hashes the CONTENT: editing a
+    dictionary file invalidates resume manifests by construction (no
+    separate mtime/hash bookkeeping to go stale). Blank lines are
+    dropped (the reference's empty-word predicate short-circuits them
+    anyway, dictionary.rs:13-24); surrounding whitespace is stripped."""
+    if isinstance(val, dict) and ("file" in val or "files" in val):
+        unknown = set(val) - {"file", "files"}
+        if unknown:
+            raise ConfigError(f"{name}: unknown file-spec keys {sorted(unknown)}")
+        paths = list(val.get("files") or []) or [val["file"]]
+        words: list[str] = []
+        for p in paths:
+            try:
+                with open(p, encoding="utf-8") as f:
+                    raw = f.read()
+            except OSError as e:
+                raise ConfigError(f"{name}: cannot read dictionary file {p!r}: {e}") from e
+            words.extend(w for w in (ln.strip() for ln in raw.split("\n")) if w)
+        if not words:
+            raise ConfigError(f"{name}: dictionary file(s) {paths} contain no words")
+        return words
+    return val
+
+
 @dataclass
 class QamdConfig:
     """Validated runtime config. ``settings[name] is None`` ⇒ rule skipped."""
@@ -211,6 +242,21 @@ class QamdConfig:
     salt_buckets: int = 8
 
     def __post_init__(self):
+        # dictionary-from-file resolution (reference
+        # src/check/dictionary.rs:46-56): the three word-list inputs a
+        # real deployment sizes beyond inline YAML — spellcheck vocab,
+        # stopwords, toxicity lexicon — accept {file:}/{files:} specs
+        if isinstance(self.stopwords, dict):
+            self.stopwords = list(_resolve_word_source("stopwords", self.stopwords))
+        s = self.settings
+        if s.get("profanity") is not None:
+            s["profanity"] = _resolve_word_source("profanity", s["profanity"])
+        ov = s.get("oov_fraction")
+        if isinstance(ov, dict) and isinstance(ov.get("vocab"), dict):
+            s["oov_fraction"] = {
+                **ov,
+                "vocab": _resolve_word_source("oov_fraction.vocab", ov["vocab"]),
+            }
         self.validate()
 
     # --- derived, cached-ish accessors used by turnscore -------------
@@ -400,7 +446,9 @@ def from_yaml(path_or_str: str) -> QamdConfig:
                 actions[name] = body["action"]
     kw: dict[str, Any] = {}
     if "stopwords" in extra:
-        kw["stopwords"] = list(extra["stopwords"])
+        sw = extra["stopwords"]
+        # {file:}/{files:} specs pass through for __post_init__ to resolve
+        kw["stopwords"] = sw if isinstance(sw, dict) else list(sw)
     if "n_buckets" in extra:
         kw["n_buckets"] = int(extra["n_buckets"])
     if "salt_buckets" in extra:

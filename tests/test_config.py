@@ -120,3 +120,99 @@ def test_compression_rejects_unknown_keys():
     cfg.settings["compression"] = {"max_ration": 2.0}  # typo
     with pytest.raises(ConfigError, match="unknown keys"):
         cfg.validate()
+
+
+def test_dictionary_from_file_resolution(tmp_path):
+    """Reference dictionary-from-file parity (src/check/dictionary.rs:
+    46-56, default.yaml dictionary settings; fixtures test/words.txt,
+    test/stopwords.txt): vocab / stopwords / profanity accept
+    {file: path} or {files: [paths]} and resolve to the stitched
+    newline-split word list at config build."""
+    words = tmp_path / "words.txt"
+    words.write_text("alpha\nbeta\n\n  gamma  \n")
+    words2 = tmp_path / "words2.txt"
+    words2.write_text("delta\n")
+    stops = tmp_path / "stopwords.txt"
+    stops.write_text("the\na\nan\n")
+    tox = tmp_path / "tox.txt"
+    tox.write_text("fraktz\nblorgak\n")
+    yaml_doc = f"""
+data_integrity:
+  oov_fraction:
+    setting: {{vocab: {{files: [{words}, {words2}]}}, max: 0.5}}
+    desc: "oov"
+disclosure_risk:
+  profanity:
+    setting: {{file: {tox}}}
+    desc: "tox"
+engine:
+  stopwords: {{file: {stops}}}
+"""
+    cfg = C.from_yaml(yaml_doc)
+    assert cfg.settings["oov_fraction"]["vocab"] == ["alpha", "beta", "gamma", "delta"]
+    assert cfg.settings["profanity"] == ["fraktz", "blorgak"]
+    assert cfg.stopwords == ["the", "a", "an"]
+    assert cfg.vocab_set == frozenset({"alpha", "beta", "gamma", "delta"})
+    # direct-construction path resolves too
+    cfg2 = C.QamdConfig(
+        settings={
+            **dict(C.DEFAULT_SETTINGS),
+            "oov_fraction": {"vocab": {"file": str(words)}, "max": 0.4},
+        },
+        stopwords={"file": str(stops)},
+    )
+    assert cfg2.settings["oov_fraction"]["vocab"] == ["alpha", "beta", "gamma"]
+    assert cfg2.stopwords == ["the", "a", "an"]
+
+
+def test_dictionary_file_errors(tmp_path):
+    import pytest as _pt
+
+    missing = tmp_path / "nope.txt"
+    with _pt.raises(C.ConfigError, match="cannot read"):
+        C.QamdConfig(
+            settings={
+                **dict(C.DEFAULT_SETTINGS),
+                "profanity": {"file": str(missing)},
+            }
+        )
+    empty = tmp_path / "empty.txt"
+    empty.write_text("\n\n")
+    with _pt.raises(C.ConfigError, match="no words"):
+        C.QamdConfig(
+            settings={
+                **dict(C.DEFAULT_SETTINGS),
+                "profanity": {"file": str(empty)},
+            }
+        )
+    with _pt.raises(C.ConfigError, match="unknown file-spec"):
+        C.QamdConfig(
+            settings={
+                **dict(C.DEFAULT_SETTINGS),
+                "profanity": {"file": str(empty), "mode": "x"},
+            }
+        )
+
+
+def test_dictionary_file_edit_invalidates_checkpoint_fingerprint(tmp_path):
+    """Editing a dictionary file changes config_fingerprint (the content
+    is resolved INTO settings before hashing), so resume manifests from
+    the old dictionary are invalidated — r3 VERDICT item 7's checkpoint
+    half."""
+    from qamd_spark.checkpoint import config_fingerprint
+
+    vocab = tmp_path / "v.txt"
+    vocab.write_text("alpha\nbeta\n")
+
+    def build():
+        return C.QamdConfig(
+            settings={
+                **dict(C.DEFAULT_SETTINGS),
+                "oov_fraction": {"vocab": {"file": str(vocab)}, "max": 0.5},
+            }
+        )
+
+    fp1 = config_fingerprint(build())
+    assert fp1 == config_fingerprint(build())  # stable while unchanged
+    vocab.write_text("alpha\nbeta\ngamma\n")
+    assert config_fingerprint(build()) != fp1
