@@ -220,7 +220,15 @@ def to_html(doc: dict) -> str:
     table per check category, per-check locator tables capped at 1000
     rows, src/report/html/mod.rs:115). Self-contained (inline CSS, no
     CDN) so it renders offline; input is the summary_json document dict.
-    """
+
+    Interactivity parity with the reference's custom.js
+    (src/report/html/custom.js:18-43, served by html/mod.rs:91-96):
+    locator tables start hidden; clicking a FAILING check row reveals
+    that check's locator table (hiding the others), fills the
+    #selected-check heading, pulses the row, and scrolls to the table —
+    vanilla inline JS here (the reference ships jQuery; self-contained
+    beats CDN parity). A <noscript> override unhides every locator
+    table so the report degrades to the old static rendering."""
     from qamd_spark.config import CATEGORIES
 
     md = doc.get("metadata", {})
@@ -233,7 +241,13 @@ def to_html(doc: dict) -> str:
         "table{border-collapse:collapse;margin:1em 0}"
         "td,th{border:1px solid #999;padding:4px 8px;text-align:left}"
         "th{background:#eee}.fail{color:#a00;font-weight:bold}"
-        ".pass{color:#080}</style></head><body>",
+        ".pass{color:#080}.hidden{display:none}"
+        "tr.fail-row{cursor:pointer}"
+        "@keyframes qpulse{0%{background:#fff}50%{background:#fdd}100%{background:inherit}}"
+        "tr.pulse{animation:qpulse .4s}</style>"
+        "<noscript><style>.loc-block{display:block !important}"
+        "#selected-check{display:none !important}</style></noscript>"
+        "</head><body>",
         "<h1>Data health check</h1>",
         "<h2>Metadata</h2><table>",
     ]
@@ -250,17 +264,29 @@ def to_html(doc: dict) -> str:
             "<th>pass</th><th>fail</th></tr>"
         )
         for r in rows:
-            cls = "fail" if int(r["fail"]) > 0 else "pass"
+            failing = int(r["fail"]) > 0
+            cls = "fail" if failing else "pass"
+            # failing rows are click targets (reference binds to
+            # tr.table-danger, custom.js:18)
+            tr = (
+                f"<tr class='fail-row' data-rule='{_esc(r['rule'])}'>"
+                if failing
+                else "<tr>"
+            )
             parts.append(
-                f"<tr><td>{_esc(r['rule'])}</td><td>{_esc(r['desc'])}</td>"
+                f"{tr}<td>{_esc(r['rule'])}</td><td>{_esc(r['desc'])}</td>"
                 f"<td>{_esc(r['action'])}</td><td>{int(r['pass'])}</td>"
                 f"<td class='{cls}'>{int(r['fail'])}</td></tr>"
             )
         parts.append("</table>")
     if locs:
         parts.append("<h2>Locators</h2>")
+        parts.append(
+            "<h2 id='selected-check' class='hidden'></h2>"
+        )  # filled on row click (reference h2#selected-check)
         for rule, body in locs.items():
             first = body.get("first", [])[:LOCATOR_CAP]  # reference cap, html/mod.rs:115
+            parts.append(f"<div class='loc-block hidden' id='loc-{_esc(rule)}'>")
             parts.append(
                 f"<h3>{_esc(rule)} ({int(body.get('n_fail', len(first)))} failing, "
                 f"first {len(first)} shown)</h3>"
@@ -270,6 +296,23 @@ def to_html(doc: dict) -> str:
                 parts.append(
                     f"<tr><td>{_esc(conv_id)}</td><td>{int(turn_idx)}</td></tr>"
                 )
-            parts.append("</table>")
+            parts.append("</table></div>")
+    parts.append(
+        "<script>"
+        "document.querySelectorAll('tr.fail-row').forEach(function(row){"
+        "row.addEventListener('click',function(){"
+        "var rule=row.getAttribute('data-rule');"
+        "var h=document.getElementById('selected-check');"
+        "if(h){h.classList.remove('hidden');h.textContent=rule;}"
+        "document.querySelectorAll('.loc-block').forEach(function(b){"
+        "b.classList.add('hidden');});"
+        "var sel=document.getElementById('loc-'+rule);"
+        "if(sel){sel.classList.remove('hidden');}"
+        "row.classList.remove('pulse');void row.offsetWidth;"
+        "row.classList.add('pulse');"
+        "if(sel){sel.scrollIntoView({behavior:'smooth'});}"
+        "});});"
+        "</script>"
+    )
     parts.append("</body></html>")
     return "".join(parts)

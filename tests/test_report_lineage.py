@@ -156,6 +156,18 @@ def test_html_report_byte_golden():
     assert got == want
     # the escaping actually bit: raw '<' from data must not appear
     assert "x<y>" not in got and "x&lt;y&gt;" in got
+    # custom.js interactivity parity (reference src/report/html/
+    # custom.js:18-43): failing rows are click targets, locator tables
+    # start hidden behind per-rule blocks, the selected-check heading
+    # exists, and the vanilla inline script wires them — with a
+    # noscript fallback that restores the static rendering
+    assert got.count("class='fail-row'") == 3  # the three failing rules
+    assert "data-rule='bad_conv_id'" in got
+    assert "<div class='loc-block hidden' id='loc-bad_conv_id'>" in got
+    assert "<h2 id='selected-check' class='hidden'>" in got
+    assert "scrollIntoView" in got and "<noscript>" in got
+    # the pii row passes (fail=0) and must NOT be clickable
+    assert "data-rule='pii'" not in got
 
 
 def test_locators_tree_reduce_many_partitions(labeled):
