@@ -26,3 +26,11 @@ def synth_path(tmp_path_factory):
     p = tmp_path_factory.mktemp("data") / "transcripts.parquet"
     synth.write_parquet(str(p), n_convs=60, seed=42, hot_conv_turns=120)
     return str(p)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "skew: empirical skew-torture timing tests (wall-clock sensitive; "
+        "deselect with -m 'not skew' on noisy hosts)",
+    )
