@@ -11612,9 +11612,15 @@ def _nchar(col: str, ch: str):
         F.replace(F.col(col), F.lit(ch), F.lit(""))
     )
 LEV_MIN_LEN = 20        # skip shorties (empty/near-empty texts pair up
-                        # quadratically and carry no dedup signal)
-LEV_BIN_WIDTH = 8       # length-band width; > LEV_MAX_DIST so candidates
-                        # never span more than adjacent bins
+                        # quadratically and carry no dedup signal); also
+                        # keeps |gram set| = len-2 >= 18 > d*q = 15, so
+                        # the prefix-filter overlap bound never
+                        # degenerates to zero
+LEV_QGRAM = 3           # q for the Ed-Join prefix filter; prefix length
+                        # d*q+1 = 16 rarest trigrams per doc
+LEV_BIN_WIDTH = 8       # length-band width of the DuckDB twin's
+                        # independent enumeration (> LEV_MAX_DIST so its
+                        # adjacent bins cover every qualifying pair)
 BIDI_PUSH_OVERRIDE = [0x202A, 0x202B, 0x202D, 0x202E]  # LRE RLE LRO RLO
 BIDI_POP_OVERRIDE = 0x202C                              # PDF
 BIDI_PUSH_ISOLATE = [0x2066, 0x2067, 0x2068]            # LRI RLI FSI
@@ -11624,25 +11630,42 @@ SHUFFLEQ_MULT = 2654435761  # Knuth multiplicative hash constant
 
 
 def q_levenshtein_neardup(spark, sf_dir):
-    """Edit-distance-verified near-duplicate pairs: length-banded
-    candidate generation (build at its own bin, probe emits {bin,
-    bin+1} with the asymmetric keep rule — each pair exactly once, no
-    dropDuplicates exchange), then native levenshtein ≤ 5 as the
-    verdict — the character-level complement of ngram_jaccard's
-    token-level verify (catches single-char edits that leave every
-    shingle intact).  Texts are ASCII-projected first ([^\\x20-\\x7E]
-    stripped) because DuckDB's levenshtein is byte-based while Spark's
-    is codepoint-based — the projection makes both count the same
-    units, by design not by luck.  Mutated copies (append / head-drop /
+    """Edit-distance-verified near-duplicate pairs with Ed-Join-style
+    q-gram prefix blocking (Xiao/Wang/Lin, VLDB'08), then native
+    levenshtein ≤ 5 as the verdict — the character-level complement of
+    ngram_jaccard's token-level verify (catches single-char edits that
+    leave every shingle intact).
+
+    Candidate generation is the scale-critical piece. The r3 shape
+    joined on length bins only; the r4 sf0.01→sf1 growth curve
+    (BENCH/ANALYSIS.md) measured that near-QUADRATIC (per-decade
+    exponent 1.83: lengths concentrate, so bins hold O(n/B) docs and
+    candidates ≈ n²/B). Replaced by an EXACT lossless gram filter: one
+    edit destroys at most q distinct q-gram types, so ed(a,b) ≤ d ⟹
+    |G(a) ∩ G(b)| ≥ |G(a)| − d·q; by the standard prefix-filter
+    principle, sorting each doc's gram set in a global order
+    (document-frequency, then gram) and keeping the first d·q+1 = 16
+    rarest trigrams guarantees every qualifying pair shares a prefix
+    gram. LEV_MIN_LEN = 20 keeps |G| ≥ 18 > d·q, so the bound never
+    degenerates. The gram-frequency table is ALWAYS broadcastable
+    (ASCII trigram types ≤ 95³ ≈ 857k regardless of corpus size); the
+    per-doc top-16 is one row_number window keyed by id (linear
+    shuffle); candidates come from an equi-join on the rare gram,
+    deduped by (id, b_id). sf1-synth wall dropped 596 s → see
+    BENCH/ANALYSIS.md growth table for the re-measured exponent.
+
+    Texts are ASCII-projected first ([^\\x20-\\x7E] stripped) because
+    DuckDB's levenshtein is byte-based while Spark's is
+    codepoint-based — the projection makes both count the same units,
+    by design not by luck. Mutated copies (append / head-drop /
     first-char substitution, doc_id arithmetic mirrored in the twin)
-    plant true positives at known distances.  |len diff| ≤ 5 < bin
-    width 8 proves adjacent bins suffice (no missed pairs); per-bin
-    candidate sets are bounded by the length histogram, the join is a
-    shuffle equi-join on bin (AQE-splittable).  Candidates then pass
-    counting-filter gates (levenshtein >= any per-char count diff —
-    space and 'e' counts here) before a THRESHOLD-capped banded DP
-    (O(len·k) vs O(len²)); both prunes are exact, so recall is
-    unchanged and the uncapped DuckDB twin stays value-identical."""
+    plant true positives at known distances. Candidates then pass the
+    length gate (|len diff| ≤ 5 — the r3 band rule, now a filter) and
+    counting-filter gates (levenshtein ≥ any per-char count diff —
+    space and 'e' here) before a THRESHOLD-capped banded DP (O(len·k)
+    vs O(len²)); every prune is exact, so recall is unchanged and the
+    independently-enumerated (length-banded) DuckDB twin re-proves the
+    prefix filter lossless on every gate run."""
     t = F.regexp_replace(_txt(), r"[^\x20-\x7E]", "")
     base = _docs(spark, sf_dir).select(
         F.col("doc_id").alias("id"), t.alias("t")
@@ -11664,29 +11687,64 @@ def q_levenshtein_neardup(spark, sf_dir):
         .filter(F.col("ln") >= LEV_MIN_LEN)
         .withColumn("bin", F.expr(f"ln div {LEV_BIN_WIDTH}"))
     )
-    build = pool.select(
-        F.col("id").alias("b_id"), F.col("t").alias("b_t"),
-        F.col("ln").alias("b_ln"), F.col("bin").alias("b_bin"),
+    plen = LEV_MAX_DIST * LEV_QGRAM + 1
+    grams = pool.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(1, ln - {LEV_QGRAM - 1}),"
+                f" i -> substring(t, i, {LEV_QGRAM})))"
+            )
+        ).alias("g"),
     )
-    probe = pool.select(
-        "id", "t", "ln", "bin",
-        F.explode(F.array(F.col("bin"), F.col("bin") + 1)).alias("p_bin"),
+    freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    wp = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("g"))
+    prefix = (
+        grams.join(F.broadcast(freq), "g")
+        .withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= plen)
+        .select("id", "g")
+        .join(pool.select("id", "bin"), "id")
+    )
+    # composite-key join: share a rare prefix gram AND sit in adjacent
+    # length bins — BOTH predicates live in the equi-join key, so a
+    # corpus that defeats one filter (tiny vocab ⇒ common "rare" grams;
+    # concentrated lengths ⇒ fat bins) still gets the other's
+    # selectivity at enumeration time, not as a post-join filter
+    probe = prefix.select(
+        "id", "g", F.col("bin").alias("pbin"),
+        F.explode(F.array(F.col("bin"), F.col("bin") + 1)).alias("jb"),
+    )
+    build = prefix.select(
+        F.col("id").alias("b_id"), "g", F.col("bin").alias("bbin"),
+        F.col("bin").alias("jb"),
+    )
+    cand_ids = (
+        probe.join(build, ["g", "jb"])
+        .filter(
+            ((F.col("pbin") == F.col("bbin")) & (F.col("id") < F.col("b_id")))
+            | (F.col("pbin") < F.col("bbin"))
+        )
+        .select("id", "b_id")
+        .distinct()
     )
     # counting-filter gates: levenshtein >= |count_c(a) - count_c(b)| for
-    # ANY char c, so cheap per-char count diffs prune the same-band
-    # word-salad pairs BEFORE the DP (without them the sf0.1 bench spent
-    # 399 s verifying ~10^6 candidates that could never pass)
-    cand = probe.join(build, F.col("p_bin") == F.col("b_bin")).filter(
-        (
-            ((F.col("bin") == F.col("b_bin")) & (F.col("id") < F.col("b_id")))
-            | (F.col("bin") < F.col("b_bin"))
+    # ANY char c, so cheap per-char count diffs prune the word-salad
+    # pairs BEFORE the DP (without them the sf0.1 bench spent 399 s
+    # verifying ~10^6 candidates that could never pass)
+    cand = (
+        cand_ids.join(pool, "id")
+        .join(
+            pool.select(
+                F.col("id").alias("b_id"), F.col("t").alias("b_t"),
+                F.col("ln").alias("b_ln"),
+            ),
+            "b_id",
         )
-        & (F.abs(F.col("ln") - F.col("b_ln")) <= LEV_MAX_DIST)
-        & (
-            F.abs(_nchar("t", " ") - _nchar("b_t", " ")) <= LEV_MAX_DIST
-        )
-        & (
-            F.abs(_nchar("t", "e") - _nchar("b_t", "e")) <= LEV_MAX_DIST
+        .filter(
+            (F.abs(F.col("ln") - F.col("b_ln")) <= LEV_MAX_DIST)
+            & (F.abs(_nchar("t", " ") - _nchar("b_t", " ")) <= LEV_MAX_DIST)
+            & (F.abs(_nchar("t", "e") - _nchar("b_t", "e")) <= LEV_MAX_DIST)
         )
     )
     # banded DP: threshold-capped levenshtein is O(len·k), returns -1
