@@ -757,10 +757,15 @@ def main() -> None:
         ),
         (
             "levenshtein_neardup",
-            "Length-banded candidate join: probe explodes {bin, bin+1} "
-            "and the asymmetric keep rule emits each pair exactly once "
-            "(no dropDuplicates exchange); levenshtein runs only on "
-            "candidates that already passed the |Δlen| gate.",
+            "Ed-Join prefix blocking composite-keyed with the length "
+            "bin (r4): the gram-frequency table rides a BROADCAST hash "
+            "join (trigram types bounded at 95^3 whatever the corpus "
+            "size), pair enumeration is an equi-join on (rare gram, "
+            "bin) with the asymmetric keep rule, pairs collapse "
+            "through a distinct agg BEFORE the verify; levenshtein "
+            "runs only on candidates that already passed the |Δlen| "
+            "and per-char counting gates. sf1 growth exponent 1.83 -> "
+            "1.03 (BENCH/ANALYSIS.md).",
             E.q_levenshtein_neardup(spark, SF),
         ),
         (

@@ -1234,3 +1234,24 @@ def test_bh_fdr_and_conformal_have_no_unpartitioned_raw_window(spark):
         first_window = tree.find("Window")
         assert first_window > 0, q.__name__
         assert "HashAggregate" in tree[:first_window], (q.__name__, tree)
+
+
+def test_levenshtein_neardup_prefix_blocking_plan(spark):
+    """r4 candidate generation: the gram-frequency table attaches via a
+    BROADCAST hash join (trigram types are bounded at 95^3 regardless of
+    corpus size), the pair enumeration is a composite-key equi-join
+    (gram AND length-bin — no cartesian / nested-loop anywhere), and
+    candidate pairs collapse through an aggregate (the distinct) BEFORE
+    the levenshtein verify so multi-gram matches are verified once."""
+    import re as _re
+
+    import __spark_entry__ as E
+
+    plan = _fmt_plan(E.q_levenshtein_neardup(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "levenshtein" in plan, plan
+    agg_ids = [int(m) for m in _re.findall(r"\((\d+)\) HashAggregate", plan)]
+    assert agg_ids, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
