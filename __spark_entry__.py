@@ -1305,6 +1305,61 @@ def q_mix_weights(spark, sf_dir):
     )
 
 
+# Script ranges for CJK-aware token accounting, spelled as explicit
+# codepoint ranges (NOT \p{script} properties — Java regex and RE2
+# disagree on property names, ranges behave identically): Han, kana,
+# Hangul syllables count char-per-token; CJK punctuation and fullwidth
+# forms are stripped like whitespace.
+CJK_CHAR_CLASS = (
+    "[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7A3}]"
+)
+CJK_STRIP_CLASS = (
+    "[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7A3}"
+    "\\x{3000}-\\x{303F}\\x{FF00}-\\x{FFEF}]"
+)
+
+
+def q_cjk_token_count(spark, sf_dir):
+    """Script-aware token accounting — the token-budget arithmetic a
+    multilingual pretraining mix needs: whitespace tokenization
+    undercounts unsegmented CJK by ~an order of magnitude (a 40-char zh
+    sentence is ONE \\s+ token), so budgets, pack_sequences quotas, and
+    mix shares computed naively starve CJK buckets. Per doc:
+    n_cjk_chars (Han/kana/Hangul, counted char-per-token — the standard
+    rough accounting), n_latin_tokens (single-space split of the text
+    with CJK + CJK-punctuation/fullwidth ranges stripped, empties
+    filtered — no regex split, so both engines tokenize identically),
+    n_tokens_est = latin + cjk, and cjk_frac (ONE IEEE division).
+    Rows tagged zh get the frozen-corpus plant (the mix_weights_langid
+    decoration) so the CJK branch is genuinely exercised on the
+    Latin-only sf tables. Counting is replace-length arithmetic on
+    explicit codepoint ranges — identical in Java regex and RE2 by
+    construction. Plan: one fused codegen projection, zero shuffle,
+    zero Python. Reference analogue: the per-value character-class
+    scans of src/check/post.rs generalized to script accounting."""
+    from qamd_spark import corpora
+
+    zh_lines = [ln for ln in corpora.ZH.split("\n") if ln.strip()]
+    pick = None
+    for i, ln in enumerate(zh_lines):
+        cond = F.col("doc_id") % len(zh_lines) == i
+        pick = F.when(cond, F.lit(ln)) if pick is None else pick.when(cond, F.lit(ln))
+    t = F.when(F.col("lang") == "zh", pick).otherwise(_txt())
+    n_cjk = F.length(t) - F.length(F.regexp_replace(t, CJK_CHAR_CLASS, ""))
+    latin = F.regexp_replace(t, CJK_STRIP_CLASS, "")
+    n_lat = F.size(F.filter(F.split(latin, " ", -1), lambda x: x != ""))
+    est = (n_cjk + n_lat).cast("long")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n_cjk.cast("long").alias("n_cjk_chars"),
+        n_lat.cast("long").alias("n_latin_tokens"),
+        est.alias("n_tokens_est"),
+        F.when(est > 0, n_cjk.cast("double") / est.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("cjk_frac"),
+    )
+
+
 def q_mix_weights_langid(spark, sf_dir):
     """Domain-mixture reweighting driven by the langid MODEL's output
     instead of a pre-assigned metadata column — the composition a real
@@ -12777,6 +12832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": q_script_profile,
         "mix_weights": q_mix_weights,
         "mix_weights_langid": q_mix_weights_langid,
+        "cjk_token_count": q_cjk_token_count,
         "corpus_diff": q_corpus_diff,
         "contamination_ngrams": q_contamination_ngrams,
         "asof_join": q_asof_join,
@@ -12944,6 +13000,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     stop = _sql_stop_list()
+    from qamd_spark import corpora as _corp
+
+    _zh_lines = [ln for ln in _corp.ZH.split("\n") if ln.strip()]
+    _zh_case = (
+        "CASE doc_id % " + str(len(_zh_lines)) + " "
+        + " ".join(
+            "WHEN {} THEN '{}'".format(i, ln.replace("'", "''"))
+            for i, ln in enumerate(_zh_lines)
+        )
+        + " END"
+    )
+    # the explicit codepoint classes are literal common syntax in both
+    # Java regex and RE2 — embed verbatim
+    _cjk_char_re = CJK_CHAR_CLASS
+    _cjk_strip_re = CJK_STRIP_CLASS
+    _cjk_sql = (
+        """
+            WITH s AS (
+              SELECT doc_id,
+                     CASE WHEN lang = 'zh' THEN """ + _zh_case + """
+                          ELSE coalesce(text, '') END AS t
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                     length(t) - length(regexp_replace(t, '""" + _cjk_char_re + """', '', 'g')) AS n_cjk,
+                     regexp_replace(t, '""" + _cjk_strip_re + """', '', 'g') AS latin
+              FROM s),
+            d AS (
+              SELECT doc_id, n_cjk,
+                     len(list_filter(str_split(latin, ' '), x -> x != '')) AS n_lat
+              FROM c)
+            SELECT doc_id, n_cjk::BIGINT AS n_cjk_chars,
+                   n_lat::BIGINT AS n_latin_tokens,
+                   (n_cjk + n_lat)::BIGINT AS n_tokens_est,
+                   CASE WHEN n_cjk + n_lat > 0
+                        THEN n_cjk::DOUBLE / (n_cjk + n_lat)::DOUBLE
+                        ELSE 0.0 END AS cjk_frac
+            FROM d
+        """
+    )
     _rcols_sql = (
         "["
         + ", ".join(
@@ -15889,6 +15985,7 @@ def oracle_sql() -> dict[str, str]:
                    (vec_id % 17 = 0) AS drifted
             FROM d
         """,
+        "cjk_token_count": _cjk_sql,
 "ks_drift": f"""
             WITH d AS (SELECT source, length(coalesce(text,'')) AS len
                        FROM documents),

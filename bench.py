@@ -383,6 +383,7 @@ def run_benchmarks() -> dict:
         "length_gini",
         "source_share_gini",
         "mix_weights_langid",
+        "cjk_token_count",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

@@ -430,3 +430,36 @@ def test_mix_weights_langid_exact_twin_and_zh_reachable(spark):
     assert n_meta_zh > 0
     assert got["zh"]["n_rows"] == n_meta_zh
     assert got["zh"]["mix_weight"] > 0.0
+
+
+def test_cjk_token_count_hand_computed(spark, tmp_path_factory):
+    """Crafted mixed-script rows with hand-computed expecteds: char-per-
+    token for Han/kana/Hangul, CJK punctuation stripped like whitespace,
+    Latin tokens by single-space split."""
+    d = str(tmp_path_factory.mktemp("cjk"))
+    rows = [
+        (0, "hello world", "en"),                  # 2 latin, 0 cjk
+        (1, "你好世界", "en"),                      # 0 latin, 4 han
+        (2, "mix 你好 end", "en"),                  # 2 latin, 2 han
+        (3, "こんにちは、世界。", "en"),              # 0 latin, 7 cjk (5 kana + 2 han), punct stripped
+        (4, "안녕 하세요", "en"),                    # 0 latin, 5 hangul (space-separated but char-counted)
+        (5, "", "en"),                             # all zero, frac 0
+    ]
+    spark.createDataFrame(
+        [(i, t, lg, "s", len(t)) for i, t, lg in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {r["doc_id"]: r.asDict() for r in entry.q_cjk_token_count(spark, d).collect()}
+    want = {
+        0: (0, 2, 2), 1: (4, 0, 4), 2: (2, 2, 4),
+        3: (7, 0, 7), 4: (5, 0, 5), 5: (0, 0, 0),
+    }
+    for i, (cjk, lat, est) in want.items():
+        g = got[i]
+        assert (g["n_cjk_chars"], g["n_latin_tokens"], g["n_tokens_est"]) == (
+            cjk, lat, est
+        ), (i, g)
+        assert g["cjk_frac"] == (cjk / est if est else 0.0)
+    # the whitespace-undercount the operator exists to correct: doc 1
+    # is ONE \s+ token but FOUR budget tokens
+    assert got[1]["n_tokens_est"] == 4
