@@ -1360,6 +1360,88 @@ def q_cjk_token_count(spark, sf_dir):
     )
 
 
+def q_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary growth audit — the corpus-quality
+    diagnostic zipf_profile's rank view can't give: V(n) ≈ K·n^β for a
+    healthy natural corpus (β ≈ 0.4–0.6); template spam, boilerplate,
+    and heavy duplication COLLAPSE β toward 0 (vocabulary stops
+    growing), while OCR noise / random junk inflate it toward 1 — so β
+    is a one-number screen run before committing a crawl slice to a
+    token budget.
+
+    Distributed without any ordered scan: 'cumulative vocabulary after
+    the first k docs' = count of tokens whose FIRST document (min
+    doc_id per token — one hash agg, the dedup_exact shape) falls in
+    the first k deciles; cumulative token mass is the same rollup over
+    per-doc counts. Both land on a 10-row frame; the cumulative window
+    runs over those 10 rows only (not the corpus). The log-log least
+    squares uses the e6-scaled BIGINT discipline: log10 of exact
+    integer counts rounded to 6 dp, scaled to int64, all Σ terms exact
+    integer sums (order-free), β = one IEEE division of exact ints —
+    bit-identical in DuckDB by construction. Output: one row per
+    decile checkpoint (cum_tokens, cum_vocab) + the fitted beta
+    (rounded 6 dp) repeated on each row."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(_txt(), " ", -1), lambda x: x != "")
+        ).alias("tok"),
+    )
+    mx = d.agg(F.max("doc_id").alias("mx"))
+    bucket = F.least(
+        F.lit(9), F.floor(F.col("doc_id") * 10 / (F.col("mx") + 1))
+    ).cast("int")
+    # token-mass per decile
+    tmass = (
+        toks.crossJoin(F.broadcast(mx))
+        .groupBy(bucket.alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_toks"))
+    )
+    # new-vocabulary per decile: each token counts once, in the decile
+    # of its first appearance
+    firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("doc_id"))
+    vnew = (
+        firsts.crossJoin(F.broadcast(mx))
+        .groupBy(bucket.alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    w = (
+        Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        tmass.join(vnew, "k", "full")
+        .select(
+            "k",
+            F.coalesce("n_toks", F.lit(0)).alias("n_toks"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+        .select(
+            "k",
+            F.sum("n_toks").over(w).alias("cum_tokens"),
+            F.sum("n_new").over(w).alias("cum_vocab"),
+        )
+        .filter((F.col("cum_tokens") > 0) & (F.col("cum_vocab") > 0))
+    )
+    ix = F.floor(F.round(F.log10(F.col("cum_tokens").cast("double")), 6) * 1e6 + F.lit(0.5)).cast("long")
+    iy = F.floor(F.round(F.log10(F.col("cum_vocab").cast("double")), 6) * 1e6 + F.lit(0.5)).cast("long")
+    pts = cum.select("k", "cum_tokens", "cum_vocab", ix.alias("ix"), iy.alias("iy"))
+    fit = pts.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("ix").alias("sx"),
+        F.sum("iy").alias("sy"),
+        F.sum(F.col("ix") * F.col("iy")).alias("sxy"),
+        F.sum(F.col("ix") * F.col("ix")).alias("sxx"),
+    ).select(
+        F.round(
+            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+            6,
+        ).alias("beta")
+    )
+    return pts.select("k", "cum_tokens", "cum_vocab").crossJoin(F.broadcast(fit))
+
+
 def q_mix_weights_langid(spark, sf_dir):
     """Domain-mixture reweighting driven by the langid MODEL's output
     instead of a pre-assigned metadata column — the composition a real
@@ -12833,6 +12915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_weights": q_mix_weights,
         "mix_weights_langid": q_mix_weights_langid,
         "cjk_token_count": q_cjk_token_count,
+        "heaps_law": q_heaps_law,
         "corpus_diff": q_corpus_diff,
         "contamination_ngrams": q_contamination_ngrams,
         "asof_join": q_asof_join,
@@ -15986,6 +16069,42 @@ def oracle_sql() -> dict[str, str]:
             FROM d
         """,
         "cjk_token_count": _cjk_sql,
+        "heaps_law": """
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(list_filter(str_split(coalesce(text,''), ' '),
+                                        x -> x != '')) AS tok
+              FROM documents),
+            m AS (SELECT max(doc_id) AS mx FROM documents),
+            tm AS (
+              SELECT least(9, floor(doc_id * 10 / (mx + 1)))::INT AS k,
+                     count(*)::BIGINT AS n_toks
+              FROM t, m GROUP BY 1),
+            fs AS (SELECT tok, min(doc_id) AS doc_id FROM t GROUP BY tok),
+            vn AS (
+              SELECT least(9, floor(doc_id * 10 / (mx + 1)))::INT AS k,
+                     count(*)::BIGINT AS n_new
+              FROM fs, m GROUP BY 1),
+            cum AS (
+              SELECT k,
+                     sum(coalesce(n_toks, 0)) OVER (ORDER BY k)::BIGINT
+                       AS cum_tokens,
+                     sum(coalesce(n_new, 0)) OVER (ORDER BY k)::BIGINT
+                       AS cum_vocab
+              FROM (SELECT coalesce(tm.k, vn.k) AS k, n_toks, n_new
+                    FROM tm FULL JOIN vn ON tm.k = vn.k)),
+            pts AS (
+              SELECT k, cum_tokens, cum_vocab,
+                     floor(round(log10(cum_tokens::DOUBLE), 6) * 1e6 + 0.5)::BIGINT AS ix,
+                     floor(round(log10(cum_vocab::DOUBLE), 6) * 1e6 + 0.5)::BIGINT AS iy
+              FROM cum WHERE cum_tokens > 0 AND cum_vocab > 0),
+            fit AS (
+              SELECT round((count(*) * sum(ix * iy) - sum(ix) * sum(iy))::DOUBLE
+                         / (count(*) * sum(ix * ix) - sum(ix) * sum(ix))::DOUBLE,
+                           6) AS beta
+              FROM pts)
+            SELECT k, cum_tokens, cum_vocab, beta FROM pts CROSS JOIN fit
+        """,
 "ks_drift": f"""
             WITH d AS (SELECT source, length(coalesce(text,'')) AS len
                        FROM documents),

@@ -384,6 +384,7 @@ def run_benchmarks() -> dict:
         "source_share_gini",
         "mix_weights_langid",
         "cjk_token_count",
+        "heaps_law",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

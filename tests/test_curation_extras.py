@@ -463,3 +463,32 @@ def test_cjk_token_count_hand_computed(spark, tmp_path_factory):
     # the whitespace-undercount the operator exists to correct: doc 1
     # is ONE \s+ token but FOUR budget tokens
     assert got[1]["n_tokens_est"] == 4
+
+
+def test_heaps_law_planted_regimes(spark, tmp_path_factory):
+    """Planted vocabulary-growth regimes: a corpus of pure repetition
+    (one phrase everywhere) collapses beta toward 0; a corpus of
+    globally-unique tokens pushes beta toward 1; checkpoints are
+    monotone and the last row holds corpus totals."""
+    d1 = str(tmp_path_factory.mktemp("heaps_dup"))
+    rows = [(i, "the same ten words repeated in every single planted doc",
+             "s") for i in range(100)]
+    _write_docs(spark, d1, rows)
+    out = sorted(
+        (r["k"], r["cum_tokens"], r["cum_vocab"], r["beta"])
+        for r in entry.q_heaps_law(spark, d1).collect()
+    )
+    assert out[-1][1] == 100 * 10 and out[-1][2] == 10
+    assert out[0][3] == 0.0  # vocabulary saturates in decile 0 => slope 0
+    toks_seen, vocab_seen = zip(*[(t, v) for _, t, v, _ in out])
+    assert list(toks_seen) == sorted(toks_seen)
+    assert list(vocab_seen) == sorted(vocab_seen)
+
+    d2 = str(tmp_path_factory.mktemp("heaps_uniq"))
+    rows = [(i, " ".join(f"tok{i:03d}x{j}" for j in range(10)), "s")
+            for i in range(100)]
+    _write_docs(spark, d2, rows)
+    out2 = {r["k"]: r for r in entry.q_heaps_law(spark, d2).collect()}
+    assert out2[9]["cum_vocab"] == 1000
+    beta = out2[0]["beta"]
+    assert 0.99 <= beta <= 1.01  # every token new => V(n) = n
