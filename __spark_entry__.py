@@ -11394,16 +11394,27 @@ def q_dedup_recall_audit(spark, sf_dir):
     their own exact twins (minhash_duplicates_pdf / the naive-oracle
     setsim_join), and a pytest recomputes this audit from those twins.
     Scale: two verified operators + one pair equi-join + three 1-row
-    aggregates crossJoined (broadcast of single rows)."""
+    aggregates crossJoined (broadcast of single rows). Both pair
+    relations are localCheckpointed before fan-out (each is consumed by
+    the hit join AND its own count agg — without materialization the
+    exact setsim ground truth, the expensive half by design, was
+    computed twice; the dedup_transitivity r3-VERDICT-item-6 move)."""
     from qamd_spark.ops.dedup import minhash_duplicates, setsim_join
 
     docs = _docs(spark, sf_dir)
-    pred = minhash_duplicates(docs).select(
-        F.least("doc_id", "dup_of").alias("a"),
-        F.greatest("doc_id", "dup_of").alias("b"),
-    ).distinct()
-    truth = setsim_join(docs, n=5, t_num=1, t_den=2).select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    pred = (
+        minhash_duplicates(docs)
+        .select(
+            F.least("doc_id", "dup_of").alias("a"),
+            F.greatest("doc_id", "dup_of").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    truth = (
+        setsim_join(docs, n=5, t_num=1, t_den=2)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .localCheckpoint(eager=True)
     )
     hit = pred.join(truth, ["a", "b"])
     np_ = pred.agg(F.count(F.lit(1)).alias("n_pred"))
