@@ -9818,8 +9818,16 @@ def q_ann_recall(spark, sf_dir):
     on (qid, neighbor), and recall is one division of exact counts.
     Rows-only (the approximate paths have no SQL twins by design);
     evidence = the per-method recall floors pinned in tests/test_ops.py
-    plus this audit's own floor in tests/test_entry_contract.py."""
-    truth = q_ann_cosine_topk(spark, sf_dir).select("qid", "neighbor")
+    plus this audit's own floor in tests/test_entry_contract.py.
+    The exact truth set is localCheckpointed: it feeds its own count
+    agg plus BOTH methods' semi-joins, and each branch re-ran the
+    brute-force scan before materialization (the dedup_recall_audit
+    move)."""
+    truth = (
+        q_ann_cosine_topk(spark, sf_dir)
+        .select("qid", "neighbor")
+        .localCheckpoint(eager=True)
+    )
     n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
 
     def against(name, df):
