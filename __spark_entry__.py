@@ -1360,6 +1360,61 @@ def q_cjk_token_count(spark, sf_dir):
     )
 
 
+def q_source_dup_affinity(spark, sf_dir):
+    """Cross-source duplication matrix — who shares text with whom: for
+    every unordered source pair, the count of distinct texts present in
+    BOTH, plus the Jaccard affinity n_shared / (|A| + |B| − n_shared).
+    The curation read: high-affinity source pairs are mirrors, scraped
+    copies, or shared boilerplate — dedup them TOGETHER (keep-first
+    across the pair) before computing per-source mix weights, or the
+    duplicated mass is counted twice. Planted: every doc_id % 31 == 0
+    text is replaced by a shared boilerplate line (deterministic,
+    mirrored in the twin), so cross-source sharing exists at every SF.
+    Exactness: md5 fingerprints, exact integer counts, ONE IEEE
+    division per pair. Plan: distinct (fp, source) first, so the fp
+    self-join fans out at most |sources| rows per fingerprint — a hot
+    duplicate text is bounded by construction, never by luck; the
+    per-source totals ride a broadcast join (|sources| rows)."""
+    boiler = F.lit("standard legal footer all rights reserved contact support")
+    t = F.when(F.col("doc_id") % 31 == 0, boiler).otherwise(_txt())
+    d = _docs(spark, sf_dir).select(t.alias("t"), "source").filter(
+        F.col("t") != ""
+    )
+    fs = d.select(F.md5("t").alias("fp"), "source").distinct()
+    per = fs.groupBy("source").agg(F.count(F.lit(1)).alias("n_texts"))
+    pairs = (
+        fs.alias("x")
+        .join(fs.alias("y"), "fp")
+        .filter(F.col("x.source") < F.col("y.source"))
+        .groupBy(
+            F.col("x.source").alias("source_a"),
+            F.col("y.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(per.select(F.col("source").alias("source_a"), F.col("n_texts").alias("n_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(per.select(F.col("source").alias("source_b"), F.col("n_texts").alias("n_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double")
+            ).alias("affinity"),
+        )
+    )
+
+
 def q_heaps_law(spark, sf_dir):
     """Heaps'-law vocabulary growth audit — the corpus-quality
     diagnostic zipf_profile's rank view can't give: V(n) ≈ K·n^β for a
@@ -12935,6 +12990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_weights_langid": q_mix_weights_langid,
         "cjk_token_count": q_cjk_token_count,
         "heaps_law": q_heaps_law,
+        "source_dup_affinity": q_source_dup_affinity,
         "corpus_diff": q_corpus_diff,
         "contamination_ngrams": q_contamination_ngrams,
         "asof_join": q_asof_join,
@@ -16088,6 +16144,30 @@ def oracle_sql() -> dict[str, str]:
             FROM d
         """,
         "cjk_token_count": _cjk_sql,
+        "source_dup_affinity": """
+            WITH d AS (
+              SELECT CASE WHEN doc_id % 31 = 0
+                          THEN 'standard legal footer all rights reserved contact support'
+                          ELSE coalesce(text, '') END AS t,
+                     source
+              FROM documents),
+            fs AS (
+              SELECT DISTINCT md5(t) AS fp, source FROM d WHERE t != ''),
+            per AS (
+              SELECT source, count(*)::BIGINT AS n_texts FROM fs GROUP BY source),
+            pairs AS (
+              SELECT x.source AS source_a, y.source AS source_b,
+                     count(*)::BIGINT AS n_shared
+              FROM fs x JOIN fs y ON x.fp = y.fp AND x.source < y.source
+              GROUP BY 1, 2)
+            SELECT source_a, source_b, n_shared,
+                   pa.n_texts AS n_a, pb.n_texts AS n_b,
+                   n_shared::DOUBLE
+                     / (pa.n_texts + pb.n_texts - n_shared)::DOUBLE AS affinity
+            FROM pairs
+            JOIN per pa ON pa.source = pairs.source_a
+            JOIN per pb ON pb.source = pairs.source_b
+        """,
         "heaps_law": """
             WITH t AS (
               SELECT doc_id,

@@ -385,6 +385,7 @@ def run_benchmarks() -> dict:
         "mix_weights_langid",
         "cjk_token_count",
         "heaps_law",
+        "source_dup_affinity",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

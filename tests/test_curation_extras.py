@@ -492,3 +492,29 @@ def test_heaps_law_planted_regimes(spark, tmp_path_factory):
     assert out2[9]["cum_vocab"] == 1000
     beta = out2[0]["beta"]
     assert 0.99 <= beta <= 1.01  # every token new => V(n) = n
+
+
+def test_source_dup_affinity_hand_computed(spark, tmp_path_factory):
+    """Crafted cross-source sharing with hand-computed affinities.
+    doc_ids avoid %31==0 so the boilerplate plant stays out of the
+    arithmetic (except doc 62, planted on purpose)."""
+    d = str(tmp_path_factory.mktemp("affin"))
+    rows = [
+        (1, "alpha", "s1"), (2, "beta", "s1"), (3, "gamma", "s1"),
+        (4, "alpha", "s2"), (5, "beta", "s2"), (6, "delta", "s2"),
+        (7, "alpha", "s3"), (8, "unique", "s3"),
+        (62, "ignored original", "s3"),  # %31==0 -> boilerplate plant
+    ]
+    _write_docs(spark, d, rows)
+    got = {
+        (r["source_a"], r["source_b"]): r.asDict()
+        for r in entry.q_source_dup_affinity(spark, d).collect()
+    }
+    # s1={alpha,beta,gamma} s2={alpha,beta,delta} s3={alpha,unique,boiler}
+    g12 = got[("s1", "s2")]
+    assert g12["n_shared"] == 2 and g12["n_a"] == 3 and g12["n_b"] == 3
+    assert g12["affinity"] == 2 / 4
+    g13 = got[("s1", "s3")]
+    assert g13["n_shared"] == 1 and g13["affinity"] == 1 / 5
+    g23 = got[("s2", "s3")]
+    assert g23["n_shared"] == 1 and g23["affinity"] == 1 / 5
