@@ -1360,6 +1360,65 @@ def q_cjk_token_count(spark, sf_dir):
     )
 
 
+def q_role_alternation(spark, sf_dir):
+    """Per-conversation role-alternation audit — the structural gate
+    SFT pipelines run before training on dialogue: two consecutive
+    user turns (a retry/double-post the model would learn to leave
+    unanswered) or two consecutive assistant turns (a self-continuation
+    artifact) break the turn-taking contract; a conversation that
+    doesn't open with the user or close with the assistant is a
+    truncated or mis-stitched export. Builds each conversation's
+    U/A/T initial string exactly like role_patterns (array_sort +
+    array_join; DuckDB twin string_agg ORDER BY), then counts
+    OVERLAPPING 'UU'/'AA' adjacencies by probing substring(p, i, 2)
+    over i ∈ [1, len−1] — the same higher-order-function expression in
+    both engines, so a 'UUU' run correctly counts 2 violations (a
+    replace()-based count would see 1). Tool turns are structural
+    bystanders: 'UTU' is not a violation, 'TT' (chained tool results)
+    is normal. Exact integers + booleans end-to-end. Plan: the
+    role_patterns agg + one fused projection, no extra shuffle."""
+    ini = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("U"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("A"))
+        .otherwise(F.lit("T"))
+    )
+    t = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 97).cast("long").alias("conv"),
+        F.struct(
+            F.floor(F.col("doc_id") / 97).cast("long").alias("turn_idx"),
+            ini.alias("ini"),
+        ).alias("s"),
+    )
+    pat = t.groupBy("conv").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("s")), lambda x: x["ini"]), ""
+        ).alias("p")
+    )
+
+    def _adj(pair):
+        return F.expr(
+            "aggregate(transform(sequence(1, char_length(p) - 1),"
+            f" i -> IF(substring(p, i, 2) = '{pair}', 1L, 0L)),"
+            " 0L, (acc, x) -> acc + x)"
+        )
+
+    n_uu = F.when(F.length("p") > 1, _adj("UU")).otherwise(F.lit(0)).cast("long")
+    n_aa = F.when(F.length("p") > 1, _adj("AA")).otherwise(F.lit(0)).cast("long")
+    starts = F.substring("p", 1, 1) == "U"
+    # last char via an explicit position (negative-start substring
+    # semantics differ across engines; char_length(p) does not)
+    ends = F.expr("substring(p, char_length(p), 1)") == "A"
+    return pat.select(
+        "conv",
+        F.length("p").cast("long").alias("n_turns"),
+        n_uu.alias("n_double_user"),
+        n_aa.alias("n_double_assistant"),
+        starts.alias("starts_user"),
+        ends.alias("ends_assistant"),
+        ((n_uu == 0) & (n_aa == 0) & starts & ends).alias("alternation_ok"),
+    )
+
+
 def q_source_dup_affinity(spark, sf_dir):
     """Cross-source duplication matrix — who shares text with whom: for
     every unordered source pair, the count of distinct texts present in
@@ -12991,6 +13050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cjk_token_count": q_cjk_token_count,
         "heaps_law": q_heaps_law,
         "source_dup_affinity": q_source_dup_affinity,
+        "role_alternation": q_role_alternation,
         "corpus_diff": q_corpus_diff,
         "contamination_ngrams": q_contamination_ngrams,
         "asof_join": q_asof_join,
@@ -16144,6 +16204,38 @@ def oracle_sql() -> dict[str, str]:
             FROM d
         """,
         "cjk_token_count": _cjk_sql,
+        "role_alternation": """
+            WITH t AS (
+              SELECT (doc_id % 97)::BIGINT AS conv,
+                     (doc_id // 97)::BIGINT AS turn_idx,
+                     CASE WHEN doc_id % 3 = 0 THEN 'U'
+                          WHEN doc_id % 3 = 1 THEN 'A'
+                          ELSE 'T' END AS ini
+              FROM documents),
+            pat AS (
+              SELECT conv, string_agg(ini, '' ORDER BY turn_idx) AS p
+              FROM t GROUP BY conv),
+            c AS (
+              SELECT conv, p, length(p)::BIGINT AS n_turns,
+                     CASE WHEN length(p) > 1 THEN
+                       list_sum(list_transform(generate_series(1, length(p) - 1),
+                         i -> CASE WHEN substring(p, i::INT, 2) = 'UU'
+                                   THEN 1 ELSE 0 END))::BIGINT
+                     ELSE 0 END AS n_double_user,
+                     CASE WHEN length(p) > 1 THEN
+                       list_sum(list_transform(generate_series(1, length(p) - 1),
+                         i -> CASE WHEN substring(p, i::INT, 2) = 'AA'
+                                   THEN 1 ELSE 0 END))::BIGINT
+                     ELSE 0 END AS n_double_assistant,
+                     substring(p, 1, 1) = 'U' AS starts_user,
+                     substring(p, length(p)::INT, 1) = 'A' AS ends_assistant
+              FROM pat)
+            SELECT conv, n_turns, n_double_user, n_double_assistant,
+                   starts_user, ends_assistant,
+                   (n_double_user = 0 AND n_double_assistant = 0
+                    AND starts_user AND ends_assistant) AS alternation_ok
+            FROM c
+        """,
         "source_dup_affinity": """
             WITH d AS (
               SELECT CASE WHEN doc_id % 31 = 0

@@ -386,6 +386,7 @@ def run_benchmarks() -> dict:
         "cjk_token_count",
         "heaps_law",
         "source_dup_affinity",
+        "role_alternation",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())

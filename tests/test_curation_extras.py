@@ -518,3 +518,47 @@ def test_source_dup_affinity_hand_computed(spark, tmp_path_factory):
     assert g13["n_shared"] == 1 and g13["affinity"] == 1 / 5
     g23 = got[("s2", "s3")]
     assert g23["n_shared"] == 1 and g23["affinity"] == 1 / 5
+
+
+def test_role_alternation_overlapping_runs(spark, tmp_path_factory):
+    """Hand-computed alternation audit incl. the overlap case a
+    replace()-count would get wrong: a UUU run = 2 double-user
+    violations. Conversations are derived doc_id%97 / doc_id//97, so
+    conv c's turn t comes from doc_id = t*97 + c, and the U/A/T initial
+    is doc_id%3."""
+    d = str(tmp_path_factory.mktemp("alt"))
+    # conv 0: turns 0..4 -> doc_ids 0,97,194,291,388 -> ids%3 = 0,1,2,0,1
+    #         pattern "UATUA": starts U, ends A, no doubles -> ok
+    # conv 3: turns 0..2 -> doc_ids 3,100,197 -> %3 = 0,1,2 -> "UAT":
+    #         ends 'T' -> not ends_assistant -> not ok
+    # conv 6: turns 0..3 -> doc_ids 6,103,200,297 -> %3 = 0,1,2,0 ->
+    #         "UATU": ends U -> not ok
+    ids = [0, 97, 194, 291, 388, 3, 100, 197, 6, 103, 200, 297]
+    rows = [(i, f"text {i}", "s") for i in ids]
+    _write_docs(spark, d, rows)
+    got = {r["conv"]: r.asDict() for r in entry.q_role_alternation(spark, d).collect()}
+    assert got[0]["n_turns"] == 5 and got[0]["alternation_ok"]
+    assert got[0]["n_double_user"] == 0 and got[0]["n_double_assistant"] == 0
+    assert got[3]["n_turns"] == 3 and not got[3]["ends_assistant"]
+    assert not got[3]["alternation_ok"]
+    assert got[6]["n_turns"] == 4 and not got[6]["alternation_ok"]
+
+    # overlap case: conv 5 with turns whose initials are U,U,U,A
+    # (%3==0 -> doc_id ≡ 0 mod 3 AND ≡ 5 mod 97; t*97+5 ≡ 0 mod 3 for
+    # t ≡ 1 mod 3 -> turns 1,4,7 give U; turn 0 from doc_id 5 -> %3=2 'T')
+    d2 = str(tmp_path_factory.mktemp("alt2"))
+    # construct directly: conv 5, turns 0..3 = doc_ids 5,102,199,296
+    # %3 = 2,0,1,2 -> "TUAT". Instead craft a pure-UUUA conv: need four
+    # doc_ids ≡ c mod 97 with %3 pattern 0,0,0,1. doc_id = t*97 + c;
+    # choose c=1: t=0->1(%3=1 A)... choose c=2: ids 2,99,196,293 ->
+    # %3 = 2,0,1,2. Use c=33: 33(0),130(1),227(2),324(0). Solve instead
+    # with stride: %3 of t*97+c cycles (c, c+1, c+2) mod 3 since 97≡1.
+    # A 'UUU' prefix therefore needs non-consecutive turns: turns
+    # 0,3,6,9 all have the SAME residue -> c=3 gives U,U,U,U at turns
+    # 0,3,6,9 -> pattern 'UUUU': n_double_user = 3 (overlap count).
+    ids2 = [3, 3 * 97 + 3, 6 * 97 + 3, 9 * 97 + 3]
+    _write_docs(spark, d2, [(i, "t", "s") for i in ids2])
+    got2 = {r["conv"]: r.asDict() for r in entry.q_role_alternation(spark, d2).collect()}
+    assert got2[3]["n_turns"] == 4
+    assert got2[3]["n_double_user"] == 3  # UUUU -> three overlapping UU
+    assert not got2[3]["alternation_ok"]
