@@ -632,8 +632,11 @@ exceed 1, any excess is host drift between the two configs' windows).
 
 Both the calibrated pick and the fixed fallback pair are disclosed, each
 against the pure-CPU hardware ceiling sampled in the SAME window (one
-1-round calibration interleaved after every trial sweep, mean over
-sweeps — not an up-front number that dates while the trials run):
+1-round calibration interleaved after every trial sweep; ceiling = the
+min-seconds per worker count across those interleaved rounds, same
+min-of-trials discipline as the pipeline numbers, clamped at 1.0 — not
+an up-front number that dates while the trials run, and not a mean,
+which one throttled round would poison):
 
 | pair | raw eff | same-window hw ceiling | normalized (raw/ceiling, ≤1) |
 |---|---|---|---|

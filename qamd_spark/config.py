@@ -216,7 +216,16 @@ def _resolve_word_source(name: str, val):
         unknown = set(val) - {"file", "files"}
         if unknown:
             raise ConfigError(f"{name}: unknown file-spec keys {sorted(unknown)}")
-        paths = list(val.get("files") or []) or [val["file"]]
+        paths = list(val.get("files") or [])
+        if not paths:
+            if "file" not in val:
+                # {'files': []} with no 'file' fallback: a malformed spec,
+                # not a KeyError (ADVICE r4) — every other bad-spec path
+                # raises ConfigError, so must this one.
+                raise ConfigError(
+                    f"{name}: file-spec needs a non-empty 'files' list or a 'file' key"
+                )
+            paths = [val["file"]]
         words: list[str] = []
         for p in paths:
             try:

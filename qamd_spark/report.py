@@ -214,6 +214,17 @@ def _esc(v) -> str:
     return _html.escape(str(v))
 
 
+def _slug(rule) -> str:
+    """HTML-id-safe slug for a rule name (ADVICE r4): the click-to-reveal
+    lookup builds ``getElementById('loc-' + rule)``, so the id and the
+    ``data-rule`` attribute must both survive names with whitespace or
+    punctuation. Snake_case names (every built-in rule) pass through
+    unchanged, keeping the golden report byte-identical."""
+    import re as _re
+
+    return _re.sub(r"[^A-Za-z0-9_-]", "_", str(rule))
+
+
 def to_html(doc: dict) -> str:
     """HTML report sink (the reference's DEFAULT output format:
     Report::to_html, src/report/html/mod.rs:19-102 — metadata block, one
@@ -269,7 +280,8 @@ def to_html(doc: dict) -> str:
             # failing rows are click targets (reference binds to
             # tr.table-danger, custom.js:18)
             tr = (
-                f"<tr class='fail-row' data-rule='{_esc(r['rule'])}'>"
+                f"<tr class='fail-row' data-rule='{_slug(r['rule'])}'"
+                f" data-rule-label='{_esc(r['rule'])}'>"
                 if failing
                 else "<tr>"
             )
@@ -286,7 +298,7 @@ def to_html(doc: dict) -> str:
         )  # filled on row click (reference h2#selected-check)
         for rule, body in locs.items():
             first = body.get("first", [])[:LOCATOR_CAP]  # reference cap, html/mod.rs:115
-            parts.append(f"<div class='loc-block hidden' id='loc-{_esc(rule)}'>")
+            parts.append(f"<div class='loc-block hidden' id='loc-{_slug(rule)}'>")
             parts.append(
                 f"<h3>{_esc(rule)} ({int(body.get('n_fail', len(first)))} failing, "
                 f"first {len(first)} shown)</h3>"
@@ -303,7 +315,8 @@ def to_html(doc: dict) -> str:
         "row.addEventListener('click',function(){"
         "var rule=row.getAttribute('data-rule');"
         "var h=document.getElementById('selected-check');"
-        "if(h){h.classList.remove('hidden');h.textContent=rule;}"
+        "if(h){h.classList.remove('hidden');"
+        "h.textContent=row.getAttribute('data-rule-label')||rule;}"
         "document.querySelectorAll('.loc-block').forEach(function(b){"
         "b.classList.add('hidden');});"
         "var sel=document.getElementById('loc-'+rule);"

@@ -15,7 +15,10 @@ pair-explosion of the replication, not the operator's scaling).
 
 Protocol: one local[32] session; per (sf, op): warm run at the two small
 SFs only (JIT is warm by sf1), then min-of-2 (min-of-1 at sf1, budget);
-per-op wall cap at sf1 so a superlinear blowup is REPORTED, not hung.
+per-op wall cap at sf1. The cap is checked between runs (after each
+completes), so it bounds EXTRA runs, not the first — a genuinely
+quadratic op's first sf1 run can exceed the cap before being reported;
+use an external `timeout(1)` wrapper if a hard wall bound is needed.
 
 Usage: python scripts/growth_curve.py [--cap SECONDS]
 Appends a markdown section to BENCH/ANALYSIS.md and prints one JSON line.

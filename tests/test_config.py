@@ -192,6 +192,15 @@ def test_dictionary_file_errors(tmp_path):
                 "profanity": {"file": str(empty), "mode": "x"},
             }
         )
+    # {'files': []} with no 'file' fallback is a malformed spec, not a
+    # bare KeyError (ADVICE r4)
+    with _pt.raises(C.ConfigError, match="non-empty 'files' list"):
+        C.QamdConfig(
+            settings={
+                **dict(C.DEFAULT_SETTINGS),
+                "profanity": {"files": []},
+            }
+        )
 
 
 def test_dictionary_file_edit_invalidates_checkpoint_fingerprint(tmp_path):

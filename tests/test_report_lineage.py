@@ -170,6 +170,30 @@ def test_html_report_byte_golden():
     assert "data-rule='pii'" not in got
 
 
+def test_html_rule_name_slugged_for_ids():
+    """A rule name with whitespace/punctuation (possible via custom
+    configs) must produce a valid HTML id and a matching data-rule
+    attribute so the click-to-reveal getElementById lookup works, while
+    the visible heading keeps the raw (escaped) name (ADVICE r4)."""
+    from qamd_spark import report
+
+    doc = {
+        "metadata": {"source": "x", "variable_count": 1,
+                     "raw_case_count": 1, "engine": "qamd_spark"},
+        "summary": [
+            {"category": "quality", "rule": "my odd rule!",
+             "desc": "d", "action": "fail", "pass": 0, "fail": 1},
+        ],
+        "locators": {"my odd rule!": {"n_fail": 1, "first": [["c0", 0]]}},
+    }
+    got = report.to_html(doc)
+    assert "data-rule='my_odd_rule_'" in got
+    assert "id='loc-my_odd_rule_'" in got
+    # raw name survives for display (escaped), slug only in id plumbing
+    assert "data-rule-label='my odd rule!'" in got
+    assert "<h3>my odd rule! (1 failing" in got
+
+
 def test_locators_tree_reduce_many_partitions(labeled):
     # >FANIN(=64) input partitions forces at least one combine round in
     # locators(); the result must be identical to the no-round plan
