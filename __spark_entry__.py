@@ -5316,6 +5316,25 @@ def q_wav_profile(spark, sf_dir):
     return mm.wav_features(mm.synth_wav_media(spark, n=48, seed=11))
 
 
+def q_png_profile(spark, sf_dir):
+    """REAL image decode through the driver contract (r5 — the image
+    sibling of wav_profile, closing the last stubbed modality): genuine
+    PNG payloads (stdlib zlib/CRC ENCODER, gradients + checkerboards
+    cycling all four 8-bit color types and all five scanline filters) →
+    stdlib inflate + per-scanline filter reconstruction inside an
+    Arrow-batched mapInPandas stage → per-image profile (dims, channel
+    count, exact channel means = int64 sums + ONE IEEE division, sha256
+    of the decoded pixel buffer — the decoded-content dedup key), with
+    planted corrupt/empty payloads exercising the dead-letter NULL row.
+    Rows-only by design (binary payloads can't cross into a SQL
+    oracle); evidence is the closed-form planted-gradient goldens in
+    tests/test_png.py (means + pixel hashes recomputed independently of
+    the codec)."""
+    from qamd_spark.ops import multimodal as mm
+
+    return mm.png_profile(mm.synth_png_media(spark, n=40, seed=11))
+
+
 def q_phash_neardup(spark, sf_dir):
     """Perceptual-hash near-duplicates over media payloads (aHash on
     the decoded feature histogram, banded Hamming join — ops/
@@ -12234,8 +12253,11 @@ def q_split_leakage_semantic(spark, sf_dir):
     MUST find: identical vectors share every LSH table's signature, so
     exact-dup recall is 1 by construction) plus reversed-vector controls
     (vec_id%19==7, +200000 — cosine far below τ, must NOT match).
-    Direct (tbl, sig) bucket join, exact-cosine verify at τ=0.999,
-    best-match per probe.  Rows-only: LSH bucketing is not
+    Direct (tbl, sig) bucket join at bits=12 with probe-side distance-1
+    multi-probe (r5: the r4 bits=4 coarse buckets made unrelated pairs
+    collide at p≈1/16/table — effectively quadratic candidates; see
+    cross_set_leakage's selectivity math), exact-cosine verify at
+    τ=0.999, best-match per probe.  Rows-only: LSH bucketing is not
     SQL-expressible; evidence is the planted-recall/control pytest."""
     from qamd_spark.ops import similarity as sim
 
@@ -12249,7 +12271,7 @@ def q_split_leakage_semantic(spark, sf_dir):
     )
     probe = planted.unionByName(controls)
     out = sim.cross_set_leakage(
-        emb, probe, threshold=SEMLEAK_TAU, bits=4, n_tables=16, dim=64
+        emb, probe, threshold=SEMLEAK_TAU, bits=12, n_tables=16, dim=64
     )
     return out.select("probe_id", "train_id", F.round("sim", 9).alias("sim"))
 
@@ -13188,6 +13210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_neardup": q_phash_neardup,
         "frame_plan": q_frame_plan,
         "wav_profile": q_wav_profile,
+        "png_profile": q_png_profile,
         "char_entropy": q_char_entropy,
         "truncation_scan": q_truncation_scan,
         "dialog_acts": q_dialog_acts,

@@ -306,6 +306,7 @@ def run_benchmarks() -> dict:
         "quantile_norm",
         "kcenter_coreset",
         "wav_profile",
+        "png_profile",
         "l_diversity",
         "header_footer_strip",
         "isotonic_calibrate",
@@ -944,6 +945,23 @@ def run_skew(scale: int = 1, runs: int = 2, spark=None) -> dict:
             lambda: q["setsim_join"](spark, paths["docs_uniform_small"]).count(),
             lambda: q["setsim_join"](spark, paths["docs_skew_dedup"]).count(),
         ),
+        # r5 (r4 VERDICT item 5): simhash faces the FULL 1e5-copy corpus —
+        # its output is a per-doc best match (linear) and its bucket
+        # resolution is the bounded two-phase top-P, so the giant
+        # identical-signature bucket must collapse map-side, not fan out
+        "simhash_neardup": (
+            lambda: q["simhash_neardup"](spark, paths["docs_uniform"]).count(),
+            lambda: q["simhash_neardup"](spark, paths["docs_skew"]).count(),
+        ),
+        # levenshtein emits raw qualifying PAIRS, so 1e5 byte-identical
+        # copies make the OUTPUT itself quadratic — contract-impossible
+        # for any exact pair join (setsim's argument verbatim); it gets
+        # the post-exact-dedup view, which still carries the residual
+        # torture (90% hot source, shared-vocabulary prefix grams)
+        "levenshtein_neardup": (
+            lambda: q["levenshtein_neardup"](spark, paths["docs_uniform_small"]).count(),
+            lambda: q["levenshtein_neardup"](spark, paths["docs_skew_dedup"]).count(),
+        ),
     }
     results = {}
     for name, (fu, fs) in jobs.items():
@@ -986,7 +1004,14 @@ shuffle); minhash_duplicates aggregates min-per-bucket the same way; the
 pipeline's conversation stats run on salted sub-keys then re-combine
 (salt_buckets={cfg.salt_buckets}), so the 1e5-turn conversation spreads
 over {cfg.salt_buckets} tasks; setsim prefix filtering bounds candidate
-generation by token-frequency rank, which the 90% source does not touch.
+generation by token-frequency rank, which the 90% source does not touch;
+simhash (full skew corpus — its per-doc best-match output stays linear
+even over 1e5 identical signatures) resolves the giant bucket through
+the salted two-phase top-P partial-min aggregates, which collapse
+map-side; levenshtein_neardup (post-dedup view, pair output — same
+contract argument as setsim) composite-keys its Ed-Join gram prefix
+with the length bin, so the hot source's shared vocabulary cannot fat
+one join key alone.
 """
         with open(os.path.join(REPO, "BENCH", "SKEW.md"), "w") as f:
             f.write(md)

@@ -1181,7 +1181,10 @@ def setsim_join(
     possible overlap 1 + min(na-1-pa, nb-1-pb) — pa/pb the 0-based
     prefix positions of the shared token in each side's global order —
     falls below the required overlap ceil(t/(1+t)*(na+nb)); survivors
-    collapse through a distinct (partial+final agg) BEFORE the verify
+    collapse through a per-pair groupBy (partial+final agg, same
+    shuffle a distinct would cost) that ALSO applies PPJoin's
+    accumulated-overlap bound k + min(na-1-max pa, nb-1-max pb) >= alpha
+    (r5 — see the inline proof at the candidate block) BEFORE the verify
     joins; the exact intersection runs once per surviving candidate via
     array_intersect on the two shingle arrays (bounded by candidates,
     never N^2). Both ceilings are computed as (x + d - 1) div d — exact
@@ -1252,14 +1255,47 @@ def setsim_join(
     ubound = 1 + F.least(
         F.col("na") - 1 - F.col("pa"), F.col("nb") - 1 - F.col("pb")
     )
+    # r5 (VERDICT item 3): the dedupe of candidate pairs is a groupBy
+    # instead of distinct (same shuffle), which exposes PPJoin's
+    # ACCUMULATED-overlap bound declaratively: per pair, k = number of
+    # shared prefix tokens and (pam, pbm) = positions of the shared
+    # prefix token with the largest global rank (positions within each
+    # doc are monotone in the shared (dfr, token) total order, so the
+    # max-pa token IS the max-pb token). Every shared token outside
+    # those k ranks strictly after it in BOTH docs, hence
+    #   overlap <= k + min(na-1-pam, nb-1-pbm)
+    # — tighter than any single token's Lemma-2 bound whenever k > 1
+    # (the per-token ubound filter above still runs first, pruning rows
+    # before the shuffle). Lossless by construction: an upper-bound
+    # filter; the exact verify below is unchanged, so results are
+    # bit-identical (the DuckDB all-pairs oracle re-proves this on
+    # every gate run).
+    alpha2 = F.floor(
+        ((F.col("na") + F.col("nb")) * t_num + t_num + t_den - 1)
+        / F.lit(t_num + t_den)
+    )
     cand = (
         a.join(b, (a["token"] == b["tok_b"]) & (a["doc_a"] < b["doc_b"]))
         .filter(
             F.least("na", "nb") * t_den >= F.greatest("na", "nb") * t_num
         )
         .filter(ubound >= alpha)
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.max("pa").alias("pam"),
+            F.max("pb").alias("pbm"),
+            F.min("na").alias("na"),
+            F.min("nb").alias("nb"),
+        )
+        .filter(
+            F.col("k")
+            + F.least(
+                F.col("na") - 1 - F.col("pam"), F.col("nb") - 1 - F.col("pbm")
+            )
+            >= alpha2
+        )
         .select("doc_a", "doc_b")
-        .distinct()
     )
     # verify arrays come off the SAME persisted relation (array_intersect
     # is order-insensitive, so the frequency-sorted token arrays serve)

@@ -1080,11 +1080,12 @@ def cross_set_leakage(
     train: DataFrame,
     probe: DataFrame,
     threshold: float = 0.999,
-    bits: int = 4,
+    bits: int = 12,
     n_tables: int = 16,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: bool = True,
 ) -> DataFrame:
     """Semantic cross-set contamination: for each probe vector (an eval
     candidate), its best train-side match with exact cosine >= threshold,
@@ -1094,23 +1095,45 @@ def cross_set_leakage(
     Unlike lsh_neardup_pairs' min-per-bucket resolution, the probe side
     joins every train member of its buckets — recall for EXACT
     duplicates is 1 by construction (identical vectors share every
-    table's signature), which is the guarantee a leak detector needs.
-    Bucket sizes bound the candidate fan-out (AQE splits hot buckets);
-    verification is the exact JVM-fold cosine, ties broken to the
-    smallest train id.  At 100 TB the probe side is the small relation
-    (an eval release), so the join broadcasts it naturally.
+    table's signature AT ANY BIT WIDTH), which is the guarantee a leak
+    detector needs.  That construction is what lets `bits` be wide:
+    r4's bits=4 meant 16 buckets/table, so an UNRELATED (probe, train)
+    pair collided in a given table with p≈1/16 — with 16 tables the
+    expected candidate set was ≈0.64·|probe|·|train|, effectively
+    quadratic (r4 VERDICT item 2).  bits=12 makes a table 4096 buckets,
+    and distance-1 multi-probe on the PROBE side (Lv et al., VLDB 2007
+    — probe the exact bucket plus every 1-bit-flip bucket, (1+bits)
+    probes/table, corpus relation untouched) recovers the near-dup
+    recall that narrower buckets used to provide by accident: at
+    τ=0.999 (angle ≤ 2.6°, per-plane flip p=θ/π≈0.014) a true near-dup
+    matches a 12-bit table with p≈0.84 exactly and ≈0.99 within one
+    flip, so the 16-table miss probability is < 1e-12, while unrelated
+    collisions drop to ≈(1+12)/4096 ≈ 0.003 per table — ~20× fewer
+    candidates than bits=4 with recall preserved.
+
+    Verification is the exact JVM-fold cosine, ties broken to the
+    smallest train id.  The probe side is the small relation (an eval
+    release, even at 100 TB train), so its signature/probe relation is
+    broadcast — the candidate join never shuffles the train corpus.
     """
     planes = _all_hyperplanes(dim, bits, n_tables)
     tb = train.select(F.col(id_col).alias("_tid"), _as_double(vec_col).alias("_te"))
     pv = probe.select(F.col(id_col).alias("_pid"), _as_double(vec_col).alias("_pe"))
     tsig = lsh_signatures(tb, planes, "_tid", "_te", "_tid")
     psig = lsh_signatures(pv, planes, "_pid", "_pe", "_pid")
+    if multiprobe:
+        flips = F.array(*([F.lit(0)] + [F.lit(1 << i) for i in range(bits)]))
+        psig = psig.select(
+            "_pid", "tbl", F.explode(flips).alias("_f"), "sig"
+        ).select(
+            "_pid", "tbl", F.col("sig").bitwiseXOR(F.col("_f")).alias("sig")
+        )
     cand = (
-        psig.join(tsig, ["tbl", "sig"])
+        tsig.join(F.broadcast(psig), ["tbl", "sig"])
         .select("_pid", "_tid")
         .dropDuplicates(["_pid", "_tid"])
     )
-    cand = cand.join(pv, "_pid").join(tb, "_tid")
+    cand = cand.join(F.broadcast(pv), "_pid").join(tb, "_tid")
     sim = _dot("_pe", "_te") / (_norm("_pe") * _norm("_te"))
     verified = cand.select("_pid", "_tid", sim.alias("sim")).filter(
         F.col("sim") >= F.lit(float(threshold))

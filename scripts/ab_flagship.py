@@ -29,7 +29,10 @@ VERSIONS = {
     "r2": os.path.join(REPO, ".ab", "r2"),
     # r3a = the round-3 close-out commit before the continuation session
     "r3a": os.path.join(REPO, ".ab", "r3a"),
-    "r3": REPO,
+    # r3 / r4 = the exact end-of-round snapshots the driver benched
+    "r3": os.path.join(REPO, ".ab", "r3"),
+    "r4": os.path.join(REPO, ".ab", "r4"),
+    "head": REPO,
 }
 
 CHILD = """
@@ -54,6 +57,42 @@ spark.stop()
 """
 
 
+QUERY_CHILD = """
+import json, sys, time, importlib.util
+sys.path.insert(0, {root!r})
+from qamd_spark import session
+spec = importlib.util.spec_from_file_location('abq_entry', {root!r} + '/__spark_entry__.py')
+mod = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(mod)
+spark = session.get_spark('qamd-ab', master='local[{cpus}]', shuffle_partitions={cpus})
+fns = mod.queries()
+results = {{}}
+for q in {queries!r}:
+    fn = fns[q]
+    fn(spark, {sf_dir!r}).count()  # warmup: codegen + Python workers
+    best, n = 1e18, 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n = fn(spark, {sf_dir!r}).count()
+        best = min(best, time.perf_counter() - t0)
+    results[q] = {{"sec": round(best, 3), "n": n}}
+print(json.dumps(results))
+spark.stop()
+"""
+
+
+def run_query_child(root: str, sf_dir: str, cpus: int, queries: list) -> dict:
+    code = QUERY_CHILD.format(root=root, sf_dir=sf_dir, cpus=cpus, queries=queries)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=2400
+    )
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        sys.stderr.write(out.stderr[-4000:])
+        raise RuntimeError(f"query child for {root} produced no result")
+    return json.loads(lines[-1])
+
+
 def run_child(root: str, tpath: str, cpus: int) -> dict:
     code = CHILD.format(root=root, tpath=tpath, cpus=cpus)
     out = subprocess.run(
@@ -71,12 +110,25 @@ def main() -> None:
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--versions", default="r1,r2,r3")
+    ap.add_argument(
+        "--queries",
+        default="",
+        help="comma-separated entry query names: time these via queries() "
+        "instead of the flagship pipeline (one JVM child per version per "
+        "trial runs all of them)",
+    )
     args = ap.parse_args()
     sys.path.insert(0, REPO)
     import bench
 
     tpath = bench.transcripts_path(0.1)
-    commits = {"r1": "21d4078", "r2": "8679ad9", "r3a": "ea46a97"}
+    commits = {
+        "r1": "21d4078",
+        "r2": "8679ad9",
+        "r3a": "ea46a97",
+        "r3": "cf3b982",  # round-3 end snapshot (BENCH_r03 code)
+        "r4": "886f699",  # round-4 end snapshot (BENCH_r04 code)
+    }
     versions = {v: VERSIONS[v] for v in args.versions.split(",")}
     for v, root in versions.items():
         if not os.path.isdir(root) and v in commits:
@@ -86,8 +138,37 @@ def main() -> None:
             )
         if not os.path.isdir(root):
             raise SystemExit(f"worktree missing for {v}: {root} (git worktree add)")
-    runs: dict[str, list[float]] = {v: [] for v in versions}
     t_start = time.time()
+    if args.queries:
+        qnames = args.queries.split(",")
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        qruns: dict[str, dict[str, list[float]]] = {
+            v: {q: [] for q in qnames} for v in versions
+        }
+        for t in range(args.trials):
+            for v, root in versions.items():
+                r = run_query_child(root, sf_dir, args.cpus, qnames)
+                for q in qnames:
+                    qruns[v][q].append(r[q]["sec"])
+                print(f"# trial {t} {v}: {r}", file=sys.stderr, flush=True)
+        qbest = {v: {q: min(s) for q, s in qs.items()} for v, qs in qruns.items()}
+        out = {
+            "sf_dir": sf_dir,
+            "cpus": args.cpus,
+            "trials": args.trials,
+            "session_sec": round(time.time() - t_start, 1),
+            "all_runs_sec": qruns,
+            "best_sec": qbest,
+        }
+        vs = list(qbest)
+        if len(vs) >= 2:
+            a, b = vs[0], vs[1]
+            out[f"ratio_{b}_vs_{a}"] = {
+                q: round(qbest[b][q] / qbest[a][q], 3) for q in qnames
+            }
+        print(json.dumps(out))
+        return
+    runs: dict[str, list[float]] = {v: [] for v in versions}
     for t in range(args.trials):
         for v, root in versions.items():  # interleaved: r1,r2,r3,r1,r2,r3,...
             r = run_child(root, tpath, args.cpus)

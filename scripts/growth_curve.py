@@ -1,6 +1,7 @@
 """sf0.01 -> sf0.1 -> sf1 growth curve for the heavy near-dup family
-(r3 VERDICT item 5): setsim_join, levenshtein_neardup,
-dedup_recall_audit, winnow_containment are the four slowest bench
+(r3 VERDICT item 5; split_leakage_semantic added per r4 item 2):
+setsim_join, levenshtein_neardup, dedup_recall_audit,
+winnow_containment, split_leakage_semantic are the slowest bench
 queries and the only ones whose candidate sets could grow
 superlinearly. This script times them at three decades of corpus size
 and reports the empirical per-decade exponent
@@ -33,7 +34,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 OPS = ["setsim_join", "levenshtein_neardup", "dedup_recall_audit",
-       "winnow_containment"]
+       "winnow_containment", "split_leakage_semantic"]
 SF1_DIR = os.path.join(REPO, ".bench_cache", "sf1_docs")
 
 
@@ -77,7 +78,40 @@ def build_sf1(src="/root/testdata/sf0.1", factor=10, seed=7):
     )
     pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), out,
                    row_group_size=20_000)
+    _build_sf1_embeddings(src, factor, seed)
     return SF1_DIR
+
+
+def _build_sf1_embeddings(src, factor, seed):
+    """10x embeddings table for split_leakage_semantic's growth decade:
+    fresh iid standard-normal draws (same fresh-draw discipline as the
+    documents synth — replicated vectors would plant near-dup cliques
+    and measure the replication, not the operator). The query plants
+    its own exact copies / reversed controls via vec_id arithmetic, so
+    iid base vectors are exactly the near-uniform regime the r4 VERDICT
+    flagged (every unrelated pair a potential bucket collision)."""
+    import numpy as _np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = os.path.join(SF1_DIR, "embeddings.parquet")
+    if os.path.exists(out):
+        return
+    base = pd.read_parquet(f"{src}/embeddings.parquet")
+    dim = len(base["embedding"].iloc[0])
+    n = len(base) * factor
+    rng = _np.random.RandomState(seed)
+    vecs = rng.standard_normal((n, dim)).astype(_np.float32)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": pd.array(range(n), dtype="int64"),
+            "embedding": [v for v in vecs],
+            "label": pd.array([i % 7 for i in range(n)], dtype="int32"),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), out,
+                   row_group_size=20_000)
 
 
 def main():
@@ -113,7 +147,7 @@ def main():
             res[op][name] = {"sec": round(best, 3), "n": nrows,
                              "capped": hit_cap}
     spark.stop()
-    lines = ["", "## Round-4 growth curve: heavy near-dup family "
+    lines = ["", "## Growth curve: heavy near-dup family "
              "(sf0.01 / sf0.1 / sf1-synth)", "",
              "Empirical per-decade exponent alpha = log10(t_hi/t_lo); 1.0 "
              "linear, 2.0 quadratic. sf1 = 50k docs synthesized from "

@@ -22,7 +22,8 @@ import bench
 def test_skew_torture_ratios_within_bound(spark):
     results = bench.run_skew(scale=10, runs=2, spark=spark)
     assert set(results) == {
-        "transcript_pipeline", "dedup_exact", "minhash_dedup", "setsim_join"
+        "transcript_pipeline", "dedup_exact", "minhash_dedup", "setsim_join",
+        "simhash_neardup", "levenshtein_neardup",
     }
     bad = {n: r for n, r in results.items() if not r["ok"]}
     assert not bad, f"skew ratio over {bench.SKEW_BOUND}x: {bad}"
