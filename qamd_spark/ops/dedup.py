@@ -1176,7 +1176,15 @@ def setsim_join(
     token among each side's first |s| - ceil(t*|s|) + 1 tokens under a
     GLOBAL rarest-first frequency order (prefix-filter lemma). So the
     join explodes ONLY prefixes, ordered by broadcast-free document
-    frequencies from one hash aggregate; the PPJoin POSITIONAL filter
+    frequencies from one hash aggregate. Measured growth (BENCH/
+    ANALYSIS.md r5): per-decade exponent ~1.3, intrinsic to enumerating
+    prefix candidates over a CLOSED token vocabulary (prefix lists
+    lengthen as df's grow with n) — no verification-side filter trims
+    enumeration, so the DECLARED 100 TB posture is: run this exact
+    audit on a deterministic hash-sample (pre-filter doc_id % K == 0,
+    expressible identically in Spark and any SQL oracle, coverage 1/K
+    declared with the audit output), with linear minhash as the
+    full-corpus default. The PPJoin POSITIONAL filter
     (Xiao et al. WWW'08 lemma 2) then drops any candidate whose best
     possible overlap 1 + min(na-1-pa, nb-1-pb) — pa/pb the 0-based
     prefix positions of the shared token in each side's global order —

@@ -47,6 +47,7 @@ def build_sf1(src="/root/testdata/sf0.1", factor=10, seed=7):
 
     out = os.path.join(SF1_DIR, "documents.parquet")
     if os.path.exists(out):
+        _build_sf1_embeddings(src, factor, seed)  # own cache guard
         return SF1_DIR
     os.makedirs(SF1_DIR, exist_ok=True)
     base = pd.read_parquet(f"{src}/documents.parquet")
