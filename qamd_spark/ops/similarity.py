@@ -1115,9 +1115,25 @@ def cross_set_leakage(
     smallest train id.  The probe side is the small relation (an eval
     release, even at 100 TB train), so its signature/probe relation is
     broadcast — the candidate join never shuffles the train corpus.
+
+    Skew guard (r5): identical train vectors are collapsed to their
+    min-id representative BEFORE signatures — a dup-heavy corpus (the
+    realistic regime a leak detector faces: one boilerplate document
+    embedded 10^5 times) would otherwise make every copy share every
+    (tbl, sig) bucket and explode the candidate join by the copy count.
+    The collapse is a partial+final hash aggregate (the hot key folds
+    map-side, the dedup_exact discipline) and is LOSSLESS for this
+    operator's output: identical vectors have identical cosine to any
+    probe, and the best-match tie already breaks to the smallest train
+    id — exactly the representative kept.
     """
     planes = _all_hyperplanes(dim, bits, n_tables)
-    tb = train.select(F.col(id_col).alias("_tid"), _as_double(vec_col).alias("_te"))
+    tb = (
+        train.select(F.col(id_col).alias("_tid"), _as_double(vec_col).alias("_te"))
+        .groupBy("_te")
+        .agg(F.min("_tid").alias("_tid"))
+        .select("_tid", "_te")
+    )
     pv = probe.select(F.col(id_col).alias("_pid"), _as_double(vec_col).alias("_pe"))
     tsig = lsh_signatures(tb, planes, "_tid", "_te", "_tid")
     psig = lsh_signatures(pv, planes, "_pid", "_pe", "_pid")
