@@ -158,3 +158,52 @@ def test_resize_images_real_png_nearest(spark):
         xi = (np.arange(16, dtype=np.int64) * sw) // 16
         want = lum[np.ix_(yi, xi)].astype(np.uint8).tobytes()
         assert bytes(r["payload"]) == want, i
+
+
+def test_phash_links_byte_different_pngs_with_same_pixels(spark):
+    """Decoded-content dedup through the REAL codec: the same pixel
+    grid encoded with different per-row filter choices produces
+    byte-DIFFERENT payloads (a byte hash cannot link them), but the
+    stdlib decode feeds phash identical luminance histograms, so the
+    perceptual near-dup join links every re-encoding at Hamming 0 —
+    the multimodal analogue of text near-dup surviving whitespace
+    re-encoding."""
+    rng = np.random.RandomState(9)
+    px = rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
+    distractor = rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
+    encodings = [None, [1], [2], [3], [4], [0, 3, 1, 4, 2]]
+    rows = [
+        (i, mm._png_encode(px, row_filters=f),
+         {"media_type": "image", "mime": "image/png", "width": None,
+          "height": None, "duration_ms": None})
+        for i, f in enumerate(encodings)
+    ] + [
+        (99, mm._png_encode(distractor),
+         {"media_type": "image", "mime": "image/png", "width": None,
+          "height": None, "duration_ms": None})
+    ]
+    media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    payloads = {r[0]: r[1] for r in rows}
+    # byte-different payloads (the filter choice changes the IDAT bytes)
+    assert len({payloads[i] for i in range(len(encodings))}) == len(encodings)
+    # ...but identical decoded pixels
+    for i in range(len(encodings)):
+        assert (mm._png_decode(payloads[i]) == px).all()
+    dups = {
+        int(r["media_id"]): (int(r["dup_of"]), int(r["hamming"]))
+        for r in mm.phash_neardups(
+            media, max_hamming=0, decode_stub=False
+        ).collect()
+    }
+    # every re-encoding links to the min-id representative at Hamming 0
+    for i in range(1, len(encodings)):
+        assert dups[i] == (0, 0), (i, dups.get(i))
+    # the distractor's histogram differs; at max_hamming=0 it must not
+    # link unless its aHash collides — assert on the signature directly
+    sigs = {
+        int(r["media_id"]): int(r["sig"])
+        for r in mm.phash_signatures(media, decode_stub=False).collect()
+    }
+    assert len({sigs[i] for i in range(len(encodings))}) == 1
+    if sigs[99] != sigs[0]:
+        assert 99 not in dups
