@@ -1255,3 +1255,29 @@ def test_levenshtein_neardup_prefix_blocking_plan(spark):
     agg_ids = [int(m) for m in _re.findall(r"\((\d+)\) HashAggregate", plan)]
     assert agg_ids, plan
     assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+
+
+def test_cross_set_leakage_plan_broadcast_and_collapse(spark):
+    """split_leakage_semantic's engine (r5): the probe-side relations
+    are BROADCAST (the eval release is the small side even at 100 TB
+    train — the candidate join must never shuffle the train corpus on
+    the probe's account), and the dup-train collapse is a partial+final
+    hash aggregate on the embedding (map-side fold of a hot identical
+    vector). No cartesian, no Python beyond the two signature stages."""
+    import __spark_entry__ as E
+
+    plan = _fmt_plan(E.q_split_leakage_semantic(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan, plan
+    # the exchange feeding the candidate join's probe side is broadcast
+    assert "BroadcastExchange" in plan, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    # dup-train collapse: min(_tid) keyed by the vector itself — the
+    # partial (map-side) aggregate groups on the NaN/-0.0-normalized
+    # vector, the final on the plain attribute; both halves must exist
+    assert re.search(r"Keys \[1\]: \[_te#\d+\]", plan), plan
+    assert "knownfloatingpointnormalized" in plan, plan
+    assert "partial_min" in plan, plan
+    # exactly two Python stages: the two lsh_signatures mapInPandas
+    # (formatted explain prints each node in the tree AND in the detail
+    # section — count detail headers, not substring occurrences)
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2, plan
