@@ -5326,13 +5326,29 @@ def q_png_profile(spark, sf_dir):
     count, exact channel means = int64 sums + ONE IEEE division, sha256
     of the decoded pixel buffer — the decoded-content dedup key), with
     planted corrupt/empty payloads exercising the dead-letter NULL row.
-    Rows-only by design (binary payloads can't cross into a SQL
-    oracle); evidence is the closed-form planted-gradient goldens in
-    tests/test_png.py (means + pixel hashes recomputed independently of
-    the codec)."""
+
+    VALUE-ORACLED despite the binary payloads (the embedding_align
+    literal-collapse pattern): the planted pixel patterns have a closed
+    form in (i, seed) integer arithmetic, so the ENTIRE expected
+    profile — dims, exact means, pixel sha256 — is computable without
+    ever running the codec, and the DuckDB twin embeds it as a VALUES
+    literal (_png_profile_oracle_rows). The gate therefore checks that
+    the real inflate + filter reconstruction recovers EXACTLY the
+    planted pixels on every run, not merely that encode/decode agree
+    with each other. channel_means is posexplode_outer'd to scalar
+    (channel, channel_mean) rows so the comparison is all-scalar
+    (dead-letter rows keep one NULL-channel row)."""
     from qamd_spark.ops import multimodal as mm
 
-    return mm.png_profile(mm.synth_png_media(spark, n=40, seed=11))
+    prof = mm.png_profile(mm.synth_png_media(spark, n=40, seed=11))
+    return prof.select(
+        "media_id",
+        "width",
+        "height",
+        "n_channels",
+        F.posexplode_outer("channel_means").alias("channel", "channel_mean"),
+        "pixel_sha256",
+    )
 
 
 def q_phash_neardup(spark, sf_dir):
@@ -13239,6 +13255,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _png_profile_oracle_rows(n: int = 40, seed: int = 11):
+    """Closed-form expected png_profile rows, computed WITHOUT the codec:
+    synth_png_media's planted patterns are pure (i, seed) integer
+    arithmetic, so dims, int64-exact channel sums (one IEEE division
+    each) and the decoded-pixel sha256 all have literal values the SQL
+    oracle can embed — the gate then proves the stdlib inflate + filter
+    reconstruction recovers exactly the planted pixels."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        if i % 16 in (13, 15):  # planted corrupt / empty: dead-letter
+            rows.append((i, None, None, None, None, None, None))
+            continue
+        w = 8 + (i * 3 + seed) % 25
+        h = 8 + (i * 5 + seed) % 17
+        nch = 1 + i % 4
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = (
+            (xx * 255) // max(w - 1, 1)
+            if i % 2 == 0
+            else ((xx // 4 + yy // 4) % 2) * 255
+        )
+        px = np.stack(
+            [(base + 31 * c + i) % 256 for c in range(nch)], axis=2
+        ).astype(np.uint8)
+        sha = _hl.sha256(px.tobytes()).hexdigest()
+        sums = px.reshape(h * w, nch).astype(np.int64).sum(axis=0)
+        for c in range(nch):
+            rows.append(
+                (i, w, h, nch, c, float(int(sums[c]) / (h * w)), sha)
+            )
+    return rows
+
+
+def _png_profile_oracle_sql() -> str:
+    parts = []
+    for r in _png_profile_oracle_rows():
+        if r[1] is None:
+            parts.append(
+                f"(CAST({r[0]} AS BIGINT), CAST(NULL AS INTEGER), "
+                "CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), "
+                "CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), "
+                "CAST(NULL AS VARCHAR))"
+            )
+        else:
+            # repr() emits the shortest round-tripping decimal. The mean
+            # goes through CAST('…' AS DOUBLE) — the STRING form — because
+            # a bare decimal literal parses as DECIMAL first and the
+            # DECIMAL→DOUBLE cast lands 1 ulp off (measured); strtod on
+            # the string is correctly rounded, hence bit-identical to the
+            # Python float the Spark stage emits
+            parts.append(
+                f"(CAST({r[0]} AS BIGINT), {r[1]}, {r[2]}, {r[3]}, "
+                f"{r[4]}, CAST('{r[5]!r}' AS DOUBLE), '{r[6]}')"
+            )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(parts)
+        + ") AS t(media_id, width, height, n_channels, channel, "
+        "channel_mean, pixel_sha256)"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     stop = _sql_stop_list()
     from qamd_spark import corpora as _corp
@@ -18912,4 +18994,5 @@ def oracle_sql() -> dict[str, str]:
         JOIN te ON dt.conv = te.conv
         LEFT JOIN pe ON dt.conv = pe.conv
     """
+    sqls["png_profile"] = _png_profile_oracle_sql()
     return {k: v.strip() for k, v in sqls.items()}
