@@ -5289,7 +5289,9 @@ def q_metadata(spark, sf_dir):
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing through the driver contract: deterministic fake
     media table → Arrow-batched feature extraction (decode stubbed; see
-    qamd_spark/ops/multimodal.py). Rows-only check (binary + UDF)."""
+    qamd_spark/ops/multimodal.py). VALUE-ORACLED since r5: n_bytes +
+    sha256 literals from the shared payload generator — an externally
+    gated determinism pin of the binary Arrow channel + hash stage."""
     from qamd_spark.ops import multimodal as mm
 
     feats = mm.extract_features(mm.synth_media(spark, n=50, seed=11))
@@ -5308,9 +5310,12 @@ def q_wav_profile(spark, sf_dir):
     → stdlib `wave` DECODE inside an Arrow-batched mapInPandas stage →
     per-clip signal profile (rate/frames/duration/peak/RMS/zero
     crossings), with planted corrupt/empty payloads exercising the
-    dead-letter NULL row. Rows-only by design (binary payloads can't
-    cross into a SQL oracle); evidence is the bit-exact pure-Python
-    struct.unpack twin (oracle.wav_features_pdf) + tone goldens."""
+    dead-letter NULL row. VALUE-ORACLED since r5 (the literal-collapse
+    pattern): the DuckDB twin embeds stats computed from the PRE-ENCODE
+    samples (_wav_profile_oracle_sql), so the gate proves the RIFF
+    encode + decode round-trip recovers exactly the synthesized int16
+    stream; the bit-exact struct.unpack twin (oracle.wav_features_pdf)
+    + tone goldens remain as the pytest layer."""
     from qamd_spark.ops import multimodal as mm
 
     return mm.wav_features(mm.synth_wav_media(spark, n=48, seed=11))
@@ -13321,6 +13326,89 @@ def _png_profile_oracle_sql() -> str:
     )
 
 
+def _wav_profile_oracle_sql(n: int = 48, seed: int = 11) -> str:
+    """Closed-form expected wav_profile rows, computed from the
+    PRE-ENCODE samples (multimodal.synth_wav_clip exposes them), never
+    from the `wave` decoder — the gate proves RIFF encode + decode
+    recovers exactly the synthesized int16 stream: rate/frames/duration
+    are header-exact, peak/zero-crossings/sumsq are int64-exact over
+    the samples, rms is ONE division + sqrt (string-cast double, the
+    DECIMAL-literal-ulp rule)."""
+    import math as _math
+
+    from qamd_spark.ops import multimodal as mm
+
+    parts = []
+    for i in range(n):
+        _payload, s = mm.synth_wav_clip(i, seed)
+        if s is None:  # planted corrupt/empty -> dead-letter NULL row
+            parts.append(
+                f"(CAST({i} AS BIGINT), CAST(NULL AS INTEGER), "
+                "CAST(NULL AS INTEGER), CAST(NULL AS BIGINT), "
+                "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), "
+                "CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT))"
+            )
+            continue
+        import numpy as _np
+
+        a = s.astype(_np.int64)
+        nf = int(a.size)
+        sumsq = int(_np.add.reduce(a * a)) if nf else 0
+        neg = a < 0
+        zc = int(_np.add.reduce((neg[:-1] != neg[1:]).astype(_np.int64))) if nf > 1 else 0
+        peak = int(_np.abs(a).max()) if nf else 0
+        rms = float(_math.sqrt(sumsq / nf)) if nf else 0.0
+        parts.append(
+            f"(CAST({i} AS BIGINT), 8000, 1, CAST({nf} AS BIGINT), "
+            f"CAST({1000 * nf // 8000} AS BIGINT), CAST({peak} AS BIGINT), "
+            f"CAST('{rms!r}' AS DOUBLE), CAST({zc} AS BIGINT))"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(parts)
+        + ") AS t(media_id, sample_rate, n_channels, n_frames, "
+        "duration_ms, peak, rms, zero_crossings)"
+    )
+
+
+def _media_features_oracle_sql(n: int = 50, seed: int = 11) -> str:
+    """Expected (media_id, n_bytes, sha256) literals from the shared
+    payload generator (multimodal.synth_media_rows) — a determinism pin
+    of the Arrow binary channel + hashing stage, externally gated each
+    round instead of only pytest-pinned."""
+    import hashlib as _hl
+
+    from qamd_spark.ops import multimodal as mm
+
+    parts = [
+        f"(CAST({i} AS BIGINT), {len(p)}, '{_hl.sha256(p).hexdigest()}')"
+        for i, p, _meta in mm.synth_media_rows(n, seed)
+    ]
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(parts)
+        + ") AS t(media_id, n_bytes, sha256)"
+    )
+
+
+def _frame_plan_oracle_sql(n: int = 50, every_ms: int = 1000) -> str:
+    """Expected frame-sampling plan: synth_media videos are ids i%3==2
+    with duration_ms 3500, so each plans max(1, 3500 div every_ms)
+    frames at multiples of every_ms — pure closed form."""
+    n_frames = max(1, 3500 // every_ms)
+    parts = [
+        f"(CAST({i} AS BIGINT), CAST({k * every_ms} AS BIGINT))"
+        for i in range(n)
+        if i % 3 == 2
+        for k in range(n_frames)
+    ]
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(parts)
+        + ") AS t(media_id, frame_ts_ms)"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     stop = _sql_stop_list()
     from qamd_spark import corpora as _corp
@@ -18995,4 +19083,7 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN pe ON dt.conv = pe.conv
     """
     sqls["png_profile"] = _png_profile_oracle_sql()
+    sqls["wav_profile"] = _wav_profile_oracle_sql()
+    sqls["media_features"] = _media_features_oracle_sql()
+    sqls["frame_plan"] = _frame_plan_oracle_sql()
     return {k: v.strip() for k, v in sqls.items()}

@@ -432,8 +432,10 @@ def phash_neardups_pdf(media_pdf, max_hamming: int = 2):
     return pd.DataFrame(rows, columns=["media_id", "dup_of", "hamming"])
 
 
-def synth_media(spark, n: int = 50, seed: int = 11) -> DataFrame:
-    """Deterministic fake media table for tests (no external data)."""
+def synth_media_rows(n: int = 50, seed: int = 11) -> list:
+    """Pure generator behind synth_media — shared with the SQL-oracle
+    builders so expected n_bytes/sha256 literals come from the SAME
+    payload bytes (a determinism pin, not a codec claim)."""
     import random
 
     rng = random.Random(seed)
@@ -454,7 +456,12 @@ def synth_media(spark, n: int = 50, seed: int = 11) -> DataFrame:
                 },
             )
         )
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    return rows
+
+
+def synth_media(spark, n: int = 50, seed: int = 11) -> DataFrame:
+    """Deterministic fake media table for tests (no external data)."""
+    return spark.createDataFrame(synth_media_rows(n, seed), schema=MEDIA_SCHEMA)
 
 
 # ---------------------------------------------------------------- real WAV
@@ -540,6 +547,36 @@ def wav_features(
     return media.select(id_col, payload_col).mapInPandas(run, schema=_WAV_SCHEMA)
 
 
+def synth_wav_clip(i: int, seed: int = 11):
+    """(payload bytes, samples int16-array-or-None) for synth_wav_media
+    row ``i``. Exposed so the SQL-oracle builder can compute expected
+    per-clip stats from the PRE-ENCODE samples — the driver gate then
+    proves the RIFF encode + `wave` decode round-trip recovers exactly
+    these samples (the codec claim, not just determinism)."""
+    import io as _io
+    import wave as _wave
+
+    if i % 16 == 13:
+        return b"RIFFnotawav" + bytes((seed + i) % 256 for _ in range(32)), None
+    if i % 16 == 15:
+        return b"", None
+    freq = 220 + 44 * ((i * 7 + seed) % 11)
+    dur_ms = (125, 250, 500, 1000)[i % 4]
+    sr = 8000
+    t = np.arange(sr * dur_ms // 1000, dtype=np.float64)
+    wave_f = np.sin(2 * np.pi * freq * t / sr)
+    if i % 2:
+        wave_f = np.sign(wave_f)
+    samples = np.round(wave_f * 12000).astype("<i2")
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue(), samples
+
+
 def synth_wav_media(spark, n: int = 48, seed: int = 11) -> DataFrame:
     """Deterministic REAL WAV payload table: 16-bit PCM mono tones
     (sine / square alternating) at frequencies {220..660} Hz, 8 kHz
@@ -548,31 +585,9 @@ def synth_wav_media(spark, n: int = 48, seed: int = 11) -> DataFrame:
     and one empty payload are planted per 16 rows to exercise the
     dead-letter path. No RNG: all parameters derive from the row index
     and `seed` arithmetically."""
-    import io as _io
-    import wave as _wave
-
     rows = []
     for i in range(n):
-        if i % 16 == 13:
-            payload = b"RIFFnotawav" + bytes((seed + i) % 256 for _ in range(32))
-        elif i % 16 == 15:
-            payload = b""
-        else:
-            freq = 220 + 44 * ((i * 7 + seed) % 11)
-            dur_ms = (125, 250, 500, 1000)[i % 4]
-            sr = 8000
-            t = np.arange(sr * dur_ms // 1000, dtype=np.float64)
-            wave_f = np.sin(2 * np.pi * freq * t / sr)
-            if i % 2:
-                wave_f = np.sign(wave_f)
-            samples = np.round(wave_f * 12000).astype("<i2")
-            buf = _io.BytesIO()
-            with _wave.open(buf, "wb") as w:
-                w.setnchannels(1)
-                w.setsampwidth(2)
-                w.setframerate(sr)
-                w.writeframes(samples.tobytes())
-            payload = buf.getvalue()
+        payload, _samples = synth_wav_clip(i, seed)
         rows.append(
             (
                 i,
