@@ -5362,9 +5362,11 @@ def q_phash_neardup(spark, sf_dir):
     multimodal.phash_neardups): the multimodal member of the near-dup
     family. Planted duplicates: every 5th synthetic media row gets a
     payload-doubled copy (identical normalized histogram => identical
-    signature, Hamming 0). Rows-only (binary + Python decode stage);
-    tests/test_ops.py pins the exact pandas twin and the planted
-    links."""
+    signature, Hamming 0). VALUE-ORACLED since r5: the bit-exact pandas
+    twin's output is embedded as a VALUES literal
+    (_phash_neardup_oracle_sql), so the twin equality that was only
+    pytest-pinned now gates externally every round; tests/test_ops.py
+    keeps the planted-link pins."""
     from qamd_spark.ops import multimodal as mm
 
     base = mm.synth_media(spark, n=60, seed=11)
@@ -13409,6 +13411,33 @@ def _frame_plan_oracle_sql(n: int = 50, every_ms: int = 1000) -> str:
     )
 
 
+def _phash_neardup_oracle_sql() -> str:
+    """Expected phash near-dup links from the bit-exact pandas twin
+    (multimodal.phash_neardups_pdf) over the same deterministic media
+    table q_phash_neardup builds — the twin that was previously only
+    pytest-pinned now gates externally as a VALUES literal (pure
+    Python, no Spark, runs in milliseconds at oracle-build time)."""
+    import pandas as _pd
+
+    from qamd_spark.ops import multimodal as mm
+
+    rows = mm.synth_media_rows(60, 11)
+    base = [(i, p) for i, p, _meta in rows]
+    copies = [(i + 1000, p + p) for i, p, _meta in rows if i % 5 == 0]
+    pdf = _pd.DataFrame(base + copies, columns=["media_id", "payload"])
+    out = mm.phash_neardups_pdf(pdf, max_hamming=2)
+    parts = [
+        f"(CAST({int(r.media_id)} AS BIGINT), "
+        f"CAST({int(r.dup_of)} AS BIGINT), {int(r.hamming)})"
+        for r in out.itertuples()
+    ]
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(parts)
+        + ") AS t(media_id, dup_of, hamming)"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     stop = _sql_stop_list()
     from qamd_spark import corpora as _corp
@@ -19086,4 +19115,5 @@ def oracle_sql() -> dict[str, str]:
     sqls["wav_profile"] = _wav_profile_oracle_sql()
     sqls["media_features"] = _media_features_oracle_sql()
     sqls["frame_plan"] = _frame_plan_oracle_sql()
+    sqls["phash_neardup"] = _phash_neardup_oracle_sql()
     return {k: v.strip() for k, v in sqls.items()}
