@@ -79,6 +79,16 @@ def run_benchmarks() -> dict:
         t0 = time.perf_counter()
         out = fn()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # query isolation (r5): many ops persist() multi-consumer
+        # intermediates and the query functions return lazy frames, so
+        # nothing unpersists inside a query. Without this, ~300 queries
+        # accumulate cached relations in one session and the later heavy
+        # queries pay eviction + GC pressure for their predecessors'
+        # leftovers (setsim_join measured ~3x its fresh-session wall by
+        # the time the bench reaches it). Clearing BETWEEN queries (cost
+        # outside the timed window) makes each number a fresh-cache
+        # measurement of that query alone.
+        spark.catalog.clearCache()
         return out
 
     # headline: full transcript pipeline (score+dedup+conv agg+decide)
