@@ -79,16 +79,18 @@ def run_benchmarks() -> dict:
         t0 = time.perf_counter()
         out = fn()
         timings[name] = round(time.perf_counter() - t0, 3)
-        # query isolation (r5): many ops persist() multi-consumer
-        # intermediates and the query functions return lazy frames, so
-        # nothing unpersists inside a query. Without this, ~300 queries
-        # accumulate cached relations in one session and the later heavy
-        # queries pay eviction + GC pressure for their predecessors'
-        # leftovers (setsim_join measured ~3x its fresh-session wall by
-        # the time the bench reaches it). Clearing BETWEEN queries (cost
-        # outside the timed window) makes each number a fresh-cache
-        # measurement of that query alone.
-        spark.catalog.clearCache()
+        # NO between-query clearCache, deliberately (r5): many ops
+        # persist() multi-consumer intermediates that nothing unpersists,
+        # so cross-query cache accumulation LOOKED like a plausible drag
+        # on late heavy queries — but the interleaved same-window A/B
+        # (BENCH/ANALYSIS.md "clearCache A/B") measured clearing as ~5%
+        # SLOWER overall and the apparent 17% win of the first clearing
+        # run as monotone session drift (every consecutive bench run in
+        # that window got faster regardless of variant). Spark's own LRU
+        # eviction handles the accumulation; set QAMD_BENCH_CLEARCACHE=1
+        # to re-run that A/B.
+        if os.environ.get("QAMD_BENCH_CLEARCACHE"):
+            spark.catalog.clearCache()
         return out
 
     # headline: full transcript pipeline (score+dedup+conv agg+decide)
