@@ -6318,6 +6318,72 @@ def q_ngram_novelty(spark, sf_dir):
     )
 
 
+def q_turn_latency(spark, sf_dir):
+    """Role-transition response-latency profile over the event stream
+    read AS a transcript (conv = user_id; role U/A/T stamped by
+    event_id arithmetic, the role_alternation registry convention):
+    for each turn, the µs gap to the SAME conversation's previous turn
+    in (ts, event_id) order, attributed to the TRANSITION
+    prev_role->role. 'U->A' is assistant response latency, 'A->U' user
+    think time, 'A->T'/'T->A' tool dispatch/return — the dialogue-
+    timing QA run before transcript latencies are trusted (implausibly
+    uniform gaps fingerprint synthetic data; negative/zero gaps are
+    clock or stitching faults — n_nonpos counts them, the timing
+    sibling of ts_sanity). Complements event_latency, which profiles
+    inter-arrival per event TYPE; this conditions on the conversational
+    hand-off.
+
+    Exactness: unix_micros (Spark) and epoch_us (DuckDB) are the same
+    exact int64 epoch-µs, so gaps/sums/min/max are exact bigints and
+    mean_gap_us is ONE IEEE division. int64 headroom: per-transition
+    sum <= n_convs x per-conv time span ~ 1e4 x 3e13 µs/yr = 3e17 at
+    bench scale — three decimal orders below 2^63; decimal(38) is the
+    documented swap past ~1e6 conv-years per transition. Plan: ONE
+    exchange on user_id for the lag window (both lags share it), then
+    a partial+final hash aggregate on the 9-value transition key; no
+    join, no second shuffle (bot_detect's shape)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    role = (
+        F.when(F.col("event_id") % 3 == 0, F.lit("U"))
+        .when(F.col("event_id") % 3 == 1, F.lit("A"))
+        .otherwise(F.lit("T"))
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    t = (
+        _events(spark, sf_dir)
+        .select("user_id", "event_id", "ts")
+        .withColumn("role", role)
+    )
+    g = t.select(
+        F.concat(F.lag("role").over(w), F.lit("->"), F.col("role")).alias(
+            "transition"
+        ),
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        g.groupBy("transition")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_us").alias("sum_gap_us"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+            F.sum((F.col("gap_us") <= 0).cast("long")).alias("n_nonpos"),
+        )
+        .select(
+            "transition",
+            "n_gaps",
+            "sum_gap_us",
+            (
+                F.col("sum_gap_us").cast("double")
+                / F.col("n_gaps").cast("double")
+            ).alias("mean_gap_us"),
+            "min_gap_us",
+            "max_gap_us",
+            "n_nonpos",
+        )
+    )
+
+
 def q_event_latency(spark, sf_dir):
     """Per-event-type inter-arrival latency profile: for each event, the
     gap to the SAME USER's previous event (any type), attributed to the
@@ -13138,6 +13204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_outliers": q_length_outliers,
         "ngram_novelty": q_ngram_novelty,
         "event_latency": q_event_latency,
+        "turn_latency": q_turn_latency,
         "embedding_pca": q_embedding_pca,
         "lang_source_chi2": q_lang_source_chi2,
         "quality_calibration": q_quality_calibration,
@@ -16634,6 +16701,30 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN pd p USING (doc_id)
             LEFT JOIN uq u USING (doc_id)
+        """,
+        "turn_latency": """
+            WITH t AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN event_id % 3 = 0 THEN 'U'
+                          WHEN event_id % 3 = 1 THEN 'A'
+                          ELSE 'T' END AS role
+              FROM events),
+            g0 AS (
+              SELECT lag(role) OVER w || '->' || role AS transition,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+              FROM t
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            g AS (SELECT transition, gap_us FROM g0 WHERE gap_us IS NOT NULL)
+            SELECT transition,
+                   count(*)::BIGINT AS n_gaps,
+                   sum(gap_us)::BIGINT AS sum_gap_us,
+                   (sum(gap_us)::BIGINT)::DOUBLE
+                     / (count(*)::BIGINT)::DOUBLE AS mean_gap_us,
+                   min(gap_us)::BIGINT AS min_gap_us,
+                   max(gap_us)::BIGINT AS max_gap_us,
+                   sum(CASE WHEN gap_us <= 0 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_nonpos
+            FROM g GROUP BY transition
         """,
         "event_latency": """
             WITH g0 AS (

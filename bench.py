@@ -400,6 +400,7 @@ def run_benchmarks() -> dict:
         "heaps_law",
         "source_dup_affinity",
         "role_alternation",
+        "turn_latency",
     ]:
         q = E.queries()[name]
         timed(name, lambda q=q: q(spark, SF_DIR).count())
